@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2;
+``oracle_sql()`` holds the DuckDB twin of each. Cross-engine
+determinism rules (see whatdropsnow_etl_spark.functions.money):
+money/value sums are decimal-exact then cast to DOUBLE, averages are
+exact-sum / count in double space, timestamps are emitted as
+epoch-micros BIGINT or DATE, integer outputs are BIGINT, and every
+ORDER BY / window carries a unique tiebreaker.
 """
 
 from __future__ import annotations
@@ -12,27 +14,516 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whatdropsnow_etl_spark.operators import (
+    ann_cosine_topk,
+    dedup_exact,
+    filter_out_recently_added,
+    fk_integrity_report,
+    ilike_search,
+    lang_id_confusion,
+    latest_wins,
+    moving_avg,
+    ngram_jaccard_pairs,
+    paginate,
+    quality_score,
+    sessionize,
+    token_count,
+    topn_per_group,
+)
+from whatdropsnow_etl_spark.plans.flagship import flagship_segmentation
+from whatdropsnow_etl_spark.plans import olap
+from whatdropsnow_etl_spark.sources import load_table, load_tables
+
+MONEY = "DECIMAL(12,2)"
+RATE = "DECIMAL(4,2)"
+SUM_NET = f"CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE)"
+SUM_DISC = (
+    f"CAST(SUM(CAST(l_extendedprice AS {MONEY})"
+    f" * (1 - CAST(l_discount AS {RATE}))) AS DOUBLE)"
+)
+SUM_CHARGE = (
+    f"CAST(SUM(CAST(l_extendedprice AS {MONEY})"
+    f" * (1 - CAST(l_discount AS {RATE}))"
+    f" * (1 + CAST(l_tax AS {RATE}))) AS DOUBLE)"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    return flagship_segmentation(t["lineitem"], t["supplier"], t["part"])
+
+
+# --- §2.1 reference parity -------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return flagship_segmentation(t["lineitem"], t["supplier"], t["part"])
+
+
+def _upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return latest_wins(
+        events,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
+def _incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return filter_out_recently_added(
+        events, events, ["user_id", "event_type"], "ts", "12 HOURS"
+    )
+
+
+def _fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    present = t["part"].where(F.col("p_partkey") % 7 != 0)
+    return fk_integrity_report(
+        t["lineitem"], present, "l_partkey", "p_partkey", "l_returnflag"
+    )
+
+
+def _json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.json_normalize_events(load_table(spark, sf_dir, "events"))
+
+
+def _paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    return paginate(events, ["event_id"], page=3, page_size=100)
+
+
+def _ilike_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return ilike_search(part, "p_name", "red").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+
+
+def _resource_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.resource_cascade(load_tables(spark, sf_dir))
+
+
+def _multi_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.multi_currency(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- §2.2 OLAP breadth -----------------------------------------------------
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q3_topk_revenue(t["customer"], t["orders"], t["lineitem"])
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q5_region_volume(load_tables(spark, sf_dir))
+
+
+def _window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return topn_per_group(part, "p_brand", "p_retailprice", "p_partkey", 3).select(
+        "p_brand", "p_partkey", "p_name", "p_retailprice", "rnk"
+    )
+
+
+def _window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return moving_avg(events, "user_id", "ts", "event_id", "value", 3).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "mov_avg",
+    )
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, "user_id", "ts", "event_id", "value", "30 MINUTES")
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.rollup_flag_status(load_table(spark, sf_dir, "lineitem"))
+
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+# --- §2.3 LLM-data-pipeline ------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_cosine_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_confusion(load_table(spark, sf_dir, "documents"))
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_segmentation": _flagship,
+        "upsert_latest": _upsert_latest,
+        "incremental_antijoin": _incremental_antijoin,
+        "fk_integrity": _fk_integrity,
+        "json_normalize": _json_normalize,
+        "paginate": _paginate,
+        "ilike_search": _ilike_search,
+        "resource_cascade": _resource_cascade,
+        "multi_currency": _multi_currency,
+        "q1_pricing_summary": _q1,
+        "q3_topk_revenue": _q3,
+        "q5_region_volume": _q5,
+        "window_topn_per_group": _window_topn,
+        "window_moving_avg": _window_moving_avg,
+        "sessionize": _sessionize,
+        "rollup_flag_status": _rollup,
+        "tumbling_window_agg": _tumbling,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "ann_cosine_topk": _ann,
+        "lang_id": _lang_id,
+        "quality_score": _quality,
+        "token_count": _token_count,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_score = (
+        "len(list_filter(string_split(lower(text), ' '),"
+        " x -> list_contains({words}, x)))"
+    )
+    s_en = lang_score.format(words="['the', 'a', 'of']")
+    s_de = lang_score.format(words="['table', 'row', 'column']")
+    s_fr = lang_score.format(words="['join', 'merge', 'group']")
+    s_es = lang_score.format(words="['scan', 'sort', 'filter']")
+    s_zh = lang_score.format(words="['spark', 'stream', 'batch']")
+    return {
+        "flagship_segmentation": f"""
+            WITH per AS (
+              SELECT s_suppkey, s_name,
+                     {SUM_NET} / COUNT(l_extendedprice) AS avg_product_price
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              WHERE regexp_matches(lower(p_name), '(green|blue|red)')
+              GROUP BY s_suppkey, s_name
+            ), seg AS (
+              SELECT *,
+                CASE WHEN avg_product_price < 52000 THEN 'Normal'
+                     WHEN avg_product_price BETWEEN 52000 AND 56000 THEN 'High End'
+                     ELSE 'Very High End' END AS segment
+              FROM per
+            )
+            SELECT s_name AS retailer_name, segment,
+                   CAST(RANK() OVER (PARTITION BY segment
+                        ORDER BY avg_product_price DESC, s_suppkey) AS BIGINT)
+                     AS retailer_rank,
+                   ROUND(avg_product_price, 2) AS avg_product_price_usd
+            FROM seg
+            WHERE segment <> 'Very High End'
+            ORDER BY segment, retailer_rank
+        """,
+        "upsert_latest": """
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "incremental_antijoin": """
+            WITH cutoff AS (SELECT max(ts) - INTERVAL 12 HOUR AS c FROM events)
+            SELECT DISTINCT user_id, event_type FROM events
+            EXCEPT
+            SELECT DISTINCT user_id, event_type FROM events, cutoff WHERE ts > c
+        """,
+        "fk_integrity": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_total,
+                   COUNT(p.p_partkey) AS n_valid,
+                   COUNT(*) - COUNT(p.p_partkey) AS n_orphan
+            FROM lineitem l
+            LEFT JOIN (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0) p
+              ON p.p_partkey = l.l_partkey
+            GROUP BY l_returnflag
+        """,
+        "json_normalize": """
+            SELECT event_type, COUNT(k) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+            FROM (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events
+            )
+            GROUP BY event_type
+        """,
+        "paginate": """
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+            FROM events ORDER BY event_id LIMIT 100 OFFSET 200
+        """,
+        "ilike_search": """
+            SELECT p_partkey, p_name, p_brand, p_retailprice
+            FROM part WHERE lower(p_name) LIKE '%red%'
+        """,
+        "resource_cascade": """
+            SELECT r_name, n_name,
+                   COUNT(DISTINCT c_custkey) AS n_customers,
+                   COUNT(o_orderkey) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                     AS total_revenue
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY r_name, n_name
+        """,
+        "multi_currency": f"""
+            SELECT l_returnflag,
+                   {SUM_NET} AS sum_net,
+                   {SUM_DISC} AS sum_discounted,
+                   {SUM_CHARGE} AS sum_gross,
+                   COUNT(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) AS sum_qty,
+                   {SUM_NET} AS sum_base_price,
+                   {SUM_DISC} AS sum_disc_price,
+                   {SUM_CHARGE} AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) / COUNT(*)
+                     AS avg_qty,
+                   {SUM_NET} / COUNT(*) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS {RATE})) AS DOUBLE) / COUNT(*)
+                     AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_topk_revenue": f"""
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   o_orderpriority, {SUM_DISC} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_region_volume": f"""
+            SELECT n_name, {SUM_DISC} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "window_topn_per_group": """
+            SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
+              SELECT p_brand, p_partkey, p_name, p_retailprice,
+                     CAST(RANK() OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+              FROM part
+            ) WHERE rnk <= 3
+        """,
+        "window_moving_avg": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w AS mov_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+              SELECT *, CAST(SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM numbered GROUP BY user_id, session_seq
+        """,
+        "rollup_flag_status": f"""
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) AS sum_qty,
+                   {SUM_NET} AS sum_price
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "tumbling_window_agg": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY hour_start_us, event_type
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(trim(text))) AS text_hash,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY text_hash
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+            FROM pairs
+            JOIN sz x ON x.doc_id = doc_a
+            JOIN sz y ON y.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 10
+            ), c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id >= 10
+            ), s AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e))
+                          * sqrt(list_dot_product(c.e, c.e))) AS cos_raw
+              FROM q CROSS JOIN c
+            ), r AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM s
+            )
+            SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cosine
+            FROM r WHERE rnk <= 5
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT lang,
+                     {s_en} AS s_en, {s_de} AS s_de, {s_fr} AS s_fr,
+                     {s_es} AS s_es, {s_zh} AS s_zh
+              FROM documents
+            ), pred AS (
+              SELECT lang,
+                CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                          AND s_en >= s_zh THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                     WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                     WHEN s_es >= s_zh THEN 'es'
+                     ELSE 'zh' END AS pred_lang
+              FROM scored
+            )
+            SELECT lang, pred_lang, COUNT(*) AS n_docs
+            FROM pred GROUP BY lang, pred_lang
+        """,
+        "quality_score": """
+            WITH base AS (
+              SELECT doc_id, lower(text) AS lt,
+                     string_split(lower(text), ' ') AS t
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                CAST(length(lt) AS BIGINT) AS n_chars_txt,
+                CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(t,
+                  x -> list_contains(['the', 'a', 'of', 'and', 'to'], x)))
+                  AS DOUBLE) / len(t) AS stop_ratio_raw,
+                CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g'))
+                  AS DOUBLE) / length(lt) AS punct_ratio_raw,
+                CAST(list_sum(list_transform(t, x -> length(x)))
+                  AS DOUBLE) / len(t) AS mwl_raw
+              FROM base
+            )
+            SELECT doc_id, n_chars_txt, n_tokens,
+                   ROUND(stop_ratio_raw, 6) AS stop_ratio,
+                   ROUND(punct_ratio_raw, 6) AS punct_ratio,
+                   ROUND(mwl_raw, 6) AS mean_word_len,
+                   ROUND(0.3 * (1.0 - stop_ratio_raw)
+                         + 0.4 * LEAST(mwl_raw / 10.0, 1.0)
+                         + 0.3 * (1.0 - punct_ratio_raw), 6) AS quality
+            FROM m
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                     AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                     '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(length(text) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')) AS chars_per_token
+            FROM documents
+        """,
+    }

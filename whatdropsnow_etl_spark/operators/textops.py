@@ -1,0 +1,109 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting. All pure Column expressions (whole-stage codegen; no
+Python in the hot path) — they run as a single narrow projection
+over the corpus scan, no shuffle except final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_ish_count, stop_count, tokens
+
+# Marker vocabularies for the n-gram/stopword language heuristic.
+# The synthetic corpus shares one vocabulary across its `lang`
+# labels, so these act as deterministic pseudo-language markers; on
+# real corpora swap in genuine per-language stopword lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("table", "row", "column"),
+    "fr": ("join", "merge", "group"),
+    "es": ("scan", "sort", "filter"),
+    "zh": ("spark", "stream", "batch"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _pred_lang(scores: dict[str, Column]) -> Column:
+    """argmax over language scores, ties broken by declaration order
+    of LANG_MARKERS: CASE chain 'first lang whose score >= all later
+    langs' — mirrored verbatim in the SQL oracle."""
+    langs = list(scores)
+    expr = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc predicted language by marker-token counts."""
+    toks = tokens(F.col(text_col))
+    scores = {lang: stop_count(toks, words) for lang, words in LANG_MARKERS.items()}
+    return df.withColumn("pred_lang", _pred_lang(scores))
+
+
+def lang_id_confusion(
+    df: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Confusion counts: actual label × predicted language."""
+    return (
+        lang_id(df, text_col)
+        .groupBy(F.col(label_col).alias("lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite doc quality: length, punctuation ratio, stopword
+    ratio, mean word length. Ratios are double divisions of exact
+    integer counts — deterministic across engines."""
+    text = F.lower(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = stop_count(toks, STOPWORDS).cast("bigint")
+    n_punct = F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("bigint")
+    tok_len_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    mean_word_len = tok_len_sum.cast("double") / n_tokens
+    quality = F.round(
+        0.3 * (1.0 - stop_ratio)
+        + 0.4 * F.least(mean_word_len / 10.0, F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_txt"),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace and BPE-ish token counts per doc."""
+    toks = tokens(F.col(text_col))
+    n_ws = F.size(toks).cast("bigint")
+    n_bpe = bpe_ish_count(F.col(text_col)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length(F.col(text_col)).cast("double") / n_ws).alias("chars_per_token"),
+    )

@@ -1,0 +1,55 @@
+"""Tuned SparkSession factory.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime coalescing of post-shuffle partitions and skew-join
+  splitting, so the same plans survive a 1000x scale-up without
+  hand-tuning ``spark.sql.shuffle.partitions`` per query.
+- Arrow on: any pandas-UDF path (multimodal decode) moves batches,
+  not rows.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-location independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "whatdropsnow-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local
+    runs; on a real cluster the caller passes no master and lets
+    spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet writes TIMESTAMP(NANOS); read as long and
+        # convert in sources.tables (Spark has no native nanos type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # dims at TPC-H ratios are far under this; keeps dim joins
+        # broadcast (zero-shuffle) without per-query hints
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,54 @@
+"""Parquet table loaders.
+
+Columnar-scan discipline: callers select the columns they need
+immediately after ``load_table`` so Catalyst prunes the parquet
+``ReadSchema`` — at 100 TB a scan that materializes unused columns
+is the first bottleneck. Filters applied on the returned DataFrame
+push down to the scan (``PushedFilters``) for row-group skipping.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# parquet TIMESTAMP(NANOS) columns: surfaced by Spark as epoch-nanos
+# longs (spark.sql.legacy.parquet.nanosAsLong) and converted here to
+# real timestamps at microsecond precision (the generator's native
+# precision — values are datetime-derived, so nanos are ‰1000).
+NANO_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table. Lazy: nothing is scanned until an
+    action runs, and Catalyst prunes columns/filters per query."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
