@@ -180,7 +180,10 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    # hash_shingles: 64-bit join keys instead of shingle strings —
+    # identical output (tests assert pair-set equality), ~10× less
+    # shuffle; the oracle twin joins on strings, values still match.
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, hash_shingles=True)
 
 
 def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:

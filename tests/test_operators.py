@@ -1,0 +1,109 @@
+"""Semantic invariants for the relational core operators (sf0.001)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from whatdropsnow_etl_spark.operators import (
+    filter_out_recently_added,
+    fk_integrity_report,
+    ilike_search,
+    latest_wins,
+    moving_avg,
+    paginate,
+    sessionize,
+    topn_per_group,
+)
+from whatdropsnow_etl_spark.operators.integrity import valid_only
+from whatdropsnow_etl_spark.operators.pagination import paginate_after
+
+
+def test_latest_wins_unique_keys(tables):
+    out = latest_wins(
+        tables["events"],
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    n_keys = out.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys
+    # the kept row carries the max ts of its group
+    mx = tables["events"].groupBy("user_id", "event_type").agg(F.max("ts").alias("mx"))
+    joined = out.join(mx, ["user_id", "event_type"])
+    assert joined.where(F.col("ts") != F.col("mx")).count() == 0
+
+
+def test_incremental_antijoin_disjoint(tables):
+    ev = tables["events"]
+    out = filter_out_recently_added(ev, ev, ["user_id", "event_type"], "ts", "12 HOURS")
+    cutoff = ev.agg(F.expr("max(ts) - INTERVAL 12 HOURS").alias("c")).collect()[0][0]
+    recent = (
+        ev.where(F.col("ts") > F.lit(cutoff))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert out.join(recent, ["user_id", "event_type"], "inner").count() == 0
+    assert out.count() + recent.count() == (
+        ev.select("user_id", "event_type").distinct().count()
+    )
+
+
+def test_fk_integrity_counts_partition(tables):
+    present = tables["part"].where(F.col("p_partkey") % 7 != 0)
+    rep = fk_integrity_report(
+        tables["lineitem"], present, "l_partkey", "p_partkey", "l_returnflag"
+    )
+    row = rep.agg(
+        F.sum("n_total").alias("t"), F.sum("n_valid").alias("v"), F.sum("n_orphan").alias("o")
+    ).collect()[0]
+    assert row["t"] == tables["lineitem"].count()
+    assert row["v"] + row["o"] == row["t"]
+    assert row["o"] > 0  # the %7 filter really removed parents
+    assert valid_only(tables["lineitem"], present, "l_partkey", "p_partkey").count() == row["v"]
+
+
+def test_paginate_disjoint_and_ordered(tables):
+    ev = tables["events"].select("event_id")
+    p1 = {r[0] for r in paginate(ev, ["event_id"], 1, 50).collect()}
+    p2 = {r[0] for r in paginate(ev, ["event_id"], 2, 50).collect()}
+    assert len(p1) == 50 and len(p2) == 50 and not (p1 & p2)
+    assert max(p1) < min(p2)
+    # cursor pagination agrees with offset pagination
+    c2 = {r[0] for r in paginate_after(ev, "event_id", max(p1), 50).collect()}
+    assert c2 == p2
+
+
+def test_ilike_search_matches(tables):
+    out = ilike_search(tables["part"], "p_name", "RED")
+    assert out.count() > 0
+    assert out.where(~F.lower("p_name").contains("red")).count() == 0
+
+
+def test_topn_per_group_bound(tables):
+    out = topn_per_group(tables["part"], "p_brand", "p_retailprice", "p_partkey", 3)
+    per_group = out.groupBy("p_brand").count()
+    assert per_group.where(F.col("count") > 3).count() == 0
+
+
+def test_moving_avg_bounds(tables):
+    out = moving_avg(tables["events"], "user_id", "ts", "event_id", "value", 3)
+    bad = out.where(
+        (F.col("mov_avg") < tables["events"].agg(F.min("value")).collect()[0][0])
+        | (F.col("mov_avg") > tables["events"].agg(F.max("value")).collect()[0][0])
+    )
+    assert bad.count() == 0
+
+
+def test_sessionize_invariants(tables):
+    out = sessionize(tables["events"], "user_id", "ts", "event_id", "value")
+    assert out.where(F.col("session_end_us") < F.col("session_start_us")).count() == 0
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == tables["events"].count()
+    # sessions of one user never overlap: start of session n+1 is
+    # strictly after end of session n
+    w_ok = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.session_seq") + 1 == F.col("b.session_seq"))
+        & (F.col("b.session_start_us") <= F.col("a.session_end_us")),
+    )
+    assert w_ok.count() == 0

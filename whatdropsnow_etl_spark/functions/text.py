@@ -27,18 +27,23 @@ def tokens(text: Column | str) -> Column:
 def shingles(toks: Column, k: int = 3) -> Column:
     """Distinct k-gram word shingles as an array<string>.
 
-    transform over sequence(0, size-k) keeps this fully JVM-side;
-    at 100 TB the caller explodes these and immediately hashes to
+    Built by zipping k shifted slices of the token array. Higher-
+    order-function lambdas are *interpreted* (no codegen), so the
+    lambda bodies here touch only their element variables — an
+    earlier formulation indexing ``element_at(toks, i+j)`` inside
+    the lambda re-evaluated the tokenizer per shingle position
+    (~100× slower per doc). The k slices evaluate ``toks`` k times
+    total, once per shift.
+
+    At 100 TB the caller explodes these and immediately hashes to
     64-bit (never carrying the shingle string through a shuffle).
     """
-    joined = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )
-    # guard: sequence(0, negative) would count *down*; short docs
-    # have no k-shingles
-    empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= k, F.array_distinct(joined)).otherwise(empty)
+    n_shingles = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    shifted = [F.slice(toks, j + 1, n_shingles) for j in range(k)]
+    sh = shifted[0]
+    for part in shifted[1:]:
+        sh = F.zip_with(sh, part, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(sh)
 
 
 def stop_count(toks: Column, stopwords: Sequence[str]) -> Column:

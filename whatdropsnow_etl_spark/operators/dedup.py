@@ -54,26 +54,52 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     hash_shingles: bool = False,
+    max_docs_per_shingle: int | None = None,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b) with k-gram-shingle Jaccard >= threshold.
 
-    Exact (not approximate): intersection via inverted-index
-    self-join, union via per-doc distinct shingle counts.
+    Exact (not approximate). Shape chosen for minimal passes:
+    - per-doc shingle counts are a *narrow* projection on the base
+      table (size of the shingle array — no explode, no shuffle),
+      broadcast into the final join;
+    - candidate pairs come from ONE explode → groupBy(shingle) →
+      collect_list → in-memory combination expansion (JVM
+      higher-order funcs), i.e. 2 shuffles total and a single
+      evaluation of the shingle pipeline — vs 3 evaluations + 3
+      shuffles for the naive inverted-index self-join.
+
+    Scale guard: a shingle shared by c docs expands to C(c,2) pairs;
+    ultra-frequent shingles are non-discriminative and blow up any
+    exact method. ``max_docs_per_shingle`` drops hotter shingles
+    (documented approximation, off by default); the 100 TB path is
+    MinHash-LSH banding (r2) which bounds candidates by design.
     """
     sh = _doc_shingles(df, text_col, id_col, k, hash_shingles)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(shingles(tokens(F.col(text_col)), k)).cast("bigint").alias("n_shingles"),
+    )
+
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__docs")
+    )
+    if max_docs_per_shingle is not None:
+        grouped = grouped.where(F.size("__docs") <= max_docs_per_shingle)
+    # all ordered pairs (docs[i], docs[j]), i < j, expanded JVM-side
+    combos = F.flatten(
+        F.transform(
+            F.col("__docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__docs"), i + 2, F.size(F.col("__docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.where(F.size("__docs") > 1)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na"))
