@@ -16,19 +16,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from whatdropsnow_etl_spark.functions.vectors import rademacher_planes
 from whatdropsnow_etl_spark.operators import (
     ann_cosine_topk,
+    ann_lsh_bucketed,
     dedup_exact,
+    doc_fingerprint,
+    embedding_dedup_pairs,
     filter_out_recently_added,
     fk_integrity_report,
     ilike_search,
     lang_id_confusion,
     latest_wins,
+    minhash_lsh_pairs,
     moving_avg,
+    multimodal_features,
     ngram_jaccard_pairs,
     paginate,
     quality_score,
     sessionize,
+    simhash_pairs,
     token_count,
     topn_per_group,
 )
@@ -186,11 +193,38 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, k=3, threshold=0.5, hash_shingles=True)
 
 
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, bits=32, bands=4, max_hamming=3)
+
+
 def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_cosine_topk(
         emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10), k=5
     )
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_bucketed(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_tables=4,
+        bits_per_table=4,
+        dim=64,
+    )
+
+
+def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(emb, threshold=0.4)
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +237,14 @@ def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"), k=3, window=4)
+
+
+def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal_features(load_table(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -226,11 +268,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_agg": _tumbling,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann,
+        "ann_lsh_bucketed": _ann_lsh,
+        "embedding_dedup": _embedding_dedup,
         "lang_id": _lang_id,
         "quality_score": _quality,
         "token_count": _token_count,
+        "doc_fingerprint": _doc_fingerprint,
+        "multimodal_decode": _multimodal,
     }
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5(s || '#{i}')) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key="||".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ), sig AS (
+          SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
+        ), bands AS ({band_selects})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN substr(m, {j + 1}, 1) IN {odd}"
+        f" THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, md5(tok) AS m FROM tk
+        ), votes AS (
+          SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id
+        ), fp AS (
+          SELECT doc_id, ({fp_terms}) AS f FROM votes
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+    """
+
+
+_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _ann_lsh_oracle(n_tables: int = 4, bits: int = 4, dim: int = 64, k: int = 5) -> str:
+    planes = rademacher_planes(n_tables * bits, dim)
+
+    def key_expr(t: int) -> str:
+        terms = []
+        for j in range(bits):
+            lit = "[" + ", ".join(str(x) for x in planes[t * bits + j]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, {lit}) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    qb = " UNION ALL ".join(
+        f"SELECT query_id, {t} AS t, {key_expr(t)} AS key FROM q"
+        for t in range(n_tables)
+    )
+    cb = " UNION ALL ".join(
+        f"SELECT neighbor_id, {t} AS t, {key_expr(t)} AS key FROM c"
+        for t in range(n_tables)
+    )
+    cos = _COS.format(a="q.e", b="c.e")
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 10
+        ), c AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 10
+        ), qb AS ({qb}), cb AS ({cb}),
+        cand AS (
+          SELECT DISTINCT query_id, neighbor_id
+          FROM qb JOIN cb ON qb.t = cb.t AND qb.key = cb.key
+        ), s AS (
+          SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_raw
+          FROM cand
+          JOIN q ON q.query_id = cand.query_id
+          JOIN c ON c.neighbor_id = cand.neighbor_id
+        ), r AS (
+          SELECT query_id, neighbor_id, cos_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM s
+        )
+        SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cosine
+        FROM r WHERE rnk <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -451,6 +614,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz y ON y.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5
         """,
+        "dedup_minhash_lsh": _minhash_oracle(16, 4),
+        "dedup_simhash": _simhash_oracle(32, 3),
         "ann_cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
@@ -472,6 +637,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cosine
             FROM r WHERE rnk <= 5
+        """,
+        "ann_lsh_bucketed": _ann_lsh_oracle(4, 4, 64, 5),
+        "embedding_dedup": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), s AS (
+              SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                     {_COS.format(a="a.v", b="b.v")} AS c
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT vec_id_a, vec_id_b, ROUND(c, 6) AS cosine
+            FROM s WHERE c >= 0.4
         """,
         "lang_id": f"""
             WITH scored AS (
@@ -518,6 +695,36 @@ def oracle_sql() -> dict[str, str]:
                          + 0.4 * LEAST(mwl_raw / 10.0, 1.0)
                          + 0.3 * (1.0 - punct_ratio_raw), 6) AS quality
             FROM m
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_md5,
+                   CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)
+                     AS fake_width,
+                   CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
+                     AS fake_height
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), sh AS (
+              SELECT doc_id, i AS pos,
+                     md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            ), wm AS (
+              SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM sh
+            ), sel AS (
+              SELECT DISTINCT doc_id, mh FROM wm WHERE pos <= n - 3
+            )
+            SELECT doc_id, COUNT(*) AS n_fingerprints,
+                   md5(string_agg(mh, '' ORDER BY mh)) AS fp_digest
+            FROM sel GROUP BY doc_id
         """,
         "token_count": """
             SELECT doc_id,

@@ -67,3 +67,48 @@ def test_streaming_matches_batch(spark, tables, events_json_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_matches_batch(spark, tables, events_json_dir, tmp_path):
+    from whatdropsnow_etl_spark.streaming import dedup_stream
+
+    # events with synthetic duplicate ids: reuse the same dir twice
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .json(events_json_dir)
+    )
+    deduped = dedup_stream(stream, key_cols=("event_id",), watermark="24 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").collect()[0]
+    batch = tables["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    assert got["n"] == got["d"] == batch.select("event_id").distinct().count()
+
+
+def test_streaming_parquet_sink_exactly_once(spark, tables, events_json_dir, tmp_path):
+    from whatdropsnow_etl_spark.streaming import write_stream_parquet
+
+    out_dir = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .json(events_json_dir)
+    )
+    q = write_stream_parquet(stream, out_dir, ckpt)
+    q.awaitTermination(120)
+    n_src = tables["events"].count()
+    assert spark.read.parquet(out_dir).count() == n_src
+    # restart with same checkpoint: no new data -> no duplicates
+    stream2 = spark.readStream.schema(SCHEMA).json(events_json_dir)
+    q2 = write_stream_parquet(stream2, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_src

@@ -24,8 +24,10 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.lower(c), " ")
 
 
-def shingles(toks: Column, k: int = 3) -> Column:
-    """Distinct k-gram word shingles as an array<string>.
+def shingles(toks: Column, k: int = 3, distinct: bool = True) -> Column:
+    """k-gram word shingles as an array<string> (distinct by
+    default; pass distinct=False for positional shingles, e.g.
+    winnowing, where window offsets must line up with text order).
 
     Built by zipping k shifted slices of the token array. Higher-
     order-function lambdas are *interpreted* (no codegen), so the
@@ -43,7 +45,7 @@ def shingles(toks: Column, k: int = 3) -> Column:
     sh = shifted[0]
     for part in shifted[1:]:
         sh = F.zip_with(sh, part, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
 
 
 def stop_count(toks: Column, stopwords: Sequence[str]) -> Column:

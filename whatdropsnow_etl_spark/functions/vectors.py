@@ -32,3 +32,32 @@ def norm(a: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes for sign-LSH, seeded by md5.
+
+    Component d of plane p is +1 iff hex digit (d mod 32) of
+    md5("hp:{p}:{d // 32}") is odd. Computed driver-side with
+    hashlib and inlined as literals into BOTH the Spark plan and the
+    DuckDB oracle SQL, so the two engines bucket identically.
+    Rademacher (±1) entries are a standard sub-Gaussian choice for
+    random-projection LSH — same collision guarantees as Gaussian
+    hyperplanes, and exactly representable in every engine.
+    """
+    import hashlib
+
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        comps: list[float] = []
+        for chunk_start in range(0, dim, 32):
+            hx = hashlib.md5(f"hp:{p}:{chunk_start // 32}".encode()).hexdigest()
+            for d in range(chunk_start, min(chunk_start + 32, dim)):
+                comps.append(1.0 if hx[d % 32] in "13579bdf" else -1.0)
+        planes.append(comps)
+    return planes
+
+
+def dot_literal(v: Column, plane: list[float]) -> Column:
+    """Dot product of an array column with a literal plane."""
+    return dot(v, F.array(*[F.lit(x) for x in plane]))

@@ -1,10 +1,18 @@
-from .dedup import dedup_exact, ngram_jaccard_pairs
+from .dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
 from .incremental import filter_out_recently_added
 from .integrity import fk_integrity_report
+from .multimodal import attach_binary_payload, extract_features, multimodal_features
 from .pagination import paginate
 from .search import ilike_search
-from .similarity import ann_cosine_topk
-from .textops import lang_id_confusion, quality_score, token_count
+from .similarity import ann_cosine_topk, ann_lsh_bucketed, embedding_dedup_pairs
+from .textops import doc_fingerprint, lang_id_confusion, quality_score, token_count
 from .upsert import latest_wins
 from .windows import moving_avg, sessionize, topn_per_group
 
@@ -19,7 +27,17 @@ __all__ = [
     "sessionize",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "embedding_dedup_pairs",
+    "doc_fingerprint",
+    "attach_binary_payload",
+    "extract_features",
+    "multimodal_features",
     "lang_id_confusion",
     "quality_score",
     "token_count",

@@ -47,6 +47,29 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int, hash_shingl
     return out
 
 
+def _expand_sorted_pairs(grouped: DataFrame, docs_col: str = "__docs") -> DataFrame:
+    """(bucket rows w/ sorted doc array) → one row per ordered pair.
+
+    All C(n,2) combinations are expanded JVM-side with higher-order
+    functions (no Python, no self-join re-shuffle): for each element
+    x at index i, pair it with every later element.
+    """
+    combos = F.flatten(
+        F.transform(
+            F.col(docs_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(docs_col), i + 2, F.size(F.col(docs_col))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.where(F.size(docs_col) > 1)
+        .select(F.explode(combos).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -86,20 +109,9 @@ def ngram_jaccard_pairs(
     )
     if max_docs_per_shingle is not None:
         grouped = grouped.where(F.size("__docs") <= max_docs_per_shingle)
-    # all ordered pairs (docs[i], docs[j]), i < j, expanded JVM-side
-    combos = F.flatten(
-        F.transform(
-            F.col("__docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__docs"), i + 2, F.size(F.col("__docs"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     inter = (
-        grouped.where(F.size("__docs") > 1)
-        .select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _expand_sorted_pairs(grouped)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na"))
@@ -113,4 +125,172 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """One row per doc with columns h0..h{P-1}: MinHash signature.
+
+    Portable string-hash MinHash (reference parity: the engine's
+    dedup path, SURVEY §2.3): signature slot i is
+    min(md5(shingle || '#i')) over the doc's distinct k-shingles.
+    md5-of-string is bit-identical in Spark and DuckDB, so the LSH
+    query has an exact SQL twin. The md5s are computed map-side on
+    the exploded shingle stream and reduced by min() with partial
+    (map-side) aggregation — the shuffle carries only P×32-char
+    strings per doc, never the shingles. At 100 TB swap the md5
+    family for xxhash64(shingle, seed) (8-byte slots, ~4× narrower
+    shuffle); the banding logic below is hash-family agnostic.
+    """
+    sh = _doc_shingles(df, text_col, id_col, k, hash_shingles=False)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    P = bands × rows signature; docs collide in a band iff all rows
+    of that band's signature slice agree. Output: (doc_a < doc_b,
+    n_shared_bands). Collision probability for Jaccard s is
+    1-(1-s^r)^b — with b=4, r=4 the S-curve knee sits near s≈0.7.
+
+    Scale (SURVEY §6): candidates are bounded by bucket
+    co-occupancy, never all-pairs; the two shuffles are
+    groupBy(doc_id) [signatures] and groupBy(band, key) [buckets].
+    A crowded bucket (skew) expands C(n,2) pairs — AQE skew-split
+    handles the join-side; pathological buckets can be capped the
+    same way ngram_jaccard_pairs caps hot shingles.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col("doc_id"), F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    grouped = buckets.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__docs")
+    )
+    return (
+        _expand_sorted_pairs(grouped)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash fingerprint (BIGINT, low `bits` bits used).
+
+    Bit j of token t is the parity of hex digit j of md5(t) (odd →
+    +1 vote, even → -1), weighted by term frequency; fingerprint bit
+    j is set iff the summed vote is positive. md5-hex-digit parity
+    is engine-portable, so the pair query has an exact DuckDB twin.
+
+    One explode + one groupBy(doc_id) with `bits` conditional sums —
+    md5 is computed once per token occurrence, map-side; partial agg
+    reduces the shuffle to `bits` longs per doc.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", F.md5("tok").alias("m"))
+    votes = [
+        F.sum(
+            F.when(F.substring("m", j + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return tok.groupBy("doc_id").agg(*votes).select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, hamming) with hamming <= max.
+
+    EXACT under banding (pigeonhole): fingerprints differing in at
+    most `bands - 1` bits must agree on at least one of `bands`
+    equal-width bit-bands, so the band-bucket join loses no pair
+    with hamming <= bands - 1. Default bands=4/max_hamming=3 keeps
+    the guarantee tight. Candidates are verified with
+    bit_count(xor) — JVM-side, codegen.
+    """
+    assert max_hamming <= bands - 1, "banding is only exact for hamming < bands"
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    fps = simhash_fingerprints(df, text_col, id_col, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = fps.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    grouped = buckets.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__docs")
+    )
+    cand = _expand_sorted_pairs(grouped).distinct()
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__fa"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__fb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("bigint"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

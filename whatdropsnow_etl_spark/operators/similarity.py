@@ -50,3 +50,143 @@ def ann_cosine_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    lsh_tables: int | None = None,
+    bits_per_table: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with cosine >= threshold.
+
+    Default path is the exact all-pairs comparison (non-equi
+    self-join → BroadcastNestedLoopJoin; right for corpora that fit
+    a broadcast, and the DuckDB-twin-checkable flavor). At 100 TB
+    pass ``lsh_tables`` to gate candidates through sign-LSH buckets
+    first (same banding as ann_lsh_bucketed): candidate volume drops
+    from C(N,2) to bucket-local pairs, at the cost of missing pairs
+    whose signatures never collide — the standard LSH recall trade.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), to_double_array(vec_col).alias("__v")
+    )
+    if lsh_tables is not None:
+        keyed = _bucket_keys(base, "__id", "__v", lsh_tables, bits_per_table)
+        a = keyed.select(
+            F.col("__id").alias("id_a"), F.col("t"), F.col("key")
+        )
+        b = keyed.select(
+            F.col("__id").alias("id_b"), F.col("t"), F.col("key")
+        )
+        cand = (
+            a.join(b, ["t", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        a = base.select(F.col("__id").alias("id_a"))
+        b = base.select(F.col("__id").alias("id_b"))
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .withColumn("cosine_raw", cosine_sim(F.col("__va"), F.col("__vb")))
+        .where(F.col("cosine_raw") >= threshold)
+        .select(
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def _bucket_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    bits: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, t, key) sign-LSH bucket rows: key bit j of table t is
+    sign(v · plane[t*bits + j]) with deterministic Rademacher
+    planes. Planes are inlined literals → pure codegen projection,
+    no shuffle; one output row per (vector, table). Pass ``dim``
+    explicitly in production — the fallback peeks at one row."""
+    from ..functions.vectors import dot_literal, rademacher_planes
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = rademacher_planes(n_tables * bits, dim)
+    tables = []
+    for t in range(n_tables):
+        key = None
+        for j in range(bits):
+            bit = F.when(
+                dot_literal(F.col(vec_col), planes[t * bits + j]) > 0, 1 << j
+            ).otherwise(0)
+            key = bit if key is None else key + bit
+        tables.append(
+            F.struct(F.lit(t).alias("t"), key.cast("bigint").alias("key"))
+        )
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*tables)).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.t").alias("t"), F.col("bk.key").alias("key"))
+
+
+def ann_lsh_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 4,
+    bits_per_table: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket join, then exact rerank.
+
+    The 100 TB path for large query sets (SURVEY §6): instead of the
+    O(N·Q) brute-force scan, each vector lands in `n_tables`
+    buckets of a 2^bits keyspace; only same-bucket (query, corpus)
+    pairs are scored. Multiple OR-ed tables recover recall lost to
+    any single table's partition of space. The bucket join shuffles
+    on (t, key) — corpus-side rows are (id, vec, t, key), so the
+    rerank needs no second pass over the corpus table.
+
+    Results are the exact cosine top-k *within candidates*; queries
+    whose buckets hold < k corpus vectors return fewer rows (ANN
+    semantics, deterministic, oracle-twinned).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    cb = _bucket_keys(c, "neighbor_id", "__cv", n_tables, bits_per_table, dim)
+    qb = _bucket_keys(q, "query_id", "__qv", n_tables, bits_per_table, dim)
+    cand = (
+        cb.join(F.broadcast(qb.select("query_id", "t", "key")), ["t", "key"])
+        .select("query_id", "neighbor_id", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine"))
+    )

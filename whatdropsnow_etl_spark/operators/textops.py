@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import bpe_ish_count, stop_count, tokens
+from ..functions.text import bpe_ish_count, shingles, stop_count, tokens
 
 # Marker vocabularies for the n-gram/stopword language heuristic.
 # The synthetic corpus shares one vocabulary across its `lang`
@@ -106,4 +106,54 @@ def token_count(
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
         (F.length(F.col(text_col)).cast("double") / n_ws).alias("chars_per_token"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken).
+
+    Positional k-gram shingles are md5-hashed; each length-`window`
+    sliding window contributes its minimum hash; the doc fingerprint
+    is the distinct set of those minima (summarized as a count plus
+    an md5 digest of the sorted set, so output stays one row/doc).
+    Winnowing guarantees any shared substring of length
+    >= k + window - 1 tokens yields a shared fingerprint hash —
+    the standard local-fingerprint guarantee for plagiarism /
+    near-dup detection.
+
+    Plan: explode → window-min over (doc_id ORDER BY pos) → distinct
+    → groupBy(doc_id). Both window and groupBy shuffle on doc_id, so
+    AQE reuses one exchange. No Python in the pipeline.
+    """
+    from pyspark.sql.window import Window
+
+    sh = shingles(tokens(F.col(text_col)), k, distinct=False)
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sh).alias("pos", "shingle"),
+    ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    w_all = Window.partitionBy("doc_id")
+    marked = pos.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w_min).alias("mh"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    sel = (
+        marked.where(F.col("pos") <= F.col("__n") - window)
+        .select("doc_id", "mh")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("mh")))).alias(
+            "fp_digest"
+        ),
     )
