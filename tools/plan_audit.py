@@ -27,8 +27,11 @@ from whatdropsnow_etl_spark.session import get_spark
 # Queries whose semantics are inherently all-pairs at oracle scale
 # (the scale path is the LSH-prefiltered variant of the same op).
 ALLPAIRS_OK = {"embedding_dedup", "ann_cosine_topk"}
-# Queries that intentionally cross the Python boundary (Arrow batch).
-PYTHON_OK = {"multimodal_decode"}
+# Queries that intentionally cross the Python boundary (Arrow batch):
+# multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
+# in embedding_dedup (numpy per tile — the sanctioned fast path for
+# pairwise dense math that HOF lambdas interpret too slowly).
+PYTHON_OK = {"multimodal_decode", "embedding_dedup"}
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
     "flagship_segmentation",

@@ -61,3 +61,43 @@ def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
 def dot_literal(v: Column, plane: list[float]) -> Column:
     """Dot product of an array column with a literal plane."""
     return dot(v, F.array(*[F.lit(x) for x in plane]))
+
+
+def cosine_sim_arrow() -> "Column":
+    """Arrow-batched cosine for the pair-heavy operators.
+
+    The zip_with/aggregate formulation above is *interpreted* per
+    element (HOF lambdas don't codegen) — fine per corpus row,
+    ~100× too slow when an all-pairs operator evaluates millions of
+    pairs. This pandas UDF is the sanctioned Python fast path:
+    vectorized numpy over Arrow batches, with the accumulation
+    hand-rolled as a per-dimension loop (acc += a[:,d] * b[:,d]) so
+    every row's sum happens left-to-right in float64 — bit-identical
+    to the sequential order of both the HOF version and DuckDB's
+    list_dot_product, keeping oracle hashes exact. numpy.dot would
+    be faster still but uses pairwise/BLAS summation, which changes
+    the low bits and breaks cross-engine parity.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _dot(a, b):
+        acc = np.zeros(len(a), dtype=np.float64)
+        for d in range(a.shape[1]):
+            acc += a[:, d] * b[:, d]
+        return acc
+
+    def _cos(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        b = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(_dot(a, b) / (np.sqrt(_dot(a, a)) * np.sqrt(_dot(b, b))))
+
+    _cos.__annotations__ = {
+        "va": pd.Series,
+        "vb": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(_cos, "double")
