@@ -147,6 +147,19 @@ def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.q5_region_volume(load_tables(spark, sf_dir))
 
 
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q4_order_priority(t["orders"], t["lineitem"])
+
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q2_min_cost_supplier(load_tables(spark, sf_dir))
+
+
 def _window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return topn_per_group(part, "p_brand", "p_retailprice", "p_partkey", 3).select(
@@ -261,6 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1,
         "q3_topk_revenue": _q3,
         "q5_region_volume": _q5,
+        "q4_order_priority": _q4,
+        "q6_forecast_revenue": _q6,
+        "q2_min_cost_supplier": _q2,
         "window_topn_per_group": _window_topn,
         "window_moving_avg": _window_moving_avg,
         "sessionize": _sessionize,
@@ -537,6 +553,53 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})
+                     * CAST(l_discount AS {RATE})) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(l_discount AS {RATE}) BETWEEN 0.03 AND 0.05
+              AND l_quantity < 50
+        """,
+        "q2_min_cost_supplier": f"""
+            WITH nat AS (
+              SELECT n_nationkey, n_name FROM nation
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), supp AS (
+              SELECT s_suppkey, s_name, n_name FROM supplier
+              JOIN nat ON s_nationkey = n_nationkey
+            ), cost AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(l_extendedprice AS {MONEY})) AS supply_cost
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), j AS (
+              SELECT l_partkey, l_suppkey, supply_cost, s_name, n_name
+              FROM cost JOIN supp ON l_suppkey = s_suppkey
+            ), best AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                ORDER BY supply_cost ASC, l_suppkey ASC) AS rn
+              FROM j
+            )
+            SELECT l_partkey AS p_partkey, s_name AS supplier_name,
+                   n_name AS nation_name,
+                   CAST(supply_cost AS DOUBLE) AS supply_cost
+            FROM best WHERE rn = 1
+            ORDER BY supply_cost DESC, p_partkey ASC LIMIT 20
         """,
         "window_topn_per_group": """
             SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (

@@ -112,3 +112,62 @@ def test_streaming_parquet_sink_exactly_once(spark, tables, events_json_dir, tmp
     q2 = write_stream_parquet(stream2, out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_src
+
+
+def test_stateful_sessionize_matches_batch(spark, tables, events_json_dir, tmp_path):
+    import math
+
+    from whatdropsnow_etl_spark.operators import sessionize
+    from whatdropsnow_etl_spark.streaming import sessionize_stream
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_json_dir)
+    )
+    sess = sessionize_stream(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    # batch twin over the SAME json files: the json round-trip keeps
+    # millisecond timestamps, parquet keeps microseconds
+    batch_src = spark.read.schema(SCHEMA).json(events_json_dir)
+    batch = sessionize(
+        batch_src, "user_id", "ts", "event_id", "value", "30 MINUTES"
+    ).collect()
+    full = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in batch
+    }
+    last_seq = {}
+    for (u, s) in full:
+        last_seq[u] = max(last_seq.get(u, 0), s)
+    # every session closed by a successor event must be emitted;
+    # each user's final session may or may not have timed out yet
+    must_have = {k for k in full if k[1] < last_seq[k[0]]}
+    assert must_have <= set(got) <= set(full)
+    for k in got:
+        gs, ge, gn, gv = got[k]
+        ws, we, wn, wv = full[k]
+        assert (gs, ge, gn) == (ws, we, wn), k
+        assert math.isclose(gv, wv, rel_tol=1e-9), k

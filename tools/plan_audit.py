@@ -39,6 +39,7 @@ EXPECT_BROADCAST = {
     "q5_region_volume",
     "resource_cascade",
     "dedup_ngram_jaccard",
+    "q2_min_cost_supplier",
 }
 # Queries that filter a parquet column and must push it to the scan.
 EXPECT_PUSHDOWN = {
@@ -46,6 +47,8 @@ EXPECT_PUSHDOWN = {
     "q1_pricing_summary": r"PushedFilters: \[.*l_shipdate",
     "q3_topk_revenue": r"PushedFilters: \[.*(o_orderdate|l_shipdate|c_mktsegment)",
     "q5_region_volume": r"PushedFilters: \[.*(o_orderdate|r_name)",
+    "q4_order_priority": r"PushedFilters: \[.*(o_orderdate|l_returnflag)",
+    "q6_forecast_revenue": r"PushedFilters: \[.*(l_shipdate|l_quantity)",
     "ann_cosine_topk": r"PushedFilters: \[.*vec_id",
     "ann_lsh_bucketed": r"PushedFilters: \[.*vec_id",
 }

@@ -184,3 +184,98 @@ def tumbling_window_agg(events: DataFrame) -> DataFrame:
             F.sum(money("value")).cast("double").alias("sum_value"),
         )
     )
+
+
+def q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q4 flavor: orders with at least one returned lineitem
+    (EXISTS), counted per priority. The EXISTS subquery is a
+    left-semi join — the fact side never widens, and the semi join
+    short-circuits per key (no duplicate explosion, unlike an inner
+    join + distinct)."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    late = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(late, ords.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: str = "0.03",
+    disc_hi: str = "0.05",
+    max_qty: int = 50,
+) -> DataFrame:
+    """TPC-H Q6 flavor: pure filter + single aggregate. Everything
+    pushes to the scan (date, discount band, quantity) — the plan is
+    one columnar scan + partial/final agg, zero joins, one shuffle
+    of a single row per partition."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (rate("l_discount") >= F.lit(disc_lo).cast("decimal(4,2)"))
+            & (rate("l_discount") <= F.lit(disc_hi).cast("decimal(4,2)"))
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * rate("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q2_min_cost_supplier(
+    tables: dict[str, DataFrame], region_name: str = "EUROPE", k: int = 20
+) -> DataFrame:
+    """TPC-H Q2 flavor: per-part minimum-cost supplier (correlated
+    subquery re-expressed as a window min over the joined relation —
+    one pass, no second join back). Dims broadcast; tie on supplier
+    key for determinism."""
+    from pyspark.sql.window import Window
+
+    region = tables["region"].where(F.col("r_name") == region_name)
+    nation = tables["nation"].join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = tables["supplier"].join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    # partsupp isn't in the testdata; lineitem (l_partkey, l_suppkey,
+    # l_extendedprice) stands in as the part-supplier cost relation
+    cost = tables["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.min(money("l_extendedprice")).alias("supply_cost")
+    )
+    joined = cost.join(
+        F.broadcast(supp), cost.l_suppkey == supp.s_suppkey
+    ).select("l_partkey", "l_suppkey", "supply_cost", "s_name", "n_name")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("supply_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+    )
+    return best.orderBy(
+        F.col("supply_cost").desc(), F.col("p_partkey").asc()
+    ).limit(k)

@@ -1,5 +1,11 @@
 from .dedup import dedup_stream
+from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .windowed import windowed_event_agg
 
-__all__ = ["windowed_event_agg", "dedup_stream", "write_stream_parquet"]
+__all__ = [
+    "windowed_event_agg",
+    "dedup_stream",
+    "sessionize_stream",
+    "write_stream_parquet",
+]
