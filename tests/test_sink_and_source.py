@@ -98,3 +98,29 @@ def test_fetch_pages_ignores_404(tmp_path):
         return None
 
     assert fetch_pages(gone, str(tmp_path / "p"), sleep=lambda s: None) == 0
+
+
+def test_upsert_sink_rejects_bad_batch(spark, tables, tmp_path):
+    sink = UpsertParquetSink(str(tmp_path / "t2"), ["user_id"], "ts")
+    with pytest.raises(ValueError, match="missing columns"):
+        sink.upsert(tables["events"].select("event_id"))
+
+
+def test_upsert_valid_skips_orphans(spark, tables, tmp_path):
+    sink = UpsertParquetSink(str(tmp_path / "t3"), ["l_orderkey", "l_linenumber"], "l_shipdate")
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate"
+    )
+    present = tables["part"].where(F.col("p_partkey") % 7 != 0)
+    batch, orphans = sink.upsert_valid(li, present, "l_partkey", "p_partkey")
+    n_orphan = orphans.count()
+    n_valid = sink.read(spark).count()
+    assert n_orphan > 0
+    # state holds one row per surviving key (latest wins)
+    valid_rows = li.join(
+        present, li.l_partkey == present.p_partkey, "left_semi"
+    )
+    assert valid_rows.count() + n_orphan == li.count()
+    assert n_valid == valid_rows.select("l_orderkey", "l_linenumber").distinct().count()
+    # orphans really reference missing parents
+    assert orphans.join(present, orphans.l_partkey == present.p_partkey).count() == 0

@@ -73,6 +73,11 @@ class UpsertParquetSink:
 
     def upsert(self, df: DataFrame) -> int:
         """Append one delta batch; returns its batch id."""
+        missing = [
+            c for c in (*self.keys, self.version_col) if c not in df.columns
+        ]
+        if missing:
+            raise ValueError(f"upsert batch is missing columns {missing}")
         meta = self._load_meta()
         if meta["keys"] != self.keys or meta["n_buckets"] != self.n_buckets:
             raise ValueError(
@@ -90,6 +95,21 @@ class UpsertParquetSink:
         meta["next_batch"] = batch + 1
         self._save_meta(meta)
         return batch
+
+    def upsert_valid(
+        self, df: DataFrame, parent: DataFrame, fk: str, pk: str
+    ) -> tuple[int, DataFrame]:
+        """FK-tolerant upsert (reference db.py:63-67): rows whose FK
+        resolves are written; orphans are returned for logging, not
+        raised. Returns (batch_id, orphans)."""
+        from ..operators.integrity import valid_only
+
+        parent_keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        orphans = df.join(
+            F.broadcast(parent_keys), df[fk] == F.col("__pk"), "left_anti"
+        )
+        batch = self.upsert(valid_only(df, parent, fk, pk))
+        return batch, orphans
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Merge-on-read: latest-wins state across all batches."""
