@@ -20,6 +20,7 @@ from whatdropsnow_etl_spark.functions.vectors import rademacher_planes
 from whatdropsnow_etl_spark.operators import (
     ann_cosine_topk,
     ann_lsh_bucketed,
+    dedup_clusters,
     dedup_exact,
     doc_fingerprint,
     embedding_dedup_pairs,
@@ -206,6 +207,10 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, k=3, threshold=0.5, hash_shingles=True)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
@@ -285,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann,
         "ann_lsh_bucketed": _ann_lsh,
@@ -676,6 +682,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz x ON x.doc_id = doc_a
             JOIN sz y ON y.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), thresh AS (
+              SELECT doc_a, doc_b FROM pairs
+              JOIN sz x ON x.doc_id = doc_a
+              JOIN sz y ON y.doc_id = doc_b
+              WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM thresh
+              UNION ALL
+              SELECT doc_b, doc_a FROM thresh
+            ), reach(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, MIN(lbl) AS component_id
+            FROM reach GROUP BY id
         """,
         "dedup_minhash_lsh": _minhash_oracle(16, 4),
         "dedup_simhash": _simhash_oracle(32, 3),

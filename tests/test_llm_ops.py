@@ -194,3 +194,23 @@ def test_multimodal_pil_decoder_stubbed(tables):
 
     with _pytest.raises(NotImplementedError):
         _pil_decode(b"not-an-image")
+
+
+def test_dedup_clusters_transitive(tables):
+    from whatdropsnow_etl_spark.operators import dedup_clusters
+
+    docs = tables["documents"]
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_clusters(docs, threshold=0.3).collect()
+    }
+    assert len(comp) == docs.count()
+    # labels are min-reachable: every component id labels itself
+    for cid in set(comp.values()):
+        assert comp[cid] == cid
+    # edges connect only same-component docs, and the component id
+    # is the min member
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    for r in pairs:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+        assert comp[r["doc_a"]] <= r["doc_a"]

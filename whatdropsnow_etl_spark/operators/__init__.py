@@ -1,4 +1,5 @@
 from .dedup import (
+    dedup_clusters,
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -25,6 +26,7 @@ __all__ = [
     "topn_per_group",
     "moving_avg",
     "sessionize",
+    "dedup_clusters",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_signatures",

@@ -294,3 +294,68 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Duplicate clusters: connected components over near-dup pairs.
+
+    Pairs alone don't dedup a corpus — transitive groups do (A~B,
+    B~C ⇒ {A,B,C} keep one). Edges are the exact Jaccard pairs at
+    ``threshold``; components are computed by min-label propagation:
+    every doc starts labeled with its own id and repeatedly takes
+    the min label over itself and its neighbors. Converges in
+    O(component diameter) rounds — near-dup clusters are shallow
+    (usually ≤ 2-3 hops), so the loop exits after a handful of
+    bounded-size shuffles; each round localCheckpoints the label
+    table to keep lineage flat. At 100 TB-class graph sizes swap
+    the per-round hop for the large-star/small-star contraction
+    (O(log n) rounds) — same output contract.
+
+    Output: one row per doc — component_id (min doc id in the
+    component; singletons map to themselves), which doubles as the
+    keeper id.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, k, threshold, hash_shingles=True
+    ).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        new_labels = (
+            labels.join(nb, labels.id == nb.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nb_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component_id"))
