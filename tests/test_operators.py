@@ -107,3 +107,40 @@ def test_sessionize_invariants(tables):
         & (F.col("b.session_start_us") <= F.col("a.session_end_us")),
     )
     assert w_ok.count() == 0
+
+
+def test_salted_groupby_sum_equals_plain(tables):
+    from whatdropsnow_etl_spark.operators import salted_groupby_sum
+    from whatdropsnow_etl_spark.functions.money import money
+
+    ev = tables["events"].select("event_type", "value")
+    salted = salted_groupby_sum(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "sv": F.sum(money("value")),
+        },
+        n_salts=8,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(money("value")).alias("sv")
+    )
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_join_equals_plain(tables):
+    from whatdropsnow_etl_spark.operators import salted_join
+
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_extendedprice")
+    ords = tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted = salted_join(li, ords, ["l_orderkey"], n_salts=4)
+    plain = li.join(ords, ["l_orderkey"])
+    assert salted.count() == plain.count()
+    a = sorted([tuple(r) for r in salted.collect()], key=repr)
+    b = sorted([tuple(r) for r in plain.collect()], key=repr)
+    assert a == b

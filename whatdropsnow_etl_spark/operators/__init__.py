@@ -12,6 +12,7 @@ from .integrity import fk_integrity_report
 from .multimodal import attach_binary_payload, extract_features, multimodal_features
 from .pagination import paginate
 from .search import ilike_search
+from .skew import salted_groupby_sum, salted_join
 from .similarity import ann_cosine_topk, ann_lsh_bucketed, embedding_dedup_pairs
 from .textops import doc_fingerprint, lang_id_confusion, quality_score, token_count
 from .upsert import latest_wins
@@ -23,6 +24,8 @@ __all__ = [
     "fk_integrity_report",
     "paginate",
     "ilike_search",
+    "salted_groupby_sum",
+    "salted_join",
     "topn_per_group",
     "moving_avg",
     "sessionize",

@@ -1,0 +1,81 @@
+"""Skew mitigation: salted joins and two-phase salted aggregation.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+shuffle-join skew at runtime; these explicit knobs cover the cases
+AQE can't see: a groupBy whose reduce-side hot key melts one task,
+and broadcast-ineligible joins against a skewed key column.
+
+Salts are DETERMINISTIC (hash of the row's other columns), so plans
+stay reproducible run to run — output equality with the unsalted
+plan is what the tests assert, and what makes these safe drop-in
+rewrites at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(df: DataFrame, n_salts: int) -> Column:
+    # hash every column → stable pseudo-random spread; pmod keeps it
+    # non-negative
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
+def salted_groupby_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    agg_cols: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregate for skewed group keys.
+
+    Phase 1 groups by (keys..., salt) — the hot key's rows spread
+    over ``n_salts`` reduce tasks; phase 2 combines the partials by
+    the real keys (tiny input: n_groups × n_salts rows). Only
+    algebraic aggregates compose this way; callers pass the phase-1
+    expressions and the same column names are re-summed in phase 2.
+
+    Equivalent to ``df.groupBy(keys).agg(...)`` — Spark's map-side
+    partial aggregation already does this implicitly when upstream
+    partitioning is random, but NOT when the data arrives already
+    clustered by the hot key (e.g. read from key-partitioned files),
+    which is exactly when the explicit salt matters.
+    """
+    phase1 = (
+        df.withColumn("__salt", _salt(df, n_salts))
+        .groupBy(*keys, "__salt")
+        .agg(*[expr.alias(name) for name, expr in agg_cols.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[F.sum(name).alias(name) for name in agg_cols]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot join keys and ``other`` is
+    too large to broadcast: the skewed side gets a deterministic salt
+    column, the other side is replicated ``n_salts`` times (explode),
+    and the join key becomes (on..., salt) — the hot key's rows now
+    land on ``n_salts`` different reducers.
+
+    Output is row-identical to ``skewed.join(other, on, how)``;
+    replication multiplies the other side's shuffle volume by
+    n_salts, so size n_salts to the skew factor, not higher.
+    """
+    on = list(on)
+    salted = skewed.withColumn("__salt", _salt(skewed, n_salts))
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = salted.join(replicated, [*on, "__salt"], how)
+    return out.drop("__salt")
