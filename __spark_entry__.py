@@ -35,6 +35,7 @@ from whatdropsnow_etl_spark.operators import (
     ngram_jaccard_pairs,
     paginate,
     quality_score,
+    salted_groupby_sum,
     sessionize,
     simhash_pairs,
     token_count,
@@ -265,6 +266,22 @@ def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_features(load_table(spark, sf_dir, "documents"))
 
 
+def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    from whatdropsnow_etl_spark.functions.money import money
+
+    return salted_groupby_sum(
+        ev,
+        ["event_type"],
+        {"n_events": F.count(F.lit(1)), "sum_value": F.sum(money("value"))},
+        n_salts=16,
+    ).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_segmentation": _flagship,
@@ -300,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
+        "skew_salted_agg": _salted_agg,
     }
 
 
@@ -793,6 +811,11 @@ def oracle_sql() -> dict[str, str]:
                          + 0.4 * LEAST(mwl_raw / 10.0, 1.0)
                          + 0.3 * (1.0 - punct_ratio_raw), 6) AS quality
             FROM m
+        """,
+        "skew_salted_agg": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "multimodal_decode": """
             SELECT doc_id,

@@ -1,0 +1,75 @@
+"""Head-to-head: every oracle-twinned query on Spark vs DuckDB.
+
+The target contract is "match-or-beat the reference's single-node
+throughput at the same data scale"; DuckDB running the oracle SQL is
+the strongest single-node stand-in available in this environment, so
+this prints per-query times for both engines at the given SF plus
+the ratio. Spark runs warm (one JVM, queries sequential, noop sink);
+DuckDB runs in-process with all threads.
+
+Usage: python tools/bench_vs_duckdb.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from whatdropsnow_etl_spark.session import get_spark
+from whatdropsnow_etl_spark.sources import TABLE_NAMES
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="bench-vs-duckdb")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    oracles = entrymod.oracle_sql()
+    out = {}
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t_spark = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        t_duck = time.perf_counter() - t0
+        out[name] = {
+            "spark_s": round(t_spark, 3),
+            "duckdb_s": round(t_duck, 3),
+            "ratio": round(t_spark / max(t_duck, 1e-9), 1),
+        }
+        print(
+            f"{name:28s} spark {t_spark:7.2f}s  duckdb {t_duck:7.2f}s  "
+            f"x{out[name]['ratio']}"
+        )
+    tot_s = sum(v["spark_s"] for v in out.values())
+    tot_d = sum(v["duckdb_s"] for v in out.values())
+    print(
+        json.dumps(
+            {
+                "total_spark_s": round(tot_s, 2),
+                "total_duckdb_s": round(tot_d, 2),
+                "ratio": round(tot_s / max(tot_d, 1e-9), 2),
+                "queries": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
