@@ -31,7 +31,12 @@ ALLPAIRS_OK = {"embedding_dedup", "ann_cosine_topk"}
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
 # in embedding_dedup (numpy per tile — the sanctioned fast path for
 # pairwise dense math that HOF lambdas interpret too slowly).
-PYTHON_OK = {"multimodal_decode", "embedding_dedup"}
+PYTHON_OK = {
+    "multimodal_decode",
+    "embedding_dedup",
+    "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
+    "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
+}
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
     "flagship_segmentation",

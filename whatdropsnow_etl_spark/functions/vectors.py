@@ -101,3 +101,35 @@ def cosine_sim_arrow() -> "Column":
         "return": pd.Series,
     }
     return pandas_udf(_cos, "double")
+
+
+def bucket_keys_arrow(planes: list[list[float]], n_tables: int, bits: int):
+    """Arrow-batched sign-LSH bucket keys: one array<bigint> of
+    ``n_tables`` keys per vector. Same bit-exactness contract as
+    cosine_sim_arrow — each plane's dot product accumulates per
+    dimension left-to-right, so the sign (and therefore every key)
+    matches the SQL twin's list_dot_product formulation exactly.
+    Replaces n_tables × bits interpreted HOF dot products per row
+    with one numpy pass per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    P = np.array(planes, dtype=np.float64)  # (n_planes, dim)
+
+    def _keys(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)  # (n, dim)
+        dots = np.zeros((len(X), len(P)), dtype=np.float64)
+        for d in range(X.shape[1]):
+            dots += np.outer(X[:, d], P[:, d])
+        bits_m = dots > 0  # (n, n_planes)
+        keys = np.zeros((len(X), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for j in range(bits):
+                keys[:, t] |= bits_m[:, t * bits + j].astype(np.int64) << j
+        return pd.Series(list(keys))
+
+    _keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_keys, "array<bigint>")

@@ -9,9 +9,8 @@ WindowExec sorts within partitions only (no global sort).
 The LSH-bucketed variant (random-hyperplane signs → bucket join →
 rerank) is the 100 TB path for large Q — r2.
 
-All arithmetic is JVM-side (zip_with/aggregate in codegen): floats
-are widened to double and accumulated left-to-right, matching
-DuckDB's list_dot_product exactly.
+All scoring accumulates left-to-right in float64 (the Arrow kernel
+loops per dimension), matching DuckDB's list_dot_product bitwise.
 """
 
 from __future__ import annotations
@@ -20,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_sim, to_double_array
+from ..functions.vectors import cosine_sim_arrow, to_double_array
 
 
 def ann_cosine_topk(
@@ -31,6 +30,7 @@ def ann_cosine_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` rows per ``queries`` row."""
+    cos = cosine_sim_arrow()
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
     )
@@ -40,7 +40,7 @@ def ann_cosine_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine_sim(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        cos(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -193,28 +193,23 @@ def _bucket_keys(
 ) -> DataFrame:
     """(id, t, key) sign-LSH bucket rows: key bit j of table t is
     sign(v · plane[t*bits + j]) with deterministic Rademacher
-    planes. Planes are inlined literals → pure codegen projection,
-    no shuffle; one output row per (vector, table). Pass ``dim``
-    explicitly in production — the fallback peeks at one row."""
-    from ..functions.vectors import dot_literal, rademacher_planes
+    planes, computed in one Arrow-batched numpy pass per vector
+    (bit-exact vs the SQL twin's list_dot_product — see
+    bucket_keys_arrow). One output row per (vector, table); narrow
+    projection, no shuffle. Pass ``dim`` explicitly in production —
+    the fallback peeks at one row."""
+    from ..functions.vectors import bucket_keys_arrow, rademacher_planes
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = rademacher_planes(n_tables * bits, dim)
-    tables = []
-    for t in range(n_tables):
-        key = None
-        for j in range(bits):
-            bit = F.when(
-                dot_literal(F.col(vec_col), planes[t * bits + j]) > 0, 1 << j
-            ).otherwise(0)
-            key = bit if key is None else key + bit
-        tables.append(
-            F.struct(F.lit(t).alias("t"), key.cast("bigint").alias("key"))
-        )
-    return df.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*tables)).alias("bk")
-    ).select(id_col, vec_col, F.col("bk.t").alias("t"), F.col("bk.key").alias("key"))
+    keys_udf = bucket_keys_arrow(planes, n_tables, bits)
+    keyed = df.select(
+        F.col(id_col), F.col(vec_col), keys_udf(F.col(vec_col)).alias("__keys")
+    )
+    return keyed.select(
+        id_col, vec_col, F.posexplode("__keys").alias("t", "key")
+    )
 
 
 def ann_lsh_bucketed(
@@ -254,10 +249,11 @@ def ann_lsh_bucketed(
         .select("query_id", "neighbor_id", "__cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cos = cosine_sim_arrow()
     scored = cand.join(F.broadcast(q), "query_id").select(
         "query_id",
         "neighbor_id",
-        cosine_sim(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        cos(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
