@@ -162,6 +162,61 @@ def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.q2_min_cost_supplier(load_tables(spark, sf_dir))
 
 
+def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q7_volume_shipping(load_tables(spark, sf_dir))
+
+
+def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q8_market_share(load_tables(spark, sf_dir))
+
+
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q9_product_profit(load_tables(spark, sf_dir))
+
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q10_returned_items(load_tables(spark, sf_dir))
+
+
+def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q13_customer_distribution(t["customer"], t["orders"])
+
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q14_promo_revenue(t["lineitem"], t["part"])
+
+
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q15_top_supplier(t["lineitem"], t["supplier"])
+
+
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q16_supplier_variety(t["lineitem"], t["part"])
+
+
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q17_small_quantity_revenue(t["lineitem"], t["part"])
+
+
+def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q18_large_orders(load_tables(spark, sf_dir))
+
+
+def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q19_disjunctive_revenue(t["lineitem"], t["part"])
+
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q22_sales_opportunity(t["customer"], t["orders"])
+
+
 def _window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return topn_per_group(part, "p_brand", "p_retailprice", "p_partkey", 3).select(
@@ -299,6 +354,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4,
         "q6_forecast_revenue": _q6,
         "q2_min_cost_supplier": _q2,
+        "q7_volume_shipping": _q7,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q10_returned_items": _q10,
+        "q13_customer_distribution": _q13,
+        "q14_promo_revenue": _q14,
+        "q15_top_supplier": _q15,
+        "q16_supplier_variety": _q16,
+        "q17_small_quantity_revenue": _q17,
+        "q18_large_orders": _q18,
+        "q19_disjunctive_revenue": _q19,
+        "q22_sales_opportunity": _q22,
         "window_topn_per_group": _window_topn,
         "window_moving_avg": _window_moving_avg,
         "sessionize": _sessionize,
@@ -624,6 +691,194 @@ def oracle_sql() -> dict[str, str]:
                    CAST(supply_cost AS DOUBLE) AS supply_cost
             FROM best WHERE rn = 1
             ORDER BY supply_cost DESC, p_partkey ASC LIMIT 20
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   {SUM_DISC} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2',
+                                'NATION_3','NATION_4','NATION_5')
+              AND n2.n_name IN ('NATION_0','NATION_1','NATION_2',
+                                'NATION_3','NATION_4','NATION_5')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": f"""
+            WITH vols AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(l_extendedprice AS {MONEY})
+                       * (1 - CAST(l_discount AS {RATE})) AS vol,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                            THEN vol ELSE CAST('0' AS {MONEY}) END)
+                        AS DOUBLE) AS nation_volume,
+                   CAST(SUM(vol) AS DOUBLE) AS total_volume,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                            THEN vol ELSE CAST('0' AS {MONEY}) END)
+                        AS DOUBLE) / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+            FROM vols GROUP BY o_year
+        """,
+        "q9_product_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   {SUM_DISC} AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   {SUM_DISC} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderpriority <> '1-URGENT'
+              ) o ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue": f"""
+            SELECT
+              CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS {MONEY})
+                            * (1 - CAST(l_discount AS {RATE}))
+                       ELSE CAST('0' AS {MONEY}) END) AS DOUBLE)
+                AS promo_revenue,
+              {SUM_DISC} AS total_revenue,
+              100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS {MONEY})
+                            * (1 - CAST(l_discount AS {RATE}))
+                       ELSE CAST('0' AS {MONEY}) END) AS DOUBLE)
+                / {SUM_DISC} AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey, {SUM_DISC} AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q17_small_quantity_revenue": f"""
+            WITH j AS (
+              SELECT l_quantity, l_extendedprice,
+                     CAST(SUM(CAST(l_quantity AS {MONEY}))
+                          OVER (PARTITION BY l_partkey) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+              FROM lineitem
+              JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12') p
+                ON l_partkey = p_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE) / 7.0
+                     AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM j WHERE l_quantity < 0.5 * avg_qty
+        """,
+        "q18_large_orders": f"""
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE)
+                       AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING total_qty > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_orderdate,
+                   CAST(CAST(o_totalprice AS {MONEY}) AS DOUBLE)
+                     AS o_totalprice,
+                   total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT {SUM_DISC} AS revenue, COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#9' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "q22_sales_opportunity": f"""
+            WITH avg_bal AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS {MONEY})) AS DOUBLE)
+                       / COUNT(*) AS avg_bal
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+                   COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS {MONEY})) AS DOUBLE)
+                     AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY cntry
+            ORDER BY cntry
         """,
         "window_topn_per_group": """
             SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (

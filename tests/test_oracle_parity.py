@@ -21,6 +21,10 @@ CRITICAL = [
     "ann_cosine_topk",
     "quality_score",
     "rollup_flag_status",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_sales_opportunity",
 ]
 
 

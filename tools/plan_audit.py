@@ -45,6 +45,16 @@ EXPECT_BROADCAST = {
     "resource_cascade",
     "dedup_ngram_jaccard",
     "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
 }
 # Queries that filter a parquet column and must push it to the scan.
 EXPECT_PUSHDOWN = {
@@ -56,6 +66,13 @@ EXPECT_PUSHDOWN = {
     "q6_forecast_revenue": r"PushedFilters: \[.*(l_shipdate|l_quantity)",
     "ann_cosine_topk": r"PushedFilters: \[.*vec_id",
     "ann_lsh_bucketed": r"PushedFilters: \[.*vec_id",
+    "q7_volume_shipping": r"PushedFilters: \[.*l_shipdate",
+    "q8_market_share": r"PushedFilters: \[.*(o_orderdate|p_type|r_name)",
+    "q10_returned_items": r"PushedFilters: \[.*(l_returnflag|o_orderdate)",
+    "q14_promo_revenue": r"PushedFilters: \[.*l_shipdate",
+    "q15_top_supplier": r"PushedFilters: \[.*l_shipdate",
+    "q19_disjunctive_revenue": r"PushedFilters: \[.*l_quantity",
+    "q22_sales_opportunity": r"PushedFilters: \[.*(o_orderdate|c_acctbal)",
 }
 # Full widths of the test tables; a scan reading every column of a
 # wide table is an unpruned scan.

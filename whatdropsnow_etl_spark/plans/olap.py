@@ -279,3 +279,402 @@ def q2_min_cost_supplier(
     return best.orderBy(
         F.col("supply_cost").desc(), F.col("p_partkey").asc()
     ).limit(k)
+
+
+def q7_volume_shipping(
+    tables: dict[str, DataFrame],
+    nations: tuple[str, ...] = (
+        "NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5",
+    ),
+    date_from: str = "1996-01-01",
+    date_to: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q7 flavor: cross-border revenue flow per (supplier
+    nation, customer nation, year). Supplier and customer sides each
+    pre-join their nation dim (broadcast, nation filter applied
+    before the fact join so the fact shuffle only carries matching
+    rows); the only big-big shuffle is lineitem ⋈ orders."""
+    nation = tables["nation"].where(F.col("n_name").isin(*nations))
+    supp = tables["supplier"].join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = tables["customer"].join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ords = tables["orders"].select("o_orderkey", "o_custkey")
+    items = tables["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        items.join(F.broadcast(supp), items.l_suppkey == supp.s_suppkey)
+        .join(ords, items.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(exact_sum_expr(_disc_price()).alias("revenue"))
+    )
+
+
+def q8_market_share(
+    tables: dict[str, DataFrame],
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+    supplier_nation: str = "NATION_1",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 flavor: one nation's share of a region's revenue for
+    one part type, per order year. The share divides two
+    decimal-exact sums in double space (engine-portable); all dims
+    broadcast, single fact shuffle for the yearly agg."""
+    region = tables["region"].where(F.col("r_name") == region_name)
+    cnation = tables["nation"].join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = tables["customer"].join(
+        F.broadcast(cnation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    snation = tables["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = tables["supplier"].join(
+        F.broadcast(snation), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    part = tables["part"].where(F.col("p_type") == part_type).select("p_partkey")
+    ords = tables["orders"].where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    items = tables["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    return (
+        items.join(F.broadcast(part), items.l_partkey == part.p_partkey)
+        .join(ords, items.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), items.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == supplier_nation, vol).otherwise(
+                    F.lit("0").cast("decimal(12,2)")
+                )
+            ).cast("double").alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(
+    tables: dict[str, DataFrame], name_fragment: str = "red"
+) -> DataFrame:
+    """TPC-H Q9 flavor: profit per supplier nation per year for parts
+    whose name contains a fragment (no partsupp table in the model,
+    so profit = discounted revenue). Part filter broadcast before the
+    fact join; orders joined only for the year column."""
+    part = tables["part"].where(
+        F.col("p_name").contains(name_fragment)
+    ).select("p_partkey")
+    nation = tables["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    supp = tables["supplier"].join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "nation")
+    ords = tables["orders"].select("o_orderkey", "o_orderdate")
+    items = tables["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        items.join(F.broadcast(part), items.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), items.l_suppkey == supp.s_suppkey)
+        .join(ords, items.l_orderkey == ords.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(exact_sum_expr(_disc_price()).alias("sum_profit"))
+    )
+
+
+def q10_returned_items(
+    tables: dict[str, DataFrame],
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 flavor: top-k customers by revenue lost to returns
+    in a quarter. Returned-flag filter pushes to the lineitem scan;
+    top-k via rank-then-limit with custkey tiebreak."""
+    nation = tables["nation"].select("n_nationkey", "n_name")
+    cust = tables["customer"].join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    ords = tables["orders"].where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    items = tables["lineitem"].where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        items.join(ords, items.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_sum_expr(_disc_price()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 flavor: distribution of customers by order count
+    (left join keeps zero-order customers). Two shuffles: per-customer
+    count, then the tiny distribution agg."""
+    ords = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ords, F.col("c_custkey") == ords.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    promo_type: str = "PROMO",
+    date_from: str = "1996-09-01",
+    date_to: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q14 flavor: share of a month's revenue from promo parts.
+    Part dim broadcast; both sums decimal-exact, divided in double."""
+    p = part.select("p_partkey", "p_type")
+    items = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    vol = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    return (
+        items.join(F.broadcast(p), items.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == promo_type, vol).otherwise(
+                    F.lit("0").cast("decimal(12,2)")
+                )
+            ).cast("double").alias("promo_revenue"),
+            F.sum(vol).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 flavor: supplier(s) achieving the max quarterly
+    revenue. The max is a window over the already-aggregated
+    per-supplier relation (tiny — one row per supplier), so the
+    'correlated subquery' costs no second pass over the fact."""
+    from pyspark.sql.window import Window
+
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(exact_sum_expr(_disc_price()).alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("mx", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return best.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        best.l_suppkey == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "total_revenue").orderBy("s_suppkey")
+
+
+def q16_supplier_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    exclude_brand: str = "Brand#1",
+    sizes: tuple[int, ...] = (1, 4, 9, 14, 19, 23, 36, 45),
+) -> DataFrame:
+    """TPC-H Q16 flavor: distinct supplier count per (brand, type,
+    size) — lineitem stands in for partsupp as the part⋈supplier
+    relation. Pre-distinct (partkey, suppkey) shrinks the join input
+    before the wide agg; part dim broadcast."""
+    p = part.where(
+        (F.col("p_brand") != exclude_brand) & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#12", frac: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17 flavor: weekly revenue from orders below a fraction
+    of each part's average quantity. The per-part average is a
+    decimal-exact-sum/count window over the SAME shuffle the brand
+    filter already induced — one fact pass, no join-back."""
+    from pyspark.sql.window import Window
+
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    items = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(money("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    flt = (
+        items.join(F.broadcast(p), items.l_partkey == p.p_partkey)
+        .withColumn("avg_qty", avg_qty)
+        .where(F.col("l_quantity") < frac * F.col("avg_qty"))
+    )
+    return flt.agg(
+        (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q18_large_orders(
+    tables: dict[str, DataFrame], min_qty: int = 300, k: int = 100
+) -> DataFrame:
+    """TPC-H Q18 flavor: top-k largest orders by total quantity. The
+    HAVING filter runs on the per-order agg before any dim join, so
+    only qualifying orders (a tiny set) reach the join."""
+    big = (
+        tables["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    ords = tables["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = tables["customer"].select("c_custkey", "c_name")
+    return (
+        big.join(ords, big.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            money("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 flavor: revenue under an OR-of-ANDs predicate
+    spanning both relations. The lineitem-only bound (quantity ≤ the
+    loosest band) pushes to the scan; the per-brand conjuncts apply
+    after the broadcast join."""
+    p = part.select("p_partkey", "p_brand", "p_size")
+    items = lineitem.where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    j = items.join(F.broadcast(p), items.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return j.where(cond).agg(
+        exact_sum_expr(_disc_price()).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q22_sales_opportunity(
+    customer: DataFrame, orders: DataFrame, inactive_since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 flavor: wealthy-but-inactive customers per nation.
+    'Wealthy' compares against a decimal-exact global average
+    (broadcast scalar); 'inactive' is a left-anti join against recent
+    orders (every customer here has SOME order, so recency replaces
+    Q22's never-ordered test). Nation key stands in for the phone
+    country code."""
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(inactive_since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
