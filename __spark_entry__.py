@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from whatdropsnow_etl_spark.functions.vectors import rademacher_planes
 from whatdropsnow_etl_spark.operators import (
     ann_cosine_topk,
+    ann_ivf_topk,
     ann_lsh_bucketed,
     dedup_clusters,
     dedup_exact,
@@ -321,6 +322,27 @@ def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_features(load_table(spark, sf_dir, "documents"))
 
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import attach_binary_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_binary_payload(docs))
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import attach_binary_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10)
+    )
+
+
 def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     from whatdropsnow_etl_spark.functions.money import money
@@ -384,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
+        "multimodal_resize": _multimodal_resize,
+        "multimodal_frame_sample": _multimodal_frames,
+        "ann_ivf_topk": _ann_ivf,
         "skew_salted_agg": _salted_agg,
     }
 
@@ -1081,6 +1106,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
                      AS fake_height
             FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id,
+                   CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)
+                     AS src_width,
+                   CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
+                     AS src_height,
+                   CAST(224 AS BIGINT) AS out_width,
+                   CAST(224 AS BIGINT) AS out_height,
+                   md5(md5(text) || '@224x224') AS resized_md5
+            FROM documents
+        """,
+        "multimodal_frame_sample": """
+            WITH f AS (
+              SELECT doc_id,
+                     octet_length(encode(text)) // 100 + 1 AS n_frames,
+                     md5(text) AS pmd5
+              FROM documents
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   md5(pmd5 || ':' || CAST(i AS VARCHAR)) AS frame_md5
+            FROM f, UNNEST(range(0, n_frames, 5)) AS u(i)
+        """,
+        "ann_ivf_topk": f"""
+            WITH c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id >= 10
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 10
+            ), cent AS (
+              SELECT neighbor_id AS cid, e AS ce FROM c
+              ORDER BY neighbor_id LIMIT 16
+            ), assigned AS (
+              SELECT neighbor_id, e, cid,
+                     ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                       ORDER BY {_COS.format(a="ce", b="e")} DESC, cid) AS rn
+              FROM c CROSS JOIN cent
+            ), cells AS (
+              SELECT neighbor_id, e, cid FROM assigned WHERE rn = 1
+            ), qscored AS (
+              SELECT query_id, q.e AS qe, cid,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY {_COS.format(a="ce", b="q.e")} DESC, cid) AS rn
+              FROM q CROSS JOIN cent
+            ), probes AS (
+              SELECT query_id, qe, cid FROM qscored WHERE rn <= 4
+            ), cand AS (
+              SELECT query_id, neighbor_id,
+                     {_COS.format(a="qe", b="e")} AS cos_raw
+              FROM probes JOIN cells USING (cid)
+            ), r AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cosine
+            FROM r WHERE rnk <= 5
         """,
         "doc_fingerprint": """
             WITH toks AS (

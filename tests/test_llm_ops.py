@@ -214,3 +214,81 @@ def test_dedup_clusters_transitive(tables):
     for r in pairs:
         assert comp[r["doc_a"]] == comp[r["doc_b"]]
         assert comp[r["doc_a"]] <= r["doc_a"]
+
+
+def test_ann_ivf_is_subset_quality_of_bruteforce(tables):
+    from whatdropsnow_etl_spark.operators import ann_cosine_topk, ann_ivf_topk
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(corpus, queries, k=5).collect()
+    }
+    ivf = ann_ivf_topk(corpus, queries, n_centroids=16, nprobe=4, k=5).collect()
+    # per query: k rows max, ranks contiguous from 1, no self-query ids
+    by_q: dict[int, list] = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+    # synthetic embeddings are iid-random — the worst case for IVF
+    # (no cluster structure, so cells carry little signal). The
+    # fixture is deterministic; 40% documents measured recall at
+    # nprobe=4/16 and guards against regressions to ~random (~25%).
+    hits = sum((r.query_id, r.neighbor_id) in exact for r in ivf)
+    assert hits >= int(0.4 * len(exact))
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(tables):
+    from whatdropsnow_etl_spark.operators import ann_cosine_topk, ann_ivf_topk
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in ann_cosine_topk(corpus, queries, k=3).collect()
+    }
+    # probing every cell makes IVF exhaustive → must equal brute force
+    full = ann_ivf_topk(
+        corpus, queries, n_centroids=8, nprobe=8, k=3
+    ).collect()
+    assert {(r.query_id, r.neighbor_id, r.rnk) for r in full} == exact
+
+
+def test_multimodal_resize_content_addressed(tables):
+    import hashlib
+
+    from whatdropsnow_etl_spark.operators import attach_binary_payload, resize_images
+
+    docs = tables["documents"].limit(50)
+    out = resize_images(attach_binary_payload(docs), out_w=32, out_h=64).collect()
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        assert (r.out_width, r.out_height) == (32, 64)
+        pmd5 = hashlib.md5(src[r.doc_id].encode()).hexdigest()
+        want = hashlib.md5((pmd5 + "@32x64").encode()).hexdigest()
+        assert r.resized_md5 == want
+
+
+def test_multimodal_frame_sample_expansion(tables):
+    from whatdropsnow_etl_spark.operators import attach_binary_payload, sample_frames
+
+    docs = tables["documents"].limit(50)
+    out = sample_frames(
+        attach_binary_payload(docs), every_n=3, bytes_per_frame=50
+    ).collect()
+    src = {r.doc_id: len(r.text.encode()) for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(src)
+    for doc_id, rows in by_doc.items():
+        n_frames = src[doc_id] // 50 + 1
+        want_idxs = list(range(0, n_frames, 3))
+        assert sorted(r.frame_idx for r in rows) == want_idxs
+        assert all(r.n_frames == n_frames for r in rows)

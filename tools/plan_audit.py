@@ -26,16 +26,25 @@ from whatdropsnow_etl_spark.session import get_spark
 
 # Queries whose semantics are inherently all-pairs at oracle scale
 # (the scale path is the LSH-prefiltered variant of the same op).
-ALLPAIRS_OK = {"embedding_dedup", "ann_cosine_topk"}
+ALLPAIRS_OK = {
+    "embedding_dedup",
+    "ann_cosine_topk",
+    # IVF crosses the corpus against a C-row broadcast codebook
+    # (C = n_centroids, constant) — not a data×data cross
+    "ann_ivf_topk",
+}
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
 # in embedding_dedup (numpy per tile — the sanctioned fast path for
 # pairwise dense math that HOF lambdas interpret too slowly).
 PYTHON_OK = {
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "embedding_dedup",
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
+    "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {

@@ -9,11 +9,22 @@ from .dedup import (
 )
 from .incremental import filter_out_recently_added
 from .integrity import fk_integrity_report
-from .multimodal import attach_binary_payload, extract_features, multimodal_features
+from .multimodal import (
+    attach_binary_payload,
+    extract_features,
+    multimodal_features,
+    resize_images,
+    sample_frames,
+)
 from .pagination import paginate
 from .search import ilike_search
 from .skew import salted_groupby_sum, salted_join
-from .similarity import ann_cosine_topk, ann_lsh_bucketed, embedding_dedup_pairs
+from .similarity import (
+    ann_cosine_topk,
+    ann_ivf_topk,
+    ann_lsh_bucketed,
+    embedding_dedup_pairs,
+)
 from .textops import doc_fingerprint, lang_id_confusion, quality_score, token_count
 from .upsert import latest_wins
 from .windows import moving_avg, sessionize, topn_per_group
@@ -37,12 +48,15 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "ann_lsh_bucketed",
     "embedding_dedup_pairs",
     "doc_fingerprint",
     "attach_binary_payload",
     "extract_features",
     "multimodal_features",
+    "resize_images",
+    "sample_frames",
     "lang_id_confusion",
     "quality_score",
     "token_count",

@@ -119,3 +119,96 @@ def multimodal_features(
     """attach_binary_payload ∘ extract_features, the end-to-end
     multimodal pipeline over a text-backed corpus."""
     return extract_features(attach_binary_payload(df, text_col, id_col))
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_width bigint, src_height bigint,"
+    " out_width bigint, out_height bigint, resized_md5 string"
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 224, out_h: int = 224, decoder: str = "fake"
+) -> DataFrame:
+    """Image-resize plumbing via mapInPandas.
+
+    Input: (doc_id, payload, meta) as produced by
+    attach_binary_payload. The pixel resample itself is stubbed (no
+    imaging libs in this environment): the deterministic stand-in
+    reports source dims from the decoder and a content-addressed
+    output id md5(payload_md5 || '@WxH') — exactly the dataflow a
+    real resampler has (payload in, payload-derived artifact out),
+    so batch shape, schema, and partition parallelism are all
+    exercised and SQL-twin-checked. Swap ``decoder='pil'`` for real
+    decoding once Pillow exists.
+    """
+    decode = _DECODERS[decoder]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415
+
+        for batch in it:
+            payloads = batch["payload"]
+            dims = [decode(p) for p in payloads]
+            suffix = f"@{out_w}x{out_h}"
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "src_width": [d[0] for d in dims],
+                    "src_height": [d[1] for d in dims],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "resized_md5": payloads.map(
+                        lambda p: hashlib.md5(
+                            (hashlib.md5(p).hexdigest() + suffix).encode()
+                        ).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, n_frames bigint, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 5, bytes_per_frame: int = 100
+) -> DataFrame:
+    """Video frame-sampling plumbing via mapInPandas (1 input row →
+    many frame rows; the output batch is NOT row-aligned with the
+    input batch, which is the part built-in exprs can't express
+    without first materializing every frame).
+
+    The codec is stubbed: a payload of n bytes stands in for a
+    ``n // bytes_per_frame + 1``-frame clip, and each sampled frame
+    (every ``every_n``-th) yields a content-addressed
+    md5(payload_md5 || ':' || idx). A real decoder (pyav/ffmpeg)
+    drops into the same loop without touching the Spark plumbing.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415
+
+        for batch in it:
+            ids, idxs, totals, hashes = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                pmd5 = hashlib.md5(payload).hexdigest()
+                n_frames = len(payload) // bytes_per_frame + 1
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    hashes.append(
+                        hashlib.md5(f"{pmd5}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "frame_md5": hashes,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
