@@ -336,6 +336,12 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.plans.curation import curation_funnel
+
+    return curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_topk(
@@ -409,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _multimodal_resize,
         "multimodal_frame_sample": _multimodal_frames,
         "ann_ivf_topk": _ann_ivf,
+        "curation_funnel": _curation_funnel,
         "skew_salted_agg": _salted_agg,
     }
 
@@ -1106,6 +1113,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
                      AS fake_height
             FROM documents
+        """,
+        "curation_funnel": f"""
+            WITH base AS (
+              SELECT doc_id, text, lower(text) AS lt,
+                     string_split(lower(text), ' ') AS t
+              FROM documents
+            ), ql AS (
+              SELECT doc_id,
+                ROUND(0.3 * (1.0 - CAST(len(list_filter(t,
+                        x -> list_contains(['the', 'a', 'of', 'and', 'to'],
+                                           x))) AS DOUBLE) / len(t))
+                    + 0.4 * LEAST((CAST(list_sum(list_transform(t,
+                        x -> length(x))) AS DOUBLE) / len(t)) / 10.0, 1.0)
+                    + 0.3 * (1.0 - CAST(length(regexp_replace(lt,
+                        '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lt)),
+                  6) AS quality
+              FROM base
+            ), scored AS (
+              SELECT doc_id, {s_en} AS s_en, {s_de} AS s_de,
+                     {s_fr} AS s_fr, {s_es} AS s_es, {s_zh} AS s_zh
+              FROM documents
+            ), pred AS (
+              SELECT doc_id,
+                CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                          AND s_en >= s_zh THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh
+                          THEN 'de'
+                     WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                     WHEN s_es >= s_zh THEN 'es'
+                     ELSE 'zh' END AS pred_lang
+              FROM scored
+            ), s1 AS (
+              SELECT b.doc_id, b.text, b.t FROM base b
+              JOIN ql USING (doc_id) WHERE quality >= 0.75
+            ), s2 AS (
+              SELECT s1.* FROM s1
+              JOIN pred USING (doc_id) WHERE pred_lang = 'de'
+            ), s3 AS (
+              SELECT doc_id, text, t FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+                FROM s2
+              ) WHERE rn = 1
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM s3, UNNEST(range(1, len(t) - 1)) AS u(i)
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), dropped AS (
+              SELECT DISTINCT doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+              ) p
+              JOIN sz x ON x.doc_id = p.doc_a
+              JOIN sz y ON y.doc_id = p.doc_b
+              WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5
+            ), s4 AS (
+              SELECT * FROM s3
+              WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+            )
+            SELECT stage, n_docs FROM (
+              SELECT '1_all' AS stage, COUNT(*) AS n_docs FROM documents
+              UNION ALL SELECT '2_quality', COUNT(*) FROM s1
+              UNION ALL SELECT '3_lang', COUNT(*) FROM s2
+              UNION ALL SELECT '4_exact_dedup', COUNT(*) FROM s3
+              UNION ALL SELECT '5_near_dedup', COUNT(*) FROM s4
+            ) ORDER BY stage
         """,
         "multimodal_resize": """
             SELECT doc_id,

@@ -22,6 +22,7 @@ CRITICAL = [
     "quality_score",
     "rollup_flag_status",
     "q8_market_share",
+    "curation_funnel",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q22_sales_opportunity",
