@@ -27,7 +27,14 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark(app_name="wdn-bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # JVM warmup: exercise the scan→join→agg machinery once at the
+    # smallest SF so the first measured query doesn't absorb
+    # first-use costs (parquet reader init, broadcast machinery,
+    # codegen compiler warm-up) that belong to the session, not the
+    # query. Same treatment for every query; nothing is pre-compiled
+    # at the benchmarked SF.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    entrymod.entry(spark).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
