@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for operator invariants.
+
+Each property generates small random relations driver-side, runs the
+operator on Spark, and asserts an invariant that must hold for ANY
+input — the layer golden-count tests can't cover. Examples are kept
+small (Spark job per example) and derandomized for CI stability.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from whatdropsnow_etl_spark.operators import (
+    latest_wins,
+    ngram_jaccard_pairs,
+    paginate,
+    sessionize,
+)
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # event_id (may collide; upsert orders by it)
+        st.integers(0, 5),  # user_id
+        st.integers(0, 10_000),  # ts seconds
+        st.floats(0, 100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=events_strategy)
+@PROP
+def test_latest_wins_no_dup_keys_and_subset(spark, rows):
+    df = spark.createDataFrame(
+        [(eid, uid, ts, float(v)) for eid, uid, ts, v in rows],
+        "event_id long, user_id long, ts long, value double",
+    )
+    out = latest_wins(
+        df, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).collect()
+    keys = [r.user_id for r in out]
+    assert len(keys) == len(set(keys)), "merged output must have unique keys"
+    src = {(r[0], r[1], r[2]) for r in rows}
+    assert all((r.event_id, r.user_id, r.ts) in src for r in out)
+    # winner per key is the (ts, event_id) max
+    best: dict[int, tuple[int, int]] = {}
+    for eid, uid, ts, _ in rows:
+        if uid not in best or (ts, eid) > best[uid]:
+            best[uid] = (ts, eid)
+    assert {(r.user_id, (r.ts, r.event_id)) for r in out} == set(best.items())
+
+
+@given(rows=events_strategy, gap=st.integers(1, 5_000))
+@PROP
+def test_sessionize_gap_invariant(spark, rows, gap):
+    # unique event ids keep the assertion simple
+    uniq = {(i, uid, ts, v) for i, (_, uid, ts, v) in enumerate(rows)}
+    df = spark.createDataFrame(
+        [(eid, uid, ts, float(v)) for eid, uid, ts, v in uniq],
+        "event_id long, user_id long, ts_s long, value double",
+    ).select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = sessionize(
+        df, "user_id", "ts", "event_id", "value", f"{gap} SECONDS"
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    n_events_in: dict[int, int] = {}
+    for _, uid, _, _ in uniq:
+        n_events_in[uid] = n_events_in.get(uid, 0) + 1
+    for uid, sessions in per_user.items():
+        sessions.sort(key=lambda r: r.session_start_us)
+        # sessions partition the user's events
+        assert sum(s.n_events for s in sessions) == n_events_in[uid]
+        # seq numbering follows start order from 1
+        assert [s.session_seq for s in sessions] == list(
+            range(1, len(sessions) + 1)
+        )
+        for s in sessions:
+            assert s.session_start_us <= s.session_end_us
+        # consecutive sessions are separated by more than the gap
+        for a, b in zip(sessions, sessions[1:]):
+            assert (b.session_start_us - a.session_end_us) / 1_000_000 > gap
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@PROP
+def test_jaccard_pairs_bounds_and_orientation(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = ngram_jaccard_pairs(df, k=2, threshold=0.3).collect()
+    for p in pairs:
+        assert p.doc_a < p.doc_b, "pairs must be oriented a < b"
+        assert 0.3 <= p.jaccard <= 1.0 + 1e-12
+        assert p.n_common >= 1
+    assert len({(p.doc_a, p.doc_b) for p in pairs}) == len(pairs), "no dup pairs"
+
+
+@given(
+    n=st.integers(1, 60),
+    page=st.integers(1, 8),
+    page_size=st.integers(1, 20),
+)
+@PROP
+def test_paginate_partitions_ordered_set(spark, n, page, page_size):
+    df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = [r.id for r in paginate(df, ["id"], page=page, page_size=page_size).collect()]
+    lo = (page - 1) * page_size
+    assert got == list(range(n))[lo : lo + page_size]
