@@ -29,7 +29,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="bench-vs-duckdb")
+    # same warmup contract as bench.py: exercise scan→join→agg once
+    # at the smallest SF so session-level first-use costs (parquet
+    # reader init, codegen compiler, broadcast machinery) don't land
+    # on the first measured query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    entrymod.entry(spark).write.format("noop").mode("overwrite").save()
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.execute(
