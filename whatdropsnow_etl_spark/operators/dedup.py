@@ -181,13 +181,20 @@ def _jaccard_with_collapse(
         F.col(text_col).alias("__text"),
         gid.alias("__gid"),
     )
+    # min_by carries the representative's OWN text through the same
+    # aggregate — not any member's: members share md5(lower(trim())),
+    # but tokens() splits the raw lowered text, where stray edge
+    # whitespace yields empty tokens, so shingle sets can differ
+    # within a group. One shuffle replaces the old groups⋈base
+    # join-back (a second full-corpus shuffle).
     groups = base.groupBy("__gid").agg(
         F.sort_array(F.collect_list("doc_id")).alias("__members"),
         F.min("doc_id").alias("__rep"),
+        F.min_by("__text", "doc_id").alias("__rtext"),
     )
-    reps = base.join(
-        groups.select("__gid", "__rep"), "__gid"
-    ).where(F.col("doc_id") == F.col("__rep"))
+    reps = groups.select(
+        F.col("__rep").alias("doc_id"), F.col("__rtext").alias("__text")
+    )
     rep_pairs = _jaccard_pairs_naive(
         reps.select("doc_id", F.col("__text").alias("text")),
         "text",
@@ -222,9 +229,9 @@ def _jaccard_with_collapse(
             "jaccard",
         )
     )
-    nsh = reps.select(
-        F.col("__gid"),
-        F.size(shingles(tokens(F.col("__text")), k)).cast("bigint").alias("__nsh"),
+    nsh = groups.select(
+        "__gid",
+        F.size(shingles(tokens(F.col("__rtext")), k)).cast("bigint").alias("__nsh"),
     )
     within_src = (
         groups.join(nsh, "__gid")
