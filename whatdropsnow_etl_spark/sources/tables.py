@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 # parquet TIMESTAMP(NANOS) columns: surfaced by Spark as epoch-nanos
 # longs (spark.sql.legacy.parquet.nanosAsLong) and converted here to
-# real timestamps at microsecond precision (the generator's native
-# precision — values are datetime-derived, so nanos are ‰1000).
+# timestamps at microsecond precision. The raw values carry non-zero
+# sub-microsecond nanos; `DIV 1000` truncates toward zero, which is
+# exactly what DuckDB's epoch_us/make_timestamp cast does, so the
+# oracle twins agree (pinned by tests/test_oracle_parity.py).
 NANO_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -41,6 +43,12 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # The testdata parquet carries INT64 TIMESTAMP(NANOS) columns that
+    # Spark refuses to read without this conf. It must hold on the
+    # *caller's* session (driver harnesses build their own), and it is
+    # runtime-settable, so set it here idempotently rather than relying
+    # on our session factory having been used.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
