@@ -350,20 +350,25 @@ def simhash_fingerprints(
     j is set iff the summed vote is positive. md5-hex-digit parity
     is engine-portable, so the pair query has an exact DuckDB twin.
 
-    One explode + one groupBy(doc_id) with `bits` conditional sums —
-    md5 is computed once per token occurrence, map-side; partial agg
-    reduces the shuffle to `bits` longs per doc.
+    One explode over tokens, one explode over bit positions, then two
+    tiny aggregates — md5 is computed once per token occurrence,
+    map-side; partial agg reduces the shuffle to `bits` rows per doc.
     """
     # each token's md5 collapses to ONE 64-bit int whose bit (31-j)
     # is the parity of hex digit j: translate maps every hex digit
     # to '0'/'1', and conv(·, 2, 10) reads that as a binary number.
-    # The 32 per-bit vote aggregates are then integer shift/mask
-    # sums — no per-bit string ops in the hot loop. Semantically
-    # identical to summing ±1 votes (cnt_odd*2 > n ⟺ vote_sum > 0,
-    # ties → bit unset, matching the oracle's CASE … > 0); measured
-    # ~2× faster per pass than the original when(isin(odd-hex)) × 32
-    # formulation, which also cost ~6 s of codegen compile on first
-    # execution.
+    # Semantically identical to summing ±1 votes (cnt_odd*2 > n ⟺
+    # vote_sum > 0, ties → bit unset, matching the oracle's
+    # CASE … > 0).
+    #
+    # The per-bit votes are tallied by exploding bit POSITIONS into
+    # rows and aggregating (doc_id, j) groups, not by `bits` separate
+    # sum columns: a 32-buffer HashAggregate plus a 32-term
+    # fingerprint projection compiles into one enormous
+    # whole-stage-codegen unit (~10 s of Janino on first execution —
+    # the single worst cold-start in the driver bench); two 2-buffer
+    # aggregates over 32× the rows codegen in milliseconds and the
+    # extra rows collapse map-side, so warm throughput is unchanged.
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -379,20 +384,22 @@ def simhash_fingerprints(
     )
     # md5 hex is 32 digits, so digit j lands at bit 31-j of tf
     # regardless of how many fingerprint bits are in use
-    votes = [
-        F.sum(F.shiftright(F.col("tf"), 31 - j).bitwiseAND(F.lit(1))).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    n = F.count(F.lit(1)).alias("n")
-    fp = None
-    for j in range(bits):
-        term = F.when(
-            F.col(f"v{j}") * 2 > F.col("n"), F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        fp = term if fp is None else fp + term
-    return (
-        tok.groupBy("doc_id").agg(*votes, n).select("doc_id", fp.alias("simhash"))
+    votes = (
+        tok.select(
+            "doc_id",
+            "tf",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(F.expr("shiftright(tf, 31 - j) & 1")).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
+    term = F.when(
+        F.col("v") * 2 > F.col("n"), F.expr("shiftleft(1L, j)")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return votes.groupBy("doc_id").agg(F.sum(term).alias("simhash"))
 
 
 def simhash_pairs(
@@ -435,38 +442,52 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
+    # candidate generation is a SKINNY self-join on (band, key) over
+    # distinct fingerprints only — no member arrays in the Σk²
+    # candidate stream, and the bit_count(xor) hamming filter runs
+    # inside the codegen'd join stage, so the quadratic intermediate
+    # collapses to surviving fp pairs before anything wide is
+    # carried. (A collect_list + nested-transform expansion was
+    # ~7× slower here: higher-order array lambdas evaluate
+    # interpreted and each slice copies the bucket tail, O(k²)
+    # struct copies per hot bucket.)
     buckets = groups.select(
-        F.struct(
-            F.col("simhash").alias("fp"), F.col("__members").alias("members")
-        ).alias("node"),
-        F.explode(band_structs).alias("bk"),
-    ).select("node", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    grouped = buckets.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list("node")).alias("__nodes")
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("__nodes"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__nodes"), i + 2, F.size(F.col("__nodes"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+        F.col("simhash").alias("fp"), F.explode(band_structs).alias("bk")
+    ).select("fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
     fp_pairs = (
-        grouped.where(F.size("__nodes") > 1)
-        .select(F.explode(combos).alias("p"))
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.fp") < F.col("b.fp"),
+            ],
+        )
         .select(
-            F.col("p.a.fp").alias("fp_a"),
-            F.col("p.b.fp").alias("fp_b"),
-            F.col("p.a.members").alias("__ma"),
-            F.col("p.b.members").alias("__mb"),
-            F.bit_count(F.col("p.a.fp").bitwiseXOR(F.col("p.b.fp")))
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
             .cast("bigint")
             .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["fp_a", "fp_b"])
+        # members rejoin touches only surviving pairs; `groups` is
+        # |distinct fingerprints| rows, so AQE broadcasts it when
+        # small and shuffles it when genuinely large
+        .join(
+            groups.select(
+                F.col("simhash").alias("fp_a"), F.col("__members").alias("__ma")
+            ),
+            "fp_a",
+        )
+        .join(
+            groups.select(
+                F.col("simhash").alias("fp_b"), F.col("__members").alias("__mb")
+            ),
+            "fp_b",
+        )
     )
     cart = F.flatten(
         F.transform(
