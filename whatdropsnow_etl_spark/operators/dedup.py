@@ -431,6 +431,15 @@ def simhash_pairs(
     groups = fps.groupBy("simhash").agg(
         F.sort_array(F.collect_list("doc_id")).alias("__members")
     )
+    # `groups` feeds five consumers (both self-join sides, two member
+    # rejoins, within-group pairs). Spark's exchange reuse does NOT
+    # unify them (broadcast vs shuffle exchanges canonicalize
+    # differently), so without materialization the whole
+    # token→md5→vote pipeline re-executes per consumer. A lazy
+    # localCheckpoint materializes it once on first action; the
+    # checkpointed RDD is ContextCleaner-collected when the plan is
+    # dropped. Same move a cluster job would make via persist().
+    groups = groups.localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -467,12 +476,33 @@ def simhash_pairs(
         .select(
             F.col("a.fp").alias("fp_a"),
             F.col("b.fp").alias("fp_b"),
+            F.col("a.band").alias("band"),
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
             .cast("bigint")
             .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["fp_a", "fp_b"])
+        # a pair agreeing on several bands would surface once per
+        # agreeing band; instead of a dropDuplicates shuffle, keep the
+        # pair only in its FIRST agreeing band — recomputable from the
+        # two fingerprints with a handful of bit ops, so dedup is a
+        # stateless map-side filter
+        .where(
+            F.col("band")
+            == F.coalesce(
+                *[
+                    F.when(
+                        F.shiftright(F.col("fp_a"), i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        == F.shiftright(F.col("fp_b"), i * band_width)
+                        .bitwiseAND(F.lit(mask)),
+                        F.lit(i),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        )
+        .drop("band")
         # members rejoin touches only surviving pairs; `groups` is
         # |distinct fingerprints| rows, so AQE broadcasts it when
         # small and shuffles it when genuinely large
