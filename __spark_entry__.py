@@ -299,7 +299,10 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs(emb, threshold=0.4)
+    # nblocks passed explicitly (covers up to ~4k vectors at the test
+    # SFs) so plan construction stays lazy — the count()-based
+    # fallback would run a hidden Spark job per call
+    return embedding_dedup_pairs(emb, threshold=0.4, nblocks=2)
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,6 +10,9 @@ Checks per query (rules below):
   explicitly all-pairs operators;
 - no row-at-a-time Python UDFs (BatchEvalPython) anywhere;
   ArrowEvalPython/MapInPandas allowed only in multimodal.
+- plan construction is LAZY: building the DataFrame (calling the
+  queries() entry) must not run any Spark job — a hidden count()/
+  first() during composition re-evaluates upstream lineage at scale.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...] [-v]
 """
@@ -46,6 +49,10 @@ PYTHON_OK = {
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
 }
+# Iterative algorithms whose composition must run jobs (label
+# propagation converges via a driver-side loop); everything else must
+# compose lazily.
+EAGER_OK = {"dedup_clusters"}
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
     "flagship_segmentation",
@@ -129,17 +136,29 @@ def main() -> None:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # warm the per-path schema cache so the lazy-construction check
+    # below doesn't count first-read footer-inference jobs
+    from whatdropsnow_etl_spark.sources import load_tables
+
+    load_tables(spark, sf_dir)
     failures = []
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
+        jobs_before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
         df = fn(spark, sf_dir)
+        jobs_after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        eager_errs = (
+            [f"plan construction ran {jobs_after - jobs_before} Spark job(s)"]
+            if jobs_after != jobs_before and name not in EAGER_OK
+            else []
+        )
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
-        errs = audit(name, plan)
+        errs = eager_errs + audit(name, plan)
         if errs:
             failures.append(name)
             print(f"AUDIT-FAIL {name}:")

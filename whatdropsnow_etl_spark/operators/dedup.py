@@ -435,11 +435,13 @@ def simhash_pairs(
     # rejoins, within-group pairs). Spark's exchange reuse does NOT
     # unify them (broadcast vs shuffle exchanges canonicalize
     # differently), so without materialization the whole
-    # token→md5→vote pipeline re-executes per consumer. A lazy
-    # localCheckpoint materializes it once on first action; the
-    # checkpointed RDD is ContextCleaner-collected when the plan is
-    # dropped. Same move a cluster job would make via persist().
-    groups = groups.localCheckpoint(eager=False)
+    # token→md5→vote pipeline re-executes per consumer. persist() is
+    # the one materialization primitive that stays fully lazy at plan
+    # construction (localCheckpoint under AQE executes the upstream
+    # shuffle stages immediately, even with eager=False); the cached
+    # relation is |distinct fingerprints| rows — tiny relative to the
+    # corpus it summarizes.
+    groups = groups.persist()
     band_structs = F.array(
         *[
             F.struct(

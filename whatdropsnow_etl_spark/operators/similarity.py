@@ -59,6 +59,8 @@ def embedding_dedup_pairs(
     threshold: float = 0.4,
     lsh_tables: int | None = None,
     bits_per_table: int = 4,
+    dim: int | None = None,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with cosine >= threshold.
 
@@ -76,7 +78,7 @@ def embedding_dedup_pairs(
     if lsh_tables is not None:
         from ..functions.vectors import cosine_sim_arrow
 
-        keyed = _bucket_keys(base, "__id", "__v", lsh_tables, bits_per_table)
+        keyed = _bucket_keys(base, "__id", "__v", lsh_tables, bits_per_table, dim=dim)
         a = keyed.select(
             F.col("__id").alias("id_a"), F.col("t"), F.col("key")
         )
@@ -103,11 +105,14 @@ def embedding_dedup_pairs(
                 F.round("cosine_raw", 6).alias("cosine"),
             )
         )
-    return _allpairs_blocked(base, threshold)
+    return _allpairs_blocked(base, threshold, nblocks=nblocks)
 
 
 def _allpairs_blocked(
-    base: DataFrame, threshold: float, block_size: int = 1024
+    base: DataFrame,
+    threshold: float,
+    block_size: int = 1024,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine via blocked tiles (distributed GEMM).
 
@@ -129,10 +134,15 @@ def _allpairs_blocked(
     block_size trades replication (B copies of the corpus move)
     against tile parallelism; at 100 TB raise it so a tile is
     ~hundreds of MB and B stays in the low hundreds.
+
+    Pass ``nblocks`` explicitly in production: the fallback sizes
+    blocks from ``base.count()``, which is a hidden Spark job that
+    re-evaluates the upstream lineage before the real one runs.
     """
     import pandas as pd
 
-    nblocks = max(1, -(-base.count() // block_size))
+    if nblocks is None:
+        nblocks = max(1, -(-base.count() // block_size))
     blocks = base.groupBy(
         (F.abs(F.hash("__id")) % nblocks).alias("b")
     ).agg(F.collect_list(F.struct("__id", "__v")).alias("items"))
