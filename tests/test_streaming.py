@@ -171,3 +171,83 @@ def test_stateful_sessionize_matches_batch(spark, tables, events_json_dir, tmp_p
         ws, we, wn, wv = full[k]
         assert (gs, ge, gn) == (ws, we, wn), k
         assert math.isclose(gv, wv, rel_tol=1e-9), k
+
+
+def test_sessionize_timeout_then_resume(spark, tmp_path):
+    """After an event-time-timeout flush, a user's NEXT session must
+    continue the seq numbering (tombstone state), not restart at 1
+    and collide with the already-emitted row."""
+    import json
+    from datetime import datetime, timezone
+
+    from whatdropsnow_etl_spark.streaming import sessionize_stream
+
+    def us(s: str) -> int:
+        return int(
+            datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(i, rows):
+        with open(src / f"f{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def ev(eid, ts, uid=1):
+        return {
+            "event_id": eid,
+            "ts": ts,
+            "user_id": uid,
+            "event_type": "x",
+            "value": 1.0,
+        }
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    sess = sessionize_stream(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_resume")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # session 1 for user 1
+        write_file(1, [ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00")])
+        q.processAllAvailable()
+        # advance the watermark far past 10:35 via user 2 only; the
+        # extra file guarantees a batch runs with the advanced
+        # watermark and no user-1 data, so the TIMEOUT branch flushes
+        # user 1's open session
+        write_file(2, [ev(3, "2024-01-01 15:00:00", uid=2)])
+        q.processAllAvailable()
+        write_file(3, [ev(4, "2024-01-01 15:01:00", uid=2)])
+        q.processAllAvailable()
+        flushed = {
+            (r["user_id"], r["session_seq"])
+            for r in spark.sql("SELECT * FROM sess_resume").collect()
+        }
+        assert (1, 1) in flushed, "timeout flush did not happen before resume"
+        # user 1 resumes: one session closed in-batch by a later event
+        write_file(
+            4,
+            [
+                ev(5, "2024-01-01 20:00:00"),
+                ev(6, "2024-01-01 20:05:00"),
+                ev(7, "2024-01-01 23:00:00"),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_seq"]): (r["session_start_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_resume").collect()
+    }
+    assert got[(1, 1)] == (us("2024-01-01 10:00:00"), 2)
+    # the post-timeout session must be seq 2, not a second seq 1
+    assert got[(1, 2)] == (us("2024-01-01 20:00:00"), 2)

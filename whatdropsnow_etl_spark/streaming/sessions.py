@@ -71,7 +71,12 @@ def sessionize_stream(
         user_id = key[0]
         if state.hasTimedOut:
             st = state.get
-            state.remove()
+            # keep a closed-session TOMBSTONE (n=0) carrying the seq
+            # counter instead of state.remove(): dropping the state
+            # would restart the next session of this user at seq 1,
+            # colliding with an already-emitted row. One tuple per
+            # ever-seen user is the price of stable numbering.
+            state.update((0, 0, 0, 0.0, st[4] + 1))
             yield pd.DataFrame([_close(user_id, st, st[4] + 1)])
             return
         rows = pd.concat(list(pdfs))
@@ -79,7 +84,8 @@ def sessionize_stream(
         st = state.get if state.exists else None
         closed: list[dict[str, Any]] = []
         seq = st[4] if st else 0
-        cur = (st[0], st[1], st[2], st[3]) if st else None
+        # n == 0 marks a tombstone: counter survives, no open session
+        cur = (st[0], st[1], st[2], st[3]) if st and st[2] > 0 else None
         for ts_us, value in zip(rows["ts_us"], rows["value"]):
             ts_us = int(ts_us)
             if cur is None:
