@@ -268,6 +268,18 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
 
 
+def _dedup_clusters_twostars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components via alternating large-star/small-star
+    contraction (O(log n) rounds — the long-chain/100 TB path);
+    oracle-twinned against the identical recursive-CTE SQL."""
+    return dedup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        algorithm="twostars",
+    )
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
@@ -406,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_clusters": _dedup_clusters,
+        "dedup_clusters_twostars": _dedup_clusters_twostars,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann,
         "ann_lsh_bucketed": _ann_lsh,
@@ -548,7 +561,7 @@ def oracle_sql() -> dict[str, str]:
     s_fr = lang_score.format(words="['join', 'merge', 'group']")
     s_es = lang_score.format(words="['scan', 'sort', 'filter']")
     s_zh = lang_score.format(words="['spark', 'stream', 'batch']")
-    return {
+    sql = {
         "flagship_segmentation": f"""
             WITH per AS (
               SELECT s_suppkey, s_name,
@@ -1278,3 +1291,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # same components, different distributed algorithm — one oracle
+    sql["dedup_clusters_twostars"] = sql["dedup_clusters"]
+    return sql

@@ -292,3 +292,45 @@ def test_multimodal_frame_sample_expansion(tables):
         want_idxs = list(range(0, n_frames, 3))
         assert sorted(r.frame_idx for r in rows) == want_idxs
         assert all(r.n_frames == n_frames for r in rows)
+
+
+def test_dedup_clusters_twostars_matches_minlabel(spark, tables):
+    from whatdropsnow_etl_spark.operators import dedup_clusters
+
+    docs = tables["documents"]
+    a = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup_clusters(docs, k=3, threshold=0.5).collect()
+    }
+    b = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup_clusters(docs, k=3, threshold=0.5, algorithm="twostars").collect()
+    }
+    assert a == b
+
+
+def test_twostars_long_chain_beats_diameter(spark):
+    """A 40-node chain has diameter 39 — far past max_iter=15 for
+    per-hop propagation — but large-star/small-star contracts it in
+    O(log n) rounds."""
+    from whatdropsnow_etl_spark.operators.dedup import _components_twostars
+
+    n = 40
+    ids = spark.range(n).select(F.col("id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in _components_twostars(ids, pairs, max_iter=15).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_minlabel_raises_on_nonconvergence(spark, tables):
+    import pytest
+
+    from whatdropsnow_etl_spark.operators import dedup_clusters
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(tables["documents"], k=3, threshold=0.5, max_iter=1)

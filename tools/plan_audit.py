@@ -52,7 +52,7 @@ PYTHON_OK = {
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must
 # compose lazily.
-EAGER_OK = {"dedup_clusters"}
+EAGER_OK = {"dedup_clusters", "dedup_clusters_twostars"}
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
     "flagship_segmentation",

@@ -563,20 +563,28 @@ def dedup_clusters(
     k: int = 3,
     threshold: float = 0.5,
     max_iter: int = 15,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Duplicate clusters: connected components over near-dup pairs.
 
     Pairs alone don't dedup a corpus — transitive groups do (A~B,
     B~C ⇒ {A,B,C} keep one). Edges are the exact Jaccard pairs at
-    ``threshold``; components are computed by min-label propagation:
-    every doc starts labeled with its own id and repeatedly takes
-    the min label over itself and its neighbors. Converges in
-    O(component diameter) rounds — near-dup clusters are shallow
-    (usually ≤ 2-3 hops), so the loop exits after a handful of
-    bounded-size shuffles; each round localCheckpoints the label
-    table to keep lineage flat. At 100 TB-class graph sizes swap
-    the per-round hop for the large-star/small-star contraction
-    (O(log n) rounds) — same output contract.
+    ``threshold``. Two interchangeable component algorithms (same
+    output contract, twin-tested):
+
+    - ``minlabel`` (default, the oracle twin): every doc starts
+      labeled with its own id and repeatedly takes the min label
+      over itself and its neighbors. O(component diameter) rounds,
+      one shuffle per round — near-dup clusters are shallow
+      (usually ≤ 2-3 hops), so this wins for typical corpora.
+    - ``twostars``: the alternating large-star/small-star edge
+      contraction (Kiveris et al., "Connected Components in
+      MapReduce and Beyond"), O(log n) rounds regardless of
+      component diameter — the 100 TB path when duplicate chains
+      can be long (mirror farms, template families).
+
+    Both raise RuntimeError if ``max_iter`` rounds pass without
+    convergence rather than returning partially-propagated labels.
 
     Output: one row per doc — component_id (min doc id in the
     component; singletons map to themselves), which doubles as the
@@ -585,6 +593,11 @@ def dedup_clusters(
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, k, threshold, hash_shingles=True
     ).select("doc_a", "doc_b")
+    ids = df.select(F.col(id_col).alias("id"))
+    if algorithm == "twostars":
+        return _components_twostars(ids, pairs, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -592,9 +605,8 @@ def dedup_clusters(
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
-    labels = df.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
-    ).localCheckpoint(eager=True)
+    labels = ids.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nb = (
             edges.join(labels, edges.dst == labels.id)
@@ -617,5 +629,83 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters(minlabel) did not converge in {max_iter} rounds;"
+            " raise max_iter or use algorithm='twostars' (O(log n) rounds)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component_id"))
+
+
+def _components_twostars(ids: DataFrame, pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Connected components via alternating large-star/small-star.
+
+    Edges are kept directed (hi, lo) with hi > lo. Per round:
+
+    - large-star(u): over the symmetrized neighborhood, connect every
+      strictly-larger neighbor v of u to m = min(Γ(u) ∪ {u}).
+    - small-star(u): group edges by their larger endpoint u; with
+      m = min of u's smaller neighbors, connect u and each smaller
+      neighbor to m.
+
+    Each op is one groupBy + one join; the edge set contracts toward
+    per-component stars centered at the min node in O(log n) rounds
+    (vs O(diameter) for label propagation). Convergence = small-star
+    output equals its input (distinct edge sets); checked with a
+    count + exceptAll probe per round.
+    """
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    converged = n_edges == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        # m = min(Γ(u) ∪ {u}); v > u ⇒ v > m, so output stays (hi, lo)
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star over directed (hi, lo): m = min smaller neighbor
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(smins.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = small.count()
+        if n_new == n_edges and small.exceptAll(edges).isEmpty():
+            converged = True
+        edges = small
+        n_edges = n_new
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters(twostars) did not converge in {max_iter} rounds"
+        )
+    # fixpoint: every non-root node has exactly its (node, root) edge
+    roots = edges.groupBy("hi").agg(F.min("lo").alias("component_id"))
+    return ids.join(roots, ids.id == roots.hi, "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("component_id", "id").alias("component_id"),
+    )
