@@ -124,3 +124,126 @@ def test_upsert_valid_skips_orphans(spark, tables, tmp_path):
     assert n_valid == valid_rows.select("l_orderkey", "l_linenumber").distinct().count()
     # orphans really reference missing parents
     assert orphans.join(present, orphans.l_partkey == present.p_partkey).count() == 0
+
+
+class _FakeApi:
+    """In-process HTTP server: paginated /items (3 pages), flaky
+    /flaky (fails twice then succeeds), per-id /things/{id} with a
+    missing id, auth-header capture on every request."""
+
+    def __init__(self):
+        import json as _json
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        fake = self
+        self.auth_headers = []
+        self.flaky_hits = 0
+        items = [{"id": i, "attributes": {"name": f"item-{i}"}} for i in range(5)]
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code, payload):
+                body = _json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                fake.auth_headers.append(self.headers.get("Authorization"))
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                if u.path == "/api/items":
+                    page = int(q["page"][0])
+                    size = int(q["page_size"][0])
+                    chunk = items[(page - 1) * size : page * size]
+                    if not chunk:
+                        return self._json(404, {"error": "no such page"})
+                    return self._json(
+                        200,
+                        {
+                            "data": chunk,
+                            "meta": {
+                                "page": {
+                                    "total_count": len(items),
+                                    "current_page": page,
+                                }
+                            },
+                        },
+                    )
+                if u.path == "/api/flaky":
+                    fake.flaky_hits += 1
+                    if fake.flaky_hits < 3:
+                        return self._json(503, {"error": "try later"})
+                    return self._json(200, {"data": [{"id": 99}]})
+                if u.path.startswith("/api/things/"):
+                    tid = int(u.path.rsplit("/", 1)[1])
+                    if tid >= 3:
+                        return self._json(404, {"error": "gone"})
+                    return self._json(
+                        200, {"data": {"id": tid, "attributes": {"name": f"t{tid}"}}}
+                    )
+                return self._json(404, {"error": "bad path"})
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+
+    @property
+    def url(self):
+        host, port = self.server.server_address
+        return f"http://{host}:{port}/api"
+
+    def __enter__(self):
+        import threading
+
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+        return self
+
+    def __exit__(self, *a):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_http_client_end_to_end(spark, tmp_path):
+    from whatdropsnow_etl_spark.sources.http_client import HttpJsonClient
+
+    with _FakeApi() as api:
+        client = HttpJsonClient(
+            api.url,
+            headers={"Authorization": "Bearer sesame"},
+            delay=0.001,
+            timeout=5,
+        )
+        # pagination: 3 pages of 2 land 5 records, stops at total_count
+        n = client.fetch_resource_pages("/items", str(tmp_path / "pages"), page_size=2)
+        assert n == 5
+        df = normalize_pages(
+            spark,
+            str(tmp_path / "pages"),
+            {"id": ("id", "bigint"), "name": ("attributes.name", "string")},
+        )
+        assert {(r["id"], r["name"]) for r in df.collect()} == {
+            (i, f"item-{i}") for i in range(5)
+        }
+        # retry/backoff: two 503s then success, inside one get_json call
+        assert client.get_json("/flaky")["data"] == [{"id": 99}]
+        assert api.flaky_hits == 3
+        # per-id fan-out with ignore-404: ids 3,4 vanish silently
+        n = client.fetch_by_ids("/things/{}", range(5), str(tmp_path / "things"))
+        assert n == 3
+        got = spark.read.json(str(tmp_path / "things" / "*.jsonl"))
+        assert got.count() == 3
+        # the auth header reached every request
+        assert set(api.auth_headers) == {"Bearer sesame"}
+
+
+def test_http_client_raises_after_retries(tmp_path):
+    from whatdropsnow_etl_spark.sources.http_client import HttpJsonClient
+
+    with _FakeApi() as api:
+        client = HttpJsonClient(api.url, tries=3, delay=0.001, timeout=5)
+        with pytest.raises(Exception, match="status 404"):
+            client.get_json("/nope")  # ignore_404 not set -> raises
