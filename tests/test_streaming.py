@@ -251,3 +251,53 @@ def test_sessionize_timeout_then_resume(spark, tmp_path):
     assert got[(1, 1)] == (us("2024-01-01 10:00:00"), 2)
     # the post-timeout session must be seq 2, not a second seq 1
     assert got[(1, 2)] == (us("2024-01-01 20:00:00"), 2)
+
+
+def test_streaming_funnel_matches_batch(spark, tables, tmp_path):
+    """Streaming curation funnel == batch curation_funnel on the same
+    corpus for the four streamable stages."""
+    from whatdropsnow_etl_spark.plans.curation import curation_funnel
+    from whatdropsnow_etl_spark.streaming import curation_funnel_stream
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    src = str(tmp_path / "docs_json")
+    (
+        tables["documents"]
+        .select("doc_id", "text", "lang")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(src)
+    )
+    stream = (
+        spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    funnel = curation_funnel_stream(stream, quality_min=0.75, lang="de")
+    q = (
+        funnel.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["stage"]: r["n_docs"]
+        for r in spark.sql("SELECT * FROM funnel_stream").collect()
+    }
+    want = {
+        r["stage"]: r["n_docs"]
+        for r in curation_funnel(
+            tables["documents"], quality_min=0.75, lang="de"
+        ).collect()
+    }
+    assert set(got) == {"1_all", "2_quality", "3_lang", "4_exact_dedup"}
+    for stage in got:
+        assert got[stage] == want[stage], stage

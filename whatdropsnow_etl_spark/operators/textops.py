@@ -59,12 +59,10 @@ def lang_id_confusion(
     )
 
 
-def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Composite doc quality: length, punctuation ratio, stopword
-    ratio, mean word length. Ratios are double divisions of exact
-    integer counts — deterministic across engines."""
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality score as a single Column expression —
+    reusable anywhere a per-doc quality gate is needed (batch funnel,
+    streaming funnel) without a join against quality_score output."""
     text = F.lower(F.col(text_col))
     toks = tokens(F.col(text_col))
     n_chars = F.length(text).cast("bigint")
@@ -77,12 +75,33 @@ def quality_score(
     stop_ratio = n_stop.cast("double") / n_tokens
     punct_ratio = n_punct.cast("double") / n_chars
     mean_word_len = tok_len_sum.cast("double") / n_tokens
-    quality = F.round(
+    return F.round(
         0.3 * (1.0 - stop_ratio)
         + 0.4 * F.least(mean_word_len / 10.0, F.lit(1.0))
         + 0.3 * (1.0 - punct_ratio),
         6,
     )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite doc quality: length, punctuation ratio, stopword
+    ratio, mean word length. Ratios are double divisions of exact
+    integer counts — deterministic across engines."""
+    text = F.lower(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = stop_count(toks, STOPWORDS).cast("bigint")
+    n_punct = F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    tok_len_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_word_len = tok_len_sum.cast("double") / n_tokens
+    quality = quality_expr(text_col)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars_txt"),

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.dedup import ngram_jaccard_pairs
-from ..operators.textops import lang_id, quality_score
+from ..operators.textops import lang_id, quality_expr
 
 
 def curation_funnel(
@@ -47,11 +47,11 @@ def curation_funnel(
     # survivor set. Cut the 5-branch formulation's 13.8 s to ~a
     # third at sf0.1; at scale it's the difference between one scan
     # and five.
-    ql = quality_score(docs).select("doc_id", "quality")
+    # quality as an inline column expr — same projection pass as
+    # lang_id, no join against the quality_score relation
     flags = (
         lang_id(docs)
-        .join(ql, "doc_id")
-        .withColumn("f1", F.col("quality") >= quality_min)
+        .withColumn("f1", quality_expr() >= quality_min)
         .withColumn("f2", F.col("f1") & (F.col("pred_lang") == lang))
         .withColumn("__gid", F.md5(F.lower(F.trim(F.col("text")))))
     )

@@ -1,10 +1,12 @@
 from .dedup import dedup_stream
+from .funnel import curation_funnel_stream
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .windowed import windowed_event_agg
 
 __all__ = [
     "windowed_event_agg",
+    "curation_funnel_stream",
     "dedup_stream",
     "sessionize_stream",
     "write_stream_parquet",
