@@ -130,3 +130,87 @@ def test_paginate_partitions_ordered_set(spark, n, page, page_size):
     got = [r.id for r in paginate(df, ["id"], page=page, page_size=page_size).collect()]
     lo = (page - 1) * page_size
     assert got == list(range(n))[lo : lo + page_size]
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=40,
+    ),
+    n=st.integers(1, 26),
+)
+@PROP
+def test_twostars_components_match_union_find(spark, edges, n):
+    """large-star/small-star output == a driver-side union-find over
+    ANY random edge list (self-loops and out-of-range edges pruned)."""
+    from whatdropsnow_etl_spark.operators.dedup import _components_twostars
+
+    edges = [(a, b) for a, b in edges if a != b and a < n and b < n]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(i, find(i)) for i in range(n)}
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in _components_twostars(ids, pairs, max_iter=20).collect()
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=1, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+@PROP
+def test_simhash_pairs_match_bruteforce(spark, texts):
+    """simhash_pairs == a pure-Python brute force of the documented
+    semantics: md5-hex-digit-parity votes weighted by term frequency,
+    all pairs with hamming <= max_hamming (banding is exact for
+    hamming < bands)."""
+    import hashlib
+    from itertools import combinations
+
+    from whatdropsnow_etl_spark.operators import simhash_pairs
+
+    def fingerprint(text):
+        # engine tokenizer contract: split(lower(text), ' '), empty
+        # tokens KEPT (matches the DuckDB oracle's string_split)
+        toks = text.lower().split(" ")
+        votes = [0] * 32
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(32):
+                votes[j] += 1 if int(h[j], 16) % 2 else -1
+        return sum(1 << j for j in range(32) if votes[j] > 0)
+
+    docs = list(enumerate(texts))
+    fps = {i: fingerprint(t) for i, t in docs}
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(df, bits=32, bands=4, max_hamming=3).collect()
+    }
+    assert got == want
