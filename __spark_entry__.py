@@ -11,6 +11,7 @@ ORDER BY / window carries a unique tiebreaker.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -311,10 +312,16 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # nblocks passed explicitly (covers up to ~4k vectors at the test
-    # SFs) so plan construction stays lazy — the count()-based
-    # fallback would run a hidden Spark job per call
-    return embedding_dedup_pairs(emb, threshold=0.4, nblocks=2)
+    # nblocks derived from the SF encoded in the dir name (corpus is
+    # ~20k vectors/SF) so plan construction stays lazy — the
+    # count()-based fallback would run a hidden Spark job per call —
+    # while tiles stay bounded as the bench SF grows
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+        nblocks = max(2, -(-int(20_000 * sf) // 2048))
+    except ValueError:
+        nblocks = 2
+    return embedding_dedup_pairs(emb, threshold=0.4, nblocks=nblocks)
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,10 +36,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     entrymod.entry(spark).write.format("noop").mode("overwrite").save()
     con = duckdb.connect()
+    import os
+
     for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):  # Spark-written multi-file table
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     oracles = entrymod.oracle_sql()
     out = {}
     for name, fn in entrymod.queries().items():
