@@ -219,6 +219,23 @@ def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.q22_sales_opportunity(t["customer"], t["orders"])
 
 
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q11_important_stock(load_tables(spark, sf_dir))
+
+
+def _q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return olap.q12_shipping_delay(t["orders"], t["lineitem"])
+
+
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q20_heavy_suppliers(load_tables(spark, sf_dir))
+
+
+def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.q21_waiting_suppliers(load_tables(spark, sf_dir))
+
+
 def _window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return topn_per_group(part, "p_brand", "p_retailprice", "p_partkey", 3).select(
@@ -415,6 +432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17,
         "q18_large_orders": _q18,
         "q19_disjunctive_revenue": _q19,
+        "q11_important_stock": _q11,
+        "q12_shipping_delay": _q12,
+        "q20_heavy_suppliers": _q20,
+        "q21_waiting_suppliers": _q21,
         "q22_sales_opportunity": _q22,
         "window_topn_per_group": _window_topn,
         "window_moving_avg": _window_moving_avg,
@@ -1300,4 +1321,70 @@ def oracle_sql() -> dict[str, str]:
     }
     # same components, different distributed algorithm — one oracle
     sql["dedup_clusters_twostars"] = sql["dedup_clusters"]
+    sql["q11_important_stock"] = f"""
+        WITH per_part AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(SUM(CAST(l_extendedprice AS {MONEY})
+                          * CAST(l_quantity AS {MONEY})) AS DOUBLE) AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_0'
+          GROUP BY l_partkey
+        )
+        SELECT p_partkey, value FROM per_part
+        WHERE value > (
+          SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})
+                          * CAST(l_quantity AS {MONEY})) AS DOUBLE)
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_0'
+        ) * 0.001
+    """
+    sql["q12_shipping_delay"] = """
+        SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                    THEN 'late' ELSE 'on_time' END AS delay_class,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY delay_class
+    """
+    sql["q20_heavy_suppliers"] = f"""
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%ring'
+          GROUP BY l_suppkey
+          HAVING CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) > 500.0
+        )
+    """
+    sql["q21_waiting_suppliers"] = """
+        WITH per_supp AS (
+          SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS my_max
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY l_orderkey, l_suppkey
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM per_supp a
+        JOIN supplier ON a.l_suppkey = s_suppkey
+        WHERE EXISTS (
+          SELECT 1 FROM per_supp b
+          WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM per_supp c
+          WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+            AND c.my_max >= a.my_max
+        )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """
     return sql

@@ -35,6 +35,9 @@ ALLPAIRS_OK = {
     # IVF crosses the corpus against a C-row broadcast codebook
     # (C = n_centroids, constant) — not a data×data cross
     "ann_ivf_topk",
+    # scalar-subquery threshold: crossJoin against a 1-row broadcast
+    # aggregate (the Q11 pattern) — not a data×data cross
+    "q11_important_stock",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -71,6 +74,9 @@ EXPECT_BROADCAST = {
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q11_important_stock",
+    "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
 }
 # Queries that filter a parquet column and must push it to the scan.
 EXPECT_PUSHDOWN = {
@@ -89,6 +95,9 @@ EXPECT_PUSHDOWN = {
     "q15_top_supplier": r"PushedFilters: \[.*l_shipdate",
     "q19_disjunctive_revenue": r"PushedFilters: \[.*l_quantity",
     "q22_sales_opportunity": r"PushedFilters: \[.*(o_orderdate|c_acctbal)",
+    "q11_important_stock": r"PushedFilters: \[.*n_name",
+    "q20_heavy_suppliers": r"PushedFilters: \[.*p_name",
+    "q21_waiting_suppliers": r"PushedFilters: \[.*o_orderstatus",
 }
 # Full widths of the test tables; a scan reading every column of a
 # wide table is an unpruned scan.

@@ -678,3 +678,156 @@ def q22_sales_opportunity(
         )
         .orderBy("cntry")
     )
+
+
+def q11_important_stock(
+    tables: dict[str, DataFrame],
+    nation_name: str = "NATION_0",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 flavor: per-part shipped value for one nation's
+    suppliers, kept when above a fraction of the nation's total.
+
+    The schema has no partsupp, so 'stock value' is the shipped value
+    sum(extendedprice * quantity) from lineitem. The Q11 pattern
+    being exercised is the scalar-subquery threshold: the global
+    total is a 1-row aggregate broadcast against the per-part rows —
+    no second scan-wide shuffle, no driver round-trip.
+    """
+    nat = tables["nation"].where(F.col("n_name") == nation_name)
+    supp = (
+        tables["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    items = tables["lineitem"].select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    nation_items = items.join(F.broadcast(supp), items.l_suppkey == supp.s_suppkey)
+    per_part = nation_items.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice") * money("l_quantity"))
+        .cast("double")
+        .alias("value")
+    )
+    # the threshold total is the same decimal-exact sum over the same
+    # rows (NOT a re-sum of the per-part doubles, which would be
+    # order-dependent and engine-divergent at the threshold boundary)
+    total = nation_items.agg(
+        F.sum(money("l_extendedprice") * money("l_quantity"))
+        .cast("double")
+        .alias("__total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("__total") * fraction)
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+def q12_shipping_delay(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q12 flavor: conditional priority counts by delay class.
+
+    No l_shipmode/receiptdate in the schema, so the Q12 shape —
+    CASE-based conditional aggregation over a fact join — classifies
+    lines by ship delay (shipped >= order date + ``late_days``).
+    One broadcast-free equi-join, one shuffle on the 2-row group key.
+    """
+    j = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    delay_class = F.when(
+        F.col("l_shipdate")
+        >= F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("on_time"))
+    return (
+        j.groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+def q20_heavy_suppliers(
+    tables: dict[str, DataFrame],
+    name_suffix: str = "ring",
+    min_qty: float = 500.0,
+) -> DataFrame:
+    """TPC-H Q20 flavor: suppliers who shipped more than ``min_qty``
+    units of matching parts — a HAVING subquery consumed as a
+    LEFT SEMI join (no supplier columns duplicated, no distinct
+    needed). Part filter broadcasts; the quantity rollup shuffles
+    once on l_suppkey.
+    """
+    parts = tables["part"].where(F.col("p_name").endswith(name_suffix)).select(
+        "p_partkey"
+    )
+    heavy = (
+        tables["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("qty"))
+        .where(F.col("qty") > min_qty)
+    )
+    return (
+        tables["supplier"]
+        .join(heavy, F.col("s_suppkey") == heavy.l_suppkey, "leftsemi")
+        .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
+def q21_waiting_suppliers(
+    tables: dict[str, DataFrame],
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 flavor: suppliers who shipped strictly LAST in
+    finalized multi-supplier orders — the EXISTS / NOT EXISTS pair
+    expressed as LEFT SEMI + LEFT ANTI joins on the per-(order,
+    supplier) rollup.
+
+    exists: another supplier in the same order (semi join);
+    not exists: another supplier who shipped as late or later
+    (anti join). Both joins shuffle on l_orderkey — co-partitioned
+    with the rollup, so AQE reuses the exchange.
+    """
+    fin = tables["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    per_supp = (
+        tables["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fin, F.col("l_orderkey") == fin.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("my_max"))
+    )
+    other = per_supp.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+        F.col("my_max").alias("o_max"),
+    )
+    waited = per_supp.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "leftsemi",
+    ).join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp"))
+        & (F.col("o_max") >= F.col("my_max")),
+        "leftanti",
+    )
+    counts = waited.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    supp = tables["supplier"].select("s_suppkey", "s_name")
+    return (
+        counts.join(F.broadcast(supp), counts.l_suppkey == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
