@@ -334,3 +334,23 @@ def test_minlabel_raises_on_nonconvergence(spark, tables):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(tables["documents"], k=3, threshold=0.5, max_iter=1)
+
+
+def test_embedding_dedup_blas_matches_exact(spark, tables):
+    """The BLAS fast path finds the same pair set as the bit-exact
+    kernel (cosines may differ in last bits, never across the
+    threshold on this fixture)."""
+    from whatdropsnow_etl_spark.operators import embedding_dedup_pairs
+
+    emb = tables["embeddings"]
+    a = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_dedup_pairs(emb, threshold=0.4, nblocks=2).collect()
+    }
+    b = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_dedup_pairs(
+            emb, threshold=0.4, nblocks=2, exact_accumulation=False
+        ).collect()
+    }
+    assert a == b

@@ -61,6 +61,7 @@ def embedding_dedup_pairs(
     bits_per_table: int = 4,
     dim: int | None = None,
     nblocks: int | None = None,
+    exact_accumulation: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with cosine >= threshold.
 
@@ -105,7 +106,9 @@ def embedding_dedup_pairs(
                 F.round("cosine_raw", 6).alias("cosine"),
             )
         )
-    return _allpairs_blocked(base, threshold, nblocks=nblocks)
+    return _allpairs_blocked(
+        base, threshold, nblocks=nblocks, exact_accumulation=exact_accumulation
+    )
 
 
 def _allpairs_blocked(
@@ -113,6 +116,7 @@ def _allpairs_blocked(
     threshold: float,
     block_size: int = 1024,
     nblocks: int | None = None,
+    exact_accumulation: bool = True,
 ) -> DataFrame:
     """Exact all-pairs cosine via blocked tiles (distributed GEMM).
 
@@ -138,6 +142,14 @@ def _allpairs_blocked(
     Pass ``nblocks`` explicitly in production: the fallback sizes
     blocks from ``base.count()``, which is a hidden Spark job that
     re-evaluates the upstream lineage before the real one runs.
+
+    ``exact_accumulation=False`` swaps the per-dimension rank-1
+    update loop for one BLAS dgemm per tile — order-of-magnitude
+    faster (compute-bound instead of memory-bound) but with BLAS's
+    blocked summation order, so dot products can differ from the
+    SQL twin in the last float bits. Keep True when hash-parity with
+    an oracle matters; False is the production setting (a cosine
+    threshold is not last-bit sensitive).
     """
     import pandas as pd
 
@@ -160,13 +172,18 @@ def _allpairs_blocked(
                 ib = np.array([x["__id"] for x in row["items2"]], dtype=np.int64)
                 A = np.stack([x["__v"] for x in row["items1"]]).astype(np.float64)
                 B = np.stack([x["__v"] for x in row["items2"]]).astype(np.float64)
-                dot = np.zeros((len(ia), len(ib)), dtype=np.float64)
-                na = np.zeros(len(ia), dtype=np.float64)
-                nb = np.zeros(len(ib), dtype=np.float64)
-                for d in range(A.shape[1]):
-                    dot += np.outer(A[:, d], B[:, d])
-                    na += A[:, d] * A[:, d]
-                    nb += B[:, d] * B[:, d]
+                if exact_accumulation:
+                    dot = np.zeros((len(ia), len(ib)), dtype=np.float64)
+                    na = np.zeros(len(ia), dtype=np.float64)
+                    nb = np.zeros(len(ib), dtype=np.float64)
+                    for d in range(A.shape[1]):
+                        dot += np.outer(A[:, d], B[:, d])
+                        na += A[:, d] * A[:, d]
+                        nb += B[:, d] * B[:, d]
+                else:
+                    dot = A @ B.T
+                    na = np.einsum("ij,ij->i", A, A)
+                    nb = np.einsum("ij,ij->i", B, B)
                 cos = dot / np.outer(np.sqrt(na), np.sqrt(nb))
                 keep = cos >= threshold
                 if row["b1"] == row["b2"]:
