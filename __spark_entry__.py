@@ -219,6 +219,67 @@ def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.q22_sales_opportunity(t["customer"], t["orders"])
 
 
+def _asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each view event enriched with the user's most recent purchase
+    at-or-before the view (point-in-time correct — no future
+    leakage), via the union+window as-of join."""
+    from whatdropsnow_etl_spark.operators import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value").cast("decimal(12,2)")).cast("double").alias("pv"))
+    )
+    out = asof_join(
+        views,
+        purchases,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols={"pv": "last_purchase_value"},
+        matched_ts_alias="purchase_ts_us",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "last_purchase_value",
+        "purchase_ts_us",
+    )
+
+
+def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus, with deterministic synthetic PII
+    appended per doc (the synthetic corpus has none) so the parity
+    check exercises every pattern class and the replacement text."""
+    from whatdropsnow_etl_spark.operators import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 000 "),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import stratified_sample_by_quality
+
+    return stratified_sample_by_quality(
+        load_table(spark, sf_dir, "documents"), k_per_band=5, n_bands=10
+    )
+
+
 def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.q11_important_stock(load_tables(spark, sf_dir))
 
@@ -436,6 +497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipping_delay": _q12,
         "q20_heavy_suppliers": _q20,
         "q21_waiting_suppliers": _q21,
+        "asof_last_purchase": _asof_last_purchase,
+        "redact_pii": _redact_pii,
+        "stratified_sample": _stratified_sample,
         "q22_sales_opportunity": _q22,
         "window_topn_per_group": _window_topn,
         "window_moving_avg": _window_moving_avg,
@@ -1362,6 +1426,91 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY l_suppkey
           HAVING CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) > 500.0
         )
+    """
+    sql["redact_pii"] = """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1 555 000 '
+                      || CAST(doc_id AS VARCHAR)
+                      || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   AS text
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+\\-]+@[a-zA-Z0-9.\\-]+\\.[a-zA-Z]{2,}'))
+                   AS BIGINT) AS n_emails,
+                 regexp_replace(text,
+                   '[a-zA-Z0-9._%+\\-]+@[a-zA-Z0-9.\\-]+\\.[a-zA-Z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+          FROM aug
+        ), s2 AS (
+          SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t1,
+                   '\\+?[0-9][0-9 \\-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+                 regexp_replace(t1, '\\+?[0-9][0-9 \\-]{6,}[0-9]',
+                   '<PHONE>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id, n_emails, n_phones,
+               CAST(len(regexp_extract_all(t2,
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                 AS BIGINT) AS n_ips,
+               regexp_replace(t2,
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                 '<IP>', 'g') AS text_redacted
+        FROM s2
+    """
+    sql["stratified_sample"] = """
+        WITH base AS (
+          SELECT doc_id, lower(text) AS lt,
+                 string_split(lower(text), ' ') AS t
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            CAST(len(list_filter(t,
+              x -> list_contains(['the', 'a', 'of', 'and', 'to'], x)))
+              AS DOUBLE) / len(t) AS stop_ratio_raw,
+            CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g'))
+              AS DOUBLE) / length(lt) AS punct_ratio_raw,
+            CAST(list_sum(list_transform(t, x -> length(x)))
+              AS DOUBLE) / len(t) AS mwl_raw
+          FROM base
+        ), q AS (
+          SELECT doc_id,
+                 0.3 * (1.0 - stop_ratio_raw)
+                   + 0.4 * LEAST(mwl_raw / 10.0, 1.0)
+                   + 0.3 * (1.0 - punct_ratio_raw) AS q_raw
+          FROM m
+        ), banded AS (
+          -- band from the ROUNDED score, same as the Spark side, so
+          -- 7th-decimal values at a band edge can't split engines
+          SELECT doc_id, ROUND(q_raw, 6) AS quality,
+                 LEAST(CAST(FLOOR(ROUND(q_raw, 6) * 10) AS BIGINT), 9) AS band
+          FROM q
+        )
+        SELECT doc_id, band, quality FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY band
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM banded
+        ) WHERE rn <= 5
+    """
+    sql["asof_last_purchase"] = f"""
+        WITH v AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ), p AS (
+          SELECT user_id, ts,
+                 CAST(MAX(CAST(value AS {MONEY})) AS DOUBLE) AS pv
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts
+        )
+        SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+               p.pv AS last_purchase_value,
+               epoch_us(p.ts) AS purchase_ts_us
+        FROM v ASOF LEFT JOIN p
+          ON v.user_id = p.user_id AND v.ts >= p.ts
     """
     sql["q21_waiting_suppliers"] = """
         WITH per_supp AS (

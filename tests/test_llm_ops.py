@@ -354,3 +354,42 @@ def test_embedding_dedup_blas_matches_exact(spark, tables):
         ).collect()
     }
     assert a == b
+
+
+def test_redact_pii_patterns(spark):
+    from whatdropsnow_etl_spark.operators import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b-c%d@foo-bar.example.org thanks"),
+            (2, "call +1 555 123 4567 or 0171-555 9999 now"),
+            (3, "server at 192.168.001.1 and 10.0.0.255 down"),
+            (4, "clean text with no pii at all"),
+            (5, "x@y.io and 12345678 and 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["n_emails"] == 1 and "<EMAIL>" in got[1]["text_redacted"]
+    assert "@" not in got[1]["text_redacted"]
+    assert got[2]["n_phones"] == 2 and got[2]["text_redacted"].count("<PHONE>") == 2
+    assert got[3]["n_ips"] == 2 and got[3]["text_redacted"].count("<IP>") == 2
+    assert got[4]["text_redacted"] == "clean text with no pii at all"
+    r5 = got[5]
+    assert (r5["n_emails"], r5["n_phones"], r5["n_ips"]) == (1, 1, 1)
+    assert r5["text_redacted"] == "<EMAIL> and <PHONE> and <IP>"
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, tables):
+    from whatdropsnow_etl_spark.operators import stratified_sample_by_quality
+
+    docs = tables["documents"]
+    a = {(r["doc_id"], r["band"]) for r in
+         stratified_sample_by_quality(docs, k_per_band=3).collect()}
+    b = {(r["doc_id"], r["band"]) for r in
+         stratified_sample_by_quality(docs, k_per_band=3).collect()}
+    assert a == b, "sampling must be deterministic across runs"
+    from collections import Counter
+    per_band = Counter(band for _, band in a)
+    assert all(n <= 3 for n in per_band.values())
+    assert all(0 <= band <= 9 for _, band in a)

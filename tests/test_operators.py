@@ -144,3 +144,63 @@ def test_salted_join_equals_plain(tables):
     a = sorted([tuple(r) for r in salted.collect()], key=repr)
     b = sorted([tuple(r) for r in plain.collect()], key=repr)
     assert a == b
+
+
+def test_asof_join_semantics(spark):
+    from whatdropsnow_etl_spark.operators import asof_join
+
+    def ts(s):
+        return F.lit(s).cast("timestamp")
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00"),
+         (3, "2024-01-01 09:00:00"), (4, "2024-01-02 10:00:00")],
+        "id long, t string",
+    ).select("id", F.col("t").cast("timestamp").alias("ts"), F.lit(7).alias("k"))
+    right = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 100.0), ("2024-01-01 11:00:00", 200.0)],
+        "t string, price double",
+    ).select(F.col("t").cast("timestamp").alias("ts"), "price", F.lit(7).alias("k"))
+
+    def run(**kw):
+        rows = asof_join(
+            left, right, ts_col="ts", by_cols=["k"], value_cols=["price"], **kw
+        ).collect()
+        return {r["id"]: (r["price"], r["matched_ts_us"] is not None) for r in rows}
+
+    back = run()
+    # tie at 10:00 matches; 09:00 has no earlier right row; 12:00
+    # takes the 11:00 quote; next-day still matches backward
+    assert back[1] == (100.0, True)
+    assert back[2] == (200.0, True)
+    assert back[3] == (None, False)
+    assert back[4] == (200.0, True)
+
+    fwd = run(direction="forward")
+    assert fwd[1] == (100.0, True)  # ties match forward too
+    assert fwd[3] == (100.0, True)  # 09:00 -> next quote at 10:00
+    assert fwd[2] == (None, False)  # nothing after 12:00
+    assert fwd[4] == (None, False)
+
+    tol = run(tolerance_us=3600 * 1_000_000)
+    assert tol[2] == (200.0, True)  # 12:00 - 11:00 = exactly 1h
+    assert tol[4] == (None, False)  # next day: out of tolerance
+
+
+def test_asof_join_respects_keys(spark):
+    from whatdropsnow_etl_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 2, "2024-01-01 10:00:00")],
+        "id long, k long, t string",
+    ).select("id", "k", F.col("t").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 5.0)], "k long, t string, v double"
+    ).select("k", F.col("t").cast("timestamp").alias("ts"), "v")
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, ts_col="ts", by_cols=["k"], value_cols=["v"]
+        ).collect()
+    }
+    assert got == {1: 5.0, 2: None}  # key 2 never sees key 1's rows

@@ -1,3 +1,5 @@
+from .asof import asof_join
+from .sampling import stratified_sample_by_quality
 from .dedup import (
     dedup_clusters,
     dedup_exact,
@@ -25,11 +27,20 @@ from .similarity import (
     ann_lsh_bucketed,
     embedding_dedup_pairs,
 )
-from .textops import doc_fingerprint, lang_id_confusion, quality_score, token_count
+from .textops import (
+    doc_fingerprint,
+    lang_id_confusion,
+    quality_score,
+    redact_pii,
+    token_count,
+)
 from .upsert import latest_wins
 from .windows import moving_avg, sessionize, topn_per_group
 
 __all__ = [
+    "asof_join",
+    "stratified_sample_by_quality",
+    "redact_pii",
     "latest_wins",
     "filter_out_recently_added",
     "fk_integrity_report",

@@ -1,0 +1,123 @@
+"""As-of join — the point-in-time lookup Spark has no operator for.
+
+Attach to every left row the most recent right row for the same key
+with ``right.ts <= left.ts`` (backward; forward is the mirror). The
+classic uses: event enriched with the dimension state that was
+current when it happened; trade joined to the last quote.
+
+Spark-first formulation (no range join, no per-key loops): UNION the
+two sides with a side marker, one window per key ordered by
+(ts, side) — right rows sort before left rows at equal ts, so ties
+match — and carry the right-side values forward with
+``last(..., ignorenulls=True)``. One shuffle on the key, linear
+scan within partitions; at 100 TB this is a single exchange of
+both inputs co-partitioned on the key, which is the lower bound for
+any per-key temporal alignment.
+
+Contract: right must be unique per (key, ts) — pre-aggregate if not
+(ambiguous as-of matches are a modeling bug, not something to
+resolve silently). Unmatched left rows keep NULL values; with
+``tolerance_us`` set, matches older than the tolerance are nulled
+the same way (pandas merge_asof semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    value_cols: Mapping[str, str] | Sequence[str],
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    matched_ts_alias: str = "matched_ts_us",
+) -> DataFrame:
+    """Backward/forward as-of join on ``by_cols`` over ``ts_col``.
+
+    ``value_cols`` maps right column -> output alias (a plain
+    sequence aliases each to itself). Output = every left column,
+    plus the aliased right values, plus ``matched_ts_alias``
+    (epoch-micros BIGINT of the matched right timestamp, NULL when
+    no match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if not isinstance(value_cols, Mapping):
+        value_cols = {c: c for c in value_cols}
+    by_cols = list(by_cols)
+
+    left_cols = left.columns
+    # side marker orders right rows before left at equal ts for
+    # backward (right visible to same-ts left), after for forward
+    l = left.select(
+        *by_cols,
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols if c not in by_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in value_cols],
+    )
+    r = right.select(
+        *by_cols,
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in by_cols
+        ],
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    )
+    unioned = l.unionByName(r)
+    order = (
+        [F.col("__ts_us").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__ts_us").desc(), F.col("__side").asc()]
+    )
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = unioned.select(
+        "*",
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts_us")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__m_ts"),
+        *[
+            F.last(
+                F.when(F.col("__side") == 0, F.col(f"__rv_{c}")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    ).where(F.col("__side") == 1)
+    if tolerance_us is not None:
+        gap = (
+            F.col("__ts_us") - F.col("__m_ts")
+            if direction == "backward"
+            else F.col("__m_ts") - F.col("__ts_us")
+        )
+        in_tol = gap <= F.lit(tolerance_us)
+    else:
+        in_tol = F.lit(True)
+    keep = F.col("__m_ts").isNotNull() & in_tol
+    return marked.select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.when(keep, F.col(f"__m_{c}")).alias(alias)
+            for c, alias in value_cols.items()
+        ],
+        F.when(keep, F.col("__m_ts")).alias(matched_ts_alias),
+    )

@@ -176,3 +176,31 @@ def doc_fingerprint(
             "fp_digest"
         ),
     )
+
+
+# Redaction patterns: applied IN ORDER (emails first, so an email's
+# digit runs are never double-counted as phones); each count is taken
+# on the text as redacted so far. RE2-and-Java-portable regexes only
+# (no lookaround), so the DuckDB twin behaves identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phones", r"\+?[0-9][0-9 \-]{6,}[0-9]", "<PHONE>"),
+    ("ips", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails / phone-ish numbers / IPv4s from a text column.
+
+    Pure Column pipeline (regexp_count + regexp_replace, sequential
+    per class) — no shuffle, whole-stage codegen, linear scan at any
+    scale. Output: id, per-class counts, redacted text.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(F.col(id_col), *counts, cur.alias("text_redacted"))
