@@ -247,3 +247,26 @@ def test_http_client_raises_after_retries(tmp_path):
         client = HttpJsonClient(api.url, tries=3, delay=0.001, timeout=5)
         with pytest.raises(Exception, match="status 404"):
             client.get_json("/nope")  # ignore_404 not set -> raises
+
+
+def test_upsert_sink_resolution_modes(spark, tmp_path):
+    """Arrival-order (default) vs version-authoritative resolution:
+    a late batch carrying an OLDER version clobbers state in the
+    first mode (reference ON CONFLICT semantics) and loses in the
+    second (streaming out-of-order semantics)."""
+    from whatdropsnow_etl_spark.sinks import UpsertParquetSink
+
+    rows_new = spark.createDataFrame([(1, 100, "x")], "k long, v long, s string")
+    rows_old = spark.createDataFrame([(1, 50, "y")], "k long, v long, s string")
+
+    arrival = UpsertParquetSink(str(tmp_path / "a"), ["k"], "v", n_buckets=2)
+    arrival.upsert(rows_new)
+    arrival.upsert(rows_old)  # later batch, older version
+    assert arrival.read(spark).collect()[0]["s"] == "y"
+
+    versioned = UpsertParquetSink(
+        str(tmp_path / "b"), ["k"], "v", n_buckets=2, resolve_by_version=True
+    )
+    versioned.upsert(rows_new)
+    versioned.upsert(rows_old)
+    assert versioned.read(spark).collect()[0]["s"] == "x"

@@ -301,3 +301,48 @@ def test_streaming_funnel_matches_batch(spark, tables, tmp_path):
     assert set(got) == {"1_all", "2_quality", "3_lang", "4_exact_dedup"}
     for stage in got:
         assert got[stage] == want[stage], stage
+
+
+def test_streaming_upsert_matches_batch(spark, tables, events_json_dir, tmp_path):
+    """Streaming foreachBatch upsert == batch latest-wins over the
+    same events, including across micro-batch boundaries."""
+    from whatdropsnow_etl_spark.operators import latest_wins
+    from whatdropsnow_etl_spark.sinks import UpsertParquetSink
+    from whatdropsnow_etl_spark.streaming import upsert_stream
+
+    # version-authoritative resolution: micro-batch arrival order is
+    # uncorrelated with event time, so an old event in a late batch
+    # must not clobber newer state (arrival-order default would)
+    sink = UpsertParquetSink(
+        str(tmp_path / "state"),
+        ["user_id", "event_type"],
+        "ts",
+        n_buckets=4,
+        resolve_by_version=True,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .json(events_json_dir)
+    )
+    q = upsert_stream(
+        stream,
+        sink,
+        str(tmp_path / "ckpt_upsert"),
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_type"]): (r["ts"], r["event_id"])
+        for r in sink.read(spark).collect()
+    }
+    batch_src = spark.read.schema(SCHEMA).json(events_json_dir)
+    want = {
+        (r["user_id"], r["event_type"]): (r["ts"], r["event_id"])
+        for r in latest_wins(
+            batch_src,
+            ["user_id", "event_type"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        ).collect()
+    }
+    assert got == want

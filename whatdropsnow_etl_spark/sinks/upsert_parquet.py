@@ -39,11 +39,21 @@ class UpsertParquetSink:
         keys: list[str],
         version_col: str,
         n_buckets: int = 16,
+        resolve_by_version: bool = False,
     ) -> None:
+        """``resolve_by_version=False`` (default) resolves reads by
+        arrival order first (__batch DESC, version DESC) — the
+        reference's ON CONFLICT DO UPDATE semantics, where the last
+        write wins. Set True for version-authoritative resolution
+        (version DESC, __batch DESC): required when batches arrive in
+        an order uncorrelated with event time, e.g. a streaming
+        foreachBatch writer — an old event arriving late must not
+        clobber newer state."""
         self.path = path
         self.keys = list(keys)
         self.version_col = version_col
         self.n_buckets = n_buckets
+        self.resolve_by_version = resolve_by_version
         self._meta_path = os.path.join(path, "_upsert_meta.json")
 
     # -- meta ---------------------------------------------------------------
@@ -114,11 +124,12 @@ class UpsertParquetSink:
     def read(self, spark: SparkSession) -> DataFrame:
         """Merge-on-read: latest-wins state across all batches."""
         df = spark.read.parquet(os.path.join(self.path, "data"))
-        resolved = latest_wins(
-            df,
-            self.keys,
-            [F.col("__batch").desc(), F.col(self.version_col).desc()],
+        order = (
+            [F.col(self.version_col).desc(), F.col("__batch").desc()]
+            if self.resolve_by_version
+            else [F.col("__batch").desc(), F.col(self.version_col).desc()]
         )
+        resolved = latest_wins(df, self.keys, order)
         return resolved.drop("__batch", "__bucket")
 
     def compact(self, spark: SparkSession) -> None:

@@ -2,6 +2,7 @@ from .dedup import dedup_stream
 from .funnel import curation_funnel_stream
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
+from .upsert import upsert_stream
 from .windowed import windowed_event_agg
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "dedup_stream",
     "sessionize_stream",
     "write_stream_parquet",
+    "upsert_stream",
 ]
