@@ -204,3 +204,42 @@ def test_asof_join_respects_keys(spark):
         ).collect()
     }
     assert got == {1: 5.0, 2: None}  # key 2 never sees key 1's rows
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tables):
+    """Bucketed writes are the co-located-join scale knob (SURVEY §6):
+    both fact tables bucketed on the join key join with ZERO exchange
+    in the plan — at 100 TB that's the difference between a full
+    network shuffle of the big side and a local merge."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            tables["orders"]
+            .select("o_orderkey", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            tables["lineitem"]
+            .select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("b_lineitem")
+        )
+        li, od = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "o_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it actually computes
+        assert joined.count() == tables["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
