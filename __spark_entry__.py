@@ -49,15 +49,15 @@ from whatdropsnow_etl_spark.sources import load_table, load_tables
 
 MONEY = "DECIMAL(12,2)"
 RATE = "DECIMAL(4,2)"
-SUM_NET = f"CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE)"
+SUM_NET = f"CAST(CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS VARCHAR) AS DOUBLE)"
 SUM_DISC = (
-    f"CAST(SUM(CAST(l_extendedprice AS {MONEY})"
-    f" * (1 - CAST(l_discount AS {RATE}))) AS DOUBLE)"
+    f"CAST(CAST(SUM(CAST(l_extendedprice AS {MONEY})"
+    f" * (1 - CAST(l_discount AS {RATE}))) AS VARCHAR) AS DOUBLE)"
 )
 SUM_CHARGE = (
-    f"CAST(SUM(CAST(l_extendedprice AS {MONEY})"
+    f"CAST(CAST(SUM(CAST(l_extendedprice AS {MONEY})"
     f" * (1 - CAST(l_discount AS {RATE}))"
-    f" * (1 + CAST(l_tax AS {RATE}))) AS DOUBLE)"
+    f" * (1 + CAST(l_tax AS {RATE}))) AS VARCHAR) AS DOUBLE)"
 )
 
 
@@ -707,7 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "json_normalize": """
             SELECT event_type, COUNT(k) AS n,
                    CAST(SUM(k) AS BIGINT) AS sum_k,
-                   CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+                   CAST(CAST(SUM(k) AS VARCHAR) AS DOUBLE) / COUNT(k) AS avg_k
             FROM (
               SELECT event_type,
                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -727,7 +727,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_name, n_name,
                    COUNT(DISTINCT c_custkey) AS n_customers,
                    COUNT(o_orderkey) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
                      AS total_revenue
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
@@ -745,14 +745,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_quantity AS {MONEY})) AS VARCHAR) AS DOUBLE) AS sum_qty,
                    {SUM_NET} AS sum_base_price,
                    {SUM_DISC} AS sum_disc_price,
                    {SUM_CHARGE} AS sum_charge,
-                   CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) / COUNT(*)
+                   CAST(CAST(SUM(CAST(l_quantity AS {MONEY})) AS VARCHAR) AS DOUBLE) / COUNT(*)
                      AS avg_qty,
                    {SUM_NET} / COUNT(*) AS avg_price,
-                   CAST(SUM(CAST(l_discount AS {RATE})) AS DOUBLE) / COUNT(*)
+                   CAST(CAST(SUM(CAST(l_discount AS {RATE})) AS VARCHAR) AS DOUBLE) / COUNT(*)
                      AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
@@ -797,8 +797,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderpriority
         """,
         "q6_forecast_revenue": f"""
-            SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})
-                     * CAST(l_discount AS {RATE})) AS DOUBLE) AS revenue,
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {MONEY})
+                     * CAST(l_discount AS {RATE})) AS VARCHAR) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -870,13 +870,11 @@ def oracle_sql() -> dict[str, str]:
                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
             )
             SELECT o_year,
-                   CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
-                            THEN vol ELSE CAST('0' AS {MONEY}) END)
-                        AS DOUBLE) AS nation_volume,
-                   CAST(SUM(vol) AS DOUBLE) AS total_volume,
-                   CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
-                            THEN vol ELSE CAST('0' AS {MONEY}) END)
-                        AS DOUBLE) / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+                   CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                            THEN vol ELSE CAST('0' AS {MONEY}) END) AS VARCHAR) AS DOUBLE) AS nation_volume,
+                   CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS total_volume,
+                   CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                            THEN vol ELSE CAST('0' AS {MONEY}) END) AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS mkt_share
             FROM vols GROUP BY o_year
         """,
         "q9_product_profit": f"""
@@ -920,16 +918,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_promo_revenue": f"""
             SELECT
-              CAST(SUM(CASE WHEN p_type = 'PROMO'
+              CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                        THEN CAST(l_extendedprice AS {MONEY})
                             * (1 - CAST(l_discount AS {RATE}))
-                       ELSE CAST('0' AS {MONEY}) END) AS DOUBLE)
+                       ELSE CAST('0' AS {MONEY}) END) AS VARCHAR) AS DOUBLE)
                 AS promo_revenue,
               {SUM_DISC} AS total_revenue,
-              100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+              100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                        THEN CAST(l_extendedprice AS {MONEY})
                             * (1 - CAST(l_discount AS {RATE}))
-                       ELSE CAST('0' AS {MONEY}) END) AS DOUBLE)
+                       ELSE CAST('0' AS {MONEY}) END) AS VARCHAR) AS DOUBLE)
                 / {SUM_DISC} AS promo_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -961,14 +959,14 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": f"""
             WITH j AS (
               SELECT l_quantity, l_extendedprice,
-                     CAST(SUM(CAST(l_quantity AS {MONEY}))
-                          OVER (PARTITION BY l_partkey) AS DOUBLE)
+                     CAST(CAST(SUM(CAST(l_quantity AS {MONEY}))
+                          OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE)
                        / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
               FROM lineitem
               JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12') p
                 ON l_partkey = p_partkey
             )
-            SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE) / 7.0
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS VARCHAR) AS DOUBLE) / 7.0
                      AS avg_yearly,
                    COUNT(*) AS n_items
             FROM j WHERE l_quantity < 0.5 * avg_qty
@@ -976,7 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": f"""
             WITH big AS (
               SELECT l_orderkey,
-                     CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE)
+                     CAST(CAST(SUM(CAST(l_quantity AS {MONEY})) AS VARCHAR) AS DOUBLE)
                        AS total_qty
               FROM lineitem GROUP BY l_orderkey
               HAVING total_qty > 300
@@ -1003,13 +1001,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_sales_opportunity": f"""
             WITH avg_bal AS (
-              SELECT CAST(SUM(CAST(c_acctbal AS {MONEY})) AS DOUBLE)
+              SELECT CAST(CAST(SUM(CAST(c_acctbal AS {MONEY})) AS VARCHAR) AS DOUBLE)
                        / COUNT(*) AS avg_bal
               FROM customer WHERE c_acctbal > 0
             )
             SELECT CAST(c_nationkey AS BIGINT) AS cntry,
                    COUNT(*) AS numcust,
-                   CAST(SUM(CAST(c_acctbal AS {MONEY})) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(c_acctbal AS {MONEY})) AS VARCHAR) AS DOUBLE)
                      AS totacctbal
             FROM customer, avg_bal
             WHERE c_acctbal > avg_bal
@@ -1030,7 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_moving_avg": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
-                   CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE)
                      / COUNT(*) OVER w AS mov_avg
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1055,19 +1053,19 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(min(ts)) AS session_start_us,
                    epoch_us(max(ts)) AS session_end_us,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM numbered GROUP BY user_id, session_seq
         """,
         "rollup_flag_status": f"""
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-                   CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_quantity AS {MONEY})) AS VARCHAR) AS DOUBLE) AS sum_qty,
                    {SUM_NET} AS sum_price
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "tumbling_window_agg": """
             SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY hour_start_us, event_type
         """,
         "dedup_exact": """
@@ -1209,7 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "skew_salted_agg": """
             SELECT event_type, COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type
         """,
         "multimodal_decode": """
@@ -1388,8 +1386,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q11_important_stock"] = f"""
         WITH per_part AS (
           SELECT l_partkey AS p_partkey,
-                 CAST(SUM(CAST(l_extendedprice AS {MONEY})
-                          * CAST(l_quantity AS {MONEY})) AS DOUBLE) AS value
+                 CAST(CAST(SUM(CAST(l_extendedprice AS {MONEY})
+                          * CAST(l_quantity AS {MONEY})) AS VARCHAR) AS DOUBLE) AS value
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
@@ -1398,8 +1396,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p_partkey, value FROM per_part
         WHERE value > (
-          SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})
-                          * CAST(l_quantity AS {MONEY})) AS DOUBLE)
+          SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {MONEY})
+                          * CAST(l_quantity AS {MONEY})) AS VARCHAR) AS DOUBLE)
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
@@ -1424,7 +1422,7 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE p_name LIKE '%ring'
           GROUP BY l_suppkey
-          HAVING CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) > 500.0
+          HAVING CAST(CAST(SUM(CAST(l_quantity AS {MONEY})) AS VARCHAR) AS DOUBLE) > 500.0
         )
     """
     sql["redact_pii"] = """

@@ -24,11 +24,14 @@ from whatdropsnow_etl_spark.sources import TABLE_NAMES
 
 
 def duck_run(sf_dir: str, sql: str):
+    import os
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):  # Spark-written multi-file table
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     return cols, cur.fetchall()

@@ -825,9 +825,13 @@ def q21_waiting_suppliers(
         F.count(F.lit(1)).alias("numwait")
     )
     supp = tables["supplier"].select("s_suppkey", "s_name")
+    # TPC-H groups by s_name, not suppkey — distinct suppliers
+    # sharing a name merge. The re-agg runs on the tiny counts
+    # relation (one row per waiting supplier), after the broadcast.
     return (
         counts.join(F.broadcast(supp), counts.l_suppkey == supp.s_suppkey)
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.sum("numwait").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(k)
     )
