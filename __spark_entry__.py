@@ -465,6 +465,50 @@ def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pivot_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.pivot_qty_by_status(load_table(spark, sf_dir, "lineitem"))
+
+
+def _cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.cube_qty_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import exact_group_quantiles
+
+    return exact_group_quantiles(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        ps=(0.5, 0.9, 0.99),
+        tiebreak_col="event_id",
+    )
+
+
+def _interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import interval_overlap_count
+
+    return interval_overlap_count(
+        load_table(spark, sf_dir, "events"),
+        trigger=F.col("value") >= 300.0,
+        window_s=14_400,
+    )
+
+
+def _editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import editdist_pairs
+
+    return editdist_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import hll_count_distinct
+
+    return hll_count_distinct(
+        load_table(spark, sf_dir, "events"), ["event_type"], "user_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_segmentation": _flagship,
@@ -525,6 +569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf,
         "curation_funnel": _curation_funnel,
         "skew_salted_agg": _salted_agg,
+        "pivot_qty_by_status": _pivot_qty,
+        "cube_qty_summary": _cube_qty,
+        "exact_quantiles": _exact_quantiles,
+        "interval_overlap": _interval_overlap,
+        "dedup_editdist": _editdist_pairs,
+        "hll_distinct_users": _hll_distinct,
     }
 
 
@@ -1533,5 +1583,81 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """
+    sql["pivot_qty_by_status"] = f"""
+        SELECT l_returnflag,
+               CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS {MONEY}) END) AS VARCHAR)
+                 AS DOUBLE) AS qty_f,
+               COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+               CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS {MONEY}) END) AS VARCHAR)
+                 AS DOUBLE) AS qty_o,
+               COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        FROM lineitem GROUP BY l_returnflag
+    """
+    sql["cube_qty_summary"] = f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               CAST(GROUPING(l_returnflag) * 2
+                    + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_items,
+               CAST(CAST(SUM(CAST(l_quantity AS {MONEY})) AS VARCHAR)
+                 AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+    sql["exact_quantiles"] = """
+        WITH c AS (
+          SELECT event_type, event_id,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ), r AS (
+          SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        )
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                        THEN cents END) AS p50_cents,
+               MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
+                        THEN cents END) AS p90_cents,
+               MAX(CASE WHEN rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1
+                        THEN cents END) AS p99_cents
+        FROM r GROUP BY event_type
+    """
+    sql["interval_overlap"] = """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        ), w AS (
+          SELECT user_id, epoch_us(ts) AS ws,
+                 epoch_us(ts) + 14400000000 AS we
+          FROM events WHERE value >= 300.0
+        )
+        SELECT e.event_id, COUNT(*) AS n_windows
+        FROM e JOIN w ON e.user_id = w.user_id
+                     AND e.us >= w.ws AND e.us < w.we
+        GROUP BY e.event_id
+    """
+    sql["dedup_editdist"] = """
+        WITH d AS (
+          SELECT doc_id, text, lang, n_chars,
+                 CAST(FLOOR(n_chars / 64) AS BIGINT) AS band
+          FROM documents
+        ), r AS (
+          SELECT doc_id AS rid, text AS rtxt, lang AS rlg,
+                 n_chars AS rln, unnest([band, band - 1]) AS band
+          FROM d
+        )
+        SELECT DISTINCT
+               LEAST(doc_id, rid) AS lo,
+               GREATEST(doc_id, rid) AS hi,
+               levenshtein(text, rtxt) AS dist
+        FROM d JOIN r ON d.lang = r.rlg AND d.band = r.band
+                     AND d.doc_id <> r.rid
+                     AND abs(d.n_chars - r.rln) <= 16
+        WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
+          AND levenshtein(text, rtxt) <= 16
     """
     return sql

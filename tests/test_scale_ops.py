@@ -1,0 +1,185 @@
+"""Tests for the round-2 scale operators: exact quantiles,
+bucketized interval join, HLL sketch, edit-distance dedup,
+pivot/cube plans."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from whatdropsnow_etl_spark.operators import (
+    editdist_pairs,
+    exact_group_quantiles,
+    hll_count_distinct,
+    interval_overlap_count,
+)
+
+
+# --- exact quantiles -------------------------------------------------------
+
+
+def test_quantiles_match_numpy_type1(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        Row(g=g, i=i, v=float(round(x, 2)))
+        for g in ("a", "b")
+        for i, x in enumerate(rng.uniform(0, 500, 301))
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["g"]: r
+        for r in exact_group_quantiles(
+            df, ["g"], "v", ps=(0.5, 0.9), tiebreak_col="i"
+        ).collect()
+    }
+    for g in ("a", "b"):
+        cents = np.sort(
+            np.rint(
+                np.array([r.v for r in rows if r.g == g]) * 100
+            ).astype(np.int64)
+        )
+        n = len(cents)
+        for p, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
+            assert out[g][col] == cents[int(np.floor(p * (n - 1)))]
+
+
+def test_quantiles_single_row_group(spark):
+    df = spark.createDataFrame([Row(g="x", i=0, v=42.5)])
+    row = exact_group_quantiles(
+        df, ["g"], "v", ps=(0.5, 0.99), tiebreak_col="i"
+    ).collect()[0]
+    assert row["p50_cents"] == 4250 and row["p99_cents"] == 4250
+
+
+# --- interval overlap join -------------------------------------------------
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_interval_overlap_boundaries(spark):
+    # 10-minute windows; trigger = value >= 100
+    rows = [
+        # trigger at t=0 opens [0, 10); its own event counts
+        Row(event_id=1, user_id=1, ts=_ts(0), value=100.0),
+        Row(event_id=2, user_id=1, ts=_ts(9), value=1.0),  # inside both
+        # t=10 sits ON window-1's half-open end (excluded) but inside
+        # window-2 [8, 18): exactly one match proves the boundary
+        Row(event_id=3, user_id=1, ts=_ts(10), value=1.0),
+        Row(event_id=4, user_id=2, ts=_ts(5), value=1.0),  # other user: out
+        Row(event_id=5, user_id=1, ts=_ts(8), value=200.0),  # second trigger
+    ]
+    out = {
+        r["event_id"]: r["n_windows"]
+        for r in interval_overlap_count(
+            spark.createDataFrame(rows),
+            trigger=F.col("value") >= 100.0,
+            window_s=600,
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 1, 5: 2}  # 4 matches nothing
+
+
+def test_interval_overlap_crosses_bucket_boundary(spark):
+    # window [55, 65) spans two 10-min buckets; event in the second
+    # bucket must still match exactly once (no double count from the
+    # explode)
+    rows = [
+        Row(event_id=1, user_id=1, ts=_ts(55), value=100.0),
+        Row(event_id=2, user_id=1, ts=dt.datetime(2024, 1, 1, 1, 4), value=1.0),
+    ]
+    out = {
+        r["event_id"]: r["n_windows"]
+        for r in interval_overlap_count(
+            spark.createDataFrame(rows),
+            trigger=F.col("value") >= 100.0,
+            window_s=600,
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
+# --- HLL sketch ------------------------------------------------------------
+
+
+def test_hll_within_error_bound(spark):
+    n_distinct = 5_000
+    df = spark.range(0, n_distinct * 3).select(
+        F.lit("g").alias("g"), (F.col("id") % n_distinct).alias("u")
+    )
+    got = hll_count_distinct(df, ["g"], "u", p=12).collect()[0][
+        "approx_distinct"
+    ]
+    # std err ~1.6% at p=12; 5 sigma keeps flakiness out while still
+    # catching algorithmic breakage (off-by-one rho, wrong alpha)
+    assert abs(got - n_distinct) / n_distinct < 0.08
+
+
+def test_hll_registers_merge_across_slices(spark):
+    from whatdropsnow_etl_spark.operators import hll_registers
+
+    df = spark.range(0, 2_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("u")
+    )
+    a, b = df.where("u < 1500"), df.where("u >= 500")  # overlapping
+    merged = (
+        hll_registers(a, ["g"], "u")
+        .union(hll_registers(b, ["g"], "u"))
+        .groupBy("g", "__reg")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    direct = hll_registers(df, ["g"], "u")
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+
+
+# --- edit-distance dedup ---------------------------------------------------
+
+
+def test_editdist_finds_cross_band_pair(spark):
+    base = "x" * 63  # len 63 -> band 0; base+"yy" len 65 -> band 1
+    rows = [
+        Row(doc_id=1, text=base, lang="en", n_chars=63),
+        Row(doc_id=2, text=base + "yy", lang="en", n_chars=65),
+        Row(doc_id=3, text="z" * 63, lang="en", n_chars=63),  # far
+        Row(doc_id=4, text=base, lang="fr", n_chars=63),  # other lang
+    ]
+    out = editdist_pairs(spark.createDataFrame(rows), max_dist=16).collect()
+    assert [(r["lo"], r["hi"], r["dist"]) for r in out] == [(1, 2, 2)]
+
+
+def test_editdist_same_band_pair_emitted_once(spark):
+    t = "hello world " * 5
+    rows = [
+        Row(doc_id=10, text=t, lang="en", n_chars=len(t)),
+        Row(doc_id=11, text=t + "!", lang="en", n_chars=len(t) + 1),
+    ]
+    out = editdist_pairs(spark.createDataFrame(rows), max_dist=16).collect()
+    assert len(out) == 1 and out[0]["dist"] == 1
+
+
+# --- pivot / cube ----------------------------------------------------------
+
+
+def test_pivot_and_cube_consistent(tables):
+    from whatdropsnow_etl_spark.plans.olap import (
+        cube_qty_summary,
+        pivot_qty_by_status,
+    )
+
+    li = tables["lineitem"]
+    piv = {r["l_returnflag"]: r for r in pivot_qty_by_status(li).collect()}
+    cube = cube_qty_summary(li).collect()
+    # cube's (flag, 'O') cells must equal the pivot's O column
+    for r in cube:
+        if r["status"] == "O" and r["flag"] != "ALL" and r["gid"] == 0:
+            assert piv[r["flag"]]["n_o"] == r["n_items"]
+            assert piv[r["flag"]]["qty_o"] == pytest.approx(r["sum_qty"])
+    # grand total row: gid 3, counts equal table size
+    total = [r for r in cube if r["gid"] == 3]
+    assert len(total) == 1 and total[0]["n_items"] == li.count()

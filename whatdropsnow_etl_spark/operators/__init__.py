@@ -3,12 +3,16 @@ from .sampling import stratified_sample_by_quality
 from .dedup import (
     dedup_clusters,
     dedup_exact,
+    editdist_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,
 )
+from .intervals import interval_overlap_count
+from .quantiles import exact_group_quantiles
+from .sketches import hll_count_distinct, hll_registers
 from .incremental import filter_out_recently_added
 from .integrity import fk_integrity_report
 from .multimodal import (
@@ -53,6 +57,11 @@ __all__ = [
     "sessionize",
     "dedup_clusters",
     "dedup_exact",
+    "editdist_pairs",
+    "interval_overlap_count",
+    "exact_group_quantiles",
+    "hll_count_distinct",
+    "hll_registers",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",

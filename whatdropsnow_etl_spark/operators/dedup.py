@@ -709,3 +709,70 @@ def _components_twostars(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Dat
         F.col("id").alias("doc_id"),
         F.coalesce("component_id", "id").alias("component_id"),
     )
+
+
+def editdist_pairs(
+    docs: DataFrame,
+    max_dist: int = 16,
+    prefix: int = 80,
+    band_width: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance, length-banded.
+
+    Quadratic edit distance can never run all-pairs at scale, so
+    candidates are blocked three ways before any DP runs:
+    (1) equality on ``lang_col``; (2) length bands of ``band_width``
+    chars — the right side replicates into its own and the previous
+    band, so cross-boundary pairs meet exactly once without an OR
+    join; (3) ``|len(a)-len(b)| <= max_dist``, a lower bound on the
+    distance. Survivors pay a ``prefix``-capped DP (bounded cost per
+    pair), and only prefix-candidates pay the full-text DP.
+
+    Blocking is recall-lossy by design (a doc pair whose lengths
+    differ by more than max_dist is provably not a match, but the
+    prefix gate is heuristic); the same staging runs in the oracle
+    twin, so parity is exact. Output: (lo, hi, dist) with lo < hi,
+    dist = full-text Levenshtein <= max_dist.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.col(lang_col).alias("lg"),
+        F.col(len_col).alias("ln"),
+        F.floor(F.col(len_col) / band_width).alias("band"),
+    )
+    right = d.select(
+        F.col("id").alias("rid"),
+        F.col("txt").alias("rtxt"),
+        F.col("lg").alias("rlg"),
+        F.col("ln").alias("rln"),
+        F.explode(F.array(F.col("band"), F.col("band") - 1)).alias("band"),
+    )
+    cand = (
+        d.join(
+            right,
+            (d["lg"] == right["rlg"])
+            & (d["band"] == right["band"])
+            & (d["id"] != right["rid"])
+            & (F.abs(d["ln"] - right["rln"]) <= max_dist),
+        )
+        .where(
+            F.levenshtein(
+                F.substring("txt", 1, prefix), F.substring("rtxt", 1, prefix)
+            )
+            <= max_dist
+        )
+        .select(
+            F.least("id", "rid").alias("lo"),
+            F.greatest("id", "rid").alias("hi"),
+            F.levenshtein("txt", "rtxt").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+    # same-band pairs meet twice (A->B and B->A), cross-band once;
+    # rows are identical either way, so DISTINCT collapses them
+    return cand.distinct()

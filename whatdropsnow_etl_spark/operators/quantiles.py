@@ -1,0 +1,62 @@
+"""Exact per-group quantiles via window-rank selection.
+
+Distributed selection without collecting: rank every value inside
+its group (one hash-partition shuffle + in-partition sort), then
+pick the type-1 quantile ranks with a conditional MAX aggregate.
+Both the ranking and the rank arithmetic are integer/IEEE-exact, so
+the result is bitwise reproducible across engines — unlike
+interpolated percentiles, where ``lower + frac*(upper-lower)`` vs
+``(1-frac)*lower + frac*upper`` differ by an ulp between
+implementations.
+
+Scale: the window sorts each group inside its partition — fine
+while a single group's rows fit an executor (events-by-type at
+100 TB: salt-pre-aggregate first or switch to approx_percentile,
+whose t-digest is mergeable map-side; this operator is the exact
+twin). Values are ranked as integer cents so ties and comparisons
+carry no float ambiguity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ps: Sequence[float] = (0.5, 0.9, 0.99),
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Type-1 (lower) quantiles of ``value_col`` per group.
+
+    Output: group cols + one ``p{NN}_cents`` BIGINT per requested
+    quantile, where cents = ROUND(value * scale). Rank of quantile
+    p over n rows is ``floor(p*(n-1)) + 1`` — the value AT that
+    rank, never an interpolation.
+    """
+    cents = F.round(F.col(value_col) * scale, 0).cast("long").alias("__cents")
+    order = [F.col("__cents")]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_rank = Window.partitionBy(*group_cols).orderBy(*order)
+    w_grp = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, cents, *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_grp))
+    )
+
+    def pick(p: float) -> Column:
+        target = (F.floor(F.lit(p) * (F.col("__n") - 1)) + 1).cast("long")
+        label = f"p{str(p).replace('0.', '').ljust(2, '0')}_cents"
+        return F.max(
+            F.when(F.col("__rn") == target, F.col("__cents"))
+        ).alias(label)
+
+    return ranked.groupBy(*group_cols).agg(*[pick(p) for p in ps])

@@ -1,0 +1,95 @@
+"""Mergeable sketch aggregates for 100 TB count-distinct.
+
+HyperLogLog implemented entirely in JVM-side Column expressions:
+xxhash64 -> low-p-bits register index, remaining bits' leading-zero
+rank, groupBy MAX per register, harmonic-mean estimate. Registers
+combine with MAX, so the aggregate is map-side combinable and
+shuffles at most ``groups * 2^p`` tiny rows regardless of input
+size — the whole point at scale, where COUNT(DISTINCT) shuffles
+every distinct value.
+
+Spark's built-in approx_count_distinct is the same algorithm; this
+exists to (a) expose the REGISTERS as a reusable/persistable
+relation (sketches can be unioned across days, then re-estimated —
+the pattern a training-data pipeline needs for incremental corpus
+stats), and (b) pin a deterministic hash (xxhash64 seed 42) so
+estimates are bit-stable across engines and runs.
+
+No DuckDB oracle twin: the estimate depends on the hash function,
+which DuckDB does not expose. Accuracy is pinned by a pytest
+against exact counts (expected relative error ~1.04/sqrt(2^p)).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL register relation: (group, __reg, __rho).
+
+    2^p registers; rho = leading-zero rank of the top 64-p hash
+    bits. Mergeable: UNION register relations from different data
+    slices and re-aggregate MAX(__rho) before estimating.
+    """
+    m = 1 << p
+    h = F.xxhash64(F.col(col).cast("string"), F.lit(42))
+    # low p bits -> register index (two's-complement & works for
+    # negative hashes); remaining 64-p bits -> rank of first 1-bit
+    rest = F.shiftrightunsigned(h, p)
+    rho = F.when(rest == 0, F.lit(65 - p)).otherwise(
+        F.lit(64 - p) - F.floor(F.log2(rest))
+    )
+    reg = df.select(
+        *group_cols,
+        h.bitwiseAND(F.lit(m - 1)).alias("__reg"),
+        rho.cast("int").alias("__rho"),
+    )
+    return reg.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__rho"))
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) per group via HLL(2^p).
+
+    Output: group cols + approx_distinct BIGINT. Standard error
+    ~1.04/sqrt(2^p) (p=12 -> ~1.6%). Small-range correction
+    (linear counting) applies below 2.5*m when empty registers
+    remain, which covers every group at test scale.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, group_cols, col, p)
+    est = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(0.5), F.col("__rho"))).alias("__z_used"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    zeros = F.lit(m) - F.col("__v")
+    z = F.col("__z_used") + zeros.cast("double")  # empty register => 2^0
+    raw = F.lit(alpha * m * m) / z
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return est.select(
+        *group_cols,
+        F.round(corrected, 0).cast("long").alias("approx_distinct"),
+    )
+
+
+def hll_error_bound(p: int = 12) -> float:
+    """Expected relative standard error for 2^p registers."""
+    return 1.04 / math.sqrt(1 << p)

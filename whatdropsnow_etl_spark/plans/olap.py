@@ -835,3 +835,55 @@ def q21_waiting_suppliers(
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(k)
     )
+
+
+def pivot_qty_by_status(lineitem: DataFrame) -> DataFrame:
+    """Pivot line quantities: one row per returnflag, one column
+    pair (qty, n) per linestatus.
+
+    The pivot values are DECLARED ('F', 'O'), not discovered — an
+    open pivot runs an eager distinct job over the fact table just
+    to learn the column list, which at 100 TB is a full scan before
+    the real query starts. Cells are decimal-exact sums; a
+    flag/status combination with no rows yields NULL qty and 0 n,
+    matching the conditional-aggregation SQL twin.
+    """
+    piv = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(money("l_quantity")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("`F_qty`").cast("double").alias("qty_f"),
+        F.col("`F_n`").alias("n_f"),
+        F.col("`O_qty`").cast("double").alias("qty_o"),
+        F.col("`O_n`").alias("n_o"),
+    )
+
+
+def cube_qty_summary(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every subtotal level in
+    one pass.
+
+    Spark expands CUBE inside a single hash aggregate (each input
+    row feeds all 2^k grouping sets map-side), so the fact table is
+    scanned once — no union of per-level scans. grouping_id()
+    disambiguates a real NULL key from a subtotal row; output keys
+    coalesce to 'ALL' for readability.
+    """
+    agg = lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum_expr(money("l_quantity")).alias("sum_qty"),
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+        "gid",
+        "n_items",
+        "sum_qty",
+    )
