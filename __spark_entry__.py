@@ -1657,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN r ON d.lang = r.rlg AND d.band = r.band
                      AND d.doc_id <> r.rid
                      AND abs(d.n_chars - r.rln) <= 16
+                     AND abs(length(d.text) - length(r.rtxt)) <= 16
         WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
           AND levenshtein(text, rtxt) <= 16
     """

@@ -346,3 +346,41 @@ def test_streaming_upsert_matches_batch(spark, tables, events_json_dir, tmp_path
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark, tables, events_json_dir, tmp_path):
+    """Watermarked stream-stream interval join == bucketized batch
+    interval_overlap_count on the same events, across micro-batches."""
+    from whatdropsnow_etl_spark.operators import interval_overlap_count
+    from whatdropsnow_etl_spark.streaming import streaming_interval_pairs
+
+    trigger = F.col("value") >= 250.0
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_json_dir)
+    )
+    pairs = streaming_interval_pairs(stream, trigger=trigger, window_s=14_400)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("interval_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_intervals"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT event_id, COUNT(*) AS n FROM interval_pairs GROUP BY event_id"
+        ).collect()
+    }
+    want = {
+        r["event_id"]: r["n_windows"]
+        for r in interval_overlap_count(
+            tables["events"], trigger=trigger, window_s=14_400
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want

@@ -715,7 +715,7 @@ def editdist_pairs(
     docs: DataFrame,
     max_dist: int = 16,
     prefix: int = 80,
-    band_width: int = 64,
+    band_width: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
@@ -737,20 +737,79 @@ def editdist_pairs(
     prefix gate is heuristic); the same staging runs in the oracle
     twin, so parity is exact. Output: (lo, hi, dist) with lo < hi,
     dist = full-text Levenshtein <= max_dist.
+
+    ``band_width`` is performance-only (smaller bands = fewer
+    candidate pairs) as long as it stays >= max_dist, which keeps
+    every len-diff-qualified pair within one band of its partner —
+    the oracle twin may band differently and still agree.
     """
+    if band_width < max_dist:
+        raise ValueError(
+            f"band_width ({band_width}) must be >= max_dist ({max_dist}):"
+            " a qualifying pair could otherwise straddle 2+ bands and"
+            " be missed"
+        )
+    # per-doc a-z char histogram, computed once per side (not per
+    # pair): every edit changes the char multiset by at most 2, so
+    # lev >= L1(hist)/2 — an O(26) pair filter that kills the
+    # same-length-different-content pairs banding can't, before any
+    # O(threshold*len) DP runs. Implied by `dist <= max_dist`, so
+    # it needs no oracle-side twin.
+    hist = F.array(
+        *[
+            (
+                F.length(F.col(text_col))
+                - F.length(F.expr(f"replace({text_col}, '{c}', '')"))
+            ).cast("int")
+            for c in "abcdefghijklmnopqrstuvwxyz"
+        ]
+    )
+    # the repartition puts an exchange ABOVE the histogram project:
+    # without it CollapseProject inlines `h` into the pair filter and
+    # the 26-replace histogram is recomputed per PAIR (~30x more
+    # evaluations) instead of once per doc below the shuffle
     d = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         F.col(lang_col).alias("lg"),
         F.col(len_col).alias("ln"),
         F.floor(F.col(len_col) / band_width).alias("band"),
-    )
+        hist.alias("h"),
+    ).repartition("lg", "band")
     right = d.select(
         F.col("id").alias("rid"),
         F.col("txt").alias("rtxt"),
         F.col("lg").alias("rlg"),
         F.col("ln").alias("rln"),
+        F.col("h").alias("rh"),
         F.explode(F.array(F.col("band"), F.col("band") - 1)).alias("band"),
+    )
+    hist_l1 = F.aggregate(
+        F.zip_with(d["h"], F.col("rh"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # Separate .where() filters between a join and a projection get
+    # pushed INTO the join condition as one conjunction whose
+    # evaluation order Catalyst does not cost-sort — the full-text DP
+    # can end up running before the O(1)/O(26) gates, per candidate
+    # pair. A single CASE chain pins cheap-to-expensive short-circuit
+    # order no matter where the optimizer places the predicate.
+    # 3-arg levenshtein runs the banded O(threshold*len) DP and
+    # early-exits distant pairs (returns -1 past the threshold) —
+    # same predicate as `lev <= max_dist`, ~len/threshold cheaper.
+    gate = (
+        F.when(hist_l1 > 2 * max_dist, F.lit(False))
+        .when(
+            F.levenshtein(
+                F.substring("txt", 1, prefix),
+                F.substring("rtxt", 1, prefix),
+                threshold=max_dist,
+            )
+            < 0,
+            F.lit(False),
+        )
+        .otherwise(F.levenshtein("txt", "rtxt", threshold=max_dist) >= 0)
     )
     cand = (
         d.join(
@@ -758,21 +817,30 @@ def editdist_pairs(
             (d["lg"] == right["rlg"])
             & (d["band"] == right["band"])
             & (d["id"] != right["rid"])
-            & (F.abs(d["ln"] - right["rln"]) <= max_dist),
+            & (F.abs(d["ln"] - right["rln"]) <= max_dist)
+            # true-length lower bound (lev >= |len diff|): O(1), and
+            # independent of the len_col metadata being stale
+            & (F.abs(F.length(d["txt"]) - F.length(right["rtxt"])) <= max_dist),
         )
-        .where(
-            F.levenshtein(
-                F.substring("txt", 1, prefix), F.substring("rtxt", 1, prefix)
-            )
-            <= max_dist
-        )
+        .where(gate)
         .select(
             F.least("id", "rid").alias("lo"),
             F.greatest("id", "rid").alias("hi"),
-            F.levenshtein("txt", "rtxt").alias("dist"),
+            F.when(d["id"] < right["rid"], d["txt"])
+            .otherwise(right["rtxt"])
+            .alias("tl"),
+            F.when(d["id"] < right["rid"], right["rtxt"])
+            .otherwise(d["txt"])
+            .alias("th"),
         )
-        .where(F.col("dist") <= max_dist)
+        # same-band pairs meet twice (A->B and B->A), cross-band
+        # once; the DISTINCT collapses them AND acts as the barrier
+        # that keeps the final scoring off the pre-dedup pair stream
+        .distinct()
+        .select(
+            "lo",
+            "hi",
+            F.levenshtein("tl", "th", threshold=max_dist).alias("dist"),
+        )
     )
-    # same-band pairs meet twice (A->B and B->A), cross-band once;
-    # rows are identical either way, so DISTINCT collapses them
-    return cand.distinct()
+    return cand

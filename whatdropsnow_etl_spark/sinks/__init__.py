@@ -1,3 +1,11 @@
+from .partitioned_parquet import (
+    read_partitioned_events,
+    write_partitioned_events,
+)
 from .upsert_parquet import UpsertParquetSink
 
-__all__ = ["UpsertParquetSink"]
+__all__ = [
+    "UpsertParquetSink",
+    "write_partitioned_events",
+    "read_partitioned_events",
+]

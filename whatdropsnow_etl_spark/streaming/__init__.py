@@ -1,5 +1,6 @@
 from .dedup import dedup_stream
 from .funnel import curation_funnel_stream
+from .intervals import streaming_interval_pairs
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .upsert import upsert_stream
@@ -12,4 +13,5 @@ __all__ = [
     "sessionize_stream",
     "write_stream_parquet",
     "upsert_stream",
+    "streaming_interval_pairs",
 ]
