@@ -509,6 +509,18 @@ def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.window_funcs_battery(load_table(spark, sf_dir, "events"))
+
+
+def _customer_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.customer_order_sets(load_table(spark, sf_dir, "orders"))
+
+
+def _calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.calendar_rollup(load_table(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_segmentation": _flagship,
@@ -575,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": _interval_overlap,
         "dedup_editdist": _editdist_pairs,
         "hll_distinct_users": _hll_distinct,
+        "window_funcs_battery": _window_battery,
+        "customer_order_sets": _customer_sets,
+        "calendar_rollup": _calendar_rollup,
     }
 
 
@@ -1660,5 +1675,42 @@ def oracle_sql() -> dict[str, str]:
                      AND abs(length(d.text) - length(r.rtxt)) <= 16
         WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
           AND levenshtein(text, rtxt) <= 16
+    """
+    sql["window_funcs_battery"] = """
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+               LAG(value) OVER w AS prev_value,
+               LEAD(value) OVER w AS next_value,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    sql["customer_order_sets"] = """
+        WITH a AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        ), b AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT o_custkey, 'both' AS tag
+        FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT o_custkey, 'only_a' AS tag
+        FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    """
+    sql["calendar_rollup"] = f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+               CAST(month(o_orderdate) AS BIGINT) AS o_month,
+               CAST(isodow(o_orderdate) AS BIGINT) AS o_isodow,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS {MONEY})) AS VARCHAR)
+                 AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY o_year, o_quarter, o_month, o_isodow
     """
     return sql

@@ -9,7 +9,7 @@ epoch-micros BIGINT or DATE (engine-portable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import money, rate
@@ -886,4 +886,74 @@ def cube_qty_summary(lineitem: DataFrame) -> DataFrame:
         "gid",
         "n_items",
         "sum_qty",
+    )
+
+
+def window_funcs_battery(events: DataFrame) -> DataFrame:
+    """Ranking/offset window-function battery over one ordered spec.
+
+    lag/lead, percent_rank, cume_dist, ntile(4) share a single
+    (user, ts) window — one shuffle + one sort feeds every function
+    (WindowExec evaluates them together; .explain shows a single
+    Window node). Ordering carries event_id as tiebreaker so every
+    rank-derived value is deterministic cross-engine.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+def customer_order_sets(
+    orders: DataFrame,
+    year_a: str = "1996",
+    year_b: str = "1997",
+) -> DataFrame:
+    """INTERSECT / EXCEPT over yearly customer activity, tagged.
+
+    'both' = customers ordering in both years, 'only_a' = year_a
+    only. Both set ops compile to aggregate+join (no sort-based
+    distinct), and the two branches share the base scans.
+    """
+
+    def active(year: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{int(year) + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    a, b = active(year_a), active(year_b)
+    return a.intersect(b).withColumn("tag", F.lit("both")).unionByName(
+        a.subtract(b).withColumn("tag", F.lit("only_a"))
+    )
+
+
+def calendar_rollup(orders: DataFrame) -> DataFrame:
+    """Revenue by calendar parts (year, quarter, month, ISO dow).
+
+    Calendar parts are derived in the projection feeding ONE
+    aggregate — no per-part passes. ISO day-of-week is computed from
+    Spark's Sunday=1 dayofweek so it matches the standard Monday=1
+    numbering DuckDB's isodow emits.
+    """
+    iso_dow = ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("bigint")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+            iso_dow.alias("o_isodow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum_expr(money("o_totalprice")).alias("revenue"),
+        )
     )
