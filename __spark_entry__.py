@@ -509,6 +509,25 @@ def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.grouping_sets_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import train_kmeans_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    # train on a deterministic 1/4 sample — the production pattern
+    # (Lloyd's on a sample converges to a near-identical codebook at
+    # a fraction of the assign cost)
+    sample = corpus.where(F.col("vec_id") % 4 == 0)
+    codebook = train_kmeans_codebook(sample, k=16, iters=2)
+    return ann_ivf_topk(
+        corpus, emb.where(F.col("vec_id") < 10), centroids=codebook
+    )
+
+
 def _window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.window_funcs_battery(load_table(spark, sf_dir, "events"))
 
@@ -590,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs_battery": _window_battery,
         "customer_order_sets": _customer_sets,
         "calendar_rollup": _calendar_rollup,
+        "grouping_sets_summary": _grouping_sets,
+        "ann_ivf_trained": _ann_ivf_trained,
     }
 
 
@@ -1701,6 +1722,18 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT o_custkey, 'only_a' AS tag
         FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    """
+    sql["grouping_sets_summary"] = f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               CAST(GROUPING(l_returnflag) * 2
+                    + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_items,
+               CAST(CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS VARCHAR)
+                 AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
     """
     sql["calendar_rollup"] = f"""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

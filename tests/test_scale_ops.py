@@ -183,3 +183,38 @@ def test_pivot_and_cube_consistent(tables):
     # grand total row: gid 3, counts equal table size
     total = [r for r in cube if r["gid"] == 3]
     assert len(total) == 1 and total[0]["n_items"] == li.count()
+
+
+# --- k-means codebook training ---------------------------------------------
+
+
+def test_kmeans_codebook_deterministic_and_better_than_standin(spark):
+    import numpy as np
+    from whatdropsnow_etl_spark.operators import train_kmeans_codebook
+    from whatdropsnow_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    cb1 = train_kmeans_codebook(corpus, k=8, iters=3)
+    cb2 = train_kmeans_codebook(corpus, k=8, iters=3)
+    rows1 = sorted((r["vec_id"], tuple(r["embedding"])) for r in cb1.collect())
+    rows2 = sorted((r["vec_id"], tuple(r["embedding"])) for r in cb2.collect())
+    assert rows1 == rows2  # seeded init + exact pipeline => bit-stable
+    assert len(rows1) == 8
+
+    # trained codebook quantizes at least as well as the stand-in
+    # (the 8 lowest-id corpus vectors ann_ivf_topk defaults to)
+    vecs = np.array([r["embedding"] for r in corpus.collect()], dtype=float)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def quality(centroids):
+        c = np.array(centroids, dtype=float)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return float(np.mean(np.max(vn @ cn.T, axis=1)))
+
+    trained = [v for _, v in rows1]
+    standin = [
+        r["embedding"]
+        for r in corpus.orderBy("vec_id").limit(8).collect()
+    ]
+    assert quality(trained) >= quality(standin) - 1e-9

@@ -38,6 +38,8 @@ ALLPAIRS_OK = {
     # scalar-subquery threshold: crossJoin against a 1-row broadcast
     # aggregate (the Q11 pattern) — not a data×data cross
     "q11_important_stock",
+    # corpus × k-row broadcast codebook (k constant), IVF shape
+    "ann_ivf_trained",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -51,11 +53,18 @@ PYTHON_OK = {
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
+    "ann_ivf_trained",  # same kernels + k-means assign
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must
 # compose lazily.
-EAGER_OK = {"dedup_clusters", "dedup_clusters_twostars"}
+EAGER_OK = {
+    "dedup_clusters",
+    "dedup_clusters_twostars",
+    # k-means training is a driver-looped fixpoint; each Lloyd's
+    # round legitimately runs assign/update jobs at construction
+    "ann_ivf_trained",
+}
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
     "flagship_segmentation",

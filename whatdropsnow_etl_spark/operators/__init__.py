@@ -11,6 +11,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .intervals import interval_overlap_count
+from .kmeans import train_kmeans_codebook
 from .quantiles import exact_group_quantiles
 from .sketches import hll_count_distinct, hll_registers
 from .incremental import filter_out_recently_added
@@ -59,6 +60,7 @@ __all__ = [
     "dedup_exact",
     "editdist_pairs",
     "interval_overlap_count",
+    "train_kmeans_codebook",
     "exact_group_quantiles",
     "hll_count_distinct",
     "hll_registers",

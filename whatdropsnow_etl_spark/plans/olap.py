@@ -957,3 +957,28 @@ def calendar_rollup(orders: DataFrame) -> DataFrame:
             exact_sum_expr(money("o_totalprice")).alias("revenue"),
         )
     )
+
+
+def grouping_sets_summary(lineitem: DataFrame) -> DataFrame:
+    """Arbitrary GROUPING SETS — the asymmetric subtotal shape CUBE
+    can't express without waste: (flag, status), (flag), () but NOT
+    (status). Same single-scan expansion as cube (each row feeds
+    only the three requested sets map-side); grouping_id
+    disambiguates subtotal rows from real NULL keys.
+    """
+    agg = lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum_expr(money("l_extendedprice")).alias("sum_price"),
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+        "gid",
+        "n_items",
+        "sum_price",
+    )
