@@ -528,6 +528,19 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import cms_estimate_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return cms_estimate_counts(
+        ev, ev, ["event_type"], "user_id"
+    ).select(
+        "event_type",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "est_count",
+    )
+
+
 def _window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.window_funcs_battery(load_table(spark, sf_dir, "events"))
 
@@ -611,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_rollup": _calendar_rollup,
         "grouping_sets_summary": _grouping_sets,
         "ann_ivf_trained": _ann_ivf_trained,
+        "cms_heavy_hitters": _cms_heavy_hitters,
     }
 
 

@@ -218,3 +218,43 @@ def test_kmeans_codebook_deterministic_and_better_than_standin(spark):
         for r in corpus.orderBy("vec_id").limit(8).collect()
     ]
     assert quality(trained) >= quality(standin) - 1e-9
+
+
+# --- count-min sketch ------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bounds_overestimate(spark):
+    rows = []
+    truth = {}
+    for item, n in [("a", 500), ("b", 200), ("c", 50), ("d", 1)]:
+        truth[item] = n
+        rows += [Row(g="g", x=item)] * n
+    df = spark.createDataFrame(rows)
+    from whatdropsnow_etl_spark.operators import cms_estimate_counts
+
+    est = {
+        r["x"]: r["est_count"]
+        for r in cms_estimate_counts(df, df, ["g"], "x", depth=4, width=2048).collect()
+    }
+    n_total = sum(truth.values())
+    for item, n in truth.items():
+        assert est[item] >= n  # one-sided: never below truth
+        assert est[item] <= n + 2 * n_total / 2048 + 1
+
+
+def test_cms_registers_merge_by_sum(spark):
+    from whatdropsnow_etl_spark.operators import cms_registers
+
+    df = spark.createDataFrame(
+        [Row(i=i, g="g", x=str(i % 37)) for i in range(500)]
+    )
+    a, b = df.where("i < 200"), df.where("i >= 200")
+    merged = (
+        cms_registers(a, ["g"], "x")
+        .unionByName(cms_registers(b, ["g"], "x"))
+        .groupBy("g", "__row", "__bucket")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+    direct = cms_registers(df, ["g"], "x")
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()

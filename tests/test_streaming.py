@@ -384,3 +384,43 @@ def test_streaming_interval_join_matches_batch(spark, tables, events_json_dir, t
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, tables, events_json_dir, tmp_path):
+    """Stream-static broadcast join == the same join on batch input."""
+    from whatdropsnow_etl_spark.streaming import enrich_stream
+
+    dim = (
+        tables["customer"]
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .where(F.col("user_id") < 1000)
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .json(events_json_dir)
+    )
+    out = enrich_stream(stream, dim, on="user_id").select(
+        "event_id", "user_id", "c_nationkey"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["c_nationkey"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    want = {
+        (r["event_id"], r["c_nationkey"])
+        for r in tables["events"]
+        .join(F.broadcast(dim), on="user_id", how="left")
+        .select("event_id", "c_nationkey")
+        .collect()
+    }
+    assert len(got) > 0 and got == want

@@ -13,7 +13,12 @@ from .dedup import (
 from .intervals import interval_overlap_count
 from .kmeans import train_kmeans_codebook
 from .quantiles import exact_group_quantiles
-from .sketches import hll_count_distinct, hll_registers
+from .sketches import (
+    cms_estimate_counts,
+    cms_registers,
+    hll_count_distinct,
+    hll_registers,
+)
 from .incremental import filter_out_recently_added
 from .integrity import fk_integrity_report
 from .multimodal import (
@@ -64,6 +69,8 @@ __all__ = [
     "exact_group_quantiles",
     "hll_count_distinct",
     "hll_registers",
+    "cms_registers",
+    "cms_estimate_counts",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",

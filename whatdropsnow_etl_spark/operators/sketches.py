@@ -93,3 +93,81 @@ def hll_count_distinct(
 def hll_error_bound(p: int = 12) -> float:
     """Expected relative standard error for 2^p registers."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def cms_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-min sketch registers: (group, row, bucket, cnt).
+
+    ``depth`` independent hash rows of ``width`` counters; an item
+    adds 1 to one counter per row. Registers merge by SUM — map-side
+    combinable, shuffle bounded by groups * depth * width regardless
+    of input size. The mergeable twin of hll_registers for
+    FREQUENCY (how often) rather than CARDINALITY (how many
+    distinct).
+    """
+    rows = df.select(
+        *group_cols,
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("__row"),
+        F.col(col).cast("string").alias("__item"),
+    ).select(
+        *group_cols,
+        "__row",
+        F.pmod(F.xxhash64("__item", F.col("__row")), F.lit(width)).alias(
+            "__bucket"
+        ),
+    )
+    return rows.groupBy(*group_cols, "__row", "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+
+
+def cms_estimate_counts(
+    df: DataFrame,
+    items: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Estimate each candidate item's frequency from the sketch.
+
+    est = MIN over the depth rows of the item's counter — a classic
+    one-sided estimator: never below the true count, above it by at
+    most ~2N/width with probability 1 - (1/2)^depth. The candidate
+    set joins the register relation on (group, row, bucket): with
+    registers persisted, estimating never rescans the raw data —
+    the point of a sketch at 100 TB.
+    """
+    regs = cms_registers(df, group_cols, col, depth, width)
+    cand = items.select(
+        *group_cols,
+        F.col(col).cast("string").alias("__item"),
+    ).distinct()
+    probes = cand.select(
+        *group_cols,
+        "__item",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("__row"),
+    ).withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64("__item", F.col("__row")), F.lit(width)),
+    )
+    joined = probes.join(regs, [*group_cols, "__row", "__bucket"], "left")
+    return (
+        joined.groupBy(*group_cols, "__item")
+        .agg(F.min(F.coalesce("__cnt", F.lit(0))).alias("est_count"))
+        .select(
+            *group_cols,
+            F.col("__item").alias(col),
+            F.col("est_count").cast("long").alias("est_count"),
+        )
+    )

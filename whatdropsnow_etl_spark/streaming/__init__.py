@@ -1,5 +1,6 @@
 from .dedup import dedup_stream
 from .funnel import curation_funnel_stream
+from .enrich import enrich_stream
 from .intervals import streaming_interval_pairs
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
@@ -14,4 +15,5 @@ __all__ = [
     "write_stream_parquet",
     "upsert_stream",
     "streaming_interval_pairs",
+    "enrich_stream",
 ]
