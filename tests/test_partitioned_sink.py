@@ -41,3 +41,51 @@ def test_partitioned_write_prunes_and_roundtrips(spark, tables, tmp_path):
 
     # full round-trip preserves every row
     assert back.count() == events.count()
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tables, tmp_path):
+    """Z-ordered files give narrow row-group stat ranges on BOTH
+    interleaved columns; a ts-sorted layout leaves user_id ranges at
+    full width (no skipping possible)."""
+    import pyarrow.parquet as pq
+
+    from whatdropsnow_etl_spark.sinks import write_zordered
+
+    events = tables["events"]
+    lo0, hi0 = events.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    # scale BOTH dims to fill the 16-bit space — a narrow domain left
+    # in its low bits loses the interleave to the wider column
+    a = (F.col("user_id") * int(65535 / max(hi0, 1))).cast("int")
+    b = F.least(
+        (F.col("value") * 100).cast("int"), F.lit(65535)
+    )
+    zpath = str(tmp_path / "events_z")
+    write_zordered(events, zpath, a, b, n_files=4)
+    tpath = str(tmp_path / "events_ts")
+    events.repartitionByRange(4, "ts").sortWithinPartitions(
+        "ts"
+    ).write.mode("overwrite").parquet(tpath)
+
+    def avg_range(path, col):
+        spans, total = [], None
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append(st.max - st.min)
+        return sum(spans) / len(spans)
+
+    lo, hi = events.agg(
+        F.min("user_id"), F.max("user_id")
+    ).collect()[0]
+    global_range = hi - lo
+    z_user = avg_range(zpath, "user_id")
+    ts_user = avg_range(tpath, "user_id")
+    assert ts_user > 0.9 * global_range  # ts layout: no user skipping
+    assert z_user < 0.6 * ts_user  # z layout: materially tighter
+
+    # round-trip identity
+    assert spark.read.parquet(zpath).count() == events.count()

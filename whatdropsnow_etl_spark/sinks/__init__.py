@@ -1,3 +1,4 @@
+from .zorder import write_zordered, zorder_value
 from .partitioned_parquet import (
     read_partitioned_events,
     write_partitioned_events,
@@ -8,4 +9,6 @@ __all__ = [
     "UpsertParquetSink",
     "write_partitioned_events",
     "read_partitioned_events",
+    "write_zordered",
+    "zorder_value",
 ]
