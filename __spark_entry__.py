@@ -528,6 +528,12 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
 def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import cms_estimate_counts
 
@@ -625,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_summary": _grouping_sets,
         "ann_ivf_trained": _ann_ivf_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        "tfidf_top_terms": _tfidf_top_terms,
     }
 
 
@@ -1710,6 +1717,23 @@ def oracle_sql() -> dict[str, str]:
                      AND abs(length(d.text) - length(r.rtxt)) <= 16
         WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
           AND levenshtein(text, rtxt) <= 16
+    """
+    sql["tfidf_top_terms"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ), dfr AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rank,
+               term, tf, df
+        FROM tf JOIN dfr USING (term)
+        QUALIFY rank <= 3
     """
     sql["window_funcs_battery"] = """
         SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,

@@ -204,3 +204,40 @@ def redact_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, token)
     return df.select(F.col(id_col), *counts, cur.alias("text_redacted"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k distinctive terms per document — TF-IDF's ranking
+    without its floats: order by (tf DESC, df ASC, term ASC), which
+    is the same preference order as tf·log(N/df) whenever tf ties
+    break on rarity, expressed entirely in integers so the result is
+    bit-identical across engines (log() differs by an ulp between
+    libm implementations; integer sort keys cannot).
+
+    Two shuffles: (doc, term) for tf, (term) for df; the df relation
+    is the corpus vocabulary — at 100 TB persist it and reuse across
+    scoring runs (it changes slowly), making incremental scoring a
+    single tf pass + one term-keyed join.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_rel, "term")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df")
+    )
