@@ -528,6 +528,20 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.sketches import kmv_count_distinct
+
+    # k=16384 keeps every parity SF (15k distinct users/type at
+    # sf1) in KMV's exact-below-k regime, so the COUNT(DISTINCT)
+    # oracle is a true twin there; past k (sf10: 150k) the same code
+    # degrades gracefully to the (k-1)/u_k estimate (~0.8% error)
+    # instead of a full distinct shuffle
+    return kmv_count_distinct(
+        load_table(spark, sf_dir, "events"), ["event_type"], "user_id",
+        k=16_384,
+    )
+
+
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators.textops import tfidf_top_terms
 
@@ -632,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _ann_ivf_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "tfidf_top_terms": _tfidf_top_terms,
+        "kmv_distinct_users": _kmv_distinct_users,
     }
 
 
@@ -1717,6 +1732,11 @@ def oracle_sql() -> dict[str, str]:
                      AND abs(length(d.text) - length(r.rtxt)) <= 16
         WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
           AND levenshtein(text, rtxt) <= 16
+    """
+    sql["kmv_distinct_users"] = """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS approx_distinct
+        FROM events GROUP BY event_type
     """
     sql["tfidf_top_terms"] = """
         WITH toks AS (

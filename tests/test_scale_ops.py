@@ -258,3 +258,44 @@ def test_cms_registers_merge_by_sum(spark):
     direct = cms_registers(df, ["g"], "x")
     assert merged.exceptAll(direct).isEmpty()
     assert direct.exceptAll(merged).isEmpty()
+
+
+# --- KMV sketch ------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    from whatdropsnow_etl_spark.operators.sketches import kmv_count_distinct
+
+    small = spark.range(0, 600).select(
+        F.lit("s").alias("g"), (F.col("id") % 100).alias("u")
+    )
+    got = kmv_count_distinct(small, ["g"], "u", k=256).collect()[0]
+    assert got["approx_distinct"] == 100  # < k distinct => exact
+
+    big = spark.range(0, 60_000).select(
+        F.lit("b").alias("g"), (F.col("id") % 20_000).alias("u")
+    )
+    got = kmv_count_distinct(big, ["g"], "u", k=256).collect()[0]
+    assert abs(got["approx_distinct"] - 20_000) / 20_000 < 0.25
+
+
+def test_kmv_registers_merge(spark):
+    from whatdropsnow_etl_spark.operators.sketches import kmv_registers
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 5_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("u")
+    )
+    a, b = df.where("u < 3000"), df.where("u >= 2000")  # overlap
+    w = Window.partitionBy("g").orderBy("__u")
+    merged = (
+        kmv_registers(a, ["g"], "u", k=64)
+        .unionByName(kmv_registers(b, ["g"], "u", k=64))
+        .select("g", "__u")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 64)
+    )
+    direct = kmv_registers(df, ["g"], "u", k=64)
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()

@@ -171,3 +171,70 @@ def cms_estimate_counts(
             F.col("est_count").cast("long").alias("est_count"),
         )
     )
+
+
+def kmv_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values sketch: the k smallest normalized hashes per
+    group — (group, __u DOUBLE) rows, at most k per group.
+
+    Mergeable by construction: UNION register relations from any
+    data slices and re-take the k smallest (what this function's
+    groupBy+window does) — the result is identical to sketching the
+    combined data. Unlike HLL registers it also supports SET
+    estimates: the union of two KMV sets (re-truncated to k)
+    estimates |A ∪ B|, and with |A|, |B| in hand, inclusion-
+    exclusion gives the intersection — the overlap-analysis tool a
+    corpus pipeline wants when comparing crawls.
+    """
+    from pyspark.sql.window import Window
+
+    u = (
+        F.shiftrightunsigned(
+            F.xxhash64(F.col(col).cast("string"), F.lit(42)), 1
+        ).cast("double")
+        / F.lit(float(1 << 63))
+    )
+    hashes = (
+        df.select(*group_cols, u.alias("__u"))
+        .groupBy(*group_cols, "__u")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__u")
+    return (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*group_cols, "__u", "__rn")
+    )
+
+
+def kmv_count_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) per group from a KMV sketch.
+
+    If the group holds fewer than k distinct hashes the count is
+    exact (the sketch IS the distinct set); otherwise the k-th
+    smallest normalized hash u_k estimates density: (k-1)/u_k,
+    relative error ~1/sqrt(k-2) (~6% at k=256).
+    """
+    regs = kmv_registers(df, group_cols, col, k)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(F.when(F.col("__rn") == k, F.col("__u"))).alias("__uk"),
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__uk"))
+    return agg.select(
+        *group_cols,
+        F.round(est, 0).cast("long").alias("approx_distinct"),
+    )
