@@ -528,6 +528,16 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.integrity import (
+        profile_numeric_columns,
+    )
+
+    return profile_numeric_columns(
+        load_table(spark, sf_dir, "events"), ["event_id", "user_id", "value"]
+    )
+
+
 def _kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators.sketches import kmv_count_distinct
 
@@ -647,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         "tfidf_top_terms": _tfidf_top_terms,
         "kmv_distinct_users": _kmv_distinct_users,
+        "profile_events": _profile_events,
     }
 
 
@@ -1732,6 +1743,32 @@ def oracle_sql() -> dict[str, str]:
                      AND abs(length(d.text) - length(r.rtxt)) <= 16
         WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
           AND levenshtein(text, rtxt) <= 16
+    """
+    sql["profile_events"] = """
+        SELECT 'event_id' AS column, COUNT(*) AS n_rows,
+               SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               CAST(MIN(event_id) AS DOUBLE) AS min_v,
+               CAST(MAX(event_id) AS DOUBLE) AS max_v,
+               CAST(CAST(SUM(CAST(event_id AS DECIMAL(28,2))) AS VARCHAR)
+                 AS DOUBLE) AS sum_v
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*),
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT user_id),
+               CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+               CAST(CAST(SUM(CAST(user_id AS DECIMAL(28,2))) AS VARCHAR)
+                 AS DOUBLE)
+        FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*),
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT value),
+               CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS VARCHAR)
+                 AS DOUBLE)
+        FROM events
     """
     sql["kmv_distinct_users"] = """
         SELECT event_type,

@@ -13,6 +13,8 @@ broadcast join, zero shuffle on the child (fact) side.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,3 +45,46 @@ def valid_only(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFra
     """Tolerant-load projection: child rows whose FK exists (semi join)."""
     parent_keys = parent.select(F.col(pk).alias("__pk")).distinct()
     return child.join(F.broadcast(parent_keys), child[fk] == F.col("__pk"), "left_semi")
+
+
+def profile_numeric_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Dataset profile for numeric columns in ONE scan: every
+    per-column statistic is an aggregate in a single wide
+    aggregation row (Catalyst computes them all map-side in the same
+    pass), then `stack` unpivots to one row per column. Profiling N
+    columns costs one table scan, not N — the difference between a
+    nightly data-quality job that reads 100 TB once and one that
+    reads it per column.
+
+    Output per column: n_rows, n_null, n_distinct (exact),
+    min/max/sum as DOUBLE (sum decimal-exact first, so the double is
+    engine-portable).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"
+            ),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(28,2)")).cast("double").alias(
+                f"{c}__sum"
+            ),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max, {c}__sum"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr})"
+            " AS (column, n_rows, n_null, n_distinct, min_v, max_v, sum_v)"
+        )
+    )
