@@ -214,3 +214,94 @@ def test_simhash_pairs_match_bruteforce(spark, texts):
         for r in simhash_pairs(df, bits=32, bands=4, max_hamming=3).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user_id
+            st.integers(0, 5_000),  # ts seconds
+            st.booleans(),  # trigger?
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    window_s=st.sampled_from([60, 600, 3600]),
+)
+@PROP
+def test_interval_overlap_matches_bruteforce(spark, rows, window_s):
+    """Bucketized interval join == O(n^2) reference on any input."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import interval_overlap_count
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=ts), 100.0 if trig else 1.0)
+        for i, (u, ts, trig) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["n_windows"]
+        for r in interval_overlap_count(
+            df, trigger=F.col("value") >= 100.0, window_s=window_s
+        ).collect()
+    }
+    want: dict[int, int] = {}
+    for i, u, ts, v in data:
+        n = sum(
+            1
+            for _, wu, wts, wv in data
+            if wv >= 100.0 and wu == u and wts <= ts < wts + dt.timedelta(seconds=window_s)
+        )
+        if n:
+            want[i] = n
+    assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=40),
+        min_size=2,
+        max_size=12,
+    )
+)
+@PROP
+def test_editdist_pairs_match_bruteforce(spark, texts):
+    """Banded blocking loses NO pair the operator's declared filters
+    admit: output == brute-force all-pairs run of the same staged
+    predicate (length-diff gate, prefix gate, full gate)."""
+    from whatdropsnow_etl_spark.operators import editdist_pairs
+
+    max_dist, prefix = 4, 8
+    docs = [(i, t, "en", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n_chars long")
+    got = {
+        (r["lo"], r["hi"], r["dist"])
+        for r in editdist_pairs(df, max_dist=max_dist, prefix=prefix).collect()
+    }
+    want = set()
+    for i, (ai, ta, _, la) in enumerate(docs):
+        for aj, tb, _, lb in docs[i + 1 :]:
+            if abs(la - lb) > max_dist:
+                continue
+            if _lev(ta[:prefix], tb[:prefix]) > max_dist:
+                continue
+            d = _lev(ta, tb)
+            if d <= max_dist:
+                want.add((ai, aj, d))
+    assert got == want
