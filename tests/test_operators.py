@@ -243,3 +243,43 @@ def test_bucketed_tables_join_without_shuffle(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With skew-join thresholds scaled to test data, AQE detects the
+    hot key at runtime and splits its partition (skew=true in the
+    executed SortMergeJoin) — the runtime complement to the explicit
+    salting in operators/skew.py."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).selectExpr(
+            # one hot key (0) holding ~90% of rows, the rest spread.
+            # pad must be non-constant: skew detection reads
+            # COMPRESSED map-output sizes, and a hot partition of
+            # identical values compresses under any threshold
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 100 END AS k",
+            "md5(cast(id AS string)) AS pad",
+        )
+        right = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+        joined = left.join(right, "k").select("k", "pad", "v")
+        # collect() drives THIS DataFrame's query execution (count()
+        # would execute a separate plan and leave this one unrun)
+        assert len(joined.collect()) == 60_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not mark the skewed join"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
