@@ -424,3 +424,66 @@ def test_stream_static_enrichment_matches_batch(spark, tables, events_json_dir, 
         .collect()
     }
     assert len(got) > 0 and got == want
+
+
+def test_streaming_quantiles_within_sketch_bound(spark, tables, events_json_dir, tmp_path):
+    """Streamed windowed percentile_approx lands within the sketch's
+    rank-error bound of the batch-EXACT per-window quantiles."""
+    from whatdropsnow_etl_spark.operators import exact_group_quantiles
+    from whatdropsnow_etl_spark.streaming import windowed_value_quantiles
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_json_dir)
+    )
+    q = (
+        windowed_value_quantiles(stream, ps=(0.5, 0.9))
+        .writeStream.format("memory")
+        .queryName("stream_quant")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_quant"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start_us"], r["event_type"]): r
+        for r in spark.sql("SELECT * FROM stream_quant").collect()
+    }
+    assert got
+
+    batch = tables["events"].select(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("window_start_us"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    exact = {
+        (r["window_start_us"], r["event_type"]): r
+        for r in exact_group_quantiles(
+            batch,
+            ["window_start_us", "event_type"],
+            "value",
+            ps=(0.5, 0.9),
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    # rank error <= n/accuracy; windows here are small, so allow the
+    # value at +-2 ranks by comparing against the window's sorted
+    # cents directly
+    rows = batch.select(
+        "window_start_us", "event_type", (F.round(F.col("value") * 100, 0)).cast("long").alias("c")
+    ).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault((r["window_start_us"], r["event_type"]), []).append(r["c"])
+    for key, g in got.items():
+        cents = sorted(by_key[key])
+        n = len(cents)
+        assert g["n_events"] == n
+        for p, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
+            target = int(p * (n - 1))
+            window_vals = cents[max(0, target - 2) : target + 3]
+            assert window_vals[0] <= g[col] <= window_vals[-1], (key, col)

@@ -2,6 +2,7 @@ from .dedup import dedup_stream
 from .funnel import curation_funnel_stream
 from .enrich import enrich_stream
 from .intervals import streaming_interval_pairs
+from .quantiles import windowed_value_quantiles
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .upsert import upsert_stream
@@ -16,4 +17,5 @@ __all__ = [
     "upsert_stream",
     "streaming_interval_pairs",
     "enrich_stream",
+    "windowed_value_quantiles",
 ]
