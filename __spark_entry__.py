@@ -528,6 +528,10 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.session_window_native(load_table(spark, sf_dir, "events"))
+
+
 def _profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators.integrity import (
         profile_numeric_columns,
@@ -658,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "kmv_distinct_users": _kmv_distinct_users,
         "profile_events": _profile_events,
+        "session_window_native": _session_window_native,
     }
 
 
@@ -1743,6 +1748,28 @@ def oracle_sql() -> dict[str, str]:
                      AND abs(length(d.text) - length(r.rtxt)) <= 16
         WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
           AND levenshtein(text, rtxt) <= 16
+    """
+    sql["session_window_native"] = """
+        WITH marks AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+          FROM marks
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR)
+                 AS DOUBLE) AS sum_value
+        FROM numbered GROUP BY user_id, seq
     """
     sql["profile_events"] = """
         SELECT 'event_id' AS column, COUNT(*) AS n_rows,

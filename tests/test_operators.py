@@ -283,3 +283,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_native_session_window_matches_custom_sessionize(spark, tables):
+    """Spark's built-in session_window and the lag/cumsum islands
+    sessionize must agree on every session boundary (same gap, real
+    timestamps — exact-gap boundary semantics differ only at
+    diff == gap, which microsecond data never hits)."""
+    from whatdropsnow_etl_spark.operators import sessionize
+    from whatdropsnow_etl_spark.plans.olap import session_window_native
+
+    events = tables["events"]
+    native = {
+        (r["user_id"], r["session_start_us"], r["n_events"], r["sum_value"])
+        for r in session_window_native(events, gap="30 minutes").collect()
+    }
+    custom = {
+        (r["user_id"], r["session_start_us"], r["n_events"], r["sum_value"])
+        for r in sessionize(
+            events, "user_id", "ts", "event_id", "value", gap="30 MINUTES"
+        ).collect()
+    }
+    assert len(native) > 0
+    assert native == custom

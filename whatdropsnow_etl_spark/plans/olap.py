@@ -982,3 +982,33 @@ def grouping_sets_summary(lineitem: DataFrame) -> DataFrame:
         "n_items",
         "sum_price",
     )
+
+
+def session_window_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap sessions via Spark's built-in session_window — the native
+    twin of operators/windows.py sessionize (lag + cumulative-sum
+    islands). Both produce identical session boundaries (tested
+    against each other); this one also runs unchanged in Structured
+    Streaming, where the islands formulation cannot (lag over an
+    unbounded stream). Session end here is last-event + gap
+    (session_window's half-open contract), so the output exposes
+    start/count/sum — the boundary both formulations agree on.
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
