@@ -487,3 +487,64 @@ def test_streaming_quantiles_within_sketch_bound(spark, tables, events_json_dir,
             target = int(p * (n - 1))
             window_vals = cents[max(0, target - 2) : target + 3]
             assert window_vals[0] <= g[col] <= window_vals[-1], (key, col)
+
+
+def test_streaming_hll_register_merge_equals_batch(spark, tables, events_json_dir, tmp_path):
+    """Incremental sketch maintenance: fold each micro-batch's HLL
+    registers into a running store with MAX-merge; the final
+    estimate equals the batch sketch EXACTLY (same hash => register
+    merge is associative — no approximation drift across batches).
+    This is the 100 TB pattern for corpus stats: persist registers
+    per day, merge, estimate — never rescan history."""
+    import os
+    import shutil
+
+    from whatdropsnow_etl_spark.operators import (
+        hll_count_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    store = str(tmp_path / "hll_store")
+
+    def merge_batch(batch_df, batch_id):
+        regs = hll_registers(batch_df, ["event_type"], "user_id")
+        if os.path.isdir(store):
+            prev = batch_df.sparkSession.read.parquet(store)
+            regs = (
+                prev.unionByName(regs)
+                .groupBy("event_type", "__reg")
+                .agg(F.max("__rho").alias("__rho"))
+            )
+        regs.write.mode("overwrite").format("parquet").save(store + "_next")
+        # swap for the test; production would use a transactional
+        # table format
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_json_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = spark.read.parquet(store)
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_estimate_from_registers(merged, ["event_type"]).collect()
+    }
+    want = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_count_distinct(
+            tables["events"], ["event_type"], "user_id"
+        ).collect()
+    }
+    assert got == want

@@ -17,6 +17,7 @@ from .sketches import (
     cms_estimate_counts,
     cms_registers,
     hll_count_distinct,
+    hll_estimate_from_registers,
     hll_registers,
 )
 from .incremental import filter_out_recently_added
@@ -69,6 +70,7 @@ __all__ = [
     "exact_group_quantiles",
     "hll_count_distinct",
     "hll_registers",
+    "hll_estimate_from_registers",
     "cms_registers",
     "cms_estimate_counts",
     "ngram_jaccard_pairs",

@@ -57,22 +57,18 @@ def hll_registers(
     return reg.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__rho"))
 
 
-def hll_count_distinct(
-    df: DataFrame,
+def hll_estimate_from_registers(
+    regs: DataFrame,
     group_cols: Sequence[str],
-    col: str,
     p: int = 12,
 ) -> DataFrame:
-    """Approximate COUNT(DISTINCT col) per group via HLL(2^p).
-
-    Output: group cols + approx_distinct BIGINT. Standard error
-    ~1.04/sqrt(2^p) (p=12 -> ~1.6%). Small-range correction
-    (linear counting) applies below 2.5*m when empty registers
-    remain, which covers every group at test scale.
-    """
+    """Finish an HLL estimate from a (possibly merged) register
+    relation — the second half of hll_count_distinct, split out so
+    incrementally-maintained register stores (e.g. a streaming
+    foreachBatch MAX-merge, or per-day register snapshots unioned)
+    estimate without rescanning any raw data."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs = hll_registers(df, group_cols, col, p)
     est = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(0.5), F.col("__rho"))).alias("__z_used"),
         F.count(F.lit(1)).alias("__v"),
@@ -88,6 +84,23 @@ def hll_count_distinct(
         *group_cols,
         F.round(corrected, 0).cast("long").alias("approx_distinct"),
     )
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) per group via HLL(2^p).
+
+    Output: group cols + approx_distinct BIGINT. Standard error
+    ~1.04/sqrt(2^p) (p=12 -> ~1.6%). Small-range correction
+    (linear counting) applies below 2.5*m when empty registers
+    remain, which covers every group at test scale.
+    """
+    regs = hll_registers(df, group_cols, col, p)
+    return hll_estimate_from_registers(regs, group_cols, p)
 
 
 def hll_error_bound(p: int = 12) -> float:
