@@ -89,3 +89,19 @@ def test_zorder_layout_tightens_both_dimensions(spark, tables, tmp_path):
 
     # round-trip identity
     assert spark.read.parquet(zpath).count() == events.count()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tables, tmp_path):
+    from whatdropsnow_etl_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    events = tables["events"]
+    events.repartition(50).write.mode("overwrite").parquet(path)
+    before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert before == 50
+    n = events.count()
+    after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert after == 1
+    assert spark.read.parquet(path).count() == n

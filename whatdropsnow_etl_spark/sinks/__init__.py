@@ -1,5 +1,6 @@
 from .zorder import write_zordered, zorder_value
 from .partitioned_parquet import (
+    compact_parquet,
     read_partitioned_events,
     write_partitioned_events,
 )
@@ -9,6 +10,7 @@ __all__ = [
     "UpsertParquetSink",
     "write_partitioned_events",
     "read_partitioned_events",
+    "compact_parquet",
     "write_zordered",
     "zorder_value",
 ]

@@ -43,3 +43,47 @@ def write_partitioned_events(
 def read_partitioned_events(spark: SparkSession, path: str) -> DataFrame:
     """Read back; date filters prune partitions at listing time."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a fragmented parquet directory to ~target-sized files.
+
+    Streaming sinks and frequent small appends leave directories of
+    KB-scale files; at 100 TB the file-listing and per-file open
+    costs dominate scans long before the bytes do. Rewrite sizes the
+    file count from the ACTUAL data volume (sum of file sizes — no
+    data scan needed to plan), coalesces without a shuffle, and
+    swaps directories atomically-ish (rename); a transactional table
+    format would make the swap a metadata commit instead.
+
+    Returns the number of files after compaction.
+    """
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    tmp = path.rstrip("/") + "__compact_tmp"
+    (
+        spark.read.parquet(path)
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
