@@ -587,6 +587,75 @@ def _calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.calendar_rollup(load_table(spark, sf_dir, "orders"))
 
 
+CDC_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import cdc_apply, latest_wins
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    keys = ["user_id", "event_type"]
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    base = latest_wins(ev.where(F.col("ts") < cutoff), keys, order)
+    changes = ev.where(F.col("ts") >= cutoff).withColumn(
+        "op", F.when(F.col("event_id") % 10 == 0, F.lit("D")).otherwise(F.lit("U"))
+    )
+    return cdc_apply(base, changes, keys, order).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        ((F.floor("value").cast("bigint") % 3 + 3) % 3).alias("status"),
+    )
+    hist = scd2_history(
+        ev,
+        keys=["user_id", "event_type"],
+        tracked=["status"],
+        order_by=[F.col("ts").asc(), F.col("event_id").asc()],
+        valid_from_col="ts",
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        "status",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import decontaminate_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_ngrams(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        k=5,
+    )
+
+
+def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import bigram_surprisal
+
+    return bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_segmentation": _flagship,
@@ -663,6 +732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": _kmv_distinct_users,
         "profile_events": _profile_events,
         "session_window_native": _session_window_native,
+        "cdc_apply": _cdc_apply,
+        "scd2_history": _scd2_history,
+        "decontaminate_ngrams": _decontaminate,
+        "bigram_surprisal": _bigram_surprisal,
     }
 
 
@@ -1867,5 +1940,104 @@ def oracle_sql() -> dict[str, str]:
                  AS DOUBLE) AS revenue
         FROM orders
         GROUP BY o_year, o_quarter, o_month, o_isodow
+    """
+    sql["cdc_apply"] = f"""
+        WITH ev AS (
+          SELECT user_id, event_type, event_id, ts, value FROM events
+        ), base AS (
+          SELECT user_id, event_type, event_id, ts, value, 'I' AS op
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ev WHERE ts < TIMESTAMP '{CDC_CUTOFF}') t
+          WHERE rn = 1
+        ), chg AS (
+          SELECT user_id, event_type, event_id, ts, value,
+                 CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM ev WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+        ), log AS (
+          SELECT * FROM base UNION ALL SELECT * FROM chg
+        ), latest AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+          FROM log
+        )
+        SELECT user_id, event_type, event_id,
+               epoch_us(ts) AS ts_us, value
+        FROM latest WHERE rn = 1 AND op <> 'D'
+    """
+    sql["scd2_history"] = """
+        WITH ev AS (
+          SELECT user_id, event_type, event_id, ts,
+                 ((CAST(FLOOR(value) AS BIGINT) % 3) + 3) % 3 AS status
+          FROM events
+        ), flt AS (
+          SELECT *, LAG(status) OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS prev
+          FROM ev
+        ), surv AS (
+          SELECT user_id, event_type, status, ts, event_id
+          FROM flt WHERE prev IS NULL OR prev <> status
+        ), iv AS (
+          SELECT *, LEAD(ts) OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS valid_to
+          FROM surv
+        )
+        SELECT user_id, event_type, status,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(valid_to) AS valid_to_us,
+               CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS is_current
+        FROM iv
+    """
+    sql["decontaminate_ngrams"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4] AS s
+          FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+        ), tr AS (
+          SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0
+        ), ev AS (
+          SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id % 5 = 0
+        )
+        SELECT tr.doc_id AS doc_id,
+               COUNT(DISTINCT tr.s) AS n_shared_ngrams,
+               COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
+        FROM tr JOIN ev ON tr.s = ev.s
+        GROUP BY tr.doc_id
+    """
+    sql["bigram_surprisal"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), pos AS (
+          SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        ), c2 AS (
+          SELECT bg, COUNT(*) AS c2 FROM pos GROUP BY bg
+        ), c1 AS (
+          SELECT w1, COUNT(*) AS c1 FROM pos GROUP BY w1
+        ), sc AS (
+          SELECT doc_id,
+                 CASE WHEN c1 >= c2 * (CAST(1 AS BIGINT) << d)
+                      THEN d ELSE d - 1 END AS bits
+          FROM (SELECT p.doc_id, c1.c1, c2.c2,
+                       length(format('{:b}', c1.c1))
+                         - length(format('{:b}', c2.c2)) AS d
+                FROM pos p
+                JOIN c2 ON p.bg = c2.bg
+                JOIN c1 ON p.w1 = c1.w1) g
+        )
+        SELECT doc_id,
+               CAST(SUM(bits) AS BIGINT) AS sum_bits,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
+        FROM sc GROUP BY doc_id
     """
     return sql

@@ -1,4 +1,6 @@
 from .asof import asof_join
+from .cdc import cdc_apply, scd2_history
+from .corpus import bigram_surprisal, decontaminate_ngrams
 from .sampling import stratified_sample_by_quality
 from .dedup import (
     dedup_clusters,
@@ -50,6 +52,10 @@ from .windows import moving_avg, sessionize, topn_per_group
 
 __all__ = [
     "asof_join",
+    "cdc_apply",
+    "scd2_history",
+    "bigram_surprisal",
+    "decontaminate_ngrams",
     "stratified_sample_by_quality",
     "redact_pii",
     "latest_wins",

@@ -1,0 +1,125 @@
+"""Corpus-level training-data operators: eval-set decontamination
+and bigram language-model surprisal scoring.
+
+Both are standard large-scale LLM-pipeline steps (decontamination:
+remove eval-set n-gram overlap from training data; LM scoring:
+CCNet-style corpus-fit filtering). No reference twin — the reference
+(397 LoC ETL) has no corpus analytics; these extend SURVEY §2.3.
+
+Scale design:
+- ``decontaminate_ngrams``: both sides reduce to DISTINCT
+  (doc, 64-bit shingle hash) relations *before* the join, so the
+  shuffle carries 16-byte rows, never text. The join key is the
+  hash; at 100 TB the eval side (benchmarks, ~1e6 n-grams) is
+  broadcast and the train side streams through map-side — zero
+  shuffle of the training corpus.
+- ``bigram_surprisal``: the "model" is two count relations derived
+  from one positional-bigram explode (one shuffle each); scoring
+  joins them back per position. Both count tables are tiny relative
+  to the corpus (vocab², capped by observed bigrams) and at scale
+  would be persisted once and broadcast into each scoring run.
+  Surprisal is measured in *whole bits* — floor(log2(c1/c2))
+  computed with integer shift/compare only (no float log), because
+  libm ``log`` differs by 1 ulp across engines and a 50k-doc corpus
+  hits round-boundary divergence with near-certainty (same
+  determinism argument as the integer TF-IDF ordering, PERF.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def _floor_log2_ratio(num: Column, den: Column) -> Column:
+    """floor(log2(num/den)) for positive BIGINT num >= den, exactly.
+
+    d = floor(log2(num)) - floor(log2(den)) is either the answer or
+    one too high; fix up with one integer shift compare. floor(log2)
+    of a BIGINT is length(bin(n)) - 1 — string length of the binary
+    representation, no float involved.
+    """
+    fl_num = F.length(F.bin(num)) - 1
+    fl_den = F.length(F.bin(den)) - 1
+    d = (fl_num - fl_den).cast("int")
+    return F.when(num >= F.shiftleft(den, d), d).otherwise(d - 1).cast("bigint")
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Report training docs sharing any k-gram with the eval set.
+
+    Returns one row per contaminated train doc: ``doc_id``,
+    ``n_shared_ngrams`` (distinct k-grams also present in ANY eval
+    doc) and ``n_eval_docs`` (distinct eval docs hit). Docs shorter
+    than k tokens cannot be contaminated.
+    """
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out),
+                F.explode(shingles(tokens(F.col(text_col)), k=k)).alias("__s"),
+            )
+            .select(out, F.xxhash64("__s").alias("__h"))
+            .distinct()
+        )
+
+    t = grams(train, "doc_id")
+    e = grams(eval_docs, "eval_doc")
+    return (
+        t.join(F.broadcast(e), "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("__h").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc corpus-fit score: mean bigram surprisal in whole bits.
+
+    Trains MLE bigram statistics on ``docs`` itself (count of each
+    bigram, count of each prefix token over bigram positions), then
+    scores every doc as the average over its bigram positions of
+    floor(log2(c(w1)/c(w1,w2))) — 0 bits for a bigram that always
+    follows its prefix, more bits the more surprising the
+    continuation. Emits ``sum_bits``/``n_bigrams`` (exact BIGINTs)
+    and their ratio ``avg_bits`` (one double division,
+    deterministic). Docs with fewer than 2 tokens are dropped.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n),
+                F.slice(toks, 2, n),
+                lambda a, b: F.struct(a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bg")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+
+    c_bigram = pos.groupBy("bg").agg(F.count("*").alias("c2"))
+    c_prefix = pos.groupBy("w1").agg(F.count("*").alias("c1"))
+
+    scored = (
+        pos.join(F.broadcast(c_bigram), "bg")
+        .join(F.broadcast(c_prefix), "w1")
+        .withColumn("bits", _floor_log2_ratio(F.col("c1"), F.col("c2")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("bits").alias("sum_bits"),
+        F.count("*").alias("n_bigrams"),
+        (F.sum("bits").cast("double") / F.count("*")).alias("avg_bits"),
+    )
