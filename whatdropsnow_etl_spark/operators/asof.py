@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -59,14 +61,14 @@ def asof_join(
     # backward (right visible to same-ts left), after for forward
     l = left.select(
         *by_cols,
-        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        ts_micros(F.col(ts_col)).alias("__ts_us"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_cols if c not in by_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in value_cols],
     )
     r = right.select(
         *by_cols,
-        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        ts_micros(F.col(ts_col)).alias("__ts_us"),
         F.lit(0).alias("__side"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)

@@ -15,9 +15,11 @@ Scale design:
   shuffle of the training corpus.
 - ``bigram_surprisal``: the "model" is two count relations derived
   from one positional-bigram explode (one shuffle each); scoring
-  joins them back per position. Both count tables are tiny relative
-  to the corpus (vocab², capped by observed bigrams) and at scale
-  would be persisted once and broadcast into each scoring run.
+  joins them back per position. The prefix-count table is
+  vocab-bounded and broadcast; the bigram-count table grows with
+  observed bigrams (unbounded at corpus scale) and is joined with a
+  plain shuffle hash join on the same key the count already
+  partitioned by.
   Surprisal is measured in *whole bits* — floor(log2(c1/c2))
   computed with integer shift/compare only (no float log), because
   libm ``log`` differs by 1 ulp across engines and a 50k-doc corpus
@@ -44,7 +46,10 @@ def _floor_log2_ratio(num: Column, den: Column) -> Column:
     fl_num = F.length(F.bin(num)) - 1
     fl_den = F.length(F.bin(den)) - 1
     d = (fl_num - fl_den).cast("int")
-    return F.when(num >= F.shiftleft(den, d), d).otherwise(d - 1).cast("bigint")
+    # PySpark's F.shiftleft wrapper only accepts a Python int for the
+    # shift amount; call the SQL function directly for a Column shift.
+    shifted = F.call_function("shiftleft", den, d)
+    return F.when(num >= shifted, d).otherwise(d - 1).cast("bigint")
 
 
 def decontaminate_ngrams(
@@ -113,8 +118,12 @@ def bigram_surprisal(
     c_bigram = pos.groupBy("bg").agg(F.count("*").alias("c2"))
     c_prefix = pos.groupBy("w1").agg(F.count("*").alias("c1"))
 
+    # c_bigram grows with observed bigrams — unbounded on a 100 TB
+    # corpus, so it must NOT be broadcast: pos is already shuffled by
+    # `bg` for the count, and AQE reuses that co-partitioning for the
+    # shuffle hash join. c_prefix is vocab-sized (bounded) -> broadcast.
     scored = (
-        pos.join(F.broadcast(c_bigram), "bg")
+        pos.join(c_bigram, "bg")
         .join(F.broadcast(c_prefix), "w1")
         .withColumn("bits", _floor_log2_ratio(F.col("c1"), F.col("c2")))
     )

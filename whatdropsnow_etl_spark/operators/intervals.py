@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
+
 
 def interval_overlap_count(
     events: DataFrame,
@@ -37,15 +39,15 @@ def interval_overlap_count(
     ev = events.select(
         id_col,
         key_col,
-        F.unix_micros(F.col(ts_col)).alias("__us"),
+        ts_micros(F.col(ts_col)).alias("__us"),
     ).withColumn("__bucket", F.floor(F.col("__us") / bucket_us))
 
     win = (
         events.where(trigger)
         .select(
             F.col(key_col).alias("__wkey"),
-            F.unix_micros(F.col(ts_col)).alias("__ws"),
-            (F.unix_micros(F.col(ts_col)) + bucket_us).alias("__we"),
+            ts_micros(F.col(ts_col)).alias("__ws"),
+            (ts_micros(F.col(ts_col)) + bucket_us).alias("__we"),
         )
         # window spans at most 2 buckets (len == bucket size); the
         # half-open end lands in bucket floor((end-1)/bucket)

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
+
 from ..functions.money import dec
 
 
@@ -83,8 +85,8 @@ def sessionize(
         .withColumn("session_seq", F.sum("__new").over(wcum).cast("bigint"))
         .groupBy(partition_col, "session_seq")
         .agg(
-            F.unix_micros(F.min(ts_col)).alias("session_start_us"),
-            F.unix_micros(F.max(ts_col)).alias("session_end_us"),
+            ts_micros(F.min(ts_col)).alias("session_start_us"),
+            ts_micros(F.max(ts_col)).alias("session_end_us"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec(value_col)).cast("double").alias("sum_value"),
         )

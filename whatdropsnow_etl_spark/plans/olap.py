@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
+
 from ..functions.money import money, rate
 
 
@@ -175,7 +177,7 @@ def json_normalize_events(events: DataFrame) -> DataFrame:
 def tumbling_window_agg(events: DataFrame) -> DataFrame:
     """Batch twin of the streaming tumbling-window aggregate: 1-hour
     buckets as epoch-micros BIGINT."""
-    bucket = F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    bucket = ts_micros(F.date_trunc("hour", F.col("ts")))
     return (
         events.select(bucket.alias("hour_start_us"), "event_type", "value")
         .groupBy("hour_start_us", "event_type")
@@ -750,6 +752,7 @@ def q12_shipping_delay(
             F.sum(high.cast("bigint")).alias("high_line_count"),
             F.sum((~high).cast("bigint")).alias("low_line_count"),
         )
+        .orderBy("delay_class")
     )
 
 
@@ -779,6 +782,7 @@ def q20_heavy_suppliers(
         tables["supplier"]
         .join(heavy, F.col("s_suppkey") == heavy.l_suppkey, "leftsemi")
         .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_suppkey")
     )
 
 
@@ -902,7 +906,7 @@ def window_funcs_battery(events: DataFrame) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        ts_micros("ts").alias("ts_us"),
         "value",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
@@ -1007,7 +1011,7 @@ def session_window_native(
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            ts_micros(F.col("sw.start")).alias("session_start_us"),
             "n_events",
             "sum_value",
         )

@@ -14,13 +14,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# parquet TIMESTAMP(NANOS) columns: surfaced by Spark as epoch-nanos
-# longs (spark.sql.legacy.parquet.nanosAsLong) and converted here to
-# timestamps at microsecond precision. The raw values carry non-zero
-# sub-microsecond nanos; `DIV 1000` truncates toward zero, which is
-# exactly what DuckDB's epoch_us/make_timestamp cast does, so the
-# oracle twins agree (pinned by tests/test_oracle_parity.py).
-NANO_TS_COLS = {
+# Timestamp columns per table. The testdata's physical encoding has
+# changed between rounds (INT64 TIMESTAMP(NANOS) -> plain
+# timestamp[us] with no UTC flag), so the loader normalizes EVERY
+# flavor Spark can surface — TIMESTAMP_NTZ (naive µs), TIMESTAMP
+# (UTC-flagged µs), or bigint epoch-nanos under nanosAsLong — to one
+# canonical type: TIMESTAMP with the session pinned to UTC. With the
+# session at UTC, `cast(ntz as timestamp)` is value-preserving and
+# matches DuckDB's naive-epoch semantics (DuckDB reads the same
+# parquet as naive TIMESTAMP and epoch_us() treats it as UTC).
+# Pinned by tests/test_timestamp_ingestion.py across all 3 fixtures.
+TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
@@ -51,12 +55,16 @@ _SCHEMA_CACHE: dict = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # The testdata parquet carries INT64 TIMESTAMP(NANOS) columns that
-    # Spark refuses to read without this conf. It must hold on the
-    # *caller's* session (driver harnesses build their own), and it is
-    # runtime-settable, so set it here idempotently rather than relying
-    # on our session factory having been used.
+    # Both confs must hold on the *caller's* session (driver harnesses
+    # build their own) and are runtime-settable, so set them here
+    # idempotently rather than relying on our session factory.
+    #   - nanosAsLong: lets Spark read INT64 TIMESTAMP(NANOS) parquet
+    #     (as bigint) instead of refusing the file outright.
+    #   - session timeZone=UTC: makes ntz->timestamp casts value-
+    #     preserving and matches the DuckDB oracle's naive-epoch
+    #     semantics for unix_micros/date_trunc/etc.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = _SCHEMA_CACHE.get(path)
     if schema is None:
@@ -64,9 +72,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _SCHEMA_CACHE[path] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
-    for col in NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    dtypes = dict(df.dtypes)
+    for col in TS_COLS.get(name, ()):
+        dt = dtypes.get(col)
+        if dt == "bigint":
+            # epoch-nanos long: truncate toward zero to µs, matching
+            # DuckDB's epoch_us cast of the same values.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        elif dt == "timestamp_ntz":
+            # naive µs: with the session pinned to UTC this cast is a
+            # pure re-tag, no wall-clock shift.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        # dt == "timestamp": already canonical.
     return df
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
+
 
 def streaming_interval_pairs(
     events: DataFrame,
@@ -64,5 +66,5 @@ def streaming_interval_pairs(
     )
     return probes.join(trigs, cond).select(
         F.col("p_id").alias(id_col),
-        F.unix_micros("t_ts").alias("window_start_us"),
+        ts_micros("t_ts").alias("window_start_us"),
     )

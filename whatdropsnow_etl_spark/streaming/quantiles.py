@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
+
 
 def windowed_value_quantiles(
     events: DataFrame,
@@ -57,7 +59,7 @@ def windowed_value_quantiles(
         .groupBy("win", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), *qcols)
         .select(
-            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            ts_micros(F.col("win.start")).alias("window_start_us"),
             "event_type",
             "n_events",
             *[f"p{str(p).replace('0.', '').ljust(2, '0')}_cents" for p in ps],

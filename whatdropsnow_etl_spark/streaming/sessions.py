@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
+
 OUTPUT_SCHEMA = (
     "user_id bigint, session_seq bigint, session_start_us bigint,"
     " session_end_us bigint, n_events bigint, sum_value double"
@@ -107,7 +109,7 @@ def sessionize_stream(
         .select(
             F.col(user_col).cast("bigint").alias("user_id"),
             F.col(ts_col).alias("ts"),
-            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            ts_micros(F.col(ts_col)).alias("ts_us"),
             F.col(value_col).cast("double").alias("value"),
         )
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whatdropsnow_etl_spark.functions.timeutil import ts_micros
+
 from ..functions.money import dec
 
 
@@ -40,7 +42,7 @@ def windowed_event_agg(
             F.sum(dec(value_col)).cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("win.start")).alias("hour_start_us"),
+            ts_micros(F.col("win.start")).alias("hour_start_us"),
             "event_type",
             "n_events",
             "sum_value",
