@@ -26,17 +26,16 @@ _ORDER_PRESERVING = ("GlobalLimit", "LocalLimit", "Project", "SubqueryAlias")
 
 
 def spark_plan_is_ordered(df) -> bool:
-    plan = df._jdf.queryExecution().analyzed()
-    node = plan
-    while True:
-        name = node.nodeName()
-        if name == "Sort":
-            # global sort only (sortWithinPartitions is not enough)
-            return "true" in node.argString(120).split(",")[-1].lower() or node.toString().startswith("Sort")
-        if name in _ORDER_PRESERVING:
-            node = node.children().head()
-            continue
+    node = df._jdf.queryExecution().analyzed()
+    while node.nodeName() in _ORDER_PRESERVING:
+        node = node.children().head()
+    if node.nodeName() != "Sort":
         return False
+    # Sort's first plan line reads "Sort [keys...], <global>"; require a
+    # global sort — sortWithinPartitions ("false") is not deterministic
+    # across partition assignment.
+    first = node.toString().splitlines()[0]
+    return ", true" in first
 
 
 def oracle_has_order_by(sql: str) -> bool:

@@ -103,24 +103,38 @@ def cosine_sim_arrow() -> "Column":
     return pandas_udf(_cos, "double")
 
 
-def bucket_keys_arrow(planes: list[list[float]], n_tables: int, bits: int):
+def bucket_keys_arrow(
+    planes: list[list[float]] | None, n_tables: int, bits: int
+):
     """Arrow-batched sign-LSH bucket keys: one array<bigint> of
     ``n_tables`` keys per vector. Same bit-exactness contract as
     cosine_sim_arrow — each plane's dot product accumulates per
     dimension left-to-right, so the sign (and therefore every key)
     matches the SQL twin's list_dot_product formulation exactly.
     Replaces n_tables × bits interpreted HOF dot products per row
-    with one numpy pass per Arrow batch."""
+    with one numpy pass per Arrow batch.
+
+    ``planes=None`` defers plane construction to the executors: the
+    deterministic Rademacher planes depend only on (n_planes, dim),
+    and dim is read off the first Arrow batch — so no driver-side
+    ``.first()`` job is needed when the caller doesn't know dim.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    P = np.array(planes, dtype=np.float64)  # (n_planes, dim)
+    P0 = None if planes is None else np.array(planes, dtype=np.float64)
+    n_planes = n_tables * bits
 
     def _keys(v):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = np.stack(v.to_numpy()).astype(np.float64, copy=False)  # (n, dim)
+        P = (
+            P0
+            if P0 is not None
+            else np.array(rademacher_planes(n_planes, X.shape[1]), dtype=np.float64)
+        )
         dots = np.zeros((len(X), len(P)), dtype=np.float64)
         for d in range(X.shape[1]):
             dots += np.outer(X[:, d], P[:, d])

@@ -223,13 +223,12 @@ def _bucket_keys(
     planes, computed in one Arrow-batched numpy pass per vector
     (bit-exact vs the SQL twin's list_dot_product — see
     bucket_keys_arrow). One output row per (vector, table); narrow
-    projection, no shuffle. Pass ``dim`` explicitly in production —
-    the fallback peeks at one row."""
+    projection, no shuffle. With ``dim=None`` the planes are built
+    lazily on the executors from the first Arrow batch's width — no
+    hidden driver action either way."""
     from ..functions.vectors import bucket_keys_arrow, rademacher_planes
 
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = rademacher_planes(n_tables * bits, dim)
+    planes = None if dim is None else rademacher_planes(n_tables * bits, dim)
     keys_udf = bucket_keys_arrow(planes, n_tables, bits)
     keyed = df.select(
         F.col(id_col), F.col(vec_col), keys_udf(F.col(vec_col)).alias("__keys")

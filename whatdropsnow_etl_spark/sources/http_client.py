@@ -8,9 +8,10 @@ Reference parity:
 - wdn_api.py:108-138 ``paginate_request`` — ``?page=N&page_size=M``
   query params (``&``-joined when the URI already has a query).
 - wdn_api.py:94-106 ``iteration_request_multithread`` — per-id
-  fan-out; here each id's payload lands as one JSON-lines file, and
-  Spark's partition parallelism over the landed directory replaces
-  the reference's process pool.
+  fan-out; fetches run on a thread pool (the reference uses a
+  process pool; threads suffice for I/O-bound GETs), each id's
+  payload lands as one JSON-lines file, and Spark's partition
+  parallelism over the landed directory distributes the read-back.
 
 The client is ingestion control-flow (driver-side, bounded by the
 API's catalog size); landed pages are read back as one distributed
@@ -124,23 +125,37 @@ class HttpJsonClient:
         ids: Iterable,
         out_dir: str,
         ignore_404: bool = True,
+        max_workers: int = 8,
     ) -> int:
         """Per-id fan-out (reference wdn_api.py:94-106): GET
         ``uri_template.format(id)`` for each id, landing non-empty
         ``data`` payloads one JSON-lines file per id. Returns records
         landed. Reading the directory back gives Spark one split per
-        id — the distributed replacement for the process pool."""
+        id — the distributed replacement for the process pool.
+
+        Fetches run on a thread pool (``max_workers``), matching the
+        reference's concurrent fan-out for slow endpoints; requests'
+        Session is thread-safe for concurrent GETs. ``max_workers=1``
+        degrades to a sequential loop. The first failing id raises
+        after the in-flight futures settle."""
+        from concurrent.futures import ThreadPoolExecutor
+
         os.makedirs(out_dir, exist_ok=True)
-        landed = 0
-        for one_id in ids:
+
+        def fetch_one(one_id) -> int:
             response = self.get_json(uri_template.format(one_id), ignore_404)
             data = response["data"] if response else []
             if isinstance(data, Mapping):  # single-resource endpoint
                 data = [data]
             if not data:
-                continue
+                return 0
             with open(os.path.join(out_dir, f"id-{one_id}.jsonl"), "w") as f:
                 for record in data:
                     f.write(json.dumps(record) + "\n")
-            landed += len(data)
-        return landed
+            return len(data)
+
+        id_list = list(ids)
+        if max_workers <= 1:
+            return sum(fetch_one(i) for i in id_list)
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return sum(pool.map(fetch_one, id_list))
