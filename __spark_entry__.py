@@ -563,6 +563,18 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import corpus_vocab
+
+    return corpus_vocab(load_table(spark, sf_dir, "documents"), k=100)
+
+
 def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import cms_estimate_counts
 
@@ -667,6 +679,8 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # magnitude smaller than inputs), not a mid-plan shuffle.
 # Pinned against live schemas by tests/test_entry_contract.py.
 _ORDER_KEYS: dict[str, list[str]] = {
+    "repetition_stats": ["distinct_ratio", "doc_id", "n_tokens", "top_bigram_frac", "top_trigram_frac", "top_unigram_frac"],
+    "corpus_vocab": ["cf", "df", "rank", "term"],
     "token_count": ["chars_per_token", "doc_id", "n_bpe_tokens", "n_ws_tokens"],
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
@@ -767,7 +781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixes needing confirmation). Previously driver-green queries fill
     # the tail; local parity (tools/parity_check.py) still covers all.
     base = {
-        # (a) never driver-verified before round 3
+        # (a) never driver-verified before round 3 (incl. r3 additions)
+        "repetition_stats": _repetition_stats,
+        "corpus_vocab": _corpus_vocab,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
@@ -2154,6 +2170,61 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_bigrams,
                CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
         FROM sc GROUP BY doc_id
+    """
+    sql["repetition_stats"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), base AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(t)) AS BIGINT) AS nd
+          FROM toks
+        ), topu AS (
+          SELECT doc_id, MAX(c) AS top1 FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+            GROUP BY doc_id, g
+          ) GROUP BY doc_id
+        ), topb AS (
+          SELECT doc_id, MAX(c) AS top2 FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                  FROM toks, UNNEST(range(1, len(t))) AS u(i))
+            GROUP BY doc_id, g
+          ) GROUP BY doc_id
+        ), topt AS (
+          SELECT doc_id, MAX(c) AS top3 FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i))
+            GROUP BY doc_id, g
+          ) GROUP BY doc_id
+        )
+        SELECT base.doc_id, n_tokens,
+               CAST(nd AS DOUBLE) / n_tokens AS distinct_ratio,
+               CAST(top1 AS DOUBLE) / n_tokens AS top_unigram_frac,
+               CASE WHEN n_tokens >= 2
+                    THEN CAST(top2 AS DOUBLE) / (n_tokens - 1) END AS top_bigram_frac,
+               CASE WHEN n_tokens >= 3
+                    THEN CAST(top3 AS DOUBLE) / (n_tokens - 2) END AS top_trigram_frac
+        FROM base
+        LEFT JOIN topu USING (doc_id)
+        LEFT JOIN topb USING (doc_id)
+        LEFT JOIN topt USING (doc_id)
+    """
+    sql["corpus_vocab"] = """
+        SELECT CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank,
+               term, cf, df
+        FROM (
+          SELECT term, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+          FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+          )
+          WHERE term <> ''
+          GROUP BY term
+          ORDER BY cf DESC, term
+          LIMIT 100
+        )
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but

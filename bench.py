@@ -16,6 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 from whatdropsnow_etl_spark.session import get_spark
 
 
@@ -35,6 +36,19 @@ def main() -> None:
     # at the benchmarked SF.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    # Python-worker warmup: the first pandas-UDF query otherwise absorbs
+    # the Arrow worker-pool spinup (~seconds) that belongs to the
+    # session. JVM warmup above doesn't start Python workers.
+    import pandas as _pd
+    from pyspark.sql.pandas.functions import pandas_udf as _pudf
+
+    def _warm(x):
+        return x * 1.0
+
+    _warm.__annotations__ = {"x": _pd.Series, "return": _pd.Series}
+    spark.range(10_000).select(
+        _pudf(_warm, "double")(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -393,3 +393,42 @@ def test_stratified_sample_deterministic_and_bounded(spark, tables):
     per_band = Counter(band for _, band in a)
     assert all(n <= 3 for n in per_band.values())
     assert all(0 <= band <= 9 for _, band in a)
+
+
+def test_repetition_stats_invariants(spark, tables):
+    from whatdropsnow_etl_spark.operators import repetition_stats
+
+    out = repetition_stats(tables["documents"])
+    rows = out.collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows:
+        assert 0 < r["distinct_ratio"] <= 1.0
+        assert 0 < r["top_unigram_frac"] <= 1.0
+        if r["n_tokens"] >= 2:
+            assert 0 < r["top_bigram_frac"] <= 1.0
+        if r["n_tokens"] >= 3:
+            # the top trigram's COUNT can't exceed the top bigram's
+            # (every trigram occurrence contains a bigram occurrence);
+            # fractions have different denominators, so compare counts
+            tri_count = r["top_trigram_frac"] * (r["n_tokens"] - 2)
+            bi_count = r["top_bigram_frac"] * (r["n_tokens"] - 1)
+            assert tri_count <= bi_count + 1e-9
+    # a degenerate doc is maximally repetitive
+    degen = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all tokens here differ")],
+        "doc_id bigint, text string",
+    )
+    d = {r["doc_id"]: r for r in repetition_stats(degen).collect()}
+    assert d[1]["top_unigram_frac"] == 1.0 and d[1]["distinct_ratio"] == 0.25
+    assert d[2]["top_unigram_frac"] == 0.25 and d[2]["distinct_ratio"] == 1.0
+
+
+def test_corpus_vocab_zipf_contract(tables):
+    from whatdropsnow_etl_spark.operators import corpus_vocab
+
+    out = corpus_vocab(tables["documents"], k=10).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    cfs = [r["cf"] for r in out]
+    assert cfs == sorted(cfs, reverse=True)
+    for r in out:
+        assert 1 <= r["df"] <= r["cf"]

@@ -41,10 +41,12 @@ from .similarity import (
     embedding_dedup_pairs,
 )
 from .textops import (
+    corpus_vocab,
     doc_fingerprint,
     lang_id_confusion,
     quality_score,
     redact_pii,
+    repetition_stats,
     token_count,
 )
 from .upsert import latest_wins
@@ -97,4 +99,6 @@ __all__ = [
     "lang_id_confusion",
     "quality_score",
     "token_count",
+    "repetition_stats",
+    "corpus_vocab",
 ]

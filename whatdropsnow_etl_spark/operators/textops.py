@@ -241,3 +241,113 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df")
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Heavily repetitive documents (keyword stuffing, boilerplate
+    loops, degenerate generations) are a standard removal class in
+    LLM training pipelines (Rae et al., Gopher App. A1.1). Emitted
+    per doc, all from ONE tokenization:
+
+    - ``n_tokens`` — whitespace token count;
+    - ``distinct_ratio`` — distinct/total tokens (low = repetitive);
+    - ``top_unigram_frac`` — share of tokens taken by the most
+      frequent token (ties broken by term for determinism);
+    - ``top_bigram_frac`` / ``top_trigram_frac`` — share of n-gram
+      positions taken by the most frequent n-gram; NULL when the doc
+      is shorter than n.
+
+    Scale shape: positional n-grams explode to ~3N skinny rows that
+    immediately groupBy (doc, gram) with map-side combine, then a
+    per-doc max — no joins against the corpus, no text carried past
+    the first projection (grams hash to 64-bit before the shuffle).
+    The filter thresholds live downstream (curation chooses cuts);
+    this operator only measures.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("__nd"),
+    )
+
+    def gram_top_frac(n: int, out: str):
+        """Per-doc count of the most frequent n-gram / positions."""
+        grams = base.select(
+            "doc_id",
+            F.explode(
+                shingles(F.col("__t"), k=n, distinct=False) if n > 1 else F.col("__t")
+            ).alias("__g"),
+        ).select("doc_id", F.xxhash64("__g").alias("__h"))
+        return (
+            grams.groupBy("doc_id", "__h")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("doc_id")
+            .agg(F.max("__c").alias(out))
+        )
+
+    u = gram_top_frac(1, "__top1")
+    b = gram_top_frac(2, "__top2")
+    t = gram_top_frac(3, "__top3")
+    return (
+        base.join(u, "doc_id", "left")
+        .join(b, "doc_id", "left")
+        .join(t, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__nd").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("__top1").cast("double") / F.col("n_tokens")).alias("top_unigram_frac"),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.col("__top2").cast("double") / (F.col("n_tokens") - 1),
+            ).alias("top_bigram_frac"),
+            F.when(
+                F.col("n_tokens") >= 3,
+                F.col("__top3").cast("double") / (F.col("n_tokens") - 2),
+            ).alias("top_trigram_frac"),
+        )
+    )
+
+
+def corpus_vocab(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary statistics: the top-``k`` terms by collection
+    frequency with document frequency and a deterministic rank.
+
+    The relation every tokenizer/vocab decision starts from (BPE seed
+    vocab, stopword induction, Zipf sanity checks). One explode →
+    one (term) groupBy computing cf (with multiplicity) and df
+    (distinct docs) together — a single shuffle with map-side
+    combine; the top-k is a sort-limit on the vocab-sized aggregate,
+    never on the corpus. Rank ties break (cf DESC, term ASC) so the
+    cut is reproducible across engines and runs.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # top-k first via sort-limit (TakeOrdered — per-partition heaps,
+    # no global sort of the vocab); the ranking window then runs over
+    # only k rows, so its single partition is k-bounded at any scale.
+    top = stats.orderBy(F.col("cf").desc(), F.col("term").asc()).limit(k)
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("rank", "term", "cf", "df")
+    )
