@@ -1,3 +1,4 @@
+from .bucketed import read_bucketed, write_bucketed
 from .zorder import write_zordered, zorder_value
 from .partitioned_parquet import (
     compact_parquet,
@@ -13,4 +14,6 @@ __all__ = [
     "compact_parquet",
     "write_zordered",
     "zorder_value",
+    "write_bucketed",
+    "read_bucketed",
 ]
