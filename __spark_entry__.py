@@ -563,6 +563,24 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.functions.money import money
+    from whatdropsnow_etl_spark.operators.skew import salted_join_hotkeys
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    # threshold chosen so the sf0.01 gate exercises BOTH paths (user
+    # event counts straddle ~84 there); semantics are unaffected
+    j = salted_join_hotkeys(ev, cust, ["user_id"], hot_threshold=84, n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(money("value")).cast("double").alias("sum_value"),
+    )
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import repetition_stats
 
@@ -681,6 +699,7 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORDER_KEYS: dict[str, list[str]] = {
     "repetition_stats": ["distinct_ratio", "doc_id", "n_tokens", "top_bigram_frac", "top_trigram_frac", "top_unigram_frac"],
     "corpus_vocab": ["cf", "df", "rank", "term"],
+    "skew_salted_join": ["c_mktsegment", "n_events", "sum_value"],
     "token_count": ["chars_per_token", "doc_id", "n_bpe_tokens", "n_ws_tokens"],
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
@@ -784,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never driver-verified before round 3 (incl. r3 additions)
         "repetition_stats": _repetition_stats,
         "corpus_vocab": _corpus_vocab,
+        "skew_salted_join": _salted_join,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
@@ -1549,6 +1569,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "skew_salted_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         "multimodal_decode": """
             SELECT doc_id,

@@ -299,3 +299,20 @@ def test_kmv_registers_merge(spark):
     direct = kmv_registers(df, ["g"], "u", k=64)
     assert merged.exceptAll(direct).isEmpty()
     assert direct.exceptAll(merged).isEmpty()
+
+
+def test_salted_join_hotkeys_equivalence(spark, tables):
+    from whatdropsnow_etl_spark.operators.skew import salted_join_hotkeys
+
+    ev = tables["events"].select("user_id", "value", "event_id")
+    cust = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(cust, "user_id")
+    # low threshold: every key hot; high: every key cold; mid: mixed
+    for thr in (0, 3, 10**9):
+        salted = salted_join_hotkeys(ev, cust, ["user_id"], hot_threshold=thr, n_salts=4)
+        assert salted.count() == plain.count(), thr
+        a = sorted(tuple(r) for r in salted.select("event_id", "c_mktsegment").collect())
+        b = sorted(tuple(r) for r in plain.select("event_id", "c_mktsegment").collect())
+        assert a == b, thr

@@ -79,3 +79,46 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = salted.join(replicated, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def salted_join_hotkeys(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    hot_threshold: int = 100_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inner equi-join that salts ONLY the hot keys.
+
+    ``salted_join`` replicates the entire other side ``n_salts``
+    times — correct but n_salts× the shuffle. At 100 TB the skew is
+    almost always a handful of keys, so: count the skewed side's
+    keys once (an aggregate relation, no driver action), mark keys
+    above ``hot_threshold`` hot, and route rows — cold keys take the
+    plain co-partitioned join, hot keys take the salted join with
+    the other side replicated only for those keys (hot-key set ×
+    n_salts rows, usually broadcastable). Union of the two paths is
+    row-identical to the plain inner join.
+
+    The hot-key relation is computed from data stats at plan time —
+    the same move AQE's skew-join makes at runtime, exposed as an
+    explicit operator for the cases AQE can't rewrite (e.g. the join
+    feeds a co-grouped aggregate, or the engine's split thresholds
+    don't trigger).
+    """
+    on = list(on)
+    counts = skewed.groupBy(*on).agg(F.count(F.lit(1)).alias("__kc"))
+    hot = counts.where(F.col("__kc") > hot_threshold).select(*on)
+
+    sk_tag = skewed.join(F.broadcast(hot), on, "left_semi")
+    sk_cold = skewed.join(F.broadcast(hot), on, "left_anti")
+    ot_hot = other.join(F.broadcast(hot), on, "left_semi")
+    ot_cold = other.join(F.broadcast(hot), on, "left_anti")
+
+    cold = sk_cold.join(ot_cold, on)
+    salted = sk_tag.withColumn("__salt", _salt(sk_tag, n_salts))
+    replicated = ot_hot.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    hot_joined = salted.join(replicated, [*on, "__salt"]).drop("__salt")
+    return cold.unionByName(hot_joined)
