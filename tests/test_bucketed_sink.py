@@ -27,11 +27,11 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
     lineitem = load_table(spark, SF_SMALL, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
-    write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_cols="o_orderkey")
-    write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8, sort_cols="l_orderkey")
+    write_bucketed(orders, "bk_orders", "o_orderkey", 8, sort_cols="o_orderkey")
+    write_bucketed(lineitem, "bk_lineitem", "l_orderkey", 8, sort_cols="l_orderkey")
 
-    bo = spark.table("b_orders")
-    bl = spark.table("b_lineitem")
+    bo = spark.table("bk_orders")
+    bl = spark.table("bk_lineitem")
     joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan

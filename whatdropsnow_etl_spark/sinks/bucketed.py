@@ -25,6 +25,9 @@ plan contains no Exchange, and results match the plain join.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -48,6 +51,17 @@ def write_bucketed(
         bucket_cols = [bucket_cols]
     if isinstance(sort_cols, str):
         sort_cols = [sort_cols]
+    if mode == "overwrite":
+        # saveAsTable(overwrite) replaces a *cataloged* table, but a
+        # fresh session whose warehouse dir carries an orphaned
+        # location from a previous run fails with
+        # LOCATION_ALREADY_EXISTS — drop both the entry and the dir.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     writer = (
         df.write.format("parquet")
         .mode(mode)
