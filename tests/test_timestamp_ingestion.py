@@ -48,14 +48,22 @@ def _write_events(path: str, ts_array: pa.Array) -> None:
         ("ntz_us", pa.timestamp("us")),
         ("utc_us", pa.timestamp("us", tz="UTC")),
         ("ns_int64", pa.timestamp("ns")),
+        ("date32", pa.date32()),
     ],
 )
 def test_loader_canonicalizes_all_encodings(spark, tmp_path, flavor, arrow_type):
     d = tmp_path / flavor
     d.mkdir()
-    # µs flavors can't carry sub-µs nanos; pre-truncate so the arrow
-    # cast is lossless (expected values below use //1000 either way)
-    vals = BASE_NS if arrow_type == pa.timestamp("ns") else [v // 1000 * 1000 for v in BASE_NS]
+    # µs flavors can't carry sub-µs nanos (and DATE only whole days);
+    # pre-truncate so the arrow cast is lossless (expected values
+    # below re-derive from the same truncation)
+    day_us = 86_400_000_000
+    if arrow_type == pa.timestamp("ns"):
+        vals = BASE_NS
+    elif arrow_type == pa.date32():
+        vals = [v // 1000 // day_us * day_us * 1000 for v in BASE_NS]
+    else:
+        vals = [v // 1000 * 1000 for v in BASE_NS]
     ns = pa.array(vals, pa.int64())
     _write_events(str(d / "events.parquet"), ns.cast(pa.timestamp("ns")).cast(arrow_type))
 
@@ -66,9 +74,7 @@ def test_loader_canonicalizes_all_encodings(spark, tmp_path, flavor, arrow_type)
         r["event_id"]: r["us"]
         for r in df.select("event_id", ts_micros("ts").alias("us")).collect()
     }
-    for i, raw_ns in enumerate(BASE_NS):
-        # every fixture value is either µs-aligned or positive, so
-        # floor-div == truncate-toward-zero == arrow's ns->us cast
+    for i, raw_ns in enumerate(vals):
         want_us = raw_ns // 1000
         assert got[i] == want_us, (flavor, i, got[i], want_us)
 

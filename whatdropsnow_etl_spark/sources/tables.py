@@ -83,6 +83,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # naive µs: with the session pinned to UTC this cast is a
             # pure re-tag, no wall-clock shift.
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dt == "date":
+            # a future regeneration could demote these to DATE; keep
+            # the canonical type stable (midnight UTC, matching what
+            # DuckDB's TIMESTAMP cast of a DATE does).
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
         # dt == "timestamp": already canonical.
     return df
 
