@@ -270,3 +270,42 @@ def test_upsert_sink_resolution_modes(spark, tmp_path):
     versioned.upsert(rows_new)
     versioned.upsert(rows_old)
     assert versioned.read(spark).collect()[0]["s"] == "x"
+
+
+def test_jdbc_option_building():
+    from whatdropsnow_etl_spark.sources.jdbc import (
+        JdbcTableSpec,
+        jdbc_read_options,
+        upsert_sql,
+    )
+
+    spec = JdbcTableSpec(
+        url="jdbc:postgresql://localhost:5432/wdn",
+        table="offers",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+        user="etl",
+    )
+    opts = jdbc_read_options(spec)
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "32"
+    assert opts["fetchsize"] == "10000"
+    assert "password" not in opts
+
+    # partitioning requires bounds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        jdbc_read_options(
+            JdbcTableSpec(url="jdbc:x", table="t", partition_column="id")
+        )
+
+    sql = upsert_sql("offers", "offers_stage", ["id"], ["price", "updated_at"])
+    assert sql == (
+        "INSERT INTO offers (id, price, updated_at) "
+        "SELECT id, price, updated_at FROM offers_stage "
+        "ON CONFLICT (id) DO UPDATE SET "
+        "price = excluded.price, updated_at = excluded.updated_at"
+    )
