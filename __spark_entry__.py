@@ -563,6 +563,12 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
 def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.functions.money import money
     from whatdropsnow_etl_spark.operators.skew import salted_join_hotkeys
@@ -700,6 +706,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "repetition_stats": ["distinct_ratio", "doc_id", "n_tokens", "top_bigram_frac", "top_trigram_frac", "top_unigram_frac"],
     "corpus_vocab": ["cf", "df", "rank", "term"],
     "skew_salted_join": ["c_mktsegment", "n_events", "sum_value"],
+    "bpe_merges": ["left", "merge_rank", "pair_count", "right"],
     "token_count": ["chars_per_token", "doc_id", "n_bpe_tokens", "n_ws_tokens"],
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
@@ -804,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "corpus_vocab": _corpus_vocab,
         "skew_salted_join": _salted_join,
+        "bpe_merges": _bpe_merges,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,

@@ -432,3 +432,56 @@ def test_corpus_vocab_zipf_contract(tables):
     assert cfs == sorted(cfs, reverse=True)
     for r in out:
         assert 1 <= r["df"] <= r["cf"]
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Pure-Python reference BPE (same tiebreak: count DESC, pair ASC)."""
+    import collections
+
+    vocab = {}
+    for w, f in word_freqs.items():
+        vocab[tuple(list(w) + ["</w>"])] = vocab.get(tuple(list(w) + ["</w>"]), 0) + f
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((rank, a, b, c))
+        new = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_merges_match_reference(spark, tables):
+    import collections
+
+    from whatdropsnow_etl_spark.operators.bpe import bpe_merges
+
+    docs = tables["documents"].where(F.col("doc_id") < 60)
+    freqs = collections.Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].lower().split(" "):
+            if w:
+                freqs[w] += 1
+    want = _ref_bpe(freqs, 8)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == want

@@ -54,6 +54,7 @@ PYTHON_OK = {
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
     "ann_ivf_trained",  # same kernels + k-means assign
+    "bpe_merges",  # per-word merge application (sequential per word)
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must
@@ -64,6 +65,8 @@ EAGER_OK = {
     # k-means training is a driver-looped fixpoint; each Lloyd's
     # round legitimately runs assign/update jobs at construction
     "ann_ivf_trained",
+    # BPE merge learning: one argmax row collected per round
+    "bpe_merges",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {

@@ -1,0 +1,122 @@
+"""Distributed BPE merge training (Sennrich et al., 2016).
+
+The tokenizer-training step an LLM data pipeline runs over its
+cleaned corpus. Spark-first shape:
+
+1. ONE pass over the corpus builds the word-frequency histogram —
+   the only corpus-sized operation. BPE statistics are a function of
+   the histogram, not the corpus (every standard trainer does this),
+   so a 100 TB corpus reduces to a vocab-sized relation (~1e6-1e8
+   rows) before any iteration starts.
+2. Each of the ``n_merges`` rounds counts adjacent symbol pairs
+   weighted by word count (explode → groupBy(pair) → sum, map-side
+   combined), takes the argmax with a deterministic tiebreak
+   (count DESC, pair ASC), and applies the merge to the symbol
+   arrays. The argmax is ONE row collected per round — the merge
+   table IS the model, mirroring the kmeans codebook contract.
+3. Merge application is per-word sequential (positions shift as
+   pairs fuse) over arrays that are at most a few dozen symbols, so
+   it runs as an Arrow-batched pandas UDF — the sanctioned Python
+   path for short-sequence logic HOF lambdas cannot express
+   (a lambda cannot look ahead at the next element).
+
+The histogram is localCheckpointed once and each round's result
+replaces it, so round N+1 never re-derives rounds 1..N's lineage.
+
+Iterative fixpoint — no SQL oracle (rows-only driver check, like
+ann_ivf_trained); correctness is pinned by pytest against a pure-
+Python reference BPE on the same corpus (exact merge sequence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+END = "</w>"
+
+
+def _merge_udf(a: str, b: str):
+    """Fuse every non-overlapping (a, b) occurrence, left to right —
+    the same scan order every reference BPE implementation uses."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _apply(col):
+        def one(syms):
+            out = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return col.map(one)
+
+    _apply.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_apply, "array<string>")
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges; returns one row per
+    merge: (merge_rank BIGINT, left STRING, right STRING,
+    pair_count BIGINT), in learned order."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""),  # chars
+                F.array(F.lit(END)),
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    learned: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "i", "a"
+                ),
+                F.col("syms"),
+                F.col("freq"),
+            )
+            .select(
+                F.col("a"),
+                F.element_at("syms", F.col("i") + 2).alias("b"),
+                "freq",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        learned.append((rank, a, b, c))
+        words = words.select(
+            _merge_udf(a, b)(F.col("syms")).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        learned, "merge_rank bigint, left string, right string, pair_count bigint"
+    )
