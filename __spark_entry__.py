@@ -563,6 +563,17 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import (
+        incremental_dedup_minhash,
+        minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = minhash_band_index(docs.where(F.col("doc_id") % 5 != 0))
+    return incremental_dedup_minhash(docs.where(F.col("doc_id") % 5 == 0), index)
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators.bpe import bpe_merges
 
@@ -707,6 +718,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "corpus_vocab": ["cf", "df", "rank", "term"],
     "skew_salted_join": ["c_mktsegment", "n_events", "sum_value"],
     "bpe_merges": ["left", "merge_rank", "pair_count", "right"],
+    "incremental_dedup": ["batch_doc", "index_doc", "n_shared_bands"],
     "token_count": ["chars_per_token", "doc_id", "n_bpe_tokens", "n_ws_tokens"],
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
@@ -812,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": _corpus_vocab,
         "skew_salted_join": _salted_join,
         "bpe_merges": _bpe_merges,
+        "incremental_dedup": _incremental_dedup,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
@@ -922,6 +935,37 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         JOIN bands b ON a.band = b.band AND a.key = b.key
                     AND a.doc_id < b.doc_id
         GROUP BY doc_a, doc_b
+    """
+
+
+def _minhash_incremental_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Same signature/band CTEs as _minhash_oracle, but crossing the
+    batch partition (doc_id % 5 = 0) against the index partition."""
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5(s || '#{i}')) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key="||".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ), sig AS (
+          SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
+        ), bands AS ({band_selects})
+        SELECT b.doc_id AS batch_doc, i.doc_id AS index_doc,
+               COUNT(*) AS n_shared_bands
+        FROM bands i
+        JOIN bands b ON i.band = b.band AND i.key = b.key
+        WHERE b.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+        GROUP BY batch_doc, index_doc
     """
 
 
@@ -1492,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "dedup_minhash_lsh": _minhash_oracle(16, 4),
+        "incremental_dedup": _minhash_incremental_oracle(16, 4),
         "dedup_simhash": _simhash_oracle(32, 3),
         "ann_cosine_topk": """
             WITH q AS (

@@ -485,3 +485,29 @@ def test_bpe_merges_match_reference(spark, tables):
         for r in bpe_merges(docs, n_merges=8).orderBy("merge_rank").collect()
     ]
     assert got == want
+
+
+def test_incremental_dedup_matches_full_lsh(tables):
+    from whatdropsnow_etl_spark.operators import (
+        incremental_dedup_minhash,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = tables["documents"]
+    index_docs = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    idx = minhash_band_index(index_docs)
+    got = {
+        (r["batch_doc"], r["index_doc"]): r["n_shared_bands"]
+        for r in incremental_dedup_minhash(batch, idx).collect()
+    }
+    # ground truth: full-corpus LSH pairs restricted to cross pairs
+    want = {}
+    for r in minhash_lsh_pairs(docs).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 5 == 0 and b % 5 != 0:
+            want[(a, b)] = r["n_shared_bands"]
+        elif b % 5 == 0 and a % 5 != 0:
+            want[(b, a)] = r["n_shared_bands"]
+    assert got == want

@@ -6,6 +6,8 @@ from .dedup import (
     dedup_clusters,
     dedup_exact,
     editdist_pairs,
+    incremental_dedup_minhash,
+    minhash_band_index,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -99,6 +101,8 @@ __all__ = [
     "lang_id_confusion",
     "quality_score",
     "token_count",
+    "minhash_band_index",
+    "incremental_dedup_minhash",
     "repetition_stats",
     "corpus_vocab",
 ]

@@ -308,6 +308,29 @@ def minhash_lsh_pairs(
     handles the join-side; pathological buckets can be capped the
     same way ngram_jaccard_pairs caps hot shingles.
     """
+    buckets = minhash_band_index(df, text_col, id_col, k, num_hashes, bands)
+    grouped = buckets.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__docs")
+    )
+    return (
+        _expand_sorted_pairs(grouped)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The persistable LSH index relation: one (doc_id, band, key)
+    row per (doc, band). At 100 TB this is what lives on disk
+    (bucketed by (band, key)) between ingestion batches — the corpus
+    text is never re-shingled to serve a new batch's dedup probe."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     band_structs = F.array(
@@ -321,15 +344,43 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select(
+    return sig.select(
         F.col("doc_id"), F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    grouped = buckets.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("__docs")
+
+
+def incremental_dedup_minhash(
+    batch: DataFrame,
+    index_buckets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup probe: which NEW docs collide with the
+    EXISTING corpus — the production shape of dedup at 100 TB, where
+    re-running all-pairs per ingestion batch is impossible.
+
+    ``index_buckets`` is a :func:`minhash_band_index` relation (built
+    once, persisted, appended per batch). The new batch is shingled/
+    signed fresh (it's batch-sized), its band keys are broadcast into
+    the index join — so the probe costs one scan of the index's
+    matching buckets and ZERO corpus text re-processing. Output:
+    (batch_doc, index_doc, n_shared_bands), batch-vs-index pairs
+    only; fold the batch's own bucket rows into the index afterward
+    to cover future batches (new-vs-new dups surface then, or via
+    minhash_lsh_pairs over the batch alone).
+    """
+    bb = minhash_band_index(batch, text_col, id_col, k, num_hashes, bands).select(
+        F.col("doc_id").alias("batch_doc"), "band", "key"
+    )
+    idx = index_buckets.select(
+        F.col("doc_id").alias("index_doc"), "band", "key"
     )
     return (
-        _expand_sorted_pairs(grouped)
-        .groupBy("doc_a", "doc_b")
+        idx.join(F.broadcast(bb), ["band", "key"])
+        .groupBy("batch_doc", "index_doc")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
