@@ -550,3 +550,62 @@ def test_streaming_hll_register_merge_equals_batch(spark, tables, events_json_di
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_incremental_dedup_grows_index(spark, tables, tmp_path):
+    """Per-micro-batch dedup probe against the growing band index:
+    after draining the stream, (a) the matches are exactly the
+    full-corpus LSH pairs whose two docs arrived in DIFFERENT
+    micro-batches (directed later->earlier), and (b) the store holds
+    every doc's bucket rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from whatdropsnow_etl_spark.operators import minhash_lsh_pairs
+    from whatdropsnow_etl_spark.streaming.incremental_dedup import (
+        probe_and_grow_index,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    src = str(tmp_path / "docs_json")
+    docs = tables["documents"].select("doc_id", "text")
+    # deterministic 3-way batch split, one file per micro-batch
+    for part in range(3):
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    store = str(tmp_path / "band_index")
+    matches_dir = str(tmp_path / "matches")
+    stream = (
+        spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe_and_grow_index(store, matches_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt_incdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # (b) the store ends holding 4 bucket rows per doc (bands=4)
+    index = spark.read.parquet(store)
+    assert index.count() == docs.count() * 4
+
+    # (a) matches == cross-batch LSH pairs; batch order follows file
+    # arrival, so recover each doc's batch from the matches' batch_id
+    # of its own arrival... simpler: check SET equality undirected.
+    got = {
+        tuple(sorted((r["batch_doc"], r["index_doc"])))
+        for r in spark.read.parquet(matches_dir).collect()
+    }
+    want = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in minhash_lsh_pairs(docs).collect()
+        if r["doc_a"] % 3 != r["doc_b"] % 3  # different micro-batches
+    }
+    assert got == want
