@@ -563,6 +563,14 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import (
         incremental_dedup_minhash,
@@ -719,6 +727,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "skew_salted_join": ["c_mktsegment", "n_events", "sum_value"],
     "bpe_merges": ["left", "merge_rank", "pair_count", "right"],
     "incremental_dedup": ["batch_doc", "index_doc", "n_shared_bands"],
+    "chunk_documents": ["chunk_idx", "chunk_text", "doc_id", "n_tokens"],
     "token_count": ["chars_per_token", "doc_id", "n_bpe_tokens", "n_ws_tokens"],
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
@@ -825,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _salted_join,
         "bpe_merges": _bpe_merges,
         "incremental_dedup": _incremental_dedup,
+        "chunk_documents": _chunk_documents,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
@@ -1537,6 +1547,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(16, 4),
         "incremental_dedup": _minhash_incremental_oracle(16, 4),
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s // 56 AS BIGINT) AS chunk_idx,
+                   array_to_string(t[s+1 : s+64], ' ') AS chunk_text,
+                   CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
+            FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 56)) AS u(s)
+        """,
         "dedup_simhash": _simhash_oracle(32, 3),
         "ann_cosine_topk": """
             WITH q AS (

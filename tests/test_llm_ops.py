@@ -511,3 +511,36 @@ def test_incremental_dedup_matches_full_lsh(tables):
         elif b % 5 == 0 and a % 5 != 0:
             want[(b, a)] = r["n_shared_bands"]
     assert got == want
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark, tables):
+    from whatdropsnow_etl_spark.operators import chunk_documents
+
+    out = chunk_documents(tables["documents"], chunk_tokens=16, overlap=4)
+    rows = out.orderBy("doc_id", "chunk_idx").collect()
+    src = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in tables["documents"].select("doc_id", "text").collect()
+    }
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    stride = 12
+    for doc_id, toks in src.items():
+        chunks = by_doc[doc_id]
+        # chunk_idx dense from 0; every start < n_tokens
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert (len(toks) - 1) // stride + 1 == len(chunks)
+        for c in chunks:
+            s = c["chunk_idx"] * stride
+            want = toks[s : s + 16]
+            assert c["chunk_text"].split(" ") == want
+            assert c["n_tokens"] == len(want)
+        # consecutive chunks overlap by exactly 4 tokens (when full)
+        for a, b in zip(chunks, chunks[1:]):
+            at = a["chunk_text"].split(" ")
+            bt = b["chunk_text"].split(" ")
+            if len(at) == 16:
+                assert at[-4:] == bt[:4]

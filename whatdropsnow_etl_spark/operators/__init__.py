@@ -43,6 +43,7 @@ from .similarity import (
     embedding_dedup_pairs,
 )
 from .textops import (
+    chunk_documents,
     corpus_vocab,
     doc_fingerprint,
     lang_id_confusion,
@@ -105,4 +106,5 @@ __all__ = [
     "incremental_dedup_minhash",
     "repetition_stats",
     "corpus_vocab",
+    "chunk_documents",
 ]

@@ -351,3 +351,49 @@ def corpus_vocab(
         top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("rank", "term", "cf", "df")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into token-bounded chunks with overlap — the
+    packing step before tokenization in a training-data pipeline
+    (context-window-sized pieces, overlap preserving cross-boundary
+    n-grams for dedup/retrieval).
+
+    Chunk i starts at token ``i * (chunk_tokens - overlap)`` and
+    carries up to ``chunk_tokens`` tokens; every start strictly
+    inside the doc emits a chunk, so short tails are kept (training
+    pipelines drop them downstream by ``n_tokens`` if desired).
+
+    Pure column expressions: ONE tokenization, starts via
+    ``sequence``, slices via ``transform``+``slice`` — no shuffle at
+    all (a map-only operator; output partitioning follows input), no
+    Python. Emits (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("bigint").alias("idx"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("txt"),
+            F.least(F.lit(chunk_tokens), n - s).cast("bigint").alias("nt"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.idx").alias("chunk_idx"),
+        F.col("c.txt").alias("chunk_text"),
+        F.col("c.nt").alias("n_tokens"),
+    )
