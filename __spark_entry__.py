@@ -563,6 +563,17 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+MIX_WEIGHTS = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def _source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import source_mix_sample
+
+    return source_mix_sample(
+        load_table(spark, sf_dir, "documents"), MIX_WEIGHTS, default_rate=0.1
+    )
+
+
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import chunk_documents
 
@@ -728,6 +739,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bpe_merges": ["left", "merge_rank", "pair_count", "right"],
     "incremental_dedup": ["batch_doc", "index_doc", "n_shared_bands"],
     "chunk_documents": ["chunk_idx", "chunk_text", "doc_id", "n_tokens"],
+    "source_mix_sample": ["doc_id", "source"],
     "token_count": ["chars_per_token", "doc_id", "n_bpe_tokens", "n_ws_tokens"],
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
@@ -835,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "incremental_dedup": _incremental_dedup,
         "chunk_documents": _chunk_documents,
+        "source_mix_sample": _source_mix_sample,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
@@ -1547,6 +1560,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(16, 4),
         "incremental_dedup": _minhash_incremental_oracle(16, 4),
+        "source_mix_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE source
+                    WHEN 'src0' THEN 'e6666666'
+                    WHEN 'src1' THEN '80000000'
+                    WHEN 'src2' THEN '40000000'
+                    WHEN 'src3' THEN '00000000'
+                    ELSE '19999999'
+                  END
+        """,
         "chunk_documents": """
             WITH toks AS (
               SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

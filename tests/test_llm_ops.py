@@ -544,3 +544,32 @@ def test_chunk_documents_reconstructs_and_overlaps(spark, tables):
             bt = b["chunk_text"].split(" ")
             if len(at) == 16:
                 assert at[-4:] == bt[:4]
+
+
+def test_source_mix_sample_deterministic_and_rated(spark, tables):
+    from whatdropsnow_etl_spark.operators import source_mix_sample
+
+    docs = tables["documents"]
+    weights = {"src0": 1.0, "src1": 0.0}
+    out = source_mix_sample(docs, weights, default_rate=0.5)
+    rows = out.collect()
+    kept_by_src = {}
+    for r in rows:
+        kept_by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # rate 1.0 keeps every doc, rate 0.0 keeps none
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    assert len(kept_by_src.get("src0", ())) == n_src0
+    assert "src1" not in kept_by_src
+    # deterministic: a second run returns the identical set
+    again = {
+        (r["doc_id"], r["source"])
+        for r in source_mix_sample(docs, weights, default_rate=0.5).collect()
+    }
+    assert {(r["doc_id"], r["source"]) for r in rows} == again
+    # membership is stable under corpus growth: restricting the input
+    # cannot change any doc's keep/drop decision
+    sub = source_mix_sample(
+        docs.where(F.col("doc_id") % 2 == 0), weights, default_rate=0.5
+    )
+    sub_set = {(r["doc_id"], r["source"]) for r in sub.collect()}
+    assert sub_set == {(d, s) for d, s in again if d % 2 == 0}

@@ -1,7 +1,7 @@
 from .asof import asof_join
 from .cdc import cdc_apply, scd2_history
 from .corpus import bigram_surprisal, decontaminate_ngrams
-from .sampling import stratified_sample_by_quality
+from .sampling import source_mix_sample, stratified_sample_by_quality
 from .dedup import (
     dedup_clusters,
     dedup_exact,
@@ -107,4 +107,5 @@ __all__ = [
     "repetition_stats",
     "corpus_vocab",
     "chunk_documents",
+    "source_mix_sample",
 ]

@@ -52,3 +52,43 @@ def stratified_sample_by_quality(
         .where(F.col("rn") <= k_per_band)
         .select(id_col, "band", "quality")
     )
+
+
+def _rate_hex(rate: float) -> str:
+    """The 8-hex-char threshold whose lexicographic compare against
+    substr(md5(id), 1, 8) keeps exactly `rate` of a uniform hash.
+    String compare of lowercase hex == numeric compare, and behaves
+    identically in every engine — no hex parsing required."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def source_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic Bernoulli mixing: keep each doc with its
+    source's target rate — how training mixtures are rebalanced
+    (upweight curated sources, downsample crawl).
+
+    Membership is a pure per-row predicate on md5(id) vs a per-source
+    hex threshold: no shuffle, no window, no RNG state — the sample
+    is reproducible across engines/runs/partitionings, and the SAME
+    doc stays in or out as the corpus grows (stable under append,
+    unlike fraction-of-partition sampling). Pushed down to the scan
+    where the source column allows row-group skipping.
+    """
+    frac = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    rate = None
+    for src, r in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        branch = F.lit(_rate_hex(r))
+        rate = F.when(cond, branch) if rate is None else rate.when(cond, branch)
+    rate = F.lit(_rate_hex(default_rate)) if rate is None else rate.otherwise(
+        F.lit(_rate_hex(default_rate))
+    )
+    return df.where(frac < rate).select(id_col, source_col)
