@@ -305,3 +305,35 @@ def test_editdist_pairs_match_bruteforce(spark, texts):
             if d <= max_dist:
                 want.add((ai, aj, d))
     assert got == want
+
+
+@given(
+    rate=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50, unique=True),
+)
+@settings(max_examples=50, deadline=None)
+def test_rate_hex_threshold_monotone(rate, ids):
+    """_rate_hex: lexicographic compare of md5-prefix vs threshold is
+    monotone in the rate and brackets the exact fraction."""
+    import hashlib
+
+    from whatdropsnow_etl_spark.operators.sampling import _rate_hex
+
+    hx = _rate_hex(rate)
+    assert len(hx) == 8
+    kept = sum(
+        1 for i in ids if hashlib.md5(str(i).encode()).hexdigest()[:8] < hx
+    )
+    assert 0 <= kept <= len(ids)
+    if rate == 0.0:
+        assert kept == 0
+    if rate == 1.0:
+        # threshold is ffffffff; only an id hashing to exactly ffffffff
+        # would be dropped (probability 2^-32)
+        assert kept >= len(ids) - 1
+    # monotone: a higher rate never keeps fewer
+    hx2 = _rate_hex(min(1.0, rate + 0.25))
+    kept2 = sum(
+        1 for i in ids if hashlib.md5(str(i).encode()).hexdigest()[:8] < hx2
+    )
+    assert kept2 >= kept
