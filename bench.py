@@ -50,8 +50,19 @@ def main() -> None:
         _pudf(_warm, "double")(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
 
+    # Optional subset/skip for scale studies: bench.py [skip:a,b | only:a,b]
+    only: set[str] = set()
+    skip: set[str] = set()
+    for arg in sys.argv[1:]:
+        if arg.startswith("only:"):
+            only |= set(arg[5:].split(","))
+        elif arg.startswith("skip:"):
+            skip |= set(arg[5:].split(","))
+
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        if (only and name not in only) or name in skip:
+            continue
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)

@@ -316,3 +316,28 @@ def test_salted_join_hotkeys_equivalence(spark, tables):
         a = sorted(tuple(r) for r in salted.select("event_id", "c_mktsegment").collect())
         b = sorted(tuple(r) for r in plain.select("event_id", "c_mktsegment").collect())
         assert a == b, thr
+
+
+def test_editdist_band_cap(spark, tables):
+    from whatdropsnow_etl_spark.operators import editdist_pairs
+
+    docs = tables["documents"].select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    base = {
+        (r["lo"], r["hi"]) for r in editdist_pairs(docs, max_dist=8).collect()
+    }
+    # a cap far above any band population changes nothing
+    same = {
+        (r["lo"], r["hi"])
+        for r in editdist_pairs(docs, max_dist=8, max_band_docs=10**6).collect()
+    }
+    assert same == base
+    # cap 0 drops every block -> no pairs
+    assert editdist_pairs(docs, max_dist=8, max_band_docs=0).count() == 0
+    # a mid cap yields a subset
+    sub = {
+        (r["lo"], r["hi"])
+        for r in editdist_pairs(docs, max_dist=8, max_band_docs=5).collect()
+    }
+    assert sub <= base

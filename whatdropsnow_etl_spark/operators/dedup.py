@@ -771,6 +771,7 @@ def editdist_pairs(
     text_col: str = "text",
     lang_col: str = "lang",
     len_col: str = "n_chars",
+    max_band_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by Levenshtein distance, length-banded.
 
@@ -827,6 +828,20 @@ def editdist_pairs(
         F.floor(F.col(len_col) / band_width).alias("band"),
         hist.alias("h"),
     ).repartition("lg", "band")
+    if max_band_docs is not None:
+        # candidate volume grows quadratically with band population —
+        # at corpus scale, oversized (lang, band) blocks must be capped
+        # or the join explodes no matter how cheap the per-pair gate
+        # is. Dropping a block is a DOCUMENTED approximation (those
+        # docs get no editdist pairs); the exact-output default keeps
+        # this off so the oracle twin stays parity-exact.
+        keep = (
+            d.groupBy("lg", "band")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") <= max_band_docs)
+            .select("lg", "band")
+        )
+        d = d.join(F.broadcast(keep), ["lg", "band"], "left_semi")
     right = d.select(
         F.col("id").alias("rid"),
         F.col("txt").alias("rtxt"),
