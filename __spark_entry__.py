@@ -835,10 +835,13 @@ def _with_presentation_order(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate checks only
     # the FIRST 50 entries, so queries with no prior driver signal come
-    # first — (a) the 28 entries never inside the r1/r2 windows, then
-    # (b) the queries that ERRed or hash-failed in r2 (NTZ / ordering
-    # fixes needing confirmation). Previously driver-green queries fill
-    # the tail; local parity (tools/parity_check.py) still covers all.
+    # first — (a) the 28 entries never inside the r1/r2 windows plus
+    # every r3 addition (35 total), then (b) the 7 queries that ERRed
+    # or hash-failed in r2 (NTZ / ordering fixes needing confirmation).
+    # (a)+(b) = 42 of the 50 slots; keep future additions BELOW block
+    # (b) once the window is full, or (b) loses its re-verification.
+    # Previously driver-green queries fill the tail; local parity
+    # (tools/parity_check.py) still covers all.
     base = {
         # (a) never driver-verified before round 3 (incl. r3 additions)
         "repetition_stats": _repetition_stats,
