@@ -309,3 +309,51 @@ def test_jdbc_option_building():
         "ON CONFLICT (id) DO UPDATE SET "
         "price = excluded.price, updated_at = excluded.updated_at"
     )
+
+
+def test_register_views_sql_join(spark):
+    from whatdropsnow_etl_spark.sources.catalog import register_views
+    from tests.conftest import SF_SMALL
+
+    names = register_views(spark, SF_SMALL)
+    assert "lineitem" in names and "orders" in names
+    got = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    ).collect()
+    assert len(got) == 5 and all(r["n"] > 0 for r in got)
+    # the view carries the canonicalized timestamp type
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_file_format_roundtrips(spark, tables, tmp_path):
+    from whatdropsnow_etl_spark.sources.files import (
+        read_csv,
+        read_jsonl,
+        read_orc,
+        write_orc,
+    )
+
+    docs = tables["documents"].select("doc_id", "lang", "n_chars")
+    schema = "doc_id bigint, lang string, n_chars bigint"
+
+    csv_p = str(tmp_path / "docs_csv")
+    docs.write.option("header", "true").csv(csv_p)
+    assert sorted(map(tuple, read_csv(spark, csv_p, schema).collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+    jl_p = str(tmp_path / "docs_jsonl")
+    docs.write.json(jl_p)
+    assert read_jsonl(spark, jl_p, schema).count() == docs.count()
+
+    orc_p = str(tmp_path / "docs_orc")
+    write_orc(docs, orc_p)
+    back = read_orc(spark, orc_p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # ORC pushes filters like parquet
+    plan = back.where(F.col("n_chars") > 200)._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]" in plan

@@ -1,0 +1,52 @@
+"""Generic file-format sources: schema-enforced CSV / JSON-lines /
+ORC readers.
+
+The reference ingests JSON API pages; real pipelines also land CSV
+drops and columnar ORC. Common discipline for all three:
+
+- ALWAYS pass an explicit schema. Inference scans the data once
+  extra (the whole file for JSON/CSV) and can silently drift types
+  between runs — at 100 TB both are unacceptable. `mode=FAILFAST`
+  surfaces corrupt rows at read time instead of nulling them.
+- CSV/JSON are row formats: no column pruning or predicate pushdown
+  reaches the file, so the pattern is land → convert to parquet
+  (`sinks/partitioned_parquet.py`) once, query columnar forever.
+  ORC is columnar with the same pushdown machinery as parquet and
+  needs no conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC carries its schema; filters/pruning push down like parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
