@@ -582,6 +582,15 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+    return pack_chunks(chunks, budget_tokens=256, n_groups=16)
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import (
         incremental_dedup_minhash,
@@ -740,6 +749,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "incremental_dedup": ["batch_doc", "index_doc", "n_shared_bands"],
     "chunk_documents": ["chunk_idx", "chunk_text", "doc_id", "n_tokens"],
     "source_mix_sample": ["doc_id", "source"],
+    "pack_chunks": ["chunk_idx", "doc_id", "n_tokens", "pack_id"],
     "token_count": ["chars_per_token", "doc_id", "n_bpe_tokens", "n_ws_tokens"],
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
@@ -851,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _incremental_dedup,
         "chunk_documents": _chunk_documents,
         "source_mix_sample": _source_mix_sample,
+        "pack_chunks": _pack_chunks,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,

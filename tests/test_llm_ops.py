@@ -573,3 +573,32 @@ def test_source_mix_sample_deterministic_and_rated(spark, tables):
     )
     sub_set = {(r["doc_id"], r["source"]) for r in sub.collect()}
     assert sub_set == {(d, s) for d, s in again if d % 2 == 0}
+
+
+def test_pack_chunks_invariants(spark, tables):
+    from whatdropsnow_etl_spark.operators import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(tables["documents"], chunk_tokens=16, overlap=4)
+    budget = 48
+    packed = pack_chunks(chunks, budget_tokens=budget, n_groups=8)
+    rows = packed.collect()
+    # every chunk assigned exactly once
+    assert len(rows) == chunks.count()
+    assert len({(r["doc_id"], r["chunk_idx"]) for r in rows}) == len(rows)
+    # no pack exceeds the budget unless it is a single oversized chunk
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r["pack_id"]].append(r["n_tokens"])
+    for sizes in packs.values():
+        assert sum(sizes) <= budget or len(sizes) == 1
+    # deterministic across runs
+    again = {
+        (r["pack_id"], r["doc_id"], r["chunk_idx"])
+        for r in pack_chunks(chunks, budget_tokens=budget, n_groups=8).collect()
+    }
+    assert {(r["pack_id"], r["doc_id"], r["chunk_idx"]) for r in rows} == again
+    # packing is dense: average fill of multi-chunk packs is high
+    fills = [sum(s) / budget for s in packs.values() if sum(s) <= budget]
+    assert sum(fills) / len(fills) > 0.5

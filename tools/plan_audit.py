@@ -55,6 +55,7 @@ PYTHON_OK = {
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
     "ann_ivf_trained",  # same kernels + k-means assign
     "bpe_merges",  # per-word merge application (sequential per word)
+    "pack_chunks",  # per-group greedy packing (inherently sequential)
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must

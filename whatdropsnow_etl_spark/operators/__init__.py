@@ -44,6 +44,7 @@ from .similarity import (
 )
 from .textops import (
     chunk_documents,
+    pack_chunks,
     corpus_vocab,
     doc_fingerprint,
     lang_id_confusion,
@@ -108,4 +109,5 @@ __all__ = [
     "corpus_vocab",
     "chunk_documents",
     "source_mix_sample",
+    "pack_chunks",
 ]

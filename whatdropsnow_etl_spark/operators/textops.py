@@ -397,3 +397,61 @@ def chunk_documents(
         F.col("c.txt").alias("chunk_text"),
         F.col("c.nt").alias("n_tokens"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 256,
+    n_groups: int = 64,
+    doc_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: assign chunks to fixed-token-budget
+    packs — the step between chunking and tokenization that keeps
+    training batches dense (unpacked short tails waste context).
+
+    Global bin packing is inherently sequential, so the distributed
+    formulation packs WITHIN deterministic groups: chunks hash-group
+    by doc (``pmod(xxhash64(doc_id), n_groups)`` — a doc's chunks
+    stay together), each group packs greedily in (doc, chunk) order
+    via applyInPandas, and pack ids are namespaced by group. One
+    shuffle; group populations are ~N/n_groups (raise ``n_groups``
+    with corpus size); waste vs global packing is at most one
+    partial pack per group.
+
+    Deterministic: same inputs → same packs, any partitioning, any
+    engine run. Output: one row per chunk (pack_id, doc_id,
+    chunk_idx, n_tokens); a chunk larger than the budget gets a pack
+    of its own (never split, never dropped).
+    """
+    import pandas as pd
+
+    src = chunks.select(
+        F.col(doc_col),
+        F.col(idx_col),
+        F.col(tokens_col),
+        F.pmod(F.xxhash64(F.col(doc_col)), F.lit(n_groups)).alias("__g"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([doc_col, idx_col])
+        gid = int(pdf["__g"].iloc[0])
+        pack_ids = []
+        cur, acc = 0, 0
+        for nt in pdf[tokens_col]:
+            if acc > 0 and acc + nt > budget_tokens:
+                cur += 1
+                acc = 0
+            acc += int(nt)
+            pack_ids.append(f"{gid}-{cur}")
+        out = pdf.assign(pack_id=pack_ids)
+        return out[["pack_id", doc_col, idx_col, tokens_col]]
+
+    return src.groupBy("__g").applyInPandas(
+        pack,
+        schema=(
+            f"pack_id string, {doc_col} bigint, {idx_col} bigint,"
+            f" {tokens_col} bigint"
+        ),
+    )
