@@ -844,68 +844,19 @@ def _with_presentation_order(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate checks only
-    # the FIRST 50 entries, so queries with no prior driver signal come
-    # first — (a) the 28 entries never inside the r1/r2 windows plus
-    # every r3 addition (35 total), then (b) the 7 queries that ERRed
-    # or hash-failed in r2 (NTZ / ordering fixes needing confirmation).
-    # (a)+(b) = 42 of the 50 slots; keep future additions BELOW block
-    # (b) once the window is full, or (b) loses its re-verification.
-    # Previously driver-green queries fill the tail; local parity
-    # (tools/parity_check.py) still covers all.
+    # the FIRST 50 entries. Round-4 rotation: (a) the two r3 hash
+    # failures whose oracles were fixed this round (HUGEINT→BIGINT
+    # casts), (b) the 36 queries green in r2 but rotated out of the r3
+    # window (no fresh signal on regenerated data), (c) new r4
+    # additions, (d) r3-green fill. Rows-only (no-oracle) entries sit
+    # at the very back so no gate slot is spent on a guaranteed
+    # `no_oracle` row. Block sizes are asserted, not hand-counted:
+    # tests/test_entry_contract.py::test_gate_window_composition.
     base = {
-        # (a) never driver-verified before round 3 (incl. r3 additions)
-        "repetition_stats": _repetition_stats,
-        "corpus_vocab": _corpus_vocab,
-        "skew_salted_join": _salted_join,
-        "bpe_merges": _bpe_merges,
-        "incremental_dedup": _incremental_dedup,
-        "chunk_documents": _chunk_documents,
-        "source_mix_sample": _source_mix_sample,
-        "pack_chunks": _pack_chunks,
-        "token_count": _token_count,
-        "doc_fingerprint": _doc_fingerprint,
-        "multimodal_decode": _multimodal,
-        "multimodal_resize": _multimodal_resize,
-        "multimodal_frame_sample": _multimodal_frames,
-        "ann_ivf_topk": _ann_ivf,
-        "curation_funnel": _curation_funnel,
-        "skew_salted_agg": _salted_agg,
-        "pivot_qty_by_status": _pivot_qty,
-        "cube_qty_summary": _cube_qty,
-        "exact_quantiles": _exact_quantiles,
-        "interval_overlap": _interval_overlap,
-        "dedup_editdist": _editdist_pairs,
-        "hll_distinct_users": _hll_distinct,
-        "window_funcs_battery": _window_battery,
-        "customer_order_sets": _customer_sets,
-        "calendar_rollup": _calendar_rollup,
-        "grouping_sets_summary": _grouping_sets,
-        "ann_ivf_trained": _ann_ivf_trained,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "kmv_distinct_users": _kmv_distinct_users,
-        "profile_events": _profile_events,
-        "session_window_native": _session_window_native,
-        "cdc_apply": _cdc_apply,
-        "scd2_history": _scd2_history,
-        "decontaminate_ngrams": _decontaminate,
-        "bigram_surprisal": _bigram_surprisal,
-        # (b) broken in r2 (ERR or hash) — fixed this round, re-verify
-        "upsert_latest": _upsert_latest,
-        "paginate": _paginate,
-        "asof_last_purchase": _asof_last_purchase,
-        "window_moving_avg": _window_moving_avg,
-        "sessionize": _sessionize,
+        # (a) oracle type fix this round — re-verify first
         "q12_shipping_delay": _q12,
-        "q20_heavy_suppliers": _q20,
-        # (c) driver-green in r2
-        "flagship_segmentation": _flagship,
-        "incremental_antijoin": _incremental_antijoin,
-        "fk_integrity": _fk_integrity,
-        "json_normalize": _json_normalize,
-        "ilike_search": _ilike_search,
-        "resource_cascade": _resource_cascade,
-        "multi_currency": _multi_currency,
+        "profile_events": _profile_events,
+        # (b) r2-green, rotated out of the r3 gate window
         "q1_pricing_summary": _q1,
         "q3_topk_revenue": _q3,
         "q5_region_volume": _q5,
@@ -942,6 +893,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _embedding_dedup,
         "lang_id": _lang_id,
         "quality_score": _quality,
+        # (c) new in r4 — first driver signal
+        # (d) r3-green fill (first ~12 land inside the 50-slot window;
+        # queries whose implementation changed this round lead)
+        "dedup_editdist": _editdist_pairs,
+        "flagship_segmentation": _flagship,
+        "incremental_antijoin": _incremental_antijoin,
+        "fk_integrity": _fk_integrity,
+        "json_normalize": _json_normalize,
+        "ilike_search": _ilike_search,
+        "resource_cascade": _resource_cascade,
+        "multi_currency": _multi_currency,
+        "upsert_latest": _upsert_latest,
+        "paginate": _paginate,
+        "asof_last_purchase": _asof_last_purchase,
+        "window_moving_avg": _window_moving_avg,
+        "sessionize": _sessionize,
+        "q20_heavy_suppliers": _q20,
+        "repetition_stats": _repetition_stats,
+        "corpus_vocab": _corpus_vocab,
+        "skew_salted_join": _salted_join,
+        "incremental_dedup": _incremental_dedup,
+        "chunk_documents": _chunk_documents,
+        "source_mix_sample": _source_mix_sample,
+        "token_count": _token_count,
+        "doc_fingerprint": _doc_fingerprint,
+        "multimodal_decode": _multimodal,
+        "multimodal_resize": _multimodal_resize,
+        "multimodal_frame_sample": _multimodal_frames,
+        "ann_ivf_topk": _ann_ivf,
+        "curation_funnel": _curation_funnel,
+        "skew_salted_agg": _salted_agg,
+        "pivot_qty_by_status": _pivot_qty,
+        "cube_qty_summary": _cube_qty,
+        "exact_quantiles": _exact_quantiles,
+        "interval_overlap": _interval_overlap,
+        "window_funcs_battery": _window_battery,
+        "customer_order_sets": _customer_sets,
+        "calendar_rollup": _calendar_rollup,
+        "grouping_sets_summary": _grouping_sets,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "kmv_distinct_users": _kmv_distinct_users,
+        "session_window_native": _session_window_native,
+        "cdc_apply": _cdc_apply,
+        "scd2_history": _scd2_history,
+        "decontaminate_ngrams": _decontaminate,
+        "bigram_surprisal": _bigram_surprisal,
+        # (e) rows-only by design (no oracle) — never burn a gate slot
+        "pack_chunks": _pack_chunks,
+        "bpe_merges": _bpe_merges,
+        "hll_distinct_users": _hll_distinct,
+        "ann_ivf_trained": _ann_ivf_trained,
+        "cms_heavy_hitters": _cms_heavy_hitters,
     }
     return {k: _with_presentation_order(k, v) for k, v in base.items()}
 
@@ -1884,10 +1887,10 @@ def oracle_sql() -> dict[str, str]:
     sql["q12_shipping_delay"] = """
         SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
                     THEN 'late' ELSE 'on_time' END AS delay_class,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY delay_class
         ORDER BY delay_class
@@ -2114,7 +2117,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["profile_events"] = """
         SELECT 'event_id' AS column, COUNT(*) AS n_rows,
-               SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null,
                COUNT(DISTINCT event_id) AS n_distinct,
                CAST(MIN(event_id) AS DOUBLE) AS min_v,
                CAST(MAX(event_id) AS DOUBLE) AS max_v,
@@ -2123,7 +2127,8 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         UNION ALL
         SELECT 'user_id', COUNT(*),
-               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
                COUNT(DISTINCT user_id),
                CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
                CAST(CAST(SUM(CAST(user_id AS DECIMAL(28,2))) AS VARCHAR)
@@ -2131,7 +2136,8 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         UNION ALL
         SELECT 'value', COUNT(*),
-               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
                COUNT(DISTINCT value),
                CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
                CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS VARCHAR)

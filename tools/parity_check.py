@@ -23,7 +23,16 @@ from whatdropsnow_etl_spark.session import get_spark
 from whatdropsnow_etl_spark.sources import TABLE_NAMES
 
 
-def duck_run(sf_dir: str, sql: str):
+# DuckDB result types the driver's value-hash serializes differently
+# from Spark (int128 has no Spark twin): an oracle producing one of
+# these hash-fails even when every value matches bit-for-bit.
+# Proven in r3: the only two HUGEINT-producing oracles were the only
+# two hash failures. Uncast integer SUM(CASE...) is the usual source;
+# the fix is CAST(... AS BIGINT).
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def _duck_connect(sf_dir: str):
     import os
 
     con = duckdb.connect()
@@ -32,9 +41,26 @@ def duck_run(sf_dir: str, sql: str):
         if os.path.isdir(path):  # Spark-written multi-file table
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def oracle_type_errors(con, sql: str) -> list[str]:
+    """Columns whose DuckDB type would break the driver's type-
+    sensitive value hash (checked on the relation, no execution)."""
+    rel = con.sql(sql)
+    return [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in _BANNED_DUCK_TYPES
+    ]
+
+
+def duck_run(sf_dir: str, sql: str):
+    con = _duck_connect(sf_dir)
+    type_errs = oracle_type_errors(con, sql)
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    return cols, cur.fetchall(), type_errs
 
 
 def norm_cell(v):
@@ -104,7 +130,7 @@ def main():
             print(f"rows-only {name}: {len(srows)} rows")
             continue
         try:
-            dcols, drows = duck_run(sf_dir, oracles[name])
+            dcols, drows, type_errs = duck_run(sf_dir, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
@@ -112,6 +138,8 @@ def main():
         scols, srows = norm_rows(scols, srows)
         dcols, drows = norm_rows(dcols, drows)
         errs = compare(name, scols, srows, dcols, drows)
+        if type_errs:
+            errs.append(f"oracle emits driver-hash-breaking types: {type_errs}")
         if errs:
             failures.append(name)
             print(f"FAIL {name} ({len(srows)} rows):")
