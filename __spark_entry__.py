@@ -893,7 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _embedding_dedup,
         "lang_id": _lang_id,
         "quality_score": _quality,
-        # (c) new in r4 — first driver signal
+        # (c) new or newly-oracle'd in r4 — first driver signal
+        "pack_chunks": _pack_chunks,
         # (d) r3-green fill (first ~12 land inside the 50-slot window;
         # queries whose implementation changed this round lead)
         "dedup_editdist": _editdist_pairs,
@@ -940,7 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": _decontaminate,
         "bigram_surprisal": _bigram_surprisal,
         # (e) rows-only by design (no oracle) — never burn a gate slot
-        "pack_chunks": _pack_chunks,
         "bpe_merges": _bpe_merges,
         "hll_distinct_users": _hll_distinct,
         "ann_ivf_trained": _ann_ivf_trained,
@@ -2368,6 +2368,46 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY cf DESC, term
           LIMIT 100
         )
+    """
+    # Greedy packing fold replicated as a recursive CTE: same md5-based
+    # group key (first 60 bits of md5(doc_id) mod n_groups — Spark uses
+    # conv(substring(md5,1,15),16,10), DuckDB the '0x' hex cast), same
+    # (doc, chunk) order, same accumulate-or-open-new-pack rule as
+    # operators/textops.py pack_chunks. Recursion depth = largest group
+    # population (bounded at parity scales).
+    sql["pack_chunks"] = """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), chunks AS (
+          SELECT doc_id,
+                 CAST(s // 56 AS BIGINT) AS chunk_idx,
+                 CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
+          FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 56)) AS u(s)
+        ), grp AS (
+          SELECT doc_id, chunk_idx, n_tokens,
+                 CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 16 AS g
+          FROM chunks
+        ), seq AS (
+          SELECT doc_id, chunk_idx, n_tokens, g,
+                 ROW_NUMBER() OVER (PARTITION BY g
+                                    ORDER BY doc_id, chunk_idx) AS r
+          FROM grp
+        ), packed AS (
+          SELECT g, r, doc_id, chunk_idx, n_tokens,
+                 CAST(0 AS BIGINT) AS pack_no, n_tokens AS acc
+          FROM seq WHERE r = 1
+          UNION ALL
+          SELECT n.g, n.r, n.doc_id, n.chunk_idx, n.n_tokens,
+                 CASE WHEN p.acc + n.n_tokens > 256
+                      THEN p.pack_no + 1 ELSE p.pack_no END,
+                 CASE WHEN p.acc + n.n_tokens > 256
+                      THEN n.n_tokens ELSE p.acc + n.n_tokens END
+          FROM packed p JOIN seq n ON n.g = p.g AND n.r = p.r + 1
+        )
+        SELECT CAST(g AS VARCHAR) || '-' || CAST(pack_no AS VARCHAR) AS pack_id,
+               doc_id, chunk_idx, n_tokens
+        FROM packed
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but

@@ -602,3 +602,33 @@ def test_pack_chunks_invariants(spark, tables):
     # packing is dense: average fill of multi-chunk packs is high
     fills = [sum(s) / budget for s in packs.values() if sum(s) <= budget]
     assert sum(fills) / len(fills) > 0.5
+
+
+def test_pack_chunks_n_groups_invariance_and_derivation(spark, tables):
+    """Changing n_groups renames packs but preserves every packing
+    invariant; the None default derives from session parallelism and
+    an optional row estimate (the 100 TB knob — a fixed default would
+    cap packing parallelism regardless of corpus size)."""
+    from collections import defaultdict
+
+    from whatdropsnow_etl_spark.operators import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(tables["documents"], chunk_tokens=16, overlap=4)
+    budget = 48
+    n_chunks = chunks.count()
+    for ng in (None, 256):
+        packed = pack_chunks(chunks, budget_tokens=budget, n_groups=ng)
+        rows = packed.collect()
+        assert len(rows) == n_chunks, ng
+        packs = defaultdict(list)
+        for r in rows:
+            packs[r["pack_id"]].append(r["n_tokens"])
+        for sizes in packs.values():
+            assert sum(sizes) <= budget or len(sizes) == 1
+    # est_rows raises the derived group count for big corpora
+    big = pack_chunks(chunks, budget_tokens=budget, est_rows=100_000_000)
+    n_g = {r["pack_id"].split("-")[0] for r in big.collect()}
+    par = spark.sparkContext.defaultParallelism
+    assert 100_000_000 // 50_000 > max(64, 4 * par)  # knob is the binding term
+    # groups present in output ≤ derived n_groups; derivation didn't crash
+    assert len(n_g) <= 100_000_000 // 50_000

@@ -402,7 +402,8 @@ def chunk_documents(
 def pack_chunks(
     chunks: DataFrame,
     budget_tokens: int = 256,
-    n_groups: int = 64,
+    n_groups: int | None = None,
+    est_rows: int | None = None,
     doc_col: str = "doc_id",
     idx_col: str = "chunk_idx",
     tokens_col: str = "n_tokens",
@@ -413,25 +414,50 @@ def pack_chunks(
 
     Global bin packing is inherently sequential, so the distributed
     formulation packs WITHIN deterministic groups: chunks hash-group
-    by doc (``pmod(xxhash64(doc_id), n_groups)`` — a doc's chunks
-    stay together), each group packs greedily in (doc, chunk) order
-    via applyInPandas, and pack ids are namespaced by group. One
-    shuffle; group populations are ~N/n_groups (raise ``n_groups``
-    with corpus size); waste vs global packing is at most one
-    partial pack per group.
+    by doc (``pmod`` of the first 60 bits of ``md5(doc_id)`` — an
+    engine-portable hash, so a SQL oracle can replicate the exact
+    grouping; a doc's chunks stay together), each group packs
+    greedily in (doc, chunk) order via applyInPandas, and pack ids
+    are namespaced by group. One shuffle; waste vs global packing is
+    at most one partial pack per group.
 
-    Deterministic: same inputs → same packs, any partitioning, any
-    engine run. Output: one row per chunk (pack_id, doc_id,
-    chunk_idx, n_tokens); a chunk larger than the budget gets a pack
-    of its own (never split, never dropped).
+    ``n_groups`` bounds BOTH parallelism (there are never more
+    concurrent packing tasks than groups) and per-task memory (each
+    group is one in-memory pandas frame of ~N/n_groups rows). When
+    not given it derives from the session: ``max(64, 4 ×
+    defaultParallelism)``, further raised to ``est_rows // 50_000``
+    when the caller passes a row estimate — at 100 TB always pass
+    ``est_rows`` (or an explicit ``n_groups``) so group size stays
+    bounded; a fixed default would cap parallelism regardless of
+    corpus size. Changing ``n_groups`` renames packs but preserves
+    every packing invariant (pytest-pinned).
+
+    Deterministic for a fixed ``n_groups``: same inputs → same
+    packs, any partitioning, any engine run. Output: one row per
+    chunk (pack_id, doc_id, chunk_idx, n_tokens); a chunk larger
+    than the budget gets a pack of its own (never split, never
+    dropped).
     """
     import pandas as pd
+
+    if n_groups is None:
+        par = chunks.sparkSession.sparkContext.defaultParallelism
+        n_groups = max(64, 4 * par)
+        if est_rows is not None:
+            n_groups = max(n_groups, est_rows // 50_000)
 
     src = chunks.select(
         F.col(doc_col),
         F.col(idx_col),
         F.col(tokens_col),
-        F.pmod(F.xxhash64(F.col(doc_col)), F.lit(n_groups)).alias("__g"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(doc_col).cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n_groups),
+        ).alias("__g"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
