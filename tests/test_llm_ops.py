@@ -300,7 +300,9 @@ def test_dedup_clusters_twostars_matches_minlabel(spark, tables):
     docs = tables["documents"]
     a = {
         (r["doc_id"], r["component_id"])
-        for r in dedup_clusters(docs, k=3, threshold=0.5).collect()
+        for r in dedup_clusters(
+            docs, k=3, threshold=0.5, algorithm="minlabel"
+        ).collect()
     }
     b = {
         (r["doc_id"], r["component_id"])
@@ -333,7 +335,13 @@ def test_minlabel_raises_on_nonconvergence(spark, tables):
     from whatdropsnow_etl_spark.operators import dedup_clusters
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(tables["documents"], k=3, threshold=0.5, max_iter=1)
+        dedup_clusters(
+            tables["documents"],
+            k=3,
+            threshold=0.5,
+            max_iter=1,
+            algorithm="minlabel",
+        )
 
 
 def test_embedding_dedup_blas_matches_exact(spark, tables):
@@ -354,6 +362,46 @@ def test_embedding_dedup_blas_matches_exact(spark, tables):
         ).collect()
     }
     assert a == b
+
+
+def test_embedding_dedup_collapse_identical(spark, tables):
+    """With exact-duplicate vectors injected, the collapse prepass
+    returns the identical (pair, cosine) set as the uncollapsed
+    kernel: cross-clique pairs expand to all members, intra-clique
+    pairs appear at cosine 1.0, zero vectors never pair with
+    themselves."""
+    from whatdropsnow_etl_spark.operators import embedding_dedup_pairs
+
+    emb = (
+        tables["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .limit(30)
+    )
+    # clone two vectors under new ids and add two identical zero vectors
+    dim = len(emb.first()["embedding"])
+    clones = emb.where(F.col("vec_id").isin(0, 1)).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    )
+    zeros = spark.createDataFrame(
+        [(200000, [0.0] * dim), (200001, [0.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    aug = emb.unionByName(clones).unionByName(zeros)
+    a = {
+        (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+        for r in embedding_dedup_pairs(
+            aug, threshold=0.4, nblocks=2, collapse_identical=False
+        ).collect()
+    }
+    b = {
+        (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+        for r in embedding_dedup_pairs(aug, threshold=0.4, nblocks=2).collect()
+    }
+    assert a == b
+    # the injected clones really did produce intra-clique 1.0 pairs
+    assert (0, 100000, 1.0) in b and (1, 100001, 1.0) in b
+    # identical zero vectors never self-pair
+    assert not any(x >= 200000 and y >= 200000 for x, y, _ in b)
 
 
 def test_redact_pii_patterns(spark):

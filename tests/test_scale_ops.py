@@ -325,9 +325,16 @@ def test_editdist_band_cap(spark, tables):
         "doc_id", "text", "lang", "n_chars"
     )
     base = {
+        (r["lo"], r["hi"])
+        for r in editdist_pairs(docs, max_dist=8, max_band_docs=None).collect()
+    }
+    # the DEFAULT cap (2000) sits far above parity-scale block
+    # populations, so it is semantics-neutral vs the uncapped path
+    same = {
         (r["lo"], r["hi"]) for r in editdist_pairs(docs, max_dist=8).collect()
     }
-    # a cap far above any band population changes nothing
+    assert same == base
+    # as is any cap far above band population
     same = {
         (r["lo"], r["hi"])
         for r in editdist_pairs(docs, max_dist=8, max_band_docs=10**6).collect()

@@ -614,7 +614,7 @@ def dedup_clusters(
     k: int = 3,
     threshold: float = 0.5,
     max_iter: int = 15,
-    algorithm: str = "minlabel",
+    algorithm: str = "twostars",
 ) -> DataFrame:
     """Duplicate clusters: connected components over near-dup pairs.
 
@@ -623,16 +623,18 @@ def dedup_clusters(
     ``threshold``. Two interchangeable component algorithms (same
     output contract, twin-tested):
 
-    - ``minlabel`` (default, the oracle twin): every doc starts
-      labeled with its own id and repeatedly takes the min label
-      over itself and its neighbors. O(component diameter) rounds,
-      one shuffle per round — near-dup clusters are shallow
-      (usually ≤ 2-3 hops), so this wins for typical corpora.
-    - ``twostars``: the alternating large-star/small-star edge
-      contraction (Kiveris et al., "Connected Components in
+    - ``twostars`` (default): the alternating large-star/small-star
+      edge contraction (Kiveris et al., "Connected Components in
       MapReduce and Beyond"), O(log n) rounds regardless of
-      component diameter — the 100 TB path when duplicate chains
-      can be long (mirror farms, template families).
+      component diameter — the 100 TB path (long duplicate chains:
+      mirror farms, template families) and measured faster than
+      min-label at sf1 (19.4 vs 25.6 s) and sf10 (45.2 vs 57.2 s),
+      so it is also the default at small scale.
+    - ``minlabel`` (the oracle twin): every doc starts labeled with
+      its own id and repeatedly takes the min label over itself and
+      its neighbors. O(component diameter) rounds, one shuffle per
+      round; kept for cross-validation against the recursive-CTE
+      oracle and as the simpler reference formulation.
 
     Both raise RuntimeError if ``max_iter`` rounds pass without
     convergence rather than returning partially-propagated labels.
@@ -771,7 +773,7 @@ def editdist_pairs(
     text_col: str = "text",
     lang_col: str = "lang",
     len_col: str = "n_chars",
-    max_band_docs: int | None = None,
+    max_band_docs: int | None = 2000,
 ) -> DataFrame:
     """Near-duplicate pairs by Levenshtein distance, length-banded.
 
@@ -794,6 +796,17 @@ def editdist_pairs(
     candidate pairs) as long as it stays >= max_dist, which keeps
     every len-diff-qualified pair within one band of its partner —
     the oracle twin may band differently and still agree.
+
+    ``max_band_docs`` caps (lang, band) block population: candidate
+    volume grows QUADRATICALLY with block size, so at corpus scale an
+    uncapped hot block dominates the whole job (uncapped sf10 blew a
+    1 h budget; capped at 1000 it ran in 24.5 s). The default (2000)
+    is far above every block population at parity scales (max 23 at
+    sf0.01, 153 at sf0.1 — pytest-asserted semantics-neutral), so the
+    oracle twin needs no cap; oversized blocks at 10×+ scale are
+    dropped as a DOCUMENTED approximation (those docs get no editdist
+    pairs — feed them through MinHash instead). ``None`` restores the
+    exact uncapped path.
     """
     if band_width < max_dist:
         raise ValueError(
@@ -833,8 +846,9 @@ def editdist_pairs(
         # at corpus scale, oversized (lang, band) blocks must be capped
         # or the join explodes no matter how cheap the per-pair gate
         # is. Dropping a block is a DOCUMENTED approximation (those
-        # docs get no editdist pairs); the exact-output default keeps
-        # this off so the oracle twin stays parity-exact.
+        # docs get no editdist pairs); the default cap (2000) sits far
+        # above every parity-scale block so the oracle twin stays
+        # parity-exact without its own cap.
         keep = (
             d.groupBy("lg", "band")
             .agg(F.count(F.lit(1)).alias("__bn"))

@@ -62,6 +62,7 @@ def embedding_dedup_pairs(
     dim: int | None = None,
     nblocks: int | None = None,
     exact_accumulation: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with cosine >= threshold.
 
@@ -72,6 +73,17 @@ def embedding_dedup_pairs(
     first (same banding as ann_lsh_bucketed): candidate volume drops
     from C(N,2) to bucket-local pairs, at the cost of missing pairs
     whose signatures never collide — the standard LSH recall trade.
+
+    ``collapse_identical`` (default on) runs the tile kernel over one
+    representative per DISTINCT vector and expands pair results back
+    to clique members afterwards — the scraped-web shape where exact
+    byte-duplicate embeddings are common makes the O(N²) kernel pay
+    for every copy otherwise. Bookkeeping is a narrow (md5-of-vector,
+    id) shuffle; with zero duplicates it degenerates to a pass-through.
+    Results are identical to the uncollapsed kernel: cross-clique
+    cosines come from the same vector bits, and intra-clique pairs
+    (identical nonzero vectors) emit cosine 1.0, equal after the
+    6-decimal output rounding to the kernel's self-cosine.
     """
     base = df.select(
         F.col(id_col).alias("__id"), to_double_array(vec_col).alias("__v")
@@ -106,9 +118,106 @@ def embedding_dedup_pairs(
                 F.round("cosine_raw", 6).alias("cosine"),
             )
         )
-    return _allpairs_blocked(
+    if not collapse_identical:
+        return _allpairs_blocked(
+            base, threshold, nblocks=nblocks, exact_accumulation=exact_accumulation
+        )
+    return _allpairs_collapsed(
         base, threshold, nblocks=nblocks, exact_accumulation=exact_accumulation
     )
+
+
+def _allpairs_collapsed(
+    base: DataFrame,
+    threshold: float,
+    nblocks: int | None = None,
+    exact_accumulation: bool = True,
+) -> DataFrame:
+    """Identical-vector collapse prepass around the tile kernel.
+
+    Vectors group by md5 of their string form (injective for doubles
+    — Spark renders shortest-round-trip digits; md5 collisions are
+    cryptographically negligible). The kernel scores one
+    representative (min id) per distinct vector; afterwards each rep
+    pair fans out to the cross product of its two cliques, and every
+    multi-member clique with a nonzero vector emits its C(n,2)
+    internal pairs at cosine 1.0 (identical zero vectors get NaN in
+    the kernel and are correctly dropped here too). Only (hash, id)
+    pairs shuffle for the bookkeeping — vectors never move for it.
+    """
+    keys = base.select(
+        "__id", F.md5(F.col("__v").cast("string")).alias("__vh")
+    )
+    groups = keys.groupBy("__vh").agg(
+        F.min("__id").alias("__rep"),
+        F.sort_array(F.collect_list("__id")).alias("__members"),
+    )
+    reps = base.join(
+        groups.select(F.col("__rep").alias("__id")), "__id", "left_semi"
+    )
+    scored = _allpairs_blocked(
+        reps, threshold, nblocks=nblocks, exact_accumulation=exact_accumulation
+    )
+    cart = F.flatten(
+        F.transform(
+            F.col("__ma"),
+            lambda x: F.transform(
+                F.col("__mb"),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+    cross = (
+        scored.join(
+            groups.select(
+                F.col("__rep").alias("vec_id_a"), F.col("__members").alias("__ma")
+            ),
+            "vec_id_a",
+        )
+        .join(
+            groups.select(
+                F.col("__rep").alias("vec_id_b"), F.col("__members").alias("__mb")
+            ),
+            "vec_id_b",
+        )
+        .select("cosine", F.explode(cart).alias("p"))
+        .select(
+            F.col("p.a").alias("vec_id_a"),
+            F.col("p.b").alias("vec_id_b"),
+            "cosine",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    norm2 = F.aggregate(
+        F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    within_combos = F.flatten(
+        F.transform(
+            F.col("__members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__members"), i + 2, F.size(F.col("__members"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    within = (
+        groups.where(F.size("__members") > 1)
+        .join(
+            reps.select(F.col("__id").alias("__rep"), norm2.alias("__n2")),
+            "__rep",
+        )
+        .where(F.col("__n2") > 0)
+        .select(F.explode(within_combos).alias("p"))
+        .select(
+            F.col("p.a").alias("vec_id_a"),
+            F.col("p.b").alias("vec_id_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def _allpairs_blocked(
