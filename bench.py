@@ -68,17 +68,22 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    # The driver truncates the JSON tail it records — persist the full
+    # per-query breakdown alongside so round-over-round comparisons
+    # never need reconstruction from PERF.md.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -609,3 +609,102 @@ def test_streaming_incremental_dedup_grows_index(spark, tables, tmp_path):
         if r["doc_a"] % 3 != r["doc_b"] % 3  # different micro-batches
     }
     assert got == want
+
+
+def test_broadcast_refresh_dim_staleness_contract(spark):
+    """The refreshing dim re-runs its loader only at refresh
+    boundaries: versions become visible exactly every N get() calls,
+    never between them."""
+    from whatdropsnow_etl_spark.streaming import RefreshingBroadcastDim
+
+    version = {"v": 0}
+
+    def loader():
+        return spark.createDataFrame(
+            [(1, f"v{version['v']}")], "user_id long, seg string"
+        )
+
+    dim = RefreshingBroadcastDim(loader, refresh_every_batches=2)
+    seen = []
+    for _ in range(5):
+        version["v"] += 1  # dim source changes before every batch
+        seen.append(dim.get().first()["seg"])
+    # batches 1-2 see the snapshot taken at batch 1 (v1), batches 3-4
+    # the one at batch 3 (v3), batch 5 refreshes again (v5)
+    assert seen == ["v1", "v1", "v3", "v3", "v5"]
+    assert dim.n_refreshes == 3
+    dim.close()
+
+
+def test_broadcast_refresh_enrichment_matches_batch_join(
+    spark, tables, tmp_path
+):
+    """foreachBatch enrichment through the refreshing broadcast dim
+    equals the plain batch join, and multiple micro-batches consume
+    ONE loader run (the whole point: no per-trigger dim re-read)."""
+    from whatdropsnow_etl_spark.streaming import (
+        RefreshingBroadcastDim,
+        enrich_foreach_batch,
+    )
+
+    events = tables["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events_split")
+    # one file per micro-batch (coalesce can't split a 1-partition read)
+    for part in range(3):
+        events.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    dim_rows = (
+        tables["events"]
+        .select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 5).alias("cohort"))
+    )
+    dim_path = str(tmp_path / "dim")
+    dim_rows.write.mode("overwrite").parquet(dim_path)
+
+    loads = {"n": 0}
+
+    def loader():
+        loads["n"] += 1
+        return spark.read.parquet(dim_path)
+
+    collected = []
+    batches = {"n": 0}
+
+    def sink(df, epoch_id):
+        batches["n"] += 1
+        collected.extend(
+            (r["event_id"], r["user_id"], r["cohort"]) for r in df.collect()
+        )
+
+    dim = RefreshingBroadcastDim(loader, refresh_every_batches=1000)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            enrich_foreach_batch(dim, on=["user_id"], sink=sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_refresh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dim.close()
+
+    assert batches["n"] > 1  # genuinely multi-batch
+    assert loads["n"] == dim.n_refreshes == 1  # one load served them all
+    want = {
+        (r["event_id"], r["user_id"], r["cohort"])
+        for r in tables["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .join(dim_rows, "user_id", "left")
+        .collect()
+    }
+    assert set(collected) == want and len(collected) == len(want)

@@ -279,7 +279,17 @@ def repetition_stats(
     )
 
     def gram_top_frac(n: int, out: str):
-        """Per-doc count of the most frequent n-gram / positions."""
+        """Per-doc count of the most frequent n-gram / positions.
+
+        Counts group on xxhash64(gram), not the gram string — the
+        (doc, gram) shuffle carries 8 bytes instead of the text. A
+        64-bit collision INSIDE one document would merge two grams'
+        counts and inflate the top fraction; at ~n²/2⁶⁵ per doc
+        (≈ 5e-12 even for a million-token doc) this is accepted.
+        NOTE the DuckDB oracle counts exact gram strings — the two
+        twins agree unless such a collision occurs, which would
+        surface as a driver hash mismatch with no code change.
+        """
         grams = base.select(
             "doc_id",
             F.explode(

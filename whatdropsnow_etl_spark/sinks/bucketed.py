@@ -56,11 +56,41 @@ def write_bucketed(
         # fresh session whose warehouse dir carries an orphaned
         # location from a previous run fails with
         # LOCATION_ALREADY_EXISTS — drop both the entry and the dir.
+        # When the table IS cataloged, ask the catalog for its real
+        # location (a guessed <warehouse>/<name> path is wrong for
+        # database-qualified names or a non-default current database).
         spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-        if os.path.isdir(loc):
+        loc = None
+        if spark.catalog.tableExists(table):
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                if r["col_name"] == "Location":
+                    loc = r["data_type"].removeprefix("file:")
+                    break
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        elif "." in table:
+            # not cataloged: there is no authoritative way to derive a
+            # qualified table's orphan dir — refuse rather than rmtree
+            # a guessed path
+            raise ValueError(
+                f"table {table!r} is database-qualified but not in the"
+                " catalog; clear its stale location manually (the"
+                " orphan-dir guess is only safe for simple names in"
+                " the default database)"
+            )
+        else:
+            db = spark.catalog.currentDatabase()
+            if db != "default":
+                raise ValueError(
+                    f"table {table!r} is not in the catalog and the"
+                    f" current database is {db!r}; the orphan-dir guess"
+                    " is only safe in the default database — clear the"
+                    " stale location manually"
+                )
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            )
+            loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if loc and os.path.isdir(loc):
             shutil.rmtree(loc)
     writer = (
         df.write.format("parquet")

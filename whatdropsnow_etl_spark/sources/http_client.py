@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections.abc import Callable, Iterable, Mapping
 
@@ -55,13 +56,11 @@ class HttpJsonClient:
         sleep: Callable[[float], None] = time.sleep,
         session=None,
     ) -> None:
-        if session is None:
-            if _requests is None:
-                raise ImportError(
-                    "HttpJsonClient needs the 'requests' package (or pass a"
-                    " compatible session=)"
-                )
-            session = _requests.Session()
+        if session is None and _requests is None:
+            raise ImportError(
+                "HttpJsonClient needs the 'requests' package (or pass a"
+                " compatible session=)"
+            )
         self.base_url = base_url.rstrip("/")
         self.headers = dict(headers or {})
         self.timeout = timeout
@@ -70,14 +69,28 @@ class HttpJsonClient:
         self.backoff = backoff
         self.max_delay = max_delay
         self._sleep = sleep
+        # requests does not guarantee Session thread-safety (cookie jar
+        # and adapter state can race), so self-created sessions are one
+        # per thread; an explicitly-passed session is shared as-is and
+        # is the caller's concurrency responsibility.
         self._session = session
+        self._local = threading.local()
+
+    def _get_session(self):
+        if self._session is not None:
+            return self._session
+        s = getattr(self._local, "session", None)
+        if s is None:
+            s = _requests.Session()
+            self._local.session = s
+        return s
 
     def get_json(self, uri: str, ignore_404: bool = False):
         url = f"{self.base_url}{uri}"
         wait = self.delay
         for attempt in range(self.tries):
             try:
-                resp = self._session.get(
+                resp = self._get_session().get(
                     url, headers=self.headers, timeout=self.timeout
                 )
                 if resp.status_code == 404 and ignore_404:
@@ -134,10 +147,13 @@ class HttpJsonClient:
         id — the distributed replacement for the process pool.
 
         Fetches run on a thread pool (``max_workers``), matching the
-        reference's concurrent fan-out for slow endpoints; requests'
-        Session is thread-safe for concurrent GETs. ``max_workers=1``
-        degrades to a sequential loop. The first failing id raises
-        after the in-flight futures settle."""
+        reference's concurrent fan-out for slow endpoints; each worker
+        thread gets its OWN requests.Session (requests does not
+        guarantee Session thread-safety). An explicitly-passed
+        ``session=`` is shared across workers as-is — pass a
+        thread-safe one or use ``max_workers=1``, which degrades to a
+        sequential loop. The first failing id raises after the
+        in-flight futures settle."""
         from concurrent.futures import ThreadPoolExecutor
 
         os.makedirs(out_dir, exist_ok=True)

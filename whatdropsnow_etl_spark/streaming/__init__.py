@@ -1,3 +1,4 @@
+from .broadcast_refresh import RefreshingBroadcastDim, enrich_foreach_batch
 from .dedup import dedup_stream
 from .funnel import curation_funnel_stream
 from .enrich import enrich_stream
@@ -18,4 +19,6 @@ __all__ = [
     "streaming_interval_pairs",
     "enrich_stream",
     "windowed_value_quantiles",
+    "RefreshingBroadcastDim",
+    "enrich_foreach_batch",
 ]
