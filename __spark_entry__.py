@@ -591,6 +591,40 @@ def _pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(chunks, budget_tokens=256, n_groups=16)
 
 
+def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import event_funnel
+
+    return event_funnel(load_table(spark, sf_dir, "events"))
+
+
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def _numeric_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import numeric_outliers
+
+    return numeric_outliers(load_table(spark, sf_dir, "events"))
+
+
+def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import (
+        dup_rate_by_source,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_rate_by_source(docs, minhash_lsh_pairs(docs))
+
+
+def _length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import length_histogram
+
+    return length_histogram(load_table(spark, sf_dir, "documents"))
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import (
         incremental_dedup_minhash,
@@ -742,6 +776,11 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # magnitude smaller than inputs), not a mid-plan shuffle.
 # Pinned against live schemas by tests/test_entry_contract.py.
 _ORDER_KEYS: dict[str, list[str]] = {
+    "event_funnel": ["n_users", "stage", "stage_idx"],
+    "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
+    "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
+    "dup_rate_by_source": ["n_pairs", "source_a", "source_b"],
+    "length_histogram": ["bucket_lo", "frac_docs", "n_docs", "source", "sum_tokens"],
     "repetition_stats": ["distinct_ratio", "doc_id", "n_tokens", "top_bigram_frac", "top_trigram_frac", "top_unigram_frac"],
     "corpus_vocab": ["cf", "df", "rank", "term"],
     "skew_salted_join": ["c_mktsegment", "n_events", "sum_value"],
@@ -895,6 +934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality,
         # (c) new or newly-oracle'd in r4 — first driver signal
         "pack_chunks": _pack_chunks,
+        "event_funnel": _event_funnel,
+        "retention_cohorts": _retention_cohorts,
+        "numeric_outliers": _numeric_outliers,
+        "dup_rate_by_source": _dup_rate_by_source,
+        "length_histogram": _length_histogram,
         # (d) r3-green fill (first ~12 land inside the 50-slot window;
         # queries whose implementation changed this round lead)
         "dedup_editdist": _editdist_pairs,
@@ -2368,6 +2412,115 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY cf DESC, term
           LIMIT 100
         )
+    """
+    sql["event_funnel"] = """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    """
+    sql["retention_cohorts"] = """
+        WITH b AS (
+          SELECT user_id,
+                 CAST(FLOOR(CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                                 AS BIGINT) / 7) AS BIGINT) AS bucket
+          FROM events
+        ), f AS (
+          SELECT user_id, MIN(bucket) AS cohort FROM b GROUP BY user_id
+        ), cells AS (
+          SELECT DISTINCT b.user_id, f.cohort, b.bucket
+          FROM b JOIN f USING (user_id)
+        )
+        SELECT CAST(cohort * 7 AS BIGINT) AS cohort_day,
+               CAST(bucket - cohort AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM cells GROUP BY cohort_day, week_offset
+    """
+    sql["numeric_outliers"] = """
+        WITH c AS (
+          SELECT event_type, event_id,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ), r AS (
+          SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        ), med AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                          THEN cents END) AS median_cents
+          FROM r GROUP BY event_type
+        ), dev AS (
+          SELECT c.event_type, c.event_id, c.cents, med.median_cents,
+                 ABS(c.cents - med.median_cents) AS adev
+          FROM c JOIN med USING (event_type)
+        ), rd AS (
+          SELECT event_type, adev,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY adev, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM dev
+        ), mad AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                          THEN adev END) AS mad_cents
+          FROM rd GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(d.median_cents) AS median_cents,
+               MAX(mad.mad_cents) AS mad_cents,
+               MAX(d.median_cents) - 5 * MAX(mad.mad_cents) AS lo_cents,
+               MAX(d.median_cents) + 5 * MAX(mad.mad_cents) AS hi_cents,
+               CAST(SUM(CASE WHEN d.cents < d.median_cents - 5 * mad.mad_cents
+                               OR d.cents > d.median_cents + 5 * mad.mad_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad USING (event_type)
+        GROUP BY d.event_type
+    """
+    sql["dup_rate_by_source"] = f"""
+        WITH pairs AS ({_minhash_oracle()})
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        JOIN documents a ON pairs.doc_a = a.doc_id
+        JOIN documents b ON pairs.doc_b = b.doc_id
+        GROUP BY source_a, source_b
+    """
+    sql["length_histogram"] = """
+        WITH t AS (
+          SELECT source,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+          FROM documents
+        ), agg AS (
+          SELECT source, CAST((n // 16) * 16 AS BIGINT) AS bucket_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS sum_tokens
+          FROM t GROUP BY source, bucket_lo
+        )
+        SELECT source, bucket_lo, n_docs, sum_tokens,
+               CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (PARTITION BY source) AS frac_docs
+        FROM agg
     """
     # Greedy packing fold replicated as a recursive CTE: same md5-based
     # group key (first 60 bits of md5(doc_id) mod n_groups — Spark uses

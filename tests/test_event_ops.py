@@ -1,0 +1,103 @@
+"""Event-analytics operators: funnel, retention, robust outliers,
+cross-source dup rates, length histogram."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, t, v) for i, (ts, u, t, v) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_event_funnel_orders_strictly(spark):
+    from whatdropsnow_etl_spark.operators import event_funnel
+
+    rows = [
+        # user 1 completes all three stages in order
+        ("2024-01-01 10:00:00", 1, "signup", 1.0),
+        ("2024-01-01 11:00:00", 1, "click", 1.0),
+        ("2024-01-01 12:00:00", 1, "purchase", 1.0),
+        # user 2 clicked BEFORE signing up — stage 2 not reached
+        ("2024-01-01 09:00:00", 2, "click", 1.0),
+        ("2024-01-01 10:00:00", 2, "signup", 1.0),
+        # user 3 skipped click — purchase doesn't count
+        ("2024-01-01 10:00:00", 3, "signup", 1.0),
+        ("2024-01-01 11:00:00", 3, "purchase", 1.0),
+        # user 4 never signed up
+        ("2024-01-01 10:00:00", 4, "click", 1.0),
+        ("2024-01-01 11:00:00", 4, "purchase", 1.0),
+    ]
+    got = {
+        r["stage"]: r["n_users"]
+        for r in event_funnel(_events(spark, rows)).collect()
+    }
+    assert got == {"signup": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_cohorts_counts_distinct_users(spark):
+    from whatdropsnow_etl_spark.operators import retention_cohorts
+
+    rows = [
+        # users 1,2 first seen in week 0 (1970-01-01 is a bucket start)
+        ("1970-01-01 10:00:00", 1, "view", 1.0),
+        ("1970-01-02 10:00:00", 2, "view", 1.0),
+        # user 1 returns in week 1 twice (distinct per cell)
+        ("1970-01-08 10:00:00", 1, "view", 1.0),
+        ("1970-01-09 10:00:00", 1, "view", 1.0),
+        # user 3 first seen in week 1, returns week 2
+        ("1970-01-10 10:00:00", 3, "view", 1.0),
+        ("1970-01-15 10:00:00", 3, "view", 1.0),
+    ]
+    got = {
+        (r["cohort_day"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (7, 0): 1, (7, 1): 1}
+
+
+def test_numeric_outliers_flags_extremes(spark):
+    from whatdropsnow_etl_spark.operators import numeric_outliers
+
+    vals = [10.0] * 5 + [11.0] * 5 + [9.0] * 4 + [1000.0]  # one outlier
+    rows = [("2024-01-01 10:00:00", i, "buy", v) for i, v in enumerate(vals)]
+    r = numeric_outliers(_events(spark, rows)).collect()[0]
+    assert r["n"] == 15
+    assert r["median_cents"] == 1000  # median of cents
+    assert r["mad_cents"] == 100
+    assert r["lo_cents"] == 500 and r["hi_cents"] == 1500
+    assert r["n_outliers"] == 1  # only the 1000.0 value
+
+
+def test_dup_rate_by_source_partitions_pairs(spark, tables):
+    from whatdropsnow_etl_spark.operators import (
+        dup_rate_by_source,
+        minhash_lsh_pairs,
+    )
+
+    docs = tables["documents"]
+    pairs = minhash_lsh_pairs(docs)
+    rates = dup_rate_by_source(docs, pairs).collect()
+    # every candidate pair lands in exactly one (source, source) cell
+    assert sum(r["n_pairs"] for r in rates) == pairs.count()
+    assert all(r["source_a"] <= r["source_b"] for r in rates)
+
+
+def test_length_histogram_shares_sum_to_one(spark, tables):
+    from whatdropsnow_etl_spark.operators import length_histogram
+
+    docs = tables["documents"]
+    hist = length_histogram(docs).collect()
+    by_source: dict[str, float] = {}
+    n_docs = 0
+    for r in hist:
+        assert r["bucket_lo"] % 16 == 0
+        by_source[r["source"]] = by_source.get(r["source"], 0.0) + r["frac_docs"]
+        n_docs += r["n_docs"]
+    assert n_docs == docs.count()
+    for src, frac in by_source.items():
+        assert abs(frac - 1.0) < 1e-9, src

@@ -1,5 +1,11 @@
 from .asof import asof_join
 from .cdc import cdc_apply, scd2_history
+from .events import (
+    dup_rate_by_source,
+    event_funnel,
+    numeric_outliers,
+    retention_cohorts,
+)
 from .corpus import bigram_surprisal, decontaminate_ngrams
 from .sampling import source_mix_sample, stratified_sample_by_quality
 from .dedup import (
@@ -48,6 +54,7 @@ from .textops import (
     corpus_vocab,
     doc_fingerprint,
     lang_id_confusion,
+    length_histogram,
     quality_score,
     redact_pii,
     repetition_stats,
@@ -60,6 +67,11 @@ __all__ = [
     "asof_join",
     "cdc_apply",
     "scd2_history",
+    "event_funnel",
+    "retention_cohorts",
+    "numeric_outliers",
+    "dup_rate_by_source",
+    "length_histogram",
     "bigram_surprisal",
     "decontaminate_ngrams",
     "stratified_sample_by_quality",

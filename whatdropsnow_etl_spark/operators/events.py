@@ -1,0 +1,202 @@
+"""Event-stream analytics: funnels, retention cohorts, robust outliers.
+
+The product-analytics battery a reference user runs over the event
+log once it is in an engine that can aggregate it (the reference
+lands events in Postgres and stops; these are the queries that come
+next). All three are pure DataFrame compositions — no UDFs, no
+collects — and each has an exact DuckDB oracle twin.
+
+Scale notes (100 TB events):
+- funnel/retention shuffle on ``user_id`` (high cardinality, the
+  natural key); stage-to-stage joins are co-partitioned on it so AQE
+  reuses the exchange.
+- outliers reuse the exact-quantile window selection
+  (`quantiles.py`): one hash-partition shuffle per pass while a
+  single group's rows fit an executor — the documented exact twin of
+  the approx_percentile scale path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .quantiles import exact_group_quantiles
+
+
+def event_funnel(
+    events: DataFrame,
+    stages: Sequence[str] = ("signup", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: users counted at stage i must have
+    an event of stage i's type STRICTLY AFTER their stage i-1 entry
+    time (first qualifying occurrence wins — re-entries don't help).
+
+    One filtered aggregate per stage, chained by a co-partitioned
+    ``user_col`` join carrying the previous stage's entry time; no
+    window over all events, no per-user state. Output: one row per
+    stage — (stage_idx, stage, n_users), n_users monotonically
+    non-increasing.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    reached: list[DataFrame] = []
+    cur = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    reached.append(cur)
+    for stage in stages[1:]:
+        cur = (
+            events.where(F.col(type_col) == stage)
+            .join(cur, user_col)
+            .where(F.col(ts_col) > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        reached.append(cur)
+    counts = None
+    for i, (stage, df) in enumerate(zip(stages, reached)):
+        one = df.agg(
+            F.lit(i + 1).cast("bigint").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    return counts
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users bucket by the day-bucket of
+    their FIRST event (cohort); each (cohort, offset) cell counts the
+    distinct users of that cohort active ``offset`` buckets later.
+
+    Two aggregates and one co-partitioned join on ``user_col`` —
+    first-seen per user, join back, distinct (cohort, offset, user),
+    count. Day arithmetic is integer (epoch days / bucket_days), so
+    the twin is drift-free. Output: (cohort_day, week_offset,
+    n_users) with cohort_day = bucket start in epoch days.
+    """
+    days = F.floor(F.unix_date(F.col(ts_col).cast("date")) / bucket_days)
+    firsts = (
+        events.select(F.col(user_col).alias("__u"), days.alias("__b"))
+        .groupBy("__u")
+        .agg(F.min("__b").alias("__cohort"))
+    )
+    return (
+        events.select(F.col(user_col).alias("__u"), days.alias("__b"))
+        .join(firsts, "__u")
+        .select(
+            (F.col("__cohort") * bucket_days).cast("bigint").alias("cohort_day"),
+            (F.col("__b") - F.col("__cohort")).cast("bigint").alias("week_offset"),
+            "__u",
+        )
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def numeric_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust per-group outlier report: median / MAD fences.
+
+    Mean/stddev fences break exactly when outliers are present (the
+    outliers inflate the fence); median ± k·MAD is the standard
+    robust alternative. Both statistics are exact type-1 quantiles
+    over integer cents (`exact_group_quantiles`), so the whole
+    report is integer-exact and engine-portable — no float quantile
+    interpolation anywhere.
+
+    Two ranked-window passes (median, then MAD over |v - med|) and
+    one final aggregate. Output per group: n, median_cents,
+    mad_cents, lo_cents / hi_cents fences, n_outliers.
+    """
+    med = exact_group_quantiles(
+        events, [group_col], value_col, ps=(0.5,), tiebreak_col=id_col,
+        scale=scale,
+    ).select(group_col, F.col("p50_cents").alias("median_cents"))
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    dev = (
+        events.select(group_col, id_col, cents.alias("__c"))
+        .join(F.broadcast(med), group_col)
+        .select(
+            group_col,
+            id_col,
+            "__c",
+            "median_cents",
+            F.abs(F.col("__c") - F.col("median_cents")).alias("__adev"),
+        )
+    )
+    mad = exact_group_quantiles(
+        dev, [group_col], "__adev", ps=(0.5,), tiebreak_col=id_col, scale=1
+    ).select(group_col, F.col("p50_cents").alias("mad_cents"))
+    fenced = dev.join(F.broadcast(mad), group_col).select(
+        group_col,
+        "__c",
+        "median_cents",
+        "mad_cents",
+        (F.col("median_cents") - k * F.col("mad_cents")).alias("__lo"),
+        (F.col("median_cents") + k * F.col("mad_cents")).alias("__hi"),
+    )
+    return fenced.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("median_cents").alias("median_cents"),
+        F.max("mad_cents").alias("mad_cents"),
+        F.max("__lo").alias("lo_cents"),
+        F.max("__hi").alias("hi_cents"),
+        F.sum(
+            F.when(
+                (F.col("__c") < F.col("__lo")) | (F.col("__c") > F.col("__hi")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+    )
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication report: aggregate candidate near-dup
+    pairs into per-(source, source) counts — which corpora duplicate
+    each other (mirror detection, licensing triage, mix planning).
+
+    ``pairs`` is any (doc_a, doc_b) relation — MinHash-LSH candidates
+    in the registry query. Two joins against the narrow (id, source)
+    projection (broadcast when the doc dim fits, hash otherwise) and
+    one small aggregate; source pairs are unordered (lo/hi sorted).
+    Output: (source_a <= source_b, n_pairs).
+    """
+    src = docs.select(F.col(id_col), F.col(source_col))
+    a = src.select(F.col(id_col).alias("doc_a"), F.col(source_col).alias("__sa"))
+    b = src.select(F.col(id_col).alias("doc_b"), F.col(source_col).alias("__sb"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

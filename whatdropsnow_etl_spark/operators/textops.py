@@ -363,6 +363,52 @@ def corpus_vocab(
     )
 
 
+def length_histogram(
+    docs: DataFrame,
+    bucket_tokens: int = 16,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length distribution per source — the planning input
+    for chunking/packing budgets (which bucket dominates decides the
+    chunk size; the tail above the context window decides how much
+    chunking will split).
+
+    One tokenization, one (source, bucket) aggregate, one per-source
+    window for the share — no joins. Bucket arithmetic is integer
+    (floor(n / width) * width); the share divides two exact BIGINTs
+    in double, bit-identical cross-engine. Output: (source,
+    bucket_lo, n_docs, sum_tokens, frac_docs).
+    """
+    from pyspark.sql.window import Window
+
+    n = F.size(tokens(F.col(text_col))).cast("bigint")
+    agg = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            n.alias("__n"),
+            (F.floor(n / bucket_tokens) * bucket_tokens)
+            .cast("bigint")
+            .alias("bucket_lo"),
+        )
+        .groupBy("source", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("sum_tokens"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "bucket_lo",
+        "n_docs",
+        "sum_tokens",
+        (
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+        ).alias("frac_docs"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 64,
