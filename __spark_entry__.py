@@ -625,6 +625,30 @@ def _length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(load_table(spark, sf_dir, "documents"))
 
 
+def _tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import tokenize_to_ids
+
+    return tokenize_to_ids(load_table(spark, sf_dir, "documents"), vocab_size=25)
+
+
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import cluster_keep_best
+
+    return cluster_keep_best(load_table(spark, sf_dir, "documents"))
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import (
         incremental_dedup_minhash,
@@ -817,6 +841,10 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "scd2_history": ["event_type", "is_current", "status", "user_id", "valid_from_us", "valid_to_us"],
     "decontaminate_ngrams": ["doc_id", "n_eval_docs", "n_shared_ngrams"],
     "bigram_surprisal": ["avg_bits", "doc_id", "n_bigrams", "sum_bits"],
+    "tokenize_to_ids": ["doc_id", "pos", "token_id"],
+    "gopher_rules": ["doc_id", "mean_word_len", "n_words", "ok_alpha", "ok_mean_len", "ok_stops", "ok_symbols", "ok_words", "passes"],
+    "containment_pairs": ["containment", "doc_a", "doc_b", "n_common"],
+    "cluster_keep_best": ["component_id", "doc_id", "keeper_doc_id", "kept"],
     "upsert_latest": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "paginate": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "asof_last_purchase": ["event_id", "last_purchase_value", "purchase_ts_us", "ts_us", "user_id"],
@@ -939,6 +967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_outliers": _numeric_outliers,
         "dup_rate_by_source": _dup_rate_by_source,
         "length_histogram": _length_histogram,
+        "tokenize_to_ids": _tokenize_to_ids,
+        "gopher_rules": _gopher_rules,
+        "containment_pairs": _containment_pairs,
+        "cluster_keep_best": _cluster_keep_best,
         # (d) r3-green fill (first ~12 land inside the 50-slot window;
         # queries whose implementation changed this round lead)
         "dedup_editdist": _editdist_pairs,
@@ -2561,6 +2593,134 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(g AS VARCHAR) || '-' || CAST(pack_no AS VARCHAR) AS pack_id,
                doc_id, chunk_idx, n_tokens
         FROM packed
+    """
+    sql["tokenize_to_ids"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), pos AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+          FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+        ), cf AS (
+          SELECT term, COUNT(*) AS cf FROM pos WHERE term <> '' GROUP BY term
+        ), vocab AS (
+          SELECT term,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS BIGINT) AS vid
+          FROM cf QUALIFY vid <= 25
+        )
+        SELECT p.doc_id, p.pos,
+               CAST(COALESCE(v.vid, 0) AS BIGINT) AS token_id
+        FROM pos p LEFT JOIN vocab v USING (term)
+    """
+    sql["gopher_rules"] = """
+        WITH base AS (
+          SELECT doc_id, lower(text) AS lt,
+                 string_split(lower(text), ' ') AS t
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            CAST(len(t) AS BIGINT) AS n_words,
+            CAST(length(replace(lt, ' ', '')) AS BIGINT) AS n_nonspace,
+            CAST(length(lt) - length(replace(lt, '#', '')) AS BIGINT) AS n_hash,
+            CAST(len(regexp_extract_all(lt, '\\.\\.\\.')) AS BIGINT) AS n_ellipsis,
+            CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                 AS BIGINT) AS n_alpha,
+            CAST(len(list_filter(t,
+                 x -> list_contains(['the', 'a', 'of', 'and', 'to'], x)))
+                 AS BIGINT) AS n_stop
+          FROM base
+        ), f AS (
+          SELECT doc_id, n_words, n_stop,
+                 CAST(n_nonspace AS DOUBLE) / n_words AS mwl,
+                 CAST(n_hash + n_ellipsis AS DOUBLE) / n_words AS sym,
+                 CAST(n_alpha AS DOUBLE) / n_words AS alpha
+          FROM m
+        )
+        SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len,
+          CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS ok_words,
+          CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS ok_mean_len,
+          CAST(sym <= 0.1 AS INT) AS ok_symbols,
+          CAST(alpha >= 0.8 AS INT) AS ok_alpha,
+          CAST(n_stop >= 2 AS INT) AS ok_stops,
+          CAST(n_words >= 20 AND n_words <= 100000
+               AND mwl >= 3.0 AND mwl <= 10.0
+               AND sym <= 0.1 AND alpha >= 0.8
+               AND n_stop >= 2 AS INT) AS passes
+        FROM f
+    """
+    sql["containment_pairs"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / x.n, 6) AS containment
+        FROM pairs JOIN sz x ON x.doc_id = doc_a
+        WHERE CAST(n_common AS DOUBLE) / x.n >= 0.8
+    """
+    sql["cluster_keep_best"] = """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), thresh AS (
+          SELECT doc_a, doc_b FROM pairs
+          JOIN sz x ON x.doc_id = doc_a
+          JOIN sz y ON y.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM thresh
+          UNION ALL
+          SELECT doc_b, doc_a FROM thresh
+        ), reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ), comp AS (
+          SELECT id AS doc_id, MIN(lbl) AS component_id
+          FROM reach GROUP BY id
+        ), qm AS (
+          SELECT doc_id,
+            CAST(len(list_filter(t,
+              x -> list_contains(['the', 'a', 'of', 'and', 'to'], x)))
+              AS DOUBLE) / len(t) AS stop_ratio_raw,
+            CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+              AS DOUBLE) / length(lower(text)) AS punct_ratio_raw,
+            CAST(list_sum(list_transform(t, x -> length(x)))
+              AS DOUBLE) / len(t) AS mwl_raw
+          FROM toks JOIN documents USING (doc_id)
+        ), qual AS (
+          SELECT doc_id,
+                 ROUND(0.3 * (1.0 - stop_ratio_raw)
+                       + 0.4 * LEAST(mwl_raw / 10.0, 1.0)
+                       + 0.3 * (1.0 - punct_ratio_raw), 6) AS quality
+          FROM qm
+        ), scored AS (
+          SELECT c.doc_id, c.component_id, q.quality
+          FROM comp c JOIN qual q USING (doc_id)
+        )
+        SELECT doc_id, component_id,
+               FIRST_VALUE(doc_id) OVER (PARTITION BY component_id
+                   ORDER BY quality DESC, doc_id) AS keeper_doc_id,
+               CAST(doc_id = FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY component_id
+                   ORDER BY quality DESC, doc_id) AS INT) AS kept
+        FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but

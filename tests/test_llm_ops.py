@@ -680,3 +680,106 @@ def test_pack_chunks_n_groups_invariance_and_derivation(spark, tables):
     assert 100_000_000 // 50_000 > max(64, 4 * par)  # knob is the binding term
     # groups present in output ≤ derived n_groups; derivation didn't crash
     assert len(n_g) <= 100_000_000 // 50_000
+
+
+def test_tokenize_to_ids_contract(spark, tables):
+    from whatdropsnow_etl_spark.operators import (
+        corpus_vocab,
+        tokenize_to_ids,
+    )
+
+    docs = tables["documents"]
+    out = tokenize_to_ids(docs, vocab_size=10)
+    # one output row per token position, per doc
+    n_tokens = docs.select(
+        F.size(F.split(F.lower("text"), " ")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert out.count() == n_tokens
+    # ids are 0 (OOV) or 1..vocab_size
+    assert out.where((F.col("token_id") < 0) | (F.col("token_id") > 10)).count() == 0
+    # the most frequent term maps to id 1 everywhere it occurs
+    top = corpus_vocab(docs, k=1).collect()[0]
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term")
+    )
+    joined = toks.join(out, ["doc_id", "pos"])
+    assert (
+        joined.where(F.col("term") == top["term"])
+        .where(F.col("token_id") != 1)
+        .count()
+        == 0
+    )
+    # positions are dense 0..n-1 per doc
+    mx = out.groupBy("doc_id").agg(
+        F.max("pos").alias("mx"), F.count("*").alias("n")
+    )
+    assert mx.where(F.col("mx") != F.col("n") - 1).count() == 0
+
+
+def test_gopher_rules_flag_semantics(spark):
+    from whatdropsnow_etl_spark.operators import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything: 20+ alpha words incl stopwords
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "runs far away to the old stone bridge of the north town"),
+            # too short
+            (2, "the tiny doc of and to nothing"),
+            # symbol-heavy: hashes blow the symbol ratio
+            (3, "the " + "# " * 30 + "of and to more words here follow "
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[1]["passes"] == 1
+    assert rows[2]["ok_words"] == 0 and rows[2]["passes"] == 0
+    assert rows[3]["ok_symbols"] == 0 and rows[3]["passes"] == 0
+    # conjunction == product of flags, for every row
+    for r in rows.values():
+        prod = (
+            r["ok_words"] * r["ok_mean_len"] * r["ok_symbols"]
+            * r["ok_alpha"] * r["ok_stops"]
+        )
+        assert r["passes"] == prod
+
+
+def test_containment_asymmetric(spark):
+    from whatdropsnow_etl_spark.operators import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " eta theta iota kappa lam mu nu xi omicron pi rho sigma"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words entirely different text")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           containment_pairs(docs, threshold=0.5).collect()}
+    # the short doc is fully contained in the long one...
+    assert out[(1, 2)]["containment"] == 1.0
+    # ...but not vice versa (long has many shingles outside short)
+    assert (2, 1) not in out
+    assert all(a != b for (a, b) in out)
+
+
+def test_cluster_keep_best_contract(tables):
+    from whatdropsnow_etl_spark.operators import cluster_keep_best, quality_score
+
+    docs = tables["documents"]
+    out = cluster_keep_best(docs)
+    assert out.count() == docs.count()
+    # exactly one keeper per component, and the keeper row is its own
+    assert (
+        out.groupBy("component_id").agg(F.sum("kept").alias("s"))
+        .where(F.col("s") != 1).count() == 0
+    )
+    assert out.where(
+        (F.col("kept") == 1) & (F.col("doc_id") != F.col("keeper_doc_id"))
+    ).count() == 0
+    # the keeper's quality is the component max
+    q = quality_score(docs).select("doc_id", "quality")
+    scored = out.join(q, "doc_id")
+    comp_max = scored.groupBy("component_id").agg(F.max("quality").alias("mx"))
+    keepers = scored.where(F.col("kept") == 1).join(comp_max, "component_id")
+    assert keepers.where(F.col("quality") != F.col("mx")).count() == 0

@@ -9,6 +9,8 @@ from .events import (
 from .corpus import bigram_surprisal, decontaminate_ngrams
 from .sampling import source_mix_sample, stratified_sample_by_quality
 from .dedup import (
+    cluster_keep_best,
+    containment_pairs,
     dedup_clusters,
     dedup_exact,
     editdist_pairs,
@@ -53,12 +55,14 @@ from .textops import (
     pack_chunks,
     corpus_vocab,
     doc_fingerprint,
+    gopher_rules,
     lang_id_confusion,
     length_histogram,
     quality_score,
     redact_pii,
     repetition_stats,
     token_count,
+    tokenize_to_ids,
 )
 from .upsert import latest_wins
 from .windows import moving_avg, sessionize, topn_per_group
@@ -122,4 +126,8 @@ __all__ = [
     "chunk_documents",
     "source_mix_sample",
     "pack_chunks",
+    "tokenize_to_ids",
+    "gopher_rules",
+    "containment_pairs",
+    "cluster_keep_best",
 ]

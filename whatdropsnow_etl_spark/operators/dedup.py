@@ -924,3 +924,114 @@ def editdist_pairs(
         )
     )
     return cand
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    hash_shingles: bool = True,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """Directed shingle-containment pairs: C(a -> b) = |S_a ∩ S_b| / |S_a|.
+
+    Jaccard misses asymmetric duplication -- a short doc wholly quoted
+    inside a long one scores low on Jaccard but 1.0 on containment
+    (Broder 1997's second resemblance measure). This is the relation
+    behind subset-dup triage: quotes, excerpts, aggregator wrappers.
+
+    Output: (doc_a, doc_b, n_common, containment) for every ORDERED
+    pair with C(doc_a -> doc_b) >= threshold, doc_a != doc_b --
+    i.e. doc_a is (mostly) contained in doc_b.
+
+    Shape: one inverted-index pass computes unordered co-occurrence
+    counts (explode -> groupBy(shingle) -> in-JVM pair expansion --
+    the same 2-shuffle skeleton as :func:`ngram_jaccard_pairs`), then
+    both directions are emitted and divided by the source doc's
+    shingle count. Per-doc sizes join via a plain equi-join (AQE
+    broadcasts it while it fits; at 100 TB the sizes relation is
+    corpus-sized, so a broadcast must not be hard-coded). The
+    ultra-frequent-shingle guard and the LSH-prefilter scale path
+    are the same as Jaccard's.
+    """
+    sh = _doc_shingles(df, text_col, id_col, k, hash_shingles)
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(shingles(tokens(F.col(text_col)), k)).cast("bigint").alias("n_shingles"),
+    )
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__docs")
+    )
+    if max_docs_per_shingle is not None:
+        grouped = grouped.where(F.size("__docs") <= max_docs_per_shingle)
+    inter = (
+        _expand_sorted_pairs(grouped)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = inter.union(
+        inter.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "n_common")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na"))
+    return (
+        directed.join(sa, "doc_a")
+        .withColumn(
+            "containment", F.col("n_common").cast("double") / F.col("__na")
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", F.round("containment", 6).alias("containment"))
+    )
+
+
+def cluster_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 15,
+    algorithm: str = "twostars",
+) -> DataFrame:
+    """Near-dup clustering + best-document representative selection.
+
+    :func:`dedup_clusters` answers "which docs are together";
+    production dedup must also answer "which one survives". The
+    keeper per component is the argmax of the composite quality
+    score (ties broken by smaller doc_id -- fully deterministic),
+    NOT the min-id: on real corpora the min-id doc is often the
+    worst copy (truncated scrape, boilerplate wrapper).
+
+    Output: one row per doc -- (doc_id, component_id,
+    keeper_doc_id, kept) where kept=1 iff the doc is its
+    component's keeper. Singletons keep themselves.
+
+    Shape: components from the O(log n)-round two-stars contraction,
+    quality from a pure-column projection, then ONE ordered window
+    per component (first_value over the full frame) -- a single
+    extra shuffle on component_id after clustering; no self-join.
+    Component sizes are near-dup cluster sizes (bounded in practice;
+    a pathological mega-cluster is already a problem upstream at the
+    pairs stage, not here).
+    """
+    from pyspark.sql.window import Window
+
+    from .textops import quality_score
+
+    comp = dedup_clusters(df, text_col, id_col, k, threshold, max_iter, algorithm)
+    qual = quality_score(df, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "quality"
+    )
+    scored = comp.join(qual, "doc_id")
+    w = (
+        Window.partitionBy("component_id")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return scored.select(
+        "doc_id",
+        "component_id",
+        F.first("doc_id").over(w).alias("keeper_doc_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).cast("int").alias("kept"),
+    )

@@ -537,3 +537,113 @@ def pack_chunks(
             f" {tokens_col} bigint"
         ),
     )
+
+
+def tokenize_to_ids(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map every token to its vocabulary id: (doc_id, pos, token_id).
+
+    The step between raw text and a training batch: a bounded
+    vocabulary (the top-``vocab_size`` terms by collection frequency,
+    id = deterministic rank from :func:`corpus_vocab`, 1-based) is
+    broadcast-joined onto the position-exploded corpus; OOV tokens
+    map to id 0. Shapes for 100 TB:
+
+    - the vocab is aggregate-sized (<= vocab_size rows after one
+      map-side-combined shuffle), so the id lookup is a broadcast
+      hash join -- the corpus is never shuffled to tokenize;
+    - output is flat (doc_id, pos, token_id) rows: downstream
+      packing/batching re-assembles arrays per consumer, and flat
+      rows keep the relation hashable by any engine (the SQL twin
+      emits identical triples).
+
+    Reference parity: the reference stops at landing raw rows
+    (etl.py:14-57); this is the tokenizer stage its corpus consumers
+    would run next.
+    """
+    vocab = corpus_vocab(docs, k=vocab_size, text_col=text_col).select(
+        "term", F.col("rank").alias("__vid")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.coalesce(F.col("__vid"), F.lit(0)).cast("bigint").alias("token_id"),
+        )
+    )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rule battery (Rae et al. 2021,
+    "Scaling Language Models" §A1.1.1, public arXiv:2112.11446).
+
+    One flag column per rule plus the conjunction -- the standard
+    pre-training corpus filter pass. All pure Column expressions
+    (codegen'd, zero shuffle): a single narrow projection over the
+    corpus scan, embarrassingly parallel at any scale. Thresholds
+    are the published defaults except ``min_words`` (20, not 50 --
+    the synthetic docs are short; callers pass their own).
+
+    Rules (flags are 1 = passes):
+
+    - ok_words: min_words <= n words <= max_words
+    - ok_mean_len: mean word length in [min_mean_word_len,
+      max_mean_word_len] (computed as non-space chars / words --
+      exact for the single-space-separated corpus and identical
+      arithmetic in the SQL twin)
+    - ok_symbols: (# '#' chars + # '...' runs) / words <= max_symbol_ratio
+    - ok_alpha: fraction of words containing [a-z] >= min_alpha_word_ratio
+    - ok_stops: >= min_stop_hits stopword occurrences
+    """
+    lt = F.lower(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("bigint")
+    n_nonspace = F.length(F.regexp_replace(lt, " ", "")).cast("bigint")
+    mean_wl = n_nonspace.cast("double") / n_words
+    n_hash = (F.length(lt) - F.length(F.regexp_replace(lt, "#", ""))).cast("bigint")
+    n_ellipsis = F.size(F.regexp_extract_all(lt, F.lit("\\.\\.\\."), F.lit(0))).cast(
+        "bigint"
+    )
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("bigint")
+    alpha_ratio = n_alpha_words.cast("double") / n_words
+    n_stop = stop_count(toks, STOPWORDS).cast("bigint")
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_len = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_symbols = symbol_ratio <= max_symbol_ratio
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    ok_stops = n_stop >= min_stop_hits
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        ok_words.cast("int").alias("ok_words"),
+        ok_mean_len.cast("int").alias("ok_mean_len"),
+        ok_symbols.cast("int").alias("ok_symbols"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        ok_stops.cast("int").alias("ok_stops"),
+        (ok_words & ok_mean_len & ok_symbols & ok_alpha & ok_stops)
+        .cast("int")
+        .alias("passes"),
+    )
