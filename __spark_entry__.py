@@ -649,6 +649,23 @@ def _cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_keep_best(load_table(spark, sf_dir, "documents"))
 
 
+def _ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import ann_int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_int8_topk(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+def _fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import fixed_size_sample
+
+    return fixed_size_sample(load_table(spark, sf_dir, "documents"), n=100)
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import (
         incremental_dedup_minhash,
@@ -845,6 +862,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "gopher_rules": ["doc_id", "mean_word_len", "n_words", "ok_alpha", "ok_mean_len", "ok_stops", "ok_symbols", "ok_words", "passes"],
     "containment_pairs": ["containment", "doc_a", "doc_b", "n_common"],
     "cluster_keep_best": ["component_id", "doc_id", "keeper_doc_id", "kept"],
+    "ann_int8_topk": ["neighbor_id", "qcosine", "query_id", "rnk"],
+    "fixed_size_sample": ["doc_id", "source"],
     "upsert_latest": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "paginate": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "asof_last_purchase": ["event_id", "last_purchase_value", "purchase_ts_us", "ts_us", "user_id"],
@@ -971,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _gopher_rules,
         "containment_pairs": _containment_pairs,
         "cluster_keep_best": _cluster_keep_best,
+        "ann_int8_topk": _ann_int8,
+        "fixed_size_sample": _fixed_size_sample,
         # (d) r3-green fill (first ~12 land inside the 50-slot window;
         # queries whose implementation changed this round lead)
         "dedup_editdist": _editdist_pairs,
@@ -2665,6 +2686,43 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_common AS DOUBLE) / x.n, 6) AS containment
         FROM pairs JOIN sz x ON x.doc_id = doc_a
         WHERE CAST(n_common AS DOUBLE) / x.n >= 0.8
+    """
+    sql["ann_int8_topk"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS sc
+          FROM e
+        ), q8 AS (
+          SELECT vec_id,
+                 list_transform(v, x -> CAST(
+                   CASE WHEN sc = 0 THEN 0
+                        ELSE round(x / sc * 127) END AS INT)) AS qv
+          FROM s
+        ), n AS (
+          SELECT vec_id, qv,
+                 CAST(list_dot_product(qv, qv) AS BIGINT) AS nn
+          FROM q8
+        ), sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, c.qv)
+                   / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos_raw
+          FROM (SELECT * FROM n WHERE vec_id < 10) q
+          CROSS JOIN (SELECT * FROM n WHERE vec_id >= 10) c
+        ), r AS (
+          SELECT query_id, neighbor_id, cos_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM sc
+        )
+        SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS qcosine
+        FROM r WHERE rnk <= 5
+    """
+    sql["fixed_size_sample"] = """
+        SELECT doc_id, source FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 100
     """
     sql["cluster_keep_best"] = """
         WITH RECURSIVE toks AS (

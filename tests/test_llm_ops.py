@@ -783,3 +783,44 @@ def test_cluster_keep_best_contract(tables):
     comp_max = scored.groupBy("component_id").agg(F.max("quality").alias("mx"))
     keepers = scored.where(F.col("kept") == 1).join(comp_max, "component_id")
     assert keepers.where(F.col("quality") != F.col("mx")).count() == 0
+
+
+def test_quantize_embeddings_bounds(tables):
+    from whatdropsnow_etl_spark.operators import quantize_embeddings
+
+    emb = tables["embeddings"]
+    q = quantize_embeddings(emb)
+    assert q.count() == emb.count()
+    # every component within int8 range, scale nonnegative
+    bad = q.select(
+        F.exists("qvec", lambda x: (x < -127) | (x > 127)).alias("oob"),
+        (F.col("scale") < 0).alias("neg"),
+    )
+    assert bad.where(F.col("oob") | F.col("neg")).count() == 0
+    # max-abs component quantizes to exactly +-127 (scale anchor)
+    anchored = q.where(F.col("scale") > 0).select(
+        F.exists("qvec", lambda x: F.abs(x) == 127).alias("hit")
+    )
+    assert anchored.where(~F.col("hit")).count() == 0
+
+
+def test_ann_int8_agrees_with_float_topk(tables):
+    from whatdropsnow_etl_spark.operators import ann_cosine_topk, ann_int8_topk
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ann_cosine_topk(corpus, queries, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ann_int8_topk(corpus, queries, k=5).collect()
+    }
+    assert set(exact) == set(quant)
+    # SQ8 at dim 64: top-1 must agree; overall top-5 agreement >= 80%
+    top1_keys = [kk for kk in exact if kk[1] == 1]
+    assert all(exact[kk] == quant[kk] for kk in top1_keys)
+    agree = sum(exact[kk] == quant[kk] for kk in exact)
+    assert agree / len(exact) >= 0.8

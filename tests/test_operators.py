@@ -306,3 +306,20 @@ def test_native_session_window_matches_custom_sessionize(spark, tables):
     }
     assert len(native) > 0
     assert native == custom
+
+
+def test_fixed_size_sample_deterministic(tables):
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators import fixed_size_sample
+
+    docs = tables["documents"]
+    a = fixed_size_sample(docs, n=20).collect()
+    b = fixed_size_sample(docs, n=20).collect()
+    assert len(a) == 20 and sorted(a) == sorted(b)
+    # nested: the 10-sample is a prefix-subset of the 20-sample
+    small = {r["doc_id"] for r in fixed_size_sample(docs, n=10).collect()}
+    big = {r["doc_id"] for r in a}
+    assert small <= big
+    # n larger than the corpus returns everything
+    assert fixed_size_sample(docs, n=10**9).count() == docs.count()

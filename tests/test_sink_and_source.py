@@ -357,3 +357,18 @@ def test_file_format_roundtrips(spark, tables, tmp_path):
     # ORC pushes filters like parquet
     plan = back.where(F.col("n_chars") > 200)._jdf.queryExecution().toString()
     assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]" in plan
+
+
+def test_xml_roundtrip(spark, tables, tmp_path):
+    from whatdropsnow_etl_spark.sources.files import read_xml
+
+    docs = tables["documents"].select("doc_id", "lang", "n_chars")
+    xml_p = str(tmp_path / "docs_xml")
+    docs.write.format("xml").option("rootTag", "docs").option(
+        "rowTag", "doc"
+    ).save(xml_p)
+    back = read_xml(
+        spark, xml_p, row_tag="doc",
+        schema="doc_id bigint, lang string, n_chars bigint",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))

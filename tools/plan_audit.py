@@ -32,6 +32,8 @@ from whatdropsnow_etl_spark.session import get_spark
 ALLPAIRS_OK = {
     "embedding_dedup",
     "ann_cosine_topk",
+    # int8 twin of the brute-force kernel: corpus × broadcast queries
+    "ann_int8_topk",
     # IVF crosses the corpus against a C-row broadcast codebook
     # (C = n_centroids, constant) — not a data×data cross
     "ann_ivf_topk",
@@ -63,6 +65,8 @@ PYTHON_OK = {
 EAGER_OK = {
     "dedup_clusters",
     "dedup_clusters_twostars",
+    # composes dedup_clusters, so inherits its contraction-loop jobs
+    "cluster_keep_best",
     # k-means training is a driver-looped fixpoint; each Lloyd's
     # round legitimately runs assign/update jobs at construction
     "ann_ivf_trained",

@@ -7,7 +7,11 @@ from .events import (
     retention_cohorts,
 )
 from .corpus import bigram_surprisal, decontaminate_ngrams
-from .sampling import source_mix_sample, stratified_sample_by_quality
+from .sampling import (
+    fixed_size_sample,
+    source_mix_sample,
+    stratified_sample_by_quality,
+)
 from .dedup import (
     cluster_keep_best,
     containment_pairs,
@@ -46,9 +50,11 @@ from .search import ilike_search
 from .skew import salted_groupby_sum, salted_join
 from .similarity import (
     ann_cosine_topk,
+    ann_int8_topk,
     ann_ivf_topk,
     ann_lsh_bucketed,
     embedding_dedup_pairs,
+    quantize_embeddings,
 )
 from .textops import (
     chunk_documents,
@@ -130,4 +136,7 @@ __all__ = [
     "gopher_rules",
     "containment_pairs",
     "cluster_keep_best",
+    "ann_int8_topk",
+    "quantize_embeddings",
+    "fixed_size_sample",
 ]

@@ -92,3 +92,32 @@ def source_mix_sample(
         F.lit(_rate_hex(default_rate))
     )
     return df.where(frac < rate).select(id_col, source_col)
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exactly-n deterministic uniform sample: the reservoir-sampling
+    use case without reservoir state.
+
+    Order by md5(id) (uncorrelated with content or insertion order)
+    and take the first n. Spark compiles sort-limit to TakeOrdered:
+    each partition keeps an n-row heap and only heads travel to the
+    final merge -- no global sort, no RNG state, no per-partition
+    quota bookkeeping; reruns and engine twins pick the identical
+    sample. For n large enough to strain a single merge, draw
+    per-stratum with :func:`source_mix_sample` rates instead.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy(F.col("__h"), F.col(id_col))
+        .limit(n)
+        .select(id_col, *extra_cols)
+    )

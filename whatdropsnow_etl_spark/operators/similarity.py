@@ -498,3 +498,91 @@ def ann_ivf_topk(
             "query_id", "neighbor_id", "rnk", F.round("cosine_raw", 6).alias("cosine")
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: (id, qvec array<int>, scale).
+
+    q_i = round(v_i / max|v| * 127) -- the standard SQ8 compression
+    (4x smaller than float32, 8x than float64), computed entirely
+    row-locally: the scale is the vector's own max-abs, so there is
+    NO corpus aggregate and NO shuffle -- a narrow projection that
+    scales embarrassingly. Cosine is scale-invariant, so similarity
+    over qvecs needs no dequantization (the per-vector scale cancels).
+
+    All arithmetic is double from float32 inputs with round-half-
+    away-from-zero -- bit-identical in the DuckDB twin.
+    """
+    v = to_double_array(vec_col)
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qv = F.transform(
+        v,
+        lambda x: F.when(s == F.lit(0.0), F.lit(0.0))
+        .otherwise(F.round(x / s * 127, 0))
+        .cast("int"),
+    )
+    return df.select(F.col(id_col), qv.alias("qvec"), s.alias("scale"))
+
+
+def _int_dot(a, b):
+    """Exact integer dot product as BIGINT (64 dims x 127^2 bounds it
+    far below 2^63 -- no float accumulation order to disagree on)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k over int8-quantized vectors.
+
+    The memory-bandwidth path for brute-force rerank at scale: the
+    corpus streams as int8 (4x less I/O than float32), the dot
+    product is exact BIGINT arithmetic (deterministic across
+    engines -- no left-to-right float accumulation contract needed),
+    and only the final cosine division touches floating point:
+    dot / sqrt(CAST(n_a * n_b AS DOUBLE)) -- one IEEE sqrt of an
+    exact integer, bit-identical everywhere.
+
+    Same O(N*Q) broadcast shape as :func:`ann_cosine_topk`; composes
+    with the IVF/LSH prefilters for large Q. Typical recall loss of
+    SQ8 at this dim is negligible (pytest pins top-1 agreement vs
+    the float kernel).
+    """
+    q = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("__qq"),
+    )
+    q = q.withColumn("__nq", _int_dot(F.col("__qq"), F.col("__qq")))
+    c = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("__qc"),
+    )
+    c = c.withColumn("__nc", _int_dot(F.col("__qc"), F.col("__qc")))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (
+            _int_dot(F.col("__qq"), F.col("__qc")).cast("double")
+            / F.sqrt((F.col("__nq") * F.col("__nc")).cast("double"))
+        ).alias("__cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "rnk", F.round("__cos", 6).alias("qcosine")
+        )
+    )

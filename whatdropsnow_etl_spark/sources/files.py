@@ -48,5 +48,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML drops (feeds, sitemaps, legacy exports) via Spark 4's
+    built-in XML source. Same discipline as CSV/JSONL: pass a schema
+    in production (inference parses everything once extra); XML is a
+    row format, so land -> convert to parquet before querying. The
+    reader splits files on ``row_tag`` boundaries, so a single huge
+    file still parallelizes across executors."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).option(
+        "mode", "FAILFAST"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
