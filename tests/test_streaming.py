@@ -708,3 +708,47 @@ def test_broadcast_refresh_enrichment_matches_batch_join(
         .collect()
     }
     assert set(collected) == want and len(collected) == len(want)
+
+
+def test_stream_stream_join_matches_batch(spark, tables, events_json_dir, tmp_path):
+    from whatdropsnow_etl_spark.streaming import correlate_streams
+
+    ev = tables["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    views_b = ev.where(F.col("event_type") == "view")
+    buys_b = ev.where(F.col("event_type") == "purchase")
+    # batch twin: watermarks are a no-op on batch inputs
+    expected = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in correlate_streams(
+            views_b, buys_b, max_span="48 hours", watermark="1 hour"
+        ).select("event_id", "r_event_id").collect()
+    )
+    assert expected, "fixture must produce at least one correlated pair"
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .json(events_json_dir)
+    )
+    views_s = stream.where(F.col("event_type") == "view")
+    buys_s = stream.where(F.col("event_type") == "purchase")
+    joined = correlate_streams(
+        views_s, buys_s, max_span="48 hours", watermark="1 hour"
+    )
+    q = (
+        joined.select("event_id", "r_event_id")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssjoin"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in spark.table("ss_join").collect()
+    )
+    assert got == expected

@@ -3,6 +3,7 @@ from .dedup import dedup_stream
 from .funnel import curation_funnel_stream
 from .enrich import enrich_stream
 from .intervals import streaming_interval_pairs
+from .join import correlate_streams
 from .quantiles import windowed_value_quantiles
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
@@ -21,4 +22,5 @@ __all__ = [
     "windowed_value_quantiles",
     "RefreshingBroadcastDim",
     "enrich_foreach_batch",
+    "correlate_streams",
 ]
