@@ -649,6 +649,17 @@ def _cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_keep_best(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.bpe import bpe_encode, bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    # model from a corpus sample (BPE statistics are histogram-shaped;
+    # training on a sample is the standard large-corpus practice),
+    # applied to the full corpus in one map-only pass
+    merges = bpe_merges(docs.where(F.col("doc_id") % 10 == 0), n_merges=8)
+    return bpe_encode(docs, merges)
+
+
 def _ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import ann_int8_topk
 
@@ -864,6 +875,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "cluster_keep_best": ["component_id", "doc_id", "keeper_doc_id", "kept"],
     "ann_int8_topk": ["neighbor_id", "qcosine", "query_id", "rnk"],
     "fixed_size_sample": ["doc_id", "source"],
+    "bpe_encode": ["doc_id", "pos", "token"],
     "upsert_latest": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "paginate": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "asof_last_purchase": ["event_id", "last_purchase_value", "purchase_ts_us", "ts_us", "user_id"],
@@ -1039,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": _bigram_surprisal,
         # (e) rows-only by design (no oracle) — never burn a gate slot
         "bpe_merges": _bpe_merges,
+        "bpe_encode": _bpe_encode,
         "hll_distinct_users": _hll_distinct,
         "ann_ivf_trained": _ann_ivf_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,

@@ -824,3 +824,40 @@ def test_ann_int8_agrees_with_float_topk(tables):
     assert all(exact[kk] == quant[kk] for kk in top1_keys)
     agree = sum(exact[kk] == quant[kk] for kk in exact)
     assert agree / len(exact) >= 0.8
+
+
+def test_bpe_encode_lossless_and_compresses(spark, tables):
+    from whatdropsnow_etl_spark.operators.bpe import END, bpe_encode, bpe_merges
+
+    docs = tables["documents"].where(F.col("doc_id") < 60)
+    merges = bpe_merges(docs, n_merges=8)
+    enc = bpe_encode(docs, merges)
+    # lossless: per-doc token concat == lower(text) with words
+    # terminated by END
+    rebuilt = (
+        enc.orderBy("doc_id", "pos")
+        .groupBy("doc_id")
+        .agg(F.concat_ws("", F.collect_list("token")).alias("glued"))
+    )
+    want = docs.select(
+        "doc_id",
+        F.concat(
+            F.concat_ws(END, F.split(F.lower("text"), " ")), F.lit(END)
+        ).alias("want"),
+    )
+    assert rebuilt.join(want, "doc_id").where(
+        F.col("glued") != F.col("want")
+    ).count() == 0
+    # merges fired: fewer tokens than characters+words (chars+END baseline)
+    n_tok = enc.count()
+    baseline = docs.select(
+        (F.length(F.lower("text"))
+         - F.length(F.regexp_replace(F.lower("text"), " ", ""))
+         + F.length(F.regexp_replace(F.lower("text"), " ", ""))
+         + F.size(F.split(F.lower("text"), " "))).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert n_tok < baseline
+    # list-of-pairs input path matches the DataFrame input path
+    mlist = [(r["left"], r["right"]) for r in merges.orderBy("merge_rank").collect()]
+    enc2 = bpe_encode(docs, mlist)
+    assert enc2.count() == n_tok

@@ -57,6 +57,7 @@ PYTHON_OK = {
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
     "ann_ivf_trained",  # same kernels + k-means assign
     "bpe_merges",  # per-word merge application (sequential per word)
+    "bpe_encode",  # same per-word merge scan, all ranks in one pass
     "pack_chunks",  # per-group greedy packing (inherently sequential)
 }
 # Iterative algorithms whose composition must run jobs (label
@@ -72,6 +73,9 @@ EAGER_OK = {
     "ann_ivf_trained",
     # BPE merge learning: one argmax row collected per round
     "bpe_merges",
+    # encoding closes over a trained merge table: training jobs run
+    # during composition (model-sized argmax per round)
+    "bpe_encode",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {

@@ -120,3 +120,82 @@ def bpe_merges(
     return spark.createDataFrame(
         learned, "merge_rank bigint, left string, right string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table:
+    (doc_id, pos BIGINT, token STRING) — the apply half of the
+    train/apply tokenizer loop (:func:`bpe_merges` is the train half).
+
+    ``merges`` is the bpe_merges relation (or a list of
+    (left, right) pairs in rank order). The merge table is
+    MODEL-sized (n_merges rows), so it is collected once and closed
+    over by ONE Arrow-batched UDF that applies every merge in rank
+    order per word, with a per-worker word cache (corpus word
+    frequency is Zipfian — the cache hit rate is the point).
+    Contrast with training, which must re-count pairs between
+    rounds: encoding needs no per-round jobs, so the corpus is
+    tokenized in a single map-only pass — zero shuffle, linear in
+    executors at any scale.
+
+    Per-word concatenation of the emitted tokens reconstructs
+    word + '</w>' exactly (pytest-pinned), so the encoding is
+    lossless.
+    """
+    if isinstance(merges, DataFrame):
+        mlist = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        mlist = [(a, b) for a, b in merges]
+
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _encode(col):
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + [END]
+            for a, b in mlist:
+                if len(syms) == 1:
+                    break
+                out = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        def one(text: str) -> list[str]:
+            toks: list[str] = []
+            for w in text.lower().split(" "):
+                if w:
+                    toks.extend(enc_word(w))
+            return toks
+
+        return col.map(one)
+
+    _encode.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    enc = pandas_udf(_encode, "array<string>")
+    return docs.select(
+        F.col(id_col), F.posexplode(enc(F.col(text_col))).alias("pos", "token")
+    ).select(
+        F.col(id_col), F.col("pos").cast("bigint").alias("pos"), "token"
+    )
