@@ -649,6 +649,22 @@ def _cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_keep_best(load_table(spark, sf_dir, "documents"))
 
 
+def _incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.incremental import (
+        merge_rollup_states,
+        rollup_report,
+        rollup_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    old = rollup_state(ev.where(F.col("ts") < cutoff), ["event_type"])
+    new = rollup_state(ev.where(F.col("ts") >= cutoff), ["event_type"])
+    return rollup_report(
+        merge_rollup_states([old, new], ["event_type"]), ["event_type"]
+    )
+
+
 def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators.bpe import bpe_encode, bpe_merges
 
@@ -876,6 +892,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "ann_int8_topk": ["neighbor_id", "qcosine", "query_id", "rnk"],
     "fixed_size_sample": ["doc_id", "source"],
     "bpe_encode": ["doc_id", "pos", "token"],
+    "incremental_rollup": ["avg_value", "event_type", "max_value", "min_value", "n_events", "sum_value"],
     "upsert_latest": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "paginate": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "asof_last_purchase": ["event_id", "last_purchase_value", "purchase_ts_us", "ts_us", "user_id"],
@@ -1004,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keep_best": _cluster_keep_best,
         "ann_int8_topk": _ann_int8,
         "fixed_size_sample": _fixed_size_sample,
+        "incremental_rollup": _incremental_rollup,
         # (d) r3-green fill (first ~12 land inside the 50-slot window;
         # queries whose implementation changed this round lead)
         "dedup_editdist": _editdist_pairs,
@@ -2731,6 +2749,17 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS qcosine
         FROM r WHERE rnk <= 5
+    """
+    sql["incremental_rollup"] = """
+        SELECT event_type,
+               COUNT(value) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR)
+                    AS DOUBLE) AS sum_value,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(value) AS avg_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type
     """
     sql["fixed_size_sample"] = """
         SELECT doc_id, source FROM documents

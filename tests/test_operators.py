@@ -323,3 +323,31 @@ def test_fixed_size_sample_deterministic(tables):
     assert small <= big
     # n larger than the corpus returns everything
     assert fixed_size_sample(docs, n=10**9).count() == docs.count()
+
+
+def test_rollup_state_merge_equals_full(tables):
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators.incremental import (
+        merge_rollup_states,
+        rollup_report,
+        rollup_state,
+    )
+
+    ev = tables["events"]
+    keys = ["event_type"]
+    full = rollup_report(rollup_state(ev, keys), keys)
+    # three arbitrary disjoint slices merge to the identical report
+    parts = [
+        rollup_state(ev.where(F.col("event_id") % 3 == i), keys)
+        for i in range(3)
+    ]
+    merged = rollup_report(merge_rollup_states(parts, keys), keys)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+    # merge order is immaterial (associativity via exact sums)
+    merged2 = rollup_report(
+        merge_rollup_states([parts[2], parts[0], parts[1]], keys), keys
+    )
+    assert sorted(map(tuple, merged2.collect())) == a

@@ -42,3 +42,56 @@ def filter_out_recently_added(
         .distinct()
     )
     return candidates.select(*keys).distinct().join(recent, list(keys), "left_anti")
+
+
+def rollup_state(
+    df: DataFrame, keys: Sequence[str], value_col: str = "value"
+) -> DataFrame:
+    """Mergeable per-key aggregate state: (keys..., __n, __sum_dec,
+    __min, __max).
+
+    The incremental-OLAP building block: every component is a
+    commutative monoid (count/sum add, min/max take extrema), so
+    states built over disjoint slices merge into exactly the state
+    of the union — a 100 TB rollup is maintained by aggregating only
+    each new partition and folding it in, never rescanning history.
+    The sum is decimal-exact (`functions/money.py`), which is what
+    makes the merge ASSOCIATIVE in practice: double sums would drift
+    with merge order.
+    """
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(12,2)")).alias("__sum_dec"),
+        F.min(value_col).alias("__min"),
+        F.max(value_col).alias("__max"),
+    )
+
+
+def merge_rollup_states(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Fold any number of rollup states into one (union + re-reduce:
+    one key-partitioned shuffle over state-sized — not corpus-sized —
+    relations)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.sum("__n").alias("__n"),
+        F.sum("__sum_dec").alias("__sum_dec"),
+        F.min("__min").alias("__min"),
+        F.max("__max").alias("__max"),
+    )
+
+
+def rollup_report(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Present a rollup state: n / sum / avg / min / max per key.
+    avg divides the exact decimal sum (as double) by the exact count,
+    so it is bit-identical on any engine."""
+    sum_d = F.col("__sum_dec").cast("double")
+    return state.select(
+        *keys,
+        F.col("__n").alias("n_events"),
+        sum_d.alias("sum_value"),
+        (sum_d / F.col("__n")).alias("avg_value"),
+        F.col("__min").alias("min_value"),
+        F.col("__max").alias("max_value"),
+    )
