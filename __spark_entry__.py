@@ -649,6 +649,12 @@ def _cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_keep_best(load_table(spark, sf_dir, "documents"))
 
 
+def _key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.skew import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "events"), "user_id", top_k=20)
+
+
 def _incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators.incremental import (
         merge_rollup_states,
@@ -893,6 +899,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "fixed_size_sample": ["doc_id", "source"],
     "bpe_encode": ["doc_id", "pos", "token"],
     "incremental_rollup": ["avg_value", "event_type", "max_value", "min_value", "n_events", "sum_value"],
+    "key_skew_report": ["cum_share", "n", "rnk", "share", "user_id"],
     "upsert_latest": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "paginate": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "asof_last_purchase": ["event_id", "last_purchase_value", "purchase_ts_us", "ts_us", "user_id"],
@@ -1022,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": _ann_int8,
         "fixed_size_sample": _fixed_size_sample,
         "incremental_rollup": _incremental_rollup,
+        "key_skew_report": _key_skew_report,
         # (d) r3-green fill (first ~12 land inside the 50-slot window;
         # queries whose implementation changed this round lead)
         "dedup_editdist": _editdist_pairs,
@@ -2749,6 +2757,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS qcosine
         FROM r WHERE rnk <= 5
+    """
+    sql["key_skew_report"] = """
+        WITH c AS (
+          SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ), t AS (
+          SELECT SUM(n) AS tot FROM c
+        ), r AS (
+          SELECT user_id, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id)
+                      AS BIGINT) AS rnk,
+                 SUM(n) OVER (ORDER BY n DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c
+        )
+        SELECT user_id, n, rnk,
+               ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
+               ROUND(CAST(cum AS DOUBLE) / tot, 6) AS cum_share
+        FROM r, t WHERE rnk <= 20
     """
     sql["incremental_rollup"] = """
         SELECT event_type,

@@ -351,3 +351,27 @@ def test_rollup_state_merge_equals_full(tables):
         merge_rollup_states([parts[2], parts[0], parts[1]], keys), keys
     )
     assert sorted(map(tuple, merged2.collect())) == a
+
+
+def test_key_skew_report_contract(tables):
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators.skew import key_skew_report
+
+    ev = tables["events"]
+    out = key_skew_report(ev, "event_type", top_k=3).collect()
+    assert len(out) == 3
+    # ranks are 1..3 and counts are non-increasing
+    assert [r["rnk"] for r in out] != [] and sorted(r["rnk"] for r in out) == [1, 2, 3]
+    ordered = sorted(out, key=lambda r: r["rnk"])
+    assert all(
+        ordered[i]["n"] >= ordered[i + 1]["n"] for i in range(len(ordered) - 1)
+    )
+    # cum_share is the running sum of share (to rounding) and <= 1
+    run = 0.0
+    for r in ordered:
+        run += r["n"]
+        assert r["cum_share"] <= 1.0 + 1e-9
+    # share denominator is the FULL corpus, not the top-k slice
+    tot = ev.count()
+    assert abs(ordered[0]["share"] - ordered[0]["n"] / tot) < 1e-6

@@ -17,6 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _salt(df: DataFrame, n_salts: int) -> Column:
@@ -122,3 +123,39 @@ def salted_join_hotkeys(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     hot_joined = salted.join(replicated, [*on, "__salt"]).drop("__salt")
     return cold.unionByName(hot_joined)
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """Hot-key diagnostic: the top-``top_k`` keys by row count with
+    rank, corpus share, and cumulative share.
+
+    The relation every salting/bucketing decision reads first — it
+    answers "is this join/groupBy key skewed, and how many keys do I
+    have to treat specially". Shape: one key-partitioned count (the
+    only corpus-sized shuffle), then a sort-limit (per-partition
+    heaps) cuts to top_k BEFORE any window runs, so the ranking
+    window's single partition is top_k-bounded at any scale. The
+    cumulative share of rank i only involves rows ranked above i,
+    so computing it after the cut is exact.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__tot"))
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col)).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col))
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.col(key_col),
+            F.col("n"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias("share"),
+            F.round(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("__tot"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
