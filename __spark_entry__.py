@@ -649,6 +649,12 @@ def _cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_keep_best(load_table(spark, sf_dir, "documents"))
 
 
+def _lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.dedup import lsh_tuning_report
+
+    return lsh_tuning_report(load_table(spark, sf_dir, "documents"))
+
+
 def _key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators.skew import key_skew_report
 
@@ -900,6 +906,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bpe_encode": ["doc_id", "pos", "token"],
     "incremental_rollup": ["avg_value", "event_type", "max_value", "min_value", "n_events", "sum_value"],
     "key_skew_report": ["cum_share", "n", "rnk", "share", "user_id"],
+    "lsh_tuning_report": ["fn", "fp", "n_candidates", "n_true", "precision", "recall", "tp"],
     "upsert_latest": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "paginate": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "asof_last_purchase": ["event_id", "last_purchase_value", "purchase_ts_us", "ts_us", "user_id"],
@@ -1030,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_size_sample": _fixed_size_sample,
         "incremental_rollup": _incremental_rollup,
         "key_skew_report": _key_skew_report,
+        "lsh_tuning_report": _lsh_tuning_report,
         # (d) r3-green fill (first ~12 land inside the 50-slot window;
         # queries whose implementation changed this round lead)
         "dedup_editdist": _editdist_pairs,
@@ -2757,6 +2765,27 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS qcosine
         FROM r WHERE rnk <= 5
+    """
+    sql["lsh_tuning_report"] = f"""
+        WITH j AS (
+          SELECT c.__c, t.__t
+          FROM (SELECT doc_a, doc_b, 1 AS __c
+                FROM ({_minhash_oracle(16, 4)})) c
+          FULL OUTER JOIN
+               (SELECT doc_a, doc_b, 1 AS __t
+                FROM ({sql["dedup_ngram_jaccard"]})) t
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        ), m AS (
+          SELECT COUNT(__c) AS n_candidates, COUNT(__t) AS n_true,
+                 COUNT(CASE WHEN __c IS NOT NULL AND __t IS NOT NULL
+                            THEN 1 END) AS tp
+          FROM j
+        )
+        SELECT n_candidates, n_true, tp,
+               n_candidates - tp AS fp, n_true - tp AS fn,
+               ROUND(CAST(tp AS DOUBLE) / n_candidates, 6) AS "precision",
+               ROUND(CAST(tp AS DOUBLE) / n_true, 6) AS recall
+        FROM m
     """
     sql["key_skew_report"] = """
         WITH c AS (

@@ -861,3 +861,21 @@ def test_bpe_encode_lossless_and_compresses(spark, tables):
     mlist = [(r["left"], r["right"]) for r in merges.orderBy("merge_rank").collect()]
     enc2 = bpe_encode(docs, mlist)
     assert enc2.count() == n_tok
+
+
+def test_lsh_tuning_report_consistent(tables):
+    from whatdropsnow_etl_spark.operators.dedup import (
+        lsh_tuning_report,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = tables["documents"]
+    r = lsh_tuning_report(docs).collect()[0]
+    # identities hold
+    assert r["fp"] == r["n_candidates"] - r["tp"]
+    assert r["fn"] == r["n_true"] - r["tp"]
+    assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    # counts equal the underlying relations
+    assert r["n_candidates"] == minhash_lsh_pairs(docs).count()
+    assert r["n_true"] == ngram_jaccard_pairs(docs).count()

@@ -1041,3 +1041,50 @@ def cluster_keep_best(
         F.first("doc_id").over(w).alias("keeper_doc_id"),
         (F.col("doc_id") == F.first("doc_id").over(w)).cast("int").alias("kept"),
     )
+
+
+def lsh_tuning_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Precision/recall of MinHash-LSH candidates against exact
+    Jaccard-``threshold`` truth: ONE row — (n_candidates, n_true,
+    tp, fp, fn, precision, recall).
+
+    The S-curve math (P[collide] = 1-(1-s^r)^b) predicts a band
+    config's behavior; this measures it on YOUR corpus, which is how
+    (num_hashes, bands) actually get chosen before a 100 TB run: run
+    the report on an affordable sample, then commit the config. fp
+    is rerank waste (cost), fn is recall loss (missed dups) -- the
+    two axes the banding trade-off moves.
+
+    Truth is the exact inverted-index Jaccard relation, so the
+    report itself is only for sample/parity scales -- exactly its
+    purpose. The whole report is ONE lazy plan: a full-outer join of
+    the two pair relations into a single global aggregate -- no
+    driver-side counts during composition.
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, k, num_hashes, bands).select(
+        "doc_a", "doc_b", F.lit(1).alias("__c")
+    )
+    truth = ngram_jaccard_pairs(df, text_col, id_col, k, threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("__t")
+    )
+    both = cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+    n_cand = F.count("__c")
+    n_true = F.count("__t")
+    tp = F.count(F.when(F.col("__c").isNotNull() & F.col("__t").isNotNull(), 1))
+    return both.agg(
+        n_cand.alias("n_candidates"),
+        n_true.alias("n_true"),
+        tp.alias("tp"),
+        (n_cand - tp).alias("fp"),
+        (n_true - tp).alias("fn"),
+        F.round(tp.cast("double") / n_cand, 6).alias("precision"),
+        F.round(tp.cast("double") / n_true, 6).alias("recall"),
+    )
