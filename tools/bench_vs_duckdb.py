@@ -27,7 +27,16 @@ from whatdropsnow_etl_spark.sources import TABLE_NAMES
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    only = set(sys.argv[2:])
+    # args: [sf_dir] [name ... | skip:a,b,c]  — skip: for oracle
+    # twins that are intractable single-node at the given SF
+    # (e.g. dedup_editdist's exact DP blocking at sf1+)
+    only: set[str] = set()
+    skip: set[str] = set()
+    for arg in sys.argv[2:]:
+        if arg.startswith("skip:"):
+            skip |= set(arg[5:].split(","))
+        else:
+            only.add(arg)
     spark = get_spark(app_name="bench-vs-duckdb")
     # same warmup contract as bench.py: exercise scan→join→agg once
     # at the smallest SF so session-level first-use costs (parquet
@@ -46,7 +55,7 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     out = {}
     for name, fn in entrymod.queries().items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         if name not in oracles:
             continue
