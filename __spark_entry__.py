@@ -977,9 +977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # failures whose oracles were fixed this round (HUGEINT→BIGINT
     # casts), (b) the 36 queries green in r2 but rotated out of the r3
     # window (no fresh signal on regenerated data), (c) new r4
-    # additions, (d) r3-green fill. Rows-only (no-oracle) entries sit
-    # at the very back so no gate slot is spent on a guaranteed
-    # `no_oracle` row. Block sizes are asserted, not hand-counted:
+    # additions — more than fit, so the ones added latest spill past
+    # slot 50 and take the front of the r5 rotation together with (d),
+    # the r3-green fill (every (d) entry is locally parity-checked
+    # each round). Rows-only (no-oracle) entries sit at the very back
+    # so no gate slot is spent on a guaranteed `no_oracle` row. Block
+    # sizes are asserted, not hand-counted:
     # tests/test_entry_contract.py::test_gate_window_composition.
     base = {
         # (a) oracle type fix this round — re-verify first
