@@ -372,3 +372,29 @@ def test_xml_roundtrip(spark, tables, tmp_path):
         schema="doc_id bigint, lang string, n_chars bigint",
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tables, tmp_path):
+    """End-to-end JDBC against a real database: the runtime's embedded
+    Derby. Write a table, read it back as a range-partitioned
+    distributed scan, verify both values and the partition count."""
+    from whatdropsnow_etl_spark.sources.jdbc import JdbcTableSpec, read_jdbc
+
+    docs = tables["documents"].select("doc_id", "lang", "n_chars")
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    docs.write.format("jdbc").option("url", url).option(
+        "dbtable", "docs"
+    ).mode("overwrite").save()
+
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    spec = JdbcTableSpec(
+        url=url,
+        table="docs",
+        partition_column="doc_id",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    back = read_jdbc(spark, spec)
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))

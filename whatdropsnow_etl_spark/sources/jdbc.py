@@ -16,10 +16,14 @@ target on the driver connection — the heavy lifting (dedup to one
 row per key) happens distributed BEFORE landing via
 ``operators.latest_wins``.
 
-No database ships in this sandbox, so the option-building logic is
-pure and unit-tested (tests/test_sink_and_source.py) while the
-actual ``spark.read.jdbc`` call is a thin, untested passthrough —
-flagged loudly here rather than hidden.
+No database SERVER ships in this sandbox, but the runtime's embedded
+Derby (the Hive-metastore jar already on the classpath) is a real
+JDBC database, so the full write → range-partitioned distributed
+read round-trip IS tested end-to-end
+(tests/test_sink_and_source.py::test_jdbc_roundtrip_embedded_derby),
+including the partition count of the resulting scan. Postgres-
+specific behavior (ON CONFLICT upsert execution, fetchsize
+semantics) remains exercised only at the SQL/option level.
 """
 
 from __future__ import annotations
@@ -40,6 +44,8 @@ class JdbcTableSpec:
     fetch_size: int = 10_000
     user: str | None = None
     password: str | None = None
+    # explicit driver class; None relies on JDBC 4 auto-registration
+    driver: str | None = None
 
 
 def jdbc_read_options(spec: JdbcTableSpec) -> dict[str, str]:
@@ -61,6 +67,8 @@ def jdbc_read_options(spec: JdbcTableSpec) -> dict[str, str]:
         opts["user"] = spec.user
     if spec.password is not None:
         opts["password"] = spec.password
+    if spec.driver is not None:
+        opts["driver"] = spec.driver
     if spec.partition_column is not None:
         if spec.lower_bound is None or spec.upper_bound is None:
             raise ValueError(
@@ -94,6 +102,7 @@ def upsert_sql(table: str, stage: str, key_cols: list[str], value_cols: list[str
 
 
 def read_jdbc(spark, spec: JdbcTableSpec):
-    """UNTESTED passthrough (no database in the test sandbox): builds
-    the reader from :func:`jdbc_read_options` verbatim."""
+    """Distributed JDBC scan from :func:`jdbc_read_options` —
+    round-trip-tested against embedded Derby (4-way range-partitioned
+    read verified)."""
     return spark.read.format("jdbc").options(**jdbc_read_options(spec)).load()
