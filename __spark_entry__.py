@@ -649,6 +649,18 @@ def _cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_keep_best(load_table(spark, sf_dir, "documents"))
 
 
+def _schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.integrity import schema_drift_report
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    return schema_drift_report(
+        ev.where(F.col("ts") < cutoff),
+        ev.where(F.col("ts") >= cutoff),
+        ["event_id", "user_id", "value"],
+    )
+
+
 def _lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators.dedup import lsh_tuning_report
 
@@ -907,6 +919,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "incremental_rollup": ["avg_value", "event_type", "max_value", "min_value", "n_events", "sum_value"],
     "key_skew_report": ["cum_share", "n", "rnk", "share", "user_id"],
     "lsh_tuning_report": ["fn", "fp", "n_candidates", "n_true", "precision", "recall", "tp"],
+    "schema_drift_report": ["column", "distinct_ratio", "new_distinct", "new_n", "new_null_rate", "null_rate_delta", "old_distinct", "old_n", "old_null_rate"],
     "upsert_latest": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "paginate": ["event_id", "event_type", "ts_us", "user_id", "value"],
     "asof_last_purchase": ["event_id", "last_purchase_value", "purchase_ts_us", "ts_us", "user_id"],
@@ -1041,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": _incremental_rollup,
         "key_skew_report": _key_skew_report,
         "lsh_tuning_report": _lsh_tuning_report,
+        "schema_drift_report": _schema_drift_report,
         # (d) r3-green fill (first ~12 land inside the 50-slot window;
         # queries whose implementation changed this round lead)
         "dedup_editdist": _editdist_pairs,
@@ -2768,6 +2782,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS qcosine
         FROM r WHERE rnk <= 5
+    """
+    _drift_cols = ["event_id", "user_id", "value"]
+    _drift_side = " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS nr,
+               COUNT(DISTINCT {c}) AS nd FROM {{side}}"""
+        for c in _drift_cols
+    )
+    sql["schema_drift_report"] = f"""
+        WITH o AS (
+          SELECT * FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}'
+        ), n AS (
+          SELECT * FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+        ), po AS ({_drift_side.format(side="o")}),
+        pn AS ({_drift_side.format(side="n")})
+        SELECT po."column",
+               po.n AS old_n, pn.n AS new_n,
+               ROUND(po.nr, 6) AS old_null_rate,
+               ROUND(pn.nr, 6) AS new_null_rate,
+               ROUND(pn.nr - po.nr, 6) AS null_rate_delta,
+               po.nd AS old_distinct, pn.nd AS new_distinct,
+               ROUND(CAST(pn.nd AS DOUBLE) / GREATEST(po.nd, 1), 6)
+                 AS distinct_ratio
+        FROM po JOIN pn ON po."column" = pn."column"
     """
     sql["lsh_tuning_report"] = f"""
         WITH j AS (

@@ -375,3 +375,20 @@ def test_key_skew_report_contract(tables):
     # share denominator is the FULL corpus, not the top-k slice
     tot = ev.count()
     assert abs(ordered[0]["share"] - ordered[0]["n"] / tot) < 1e-6
+
+
+def test_schema_drift_report_detects_null_surge(spark):
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators.integrity import schema_drift_report
+
+    old = spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    # new batch: v goes 50% NULL and collapses to 2 distinct values
+    new = spark.range(0, 100).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN CAST(id % 2 AS DOUBLE) END AS v"
+    )
+    rep = {r["column"]: r for r in schema_drift_report(old, new, ["id", "v"]).collect()}
+    assert rep["id"]["null_rate_delta"] == 0.0
+    assert rep["v"]["null_rate_delta"] == 0.5
+    assert rep["v"]["new_distinct"] == 1  # only 0.0 survives the CASE
+    assert rep["id"]["distinct_ratio"] == 1.0

@@ -88,3 +88,55 @@ def profile_numeric_columns(
             " AS (column, n_rows, n_null, n_distinct, min_v, max_v, sum_v)"
         )
     )
+
+
+def schema_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Column-level drift between two snapshots of the same logical
+    table — the check an ingestion pipeline runs on every new batch
+    before appending it to 100 TB of history.
+
+    One profiling scan per side (the wide-aggregate trick from
+    :func:`profile_numeric_columns`), joined on column name. Output
+    per column: row counts, null-RATE on each side and the delta,
+    distinct counts and their ratio — the signals that catch a
+    upstream schema/semantics change (a column silently going
+    all-NULL, an enum collapsing, an id column losing uniqueness)
+    before it lands.
+
+    Type changes surface structurally: profiling casts to double, so
+    a column that stops being castable shows NULL min/max with a
+    null-rate jump. Presence changes (added/removed columns) are
+    driver-side schema facts — compare ``df.columns`` directly; this
+    relation covers the value-level drift of the shared columns.
+    """
+    po = profile_numeric_columns(old, cols).select(
+        "column",
+        F.col("n_rows").alias("old_n"),
+        (F.col("n_null").cast("double") / F.col("n_rows")).alias("__onr"),
+        F.col("n_distinct").alias("old_distinct"),
+    )
+    pn = profile_numeric_columns(new, cols).select(
+        "column",
+        F.col("n_rows").alias("new_n"),
+        (F.col("n_null").cast("double") / F.col("n_rows")).alias("__nnr"),
+        F.col("n_distinct").alias("new_distinct"),
+    )
+    return po.join(pn, "column").select(
+        "column",
+        "old_n",
+        "new_n",
+        F.round("__onr", 6).alias("old_null_rate"),
+        F.round("__nnr", 6).alias("new_null_rate"),
+        F.round(F.col("__nnr") - F.col("__onr"), 6).alias("null_rate_delta"),
+        "old_distinct",
+        "new_distinct",
+        F.round(
+            F.col("new_distinct").cast("double")
+            / F.greatest(F.col("old_distinct"), F.lit(1)),
+            6,
+        ).alias("distinct_ratio"),
+    )
