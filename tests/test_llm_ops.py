@@ -879,3 +879,13 @@ def test_lsh_tuning_report_consistent(tables):
     # counts equal the underlying relations
     assert r["n_candidates"] == minhash_lsh_pairs(docs).count()
     assert r["n_true"] == ngram_jaccard_pairs(docs).count()
+
+
+def test_cluster_keep_best_accepts_precomputed_components(tables):
+    from whatdropsnow_etl_spark.operators import cluster_keep_best, dedup_clusters
+
+    docs = tables["documents"]
+    comp = dedup_clusters(docs)
+    a = sorted(map(tuple, cluster_keep_best(docs).collect()))
+    b = sorted(map(tuple, cluster_keep_best(docs, components=comp).collect()))
+    assert a == b

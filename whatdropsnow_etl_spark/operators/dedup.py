@@ -1007,6 +1007,7 @@ def cluster_keep_best(
     threshold: float = 0.5,
     max_iter: int = 15,
     algorithm: str = "twostars",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup clustering + best-document representative selection.
 
@@ -1033,7 +1034,14 @@ def cluster_keep_best(
 
     from .textops import quality_score
 
-    comp = dedup_clusters(df, text_col, id_col, k, threshold, max_iter, algorithm)
+    # a pipeline that already ran dedup_clusters passes it in via
+    # ``components`` (doc_id, component_id) instead of re-deriving the
+    # pair relation — the clustering is the expensive half
+    comp = (
+        components
+        if components is not None
+        else dedup_clusters(df, text_col, id_col, k, threshold, max_iter, algorithm)
+    )
     qual = quality_score(df, text_col, id_col).select(
         F.col(id_col).alias("doc_id"), "quality"
     )
