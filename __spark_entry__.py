@@ -591,6 +591,12 @@ def _pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(chunks, budget_tokens=256, n_groups=16)
 
 
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import span_dedup
+
+    return span_dedup(load_table(spark, sf_dir, "documents"), span_tokens=8)
+
+
 def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import event_funnel
 
@@ -910,6 +916,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "decontaminate_ngrams": ["doc_id", "n_eval_docs", "n_shared_ngrams"],
     "bigram_surprisal": ["avg_bits", "doc_id", "n_bigrams", "sum_bits"],
     "tokenize_to_ids": ["doc_id", "pos", "token_id"],
+    "span_dedup": ["doc_id", "n_dropped", "n_spans", "text_dedup"],
     "gopher_rules": ["doc_id", "mean_word_len", "n_words", "ok_alpha", "ok_mean_len", "ok_stops", "ok_symbols", "ok_words", "passes"],
     "containment_pairs": ["containment", "doc_a", "doc_b", "n_common"],
     "cluster_keep_best": ["component_id", "doc_id", "keeper_doc_id", "kept"],
@@ -1100,6 +1107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _scd2_history,
         "decontaminate_ngrams": _decontaminate,
         "bigram_surprisal": _bigram_surprisal,
+        # (d2) new in this late-r4 pass — outside the 50-slot window;
+        # first driver signal lands in r5, local parity covers now
+        "span_dedup": _span_dedup,
         # (e) rows-only by design (no oracle) — never burn a gate slot
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
@@ -2678,6 +2688,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(g AS VARCHAR) || '-' || CAST(pack_no AS VARCHAR) AS pack_id,
                doc_id, chunk_idx, n_tokens
         FROM packed
+    """
+    sql["span_dedup"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), spans AS (
+          SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS span_idx,
+                 string_agg(t[i], ' ' ORDER BY i) AS span_text
+          FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+          GROUP BY doc_id, (i - 1) // 8
+        ), rn AS (
+          SELECT doc_id, span_idx, span_text,
+                 ROW_NUMBER() OVER (PARTITION BY span_text
+                                    ORDER BY doc_id, span_idx) AS rn
+          FROM spans
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+                          ORDER BY span_idx), '') AS text_dedup
+        FROM rn GROUP BY doc_id
     """
     sql["tokenize_to_ids"] = """
         WITH toks AS (

@@ -889,3 +889,42 @@ def test_cluster_keep_best_accepts_precomputed_components(tables):
     a = sorted(map(tuple, cluster_keep_best(docs).collect()))
     b = sorted(map(tuple, cluster_keep_best(docs, components=comp).collect()))
     assert a == b
+
+
+def test_span_dedup_contract(spark, tables):
+    from whatdropsnow_etl_spark.operators import span_dedup
+
+    docs = tables["documents"]
+    out = span_dedup(docs, span_tokens=8).cache()
+    # total spans conserve the corpus: sum(n_spans) == sum(ceil(n_tok/8))
+    exp = docs.select(
+        F.ceil(F.size(F.split(F.lower("text"), " ")) / 8).cast("bigint").alias("e")
+    ).agg(F.sum("e")).collect()[0][0]
+    got = out.agg(F.sum("n_spans")).collect()[0][0]
+    assert got == exp
+    # every doc survives as a row; drops never exceed span count
+    assert out.count() == docs.count()
+    assert out.where(F.col("n_dropped") > F.col("n_spans")).count() == 0
+    # global first-occurrence-wins: each distinct span text survives in
+    # EXACTLY one doc -> total kept spans == distinct span texts
+    kept_total = out.agg(F.sum(F.col("n_spans") - F.col("n_dropped"))).collect()[0][0]
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(8))
+    distinct_spans = (
+        docs.select(
+            F.explode(
+                F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " "))
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_spans
+    # a doc with no dropped spans reconstructs its own text verbatim
+    joined = out.join(docs, "doc_id").where(F.col("n_dropped") == 0)
+    assert joined.where(F.lower("text") != F.col("text_dedup")).count() == 0
+    # the smallest doc_id holding any given span keeps it: doc 0 is
+    # first in the total order, so it can never drop anything
+    assert out.where((F.col("doc_id") == 0) & (F.col("n_dropped") > 0)).count() == 0
+    out.unpersist()

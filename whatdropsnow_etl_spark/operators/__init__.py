@@ -25,6 +25,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,
+    span_dedup,
 )
 from .intervals import interval_overlap_count
 from .kmeans import train_kmeans_codebook
@@ -139,4 +140,5 @@ __all__ = [
     "ann_int8_topk",
     "quantize_embeddings",
     "fixed_size_sample",
+    "span_dedup",
 ]

@@ -1104,3 +1104,80 @@ def lsh_tuning_report(
         F.round(tp.cast("double") / n_cand, 6).alias("precision"),
         F.round(tp.cast("double") / n_true, 6).alias("recall"),
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-document span deduplication: split every doc
+    into consecutive ``span_tokens``-token spans, keep only the
+    FIRST corpus occurrence of each span text, and reassemble each
+    doc from its surviving spans (C4 removed repeated three-sentence
+    spans the same way — arXiv:1910.10683 §2.2; boilerplate,
+    licenses, and mirrored passages disappear from every copy but
+    the first).
+
+    "First" is a total order — (doc_id, span_idx) lexicographic —
+    so the survivor set is deterministic and engine-portable.
+
+    Scale shape: one tokenize + map-only span explode (~n_tokens/k
+    rows, no overlap so no row multiplication beyond 1/k), ONE
+    shuffle on the span key for the first-occurrence window, one
+    doc-keyed aggregate to reassemble. The span key here is the
+    exact span text so the DuckDB twin is collisionlessly identical;
+    at 100 TB carry ``xxhash64(span)`` instead (64-bit fixed-width
+    shuffle rows; collisions over-delete one span in ~n²/2⁶⁴ —
+    the standard C4 trade). No driver state, no self-join: the
+    window does the global "seen before" in one pass.
+
+    Emits (doc_id, n_spans, n_dropped, text_dedup).
+    """
+    from pyspark.sql.window import Window
+
+    stride = span_tokens
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    (s / stride).cast("bigint").alias("span_idx"),
+                    F.array_join(
+                        F.slice(toks, s + 1, span_tokens), " "
+                    ).alias("span_text"),
+                ),
+            )
+        ).alias("sp"),
+    ).select("doc_id", "sp.span_idx", "sp.span_text")
+    w = Window.partitionBy("span_text").orderBy("doc_id", "span_idx")
+    kept = spans.withColumn("__rn", F.row_number().over(w))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("span_idx", "span_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .select("doc_id", "n_spans", "n_dropped", "text_dedup")
+    )
