@@ -591,6 +591,15 @@ def _pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(chunks, budget_tokens=256, n_groups=16)
 
 
+def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import ann_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_pq_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
 def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import span_dedup
 
@@ -917,6 +926,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bigram_surprisal": ["avg_bits", "doc_id", "n_bigrams", "sum_bits"],
     "tokenize_to_ids": ["doc_id", "pos", "token_id"],
     "span_dedup": ["doc_id", "n_dropped", "n_spans", "text_dedup"],
+    "ann_pq_topk": ["neighbor_id", "pq_score", "query_id", "rnk"],
     "gopher_rules": ["doc_id", "mean_word_len", "n_words", "ok_alpha", "ok_mean_len", "ok_stops", "ok_symbols", "ok_words", "passes"],
     "containment_pairs": ["containment", "doc_a", "doc_b", "n_common"],
     "cluster_keep_best": ["component_id", "doc_id", "keeper_doc_id", "kept"],
@@ -1110,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (d2) new in this late-r4 pass — outside the 50-slot window;
         # first driver signal lands in r5, local parity covers now
         "span_dedup": _span_dedup,
+        "ann_pq_topk": _ann_pq,
         # (e) rows-only by design (no oracle) — never burn a gate slot
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
@@ -2688,6 +2699,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(g AS VARCHAR) || '-' || CAST(pack_no AS VARCHAR) AS pack_id,
                doc_id, chunk_idx, n_tokens
         FROM packed
+    """
+    sql["ann_pq_topk"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), nz AS (
+          SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+          FROM e WHERE list_dot_product(v, v) > 0
+        ), corpus AS (SELECT * FROM nz WHERE vec_id >= 10),
+           qs     AS (SELECT * FROM nz WHERE vec_id < 10),
+           low AS (SELECT vec_id, vn,
+                          CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+                   FROM corpus ORDER BY vec_id LIMIT 32),
+           cb AS (SELECT CAST(j AS INT) AS j, c,
+                         list_slice(vn, j*4+1, j*4+4) AS cent
+                  FROM low, UNNEST(range(0, 16)) AS u(j)),
+           sub AS (SELECT vec_id, CAST(j AS INT) AS j,
+                          list_slice(vn, j*4+1, j*4+4) AS x
+                   FROM corpus, UNNEST(range(0, 16)) AS u(j)),
+           scored AS (SELECT vec_id, j, c,
+                  list_dot_product(cent, cent) - 2*list_dot_product(x, cent)
+                    AS dist
+                  FROM sub JOIN cb USING (j)),
+           best AS (SELECT vec_id, j, c FROM scored
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                               ORDER BY dist, c) = 1),
+           qsub AS (SELECT vec_id AS query_id, CAST(j AS INT) AS j,
+                           list_slice(vn, j*4+1, j*4+4) AS x
+                    FROM qs, UNNEST(range(0, 16)) AS u(j)),
+           lut AS (SELECT query_id, j, c, list_dot_product(x, cent) AS dp
+                   FROM qsub JOIN cb USING (j)),
+           contrib AS (SELECT l.query_id, b.vec_id AS neighbor_id, l.dp
+                       FROM best b JOIN lut l ON l.j = b.j AND l.c = b.c),
+           score AS (SELECT query_id, neighbor_id, SUM(dp) AS s
+                     FROM contrib GROUP BY 1, 2)
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, neighbor_id) AS BIGINT)
+                 AS rnk,
+               ROUND(s, 6) AS pq_score
+        FROM score QUALIFY rnk <= 5
     """
     sql["span_dedup"] = """
         WITH toks AS (

@@ -928,3 +928,35 @@ def test_span_dedup_contract(spark, tables):
     # first in the total order, so it can never drop anything
     assert out.where((F.col("doc_id") == 0) & (F.col("n_dropped") > 0)).count() == 0
     out.unpersist()
+
+
+def test_pq_codes_and_recall(tables):
+    from whatdropsnow_etl_spark.operators import (
+        ann_cosine_topk,
+        ann_pq_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    cb = pq_codebook(corpus, m=16, ksub=32)
+    # codebook: 16 subspaces x 32 centroids, 4-dim centroids
+    rows = cb.collect()
+    assert len(rows) == 16 * 32
+    assert all(len(r["cent"]) == 4 for r in rows)
+    codes = pq_encode(corpus, cb, m=16)
+    crows = codes.collect()
+    assert all(len(r["codes"]) == 16 for r in crows)
+    assert all(0 <= c < 32 for r in crows for c in r["codes"])
+    # ADC ranking beats chance by far (random-ish 64-dim data is PQ's
+    # hard case: measured 0.32 recall@5 at this config vs ~0.01
+    # chance; an independent numpy PQ reproduces the same number, and
+    # a broken LUT indexing/codebook collapses it to chance)
+    pq = ann_pq_topk(corpus, queries, k=5)
+    exact = ann_cosine_topk(corpus, queries, k=5)
+    p = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(p) == len(e) > 0
+    assert len(p & e) / len(e) >= 0.2

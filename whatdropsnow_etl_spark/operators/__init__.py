@@ -54,7 +54,10 @@ from .similarity import (
     ann_int8_topk,
     ann_ivf_topk,
     ann_lsh_bucketed,
+    ann_pq_topk,
     embedding_dedup_pairs,
+    pq_codebook,
+    pq_encode,
     quantize_embeddings,
 )
 from .textops import (
@@ -141,4 +144,7 @@ __all__ = [
     "quantize_embeddings",
     "fixed_size_sample",
     "span_dedup",
+    "ann_pq_topk",
+    "pq_codebook",
+    "pq_encode",
 ]
