@@ -752,3 +752,83 @@ def test_stream_stream_join_matches_batch(spark, tables, events_json_dir, tmp_pa
         for r in spark.table("ss_join").collect()
     )
     assert got == expected
+
+
+def test_streaming_topk_mg_bounds(spark, tables, tmp_path):
+    """Bounded-state heavy hitters: fold each micro-batch's exact
+    user counts into a Misra-Gries summary of <= capacity rows; the
+    classic MG guarantees must hold vs the exact batch counts —
+    (1) never overestimates, (2) underestimates by at most
+    N/(capacity+1), (3) every key above that frequency survives,
+    (4) state stays within capacity after every fold."""
+    import os
+    import shutil
+
+    from whatdropsnow_etl_spark.streaming import heavy_hitters, mg_merge
+
+    capacity = 16
+    store = str(tmp_path / "mg_store")
+    sizes = []
+    # the shared fixture coalesces to one file (events is a single
+    # input partition at sf0.001); force 4 files -> 4 micro-batches
+    events_dir = str(tmp_path / "events_json4")
+    (
+        tables["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(events_dir)
+    )
+
+    def merge_batch(batch_df, batch_id):
+        counts = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        prev = (
+            batch_df.sparkSession.read.parquet(store)
+            if os.path.isdir(store)
+            else None
+        )
+        state = mg_merge(prev, counts, capacity, ["user_id"])
+        state.write.mode("overwrite").format("parquet").save(store + "_next")
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+        sizes.append(
+            batch_df.sparkSession.read.parquet(store).count()
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert len(sizes) > 1 and all(s <= capacity for s in sizes)
+    state = {r["user_id"]: r["n"] for r in spark.read.parquet(store).collect()}
+    exact = {
+        r["user_id"]: r["n"]
+        for r in tables["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    total = sum(exact.values())
+    bound = total // (capacity + 1)
+    for uid, est in state.items():
+        assert est <= exact[uid]
+        assert exact[uid] - est <= bound
+    for uid, n in exact.items():
+        if n > bound:
+            assert uid in state
+    # the report ranks deterministically and stays within the state
+    top = heavy_hitters(spark.read.parquet(store), 5, ["user_id"]).collect()
+    assert [r["rnk"] for r in top] == list(range(1, len(top) + 1))
+    assert all(r["user_id"] in state for r in top)

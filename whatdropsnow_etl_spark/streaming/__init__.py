@@ -7,6 +7,7 @@ from .join import correlate_streams
 from .quantiles import windowed_value_quantiles
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
+from .topk import heavy_hitters, mg_merge
 from .upsert import upsert_stream
 from .windowed import windowed_event_agg
 
@@ -23,4 +24,6 @@ __all__ = [
     "RefreshingBroadcastDim",
     "enrich_foreach_batch",
     "correlate_streams",
+    "mg_merge",
+    "heavy_hitters",
 ]
