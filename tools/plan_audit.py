@@ -42,6 +42,10 @@ ALLPAIRS_OK = {
     "q11_important_stock",
     # corpus × k-row broadcast codebook (k constant), IVF shape
     "ann_ivf_trained",
+    # PQ: corpus × 1-row packed codebook (encode) and codes ×
+    # Q-row broadcast LUT (ADC scoring) — both bounded broadcasts,
+    # not data×data crosses
+    "ann_pq_topk",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -55,6 +59,7 @@ PYTHON_OK = {
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
+    "ann_pq_topk",  # Arrow dot for encode + LUT (bit-exact sequential)
     "ann_ivf_trained",  # same kernels + k-means assign
     "bpe_merges",  # per-word merge application (sequential per word)
     "bpe_encode",  # same per-word merge scan, all ranks in one pass
