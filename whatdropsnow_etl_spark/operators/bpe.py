@@ -68,10 +68,19 @@ def bpe_merges(
     docs: DataFrame,
     n_merges: int = 16,
     text_col: str = "text",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges; returns one row per
     merge: (merge_rank BIGINT, left STRING, right STRING,
-    pair_count BIGINT), in learned order."""
+    pair_count BIGINT), in learned order.
+
+    ``checkpoint_every`` is a pure lineage/job-count dial (results
+    are bit-identical): between checkpoints the histogram carries up
+    to that many stacked merge UDFs, which re-evaluate over the
+    VOCAB-sized relation — cheap — while each eager localCheckpoint
+    costs a full materialization job. Checkpointing every round
+    (=1) doubled the per-round job count for nothing at bench scale.
+    """
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -116,7 +125,9 @@ def bpe_merges(
         learned.append((rank, a, b, c))
         words = words.select(
             _merge_udf(a, b)(F.col("syms")).alias("syms"), "freq"
-        ).localCheckpoint(eager=True)
+        )
+        if rank % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
     return spark.createDataFrame(
         learned, "merge_rank bigint, left string, right string, pair_count bigint"
     )
