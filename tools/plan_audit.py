@@ -81,6 +81,10 @@ EAGER_OK = {
     # encoding closes over a trained merge table: training jobs run
     # during composition (model-sized argmax per round)
     "bpe_encode",
+    # PQ closes over the model-sized codebook (m·ksub rows) and the
+    # bounded query set (the broadcast-queries ANN contract) — both
+    # collected once at composition, kernels stay map-only
+    "ann_pq_topk",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {

@@ -148,26 +148,3 @@ def bucket_keys_arrow(
     _keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return pandas_udf(_keys, "array<bigint>")
 
-
-def dot_arrow() -> "Column":
-    """Arrow-batched plain dot product — same bit-exactness contract
-    as cosine_sim_arrow (per-dimension left-to-right float64
-    accumulation == DuckDB's list_dot_product), for operators that
-    need raw dots at pair volume (PQ encode/LUT: millions of short
-    subvector dots where the interpreted HOF fold dominates)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    def _dotp(va, vb):
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        a = np.stack(va.to_numpy()).astype(np.float64, copy=False)
-        b = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
-        acc = np.zeros(len(a), dtype=np.float64)
-        for d in range(a.shape[1]):
-            acc += a[:, d] * b[:, d]
-        return pd.Series(acc)
-
-    _dotp.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
-    return pandas_udf(_dotp, "double")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_sim_arrow, dot, dot_arrow, to_double_array
+from ..functions.vectors import cosine_sim_arrow, dot, to_double_array
 
 
 def ann_cosine_topk(
@@ -602,18 +602,18 @@ def pq_codebook(
     the result to :func:`ann_pq_topk`; the stand-in keeps the
     operator oracle-twin-able, exactly like ann_ivf_topk's."""
     v = to_double_array(vec_col)
-    n2 = dot(v, v)
-    base = (
-        corpus.select(F.col(id_col).alias("__id"), v.alias("__v"), n2.alias("__n2"))
-        .where(F.col("__n2") > 0)
-        .select(
-            "__id",
-            F.transform(
-                F.col("__v"), lambda x: x / F.sqrt(F.col("__n2"))
-            ).alias("__vn"),
-        )
+    # norm > 0  <=>  any element != 0 (a sum of squares cannot
+    # cancel) — keeps the nonzero filter JVM-side so the TakeOrdered
+    # heap cut runs on raw vectors; only ksub rows get normalized
+    base = corpus.select(F.col(id_col).alias("__id"), v.alias("__v")).where(
+        F.exists(F.col("__v"), lambda x: x != 0)
     )
-    low = base.orderBy("__id").limit(ksub)
+    low_raw = base.orderBy("__id").limit(ksub)
+    n2 = dot(F.col("__v"), F.col("__v"))
+    low = low_raw.select(
+        "__id",
+        F.transform(F.col("__v"), lambda x: x / F.sqrt(n2)).alias("__vn"),
+    )
     wc = Window.orderBy("__id")
     d = (F.size("__vn") / m).cast("int")
     return (
@@ -627,45 +627,72 @@ def pq_codebook(
     )
 
 
-def _pq_codes_arrow(m: int, ksub: int):
-    """Arrow-batched PQ encoder kernel: (vn, packed codebook) →
-    array<int> codes, one batch at a time. Distances accumulate
-    per-dimension left-to-right in float64 — the same sequential-sum
-    bit contract as cosine_sim_arrow/list_dot_product — and argmin
-    takes the FIRST (lowest-c) minimum, matching the oracle's
-    ORDER BY dist, c. The codebook arrives as a per-row column but
-    is constant per batch; it is parsed once per batch."""
+def _pq_codes_arrow(cb_np):
+    """Arrow-batched PQ encoder kernel closing over the MODEL-sized
+    codebook (an (m, ksub, d) float64 ndarray — collected once,
+    shipped in the task closure like bpe_encode's merge table and
+    the kmeans codebook; carrying it as a packed column instead
+    duplicated ~16 KB through Arrow for EVERY corpus row, which
+    dominated the encode at sf1). Distances accumulate per-dimension
+    left-to-right in float64 — the cosine_sim_arrow /
+    list_dot_product bit contract — and argmin takes the FIRST
+    (lowest-c) minimum, matching the oracle's ORDER BY dist, c."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    def _codes(vn, cents):
-        if len(vn) == 0:
+    m, ksub, d = cb_np.shape
+    cent2 = np.zeros((m, ksub), dtype=np.float64)
+    for dd in range(d):
+        cent2 += cb_np[:, :, dd] * cb_np[:, :, dd]
+
+    def _codes(v):
+        if len(v) == 0:
             return pd.Series([], dtype="object")
-        X = np.stack(vn.to_numpy()).astype(np.float64, copy=False)
-        cb = np.stack([np.stack(c) for c in cents.iloc[0]]).astype(
-            np.float64, copy=False
-        )  # (m*ksub, d)
-        d = cb.shape[1]
-        cb = cb.reshape(m, ksub, d)
-        cent2 = np.zeros((m, ksub), dtype=np.float64)
-        for dd in range(d):
-            cent2 += cb[:, :, dd] * cb[:, :, dd]
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        # unit-normalize inside the kernel (one Arrow hop for raw
+        # float32 in, m ints out — an array<double> intermediate
+        # column cost more to serialize than the whole encode):
+        # sequential per-dimension |v|², true division — the exact
+        # ops of the twin's list_transform(x -> x / sqrt(dot))
+        n2 = np.zeros(len(X), dtype=np.float64)
+        for dd in range(X.shape[1]):
+            n2 += X[:, dd] * X[:, dd]
+        nz = n2 > 0
+        sc = np.sqrt(n2)
+        sc[~nz] = 1.0
+        X = X / sc[:, None]
         out = np.zeros((len(X), m), dtype=np.int32)
         for j in range(m):
             acc = np.zeros((len(X), ksub), dtype=np.float64)
             for dd in range(d):
-                acc += X[:, j * d + dd, None] * cb[j, None, :, dd]
+                acc += X[:, j * d + dd, None] * cb_np[j, None, :, dd]
             dist = cent2[j][None, :] - 2.0 * acc
             out[:, j] = dist.argmin(axis=1)  # first min == lowest c
-        return pd.Series(list(out))
+        res = np.empty(len(X), dtype=object)
+        for i in range(len(X)):
+            res[i] = out[i] if nz[i] else None  # zero-norm rows drop
+        return pd.Series(res)
 
-    _codes.__annotations__ = {
-        "vn": pd.Series,
-        "cents": pd.Series,
-        "return": pd.Series,
-    }
+    _codes.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return pandas_udf(_codes, "array<int>")
+
+
+def collect_pq_codebook(codebook: DataFrame):
+    """Materialize the codebook relation into the (m, ksub, d)
+    ndarray the kernels close over — ONE bounded model-sized collect
+    (m·ksub rows), the same contract as collecting a kmeans codebook
+    or a BPE merge table."""
+    import numpy as np
+
+    rows = codebook.select("j", "c", "cent").orderBy("j", "c").collect()
+    m = 1 + max(r["j"] for r in rows)
+    ksub = 1 + max(r["c"] for r in rows)
+    d = len(rows[0]["cent"])
+    cb = np.zeros((m, ksub, d), dtype=np.float64)
+    for r in rows:
+        cb[r["j"], r["c"], :] = r["cent"]
+    return cb
 
 
 def pq_encode(
@@ -682,41 +709,24 @@ def pq_encode(
     16 bytes/vector (ksub ≤ 256 keeps codes in one byte), a 16×
     scan-bandwidth cut for query-time rerank.
 
-    MAP-ONLY at corpus scale: the m·ksub-row codebook is packed into
-    a single broadcast row (sorted (j, c) order) and every vector is
-    encoded in one Arrow batch pass — the corpus never explodes,
-    never shuffles, and the output partitioning follows the input.
-    An earlier explode-join formulation shuffled N·m·ksub candidate
-    rows through an argmin aggregate; at sf0.1 the map-only kernel
-    is ~4× faster and at 100 TB it is the difference between an
-    encode that is one scan and one that is a corpus-sized shuffle.
-    Distances use |cent|² − 2·x·cent with per-dimension sequential
-    accumulation — bit-identical to the DuckDB twin's
-    list_dot_product fold. ``(m, ksub)`` must match the codebook's
-    shape (the kernel reshapes the packed row by them). Emits
+    MAP-ONLY at corpus scale: the corpus never explodes and never
+    shuffles — one Arrow pass per partition against the closure-held
+    codebook; output partitioning follows input. The codebook
+    DataFrame is collected once (model-sized, m·ksub rows — the
+    kmeans/BPE bounded-collect contract; ``m``/``ksub`` are taken
+    from its actual shape). Distances use |cent|² − 2·x·cent with
+    per-dimension sequential accumulation — bit-identical to the
+    DuckDB twin's list_dot_product fold. Emits
     (vec_id, codes array<int>).
     """
-    v = to_double_array(vec_col)
-    n2 = dot(v, v)
-    base = (
-        corpus.select(F.col(id_col).alias("vec_id"), v.alias("__v"), n2.alias("__n2"))
-        .where(F.col("__n2") > 0)
-        .select(
-            "vec_id",
-            F.transform(F.col("__v"), lambda x: x / F.sqrt(F.col("__n2"))).alias(
-                "__vn"
-            ),
+    cb_np = collect_pq_codebook(codebook)
+    kernel = _pq_codes_arrow(cb_np)
+    return (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            kernel(to_double_array(vec_col)).alias("codes"),
         )
-    )
-    packed = codebook.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "c", "cent"))),
-            lambda r: r["cent"],
-        ).alias("__cents")
-    )
-    kernel = _pq_codes_arrow(m, int(ksub))
-    return base.crossJoin(F.broadcast(packed)).select(
-        "vec_id", kernel(F.col("__vn"), F.col("__cents")).alias("codes")
+        .where(F.col("codes").isNotNull())
     )
 
 
@@ -731,80 +741,79 @@ def ann_pq_topk(
     codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k: score each query against the
-    CODES, never the vectors — per query build the m×ksub lookup
-    table of subspace dot products once, then every corpus
+    CODES, never the vectors — per query a m×ksub lookup table of
+    subspace dot products is built once, then every corpus
     candidate costs m table lookups instead of a dim-length float
     dot (m adds vs dim mults+adds; the gap widens with dim).
 
     The asymmetric-distance flavor (query stays exact, corpus is
     quantized) over unit-normalized vectors approximates cosine.
     Scale shape: codes are the only corpus-sized relation at query
-    time (m bytes/vector — the 32× bandwidth cut is the point at
-    100 TB); LUTs are query-sized and broadcast; scoring is one
-    crossJoin with a pure column-expression fold — no shuffle of
-    the corpus, composes with the IVF cell prefilter for large N.
-    Approximation contract: quantization error moves scores and can
-    reorder near-ties — standard PQ recall; the exact twin is
-    ann_cosine_topk. Emits (query_id, neighbor_id, rnk, pq_score).
+    time (m bytes/vector — the 16× bandwidth cut is the point at
+    100 TB) and they stream through ONE map-only Arrow pass that
+    emits (query, neighbor, score) rows; LUTs are built driver-side
+    from the model-sized codebook and the BOUNDED query set (the
+    same broadcast-queries contract as ann_cosine_topk, collected
+    rather than broadcast because Q·m·ksub doubles ride the closure)
+    — no shuffle of the corpus, composes with the IVF cell prefilter
+    for large N. Approximation contract: quantization error moves
+    scores and can reorder near-ties — standard PQ recall; the
+    exact twin is ann_cosine_topk. Emits
+    (query_id, neighbor_id, rnk, pq_score).
     """
+    import numpy as np
+    import pandas as pd
+
     cb = (
         codebook
         if codebook is not None
         else pq_codebook(corpus, m, ksub, id_col, vec_col)
     )
-    codes = pq_encode(corpus, cb, m, ksub, id_col, vec_col).select(
-        F.col("vec_id").alias("neighbor_id"), "codes"
-    )
-    v = to_double_array(vec_col)
-    n2 = dot(v, v)
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), v.alias("__v"), n2.alias("__n2"))
-        .where(F.col("__n2") > 0)
-        .select(
-            "query_id",
-            F.transform(F.col("__v"), lambda x: x / F.sqrt(F.col("__n2"))).alias(
-                "__vn"
-            ),
-        )
-    )
-    dsub = (F.size("__vn") / m).cast("int")
-    qsub = q.select(
-        "query_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
-        F.col("__vn"),
-    ).select(
-        "query_id", "j", F.slice("__vn", F.col("j") * dsub + 1, dsub).alias("__x")
-    )
-    lut = (
-        qsub.join(F.broadcast(cb), "j")
-        .select(
-            "query_id", "j", "c", dot_arrow()(F.col("__x"), F.col("cent")).alias("__dp")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("j", "c", F.col("__dp").alias("dp")))
-                ),
-                lambda s: s["dp"],
-            ).alias("__lut")
-        )
-    )
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.col("__lut"), (j * ksub + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
-        ),
-    )
+    cb_np = collect_pq_codebook(cb)
+    m_, ksub_, d = cb_np.shape
+    # bounded query set: normalize driver-side with the exact same
+    # sequential-sum / true-division ops as the encode kernel
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("v")
+    ).collect()
+    luts = []
+    for r in sorted(qrows, key=lambda r: r["query_id"]):
+        v = np.asarray(r["v"], dtype=np.float64)
+        n2 = 0.0
+        for x in v:
+            n2 += x * x
+        if n2 <= 0:
+            continue
+        vn = v / np.sqrt(n2)
+        lut = np.zeros((m_, ksub_), dtype=np.float64)
+        for dd in range(d):
+            lut += vn[np.arange(m_) * d + dd][:, None] * cb_np[:, :, dd]
+        luts.append((r["query_id"], lut))
+
+    codes = pq_encode(corpus, cb, m_, ksub_, id_col, vec_col)
+    out_schema = "query_id bigint, neighbor_id bigint, __s double"
+
+    def score_batches(batches):
+        rows_j = np.arange(m_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64, copy=False)
+            nid = pdf["vec_id"].to_numpy()
+            for qid, lut in luts:
+                acc = np.zeros(len(C), dtype=np.float64)
+                for j in range(m_):  # left-to-right, the oracle's order
+                    acc += lut[j, C[:, j]]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": nid, "__s": acc}
+                )
+
+    scored = codes.mapInPandas(score_batches, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("__s").desc(), F.col("neighbor_id")
     )
     return (
-        codes.crossJoin(F.broadcast(lut))
-        .select("query_id", "neighbor_id", score.alias("__s"))
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("__s", 6).alias("pq_score"))
     )
