@@ -340,9 +340,15 @@ def test_editdist_band_cap(spark, tables):
         for r in editdist_pairs(docs, max_dist=8, max_band_docs=10**6).collect()
     }
     assert same == base
-    # cap 0 drops every block -> no pairs
-    assert editdist_pairs(docs, max_dist=8, max_band_docs=0).count() == 0
-    # a mid cap yields a subset
+    # cap < 1 is invalid (salting needs >= 1 sub-block)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        editdist_pairs(docs, max_dist=8, max_band_docs=0)
+    # a mid cap salts hot blocks into sub-blocks: the surviving set
+    # is a strict SUBSET of the exact pairs (never invented pairs),
+    # and docs are never wholesale excluded -- a cap of 1 doc per
+    # sub-block still yields s = block population, not zero blocks
     sub = {
         (r["lo"], r["hi"])
         for r in editdist_pairs(docs, max_dist=8, max_band_docs=5).collect()

@@ -809,16 +809,20 @@ def editdist_pairs(
     the band roughly halves the candidates (measured sf1: 51.4 s at
     width 32 -> 27.8 s at width 16, identical 13 822 output pairs).
 
-    ``max_band_docs`` caps (lang, band) block population: candidate
-    volume grows QUADRATICALLY with block size, so at corpus scale an
-    uncapped hot block dominates the whole job (uncapped sf10 blew a
-    1 h budget; capped at 1000 it ran in 24.5 s). The default (2000)
-    is far above every block population at parity scales (max 23 at
-    sf0.01, 153 at sf0.1 — pytest-asserted semantics-neutral), so the
-    oracle twin needs no cap; oversized blocks at 10×+ scale are
-    dropped as a DOCUMENTED approximation (those docs get no editdist
-    pairs — feed them through MinHash instead). ``None`` restores the
-    exact uncapped path.
+    ``max_band_docs`` bounds per-(lang, band) block quadratic cost by
+    SALTED SUB-BLOCKING: a block of n docs splits into
+    s = ceil(n / max_band_docs) deterministic hash sub-blocks and
+    pairs meet only within a sub-block — candidate mass per block
+    drops from n² to ~n·max_band_docs while EVERY doc keeps
+    ~max_band_docs comparison partners (an earlier revision dropped
+    oversized blocks outright, which at sf10 excluded 87% of the
+    corpus from dedup entirely). Within an oversized block ~1/s of
+    true pairs survive — the standard salting recall trade; pair
+    MinHash-LSH alongside to recover cross-sub-block duplicates. The
+    default (2000) is far above every parity-scale block population
+    (max 23 at sf0.01, 153 at sf0.1), so s == 1 everywhere there and
+    the path is EXACT — the oracle twin needs no salting
+    (pytest-asserted). ``None`` restores the exact uncapped path.
     """
     if band_width is None:
         band_width = max_dist
@@ -856,20 +860,35 @@ def editdist_pairs(
         hist.alias("h"),
     ).repartition("lg", "band")
     if max_band_docs is not None:
+        if max_band_docs < 1:
+            raise ValueError(
+                f"max_band_docs ({max_band_docs}) must be >= 1 (or None"
+                " for the exact uncapped path)"
+            )
         # candidate volume grows quadratically with band population —
-        # at corpus scale, oversized (lang, band) blocks must be capped
-        # or the join explodes no matter how cheap the per-pair gate
-        # is. Dropping a block is a DOCUMENTED approximation (those
-        # docs get no editdist pairs); the default cap (2000) sits far
-        # above every parity-scale block so the oracle twin stays
-        # parity-exact without its own cap.
-        keep = (
-            d.groupBy("lg", "band")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .where(F.col("__bn") <= max_band_docs)
-            .select("lg", "band")
+        # at corpus scale, oversized (lang, band) blocks must be
+        # bounded or the join explodes no matter how cheap the
+        # per-pair gate is. SALTED SUB-BLOCKING: a block of n docs
+        # splits into s = ceil(n / max_band_docs) hash-assigned
+        # sub-blocks and pairs only meet within a sub-block —
+        # every doc keeps ~max_band_docs comparison partners and
+        # quadratic mass per block drops from n² to ~n·max_band_docs.
+        # (An earlier revision DROPPED oversized blocks outright; at
+        # sf10 that silently excluded 87% of the corpus — a recall
+        # cliff, not a dial.) Approximation contract: within an
+        # oversized block ~1/s of true pairs survive (cross-sub-block
+        # pairs are lost — run MinHash alongside for those); at
+        # parity scales every s == 1 and the path is EXACT, so the
+        # oracle twin needs no salting (pytest-asserted).
+        pops = d.groupBy("lg", "band").agg(
+            F.ceil(F.count(F.lit(1)) / max_band_docs).cast("int").alias("__s")
         )
-        d = d.join(F.broadcast(keep), ["lg", "band"], "left_semi")
+        d = d.join(F.broadcast(pops), ["lg", "band"]).withColumn(
+            "salt", F.pmod(F.xxhash64("id"), F.col("__s")).cast("int")
+        )
+    else:
+        pops = None
+        d = d.withColumn("salt", F.lit(0))
     right = d.select(
         F.col("id").alias("rid"),
         F.col("txt").alias("rtxt"),
@@ -878,6 +897,16 @@ def editdist_pairs(
         F.col("h").alias("rh"),
         F.explode(F.array(F.col("band"), F.col("band") - 1)).alias("band"),
     )
+    if pops is not None:
+        # a replica landing in the previous band salts by THAT
+        # block's sub-block count, so both sides of any candidate
+        # pair derive their salt from the same block's s
+        right = right.join(
+            F.broadcast(pops.select(F.col("lg").alias("rlg"), "band", "__s")),
+            ["rlg", "band"],
+        ).withColumn("rsalt", F.pmod(F.xxhash64("rid"), F.col("__s")).cast("int"))
+    else:
+        right = right.withColumn("rsalt", F.lit(0))
     hist_l1 = F.aggregate(
         F.zip_with(d["h"], F.col("rh"), lambda x, y: F.abs(x - y)),
         F.lit(0),
@@ -910,6 +939,7 @@ def editdist_pairs(
             right,
             (d["lg"] == right["rlg"])
             & (d["band"] == right["band"])
+            & (d["salt"] == right["rsalt"])
             & (d["id"] != right["rid"])
             & (F.abs(d["ln"] - right["rln"]) <= max_dist)
             # true-length lower bound (lev >= |len diff|): O(1), and
