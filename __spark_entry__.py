@@ -591,6 +591,12 @@ def _pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(chunks, budget_tokens=256, n_groups=16)
 
 
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import leakage_safe_split
+
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+
 def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import ann_pq_topk
 
@@ -927,6 +933,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "tokenize_to_ids": ["doc_id", "pos", "token_id"],
     "span_dedup": ["doc_id", "n_dropped", "n_spans", "text_dedup"],
     "ann_pq_topk": ["neighbor_id", "pq_score", "query_id", "rnk"],
+    "leakage_safe_split": ["component_id", "doc_id", "split"],
     "gopher_rules": ["doc_id", "mean_word_len", "n_words", "ok_alpha", "ok_mean_len", "ok_stops", "ok_symbols", "ok_words", "passes"],
     "containment_pairs": ["containment", "doc_a", "doc_b", "n_common"],
     "cluster_keep_best": ["component_id", "doc_id", "keeper_doc_id", "kept"],
@@ -1121,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first driver signal lands in r5, local parity covers now
         "span_dedup": _span_dedup,
         "ann_pq_topk": _ann_pq,
+        "leakage_safe_split": _leakage_safe_split,
         # (e) rows-only by design (no oracle) — never burn a gate slot
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
@@ -2946,6 +2954,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source FROM documents
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         LIMIT 100
+    """
+    from whatdropsnow_etl_spark.operators.sampling import _rate_hex
+
+    sql["leakage_safe_split"] = f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), thresh AS (
+          SELECT doc_a, doc_b FROM pairs
+          JOIN sz x ON x.doc_id = doc_a
+          JOIN sz y ON y.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM thresh
+          UNION ALL
+          SELECT doc_b, doc_a FROM thresh
+        ), reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        ), comp AS (
+          SELECT id AS doc_id, MIN(lbl) AS component_id
+          FROM reach GROUP BY id
+        )
+        SELECT doc_id, component_id,
+          CASE
+            WHEN substring(md5(CAST(component_id AS VARCHAR)), 1, 8)
+                 < '{_rate_hex(0.9)}' THEN 'train'
+            WHEN substring(md5(CAST(component_id AS VARCHAR)), 1, 8)
+                 < '{_rate_hex(0.95)}' THEN 'val'
+            ELSE 'test'
+          END AS split
+        FROM comp
     """
     sql["cluster_keep_best"] = """
         WITH RECURSIVE toks AS (

@@ -960,3 +960,37 @@ def test_pq_codes_and_recall(tables):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(p) == len(e) > 0
     assert len(p & e) / len(e) >= 0.2
+
+
+def test_leakage_safe_split_contract(tables):
+    from whatdropsnow_etl_spark.operators import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = tables["documents"]
+    out = leakage_safe_split(docs).cache()
+    # every doc assigned exactly once, to a known split
+    assert out.count() == docs.count()
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert "train" in splits
+    # the leakage guarantee: no near-dup pair straddles splits
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    a = out.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddle = (
+        pairs.join(a, "doc_a").join(b, "doc_b").where(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0
+    # components are split atomically (one split per component)
+    multi = (
+        out.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+    )
+    assert multi.count() == 0
+    # train dominates under the 90/5/5 default
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["train"] > sum(v for k, v in counts.items() if k != "train")
+    out.unpersist()

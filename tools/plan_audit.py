@@ -73,6 +73,7 @@ EAGER_OK = {
     "dedup_clusters_twostars",
     # composes dedup_clusters, so inherits its contraction-loop jobs
     "cluster_keep_best",
+    "leakage_safe_split",
     # k-means training is a driver-looped fixpoint; each Lloyd's
     # round legitimately runs assign/update jobs at construction
     "ann_ivf_trained",

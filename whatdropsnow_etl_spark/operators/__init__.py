@@ -9,6 +9,7 @@ from .events import (
 from .corpus import bigram_surprisal, decontaminate_ngrams
 from .sampling import (
     fixed_size_sample,
+    leakage_safe_split,
     source_mix_sample,
     stratified_sample_by_quality,
 )
@@ -147,4 +148,5 @@ __all__ = [
     "ann_pq_topk",
     "pq_codebook",
     "pq_encode",
+    "leakage_safe_split",
 ]

@@ -121,3 +121,61 @@ def fixed_size_sample(
         .limit(n)
         .select(id_col, *extra_cols)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    ratios: dict[str, float] | None = None,
+    components: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 15,
+    algorithm: str = "twostars",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: assign whole NEAR-DUP
+    COMPONENTS to splits, never individual docs — a doc-level random
+    split puts one copy of a duplicated passage in train and its
+    twin in test, silently inflating eval (the classic contamination
+    bug dedup pipelines exist to prevent; splitting by component
+    makes it structurally impossible).
+
+    Components come from :func:`~.dedup.dedup_clusters` (two-stars
+    contraction — the 100 TB path) or are passed in precomputed,
+    like :func:`~.dedup.cluster_keep_best`. Assignment hashes the
+    COMPONENT id through the same md5-hex-threshold trick as
+    source_mix_sample: cumulative thresholds over ``ratios`` in
+    insertion order, last split takes the remainder. Deterministic,
+    shuffle-free past clustering, append-stable: adding docs to a
+    component never moves it, and a new edge that merges two
+    components re-splits them together (by the surviving min label).
+
+    Emits (doc_id, component_id, split).
+    """
+    from .dedup import dedup_clusters
+
+    if ratios is None:
+        ratios = {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(ratios)
+    if len(names) < 2:
+        raise ValueError("need at least 2 splits")
+    total = sum(ratios.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {total}")
+    comp = (
+        components
+        if components is not None
+        else dedup_clusters(docs, text_col, id_col, k, threshold, max_iter, algorithm)
+    )
+    u = F.substring(F.md5(F.col("component_id").cast("string")), 1, 8)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += ratios[name]
+        branch = F.when(u < F.lit(_rate_hex(cum)), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            u < F.lit(_rate_hex(cum)), F.lit(name)
+        )
+    expr = expr.otherwise(F.lit(names[-1]))
+    return comp.select("doc_id", "component_id", expr.alias("split"))
