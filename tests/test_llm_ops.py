@@ -994,3 +994,56 @@ def test_leakage_safe_split_contract(tables):
     counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts["train"] > sum(v for k, v in counts.items() if k != "train")
     out.unpersist()
+
+
+def test_span_dedup_hashed_key_equivalent(tables):
+    from whatdropsnow_etl_spark.operators import span_dedup
+
+    docs = tables["documents"]
+    exact = span_dedup(docs, span_tokens=8).orderBy("doc_id").collect()
+    hashed = span_dedup(docs, span_tokens=8, hash_spans=True).orderBy(
+        "doc_id"
+    ).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in hashed]
+
+
+def test_pq_trained_codebook_beats_standin(tables):
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators import pq_codebook, pq_encode
+    from whatdropsnow_etl_spark.operators.similarity import (
+        collect_pq_codebook,
+        pq_train_codebook,
+    )
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10)
+    stand = pq_codebook(corpus, m=16, ksub=32)
+    trained = pq_train_codebook(corpus, m=16, ksub=32)
+    # same relation shape, consumable by the same encoder
+    assert trained.count() == 16 * 32
+    codes = pq_encode(corpus, trained, m=16, ksub=32)
+    assert codes.count() == corpus.count()
+
+    # quantization quality: mean squared reconstruction error of the
+    # trained codebook must beat the arbitrary stand-in (that's what
+    # the k-means objective minimizes)
+    def mse(cbdf):
+        cb = collect_pq_codebook(cbdf)  # (m, ksub, d)
+        rows = corpus.select("embedding").collect()
+        X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        m, ksub, d = cb.shape
+        err = 0.0
+        for j in range(m):
+            xj = X[:, j * d : (j + 1) * d]
+            dist = ((xj[:, None, :] - cb[j][None]) ** 2).sum(-1)
+            err += dist.min(1).sum()
+        return err / len(X)
+
+    assert mse(trained) < mse(stand)
+    # deterministic: training twice gives identical centroids
+    t2 = pq_train_codebook(corpus, m=16, ksub=32)
+    a = sorted(map(tuple, ((r["j"], r["c"], tuple(r["cent"])) for r in trained.collect())))
+    b = sorted(map(tuple, ((r["j"], r["c"], tuple(r["cent"])) for r in t2.collect())))
+    assert a == b

@@ -59,6 +59,7 @@ from .similarity import (
     embedding_dedup_pairs,
     pq_codebook,
     pq_encode,
+    pq_train_codebook,
     quantize_embeddings,
 )
 from .textops import (
@@ -149,4 +150,5 @@ __all__ = [
     "pq_codebook",
     "pq_encode",
     "leakage_safe_split",
+    "pq_train_codebook",
 ]

@@ -1141,6 +1141,7 @@ def span_dedup(
     span_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_spans: bool = False,
 ) -> DataFrame:
     """C4-style cross-document span deduplication: split every doc
     into consecutive ``span_tokens``-token spans, keep only the
@@ -1156,12 +1157,15 @@ def span_dedup(
     Scale shape: one tokenize + map-only span explode (~n_tokens/k
     rows, no overlap so no row multiplication beyond 1/k), ONE
     shuffle on the span key for the first-occurrence window, one
-    doc-keyed aggregate to reassemble. The span key here is the
+    doc-keyed aggregate to reassemble. The default span key is the
     exact span text so the DuckDB twin is collisionlessly identical;
-    at 100 TB carry ``xxhash64(span)`` instead (64-bit fixed-width
-    shuffle rows; collisions over-delete one span in ~n²/2⁶⁴ —
-    the standard C4 trade). No driver state, no self-join: the
-    window does the global "seen before" in one pass.
+    ``hash_spans=True`` keys the window on ``xxhash64(span)``
+    instead — 64-bit fixed-width shuffle rows (~8× narrower than
+    8-token span strings), collisions over-delete one span in
+    ~n²/2⁶⁴, the standard C4 trade and the 100 TB default
+    (pytest pins both paths identical at test scale). No driver
+    state, no self-join: the window does the global "seen before"
+    in one pass.
 
     Emits (doc_id, n_spans, n_dropped, text_dedup).
     """
@@ -1185,7 +1189,11 @@ def span_dedup(
             )
         ).alias("sp"),
     ).select("doc_id", "sp.span_idx", "sp.span_text")
-    w = Window.partitionBy("span_text").orderBy("doc_id", "span_idx")
+    key = (
+        F.xxhash64("span_text") if hash_spans else F.col("span_text")
+    )
+    spans = spans.withColumn("__k", key)
+    w = Window.partitionBy("__k").orderBy("doc_id", "span_idx")
     kept = spans.withColumn("__rn", F.row_number().over(w))
     return (
         kept.groupBy("doc_id")
