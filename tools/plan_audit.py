@@ -119,6 +119,7 @@ EXPECT_PUSHDOWN = {
     "q6_forecast_revenue": r"PushedFilters: \[.*(l_shipdate|l_quantity)",
     "ann_cosine_topk": r"PushedFilters: \[.*vec_id",
     "ann_lsh_bucketed": r"PushedFilters: \[.*vec_id",
+    "ann_pq_topk": r"PushedFilters: \[.*vec_id",
     "q7_volume_shipping": r"PushedFilters: \[.*l_shipdate",
     "q8_market_share": r"PushedFilters: \[.*(o_orderdate|p_type|r_name)",
     "q10_returned_items": r"PushedFilters: \[.*(l_returnflag|o_orderdate)",
