@@ -606,6 +606,17 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import ann_pq_topk, pq_train_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    cb = pq_train_codebook(corpus)
+    return ann_pq_topk(
+        corpus, emb.where(F.col("vec_id") < 10), k=5, codebook=cb
+    )
+
+
 def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import span_dedup
 
@@ -933,6 +944,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "tokenize_to_ids": ["doc_id", "pos", "token_id"],
     "span_dedup": ["doc_id", "n_dropped", "n_spans", "text_dedup"],
     "ann_pq_topk": ["neighbor_id", "pq_score", "query_id", "rnk"],
+    "ann_pq_trained": ["neighbor_id", "pq_score", "query_id", "rnk"],
     "leakage_safe_split": ["component_id", "doc_id", "split"],
     "gopher_rules": ["doc_id", "mean_word_len", "n_words", "ok_alpha", "ok_mean_len", "ok_stops", "ok_symbols", "ok_words", "passes"],
     "containment_pairs": ["containment", "doc_a", "doc_b", "n_common"],
@@ -1134,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "hll_distinct_users": _hll_distinct,
         "ann_ivf_trained": _ann_ivf_trained,
+        "ann_pq_trained": _ann_pq_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
     }
     return {k: _with_presentation_order(k, v) for k, v in base.items()}

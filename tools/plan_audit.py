@@ -46,6 +46,7 @@ ALLPAIRS_OK = {
     # Q-row broadcast LUT (ADC scoring) — both bounded broadcasts,
     # not data×data crosses
     "ann_pq_topk",
+    "ann_pq_trained",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -60,6 +61,7 @@ PYTHON_OK = {
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
     "ann_pq_topk",  # Arrow dot for encode + LUT (bit-exact sequential)
+    "ann_pq_trained",  # same kernels, trained codebook
     "ann_ivf_trained",  # same kernels + k-means assign
     "bpe_merges",  # per-word merge application (sequential per word)
     "bpe_encode",  # same per-word merge scan, all ranks in one pass
@@ -86,6 +88,8 @@ EAGER_OK = {
     # bounded query set (the broadcast-queries ANN contract) — both
     # collected once at composition, kernels stay map-only
     "ann_pq_topk",
+    # + bounded-sample driver-side Lloyd's for the trained codebook
+    "ann_pq_trained",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
@@ -120,6 +124,7 @@ EXPECT_PUSHDOWN = {
     "ann_cosine_topk": r"PushedFilters: \[.*vec_id",
     "ann_lsh_bucketed": r"PushedFilters: \[.*vec_id",
     "ann_pq_topk": r"PushedFilters: \[.*vec_id",
+    "ann_pq_trained": r"PushedFilters: \[.*vec_id",
     "q7_volume_shipping": r"PushedFilters: \[.*l_shipdate",
     "q8_market_share": r"PushedFilters: \[.*(o_orderdate|p_type|r_name)",
     "q10_returned_items": r"PushedFilters: \[.*(l_returnflag|o_orderdate)",
