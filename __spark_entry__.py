@@ -1022,22 +1022,52 @@ def _with_presentation_order(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate checks only
-    # the FIRST 50 entries. Round-4 rotation: (a) the two r3 hash
-    # failures whose oracles were fixed this round (HUGEINT→BIGINT
-    # casts), (b) the 36 queries green in r2 but rotated out of the r3
-    # window (no fresh signal on regenerated data), (c) new r4
-    # additions — more than fit, so the ones added latest spill past
-    # slot 50 and take the front of the r5 rotation together with (d),
-    # the r3-green fill (every (d) entry is locally parity-checked
-    # each round). Rows-only (no-oracle) entries sit at the very back
-    # so no gate slot is spent on a guaranteed `no_oracle` row. Block
-    # sizes are asserted, not hand-counted:
+    # the FIRST 50 entries. Round-4 rotation, by descending value of a
+    # fresh driver row: (a) the three r3 FAILs whose oracles were fixed
+    # this round (HUGEINT→BIGINT casts; pack_chunks gained an oracle),
+    # (b) every oracle-bearing query that has NEVER had a driver row
+    # (all r4 additions) — a first-ever signal beats refreshing a stale
+    # one, so after r4 every oracle-bearing query has at least one
+    # driver-green round, (c) queries whose IMPLEMENTATION changed in
+    # r4 (twostars default, collapse prepass, salted sub-blocking) —
+    # their old green rows no longer cover the shipped code, (d) the
+    # r2-green backlog, oldest signal first-in; the 8 simplest/most
+    # stable of them spill past slot 50 and lead the r5 rotation,
+    # ahead of (e) the r3-green fill (every spilled entry is locally
+    # parity-checked each round). Rows-only (no-oracle) entries sit at
+    # the very back so no gate slot is spent on a guaranteed
+    # `no_oracle` row. Block sizes are asserted, not hand-counted:
     # tests/test_entry_contract.py::test_gate_window_composition.
     base = {
-        # (a) oracle type fix this round — re-verify first
+        # (a) oracle fixed this round — re-verify first
         "q12_shipping_delay": _q12,
         "profile_events": _profile_events,
-        # (b) r2-green, rotated out of the r3 gate window
+        "pack_chunks": _pack_chunks,
+        # (b) never driver-verified (new in r4) — first-ever signal
+        "event_funnel": _event_funnel,
+        "retention_cohorts": _retention_cohorts,
+        "numeric_outliers": _numeric_outliers,
+        "dup_rate_by_source": _dup_rate_by_source,
+        "length_histogram": _length_histogram,
+        "tokenize_to_ids": _tokenize_to_ids,
+        "gopher_rules": _gopher_rules,
+        "containment_pairs": _containment_pairs,
+        "cluster_keep_best": _cluster_keep_best,
+        "ann_int8_topk": _ann_int8,
+        "fixed_size_sample": _fixed_size_sample,
+        "incremental_rollup": _incremental_rollup,
+        "key_skew_report": _key_skew_report,
+        "lsh_tuning_report": _lsh_tuning_report,
+        "schema_drift_report": _schema_drift_report,
+        "span_dedup": _span_dedup,
+        "ann_pq_topk": _ann_pq,
+        "leakage_safe_split": _leakage_safe_split,
+        # (c) implementation changed in r4 — old green rows are stale
+        "dedup_clusters": _dedup_clusters,
+        "dedup_clusters_twostars": _dedup_clusters_twostars,
+        "embedding_dedup": _embedding_dedup,
+        "dedup_editdist": _editdist_pairs,
+        # (d) r2-green backlog — oldest driver signal, refresh in-window
         "q1_pricing_summary": _q1,
         "q3_topk_revenue": _q3,
         "q5_region_volume": _q5,
@@ -1057,43 +1087,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19,
         "q11_important_stock": _q11,
         "q21_waiting_suppliers": _q21,
+        "q22_sales_opportunity": _q22,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ann_cosine_topk": _ann,
+        "ann_lsh_bucketed": _ann_lsh,
+        # ---- driver gate window ends here (slot 50) ----
+        # (d-spill) r2-green backlog that didn't fit — simplest, most
+        # stable implementations; they lead the r5 rotation
         "redact_pii": _redact_pii,
         "stratified_sample": _stratified_sample,
-        "q22_sales_opportunity": _q22,
         "window_topn_per_group": _window_topn,
         "rollup_flag_status": _rollup,
         "tumbling_window_agg": _tumbling,
         "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_clusters_twostars": _dedup_clusters_twostars,
-        "dedup_simhash": _dedup_simhash,
-        "ann_cosine_topk": _ann,
-        "ann_lsh_bucketed": _ann_lsh,
-        "embedding_dedup": _embedding_dedup,
         "lang_id": _lang_id,
         "quality_score": _quality,
-        # (c) new or newly-oracle'd in r4 — first driver signal
-        "pack_chunks": _pack_chunks,
-        "event_funnel": _event_funnel,
-        "retention_cohorts": _retention_cohorts,
-        "numeric_outliers": _numeric_outliers,
-        "dup_rate_by_source": _dup_rate_by_source,
-        "length_histogram": _length_histogram,
-        "tokenize_to_ids": _tokenize_to_ids,
-        "gopher_rules": _gopher_rules,
-        "containment_pairs": _containment_pairs,
-        "cluster_keep_best": _cluster_keep_best,
-        "ann_int8_topk": _ann_int8,
-        "fixed_size_sample": _fixed_size_sample,
-        "incremental_rollup": _incremental_rollup,
-        "key_skew_report": _key_skew_report,
-        "lsh_tuning_report": _lsh_tuning_report,
-        "schema_drift_report": _schema_drift_report,
-        # (d) r3-green fill (first ~12 land inside the 50-slot window;
-        # queries whose implementation changed this round lead)
-        "dedup_editdist": _editdist_pairs,
+        # (e) r3-green fill (locally parity-checked each round)
         "flagship_segmentation": _flagship,
         "incremental_antijoin": _incremental_antijoin,
         "fk_integrity": _fk_integrity,
@@ -1136,12 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _scd2_history,
         "decontaminate_ngrams": _decontaminate,
         "bigram_surprisal": _bigram_surprisal,
-        # (d2) new in this late-r4 pass — outside the 50-slot window;
-        # first driver signal lands in r5, local parity covers now
-        "span_dedup": _span_dedup,
-        "ann_pq_topk": _ann_pq,
-        "leakage_safe_split": _leakage_safe_split,
-        # (e) rows-only by design (no oracle) — never burn a gate slot
+        # (f) rows-only by design (no oracle) — never burn a gate slot
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
         "hll_distinct_users": _hll_distinct,
