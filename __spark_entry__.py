@@ -890,6 +890,24 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import heldout_perplexity
+
+    return heldout_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+def _hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import hashed_features
+
+    return hashed_features(load_table(spark, sf_dir, "documents"))
+
+
 # Per-query presentation-sort keys: the output columns in name-sorted
 # order — exactly the key order the driver's hash uses after it sorts
 # columns by name. Both twins sort by this list (Spark: asc_nulls_last,
@@ -900,6 +918,9 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # magnitude smaller than inputs), not a mid-plan shuffle.
 # Pinned against live schemas by tests/test_entry_contract.py.
 _ORDER_KEYS: dict[str, list[str]] = {
+    "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
+    "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
+    "hashed_features": ["bucket", "doc_id", "weight"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1062,6 +1083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _span_dedup,
         "ann_pq_topk": _ann_pq,
         "leakage_safe_split": _leakage_safe_split,
+        "semantic_dedup": _semantic_dedup,
+        "heldout_perplexity": _heldout_perplexity,
+        "hashed_features": _hashed_features,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1090,12 +1114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_sales_opportunity": _q22,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "ann_cosine_topk": _ann,
-        "ann_lsh_bucketed": _ann_lsh,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "dedup_simhash": _dedup_simhash,
+        "ann_cosine_topk": _ann,
+        "ann_lsh_bucketed": _ann_lsh,
         "redact_pii": _redact_pii,
         "stratified_sample": _stratified_sample,
         "window_topn_per_group": _window_topn,
@@ -3072,6 +3096,96 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["semantic_dedup"] = """
+        WITH c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), cent AS (
+          SELECT vec_id AS cid, e AS ce FROM c ORDER BY vec_id LIMIT 16
+        ), scored AS (
+          SELECT vec_id, e, cid,
+                 list_dot_product(ce, e)
+                   / (sqrt(list_dot_product(ce, ce))
+                      * sqrt(list_dot_product(e, e))) AS cos
+          FROM c CROSS JOIN cent
+        ), assigned AS (
+          SELECT vec_id, e, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM scored
+        ), cells AS (
+          SELECT vec_id, e, cid AS cell FROM assigned WHERE rn = 1
+        ), dup AS (
+          SELECT b.vec_id AS bid, MIN(a.vec_id) AS dup_of
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+          GROUP BY b.vec_id
+        )
+        SELECT cells.vec_id, cells.cell, dup.dup_of,
+               dup.dup_of IS NULL AS keep
+        FROM cells LEFT JOIN dup ON cells.vec_id = dup.bid
+    """
+    sql["heldout_perplexity"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), pos AS (
+          SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        ), train AS (
+          SELECT * FROM pos WHERE doc_id % 10 != 0
+        ), held AS (
+          SELECT * FROM pos WHERE doc_id % 10 = 0
+        ), c2 AS (
+          SELECT bg, COUNT(*) AS c2 FROM train GROUP BY bg
+        ), c1 AS (
+          SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1
+        ), v AS (
+          SELECT COUNT(*) AS v FROM c1
+        ), sc AS (
+          SELECT held.doc_id,
+                 COALESCE(c2.c2, 0) AS c2,
+                 COALESCE(c1.c1, 0) AS c1,
+                 v.v AS v
+          FROM held
+          LEFT JOIN c2 ON held.bg = c2.bg
+          LEFT JOIN c1 ON held.w1 = c1.w1
+          CROSS JOIN v
+        ), bits AS (
+          SELECT doc_id, c2,
+                 CASE WHEN (c1 + v) >= (c2 + 1) * (CAST(1 AS BIGINT) << d)
+                      THEN d ELSE d - 1 END AS bits
+          FROM (SELECT doc_id, c2, c1, v,
+                       length(format('{:b}', c1 + v))
+                         - length(format('{:b}', c2 + 1)) AS d
+                FROM sc) g
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS oov_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS sum_bits,
+               CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
+        FROM bits GROUP BY doc_id
+    """
+    sql["hashed_features"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256
+                   AS bucket,
+                 CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT)
+                             % 2 = 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM toks
+        )
+        SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+        FROM h GROUP BY doc_id, bucket
+        HAVING SUM(sign) != 0
+    """
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but
     # we pin it explicitly per key. Any inner ORDER BY keeps its
     # LIMIT-selection semantics; the outer sort governs final row order.

@@ -1047,3 +1047,109 @@ def test_pq_trained_codebook_beats_standin(tables):
     a = sorted(map(tuple, ((r["j"], r["c"], tuple(r["cent"])) for r in trained.collect())))
     b = sorted(map(tuple, ((r["j"], r["c"], tuple(r["cent"])) for r in t2.collect())))
     assert a == b
+
+
+def test_semantic_dedup_greedy_lowest_id(spark):
+    from whatdropsnow_etl_spark.operators import semantic_dedup
+
+    # two exact duplicates of vec 0, one orthogonal-ish singleton;
+    # 2 centroids (vec 0 and 1) so the dup pair shares vec 0's cell
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [2.0, 0.0, 0.0]),  # same direction as 0 -> cosine 1.0
+        (4, [0.0, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, n_centroids=2, tau=0.95).collect()
+    }
+    assert len(out) == 5
+    # greedy lowest-id-wins: 0 survives, 2 and 3 point at 0 (the
+    # LOWEST qualifying id, not their nearest neighbor)
+    assert out[0]["dup_of"] is None and out[0]["keep"]
+    assert out[2]["dup_of"] == 0 and not out[2]["keep"]
+    assert out[3]["dup_of"] == 0 and not out[3]["keep"]
+    # 4 is close to 1 (cos ~0.99) -> dup of 1 within cell 1
+    assert out[4]["dup_of"] == 1
+    assert out[1]["dup_of"] is None
+    # cells: dup rows must share their dup_of target's cell
+    assert out[2]["cell"] == out[0]["cell"] == out[3]["cell"]
+    assert out[4]["cell"] == out[1]["cell"]
+
+
+def test_semantic_dedup_cross_cell_pairs_invisible(spark):
+    """Pairs straddling cells are NOT scored — the IVF-style recall
+    contract that buys sum-nc^2 instead of N^2."""
+    from whatdropsnow_etl_spark.operators import semantic_dedup
+
+    # centroids are vecs 0 and 1 (lowest ids). vec 2 sits nearer
+    # centroid 1, vec 3 nearer centroid 0, but 2 and 3 are identical
+    # to each other -> near-dup pair split across cells, never scored
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.6, 0.8]),
+        (3, [0.8, 0.6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, n_centroids=2, tau=0.9).collect()
+    }
+    assert out[2]["cell"] != out[3]["cell"]
+    # cos(2,3) = 0.96 >= tau, but the pair is cross-cell -> both kept
+    assert out[2]["keep"] and out[3]["keep"]
+
+
+def test_heldout_perplexity_exact_tiny_corpus(spark):
+    from whatdropsnow_etl_spark.operators import heldout_perplexity
+
+    # train docs (id % 10 != 0): "a b" x2 and "a c"
+    # held-out doc 0: "a b a d"
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a d"),
+            (1, "a b"),
+            (2, "a b"),
+            (3, "a c"),
+        ],
+        "doc_id bigint, text string",
+    )
+    [r] = heldout_perplexity(docs, holdout_mod=10).collect()
+    # train counts: c2(a b)=2, c2(a c)=1; c1(a)=3; V=1 (only prefix a)
+    # held positions: (a,b): bits=floor(log2((3+1)/(2+1)))=0, seen
+    #                 (b,a): c1(b)=0,c2=0 -> floor(log2((0+1)/(0+1)))=0, oov
+    #                 (a,d): c2=0 -> floor(log2((3+1)/(0+1)))=2, oov
+    assert r["n_bigrams"] == 3
+    assert r["oov_bigrams"] == 2
+    assert r["sum_bits"] == 2
+    assert abs(r["avg_bits"] - 2 / 3) < 1e-12
+
+
+def test_hashed_features_sparse_exact_counts(spark):
+    from whatdropsnow_etl_spark.operators import hashed_features
+
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "x"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    rows = hashed_features(docs, n_buckets=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # same token always lands in the same (bucket, sign): doc 0's two
+    # "x" accumulate to weight +-2 in one bucket unless x and y
+    # collide INTO the same bucket with opposite signs
+    d0 = {r["bucket"]: r["weight"] for r in by_doc[0]}
+    d1 = {r["bucket"]: r["weight"] for r in by_doc[1]}
+    [(bx, wx)] = d1.items()
+    assert abs(wx) == 1
+    assert d0[bx] in (2 * wx, 2 * wx + 1, 2 * wx - 1)  # y may share bx
+    # total signed mass is invariant: sum |weights| <= n_tokens and
+    # congruent to n_tokens mod 2 per doc
+    assert sum(abs(r["weight"]) for r in by_doc[0]) <= 3
+    # zero-weight cells are dropped, never emitted
+    assert all(r["weight"] != 0 for r in rows)

@@ -47,6 +47,11 @@ ALLPAIRS_OK = {
     # not data×data crosses
     "ann_pq_topk",
     "ann_pq_trained",
+    # SemDeDup assign: corpus × C-row broadcast codebook (IVF shape)
+    "semantic_dedup",
+    # add-one smoothing: crossJoin against the 1-row broadcast
+    # vocab-size aggregate (the Q11 scalar-subquery pattern)
+    "heldout_perplexity",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -60,6 +65,7 @@ PYTHON_OK = {
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
+    "semantic_dedup",  # Arrow cosine for assign + within-cell pairs
     "ann_pq_topk",  # Arrow dot for encode + LUT (bit-exact sequential)
     "ann_pq_trained",  # same kernels, trained codebook
     "ann_ivf_trained",  # same kernels + k-means assign

@@ -6,7 +6,7 @@ from .events import (
     numeric_outliers,
     retention_cohorts,
 )
-from .corpus import bigram_surprisal, decontaminate_ngrams
+from .corpus import bigram_surprisal, decontaminate_ngrams, heldout_perplexity
 from .sampling import (
     fixed_size_sample,
     leakage_safe_split,
@@ -50,6 +50,7 @@ from .multimodal import (
 from .pagination import paginate
 from .search import ilike_search
 from .skew import salted_groupby_sum, salted_join
+from .featurize import hashed_features
 from .similarity import (
     ann_cosine_topk,
     ann_int8_topk,
@@ -61,6 +62,7 @@ from .similarity import (
     pq_encode,
     pq_train_codebook,
     quantize_embeddings,
+    semantic_dedup,
 )
 from .textops import (
     chunk_documents,
@@ -80,75 +82,78 @@ from .upsert import latest_wins
 from .windows import moving_avg, sessionize, topn_per_group
 
 __all__ = [
-    "asof_join",
-    "cdc_apply",
-    "scd2_history",
-    "event_funnel",
-    "retention_cohorts",
-    "numeric_outliers",
-    "dup_rate_by_source",
-    "length_histogram",
-    "bigram_surprisal",
-    "decontaminate_ngrams",
-    "stratified_sample_by_quality",
-    "redact_pii",
-    "latest_wins",
-    "filter_out_recently_added",
-    "fk_integrity_report",
-    "paginate",
-    "ilike_search",
-    "salted_groupby_sum",
-    "salted_join",
-    "topn_per_group",
-    "moving_avg",
-    "sessionize",
-    "dedup_clusters",
-    "dedup_exact",
-    "editdist_pairs",
-    "interval_overlap_count",
-    "train_kmeans_codebook",
-    "exact_group_quantiles",
-    "hll_count_distinct",
-    "hll_registers",
-    "hll_estimate_from_registers",
-    "cms_registers",
-    "cms_estimate_counts",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "simhash_fingerprints",
-    "simhash_pairs",
     "ann_cosine_topk",
+    "ann_int8_topk",
     "ann_ivf_topk",
     "ann_lsh_bucketed",
-    "embedding_dedup_pairs",
-    "doc_fingerprint",
-    "attach_binary_payload",
-    "extract_features",
-    "multimodal_features",
-    "resize_images",
-    "sample_frames",
-    "lang_id_confusion",
-    "quality_score",
-    "token_count",
-    "minhash_band_index",
-    "incremental_dedup_minhash",
-    "repetition_stats",
-    "corpus_vocab",
-    "chunk_documents",
-    "source_mix_sample",
-    "pack_chunks",
-    "tokenize_to_ids",
-    "gopher_rules",
-    "containment_pairs",
-    "cluster_keep_best",
-    "ann_int8_topk",
-    "quantize_embeddings",
-    "fixed_size_sample",
-    "span_dedup",
     "ann_pq_topk",
+    "asof_join",
+    "attach_binary_payload",
+    "bigram_surprisal",
+    "cdc_apply",
+    "chunk_documents",
+    "cluster_keep_best",
+    "cms_estimate_counts",
+    "cms_registers",
+    "containment_pairs",
+    "corpus_vocab",
+    "decontaminate_ngrams",
+    "dedup_clusters",
+    "dedup_exact",
+    "doc_fingerprint",
+    "dup_rate_by_source",
+    "editdist_pairs",
+    "embedding_dedup_pairs",
+    "event_funnel",
+    "exact_group_quantiles",
+    "extract_features",
+    "filter_out_recently_added",
+    "fixed_size_sample",
+    "fk_integrity_report",
+    "gopher_rules",
+    "hashed_features",
+    "heldout_perplexity",
+    "hll_count_distinct",
+    "hll_estimate_from_registers",
+    "hll_registers",
+    "ilike_search",
+    "incremental_dedup_minhash",
+    "interval_overlap_count",
+    "lang_id_confusion",
+    "latest_wins",
+    "leakage_safe_split",
+    "length_histogram",
+    "minhash_band_index",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "moving_avg",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "numeric_outliers",
+    "pack_chunks",
+    "paginate",
     "pq_codebook",
     "pq_encode",
-    "leakage_safe_split",
     "pq_train_codebook",
+    "quality_score",
+    "quantize_embeddings",
+    "redact_pii",
+    "repetition_stats",
+    "resize_images",
+    "retention_cohorts",
+    "salted_groupby_sum",
+    "salted_join",
+    "sample_frames",
+    "scd2_history",
+    "semantic_dedup",
+    "sessionize",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "source_mix_sample",
+    "span_dedup",
+    "stratified_sample_by_quality",
+    "token_count",
+    "tokenize_to_ids",
+    "topn_per_group",
+    "train_kmeans_codebook",
 ]

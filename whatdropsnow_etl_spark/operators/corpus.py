@@ -132,3 +132,83 @@ def bigram_surprisal(
         F.count("*").alias("n_bigrams"),
         (F.sum("bits").cast("double") / F.count("*")).alias("avg_bits"),
     )
+
+
+def heldout_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_mod: int = 10,
+) -> DataFrame:
+    """Out-of-sample bigram-LM scoring with add-one smoothing: train
+    on docs where ``id % holdout_mod != 0``, score the held-out rest.
+
+    The CCNet/KenLM corpus-fit loop in miniature: a model trained on
+    the corpus scores *unseen* text, so unseen bigrams must get
+    finite mass — add-one smoothing gives each position
+    p = (c2 + 1) / (c1 + V) where c2/c1 are train bigram/prefix
+    counts (0 when unseen) and V is the train prefix-vocabulary
+    size. Like bigram_surprisal the score is measured in *whole
+    bits* with integer shift/compare arithmetic only — per position
+    floor(log2((c1 + V) / (c2 + 1))) — because libm log differs
+    across engines at the ulp and a float sum's order is not
+    deterministic under shuffle. num >= den always: c2 <= c1 and
+    V >= 1.
+
+    Per held-out doc: ``n_bigrams``, ``oov_bigrams`` (positions
+    whose bigram never occurs in train), exact ``sum_bits``, and
+    ``avg_bits`` (one double division at the end — deterministic).
+    Held-out docs with fewer than 2 tokens are dropped.
+
+    Scale shape: one positional explode per side; train reduces to
+    two count relations before any join — the bigram-count join is
+    a plain shuffle hash join on the key the count already
+    partitioned by (AQE reuses the partitioning), the vocab-bounded
+    prefix counts and the 1-row vocab size broadcast. The held-out
+    side is the small side by construction (1/holdout_mod of the
+    corpus) but the dataflow never assumes it fits in memory.
+    """
+
+    def positions(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n = F.greatest(F.size(toks) - 1, F.lit(0))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, n),
+                    F.slice(toks, 2, n),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bg")
+                    ),
+                )
+            ).alias("p"),
+        ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+
+    train = positions(docs.where(F.col(id_col) % holdout_mod != 0))
+    held = positions(docs.where(F.col(id_col) % holdout_mod == 0))
+
+    c_bigram = train.groupBy("bg").agg(F.count("*").alias("c2"))
+    c_prefix = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = c_prefix.agg(F.count("*").alias("v"))
+
+    scored = (
+        held.join(c_bigram, "bg", "left")
+        .join(F.broadcast(c_prefix), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            "v",
+        )
+        .withColumn(
+            "bits", _floor_log2_ratio(F.col("c1") + F.col("v"), F.col("c2") + 1)
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum((F.col("c2") == 0).cast("bigint")).alias("oov_bigrams"),
+        F.sum("bits").alias("sum_bits"),
+        (F.sum("bits").cast("double") / F.count("*")).alias("avg_bits"),
+    )

@@ -885,3 +885,101 @@ def pq_train_codebook(
             out.append((j, c, [float(x) for x in cent[c]]))
     spark = corpus.sparkSession
     return spark.createDataFrame(out, "j int, c int, cent array<double>")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    tau: float = 0.4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (arXiv:2303.09540):
+    cluster embeddings into centroid cells, then mark within-cell
+    near-duplicates by cosine >= ``tau``, lowest-id-wins.
+
+    Returns one row per vector: ``vec_id``, ``cell`` (assigned
+    centroid id), ``dup_of`` (the LOWEST-id same-cell vector with
+    cosine >= tau, NULL when none precedes it) and ``keep``
+    (dup_of IS NULL). The greedy lowest-id contract — not transitive
+    closure — matches the paper's one-survivor-per-duplicate-group
+    intent while staying a two-join dataflow (chain closure is
+    dedup_clusters' job, fed by any pair relation including this
+    one).
+
+    Scale shape: the all-pairs O(N^2) kernel becomes
+    sum-over-cells O(sum nc^2):
+    - assignment is ONE broadcast of the C centroids against the
+      corpus with a map-side-combined argmax (same dataflow as
+      ann_ivf_topk's cell assign) — the corpus never shuffles for
+      assignment;
+    - the pair scan self-joins on ``cell``, so the only corpus
+      shuffle is one hash partition by cell; within a cell the
+      quadratic work is bounded by that cell's population. C is the
+      cost dial: real deployments run C ~ sqrt(N) (the paper uses
+      ~100k clusters for LAION) so expected cell population stays
+      flat as N grows. A hot cell degrades quadratically — the same
+      salted sub-blocking used by dedup_editdist applies if a
+      trained codebook collapses (the lowest-id stand-in codebook
+      here keeps the operator oracle-twin-able; pass a
+      kmeans-trained ``centroids`` relation in production).
+
+    Cosine accumulates left-to-right in float64 (Arrow kernel),
+    matching DuckDB's list_dot_product bitwise — same determinism
+    contract as ann_cosine_topk.
+    """
+    cos = cosine_sim_arrow()
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__v")
+    )
+    if centroids is None:
+        cent = (
+            c.orderBy("vec_id")
+            .limit(n_centroids)
+            .select(F.col("vec_id").alias("cid"), F.col("__v").alias("__cent"))
+        )
+    else:
+        cent = centroids.select(
+            F.col(id_col).alias("cid"), to_double_array(vec_col).alias("__cent")
+        )
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.struct(
+                cos(F.col("__cent"), F.col("__v")).alias("s"),
+                (-F.col("cid")).cast("bigint").alias("negcid"),
+                F.col("__v").alias("v"),
+            ).alias("m"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("m").alias("m"))
+        .select(
+            "vec_id",
+            (-F.col("m.negcid")).alias("cell"),
+            F.col("m.v").alias("__v"),
+        )
+    )
+    a = assign.select(
+        F.col("vec_id").alias("__aid"), "cell", F.col("__v").alias("__av")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("__bid"), "cell", F.col("__v").alias("__bv")
+    )
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("__aid") < F.col("__bid"))
+        .where(cos(F.col("__av"), F.col("__bv")) >= tau)
+        .groupBy("__bid")
+        .agg(F.min("__aid").alias("dup_of"))
+    )
+    return (
+        assign.join(dup, assign.vec_id == dup.__bid, "left")
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
