@@ -617,6 +617,21 @@ def _ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_opq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import ann_pq_topk, opq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    rot, cb = opq_train(corpus)
+    return ann_pq_topk(
+        corpus,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        codebook=cb,
+        rotation=rot,
+    )
+
+
 def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import span_dedup
 
@@ -966,6 +981,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "span_dedup": ["doc_id", "n_dropped", "n_spans", "text_dedup"],
     "ann_pq_topk": ["neighbor_id", "pq_score", "query_id", "rnk"],
     "ann_pq_trained": ["neighbor_id", "pq_score", "query_id", "rnk"],
+    "ann_opq_trained": ["neighbor_id", "pq_score", "query_id", "rnk"],
     "leakage_safe_split": ["component_id", "doc_id", "split"],
     "gopher_rules": ["doc_id", "mean_word_len", "n_words", "ok_alpha", "ok_mean_len", "ok_stops", "ok_symbols", "ok_words", "passes"],
     "containment_pairs": ["containment", "doc_a", "doc_b", "n_common"],
@@ -1177,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": _hll_distinct,
         "ann_ivf_trained": _ann_ivf_trained,
         "ann_pq_trained": _ann_pq_trained,
+        "ann_opq_trained": _ann_opq_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
     }
     return {k: _with_presentation_order(k, v) for k, v in base.items()}

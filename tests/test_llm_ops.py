@@ -1153,3 +1153,67 @@ def test_hashed_features_sparse_exact_counts(spark):
     assert sum(abs(r["weight"]) for r in by_doc[0]) <= 3
     # zero-weight cells are dropped, never emitted
     assert all(r["weight"] != 0 for r in rows)
+
+
+def test_opq_rotation_improves_quantization(tables):
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators import opq_train
+    from whatdropsnow_etl_spark.operators.similarity import (
+        _collect_normalized_sample,
+        _pq_reconstruct,
+        collect_pq_codebook,
+        collect_rotation,
+        pq_train_codebook,
+    )
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10)
+    rot, cb = opq_train(corpus, m=16, ksub=32, opq_iters=4)
+    R = collect_rotation(rot)
+    dim = R.shape[0]
+    # R must be orthogonal: rotating preserves norms/cosines
+    assert np.abs(R @ R.T - np.eye(dim)).max() < 1e-9
+
+    # the OPQ objective on the training sample must beat plain PQ's
+    # (each alternation step is monotone in the same objective)
+    X = _collect_normalized_sample(corpus, 4096, "vec_id", "embedding")
+    _, mse_opq = _pq_reconstruct(X @ R, collect_pq_codebook(cb))
+    plain = pq_train_codebook(corpus, m=16, ksub=32)
+    _, mse_pq = _pq_reconstruct(X, collect_pq_codebook(plain))
+    assert mse_opq <= mse_pq
+
+    # bit-stable retraining (same sample, same alternation path)
+    rot2, cb2 = opq_train(corpus, m=16, ksub=32, opq_iters=4)
+    assert np.array_equal(R, collect_rotation(rot2))
+    assert np.array_equal(
+        collect_pq_codebook(cb), collect_pq_codebook(cb2)
+    )
+
+
+def test_opq_topk_end_to_end(tables):
+    from whatdropsnow_etl_spark.operators import ann_cosine_topk, ann_pq_topk, opq_train
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    rot, cb = opq_train(corpus, m=16, ksub=32, opq_iters=4)
+    got = ann_pq_topk(corpus, queries, k=5, codebook=cb, rotation=rot)
+    rows = got.collect()
+    # contract shape: 5 ranked neighbors per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    # recall@5 vs the exact kernel stays useful (>= chance by far);
+    # OPQ reorders near-ties but must keep most true neighbors
+    exact = ann_cosine_topk(corpus, queries, k=5)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1
+        for r in rows
+        if r["neighbor_id"] in truth.get(r["query_id"], set())
+    )
+    assert hits / max(len(rows), 1) >= 0.3

@@ -47,6 +47,7 @@ ALLPAIRS_OK = {
     # not data×data crosses
     "ann_pq_topk",
     "ann_pq_trained",
+    "ann_opq_trained",
     # SemDeDup assign: corpus × C-row broadcast codebook (IVF shape)
     "semantic_dedup",
     # add-one smoothing: crossJoin against the 1-row broadcast
@@ -68,6 +69,7 @@ PYTHON_OK = {
     "semantic_dedup",  # Arrow cosine for assign + within-cell pairs
     "ann_pq_topk",  # Arrow dot for encode + LUT (bit-exact sequential)
     "ann_pq_trained",  # same kernels, trained codebook
+    "ann_opq_trained",  # same kernels + fused rotation matmul
     "ann_ivf_trained",  # same kernels + k-means assign
     "bpe_merges",  # per-word merge application (sequential per word)
     "bpe_encode",  # same per-word merge scan, all ranks in one pass
@@ -96,6 +98,8 @@ EAGER_OK = {
     "ann_pq_topk",
     # + bounded-sample driver-side Lloyd's for the trained codebook
     "ann_pq_trained",
+    # + alternating Lloyd's/Procrustes rounds on the same sample
+    "ann_opq_trained",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
@@ -131,6 +135,7 @@ EXPECT_PUSHDOWN = {
     "ann_lsh_bucketed": r"PushedFilters: \[.*vec_id",
     "ann_pq_topk": r"PushedFilters: \[.*vec_id",
     "ann_pq_trained": r"PushedFilters: \[.*vec_id",
+    "ann_opq_trained": r"PushedFilters: \[.*vec_id",
     "q7_volume_shipping": r"PushedFilters: \[.*l_shipdate",
     "q8_market_share": r"PushedFilters: \[.*(o_orderdate|p_type|r_name)",
     "q10_returned_items": r"PushedFilters: \[.*(l_returnflag|o_orderdate)",

@@ -627,7 +627,7 @@ def pq_codebook(
     )
 
 
-def _pq_codes_arrow(cb_np):
+def _pq_codes_arrow(cb_np, rot_np=None):
     """Arrow-batched PQ encoder kernel closing over the MODEL-sized
     codebook (an (m, ksub, d) float64 ndarray — collected once,
     shipped in the task closure like bpe_encode's merge table and
@@ -662,6 +662,13 @@ def _pq_codes_arrow(cb_np):
         sc = np.sqrt(n2)
         sc[~nz] = 1.0
         X = X / sc[:, None]
+        if rot_np is not None:
+            # OPQ preprocessing fused into the same Arrow pass: one
+            # d×d matmul per batch, no extra corpus hop. BLAS
+            # accumulation order is platform-deterministic, which is
+            # all the rows-only OPQ contract needs (the unrotated
+            # path keeps the bit-exact oracle fold untouched).
+            X = X @ rot_np
         out = np.zeros((len(X), m), dtype=np.int32)
         for j in range(m):
             acc = np.zeros((len(X), ksub), dtype=np.float64)
@@ -702,6 +709,7 @@ def pq_encode(
     ksub: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoder: compress each unit-normalized
     vector to ``m`` small codes — one per subspace, the argmin-L2
@@ -720,7 +728,8 @@ def pq_encode(
     (vec_id, codes array<int>).
     """
     cb_np = collect_pq_codebook(codebook)
-    kernel = _pq_codes_arrow(cb_np)
+    rot_np = collect_rotation(rotation) if rotation is not None else None
+    kernel = _pq_codes_arrow(cb_np, rot_np)
     return (
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -739,6 +748,7 @@ def ann_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    rotation: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k: score each query against the
     CODES, never the vectors — per query a m×ksub lookup table of
@@ -770,6 +780,7 @@ def ann_pq_topk(
         else pq_codebook(corpus, m, ksub, id_col, vec_col)
     )
     cb_np = collect_pq_codebook(cb)
+    rot_np = collect_rotation(rotation) if rotation is not None else None
     m_, ksub_, d = cb_np.shape
     # bounded query set: normalize driver-side with the exact same
     # sequential-sum / true-division ops as the encode kernel
@@ -785,12 +796,15 @@ def ann_pq_topk(
         if n2 <= 0:
             continue
         vn = v / np.sqrt(n2)
+        if rot_np is not None:
+            # same rotation both sides: R orthogonal preserves cosine
+            vn = vn @ rot_np
         lut = np.zeros((m_, ksub_), dtype=np.float64)
         for dd in range(d):
             lut += vn[np.arange(m_) * d + dd][:, None] * cb_np[:, :, dd]
         luts.append((r["query_id"], lut))
 
-    codes = pq_encode(corpus, cb, m_, ksub_, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m_, ksub_, id_col, vec_col, rotation)
     out_schema = "query_id bigint, neighbor_id bigint, __s double"
 
     def score_batches(batches):
@@ -852,6 +866,16 @@ def pq_train_codebook(
     trained < stand-in mean squared reconstruction error (the
     k-means objective) and bit-stable retraining.
     """
+    X = _collect_normalized_sample(corpus, sample_n, id_col, vec_col)
+    cb = _lloyd_subspaces(X, m, ksub, iters)
+    return _codebook_df(corpus.sparkSession, cb)
+
+
+def _collect_normalized_sample(corpus, sample_n, id_col, vec_col):
+    """The shared train-on-sample selection: the ``sample_n``
+    lowest-md5(id) vectors (TakeOrdered heap cut, deterministic,
+    append-stable), collected once and unit-normalized driver-side
+    with the same sequential-sum ops as the encode kernel."""
     import numpy as np
 
     rows = (
@@ -865,12 +889,21 @@ def pq_train_codebook(
     n2 = np.zeros(len(X))
     for dd in range(X.shape[1]):
         n2 += X[:, dd] * X[:, dd]
-    X = X / np.sqrt(n2)[:, None]
+    return X / np.sqrt(n2)[:, None]
+
+
+def _lloyd_subspaces(X, m, ksub, iters):
+    """m independent Lloyd's k-means over the (n, dim/m) subspace
+    slices of the sample; returns the (m, ksub, d) codebook ndarray.
+    Init: first ksub subvectors; empty clusters keep their previous
+    centroid (deterministic degeneracy handling)."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim ({dim}) not divisible by m ({m})")
     d = dim // m
-    out = []
+    cb = np.zeros((m, ksub, d), dtype=np.float64)
     for j in range(m):
         xj = X[:, j * d : (j + 1) * d]
         cent = xj[:ksub].copy()
@@ -881,10 +914,93 @@ def pq_train_codebook(
                 mask = a == c
                 if mask.any():
                     cent[c] = xj[mask].mean(0)
-        for c in range(ksub):
-            out.append((j, c, [float(x) for x in cent[c]]))
-    spark = corpus.sparkSession
+        cb[j] = cent
+    return cb
+
+
+def _codebook_df(spark, cb_np):
+    m, ksub, _ = cb_np.shape
+    out = [
+        (j, c, [float(x) for x in cb_np[j, c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
     return spark.createDataFrame(out, "j int, c int, cent array<double>")
+
+
+def _pq_reconstruct(X, cb_np):
+    """Encode-then-decode the sample against a codebook: the OPQ
+    objective's inner term. Returns (Xhat, mse)."""
+    import numpy as np
+
+    m, ksub, d = cb_np.shape
+    Xhat = np.zeros_like(X)
+    for j in range(m):
+        xj = X[:, j * d : (j + 1) * d]
+        dist = ((xj[:, None, :] - cb_np[j][None, :, :]) ** 2).sum(-1)
+        Xhat[:, j * d : (j + 1) * d] = cb_np[j][dist.argmin(1)]
+    mse = float(((X - Xhat) ** 2).sum(1).mean())
+    return Xhat, mse
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int = 16,
+    ksub: int = 32,
+    sample_n: int = 4096,
+    iters: int = 10,
+    opq_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train an OPQ rotation + codebook (Ge et al., CVPR 2013,
+    OPQ-NP): alternate (a) PQ codebook training on the ROTATED
+    sample with (b) the orthogonal-Procrustes rotation update
+    R = U·Vᵀ from svd(Xᵀ·X̂) — each step monotonically reduces the
+    same quantization objective ‖X·R − X̂‖², so OPQ's sample MSE
+    can only improve on plain PQ's (pytest-pinned).
+
+    Plain PQ inherits whatever correlation structure the raw axes
+    have; when variance concentrates in few dimensions some
+    subspaces quantize noise while others overload. The learned
+    rotation rebalances variance across the m subspaces before
+    splitting — FAISS's ``OPQ16,PQ16`` preprocessing, trained here
+    on the SAME bounded deterministic sample as pq_train_codebook
+    (train-on-sample contract: driver-side numpy, model-sized
+    outputs, no corpus-scale work).
+
+    Returns ``(rotation_df, codebook_df)``: the d×d rotation as an
+    (i, row) relation and the (j, c, cent) codebook — both
+    model-sized, ready for :func:`ann_pq_topk`'s ``rotation=`` /
+    ``codebook=``.
+    """
+    import numpy as np
+
+    X = _collect_normalized_sample(corpus, sample_n, id_col, vec_col)
+    dim = X.shape[1]
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        XR = X @ R
+        cb = _lloyd_subspaces(XR, m, ksub, iters)
+        Xhat, _ = _pq_reconstruct(XR, cb)
+        U, _, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    cb = _lloyd_subspaces(X @ R, m, ksub, iters)
+    spark = corpus.sparkSession
+    rot = spark.createDataFrame(
+        [(i, [float(x) for x in R[i]]) for i in range(dim)],
+        "i int, row array<double>",
+    )
+    return rot, _codebook_df(spark, cb)
+
+
+def collect_rotation(rotation: DataFrame):
+    """Materialize an (i, row) rotation relation into the d×d
+    ndarray the kernels close over — bounded model-sized collect."""
+    import numpy as np
+
+    rows = rotation.select("i", "row").orderBy("i").collect()
+    return np.stack([np.asarray(r["row"], dtype=np.float64) for r in rows])
 
 
 def semantic_dedup(
