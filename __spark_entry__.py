@@ -905,6 +905,26 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the corpus is clean ASCII, so (like redact_pii's PII planting)
+    # append a deterministic unicode mess per doc to exercise every
+    # normalization step: combining acute (NFC-composes), ligature
+    # (NFC-invariant), zero-width space (stripped), BEL control
+    # (stripped), tab run (collapsed), trailing space (trimmed).
+    # The oracle builds the identical suffix from chr() codes.
+    messy = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe\u0301 \ufb01le\u200b x\x07y\t\tz "),
+        ),
+    )
+    return normalize_text(messy)
+
+
 def _heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import heldout_perplexity
 
@@ -936,6 +956,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
     "hashed_features": ["bucket", "doc_id", "weight"],
+    "normalize_text": ["doc_id", "n_chars_norm", "n_chars_raw", "norm_text"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1102,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "heldout_perplexity": _heldout_perplexity,
         "hashed_features": _hashed_features,
+        "normalize_text": _normalize_text,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -3113,6 +3135,32 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["normalize_text"] = """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' cafe' || chr(769) || ' ' || chr(64257)
+                      || 'le' || chr(8203) || ' x' || chr(7) || 'y'
+                      || chr(9) || chr(9) || 'z ' AS text
+          FROM documents
+        ), n AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars_raw,
+                 nfc_normalize(text) AS t
+          FROM aug
+        ), cleaned AS (
+          SELECT doc_id, n_chars_raw,
+                 trim(regexp_replace(
+                   regexp_replace(t,
+                     '[\\x00-\\x08\\x0e-\\x1f\\x7f'
+                       || chr(8203) || '-' || chr(8207) || chr(65279)
+                       || ']', '', 'g'),
+                   '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')) AS norm_text
+          FROM n
+        )
+        SELECT doc_id, norm_text, n_chars_raw,
+               CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        FROM cleaned
+    """
     sql["semantic_dedup"] = """
         WITH c AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -1217,3 +1217,23 @@ def test_opq_topk_end_to_end(tables):
         if r["neighbor_id"] in truth.get(r["query_id"], set())
     )
     assert hits / max(len(rows), 1) >= 0.3
+
+
+def test_normalize_text_steps(spark):
+    from whatdropsnow_etl_spark.operators import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "café"),          # NFC composes e + U+0301
+            (1, "a​b\x07c"),       # zero-width + control stripped
+            (2, "  x\t\ty \x0b z  "),   # runs collapse incl. VT, trim
+            (3, "ﬁle"),            # ligature: NFC-invariant
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[0]["norm_text"] == "café"
+    assert out[0]["n_chars_raw"] == 5 and out[0]["n_chars_norm"] == 4
+    assert out[1]["norm_text"] == "abc"
+    assert out[2]["norm_text"] == "x y z"
+    assert out[3]["norm_text"] == "ﬁle"  # NFC keeps ligatures (NFKC wouldn't)

@@ -74,6 +74,7 @@ PYTHON_OK = {
     "bpe_merges",  # per-word merge application (sequential per word)
     "bpe_encode",  # same per-word merge scan, all ranks in one pass
     "pack_chunks",  # per-group greedy packing (inherently sequential)
+    "normalize_text",  # Arrow NFC kernel (unicodedata; map-only)
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must

@@ -782,6 +782,7 @@ def editdist_pairs(
     lang_col: str = "lang",
     len_col: str = "n_chars",
     max_band_docs: int | None = 2000,
+    shuffle_parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by Levenshtein distance, length-banded.
 
@@ -823,6 +824,20 @@ def editdist_pairs(
     (max 23 at sf0.01, 153 at sf0.1), so s == 1 everywhere there and
     the path is EXACT — the oracle twin needs no salting
     (pytest-asserted). ``None`` restores the exact uncapped path.
+
+    ``shuffle_parallelism`` (default 4× the cluster's default
+    parallelism) is the partition count BOTH pair-join inputs are
+    explicitly hash-partitioned to on the full (lang, band, salt)
+    key. Without it the doc side's (lang, band) partitioning — a
+    SUBSET of the join keys — satisfies the join's clustering
+    requirement, so Spark reuses it and a hot block's sub-blocks
+    all land in ONE task: salting then bounds candidate VOLUME but
+    not task spread (the measured sf10 tail: last ~7 of 32 tasks
+    run long). Pinning the exchange to the salted key at an
+    explicit count spreads sub-blocks across tasks; AQE never
+    coalesces a user-specified repartition, so the count survives
+    to runtime. Partition-count/assignment changes never change
+    results — the pair predicate is per-row.
     """
     if band_width is None:
         band_width = max_dist
@@ -847,18 +862,25 @@ def editdist_pairs(
             for c in "abcdefghijklmnopqrstuvwxyz"
         ]
     )
-    # the repartition puts an exchange ABOVE the histogram project:
-    # without it CollapseProject inlines `h` into the pair filter and
-    # the 26-replace histogram is recomputed per PAIR (~30x more
-    # evaluations) instead of once per doc below the shuffle
-    d = docs.select(
+    # both pair-join inputs get ONE explicit exchange below (see
+    # repartition calls): it spreads a hot block's salted sub-blocks
+    # across `nparts` tasks AND sits above this histogram project, so
+    # CollapseProject can't inline `h` into the pair filter (the
+    # 26-replace histogram would otherwise be recomputed per PAIR,
+    # ~30x more evaluations, instead of once per doc below the
+    # shuffle)
+    nparts = shuffle_parallelism or (
+        docs.sparkSession.sparkContext.defaultParallelism * 4
+    )
+    base = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         F.col(lang_col).alias("lg"),
         F.col(len_col).alias("ln"),
         F.floor(F.col(len_col) / band_width).alias("band"),
         hist.alias("h"),
-    ).repartition("lg", "band")
+    )
+    d = base
     if max_band_docs is not None:
         if max_band_docs < 1:
             raise ValueError(
@@ -889,7 +911,13 @@ def editdist_pairs(
     else:
         pops = None
         d = d.withColumn("salt", F.lit(0))
-    right = d.select(
+    # explicit co-partitioning on the FULL salted join key: a plain
+    # (lg, band) partitioning would satisfy the join's clustering
+    # requirement as a key subset and keep every sub-block of a hot
+    # block in one task (the sf10 tail) — and AQE never coalesces a
+    # user-specified repartition, so nparts survives to runtime
+    d = d.repartition(nparts, "lg", "band", "salt")
+    right = base.select(
         F.col("id").alias("rid"),
         F.col("txt").alias("rtxt"),
         F.col("lg").alias("rlg"),
@@ -907,6 +935,7 @@ def editdist_pairs(
         ).withColumn("rsalt", F.pmod(F.xxhash64("rid"), F.col("__s")).cast("int"))
     else:
         right = right.withColumn("rsalt", F.lit(0))
+    right = right.repartition(nparts, "rlg", "band", "rsalt")
     hist_l1 = F.aggregate(
         F.zip_with(d["h"], F.col("rh"), lambda x, y: F.abs(x - y)),
         F.lit(0),

@@ -647,3 +647,72 @@ def gopher_rules(
         .cast("int")
         .alias("passes"),
     )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Standard corpus text canonicalization (the C4/CCNet cleanup
+    prologue): Unicode NFC composition, then control / zero-width
+    stripping, then whitespace-run collapse + trim.
+
+    Per doc: ``norm_text`` plus exact BIGINT ``n_chars_raw`` /
+    ``n_chars_norm`` so downstream filters can gate on how much the
+    cleanup removed (a doc that shrinks drastically was mostly
+    control/format junk).
+
+    Determinism across engines is the design driver:
+    - NFC runs in an Arrow-batched kernel over Python's
+      ``unicodedata`` — both it and DuckDB's ``nfc_normalize``
+      implement UAX#15 canonical composition and agree bit-for-bit
+      (verified over combining marks, ligatures, fullwidth forms);
+      NFC is the ONLY Python step, one Arrow hop, map-only.
+    - the strip/collapse steps use EXPLICIT code-point ranges, never
+      regex classes: Java's ``\\s`` includes U+000B where RE2's does
+      not, and ``\\p{Cf}`` membership shifts with each engine's
+      Unicode table version. C0 controls (minus the whitespace the
+      collapse step owns), DEL, bidi/zero-width marks U+200B-200F
+      and the BOM are stripped; runs of [space \\t \\n \\r \\f \\x0B]
+      collapse to one space.
+
+    Scale shape: map-only, zero shuffle, zero joins — output
+    partitioning follows input, so it composes upstream of any
+    dedup/tokenize stage for free.
+    """
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfc = pandas_udf(_nfc, "string")
+    ctl = "[\\x00-\\x08\\x0e-\\x1f\\x7f\\u200b-\\u200f\\ufeff]"
+    ws = "[ \\t\\n\\r\\f\\x0b]+"
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(F.col(text_col)).cast("bigint").alias("n_chars_raw"),
+            nfc(F.col(text_col)).alias("__nfc"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_raw",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("__nfc"), ctl, ""), ws, " "
+                )
+            ).alias("norm_text"),
+        )
+        .select(
+            "doc_id",
+            "norm_text",
+            "n_chars_raw",
+            F.length("norm_text").cast("bigint").alias("n_chars_norm"),
+        )
+    )
+    return out
