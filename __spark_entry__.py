@@ -934,7 +934,14 @@ def _heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import semantic_dedup
 
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    # n_centroids=None derives C = max(16, floor(sqrt(N)/2)) from an
+    # exact corpus count (an SF-dirname formula can't work here: the
+    # embeddings table is NOT linear in SF across the generated sets,
+    # and C changes RESULTS, so it must match the oracle's COUNT(*)
+    # derivation everywhere, not just at the driver's sf0.01)
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=None
+    )
 
 
 def _hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1151,10 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": _q21,
         "q22_sales_opportunity": _q22,
         "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_minhash_lsh": _dedup_minhash,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann,
         "ann_lsh_bucketed": _ann_lsh,
@@ -3165,7 +3172,9 @@ def oracle_sql() -> dict[str, str]:
         WITH c AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ), cent AS (
-          SELECT vec_id AS cid, e AS ce FROM c ORDER BY vec_id LIMIT 16
+          SELECT vec_id AS cid, e AS ce FROM c ORDER BY vec_id
+          LIMIT (SELECT GREATEST(16,
+                   CAST(FLOOR(SQRT(COUNT(*)) / 2) AS BIGINT)) FROM c)
         ), scored AS (
           SELECT vec_id, e, cid,
                  list_dot_product(ce, e)

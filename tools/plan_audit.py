@@ -101,6 +101,8 @@ EAGER_OK = {
     "ann_pq_trained",
     # + alternating Lloyd's/Procrustes rounds on the same sample
     "ann_opq_trained",
+    # codebook size derives from ONE bounded corpus count (C ~ sqrt(N))
+    "semantic_dedup",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {

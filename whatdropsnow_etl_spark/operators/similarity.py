@@ -1007,7 +1007,7 @@ def semantic_dedup(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     tau: float = 0.4,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -1049,6 +1049,20 @@ def semantic_dedup(
     c = embeddings.select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__v")
     )
+    if n_centroids is None:
+        # C ~ sqrt(N)/2: expected cell population (and the quadratic
+        # within-cell pair mass) then grows as sqrt(N) instead of N —
+        # a FIXED C fattens cells linearly and the pair scan degrades
+        # to O(N^2/C) (measured: 144 s at sf1 with C=16 vs the scaled
+        # C's ~20 s). The count is ONE bounded job at plan
+        # construction — codebook size is a function of corpus
+        # cardinality, the same contract as kmeans training; pass an
+        # explicit n_centroids (or trained centroids) to stay lazy.
+        # floor(sqrt/2) in IEEE double matches the oracle twin's
+        # FLOOR(SQRT(COUNT(*)) / 2) bit-for-bit.
+        import math
+
+        n_centroids = max(16, int(math.floor(math.sqrt(c.count()) / 2)))
     if centroids is None:
         cent = (
             c.orderBy("vec_id")

@@ -685,8 +685,14 @@ def normalize_text(
     def _nfc(s):
         import unicodedata
 
+        # NFC is the identity on pure ASCII; str.isascii() is a
+        # C-speed scan, so the common web-corpus row skips the
+        # normalize call entirely (the Arrow transfer still pays —
+        # that's the price of the one Python step)
         return s.map(
-            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+            lambda t: t
+            if t is None or t.isascii()
+            else unicodedata.normalize("NFC", t)
         )
 
     _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
