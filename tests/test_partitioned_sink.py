@@ -105,3 +105,23 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tables, tmp_path):
     after = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert after == 1
     assert spark.read.parquet(path).count() == n
+
+
+def test_fragmentation_report_detects_small_files(spark, tables, tmp_path):
+    from whatdropsnow_etl_spark.sinks import compact_parquet, fragmentation_report
+
+    path = str(tmp_path / "frag")
+    # 8 deliberately tiny files
+    tables["orders"].limit(400).repartition(8).write.parquet(path)
+    rep = fragmentation_report(spark, path, small_file_bytes=8 << 20)
+    rows = rep.collect()
+    assert len(rows) == 8
+    assert all(r["is_small"] for r in rows)          # all tiny
+    assert sum(r["n_rows"] for r in rows) == 400     # per-file counts join up
+    assert all(r["bytes"] > 0 for r in rows)
+    # ordered by bytes asc
+    assert [r["bytes"] for r in rows] == sorted(r["bytes"] for r in rows)
+    # the loop: detect -> compact -> re-detect clean
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    rep2 = fragmentation_report(spark, path).collect()
+    assert len(rep2) == 1 and rep2[0]["n_rows"] == 400

@@ -2,6 +2,7 @@ from .bucketed import read_bucketed, write_bucketed
 from .zorder import write_zordered, zorder_value
 from .partitioned_parquet import (
     compact_parquet,
+    fragmentation_report,
     read_partitioned_events,
     write_partitioned_events,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "write_partitioned_events",
     "read_partitioned_events",
     "compact_parquet",
+    "fragmentation_report",
     "write_zordered",
     "zorder_value",
     "write_bucketed",

@@ -87,3 +87,57 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def fragmentation_report(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int = 8 * 1024 * 1024,
+) -> DataFrame:
+    """The detector half of the compaction loop: one row per parquet
+    file under ``path`` with its size and row count, plus the
+    aggregate verdict ``compact_parquet`` would act on.
+
+    File sizes come from a driver-side listing (bounded by the file
+    COUNT — the very thing this report exists to keep small; no data
+    is scanned for sizes). Row counts come from ONE distributed scan
+    grouped by ``input_file_name()`` — metadata-only column pruning
+    (count(1) reads no columns, parquet answers from footers).
+
+    Returns (file, bytes, n_rows, is_small) ordered by bytes asc,
+    where ``is_small`` marks files under ``small_file_bytes``.
+    Callers gate compaction on e.g.
+    ``df.where("is_small").count() / df.count() > 0.5`` or compare
+    ``df.count()`` against ceil(sum(bytes)/target_file_bytes), the
+    file count a rewrite would produce.
+    """
+    import os
+
+    sizes = [
+        (os.path.join(root, f), os.path.getsize(os.path.join(root, f)))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    sizes_df = spark.createDataFrame(sizes, "file string, bytes bigint")
+    counts = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("__uri"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        # input_file_name returns a URI (file:///...); the listing has
+        # plain paths — normalize to the path part for the join key
+        .select(
+            F.regexp_replace("__uri", "^file:/*", "/").alias("file"), "n_rows"
+        )
+    )
+    return (
+        sizes_df.join(counts, "file", "left")
+        .select(
+            "file",
+            "bytes",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            (F.col("bytes") < small_file_bytes).alias("is_small"),
+        )
+        .orderBy("bytes", "file")
+    )
