@@ -832,3 +832,76 @@ def test_streaming_topk_mg_bounds(spark, tables, tmp_path):
     top = heavy_hitters(spark.read.parquet(store), 5, ["user_id"]).collect()
     assert [r["rnk"] for r in top] == list(range(1, len(top) + 1))
     assert all(r["user_id"] in state for r in top)
+
+
+def test_drift_gate_quarantines_null_surge(spark, tmp_path):
+    """Unit-level gate contract via direct foreachBatch calls: a
+    null-surge batch lands in quarantine, never in the sink, and the
+    baseline reflects exactly the appended batches."""
+    from whatdropsnow_etl_spark.streaming import DriftGatedSink
+
+    sink = DriftGatedSink(
+        spark,
+        path=str(tmp_path / "clean"),
+        quarantine_path=str(tmp_path / "quar"),
+        cols=["value"],
+        max_null_rate_jump=0.3,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "event_id bigint, value double")
+    # batch 0 bootstraps the baseline (0% nulls over 4 rows)
+    sink(mk([(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]), 0)
+    # batch 1: 25% nulls — within the 30% jump, appends
+    sink(mk([(5, 5.0), (6, None), (7, 7.0), (8, 8.0)]), 1)
+    # batch 2: 100% nulls — the upstream breakage, quarantined
+    sink(mk([(9, None), (10, None)]), 2)
+    # batch 3: clean again — the baseline was NOT poisoned by batch 2
+    sink(mk([(11, 11.0)]), 3)
+    assert sink.n_appended == 3 and sink.n_quarantined == 1
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert clean.count() == 9
+    assert clean.where(F.col("event_id").isin(9, 10)).count() == 0
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    assert sorted(r["event_id"] for r in quar.collect()) == [9, 10]
+    # baseline state = profile of exactly the appended batches
+    state = spark.read.parquet(sink.state_path).collect()
+    assert [(r["column"], r["n_rows"], r["n_null"]) for r in state] == [
+        ("value", 9, 1)
+    ]
+
+
+def test_drift_gate_through_real_stream(spark, tables, tmp_path):
+    """Integration: the gate runs as a writeStream foreachBatch over
+    file-source micro-batches; a poisoned file quarantines while the
+    clean ones append."""
+    from whatdropsnow_etl_spark.streaming import DriftGatedSink
+
+    events = tables["events"].select("event_id", "user_id", "value").limit(300)
+    src = str(tmp_path / "src")
+    events.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").json(src)
+    events.where(F.col("event_id") % 3 == 1).coalesce(1).write.mode("append").json(src)
+    # the poisoned micro-batch: value all-NULL
+    events.where(F.col("event_id") % 3 == 2).withColumn(
+        "value", F.lit(None).cast("double")
+    ).coalesce(1).write.mode("append").json(src)
+
+    sink = DriftGatedSink(
+        spark,
+        path=str(tmp_path / "clean"),
+        quarantine_path=str(tmp_path / "quar"),
+        cols=["value"],
+    )
+    schema = "event_id bigint, user_id bigint, value double"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sink.n_quarantined == 1
+    assert sink.n_appended == 2
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert clean.where(F.col("value").isNull()).count() == 0

@@ -1,5 +1,6 @@
 from .broadcast_refresh import RefreshingBroadcastDim, enrich_foreach_batch
 from .dedup import dedup_stream
+from .drift_gate import DriftGatedSink, profile_nulls
 from .funnel import curation_funnel_stream
 from .enrich import enrich_stream
 from .intervals import streaming_interval_pairs
@@ -12,6 +13,8 @@ from .upsert import upsert_stream
 from .windowed import windowed_event_agg
 
 __all__ = [
+    "DriftGatedSink",
+    "profile_nulls",
     "windowed_event_agg",
     "curation_funnel_stream",
     "dedup_stream",

@@ -1,0 +1,114 @@
+"""Structured Streaming: drift-gated ingestion with quarantine.
+
+The batch-side `schema_drift_report` (operators/integrity.py)
+compares two snapshots; the streaming question is different: "should
+THIS micro-batch be appended to 100 TB of history, or does it smell
+like an upstream breakage?" Re-profiling the sink per trigger would
+scan history every few seconds, so the gate keeps a RUNNING baseline
+instead: per column, exact (n_rows, n_null) — sum monoids, O(columns)
+state, merged per batch and persisted as a tiny parquet. History is
+never re-read.
+
+Gate contract (per batch, per gated column): the batch's null rate
+may exceed the baseline's by at most ``max_null_rate_jump``. A
+failing batch is appended to the QUARANTINE path — never dropped
+(an operator inspects and replays it; silent data loss is worse than
+late data) — and does NOT merge into the baseline, so one poisoned
+batch can't normalize the breakage for the next. The first batch
+bootstraps the baseline (nothing to compare against), matching how
+these gates are armed in production: seed from a known-good batch.
+
+Null-rate is the gated signal because it is scale-free (a 1k-row
+batch compares cleanly against a 1B-row baseline); distinct-count
+ratios are NOT (a small batch legitimately has few distincts), and
+exact distinct isn't a mergeable monoid anyway — layer the KMV/HLL
+register sketches from operators/sketches.py into the state if a
+distinct-collapse gate is needed.
+
+No reference twin (the reference is batch-only). Pinned by
+tests/test_streaming.py::test_drift_gate_* — a null-surge batch
+lands in quarantine, clean batches append, and the baseline equals
+the profile of exactly the appended batches.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATE_SCHEMA = "column string, n_rows bigint, n_null bigint"
+
+
+def profile_nulls(df: DataFrame, cols: Sequence[str]) -> list[tuple[str, int, int]]:
+    """ONE wide-aggregate scan -> [(column, n_rows, n_null)].
+    Column-count-bounded result, collected driver-side (the gate
+    decision is driver logic inside foreachBatch)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"))
+    [row] = df.agg(*aggs).collect()
+    return [(c, row["__n"], row[f"__null_{c}"]) for c in cols]
+
+
+class DriftGatedSink:
+    """foreachBatch callback: append clean batches to ``path``,
+    quarantine drifted ones, maintain the O(columns) baseline at
+    ``state_path``.
+
+    ``n_quarantined`` / ``n_appended`` count batch outcomes — the
+    unit tests' observables.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        quarantine_path: str,
+        cols: Sequence[str],
+        max_null_rate_jump: float = 0.3,
+        state_path: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.quarantine_path = quarantine_path
+        self.cols = list(cols)
+        self.max_null_rate_jump = max_null_rate_jump
+        self.state_path = state_path or path.rstrip("/") + "__drift_state"
+        self.n_appended = 0
+        self.n_quarantined = 0
+
+    def _baseline(self) -> dict[str, tuple[int, int]]:
+        if not os.path.exists(self.state_path):
+            return {}
+        rows = self.spark.read.schema(STATE_SCHEMA).parquet(self.state_path).collect()
+        return {r["column"]: (r["n_rows"], r["n_null"]) for r in rows}
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prof = profile_nulls(batch_df, self.cols)
+        base = self._baseline()
+        drifted = []
+        for col, n, nn in prof:
+            if col in base and base[col][0] > 0 and n > 0:
+                base_rate = base[col][1] / base[col][0]
+                if nn / n - base_rate > self.max_null_rate_jump:
+                    drifted.append(col)
+        if drifted and base:
+            batch_df.write.mode("append").parquet(self.quarantine_path)
+            self.n_quarantined += 1
+            return
+        batch_df.write.mode("append").parquet(self.path)
+        self.n_appended += 1
+        merged = [
+            (c, n + base.get(c, (0, 0))[0], nn + base.get(c, (0, 0))[1])
+            for c, n, nn in prof
+        ]
+        # state is column-count-sized: the overwrite is a metadata-
+        # scale write, not a data-scale one
+        self.spark.createDataFrame(merged, STATE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.state_path)
