@@ -337,3 +337,63 @@ def test_rate_hex_threshold_monotone(rate, ids):
         1 for i in ids if hashlib.md5(str(i).encode()).hexdigest()[:8] < hx2
     )
     assert kept2 >= kept
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=texts_strategy)
+@PROP
+def test_normalize_text_idempotent(spark, texts):
+    """normalize_text is a projection onto its own image: running it
+    twice equals running it once (NFC, the strip and the collapse are
+    each idempotent, and they commute on the image)."""
+    from whatdropsnow_etl_spark.operators import normalize_text
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    once = normalize_text(docs)
+    twice = normalize_text(
+        once.select("doc_id", F.col("norm_text").alias("text"))
+    )
+    a = {r["doc_id"]: r["norm_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["norm_text"] for r in twice.collect()}
+    assert a == b
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=5),
+        min_size=1,
+        max_size=30,
+    )
+)
+@PROP
+def test_hashed_features_permutation_invariant_and_mass_bounded(spark, words):
+    """Per-doc hashed features depend only on the doc's token
+    multiset: shuffling token order changes nothing, and total
+    absolute weight never exceeds the token count (signs can only
+    cancel)."""
+    from whatdropsnow_etl_spark.operators import hashed_features
+
+    fwd = " ".join(words)
+    rev = " ".join(reversed(words))
+    docs = spark.createDataFrame(
+        [(0, fwd), (1, rev)], "doc_id bigint, text string"
+    )
+    rows = hashed_features(docs, n_buckets=32).collect()
+    by_doc = {0: {}, 1: {}}
+    for r in rows:
+        by_doc[r["doc_id"]][r["bucket"]] = r["weight"]
+    assert by_doc[0] == by_doc[1]
+    assert sum(abs(w) for w in by_doc[0].values()) <= len(words)
