@@ -905,6 +905,12 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import dataset_card_report
+
+    return dataset_card_report(load_table(spark, sf_dir, "documents"))
+
+
 def _normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import normalize_text
 
@@ -964,6 +970,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
     "hashed_features": ["bucket", "doc_id", "weight"],
     "normalize_text": ["doc_id", "n_chars_norm", "n_chars_raw", "norm_text"],
+    "dataset_card": ["dim", "doc_share", "key", "n_docs", "n_tokens"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1131,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heldout_perplexity": _heldout_perplexity,
         "hashed_features": _hashed_features,
         "normalize_text": _normalize_text,
+        "dataset_card": _dataset_card,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1157,10 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": _q11,
         "q21_waiting_suppliers": _q21,
         "q22_sales_opportunity": _q22,
-        "dedup_ngram_jaccard": _dedup_jaccard,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann,
@@ -3142,6 +3150,35 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["dataset_card"] = """
+        WITH perdoc AS (
+          SELECT lang, source,
+                 CAST(FLOOR(len(string_split(lower(text), ' ')) / 64) * 64
+                   AS BIGINT) AS bucket_lo,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+          FROM documents
+        ), pre AS (
+          SELECT lang, source, bucket_lo,
+                 COUNT(*) AS d, CAST(SUM(n) AS BIGINT) AS t
+          FROM perdoc GROUP BY lang, source, bucket_lo
+        ), g AS (
+          SELECT lang, source, bucket_lo,
+                 GROUPING(lang, source, bucket_lo) AS gid,
+                 CAST(SUM(d) AS BIGINT) AS n_docs,
+                 CAST(SUM(t) AS BIGINT) AS n_tokens
+          FROM pre GROUP BY GROUPING SETS ((lang), (source), (bucket_lo), ())
+        ), tot AS (
+          SELECT CAST(SUM(d) AS BIGINT) AS total FROM pre
+        )
+        SELECT CASE gid WHEN 3 THEN 'lang' WHEN 5 THEN 'source'
+                        WHEN 6 THEN 'length_bucket' ELSE 'corpus' END AS dim,
+               CASE gid WHEN 3 THEN lang WHEN 5 THEN source
+                        WHEN 6 THEN CAST(bucket_lo AS VARCHAR)
+                        ELSE 'total' END AS key,
+               n_docs, n_tokens,
+               ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS doc_share
+        FROM g, tot
+    """
     sql["normalize_text"] = """
         WITH aug AS (
           SELECT doc_id,

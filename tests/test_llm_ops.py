@@ -1237,3 +1237,21 @@ def test_normalize_text_steps(spark):
     assert out[1]["norm_text"] == "abc"
     assert out[2]["norm_text"] == "x y z"
     assert out[3]["norm_text"] == "ﬁle"  # NFC keeps ligatures (NFKC wouldn't)
+
+
+def test_dataset_card_invariants(tables):
+    from whatdropsnow_etl_spark.operators import dataset_card_report
+
+    rows = dataset_card_report(tables["documents"]).collect()
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append(r)
+    [total] = by_dim["corpus"]
+    assert total["key"] == "total"
+    n_docs = tables["documents"].count()
+    assert total["n_docs"] == n_docs and abs(total["doc_share"] - 1.0) < 1e-9
+    # every section partitions the corpus: docs and tokens sum to total
+    for dim in ("lang", "source", "length_bucket"):
+        assert sum(r["n_docs"] for r in by_dim[dim]) == n_docs
+        assert sum(r["n_tokens"] for r in by_dim[dim]) == total["n_tokens"]
+        assert abs(sum(r["doc_share"] for r in by_dim[dim]) - 1.0) < 1e-3

@@ -212,3 +212,81 @@ def heldout_perplexity(
         F.sum("bits").alias("sum_bits"),
         (F.sum("bits").cast("double") / F.count("*")).alias("avg_bits"),
     )
+
+
+def dataset_card_report(
+    docs: DataFrame,
+    bucket_tokens: int = 64,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-relation dataset card: the corpus composition summary a
+    training run publishes alongside its data (per-language and
+    per-source doc/token counts and shares, a token-length
+    histogram, and the corpus totals).
+
+    ONE corpus scan, one tokenization: the per-doc (lang, source,
+    length-bucket, n_tokens) projection pre-aggregates to the finest
+    (lang, source, bucket) grain, and GROUPING SETS
+    ((lang),(source),(bucket),()) expands the PRE-AGGREGATED
+    partials — the grouping-set multiplication touches
+    cardinality-bounded rows, never the corpus (same
+    pre-aggregate-then-expand shape as grouping_sets_summary).
+    `dim` names the section, `key` the member; shares divide exact
+    BIGINTs by the corpus total in double, bit-identical
+    cross-engine. Length buckets are integer floor(n/width)*width,
+    the length_histogram contract.
+    """
+    n = F.size(tokens(F.col(text_col))).cast("bigint")
+    pre = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.col(source_col).alias("source"),
+            (F.floor(n / bucket_tokens) * bucket_tokens)
+            .cast("bigint")
+            .alias("bucket_lo"),
+            n.alias("__n"),
+        )
+        .groupBy("lang", "source", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("__docs"), F.sum("__n").alias("__toks"))
+    )
+    agg = pre.groupingSets(
+        [["lang"], ["source"], ["bucket_lo"], []],
+        "lang",
+        "source",
+        "bucket_lo",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("__gid"),
+        F.sum("__docs").alias("n_docs"),
+        F.sum("__toks").alias("n_tokens"),
+    )
+    # grouping_id over (lang, source, bucket_lo): a bit is SET when
+    # the column is aggregated away, so (lang)=3, (source)=5,
+    # (bucket_lo)=6, ()=7
+    dim = (
+        F.when(F.col("__gid") == 3, F.lit("lang"))
+        .when(F.col("__gid") == 5, F.lit("source"))
+        .when(F.col("__gid") == 6, F.lit("length_bucket"))
+        .otherwise(F.lit("corpus"))
+    )
+    key = (
+        F.when(F.col("__gid") == 3, F.col("lang"))
+        .when(F.col("__gid") == 5, F.col("source"))
+        .when(F.col("__gid") == 6, F.col("bucket_lo").cast("string"))
+        .otherwise(F.lit("total"))
+    )
+    total = pre.agg(F.sum("__docs").alias("__total"))
+    return (
+        agg.select(dim.alias("dim"), key.alias("key"), "n_docs", "n_tokens")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dim",
+            "key",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs").cast("double") / F.col("__total"), 6).alias(
+                "doc_share"
+            ),
+        )
+    )
