@@ -905,6 +905,12 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _vector_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import vector_qc
+
+    return vector_qc(load_table(spark, sf_dir, "embeddings"))
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dataset_card_report
 
@@ -971,6 +977,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "hashed_features": ["bucket", "doc_id", "weight"],
     "normalize_text": ["doc_id", "n_chars_norm", "n_chars_raw", "norm_text"],
     "dataset_card": ["dim", "doc_share", "key", "n_docs", "n_tokens"],
+    "vector_qc": ["has_nan", "is_unit", "is_zero", "n_dims", "norm", "vec_id"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1139,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": _hashed_features,
         "normalize_text": _normalize_text,
         "dataset_card": _dataset_card,
+        "vector_qc": _vector_qc,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1164,10 +1172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19,
         "q11_important_stock": _q11,
         "q21_waiting_suppliers": _q21,
-        "q22_sales_opportunity": _q22,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "q22_sales_opportunity": _q22,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
@@ -3150,6 +3158,17 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["vector_qc"] = """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               ROUND(sqrt(list_dot_product(e, e)), 6) AS norm,
+               list_dot_product(e, e) = 0.0 AS is_zero,
+               isnan(list_dot_product(e, e)) AS has_nan,
+               abs(sqrt(list_dot_product(e, e)) - 1.0) <= 0.001 AS is_unit
+        FROM (SELECT vec_id, embedding,
+                     CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings)
+    """
     sql["dataset_card"] = """
         WITH perdoc AS (
           SELECT lang, source,

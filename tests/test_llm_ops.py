@@ -1255,3 +1255,27 @@ def test_dataset_card_invariants(tables):
         assert sum(r["n_docs"] for r in by_dim[dim]) == n_docs
         assert sum(r["n_tokens"] for r in by_dim[dim]) == total["n_tokens"]
         assert abs(sum(r["doc_share"] for r in by_dim[dim]) - 1.0) < 1e-3
+
+
+def test_vector_qc_flags(spark):
+    from whatdropsnow_etl_spark.operators import vector_qc
+
+    rows = {
+        r["vec_id"]: r
+        for r in vector_qc(
+            spark.createDataFrame(
+                [
+                    (0, [3.0, 4.0]),          # norm 5, not unit
+                    (1, [0.6, 0.8]),          # exactly unit
+                    (2, [0.0, 0.0]),          # zero vector
+                    (3, [float("nan"), 1.0]), # NaN poisoned
+                ],
+                "vec_id bigint, embedding array<double>",
+            )
+        ).collect()
+    }
+    assert rows[0]["norm"] == 5.0 and not rows[0]["is_unit"]
+    assert rows[1]["is_unit"] and not rows[1]["is_zero"]
+    assert rows[2]["is_zero"] and rows[2]["norm"] == 0.0
+    assert rows[3]["has_nan"]
+    assert all(r["n_dims"] == 2 for r in rows.values())

@@ -1113,3 +1113,37 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def vector_qc(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_tol: float = 1e-3,
+) -> DataFrame:
+    """Per-vector quality control for an embedding column — the
+    pre-index gate every similarity pipeline runs: a NaN vector
+    poisons every score it touches, a zero vector has no direction
+    (cosine undefined), an off-unit norm signals an upstream
+    normalization bug, and a dim mismatch breaks fixed-width kernels
+    (PQ subspace splits, IVF assignment).
+
+    Emits (vec_id, n_dims, norm, is_zero, has_nan, is_unit) —
+    map-only, zero shuffle, one projection of codegen'd HOF folds
+    over the array (norm² accumulates left-to-right via
+    F.aggregate, the list_dot_product bit contract, then ROUND(√,6)
+    so the twin hashes identically).
+    """
+    from ..functions.vectors import dot, to_double_array
+
+    v = to_double_array(vec_col)
+    n2 = dot(v, v)
+    nrm = F.round(F.sqrt(n2), 6)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(F.col(vec_col)).cast("bigint").alias("n_dims"),
+        nrm.alias("norm"),
+        (n2 == 0.0).alias("is_zero"),
+        F.isnan(n2).alias("has_nan"),
+        (F.abs(F.sqrt(n2) - 1.0) <= unit_tol).alias("is_unit"),
+    )
