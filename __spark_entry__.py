@@ -747,6 +747,14 @@ def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators.bpe import bpe_fertility_report, bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merges(docs.where(F.col("doc_id") % 10 == 0), n_merges=8)
+    return bpe_fertility_report(docs, merges)
+
+
 def _ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import ann_int8_topk
 
@@ -978,6 +986,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "normalize_text": ["doc_id", "n_chars_norm", "n_chars_raw", "norm_text"],
     "dataset_card": ["dim", "doc_share", "key", "n_docs", "n_tokens"],
     "vector_qc": ["has_nan", "is_unit", "is_zero", "n_dims", "norm", "vec_id"],
+    "bpe_fertility": ["continuation_share", "fertility", "n_tokens", "n_words", "source"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1235,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (f) rows-only by design (no oracle) — never burn a gate slot
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
+        "bpe_fertility": _bpe_fertility,
         "hll_distinct_users": _hll_distinct,
         "ann_ivf_trained": _ann_ivf_trained,
         "ann_pq_trained": _ann_pq_trained,

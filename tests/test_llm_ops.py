@@ -1279,3 +1279,30 @@ def test_vector_qc_flags(spark):
     assert rows[2]["is_zero"] and rows[2]["norm"] == 0.0
     assert rows[3]["has_nan"]
     assert all(r["n_dims"] == 2 for r in rows.values())
+
+
+def test_bpe_fertility_report_contract(spark, tables):
+    from whatdropsnow_etl_spark.operators.bpe import (
+        bpe_fertility_report,
+        bpe_merges,
+    )
+
+    docs = tables["documents"]
+    merges = bpe_merges(docs.where(F.col("doc_id") % 10 == 0), n_merges=8)
+    rows = bpe_fertility_report(docs, merges).collect()
+    assert rows, "report must cover at least one source"
+    total_words = sum(r["n_words"] for r in rows)
+    # every whitespace word ends in exactly one '</w>' token, so the
+    # report's word total equals the corpus tokenization's
+    exact = docs.select(
+        F.size(F.split(F.lower("text"), " ")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total_words == exact
+    for r in rows:
+        assert r["n_tokens"] >= r["n_words"]       # >= 1 token per word
+        assert r["fertility"] >= 1.0
+        assert 0.0 <= r["continuation_share"] < 1.0
+        # consistency: share recomputable from the exact counts
+        assert abs(
+            r["continuation_share"] - (r["n_tokens"] - r["n_words"]) / r["n_tokens"]
+        ) < 1e-12

@@ -73,6 +73,7 @@ PYTHON_OK = {
     "ann_ivf_trained",  # same kernels + k-means assign
     "bpe_merges",  # per-word merge application (sequential per word)
     "bpe_encode",  # same per-word merge scan, all ranks in one pass
+    "bpe_fertility",  # encode kernel + per-source aggregate
     "pack_chunks",  # per-group greedy packing (inherently sequential)
     "normalize_text",  # Arrow NFC kernel (unicodedata; map-only)
 }
@@ -93,6 +94,7 @@ EAGER_OK = {
     # encoding closes over a trained merge table: training jobs run
     # during composition (model-sized argmax per round)
     "bpe_encode",
+    "bpe_fertility",
     # PQ closes over the model-sized codebook (m·ksub rows) and the
     # bounded query set (the broadcast-queries ANN contract) — both
     # collected once at composition, kernels stay map-only

@@ -210,3 +210,45 @@ def bpe_encode(
     ).select(
         F.col(id_col), F.col("pos").cast("bigint").alias("pos"), "token"
     )
+
+
+def bpe_fertility_report(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Tokenizer evaluation per source: fertility (BPE tokens per
+    whitespace word) and continuation share — the numbers that
+    decide whether a trained vocabulary fits a corpus slice (a
+    source whose fertility is far above the corpus mean is paying
+    more context budget per word; rising fertility on a new source
+    is the standard signal to retrain or extend the vocab).
+
+    One map-only encode pass (the bpe_encode kernel — model-sized
+    merge table in the closure, per-worker word cache), one
+    aggregate by source. ``n_words`` counts whitespace words,
+    ``n_tokens`` the emitted BPE symbols; ``fertility`` divides the
+    two exact BIGINTs in double. ``continuation_share`` is the
+    fraction of tokens that do NOT end a word (no '</w>' suffix) —
+    0 when every word is a single vocab symbol.
+    """
+    toks = bpe_encode(docs, merges, text_col=text_col, id_col=id_col)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum(F.col("token").endswith("</w>").cast("bigint")).alias("__w"),
+    )
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("__w").alias("n_words"),
+            F.sum("__t").alias("n_tokens"),
+            (F.sum("__t").cast("double") / F.sum("__w")).alias("fertility"),
+            (
+                (F.sum("__t") - F.sum("__w")).cast("double") / F.sum("__t")
+            ).alias("continuation_share"),
+        )
+    )
