@@ -53,6 +53,8 @@ ALLPAIRS_OK = {
     # add-one smoothing: crossJoin against the 1-row broadcast
     # vocab-size aggregate (the Q11 scalar-subquery pattern)
     "heldout_perplexity",
+    # share denominator: 1-row broadcast corpus-total cross
+    "dataset_card",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
