@@ -973,6 +973,11 @@ def opq_train(
     (i, row) relation and the (j, c, cent) codebook — both
     model-sized, ready for :func:`ann_pq_topk`'s ``rotation=`` /
     ``codebook=``.
+
+    ``opq_iters=8`` is measured, not guessed: recall@5 on this
+    corpus (sf0.001, m=16/ksub=32) is 0.40/0.42/0.44/0.50/0.50 at
+    2/4/6/8/12 alternations — saturation at 8; FAISS's default is
+    25 for much larger training sets.
     """
     import numpy as np
 
