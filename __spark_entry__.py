@@ -913,6 +913,27 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import snapshot_diff
+
+    # two deterministic "versions" of orders: rows only in new
+    # (added), only in old (removed), value-modified (%7 doubles the
+    # price -> changed), untouched (unchanged) — all four classes hit
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
 def _vector_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import vector_qc
 
@@ -987,6 +1008,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "dataset_card": ["dim", "doc_share", "key", "n_docs", "n_tokens"],
     "vector_qc": ["has_nan", "is_unit", "is_zero", "n_dims", "norm", "vec_id"],
     "bpe_fertility": ["continuation_share", "fertility", "n_tokens", "n_words", "source"],
+    "snapshot_diff": ["o_orderkey", "status"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1156,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _normalize_text,
         "dataset_card": _dataset_card,
         "vector_qc": _vector_qc,
+        "snapshot_diff": _snapshot_diff,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1180,10 +1203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18,
         "q19_disjunctive_revenue": _q19,
         "q11_important_stock": _q11,
-        "q21_waiting_suppliers": _q21,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "q21_waiting_suppliers": _q21,
         "q22_sales_opportunity": _q22,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -3168,6 +3191,24 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["snapshot_diff"] = """
+        WITH old AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 5 != 0
+        ), new AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS p
+          FROM orders WHERE o_orderkey % 3 != 0
+        )
+        SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    WHEN old.o_totalprice IS NOT DISTINCT FROM new.p
+                      THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    """
     sql["vector_qc"] = """
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS n_dims,

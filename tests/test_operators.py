@@ -392,3 +392,36 @@ def test_schema_drift_report_detects_null_surge(spark):
     assert rep["v"]["null_rate_delta"] == 0.5
     assert rep["v"]["new_distinct"] == 1  # only 0.0 survives the CASE
     assert rep["id"]["distinct_ratio"] == 1.0
+
+
+def test_snapshot_diff_classification(spark):
+    from whatdropsnow_etl_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "k bigint, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, None), (5, 50.0)],
+        "k bigint, v double",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL == NULL under eqNullSafe
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_snapshot_diff_null_vs_value_is_changed(spark):
+    from whatdropsnow_etl_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k bigint, v double")
+    new = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    [r] = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert r["status"] == "changed"

@@ -90,3 +90,64 @@ def scd2_history(
     return surv.withColumn("valid_to", valid_to).withColumn(
         "is_current", F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("bigint")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff between two versions of a table: one row per
+    key present in either snapshot, classified ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` — the regression gate
+    run between pipeline versions ("the refactor was supposed to be
+    a no-op: what rows moved?") and the validation companion to
+    cdc_apply (applying a changelog then diffing against the
+    expected snapshot must yield zero changed/added/removed).
+
+    ONE full-outer shuffle join on the keys — the provable lower
+    bound for any row diff — with null-safe value comparison (`<=>`:
+    NULL == NULL is ``unchanged``, NULL vs value is ``changed``;
+    a plain ``=`` would misreport every NULL as changed). Keys must
+    be unique per side (pre-aggregate a changelog with latest_wins
+    first); at 100 TB both sides arrive co-partitioned from the
+    key-bucketed upsert sink and the join is exchange-free.
+
+    Output: key columns + ``status``. Aggregate shares/counts are a
+    ``groupBy("status").count()`` away; the per-row relation is the
+    primitive because the follow-up question is always "WHICH rows".
+    """
+    key_cols = list(key_cols)
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *[F.col(c).alias(f"__ko_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__vo_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__kn_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__vn_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ko_{c}") == F.col(f"__kn_{c}")
+        cond = eq if cond is None else cond & eq
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__vo_{c}").eqNullSafe(F.col(f"__vn_{c}"))
+    joined = o.join(n, cond, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ko_{c}"), F.col(f"__kn_{c}")).alias(c)
+            for c in key_cols
+        ],
+        status.alias("status"),
+    )
