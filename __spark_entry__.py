@@ -913,6 +913,17 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import join_cardinality_report
+
+    return join_cardinality_report(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "lineitem"),
+        "user_id",
+        "l_suppkey",
+    )
+
+
 def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import snapshot_diff
 
@@ -1009,6 +1020,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "vector_qc": ["has_nan", "is_unit", "is_zero", "n_dims", "norm", "vec_id"],
     "bpe_fertility": ["continuation_share", "fertility", "n_tokens", "n_words", "source"],
     "snapshot_diff": ["o_orderkey", "status"],
+    "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1179,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": _dataset_card,
         "vector_qc": _vector_qc,
         "snapshot_diff": _snapshot_diff,
+        "join_cardinality": _join_cardinality,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1202,10 +1215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17,
         "q18_large_orders": _q18,
         "q19_disjunctive_revenue": _q19,
-        "q11_important_stock": _q11,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "q11_important_stock": _q11,
         "q21_waiting_suppliers": _q21,
         "q22_sales_opportunity": _q22,
         "dedup_ngram_jaccard": _dedup_jaccard,
@@ -3191,6 +3204,20 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["join_cardinality"] = """
+        WITH lc AS (
+          SELECT user_id AS join_key, COUNT(*) AS n_left
+          FROM events GROUP BY user_id
+        ), rc AS (
+          SELECT l_suppkey AS join_key, COUNT(*) AS n_right
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT join_key, n_left, n_right,
+               CAST(n_left * n_right AS BIGINT) AS n_pairs
+        FROM lc JOIN rc USING (join_key)
+        ORDER BY n_pairs DESC, join_key
+        LIMIT 10
+    """
     sql["snapshot_diff"] = """
         WITH old AS (
           SELECT o_orderkey, o_totalprice FROM orders

@@ -425,3 +425,22 @@ def test_snapshot_diff_null_vs_value_is_changed(spark):
     new = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
     [r] = snapshot_diff(old, new, ["k"], ["v"]).collect()
     assert r["status"] == "changed"
+
+
+def test_join_cardinality_report_predicts_output(spark):
+    from whatdropsnow_etl_spark.operators import join_cardinality_report
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k bigint"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,), (4,)], "k bigint"
+    )
+    rows = join_cardinality_report(left, right, "k", "k", top_k=5).collect()
+    got = {r["join_key"]: (r["n_left"], r["n_right"], r["n_pairs"]) for r in rows}
+    # keys only on one side never appear (they emit zero join rows)
+    assert set(got) == {1, 2}
+    assert got[1] == (3, 2, 6) and got[2] == (1, 1, 1)
+    # the prediction equals the actual join output size
+    actual = left.join(right, "k").count()
+    assert sum(v[2] for v in got.values()) == actual

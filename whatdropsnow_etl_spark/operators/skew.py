@@ -159,3 +159,45 @@ def key_skew_report(
             ).alias("cum_share"),
         )
     )
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight join diagnostic: the top-``top_k`` keys by
+    PREDICTED join output (n_left × n_right) — the "why is this join
+    producing 100× its inputs" answer, computed before the join runs.
+
+    A key appearing n times on each side emits n² rows; one hot key
+    can dominate the entire output (and land on one task). This
+    report reads both sides ONCE as key-counts — two aggregates
+    whose results are key-cardinality-sized, never data-sized — then
+    inner-joins the two count relations and sort-limits to top_k
+    (per-partition heaps, no global sort). What to do with a hot row
+    is the existing toolkit: salted_join_hotkeys for the join,
+    pre-aggregation when semantics allow, or an explicit filter.
+
+    Output: (join_key, n_left, n_right, n_pairs), ``n_pairs``
+    descending with the key as tiebreaker.
+    """
+    lc = left.groupBy(F.col(left_key).alias("join_key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("join_key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    return (
+        lc.join(rc, "join_key")
+        .select(
+            "join_key",
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
+        )
+        .orderBy(F.col("n_pairs").desc(), F.col("join_key"))
+        .limit(top_k)
+    )
