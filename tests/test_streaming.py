@@ -905,3 +905,35 @@ def test_drift_gate_through_real_stream(spark, tables, tmp_path):
     assert sink.n_appended == 2
     clean = spark.read.parquet(str(tmp_path / "clean"))
     assert clean.where(F.col("value").isNull()).count() == 0
+
+
+def test_drift_gate_uniqueness_collapse(spark, tmp_path):
+    """The HLL-backed second gate: a replay storm (one id repeated)
+    quarantines; unique-id batches and enum columns never do."""
+    from whatdropsnow_etl_spark.streaming import DriftGatedSink
+
+    sink = DriftGatedSink(
+        spark,
+        path=str(tmp_path / "clean"),
+        quarantine_path=str(tmp_path / "quar"),
+        cols=["event_id", "kind"],
+        uniqueness_cols=["event_id", "kind"],
+        min_uniqueness_vs_baseline=0.5,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "event_id bigint, kind string")
+    # bootstrap + a clean batch: ids unique, kind a 2-value enum
+    sink(mk([(i, "ab"[i % 2]) for i in range(100)]), 0)
+    sink(mk([(i, "ab"[i % 2]) for i in range(100, 200)]), 1)
+    assert sink.n_appended == 2 and sink.n_quarantined == 0
+    # replay storm: one id repeated 100x -> batch uniqueness 0.01
+    # vs baseline ~1.0 -> quarantined
+    sink(mk([(7, "a")] * 100), 2)
+    assert sink.n_quarantined == 1
+    # enum col alone can't trip it: a batch of all-'a' kinds has
+    # batch uniqueness 1/100, baseline kind uniqueness 2/200=0.01 ->
+    # 0.01 >= 0.5*0.01 holds; ids stay unique
+    sink(mk([(i, "a") for i in range(300, 400)]), 3)
+    assert sink.n_appended == 3 and sink.n_quarantined == 1
+    # the storm never reached the clean sink or the baseline
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert clean.where(F.col("event_id") == 7).count() <= 1

@@ -70,6 +70,9 @@ class DriftGatedSink:
         cols: Sequence[str],
         max_null_rate_jump: float = 0.3,
         state_path: str | None = None,
+        uniqueness_cols: Sequence[str] | None = None,
+        min_uniqueness_vs_baseline: float = 0.5,
+        hll_p: int = 12,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -77,6 +80,21 @@ class DriftGatedSink:
         self.cols = list(cols)
         self.max_null_rate_jump = max_null_rate_jump
         self.state_path = state_path or path.rstrip("/") + "__drift_state"
+        # second gate (opt-in): per-column DISTINCT-collapse detection
+        # for replay storms / duplicate floods. Exact distinct over
+        # 100 TB of history is unmaintainable, so the baseline lives
+        # as mergeable HLL registers (operators/sketches.py) —
+        # O(cols × 2^p) state rows, MAX-merged per accepted batch,
+        # never a history rescan. A batch whose EXACT batch-local
+        # uniqueness (distinct/rows) falls below
+        # ``min_uniqueness_vs_baseline`` × the baseline's estimated
+        # uniqueness quarantines. Enum-like columns are structurally
+        # immune to false positives: their baseline uniqueness decays
+        # toward 0 as history grows, so the threshold decays with it.
+        self.uniqueness_cols = list(uniqueness_cols or [])
+        self.min_uniqueness_vs_baseline = min_uniqueness_vs_baseline
+        self.hll_p = hll_p
+        self.reg_path = self.state_path.rstrip("/") + "__hll"
         self.n_appended = 0
         self.n_quarantined = 0
 
@@ -85,6 +103,44 @@ class DriftGatedSink:
             return {}
         rows = self.spark.read.schema(STATE_SCHEMA).parquet(self.state_path).collect()
         return {r["column"]: (r["n_rows"], r["n_null"]) for r in rows}
+
+    def _batch_registers(self, batch_df: DataFrame) -> DataFrame:
+        from ..operators.sketches import hll_registers
+
+        parts = [
+            hll_registers(
+                batch_df.select(F.lit(c).alias("column"), F.col(c).alias("__v")),
+                ["column"],
+                "__v",
+                p=self.hll_p,
+            )
+            for c in self.uniqueness_cols
+        ]
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out
+
+    def _baseline_uniqueness(self, base: dict) -> dict[str, float]:
+        """column -> estimated distinct/rows over all accepted
+        history, from the persisted register store."""
+        from ..operators.sketches import hll_estimate_from_registers
+
+        if not self.uniqueness_cols or not os.path.exists(self.reg_path):
+            return {}
+        regs = self.spark.read.parquet(self.reg_path)
+        est = {
+            r["column"]: r["approx_distinct"]
+            for r in hll_estimate_from_registers(
+                regs, ["column"], p=self.hll_p
+            ).collect()
+        }
+        out = {}
+        for c in self.uniqueness_cols:
+            rows = base.get(c, (0, 0))[0]
+            if c in est and rows > 0:
+                out[c] = est[c] / rows
+        return out
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -97,6 +153,20 @@ class DriftGatedSink:
                 base_rate = base[col][1] / base[col][0]
                 if nn / n - base_rate > self.max_null_rate_jump:
                     drifted.append(col)
+        if self.uniqueness_cols and base:
+            base_uni = self._baseline_uniqueness(base)
+            if base_uni:
+                [brow] = batch_df.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[
+                        F.countDistinct(c).alias(f"__d_{c}")
+                        for c in self.uniqueness_cols
+                    ],
+                ).collect()
+                for c, bu in base_uni.items():
+                    batch_uni = brow[f"__d_{c}"] / brow["__n"]
+                    if batch_uni < self.min_uniqueness_vs_baseline * bu:
+                        drifted.append(c)
         if drifted and base:
             batch_df.write.mode("append").parquet(self.quarantine_path)
             self.n_quarantined += 1
@@ -112,3 +182,18 @@ class DriftGatedSink:
         self.spark.createDataFrame(merged, STATE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(self.state_path)
+        if self.uniqueness_cols:
+            regs = self._batch_registers(batch_df)
+            if os.path.exists(self.reg_path):
+                regs = regs.unionByName(self.spark.read.parquet(self.reg_path))
+            # MAX-merge then materialize driver-side (register store is
+            # cols × 2^p rows at most) so the overwrite never reads the
+            # path it is replacing
+            merged_regs = (
+                regs.groupBy("column", "__reg")
+                .agg(F.max("__rho").alias("__rho"))
+                .collect()
+            )
+            self.spark.createDataFrame(
+                merged_regs, "column string, __reg bigint, __rho int"
+            ).coalesce(1).write.mode("overwrite").parquet(self.reg_path)
