@@ -951,6 +951,25 @@ def _vector_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_qc(load_table(spark, sf_dir, "embeddings"))
 
 
+def _semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from whatdropsnow_etl_spark.operators import (
+        semantic_dedup,
+        train_kmeans_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the production shape: cluster with a codebook TRAINED on a
+    # deterministic 1/4 sample (Lloyd's converges on a sample at a
+    # fraction of the assign cost), C ~ sqrt(N)/2 like the stand-in
+    k = max(16, int(math.floor(math.sqrt(emb.count()) / 2)))
+    cb = train_kmeans_codebook(
+        emb.where(F.col("vec_id") % 4 == 0), k=k, iters=2
+    ).withColumnRenamed("cid", "vec_id")
+    return semantic_dedup(emb, centroids=cb, n_centroids=k)
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dataset_card_report
 
@@ -1067,6 +1086,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "ann_pq_topk": ["neighbor_id", "pq_score", "query_id", "rnk"],
     "ann_pq_trained": ["neighbor_id", "pq_score", "query_id", "rnk"],
     "ann_opq_trained": ["neighbor_id", "pq_score", "query_id", "rnk"],
+    "semantic_dedup_trained": ["cell", "dup_of", "keep", "vec_id"],
     "leakage_safe_split": ["component_id", "doc_id", "split"],
     "gopher_rules": ["doc_id", "mean_word_len", "n_words", "ok_alpha", "ok_mean_len", "ok_stops", "ok_symbols", "ok_words", "passes"],
     "containment_pairs": ["containment", "doc_a", "doc_b", "n_common"],
@@ -1285,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _ann_ivf_trained,
         "ann_pq_trained": _ann_pq_trained,
         "ann_opq_trained": _ann_opq_trained,
+        "semantic_dedup_trained": _semantic_dedup_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
     }
     return {k: _with_presentation_order(k, v) for k, v in base.items()}

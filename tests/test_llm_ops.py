@@ -1306,3 +1306,29 @@ def test_bpe_fertility_report_contract(spark, tables):
         assert abs(
             r["continuation_share"] - (r["n_tokens"] - r["n_words"]) / r["n_tokens"]
         ) < 1e-12
+
+
+def test_semantic_dedup_trained_invariants(tables):
+    from whatdropsnow_etl_spark.operators import (
+        semantic_dedup,
+        train_kmeans_codebook,
+    )
+
+    emb = tables["embeddings"]
+    cb = train_kmeans_codebook(
+        emb.where(F.col("vec_id") % 4 == 0), k=16, iters=2
+    ).withColumnRenamed("cid", "vec_id")
+    rows = semantic_dedup(emb, centroids=cb, n_centroids=16).collect()
+    assert len(rows) == emb.count()
+    by_id = {r["vec_id"]: r for r in rows}
+    dups = [r for r in rows if r["dup_of"] is not None]
+    assert dups, "trained cells must still surface near-dups at tau=0.4"
+    for r in dups:
+        # greedy lowest-id-wins and same-cell membership
+        assert r["dup_of"] < r["vec_id"] and not r["keep"]
+        assert by_id[r["dup_of"]]["cell"] == r["cell"]
+    # a dup target must itself be kept OR point even lower (chains
+    # allowed — closure is dedup_clusters' job), never point higher
+    for r in dups:
+        t = by_id[r["dup_of"]]
+        assert t["keep"] or t["dup_of"] < r["dup_of"]

@@ -50,6 +50,7 @@ ALLPAIRS_OK = {
     "ann_opq_trained",
     # SemDeDup assign: corpus × C-row broadcast codebook (IVF shape)
     "semantic_dedup",
+    "semantic_dedup_trained",
     # add-one smoothing: crossJoin against the 1-row broadcast
     # vocab-size aggregate (the Q11 scalar-subquery pattern)
     "heldout_perplexity",
@@ -69,6 +70,7 @@ PYTHON_OK = {
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
     "semantic_dedup",  # Arrow cosine for assign + within-cell pairs
+    "semantic_dedup_trained",  # same kernels, kmeans codebook
     "ann_pq_topk",  # Arrow dot for encode + LUT (bit-exact sequential)
     "ann_pq_trained",  # same kernels, trained codebook
     "ann_opq_trained",  # same kernels + fused rotation matmul
@@ -107,6 +109,8 @@ EAGER_OK = {
     "ann_opq_trained",
     # codebook size derives from ONE bounded corpus count (C ~ sqrt(N))
     "semantic_dedup",
+    # + sample-trained Lloyd's codebook (driver-looped fixpoint)
+    "semantic_dedup_trained",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
