@@ -1332,3 +1332,35 @@ def test_semantic_dedup_trained_invariants(tables):
     for r in dups:
         t = by_id[r["dup_of"]]
         assert t["keep"] or t["dup_of"] < r["dup_of"]
+
+
+def test_extend_bpe_vocab_reduces_target_fertility(spark):
+    from whatdropsnow_etl_spark.operators.bpe import (
+        bpe_fertility_report,
+        bpe_merges,
+        extend_bpe_vocab,
+    )
+
+    # src0 dominates the base vocab; src1 is a distinct vocabulary the
+    # base merges can't compress -> highest fertility -> the target
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3, "src0") for i in range(8)]
+        + [(100 + i, "zqxv jjkw zqxv jjkw zqxv " * 3, "src1") for i in range(2)],
+        "doc_id bigint, text string, source string",
+    )
+    base = bpe_merges(docs.where(F.col("source") == "src0"), n_merges=6)
+    before = {
+        r["source"]: r["fertility"]
+        for r in bpe_fertility_report(docs, base).collect()
+    }
+    assert before["src1"] > before["src0"]  # src1 is the worst-served
+    combined = extend_bpe_vocab(docs, base, n_extra=6)
+    # ranks stay globally ordered and the base table is a prefix
+    ranks = [r["merge_rank"] for r in combined.orderBy("merge_rank").collect()]
+    assert ranks == list(range(1, len(ranks) + 1))
+    after = {
+        r["source"]: r["fertility"]
+        for r in bpe_fertility_report(docs, combined).collect()
+    }
+    assert after["src1"] < before["src1"]   # the loop's whole point
+    assert after["src0"] <= before["src0"] + 1e-9  # never hurts others

@@ -69,6 +69,7 @@ def bpe_merges(
     n_merges: int = 16,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    init_merges=None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges; returns one row per
     merge: (merge_rank BIGINT, left STRING, right STRING,
@@ -80,6 +81,14 @@ def bpe_merges(
     VOCAB-sized relation — cheap — while each eager localCheckpoint
     costs a full materialization job. Checkpointing every round
     (=1) doubled the per-round job count for nothing at bench scale.
+
+    ``init_merges`` (a bpe_merges relation or (left, right) list)
+    CONTINUES training from an existing vocabulary: the word
+    histogram starts with every existing merge applied and new ranks
+    continue after the base table's — the vocab-extension loop that
+    `bpe_fertility_report` triggers for a high-fertility slice.
+    Only the NEWLY learned merges are returned (concatenate with the
+    base table for the combined vocabulary).
     """
     spark = docs.sparkSession
     words = (
@@ -96,8 +105,26 @@ def bpe_merges(
         )
         .localCheckpoint(eager=True)
     )
+    base_rank = 0
+    if init_merges is not None:
+        if isinstance(init_merges, DataFrame):
+            init = [
+                (r["left"], r["right"])
+                for r in init_merges.orderBy("merge_rank").collect()
+            ]
+        else:
+            init = list(init_merges)
+        for i, (a, b) in enumerate(init, 1):
+            words = words.select(
+                _merge_udf(a, b)(F.col("syms")).alias("syms"), "freq"
+            )
+            if i % checkpoint_every == 0:
+                words = words.localCheckpoint(eager=True)
+        if init:
+            words = words.localCheckpoint(eager=True)
+        base_rank = len(init)
     learned: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    for rank in range(base_rank + 1, base_rank + n_merges + 1):
         pairs = (
             words.select(
                 F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
@@ -252,3 +279,46 @@ def bpe_fertility_report(
             ).alias("continuation_share"),
         )
     )
+
+
+def extend_bpe_vocab(
+    docs: DataFrame,
+    merges: DataFrame,
+    n_extra: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Fertility-driven vocabulary extension: find the source slice
+    the current vocabulary serves WORST (max fertility in
+    :func:`bpe_fertility_report`), continue BPE training on that
+    slice (``init_merges=`` continuation — existing merges stay
+    fixed, new ranks append), and return the COMBINED merge table.
+
+    The standard domain-adaptation loop: a corpus gains a new source
+    (code, another language), its fertility spikes, and extending
+    the vocab with merges learned ON that slice brings it back down
+    — pytest pins fertility(target) strictly decreasing under the
+    extended table. Driver-side work is one fertility report
+    (aggregate-sized) and the usual 1-row argmax per new merge;
+    ranks stay globally ordered so bpe_encode applies the combined
+    table unchanged.
+    """
+    rep = bpe_fertility_report(
+        docs, merges, text_col=text_col, id_col=id_col, source_col=source_col
+    )
+    worst = (
+        rep.orderBy(F.col("fertility").desc(), F.col("source"))
+        .limit(1)
+        .collect()
+    )
+    if not worst:
+        return merges
+    target = worst[0]["source"]
+    extra = bpe_merges(
+        docs.where(F.col(source_col) == target),
+        n_merges=n_extra,
+        text_col=text_col,
+        init_merges=merges,
+    )
+    return merges.unionByName(extra)
