@@ -913,6 +913,12 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import quota_sample
+
+    return quota_sample(load_table(spark, sf_dir, "documents"), 20)
+
+
 def _join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import join_cardinality_report
 
@@ -1040,6 +1046,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bpe_fertility": ["continuation_share", "fertility", "n_tokens", "n_words", "source"],
     "snapshot_diff": ["o_orderkey", "status"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
+    "quota_sample": ["doc_id", "source"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1212,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_qc": _vector_qc,
         "snapshot_diff": _snapshot_diff,
         "join_cardinality": _join_cardinality,
+        "quota_sample": _quota_sample,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1234,10 +1242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": _q16,
         "q17_small_quantity_revenue": _q17,
         "q18_large_orders": _q18,
-        "q19_disjunctive_revenue": _q19,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "q19_disjunctive_revenue": _q19,
         "q11_important_stock": _q11,
         "q21_waiting_suppliers": _q21,
         "q22_sales_opportunity": _q22,
@@ -3225,6 +3233,14 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["quota_sample"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 20
+    """
     sql["join_cardinality"] = """
         WITH lc AS (
           SELECT user_id AS join_key, COUNT(*) AS n_left

@@ -1364,3 +1364,35 @@ def test_extend_bpe_vocab_reduces_target_fertility(spark):
     }
     assert after["src1"] < before["src1"]   # the loop's whole point
     assert after["src0"] <= before["src0"] + 1e-9  # never hurts others
+
+
+def test_quota_sample_contract(spark, tables):
+    from whatdropsnow_etl_spark.operators import quota_sample
+
+    docs = tables["documents"]
+    picked = quota_sample(docs, 3).collect()
+    by_src = {}
+    for r in picked:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    sizes = docs.groupBy("source").count().collect()
+    for row in sizes:
+        # exactly min(3, group size) per group
+        assert len(by_src[row["source"]]) == min(3, row["count"])
+    # deterministic: rerun picks the identical set
+    again = {(r["doc_id"], r["source"]) for r in quota_sample(docs, 3).collect()}
+    assert again == {(r["doc_id"], r["source"]) for r in picked}
+    # append-stability per group: adding a doc to one group leaves
+    # every OTHER group's picks untouched
+    bigger = docs.unionByName(
+        docs.limit(1).select(
+            F.lit(999_999).alias("doc_id"),
+            *[F.col(c) for c in docs.columns if c != "doc_id"],
+        ).select(docs.columns)
+    )
+    after = {}
+    for r in quota_sample(bigger, 3).collect():
+        after.setdefault(r["source"], set()).add(r["doc_id"])
+    changed_groups = [
+        s for s in by_src if after[s] != set(by_src[s])
+    ]
+    assert len(changed_groups) <= 1  # only the appended doc's group may shift

@@ -179,3 +179,33 @@ def leakage_safe_split(
         )
     expr = expr.otherwise(F.lit(names[-1]))
     return comp.select("doc_id", "component_id", expr.alias("split"))
+
+
+def quota_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-``n_per_group`` deterministic sample PER GROUP — the
+    per-source quota mode of mix building (cap every source at n
+    docs regardless of its raw share; a group smaller than the quota
+    contributes everything it has).
+
+    Same md5(id) selection rule as fixed_size_sample, but the cut is
+    a per-group ``row_number() <= n`` window instead of a global
+    sort-limit: ONE shuffle on the group key, rank within each
+    group's partition — groups are processed in parallel, so the
+    single-merge bottleneck fixed_size_sample hits for huge n never
+    appears. Deterministic, append-stable per group (a new doc
+    displaces at most one old pick in ITS group), engine-twin-exact.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .select(id_col, group_col)
+    )
