@@ -937,3 +937,24 @@ def test_drift_gate_uniqueness_collapse(spark, tmp_path):
     # the storm never reached the clean sink or the baseline
     clean = spark.read.parquet(str(tmp_path / "clean"))
     assert clean.where(F.col("event_id") == 7).count() <= 1
+
+
+def test_drift_gate_retry_idempotent(spark, tmp_path):
+    """foreachBatch redelivers the same batch_id on retry: the gate
+    must not double-append or double-merge the baseline."""
+    from whatdropsnow_etl_spark.streaming import DriftGatedSink
+
+    sink = DriftGatedSink(
+        spark,
+        path=str(tmp_path / "clean"),
+        quarantine_path=str(tmp_path / "quar"),
+        cols=["value"],
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "event_id bigint, value double")
+    sink(mk([(1, 1.0), (2, 2.0)]), 0)
+    sink(mk([(1, 1.0), (2, 2.0)]), 0)  # retry of the SAME epoch
+    sink(mk([(3, 3.0)]), 1)
+    assert sink.n_appended == 2  # the retry was a no-op
+    assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
+    state = spark.read.parquet(sink.state_path).collect()
+    assert [(r["n_rows"], r["n_null"]) for r in state] == [(3, 0)]

@@ -142,8 +142,35 @@ class DriftGatedSink:
                 out[c] = est[c] / rows
         return out
 
+    def _last_batch_id(self) -> int:
+        marker = self.state_path.rstrip("/") + "__last_batch"
+        if not os.path.exists(marker):
+            return -1
+        with open(marker) as f:
+            return int(f.read().strip() or -1)
+
+    def _record_batch_id(self, batch_id: int) -> None:
+        marker = self.state_path.rstrip("/") + "__last_batch"
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch redelivers the SAME batch_id on retry after a
+        # sink-side failure; a plain append would then double-write
+        # and double-merge the baseline. The marker write is atomic
+        # (os.replace) and happens only after the batch fully lands,
+        # so a crash mid-batch replays it — append-then-crash before
+        # the marker can still double-append the FILES (parquet
+        # append is not transactional; write_stream_parquet's
+        # epoch-tracking sink is the exactly-once file path), but the
+        # BASELINE merge is exactly-once either way, which is what
+        # keeps the gate's statistics truthful.
+        if batch_id <= self._last_batch_id():
+            return
         if batch_df.isEmpty():
+            self._record_batch_id(batch_id)
             return
         prof = profile_nulls(batch_df, self.cols)
         base = self._baseline()
@@ -170,6 +197,7 @@ class DriftGatedSink:
         if drifted and base:
             batch_df.write.mode("append").parquet(self.quarantine_path)
             self.n_quarantined += 1
+            self._record_batch_id(batch_id)
             return
         batch_df.write.mode("append").parquet(self.path)
         self.n_appended += 1
@@ -197,3 +225,4 @@ class DriftGatedSink:
             self.spark.createDataFrame(
                 merged_regs, "column string, __reg bigint, __rho int"
             ).coalesce(1).write.mode("overwrite").parquet(self.reg_path)
+        self._record_batch_id(batch_id)
