@@ -913,6 +913,12 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import dataset_fingerprint
+
+    return dataset_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
 def _quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import quota_sample
 
@@ -1047,6 +1053,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "snapshot_diff": ["o_orderkey", "status"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
+    "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1220,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _snapshot_diff,
         "join_cardinality": _join_cardinality,
         "quota_sample": _quota_sample,
+        "dataset_fingerprint": _dataset_fingerprint,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1241,10 +1249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _q15,
         "q16_supplier_variety": _q16,
         "q17_small_quantity_revenue": _q17,
-        "q18_large_orders": _q18,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "q18_large_orders": _q18,
         "q19_disjunctive_revenue": _q19,
         "q11_important_stock": _q11,
         "q21_waiting_suppliers": _q21,
@@ -3233,6 +3241,22 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["dataset_fingerprint"] = """
+        WITH h AS (
+          SELECT CAST(('0x' || substr(md5(concat_ws(chr(31),
+                   COALESCE(CAST(doc_id AS VARCHAR), chr(30)),
+                   COALESCE(text, chr(30)),
+                   COALESCE(lang, chr(30)),
+                   COALESCE(source, chr(30)),
+                   COALESCE(CAST(n_chars AS VARCHAR), chr(30))
+                 )), 1, 15)) AS BIGINT) AS h
+          FROM documents
+        )
+        SELECT COUNT(*) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+               CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_hash
+        FROM h
+    """
     sql["quota_sample"] = """
         SELECT doc_id, source FROM (
           SELECT doc_id, source,

@@ -444,3 +444,26 @@ def test_join_cardinality_report_predicts_output(spark):
     # the prediction equals the actual join output size
     actual = left.join(right, "k").count()
     assert sum(v[2] for v in got.values()) == actual
+
+
+def test_dataset_fingerprint_properties(spark):
+    from whatdropsnow_etl_spark.operators import dataset_fingerprint
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "k bigint, v string")
+
+    def fp(d):
+        [r] = dataset_fingerprint(d).collect()
+        return (r["n_rows"], r["xor_hash"], r["sum_hash"])
+
+    base = fp(df)
+    # order/partitioning-insensitive
+    assert fp(df.orderBy(F.col("k").desc()).repartition(7)) == base
+    # any row change moves it
+    assert fp(spark.createDataFrame([(1, "a"), (2, "B"), (3, None)], "k bigint, v string")) != base
+    # NULL vs empty string cannot collide
+    assert fp(spark.createDataFrame([(1, "a"), (2, "b"), (3, "")], "k bigint, v string")) != base
+    # the sum fold catches duplicate-multiplicity changes XOR misses
+    dup2 = spark.createDataFrame(rows + rows, "k bigint, v string")
+    n, x, s = fp(dup2)
+    assert n == 6 and s != base[2]

@@ -140,3 +140,44 @@ def schema_drift_report(
             6,
         ).alias("distinct_ratio"),
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Order-insensitive content fingerprint of a dataset: ONE row
+    (n_rows, xor_hash, sum_hash) that two pipeline runs can compare
+    to prove they produced the identical multiset of rows — the
+    reproducibility primitive behind "the refactor was a no-op" and
+    "the rerun matched", without ever sorting or collecting the data.
+
+    Per row: md5 over the unit-separator-joined column renderings
+    (NULL gets a dedicated sentinel so NULL vs '' can't collide),
+    truncated to 60 bits. Two independent ORDER-INSENSITIVE folds:
+    - ``xor_hash``: bit_xor of the row hashes — insensitive to
+      partitioning and row order, but an even number of identical
+      rows cancels;
+    - ``sum_hash``: DECIMAL(38)-exact sum of the row hashes
+      (overflow-free to ~1e18 rows), which catches exactly the
+      duplicate-multiplicity changes XOR misses.
+    Together with n_rows a collision requires simultaneous xor-,
+    sum- and count-preservation — not constructible by accident.
+
+    Map-only + one 1-row aggregate; both folds are commutative, so
+    the result is bit-identical across partitionings, engines and
+    runs. Caveat: column RENDERING must be engine-stable — BIGINT
+    and STRING columns are exact; canonicalize floats/timestamps
+    (ts_micros, ROUND) upstream before fingerprinting them.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in cols
+    ]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10
+    ).cast("bigint")
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("__h").alias("xor_hash"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("sum_hash"),
+    )
