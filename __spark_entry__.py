@@ -919,6 +919,14 @@ def _dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import dataset_fingerprint
+
+    return dataset_fingerprint(
+        load_table(spark, sf_dir, "documents"), group_cols=["source"]
+    )
+
+
 def _quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import quota_sample
 
@@ -1054,6 +1062,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
+    "partition_fingerprints": ["n_rows", "source", "sum_hash", "xor_hash"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1228,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": _join_cardinality,
         "quota_sample": _quota_sample,
         "dataset_fingerprint": _dataset_fingerprint,
+        "partition_fingerprints": _partition_fingerprints,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1248,10 +1258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q14,
         "q15_top_supplier": _q15,
         "q16_supplier_variety": _q16,
-        "q17_small_quantity_revenue": _q17,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "q17_small_quantity_revenue": _q17,
         "q18_large_orders": _q18,
         "q19_disjunctive_revenue": _q19,
         "q11_important_stock": _q11,
@@ -3256,6 +3266,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_xor(h) AS BIGINT) AS xor_hash,
                CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_hash
         FROM h
+    """
+    sql["partition_fingerprints"] = """
+        WITH h AS (
+          SELECT source,
+                 CAST(('0x' || substr(md5(concat_ws(chr(31),
+                   COALESCE(CAST(doc_id AS VARCHAR), chr(30)),
+                   COALESCE(text, chr(30)),
+                   COALESCE(lang, chr(30)),
+                   COALESCE(source, chr(30)),
+                   COALESCE(CAST(n_chars AS VARCHAR), chr(30))
+                 )), 1, 15)) AS BIGINT) AS h
+          FROM documents
+        )
+        SELECT source, COUNT(*) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+               CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_hash
+        FROM h GROUP BY source
     """
     sql["quota_sample"] = """
         SELECT doc_id, source FROM (

@@ -143,7 +143,9 @@ def schema_drift_report(
 
 
 def dataset_fingerprint(
-    df: DataFrame, cols: Sequence[str] | None = None
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Order-insensitive content fingerprint of a dataset: ONE row
     (n_rows, xor_hash, sum_hash) that two pipeline runs can compare
@@ -168,16 +170,29 @@ def dataset_fingerprint(
     runs. Caveat: column RENDERING must be engine-stable — BIGINT
     and STRING columns are exact; canonicalize floats/timestamps
     (ts_micros, ROUND) upstream before fingerprinting them.
+
+    ``group_cols`` emits one fingerprint row PER GROUP — the
+    manifest shape for partitioned datasets: fingerprint each
+    date/source partition, then a rerun compares manifests and
+    re-validates only the partitions whose rows moved, never the
+    whole 100 TB (the group columns join the hash like every other
+    column, so moving a row BETWEEN groups changes both groups'
+    rows).
     """
     cols = list(cols) if cols is not None else list(df.columns)
+    group_cols = list(group_cols or [])
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in cols
     ]
     h = F.conv(
         F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10
     ).cast("bigint")
-    return df.select(h.alias("__h")).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor("__h").alias("xor_hash"),
         F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("sum_hash"),
-    )
+    ]
+    keyed = df.select(*group_cols, h.alias("__h"))
+    if group_cols:
+        return keyed.groupBy(*group_cols).agg(*aggs)
+    return keyed.agg(*aggs)
