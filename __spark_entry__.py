@@ -913,6 +913,12 @@ def _bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import pmi_collocations
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
 def _dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dataset_fingerprint
 
@@ -1063,6 +1069,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
     "partition_fingerprints": ["n_rows", "source", "sum_hash", "xor_hash"],
+    "pmi_collocations": ["c_pair", "c_w1", "c_w2", "pmi_bits", "w1", "w2"],
     "event_funnel": ["n_users", "stage", "stage_idx"],
     "retention_cohorts": ["cohort_day", "n_users", "week_offset"],
     "numeric_outliers": ["event_type", "hi_cents", "lo_cents", "mad_cents", "median_cents", "n", "n_outliers"],
@@ -1238,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _quota_sample,
         "dataset_fingerprint": _dataset_fingerprint,
         "partition_fingerprints": _partition_fingerprints,
+        "pmi_collocations": _pmi_collocations,
         # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
@@ -1257,10 +1265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": _q13,
         "q14_promo_revenue": _q14,
         "q15_top_supplier": _q15,
-        "q16_supplier_variety": _q16,
         # ---- driver gate window ends here (slot 50) ----
         # (d-spill) r2-green backlog that didn't fit — simplest, most
         # stable implementations; they lead the r5 rotation
+        "q16_supplier_variety": _q16,
         "q17_small_quantity_revenue": _q17,
         "q18_large_orders": _q18,
         "q19_disjunctive_revenue": _q19,
@@ -3251,6 +3259,43 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
     # Uniform presentation sort: same name-sorted key list as the Spark
+    sql["pmi_collocations"] = """
+        WITH toks AS (
+          SELECT string_split(lower(text), ' ') AS t FROM documents
+        ), pos AS (
+          SELECT t[i] AS w1, t[i+1] AS w2
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        ), pairs AS (
+          SELECT w1, w2, COUNT(*) AS c_pair FROM pos GROUP BY w1, w2
+          HAVING COUNT(*) >= 5
+        ), words AS (
+          SELECT unnest(t) AS w FROM toks
+        ), uni AS (
+          SELECT w, COUNT(*) AS c FROM words GROUP BY w
+        ), tot AS (
+          SELECT COUNT(*) AS n_pos FROM words
+        ), g AS (
+          SELECT p.w1, p.w2, p.c_pair,
+                 u1.c AS c_w1, u2.c AS c_w2,
+                 p.c_pair * tot.n_pos AS num,
+                 u1.c * u2.c AS den
+          FROM pairs p
+          JOIN uni u1 ON p.w1 = u1.w
+          JOIN uni u2 ON p.w2 = u2.w
+          CROSS JOIN tot
+        ), bits AS (
+          SELECT w1, w2, c_pair, c_w1, c_w2,
+                 CASE WHEN num >= den * (CAST(1 AS BIGINT) << d)
+                      THEN d ELSE d - 1 END AS pmi_bits
+          FROM (SELECT *, length(format('{:b}', num))
+                          - length(format('{:b}', den)) AS d
+                FROM g WHERE num >= den)
+        )
+        SELECT w1, w2, c_pair, c_w1, c_w2, CAST(pmi_bits AS BIGINT) AS pmi_bits
+        FROM bits
+        ORDER BY pmi_bits DESC, c_pair DESC, w1, w2
+        LIMIT 100
+    """
     sql["dataset_fingerprint"] = """
         WITH h AS (
           SELECT CAST(('0x' || substr(md5(concat_ws(chr(31),

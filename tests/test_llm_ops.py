@@ -1396,3 +1396,27 @@ def test_quota_sample_contract(spark, tables):
         s for s in by_src if after[s] != set(by_src[s])
     ]
     assert len(changed_groups) <= 1  # only the appended doc's group may shift
+
+
+def test_pmi_collocations_finds_planted_phrase(spark):
+    from whatdropsnow_etl_spark.operators import pmi_collocations
+
+    # "san francisco" always co-occurs; filler words pair randomly
+    import itertools
+
+    filler = ["a", "b", "c", "d", "e", "f"]
+    docs = []
+    combos = itertools.cycle(itertools.permutations(filler, 3))
+    for i in range(40):
+        w = " ".join(next(combos))
+        docs.append((i, f"{w} san francisco {w}"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = pmi_collocations(df, top_k=5, min_count=5).collect()
+    assert rows, "planted collocation must survive the gates"
+    top = rows[0]
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+    assert top["c_pair"] == 40
+    assert top["pmi_bits"] >= 1  # genuinely positive association
+    # every emitted pair satisfies the gates
+    for r in rows:
+        assert r["c_pair"] >= 5 and r["pmi_bits"] >= 0

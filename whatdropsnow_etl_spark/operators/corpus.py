@@ -290,3 +290,79 @@ def dataset_card_report(
             ),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` adjacent-word collocations by pointwise mutual
+    information — the classic phrase-mining signal ("new york"
+    scores high because its joint count beats what its parts'
+    frequencies predict), the input to phrase-aware tokenization and
+    stopword-phrase lists.
+
+    PMI = log2(c(ab)·N / (c(a)·c(b))), kept in WHOLE BITS via the
+    same integer shift/compare arithmetic as bigram_surprisal (libm
+    log differs across engines at the ulp): products stay in BIGINT
+    (c·c ≤ ~1e18 for counts to ~1e9 — fine at test scale; at true
+    100 TB counts route the product through DECIMAL). Only
+    POSITIVE-PMI pairs qualify (c(ab)·N ≥ c(a)·c(b) — negative
+    association is not a collocation), and ``min_count`` kills the
+    hapax pairs whose PMI is spuriously high (the standard gate).
+
+    One positional explode, three count aggregates (pair counts
+    shuffle-joined on the key they grouped by, vocab-sized unigram
+    counts broadcast, 1-row N broadcast), one sort-limit heap cut —
+    no corpus-sized sort. Ordering: pmi_bits DESC, c_pair DESC,
+    pair ASC — total and integer-only.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    pos = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n),
+                F.slice(toks, 2, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = (
+        pos.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .where(F.col("c_pair") >= min_count)
+    )
+    # unigram counts come from the TOKEN stream, not the bigram
+    # slots — counting both slots doubles every word and biases PMI
+    # ~2 bits negative across the board (found: zero positive pairs)
+    words = docs.select(F.explode(toks).alias("w"))
+    c_uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = words.agg(F.count(F.lit(1)).alias("n_pos"))
+    scored = (
+        pairs.join(
+            F.broadcast(c_uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c_uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("__num", F.col("c_pair") * F.col("n_pos"))
+        .withColumn("__den", F.col("c_w1") * F.col("c_w2"))
+        .where(F.col("__num") >= F.col("__den"))
+        .withColumn("pmi_bits", _floor_log2_ratio(F.col("__num"), F.col("__den")))
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_bits").desc(),
+            F.col("c_pair").desc(),
+            F.col("w1"),
+            F.col("w2"),
+        )
+        .limit(top_k)
+        .select("w1", "w2", "c_pair", "c_w1", "c_w2", "pmi_bits")
+    )
