@@ -56,6 +56,8 @@ ALLPAIRS_OK = {
     "heldout_perplexity",
     # share denominator: 1-row broadcast corpus-total cross
     "dataset_card",
+    # PMI normalizer: 1-row broadcast token-total cross
+    "pmi_collocations",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
