@@ -3296,14 +3296,26 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY pmi_bits DESC, c_pair DESC, w1, w2
         LIMIT 100
     """
-    sql["dataset_fingerprint"] = """
+    # Same length-prefixed rendering as operators/integrity.py
+    # dataset_fingerprint: V<len>:<value>, NULL -> bare 'N' — a
+    # prefix code, injective even for values containing chr(31).
+    _fp_render = (
+        "CASE WHEN {v} IS NULL THEN 'N' "
+        "ELSE 'V' || length({v}) || ':' || {v} END"
+    )
+    _fp_cols = ", ".join(
+        _fp_render.format(v=v)
+        for v in (
+            "CAST(doc_id AS VARCHAR)",
+            "text",
+            "lang",
+            "source",
+            "CAST(n_chars AS VARCHAR)",
+        )
+    )
+    sql["dataset_fingerprint"] = f"""
         WITH h AS (
-          SELECT CAST(('0x' || substr(md5(concat_ws(chr(31),
-                   COALESCE(CAST(doc_id AS VARCHAR), chr(30)),
-                   COALESCE(text, chr(30)),
-                   COALESCE(lang, chr(30)),
-                   COALESCE(source, chr(30)),
-                   COALESCE(CAST(n_chars AS VARCHAR), chr(30))
+          SELECT CAST(('0x' || substr(md5(concat_ws(chr(31), {_fp_cols}
                  )), 1, 15)) AS BIGINT) AS h
           FROM documents
         )
@@ -3312,15 +3324,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_hash
         FROM h
     """
-    sql["partition_fingerprints"] = """
+    sql["partition_fingerprints"] = f"""
         WITH h AS (
           SELECT source,
-                 CAST(('0x' || substr(md5(concat_ws(chr(31),
-                   COALESCE(CAST(doc_id AS VARCHAR), chr(30)),
-                   COALESCE(text, chr(30)),
-                   COALESCE(lang, chr(30)),
-                   COALESCE(source, chr(30)),
-                   COALESCE(CAST(n_chars AS VARCHAR), chr(30))
+                 CAST(('0x' || substr(md5(concat_ws(chr(31), {_fp_cols}
                  )), 1, 15)) AS BIGINT) AS h
           FROM documents
         )
@@ -3367,7 +3374,8 @@ def oracle_sql() -> dict[str, str]:
                     WHEN old.o_totalprice IS NOT DISTINCT FROM new.p
                       THEN 'unchanged'
                     ELSE 'changed' END AS status
-        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        FROM old FULL OUTER JOIN new
+          ON old.o_orderkey IS NOT DISTINCT FROM new.o_orderkey
     """
     sql["vector_qc"] = """
         SELECT vec_id,

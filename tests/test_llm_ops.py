@@ -1398,6 +1398,34 @@ def test_quota_sample_contract(spark, tables):
     assert len(changed_groups) <= 1  # only the appended doc's group may shift
 
 
+def test_quota_sample_salted_equals_single_window(spark):
+    """Many rows, FEW groups — the 100 TB shape. The salted two-phase
+    cut must pick the bit-identical set the naive one-window-per-group
+    form picks, and the plan must actually carry the salted exchange
+    (partitioning on (group, salt), not group alone)."""
+    from pyspark.sql import Window
+    from whatdropsnow_etl_spark.operators import quota_sample
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod(F.col("id"), F.lit(3))).alias("source"),
+    )
+    got = quota_sample(df, 25, salt_buckets=8)
+    # reference: the naive single window per group
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 25)
+        .select("doc_id", "source")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # phase-1 window partitions on (source, salt expr), not source alone
+    assert "pmod" in plan or "xxhash64" in plan
+
+
 def test_pmi_collocations_finds_planted_phrase(spark):
     from whatdropsnow_etl_spark.operators import pmi_collocations
 

@@ -427,6 +427,19 @@ def test_snapshot_diff_null_vs_value_is_changed(spark):
     assert r["status"] == "changed"
 
 
+def test_snapshot_diff_null_key_matches_itself(spark):
+    # A NULL-keyed row must diff against its counterpart (eqNullSafe
+    # key join), not double-report as added+removed.
+    from whatdropsnow_etl_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame([(None, 1.0), (2, 2.0)], "k bigint, v double")
+    new = spark.createDataFrame([(None, 9.0), (2, 2.0)], "k bigint, v double")
+    rows = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert len(rows) == 2
+    got = {r["k"]: r["status"] for r in rows}
+    assert got == {None: "changed", 2: "unchanged"}
+
+
 def test_join_cardinality_report_predicts_output(spark):
     from whatdropsnow_etl_spark.operators import join_cardinality_report
 
@@ -467,3 +480,12 @@ def test_dataset_fingerprint_properties(spark):
     dup2 = spark.createDataFrame(rows + rows, "k bigint, v string")
     n, x, s = fp(dup2)
     assert n == 6 and s != base[2]
+    # prefix-coded rendering: separator-bearing values can't realign
+    # across column boundaries, and a literal sentinel-like string
+    # is distinguishable from NULL
+    a = spark.createDataFrame([("a\x1fb", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b\x1fc")], "x string, y string")
+    assert fp(a) != fp(b)
+    lit_n = spark.createDataFrame([(1, "N")], "k bigint, v string")
+    real_null = spark.createDataFrame([(1, None)], "k bigint, v string")
+    assert fp(lit_n) != fp(real_null)

@@ -125,3 +125,16 @@ def test_fragmentation_report_detects_small_files(spark, tables, tmp_path):
     compact_parquet(spark, path, target_file_bytes=1 << 30)
     rep2 = fragmentation_report(spark, path).collect()
     assert len(rep2) == 1 and rep2[0]["n_rows"] == 400
+
+
+def test_fragmentation_report_uri_encoded_paths(spark, tables, tmp_path):
+    # input_file_name() percent-encodes special characters; the report
+    # must still join counts for files under 'a dir' / 'a+b' paths
+    # instead of misreporting them as 0-row.
+    from whatdropsnow_etl_spark.sinks import fragmentation_report
+
+    path = str(tmp_path / "frag dir+x")
+    tables["orders"].limit(100).coalesce(1).write.parquet(path)
+    rows = fragmentation_report(spark, path).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_rows"] == 100

@@ -939,6 +939,29 @@ def test_drift_gate_uniqueness_collapse(spark, tmp_path):
     assert clean.where(F.col("event_id") == 7).count() <= 1
 
 
+def test_drift_gate_uniqueness_col_auto_profiled(spark, tmp_path):
+    """A uniqueness_col NOT listed in cols must still be profiled
+    (auto-extended), otherwise its baseline row count is 0 and the
+    duplicate-flood gate is silently disabled."""
+    from whatdropsnow_etl_spark.streaming import DriftGatedSink
+
+    sink = DriftGatedSink(
+        spark,
+        path=str(tmp_path / "clean"),
+        quarantine_path=str(tmp_path / "quar"),
+        cols=["kind"],                 # event_id deliberately absent
+        uniqueness_cols=["event_id"],
+        min_uniqueness_vs_baseline=0.5,
+    )
+    assert "event_id" in sink.cols     # auto-extended
+    mk = lambda rows: spark.createDataFrame(rows, "event_id bigint, kind string")
+    sink(mk([(i, "a") for i in range(100)]), 0)
+    sink(mk([(i, "a") for i in range(100, 200)]), 1)
+    assert sink.n_quarantined == 0
+    sink(mk([(7, "a")] * 100), 2)      # replay storm must still trip
+    assert sink.n_quarantined == 1
+
+
 def test_drift_gate_retry_idempotent(spark, tmp_path):
     """foreachBatch redelivers the same batch_id on retry: the gate
     must not double-append or double-merge the baseline."""

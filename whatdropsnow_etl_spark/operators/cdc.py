@@ -107,12 +107,14 @@ def snapshot_diff(
     expected snapshot must yield zero changed/added/removed).
 
     ONE full-outer shuffle join on the keys — the provable lower
-    bound for any row diff — with null-safe value comparison (`<=>`:
-    NULL == NULL is ``unchanged``, NULL vs value is ``changed``;
-    a plain ``=`` would misreport every NULL as changed). Keys must
-    be unique per side (pre-aggregate a changelog with latest_wins
-    first); at 100 TB both sides arrive co-partitioned from the
-    key-bucketed upsert sink and the join is exchange-free.
+    bound for any row diff — with null-safe comparison on BOTH keys
+    and values (`<=>`: NULL == NULL matches / is ``unchanged``,
+    NULL vs value is ``changed``; a plain ``=`` on the keys would
+    never match a NULL-keyed row against itself and double-report
+    it as added+removed). Keys must be unique per side
+    (pre-aggregate a changelog with latest_wins first); at 100 TB
+    both sides arrive co-partitioned from the key-bucketed upsert
+    sink and the join is exchange-free.
 
     Output: key columns + ``status``. Aggregate shares/counts are a
     ``groupBy("status").count()`` away; the per-row relation is the
@@ -132,7 +134,7 @@ def snapshot_diff(
     )
     cond = None
     for c in key_cols:
-        eq = F.col(f"__ko_{c}") == F.col(f"__kn_{c}")
+        eq = F.col(f"__ko_{c}").eqNullSafe(F.col(f"__kn_{c}"))
         cond = eq if cond is None else cond & eq
     same = F.lit(True)
     for c in compare_cols:

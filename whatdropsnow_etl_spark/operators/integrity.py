@@ -153,9 +153,14 @@ def dataset_fingerprint(
     reproducibility primitive behind "the refactor was a no-op" and
     "the rerun matched", without ever sorting or collecting the data.
 
-    Per row: md5 over the unit-separator-joined column renderings
-    (NULL gets a dedicated sentinel so NULL vs '' can't collide),
-    truncated to 60 bits. Two independent ORDER-INSENSITIVE folds:
+    Per row: md5 over the joined column renderings, truncated to 60
+    bits. Each rendering is LENGTH-PREFIXED (``V<len>:<value>``,
+    NULL is the bare token ``N``), which makes the concatenation a
+    prefix code — injective for ANY value content, including values
+    that themselves contain the join separator or control
+    characters (a plain separator-join would let
+    ('a\\x1fb','c') collide with ('a','b\\x1fc'), and a literal
+    NULL-sentinel string collide with NULL). Two independent ORDER-INSENSITIVE folds:
     - ``xor_hash``: bit_xor of the row hashes — insensitive to
       partitioning and row order, but an even number of identical
       rows cancels;
@@ -181,9 +186,14 @@ def dataset_fingerprint(
     """
     cols = list(cols) if cols is not None else list(df.columns)
     group_cols = list(group_cols or [])
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in cols
-    ]
+
+    def _render(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    parts = [_render(c) for c in cols]
     h = F.conv(
         F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10
     ).cast("bigint")

@@ -186,6 +186,7 @@ def quota_sample(
     n_per_group: int,
     group_col: str = "source",
     id_col: str = "doc_id",
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Exactly-``n_per_group`` deterministic sample PER GROUP — the
     per-source quota mode of mix building (cap every source at n
@@ -193,19 +194,33 @@ def quota_sample(
     contributes everything it has).
 
     Same md5(id) selection rule as fixed_size_sample, but the cut is
-    a per-group ``row_number() <= n`` window instead of a global
-    sort-limit: ONE shuffle on the group key, rank within each
-    group's partition — groups are processed in parallel, so the
-    single-merge bottleneck fixed_size_sample hits for huge n never
-    appears. Deterministic, append-stable per group (a new doc
-    displaces at most one old pick in ITS group), engine-twin-exact.
+    a SALTED two-phase window instead of one window per group — a
+    plain ``Window.partitionBy(group)`` ranks each group in a single
+    task, and with the typical handful of sources a 100 TB corpus
+    would funnel through ~5 tasks. Phase 1 ranks within
+    ``(group, xxhash64(id) % salt_buckets)`` sub-groups — each
+    bounded to its local top-``n`` by the md5 order, shrinking every
+    group to at most ``salt_buckets * n`` rows while fanning the
+    heavy scan across ``groups x salt_buckets`` parallel tasks.
+    Phase 2 re-ranks the survivors per group with the SAME
+    ``(md5(id), id)`` order and keeps ``n``. The global per-group
+    top-n is preserved exactly: every globally-selected row is in
+    some salt bucket and is, a fortiori, within that bucket's local
+    top-n — so the output is bit-identical to the single-window
+    form (pinned by tests/test_sampling_ops.py). Deterministic,
+    append-stable per group (a new doc displaces at most one old
+    pick in ITS group), engine-twin-exact: the DuckDB oracle stays
+    the straightforward one-window QUALIFY.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    order_cols = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w_salted = Window.partitionBy(F.col(group_col), salt).orderBy(*order_cols)
+    w_group = Window.partitionBy(group_col).orderBy(*order_cols)
     return (
         df.select(F.col(id_col), F.col(group_col))
-        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__srn", F.row_number().over(w_salted))
+        .where(F.col("__srn") <= n_per_group)
+        .withColumn("__rn", F.row_number().over(w_group))
         .where(F.col("__rn") <= n_per_group)
         .select(id_col, group_col)
     )

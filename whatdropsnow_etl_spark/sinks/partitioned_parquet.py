@@ -125,10 +125,18 @@ def fragmentation_report(
         spark.read.parquet(path)
         .groupBy(F.input_file_name().alias("__uri"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        # input_file_name returns a URI (file:///...); the listing has
-        # plain paths — normalize to the path part for the join key
+        # input_file_name returns a PERCENT-ENCODED URI (file:///a%20b);
+        # the os.walk listing has raw paths — strip the scheme, protect
+        # literal '+' (url_decode is form-decoding: '+' -> space), then
+        # percent-decode so 'a b.parquet' joins its own count instead of
+        # silently reporting 0 rows
         .select(
-            F.regexp_replace("__uri", "^file:/*", "/").alias("file"), "n_rows"
+            F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace("__uri", "^file:/*", "/"), r"\+", "%2B"
+                )
+            ).alias("file"),
+            "n_rows",
         )
     )
     return (

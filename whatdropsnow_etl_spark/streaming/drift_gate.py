@@ -92,6 +92,14 @@ class DriftGatedSink:
         # immune to false positives: their baseline uniqueness decays
         # toward 0 as history grows, so the threshold decays with it.
         self.uniqueness_cols = list(uniqueness_cols or [])
+        # The uniqueness gate divides the register estimate by the
+        # baseline row count read from the NULL-profile state, so a
+        # uniqueness column not also in ``cols`` would always see
+        # rows=0 and be silently excluded — a misconfiguration that
+        # disables the duplicate-flood check with no error. Auto-
+        # extend ``cols`` so every uniqueness column is profiled.
+        missing = [c for c in self.uniqueness_cols if c not in self.cols]
+        self.cols.extend(missing)
         self.min_uniqueness_vs_baseline = min_uniqueness_vs_baseline
         self.hll_p = hll_p
         self.reg_path = self.state_path.rstrip("/") + "__hll"
