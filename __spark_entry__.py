@@ -1194,28 +1194,112 @@ def _with_presentation_order(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate checks only
-    # the FIRST 50 entries. Round-4 rotation, by descending value of a
-    # fresh driver row: (a) the three r3 FAILs whose oracles were fixed
-    # this round (HUGEINT→BIGINT casts; pack_chunks gained an oracle),
-    # (b) every oracle-bearing query that has NEVER had a driver row
-    # (all r4 additions) — a first-ever signal beats refreshing a stale
-    # one, so after r4 every oracle-bearing query has at least one
-    # driver-green round, (c) queries whose IMPLEMENTATION changed in
-    # r4 (twostars default, collapse prepass, salted sub-blocking) —
-    # their old green rows no longer cover the shipped code, (d) the
-    # r2-green backlog, oldest signal first-in; the 8 simplest/most
-    # stable of them spill past slot 50 and lead the r5 rotation,
-    # ahead of (e) the r3-green fill (every spilled entry is locally
-    # parity-checked each round). Rows-only (no-oracle) entries sit at
-    # the very back so no gate slot is spent on a guaranteed
-    # `no_oracle` row. Block sizes are asserted, not hand-counted:
+    # the FIRST 50 entries. Round-5 rotation, by descending value of a
+    # fresh driver row (the standing contract): (a) fixed driver
+    # failures — none, r4 was 50/50 green; (c) the four queries whose
+    # implementation or oracle changed in r5 (salted quota_sample,
+    # null-safe snapshot_diff, prefix-coded fingerprints); (d) the 20
+    # queries whose latest signal is r2 — after this round no query's
+    # latest driver signal is older than r3; (d') the 21 oldest
+    # r3-green; (b) the 5 rows-only entries that have NEVER appeared
+    # in a driver window get their one-time exposure in slots 46-50
+    # (a weaker rows-only record still proves driver-environment
+    # execution; after r5 every registry entry has appeared in some
+    # CORRECTNESS_r*.json). Spill: remaining r3-green, then the
+    # r4-green block (freshest signal), rows-only tail last. Block
+    # sizes are asserted, not hand-counted:
     # tests/test_entry_contract.py::test_gate_window_composition.
     base = {
-        # (a) oracle fixed this round — re-verify first
+        # (c) implementation OR oracle changed in r5 — their old
+        # green rows no longer cover the shipped code: quota_sample
+        # (salted two-phase cut), snapshot_diff (null-safe key join,
+        # both twins), dataset/partition fingerprints (length-
+        # prefixed rendering, both twins)
+        "quota_sample": _quota_sample,
+        "snapshot_diff": _snapshot_diff,
+        "dataset_fingerprint": _dataset_fingerprint,
+        "partition_fingerprints": _partition_fingerprints,
+        # (d) the 20 queries whose latest driver signal is r2 —
+        # the oldest-signal backlog, refreshed in full this round
+        "q16_supplier_variety": _q16,
+        "q17_small_quantity_revenue": _q17,
+        "q18_large_orders": _q18,
+        "q19_disjunctive_revenue": _q19,
+        "q11_important_stock": _q11,
+        "q21_waiting_suppliers": _q21,
+        "q22_sales_opportunity": _q22,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ann_cosine_topk": _ann,
+        "ann_lsh_bucketed": _ann_lsh,
+        "redact_pii": _redact_pii,
+        "stratified_sample": _stratified_sample,
+        "window_topn_per_group": _window_topn,
+        "rollup_flag_status": _rollup,
+        "tumbling_window_agg": _tumbling,
+        "dedup_exact": _dedup_exact,
+        "lang_id": _lang_id,
+        "quality_score": _quality,
+        # (d') oldest r3-green fill
+        "flagship_segmentation": _flagship,
+        "incremental_antijoin": _incremental_antijoin,
+        "fk_integrity": _fk_integrity,
+        "json_normalize": _json_normalize,
+        "ilike_search": _ilike_search,
+        "resource_cascade": _resource_cascade,
+        "multi_currency": _multi_currency,
+        "upsert_latest": _upsert_latest,
+        "paginate": _paginate,
+        "asof_last_purchase": _asof_last_purchase,
+        "window_moving_avg": _window_moving_avg,
+        "sessionize": _sessionize,
+        "q20_heavy_suppliers": _q20,
+        "repetition_stats": _repetition_stats,
+        "corpus_vocab": _corpus_vocab,
+        "skew_salted_join": _salted_join,
+        "incremental_dedup": _incremental_dedup,
+        "chunk_documents": _chunk_documents,
+        "source_mix_sample": _source_mix_sample,
+        "token_count": _token_count,
+        "doc_fingerprint": _doc_fingerprint,
+        # (b) rows-only entries that have NEVER produced a driver
+        # row (one-time exposure per the r4 verdict: a weaker
+        # rows-only record still proves they execute in the
+        # driver's environment) — slots 46-50, then back to the
+        # tail for good
+        "bpe_encode": _bpe_encode,
+        "bpe_fertility": _bpe_fertility,
+        "ann_pq_trained": _ann_pq_trained,
+        "ann_opq_trained": _ann_opq_trained,
+        "semantic_dedup_trained": _semantic_dedup_trained,
+        # ---- driver gate window ends here (slot 50) ----
+        # r3-green spill (locally parity-checked each round)
+        "multimodal_decode": _multimodal,
+        "multimodal_resize": _multimodal_resize,
+        "multimodal_frame_sample": _multimodal_frames,
+        "ann_ivf_topk": _ann_ivf,
+        "curation_funnel": _curation_funnel,
+        "skew_salted_agg": _salted_agg,
+        "pivot_qty_by_status": _pivot_qty,
+        "cube_qty_summary": _cube_qty,
+        "exact_quantiles": _exact_quantiles,
+        "interval_overlap": _interval_overlap,
+        "window_funcs_battery": _window_battery,
+        "customer_order_sets": _customer_sets,
+        "calendar_rollup": _calendar_rollup,
+        "grouping_sets_summary": _grouping_sets,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "kmv_distinct_users": _kmv_distinct_users,
+        "session_window_native": _session_window_native,
+        "cdc_apply": _cdc_apply,
+        "scd2_history": _scd2_history,
+        "decontaminate_ngrams": _decontaminate,
+        "bigram_surprisal": _bigram_surprisal,
+        # r4-green spill — freshest signal, lowest refresh value
         "q12_shipping_delay": _q12,
         "profile_events": _profile_events,
         "pack_chunks": _pack_chunks,
-        # (b) never driver-verified (new in r4) — first-ever signal
         "event_funnel": _event_funnel,
         "retention_cohorts": _retention_cohorts,
         "numeric_outliers": _numeric_outliers,
@@ -1240,18 +1324,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _normalize_text,
         "dataset_card": _dataset_card,
         "vector_qc": _vector_qc,
-        "snapshot_diff": _snapshot_diff,
         "join_cardinality": _join_cardinality,
-        "quota_sample": _quota_sample,
-        "dataset_fingerprint": _dataset_fingerprint,
-        "partition_fingerprints": _partition_fingerprints,
         "pmi_collocations": _pmi_collocations,
-        # (c) implementation changed in r4 — old green rows are stale
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_twostars": _dedup_clusters_twostars,
         "embedding_dedup": _embedding_dedup,
         "dedup_editdist": _editdist_pairs,
-        # (d) r2-green backlog — oldest driver signal, refresh in-window
         "q1_pricing_summary": _q1,
         "q3_topk_revenue": _q3,
         "q5_region_volume": _q5,
@@ -1265,81 +1343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": _q13,
         "q14_promo_revenue": _q14,
         "q15_top_supplier": _q15,
-        # ---- driver gate window ends here (slot 50) ----
-        # (d-spill) r2-green backlog that didn't fit — simplest, most
-        # stable implementations; they lead the r5 rotation
-        "q16_supplier_variety": _q16,
-        "q17_small_quantity_revenue": _q17,
-        "q18_large_orders": _q18,
-        "q19_disjunctive_revenue": _q19,
-        "q11_important_stock": _q11,
-        "q21_waiting_suppliers": _q21,
-        "q22_sales_opportunity": _q22,
-        "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "ann_cosine_topk": _ann,
-        "ann_lsh_bucketed": _ann_lsh,
-        "redact_pii": _redact_pii,
-        "stratified_sample": _stratified_sample,
-        "window_topn_per_group": _window_topn,
-        "rollup_flag_status": _rollup,
-        "tumbling_window_agg": _tumbling,
-        "dedup_exact": _dedup_exact,
-        "lang_id": _lang_id,
-        "quality_score": _quality,
-        # (e) r3-green fill (locally parity-checked each round)
-        "flagship_segmentation": _flagship,
-        "incremental_antijoin": _incremental_antijoin,
-        "fk_integrity": _fk_integrity,
-        "json_normalize": _json_normalize,
-        "ilike_search": _ilike_search,
-        "resource_cascade": _resource_cascade,
-        "multi_currency": _multi_currency,
-        "upsert_latest": _upsert_latest,
-        "paginate": _paginate,
-        "asof_last_purchase": _asof_last_purchase,
-        "window_moving_avg": _window_moving_avg,
-        "sessionize": _sessionize,
-        "q20_heavy_suppliers": _q20,
-        "repetition_stats": _repetition_stats,
-        "corpus_vocab": _corpus_vocab,
-        "skew_salted_join": _salted_join,
-        "incremental_dedup": _incremental_dedup,
-        "chunk_documents": _chunk_documents,
-        "source_mix_sample": _source_mix_sample,
-        "token_count": _token_count,
-        "doc_fingerprint": _doc_fingerprint,
-        "multimodal_decode": _multimodal,
-        "multimodal_resize": _multimodal_resize,
-        "multimodal_frame_sample": _multimodal_frames,
-        "ann_ivf_topk": _ann_ivf,
-        "curation_funnel": _curation_funnel,
-        "skew_salted_agg": _salted_agg,
-        "pivot_qty_by_status": _pivot_qty,
-        "cube_qty_summary": _cube_qty,
-        "exact_quantiles": _exact_quantiles,
-        "interval_overlap": _interval_overlap,
-        "window_funcs_battery": _window_battery,
-        "customer_order_sets": _customer_sets,
-        "calendar_rollup": _calendar_rollup,
-        "grouping_sets_summary": _grouping_sets,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "kmv_distinct_users": _kmv_distinct_users,
-        "session_window_native": _session_window_native,
-        "cdc_apply": _cdc_apply,
-        "scd2_history": _scd2_history,
-        "decontaminate_ngrams": _decontaminate,
-        "bigram_surprisal": _bigram_surprisal,
-        # (f) rows-only by design (no oracle) — never burn a gate slot
+        # rows-only with an existing driver row — never burn a slot
         "bpe_merges": _bpe_merges,
-        "bpe_encode": _bpe_encode,
-        "bpe_fertility": _bpe_fertility,
         "hll_distinct_users": _hll_distinct,
         "ann_ivf_trained": _ann_ivf_trained,
-        "ann_pq_trained": _ann_pq_trained,
-        "ann_opq_trained": _ann_opq_trained,
-        "semantic_dedup_trained": _semantic_dedup_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
     }
     return {k: _with_presentation_order(k, v) for k, v in base.items()}

@@ -55,18 +55,49 @@ def test_oracle_keys_subset_of_queries():
 GATE_WINDOW = 50  # the driver verifies only the first 50 queries() entries
 
 
+# r4-verdict exception: these five rows-only queries had NEVER
+# appeared in a driver window; r5 deliberately spends slots 46-50 on
+# their one-time exposure (a weaker rows-only record still proves
+# driver-environment execution). After r5 they return to the tail and
+# the window goes back to oracle-only.
+NEVER_SEEN_ROWS_ONLY = [
+    "bpe_encode",
+    "bpe_fertility",
+    "ann_pq_trained",
+    "ann_opq_trained",
+    "semantic_dedup_trained",
+]
+
+
 def test_gate_window_composition():
-    """Derived (not hand-counted) gate-window contract: every rows-only
-    query sits OUTSIDE the driver's 50-slot window — a no-oracle entry
-    inside the window burns a slot on a guaranteed `no_oracle` row."""
+    """Derived (not hand-counted) gate-window contract: no rows-only
+    query burns a gate slot EXCEPT the five never-driver-seen entries
+    deliberately exposed this round, which must sit at the very end of
+    the window so every oracle-bearing slot comes first."""
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
-    wasted = [q for q in gated if q not in oracles]
+    wasted = [
+        q for q in gated if q not in oracles and q not in NEVER_SEEN_ROWS_ONLY
+    ]
     assert not wasted, f"rows-only queries inside gate window: {wasted}"
-    # the fixed-this-round block must lead the window
-    assert order[0] == "q12_shipping_delay"
-    assert order[1] == "profile_events"
+    assert gated[-len(NEVER_SEEN_ROWS_ONLY):] == NEVER_SEEN_ROWS_ONLY
+    # the changed-this-round block must lead the window
+    assert order[0] == "quota_sample"
+    assert order[1] == "snapshot_diff"
+    # every r2-stale query is inside the window (the r5 rotation's
+    # whole point: after r5 no signal is older than r3)
+    r2_stale = {
+        "q16_supplier_variety", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_disjunctive_revenue",
+        "q11_important_stock", "q21_waiting_suppliers",
+        "q22_sales_opportunity", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
+        "ann_lsh_bucketed", "redact_pii", "stratified_sample",
+        "window_topn_per_group", "rollup_flag_status",
+        "tumbling_window_agg", "dedup_exact", "lang_id", "quality_score",
+    }
+    assert r2_stale <= set(gated), r2_stale - set(gated)
 
 
 def test_no_oracle_emits_hugeint():
