@@ -535,6 +535,68 @@ def test_bpe_merges_match_reference(spark, tables):
     assert got == want
 
 
+def test_bpe_merges_batched_equals_sequential_when_disjoint(spark):
+    """merge_batch > 1: on rounds whose top pairs are symbol-disjoint
+    and well-separated in count (no derived-pair interleaving), the
+    batched merge table must equal batch=1 exactly — and spend far
+    fewer pair-count rounds doing it."""
+    from whatdropsnow_etl_spark.operators.bpe import bpe_merges
+
+    # four disjoint-alphabet words, each with its hot pair occurring
+    # TWICE per word ('abab' -> (a,b)=2n) so every derived pair
+    # ((ab,ab), (ab,</w>) at count n) lands strictly below the LAST
+    # batch member (740 > 400): neither divergence window can open
+    # for the first round, so batch=4's round-1 table must equal
+    # sequential merges 1-4 exactly
+    words = [("abab", 400), ("cdcd", 390), ("efef", 380), ("ghgh", 370)]
+    rows = []
+    i = 0
+    for w, n in words:
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    seq = [
+        tuple(r)
+        for r in bpe_merges(docs, n_merges=4, merge_batch=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    bat = [
+        tuple(r)
+        for r in bpe_merges(docs, n_merges=4, merge_batch=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert bat == seq
+    assert [(r[1], r[2], r[3]) for r in seq] == [
+        ("a", "b", 800), ("c", "d", 780), ("e", "f", 760), ("g", "h", 740)
+    ]
+
+
+def test_bpe_merges_batched_on_corpus_still_valid_bpe(spark, tables):
+    """On a real corpus (overlapping top pairs), batched training may
+    legitimately diverge from sequential — but every emitted merge
+    must still be well-formed: ranks contiguous, each merge's symbols
+    derivable from characters + earlier merges, counts >= 2."""
+    from whatdropsnow_etl_spark.operators.bpe import bpe_merges
+
+    docs = tables["documents"].where(F.col("doc_id") < 60)
+    got = (
+        bpe_merges(docs, n_merges=12, merge_batch=4)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert [r["merge_rank"] for r in got] == list(range(1, len(got) + 1))
+    assert len(got) == 12
+    derivable = set("abcdefghijklmnopqrstuvwxyz0123456789'-.,!?\"") | {"</w>"}
+    for r in got:
+        assert r["pair_count"] >= 2
+        for side in (r["left"], r["right"]):
+            assert side in derivable or all(ch in derivable for ch in side)
+        derivable.add(r["left"] + r["right"])
+
+
 def test_incremental_dedup_matches_full_lsh(tables):
     from whatdropsnow_etl_spark.operators import (
         incremental_dedup_minhash,
@@ -994,6 +1056,56 @@ def test_leakage_safe_split_contract(tables):
     counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts["train"] > sum(v for k, v in counts.items() if k != "train")
     out.unpersist()
+
+
+def test_leakage_safe_split_append_stability(spark):
+    """The documented append contract, pinned: appending docs that
+    join NO existing component leaves every prior doc's split
+    untouched (component ids and hashes are unchanged); a new doc
+    that BRIDGES two components merges them, and the merged component
+    re-splits together (atomically, under the surviving label) —
+    docs in unrelated components still never move."""
+    from whatdropsnow_etl_spark.operators import leakage_safe_split
+
+    ta = " ".join(f"alpha{i}" for i in range(12))
+    tb = " ".join(f"beta{i}" for i in range(12))
+    singles = [" ".join(f"solo{j}x{i}" for i in range(12)) for j in range(3)]
+    base_rows = [(1, ta), (2, ta), (10, tb), (11, tb)] + [
+        (20 + j, s) for j, s in enumerate(singles)
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(k=3, threshold=0.4)
+
+    split0 = {
+        r["doc_id"]: (r["component_id"], r["split"])
+        for r in leakage_safe_split(mk(base_rows), **kw).collect()
+    }
+    # sanity: A and B are separate components, each split-atomic
+    assert split0[1][0] == split0[2][0] != split0[10][0] == split0[11][0]
+
+    # (a) disjoint append: a brand-new singleton joins nothing
+    plus_disjoint = base_rows + [(30, " ".join(f"new{i}" for i in range(12)))]
+    split1 = {
+        r["doc_id"]: (r["component_id"], r["split"])
+        for r in leakage_safe_split(mk(plus_disjoint), **kw).collect()
+    }
+    for doc_id, v in split0.items():
+        assert split1[doc_id] == v, doc_id
+
+    # (b) bridging append: ta+tb concatenated is a near-dup of BOTH
+    # (jaccard ~0.45 vs each, 0 between ta and tb)
+    plus_bridge = plus_disjoint + [(40, ta + " " + tb)]
+    split2 = {
+        r["doc_id"]: (r["component_id"], r["split"])
+        for r in leakage_safe_split(mk(plus_bridge), **kw).collect()
+    }
+    # A and B merged into one component, re-split TOGETHER
+    merged = {split2[d][0] for d in (1, 2, 10, 11, 40)}
+    assert len(merged) == 1
+    assert len({split2[d][1] for d in (1, 2, 10, 11, 40)}) == 1
+    # unrelated components never move
+    for doc_id in (20, 21, 22, 30):
+        assert split2[doc_id] == split1[doc_id], doc_id
 
 
 def test_span_dedup_hashed_key_equivalent(tables):

@@ -147,9 +147,14 @@ def leakage_safe_split(
     COMPONENT id through the same md5-hex-threshold trick as
     source_mix_sample: cumulative thresholds over ``ratios`` in
     insertion order, last split takes the remainder. Deterministic,
-    shuffle-free past clustering, append-stable: adding docs to a
-    component never moves it, and a new edge that merges two
-    components re-splits them together (by the surviving min label).
+    shuffle-free past clustering, append-stable: appending docs that
+    join no existing component moves NOTHING (component labels and
+    hashes are untouched), while a new edge that merges two
+    components re-splits exactly those docs together under the
+    surviving min label — they may land in a different split, which
+    is the correct behavior (the merged component IS one leakage
+    class now). Pinned by
+    tests/test_llm_ops.py::test_leakage_safe_split_append_stability.
 
     Emits (doc_id, component_id, split).
     """
