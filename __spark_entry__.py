@@ -971,6 +971,24 @@ def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
 
 
+def _source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import source_temperature_sample
+
+    # lang is the skewed grouping in the corpus (en ~42%): alpha=0.5
+    # visibly downsamples the head and keeps the tail
+    return source_temperature_sample(
+        load_table(spark, sf_dir, "documents"), alpha=0.5, source_col="lang"
+    )
+
+
+def _sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import sampled_quantiles
+
+    return sampled_quantiles(
+        load_table(spark, sf_dir, "events"), "value", "event_id", k=500
+    )
+
+
 def _vector_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import vector_qc
 
@@ -1065,6 +1083,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "vector_qc": ["has_nan", "is_unit", "is_zero", "n_dims", "norm", "vec_id"],
     "bpe_fertility": ["continuation_share", "fertility", "n_tokens", "n_words", "source"],
     "snapshot_diff": ["o_orderkey", "status"],
+    "source_temperature_sample": ["doc_id", "keep_rate", "lang"],
+    "sampled_quantiles": ["est_cents", "n_sample", "p"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1261,8 +1281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _incremental_dedup,
         "chunk_documents": _chunk_documents,
         "source_mix_sample": _source_mix_sample,
-        "token_count": _token_count,
-        "doc_fingerprint": _doc_fingerprint,
+        # (b') NEW in r5, oracle-bearing — first-ever signal beats
+        # refreshing two more r3 rows (token_count / doc_fingerprint
+        # move to the spill, staying r3-green)
+        "source_temperature_sample": _source_temperature_sample,
+        "sampled_quantiles": _sampled_quantiles,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1275,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "token_count": _token_count,
+        "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
         "multimodal_resize": _multimodal_resize,
         "multimodal_frame_sample": _multimodal_frames,
@@ -3383,6 +3408,46 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'changed' END AS status
         FROM old FULL OUTER JOIN new
           ON old.o_orderkey IS NOT DISTINCT FROM new.o_orderkey
+    """
+    sql["source_temperature_sample"] = """
+        WITH c AS (
+          SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM documents GROUP BY lang
+        ), w AS (
+          SELECT lang, n, pow(n, 0.5) AS na,
+                 SUM(pow(n, 0.5)) OVER () AS z,
+                 SUM(n) OVER () AS nn
+          FROM c
+        ), r AS (
+          SELECT lang,
+                 ROUND(LEAST(1.0, nn * (na / z) / n), 6) AS keep_rate
+          FROM w
+        ), t AS (
+          SELECT lang, keep_rate,
+                 printf('%08x', CAST(LEAST(ROUND(keep_rate * 4294967296.0),
+                                           4294967295.0) AS BIGINT)) AS thr
+          FROM r
+        )
+        SELECT d.doc_id, t.keep_rate, d.lang AS lang
+        FROM documents d JOIN t ON d.lang = t.lang
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        ORDER BY d.doc_id, t.keep_rate, d.lang
+    """
+    sql["sampled_quantiles"] = """
+        WITH s AS (
+          SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+          LIMIT 500
+        ), a AS (
+          SELECT list_sort(list(cents)) AS arr, COUNT(*) AS n FROM s
+        )
+        SELECT CAST(q.p AS DOUBLE) AS p,
+               arr[CAST(FLOOR(CAST(q.p AS DOUBLE) * (n - 1)) AS BIGINT) + 1]
+                 AS est_cents,
+               CAST(n AS BIGINT) AS n_sample
+        FROM a, (VALUES (0.5), (0.9), (0.99)) AS q(p)
+        ORDER BY est_cents, n_sample, p
     """
     sql["vector_qc"] = """
         SELECT vec_id,

@@ -1510,6 +1510,96 @@ def test_quota_sample_contract(spark, tables):
     assert len(changed_groups) <= 1  # only the appended doc's group may shift
 
 
+def test_source_temperature_sample_rebalances(spark):
+    """alpha<1 downsamples the head source toward the temperature mix
+    and keeps the tail whole; rates follow q_s = min(1, N·p_s/n_s)
+    with p_s ∝ n_s^alpha; membership is the deterministic md5
+    threshold (append-stable, rerun-identical); the rate table joins
+    by BROADCAST (no corpus shuffle)."""
+    import math
+
+    from whatdropsnow_etl_spark.operators import source_temperature_sample
+
+    rows = [(i, "head" if i < 800 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = source_temperature_sample(df, alpha=0.5).cache()
+    rates = {
+        r["source"]: r["keep_rate"]
+        for r in out.select("source", "keep_rate").distinct().collect()
+    }
+    # q_s = min(1, 1000 * (sqrt(n_s)/z) / n_s), z = sqrt(800)+sqrt(200)
+    z = math.sqrt(800) + math.sqrt(200)
+    assert abs(rates["head"] - round(1000 * (math.sqrt(800) / z) / 800, 6)) < 1e-9
+    assert rates["tail"] == 1.0  # capped: tail never replicated
+    kept = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert kept["tail"] == 200  # rate 1 keeps everything
+    # head kept-count concentrates near n*q (binomial over the hash)
+    exp_head = 800 * rates["head"]
+    assert abs(kept["head"] - exp_head) < 4 * math.sqrt(exp_head)
+    # deterministic: rerun picks the identical set
+    again = {r["doc_id"] for r in source_temperature_sample(df, alpha=0.5).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+    # alpha=1 keeps raw proportions: every rate is 1
+    raw = source_temperature_sample(df, alpha=1.0)
+    assert {r["keep_rate"] for r in raw.select("keep_rate").distinct().collect()} == {1.0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    out.unpersist()
+
+
+def test_sampled_quantiles_bound_and_exactness(spark, tables):
+    """k >= table size makes the sample the whole table (estimates
+    EQUAL exact type-1 quantiles); small k stays within the uniform-
+    sample rank bound of the exact answer."""
+    from whatdropsnow_etl_spark.operators import (
+        exact_group_quantiles,
+        sampled_quantiles,
+    )
+
+    ev = tables["events"].withColumn("g", F.lit("all"))
+    exact = exact_group_quantiles(ev, ["g"], "value", tiebreak_col="event_id")
+    [er] = exact.collect()
+    n = ev.count()
+    # k >= n: exact equality with the full-sort operator
+    full = {
+        r["p"]: r["est_cents"]
+        for r in sampled_quantiles(ev, "value", "event_id", k=n + 10).collect()
+    }
+    assert full[0.5] == er["p50_cents"]
+    assert full[0.9] == er["p90_cents"]
+    assert full[0.99] == er["p99_cents"]
+    # small k: the estimate's true rank must be near p (rank bound
+    # 4*sqrt(p(1-p)/k) — ~4 sigma, deterministic given the data)
+    import math
+
+    k = 200
+    est = {
+        r["p"]: r["est_cents"]
+        for r in sampled_quantiles(ev, "value", "event_id", k=k).collect()
+    }
+    cents = sorted(
+        r["c"]
+        for r in ev.select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("c")
+        ).collect()
+    )
+    import bisect
+
+    for p, v in est.items():
+        true_rank = bisect.bisect_right(cents, v) / n
+        assert abs(true_rank - p) <= 4 * math.sqrt(p * (1 - p) / k) + 1.0 / k, (
+            p, v, true_rank
+        )
+    # deterministic: rerun identical
+    assert est == {
+        r["p"]: r["est_cents"]
+        for r in sampled_quantiles(ev, "value", "event_id", k=k).collect()
+    }
+
+
 def test_quota_sample_salted_equals_single_window(spark):
     """Many rows, FEW groups — the 100 TB shape. The salted two-phase
     cut must pick the bit-identical set the naive one-window-per-group

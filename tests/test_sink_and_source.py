@@ -374,6 +374,36 @@ def test_xml_roundtrip(spark, tables, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
 
 
+def test_read_binary_files(spark, tmp_path):
+    """binaryFile landing for multimodal assets: content round-trips
+    byte-exact, pathGlobFilter prunes at listing, and the max_bytes
+    guard filters on the length metadata column."""
+    from whatdropsnow_etl_spark.sources.files import read_binary_files
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    payloads = {
+        "a.png": b"\x89PNG\r\n" + bytes(range(64)),
+        "b.png": b"\x89PNG\r\n" + bytes(200 * [7]),
+        "c.wav": b"RIFF" + bytes(32),
+    }
+    for name, blob in payloads.items():
+        (d / name).write_bytes(blob)
+    out = read_binary_files(spark, str(d), glob="*.png")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert set(rows) == {"a.png", "b.png"}  # glob pruned the wav
+    for name, r in rows.items():
+        assert bytes(r["content"]) == payloads[name]
+        assert r["length"] == len(payloads[name])
+    # length guard: only the small png survives
+    small = read_binary_files(spark, str(d), glob="*.png", max_bytes=100)
+    assert [
+        r["path"].rsplit("/", 1)[-1] for r in small.collect()
+    ] == ["a.png"]
+    # the multimodal handoff shape: binary + metadata columns
+    assert dict(out.dtypes)["content"] == "binary"
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tables, tmp_path):
     """End-to-end JDBC against a real database: the runtime's embedded
     Derby. Write a table, read it back as a range-partitioned

@@ -60,3 +60,60 @@ def exact_group_quantiles(
         ).alias(label)
 
     return ranked.groupBy(*group_cols).agg(*[pick(p) for p in ps])
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    ps: Sequence[float] = (0.5, 0.9, 0.99),
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile ESTIMATES from a deterministic uniform sample — the
+    sketch-shaped companion to exact_group_quantiles for the global
+    (one-group) case, where the exact operator's full window sort is
+    the thing you're avoiding at 100 TB.
+
+    The sample is the k rows with the SMALLEST md5(id) — the same
+    bottom-k-by-hash trick as fixed_size_sample, so it is a uniform
+    k-subset that is deterministic, append-stable (a new row evicts
+    at most one sampled row), and engine-exact: both twins pick the
+    identical rows, unlike RNG sampling or t-digest internals.
+    Spark executes it as a distributed sort-limit (per-partition
+    top-k heaps merged on one k-bounded reducer — no full sort, no
+    full shuffle), then takes type-1 ranks over the k survivors
+    exactly like the exact operator.
+
+    Standard uniform-sample bound: each estimated quantile's TRUE
+    rank lies within O(sqrt(p(1-p)/k)) of p w.h.p. (~±1.6% at
+    k=1024, p=0.5) — pinned against exact_group_quantiles in pytest.
+    Values rank as integer cents (ROUND(value*scale)) so both
+    engines compare identically.
+
+    Emits one row per requested p: (p DOUBLE, est_cents BIGINT,
+    n_sample BIGINT).
+    """
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    h = F.md5(F.col(id_col).cast("string"))
+    sample = (
+        df.select(cents.alias("__cents"), h.alias("__h"), F.col(id_col))
+        .orderBy(F.col("__h"), F.col(id_col))
+        .limit(k)
+    )
+    arr = sample.agg(
+        F.sort_array(F.collect_list("__cents")).alias("__arr"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    qs = F.array(*[F.lit(float(p)) for p in ps])
+    return (
+        arr.select(F.explode(qs).alias("p"), "__arr", "n_sample")
+        .select(
+            "p",
+            F.element_at(
+                "__arr",
+                (F.floor(F.col("p") * (F.col("n_sample") - 1)) + 1).cast("int"),
+            ).alias("est_cents"),
+            "n_sample",
+        )
+    )

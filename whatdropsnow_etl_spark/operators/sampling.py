@@ -94,6 +94,91 @@ def source_mix_sample(
     return df.where(frac < rate).select(id_col, source_col)
 
 
+def source_temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-rebalanced corpus mixing: sample so the kept mix
+    follows p(source) ∝ n_source^alpha — the standard multilingual /
+    multi-source re-weighting (alpha=1 keeps raw proportions,
+    alpha→0 approaches uniform-over-sources; XLM-R-style pipelines
+    use alpha≈0.3-0.7 so head sources stop drowning the tail).
+
+    Fully distributed, no driver collect: ONE group-count of the
+    source column (#sources rows), normalization over that tiny
+    relation (an unpartitioned window over a source-count-bounded
+    frame), per-source keep rate
+    ``q_s = min(1, N · p_s / n_s)`` with ``N`` = ``target_rows`` or
+    the corpus size, then a BROADCAST join of the #sources-row rate
+    table back onto the corpus and the same md5-vs-hex-threshold
+    Bernoulli predicate as source_mix_sample — per-row, shuffle-free
+    over the corpus, append-stable, identical across engines.
+
+    Rates cap at 1: tail sources are never replicated (epoch-level
+    upsampling is a training-loop concern; this operator decides
+    membership). ``q_s`` is rounded to 6 decimals before the hex
+    threshold so both engine twins quantize identically (the raw
+    rate mixes pow/sum floating point whose last ulp is
+    engine-order-dependent).
+
+    Emits (doc_id, source, keep_rate DOUBLE).
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    w_all = Window.partitionBy()
+    counts = df.groupBy(F.col(source_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    rates = (
+        counts.withColumn("__na", F.pow("__n", F.lit(float(alpha))))
+        .withColumn("__z", F.sum("__na").over(w_all))
+        .withColumn(
+            # NOT "__N": Spark resolves column names case-insensitively
+            # by default, so "__N" would silently REPLACE "__n"
+            "__budget",
+            F.lit(float(target_rows))
+            if target_rows is not None
+            else F.sum("__n").over(w_all),
+        )
+        .select(
+            source_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("__budget")
+                    * (F.col("__na") / F.col("__z"))
+                    / F.col("__n"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    thr = F.lower(
+        F.lpad(
+            F.conv(
+                F.least(
+                    F.round(F.col("keep_rate") * F.lit(2.0**32)),
+                    F.lit(2.0**32 - 1),
+                ).cast("bigint").cast("string"),
+                10,
+                16,
+            ),
+            8,
+            "0",
+        )
+    )
+    frac = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(rates.withColumn("__thr", thr)), source_col)
+        .where(frac < F.col("__thr"))
+        .select(id_col, source_col, "keep_rate")
+    )
+
+
 def fixed_size_sample(
     df: DataFrame,
     n: int,

@@ -18,6 +18,7 @@ drops and columnar ORC. Common discipline for all three:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -70,3 +71,36 @@ def read_xml(
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion via Spark's built-in ``binaryFile``
+    source: one row per file with (path STRING, modificationTime
+    TIMESTAMP, length BIGINT, content BINARY) — the landing step
+    that feeds the multimodal operators (operators/multimodal.py
+    treats image/audio/video as opaque binary + typed metadata;
+    this reader produces exactly that shape from a directory of
+    assets).
+
+    ``glob`` maps to ``pathGlobFilter`` (e.g. ``*.png``) and is
+    applied during LISTING, before any byte is read. ``max_bytes``
+    guards the executor: files above it fail fast at planning via
+    a filter on the ``length`` metadata column — Spark prunes the
+    content read for length-only predicates, so the guard scans no
+    file bodies (binaryFile supports content-skipping for
+    length/path-only queries). One file = one row = one task unit;
+    partition parallelism comes from the file COUNT, so pack many
+    assets per directory rather than one giant file.
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df
