@@ -981,6 +981,14 @@ def _source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temperature_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import temperature_upsample
+
+    return temperature_upsample(
+        load_table(spark, sf_dir, "documents"), alpha=0.5, source_col="lang"
+    )
+
+
 def _sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import sampled_quantiles
 
@@ -1084,6 +1092,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bpe_fertility": ["continuation_share", "fertility", "n_tokens", "n_words", "source"],
     "snapshot_diff": ["o_orderkey", "status"],
     "source_temperature_sample": ["doc_id", "keep_rate", "lang"],
+    "temperature_upsample": ["copy", "doc_id", "lang"],
     "sampled_quantiles": ["est_cents", "n_sample", "p"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
@@ -1280,11 +1289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _salted_join,
         "incremental_dedup": _incremental_dedup,
         "chunk_documents": _chunk_documents,
-        "source_mix_sample": _source_mix_sample,
         # (b') NEW in r5, oracle-bearing — first-ever signal beats
-        # refreshing two more r3 rows (token_count / doc_fingerprint
-        # move to the spill, staying r3-green)
+        # refreshing three more r3 rows (source_mix_sample /
+        # token_count / doc_fingerprint move to the spill, staying
+        # r3-green)
         "source_temperature_sample": _source_temperature_sample,
+        "temperature_upsample": _temperature_upsample,
         "sampled_quantiles": _sampled_quantiles,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
@@ -1298,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "source_mix_sample": _source_mix_sample,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
         "multimodal_decode": _multimodal,
@@ -3432,6 +3443,36 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN t ON d.lang = t.lang
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
         ORDER BY d.doc_id, t.keep_rate, d.lang
+    """
+    sql["temperature_upsample"] = """
+        WITH c AS (
+          SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM documents GROUP BY lang
+        ), w AS (
+          SELECT lang, n, pow(n, 0.5) AS na,
+                 SUM(pow(n, 0.5)) OVER () AS z,
+                 SUM(n) OVER () AS nn
+          FROM c
+        ), r AS (
+          SELECT lang, ROUND(nn * (na / z) / n, 6) AS q FROM w
+        ), t AS (
+          SELECT lang,
+                 CAST(FLOOR(q) AS BIGINT) AS base,
+                 printf('%08x',
+                        CAST(LEAST(ROUND((q - FLOOR(q)) * 4294967296.0),
+                                   4294967295.0) AS BIGINT)) AS thr
+          FROM r
+        ), d AS (
+          SELECT doc_id, d.lang AS lang,
+                 base + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                  < thr THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN t ON d.lang = t.lang
+        )
+        SELECT CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy,
+               doc_id, lang
+        FROM d
+        WHERE n_copies >= 1
+        ORDER BY copy, doc_id, lang
     """
     sql["sampled_quantiles"] = """
         WITH s AS (

@@ -1550,6 +1550,54 @@ def test_source_temperature_sample_rebalances(spark):
     out.unpersist()
 
 
+def test_temperature_upsample_replicates_tail(spark):
+    """The with-replication epoch builder: tail sources get rates
+    ABOVE 1 (whole copies + Bernoulli fractional copy), head sources
+    fractional rates below 1; per-source expected count is n_s*q_s
+    and the epoch totals ~N; deterministic."""
+    import math
+
+    from whatdropsnow_etl_spark.operators import temperature_upsample
+
+    rows = [(i, "head" if i < 800 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_upsample(df, alpha=0.5).cache()
+    z = math.sqrt(800) + math.sqrt(200)
+    q_head = round(1000 * (math.sqrt(800) / z) / 800, 6)   # ~0.83 < 1
+    q_tail = round(1000 * (math.sqrt(200) / z) / 200, 6)   # ~1.66 > 1
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(per_src["head"] - 800 * q_head) < 4 * math.sqrt(800 * q_head)
+    assert abs(per_src["tail"] - 200 * q_tail) < 4 * math.sqrt(200 * q_tail)
+    # every tail doc appears at least floor(q_tail)=1 time; max copies
+    # is floor(q)+1
+    tail_copies = {
+        r["doc_id"]: r["m"]
+        for r in out.where(F.col("source") == "tail")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    }
+    assert len(tail_copies) == 200
+    assert set(tail_copies.values()) <= {1, 2}
+    # copy indices are 1..m per doc (distinct rows for downstream)
+    [chk] = (
+        out.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("copy").alias("mx"),
+             F.min("copy").alias("mn"))
+        .agg(F.max((F.col("m") != F.col("mx")).cast("int")).alias("bad"),
+             F.max((F.col("mn") != 1).cast("int")).alias("bad2"))
+        .collect()
+    )
+    assert chk["bad"] == 0 and chk["bad2"] == 0
+    # deterministic rerun
+    again = sorted(map(tuple, temperature_upsample(df, alpha=0.5).collect()))
+    assert again == sorted(map(tuple, out.collect()))
+    out.unpersist()
+
+
 def test_sampled_quantiles_bound_and_exactness(spark, tables):
     """k >= table size makes the sample the whole table (estimates
     EQUAL exact type-1 quantiles); small k stays within the uniform-

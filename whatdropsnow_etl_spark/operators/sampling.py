@@ -179,6 +179,92 @@ def source_temperature_sample(
     )
 
 
+def temperature_upsample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Epoch-level temperature resampling WITH replication — the
+    other half of source_temperature_sample, whose rates cap at 1
+    and never duplicate. When building an actual training EPOCH at
+    mix p(source) ∝ n^alpha, tail sources need rates ABOVE 1:
+    each doc emits ``floor(q_s)`` whole copies plus one more iff
+    ``md5(id) < frac(q_s)`` (the hex-threshold Bernoulli), so the
+    expected per-source row count is exactly ``n_s · q_s`` and the
+    epoch totals ``target_rows`` (default: corpus size) in
+    expectation.
+
+    Same distributed shape as the capped sampler: one source-count
+    aggregate, a #sources-row rate table, broadcast join, then a
+    map-side sequence-explode — the corpus never shuffles, copies
+    materialize lazily in the scan projection. Deterministic and
+    append-stable (a doc's copy count depends only on its id and
+    its source's rate). Emits (id, source, copy BIGINT) with copy
+    in 1..n_copies — downstream shuffles see distinct (id, copy)
+    rows, so replicated docs spread across partitions instead of
+    hot-spotting one.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    w_all = Window.partitionBy()
+    counts = df.groupBy(F.col(source_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    rates = (
+        counts.withColumn("__na", F.pow("__n", F.lit(float(alpha))))
+        .withColumn("__z", F.sum("__na").over(w_all))
+        .withColumn(
+            "__budget",
+            F.lit(float(target_rows))
+            if target_rows is not None
+            else F.sum("__n").over(w_all),
+        )
+        .select(
+            source_col,
+            F.round(
+                F.col("__budget") * (F.col("__na") / F.col("__z")) / F.col("__n"),
+                6,
+            ).alias("__q"),
+        )
+    )
+    frac = F.col("__q") - F.floor(F.col("__q"))
+    thr = F.lower(
+        F.lpad(
+            F.conv(
+                F.least(
+                    F.round(frac * F.lit(2.0**32)), F.lit(2.0**32 - 1)
+                ).cast("bigint").cast("string"),
+                10,
+                16,
+            ),
+            8,
+            "0",
+        )
+    )
+    rates = rates.select(
+        source_col,
+        F.floor(F.col("__q")).cast("bigint").alias("__base"),
+        thr.alias("__thr"),
+    )
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    n_copies = F.col("__base") + (h < F.col("__thr")).cast("bigint")
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(rates), source_col)
+        .withColumn("__copies", n_copies)
+        .where(F.col("__copies") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__copies"))).alias(
+                "copy"
+            ),
+        )
+    )
+
+
 def fixed_size_sample(
     df: DataFrame,
     n: int,
