@@ -997,6 +997,53 @@ def _sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import balanced_shards
+
+    return balanced_shards(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+def _importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import importance_sample
+
+    return importance_sample(
+        load_table(spark, sf_dir, "documents"), target_frac=0.2
+    )
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import source_overlap_matrix
+
+    # lang x lang overlap at the 3-shingle level: exact dupes never
+    # cross langs in the synthetic corpus (unit="doc" would be all
+    # zeros) but word 3-grams overlap heavily — the non-degenerate
+    # containment-style mirror signal
+    return source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"), source_col="lang", unit="shingle"
+    )
+
+
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+def _knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_vote(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
 def _vector_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import vector_qc
 
@@ -1094,6 +1141,12 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "source_temperature_sample": ["doc_id", "keep_rate", "lang"],
     "temperature_upsample": ["copy", "doc_id", "lang"],
     "sampled_quantiles": ["est_cents", "n_sample", "p"],
+    "balanced_shards": ["doc_id", "shard", "weight"],
+    "importance_sample": ["doc_id", "keep_rate", "weight"],
+    "event_transitions": ["n_transitions", "next_type", "p", "prev_type"],
+    "source_overlap_matrix": ["jaccard", "n_a", "n_b", "n_shared", "source_a", "source_b"],
+    "vocab_coverage": ["coverage", "min_cf", "tokens_covered", "vocab_size"],
+    "knn_label_vote": ["n_neighbors", "n_votes", "predicted_label", "query_id"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1283,19 +1336,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": _asof_last_purchase,
         "window_moving_avg": _window_moving_avg,
         "sessionize": _sessionize,
-        "q20_heavy_suppliers": _q20,
-        "repetition_stats": _repetition_stats,
-        "corpus_vocab": _corpus_vocab,
-        "skew_salted_join": _salted_join,
-        "incremental_dedup": _incremental_dedup,
-        "chunk_documents": _chunk_documents,
         # (b') NEW in r5, oracle-bearing — first-ever signal beats
-        # refreshing three more r3 rows (source_mix_sample /
-        # token_count / doc_fingerprint move to the spill, staying
-        # r3-green)
+        # refreshing more r3 rows (source_mix_sample / token_count /
+        # doc_fingerprint / q20 / repetition_stats / corpus_vocab /
+        # skew_salted_join / incremental_dedup / chunk_documents
+        # move to the spill, staying r3-green)
         "source_temperature_sample": _source_temperature_sample,
         "temperature_upsample": _temperature_upsample,
         "sampled_quantiles": _sampled_quantiles,
+        "balanced_shards": _balanced_shards,
+        "importance_sample": _importance_sample,
+        "event_transitions": _event_transitions,
+        "source_overlap_matrix": _source_overlap_matrix,
+        "vocab_coverage": _vocab_coverage,
+        "knn_label_vote": _knn_label_vote,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1308,6 +1362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "q20_heavy_suppliers": _q20,
+        "repetition_stats": _repetition_stats,
+        "corpus_vocab": _corpus_vocab,
+        "skew_salted_join": _salted_join,
+        "incremental_dedup": _incremental_dedup,
+        "chunk_documents": _chunk_documents,
         "source_mix_sample": _source_mix_sample,
         "token_count": _token_count,
         "doc_fingerprint": _doc_fingerprint,
@@ -3489,6 +3549,129 @@ def oracle_sql() -> dict[str, str]:
                CAST(n AS BIGINT) AS n_sample
         FROM a, (VALUES (0.5), (0.9), (0.99)) AS q(p)
         ORDER BY est_cents, n_sample, p
+    """
+    sql["balanced_shards"] = """
+        WITH ranked AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                 ROW_NUMBER() OVER (
+                   ORDER BY n_chars DESC,
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2),
+                            doc_id
+                 ) - 1 AS r
+          FROM documents
+        )
+        SELECT doc_id, weight,
+               CAST(CASE WHEN r % 16 < 8 THEN r % 16
+                         ELSE 15 - (r % 16) END AS BIGINT) AS shard
+        FROM ranked
+    """
+    sql["importance_sample"] = """
+        WITH s AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(CAST(n_chars AS DOUBLE)) AS tw
+          FROM documents
+        ), r AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                 ROUND(LEAST(1.0, 0.2 * s.n * n_chars / s.tw), 6) AS keep_rate
+          FROM documents, s
+        ), t AS (
+          SELECT doc_id, weight, keep_rate,
+                 printf('%08x',
+                        CAST(LEAST(ROUND(keep_rate * 4294967296.0),
+                                   4294967295.0) AS BIGINT)) AS thr
+          FROM r
+        )
+        SELECT doc_id, weight, keep_rate FROM t
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr
+    """
+    sql["event_transitions"] = """
+        WITH p AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev_type,
+                 event_type AS next_type
+          FROM events
+        ), c AS (
+          SELECT prev_type, next_type, COUNT(*) AS n_transitions
+          FROM p WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n_transitions,
+               ROUND(n_transitions / CAST(SUM(n_transitions) OVER (
+                 PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        FROM c
+    """
+    sql["source_overlap_matrix"] = """
+        WITH toks AS (
+          SELECT lang AS s, string_split(lower(text), ' ') AS t
+          FROM documents
+        ), hs AS (
+          SELECT DISTINCT s, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS h
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ), sz AS (
+          SELECT s, COUNT(*) AS n FROM hs GROUP BY s
+        ), sh AS (
+          SELECT a.s AS source_a, b.s AS source_b, COUNT(*) AS n_shared
+          FROM hs a JOIN hs b ON a.h = b.h AND a.s < b.s
+          GROUP BY a.s, b.s
+        )
+        SELECT source_a, source_b, n_shared, na.n AS n_a, nb.n AS n_b,
+               ROUND(n_shared / CAST(na.n + nb.n - n_shared AS DOUBLE), 6)
+                 AS jaccard
+        FROM sh
+        JOIN sz na ON na.s = source_a
+        JOIN sz nb ON nb.s = source_b
+    """
+    sql["vocab_coverage"] = """
+        WITH terms AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+        ), cf AS (
+          SELECT term, COUNT(*) AS c FROM terms WHERE term <> '' GROUP BY term
+        ), hist AS (
+          SELECT c AS min_cf, COUNT(*) AS nterms FROM cf GROUP BY c
+        )
+        SELECT min_cf,
+               CAST(SUM(nterms) OVER w AS BIGINT) AS vocab_size,
+               CAST(SUM(min_cf * nterms) OVER w AS BIGINT) AS tokens_covered,
+               ROUND(CAST(SUM(min_cf * nterms) OVER w AS DOUBLE)
+                     / CAST(SUM(min_cf * nterms) OVER () AS DOUBLE), 6)
+                 AS coverage
+        FROM hist
+        WINDOW w AS (ORDER BY min_cf DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    sql["knn_label_vote"] = """
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 10
+        ), c AS (
+          SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS lbl,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 10
+        ), s AS (
+          SELECT query_id, neighbor_id, lbl,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS cos_raw
+          FROM q CROSS JOIN c
+        ), r AS (
+          SELECT query_id, lbl,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS rnk
+          FROM s
+        ), v AS (
+          SELECT query_id, lbl, COUNT(*) AS n_votes
+          FROM r WHERE rnk <= 5 GROUP BY query_id, lbl
+        ), ranked AS (
+          SELECT query_id, lbl, n_votes,
+                 CAST(SUM(n_votes) OVER (PARTITION BY query_id) AS BIGINT)
+                   AS n_neighbors,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY n_votes DESC, lbl) AS vr
+          FROM v
+        )
+        SELECT query_id, lbl AS predicted_label, n_votes, n_neighbors
+        FROM ranked WHERE vr = 1
     """
     sql["vector_qc"] = """
         SELECT vec_id,

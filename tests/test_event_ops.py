@@ -101,3 +101,48 @@ def test_length_histogram_shares_sum_to_one(spark, tables):
     assert n_docs == docs.count()
     for src, frac in by_source.items():
         assert abs(frac - 1.0) < 1e-9, src
+
+
+def test_event_transitions_counts_and_probs(spark):
+    """Hand-checkable transition matrix: per-user consecutive pairs
+    only, probabilities normalize per prev_type."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a
+        (1, 1, t0, "a"), (2, 1, t0 + dt.timedelta(minutes=1), "b"),
+        (3, 1, t0 + dt.timedelta(minutes=2), "a"),
+        # user 2: a -> a
+        (4, 2, t0, "a"), (5, 2, t0 + dt.timedelta(minutes=1), "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    # transitions: (a,b) x1, (b,a) x1, (a,a) x1 -> from 'a': b .5, a .5
+    assert out[("a", "b")] == (1, 0.5)
+    assert out[("a", "a")] == (1, 0.5)
+    assert out[("b", "a")] == (1, 1.0)
+    assert len(out) == 3
+
+
+def test_event_transitions_tiebreak_same_ts(spark):
+    """Two events at the identical timestamp order by event_id, so
+    the transition direction is deterministic."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(2, 1, t0, "late"), (1, 1, t0, "early")],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    out = [(r["prev_type"], r["next_type"]) for r in event_transitions(ev).collect()]
+    assert out == [("early", "late")]

@@ -1698,3 +1698,162 @@ def test_pmi_collocations_finds_planted_phrase(spark):
     # every emitted pair satisfies the gates
     for r in rows:
         assert r["c_pair"] >= 5 and r["pmi_bits"] >= 0
+
+
+def test_balanced_shards_balance_and_completeness(spark):
+    """Snake assignment: every doc lands in exactly one shard, shard
+    ids cover 0..k-1, and per-shard weight totals differ by at most
+    the largest single weight (the snake guarantee on a descending
+    deal)."""
+    from whatdropsnow_etl_spark.operators import balanced_shards
+
+    rows = [(i, 10 + (i * 37) % 991) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    out = balanced_shards(df, n_shards=7).cache()
+    assert out.count() == 1000
+    assert out.select("doc_id").distinct().count() == 1000
+    tot = {
+        r["shard"]: r["w"]
+        for r in out.groupBy("shard").agg(F.sum("weight").alias("w")).collect()
+    }
+    assert set(tot) == set(range(7))
+    wmax = max(r[1] for r in rows)
+    assert max(tot.values()) - min(tot.values()) <= wmax
+    # deterministic rerun
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, balanced_shards(df, n_shards=7).collect()))
+    assert a == b
+    out.unpersist()
+
+
+def test_balanced_shards_no_global_sort(spark):
+    """The global rank must come from histogram offsets + per-group
+    local ranks — the physical plan must NOT contain a corpus-wide
+    single-partition sort/window (the quota_sample lesson)."""
+    from whatdropsnow_etl_spark.operators import balanced_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 10).alias("n_chars")
+    )
+    plan = balanced_shards(df, n_shards=4)._jdf.queryExecution().executedPlan().toString()
+    # the only SinglePartition exchange allowed is the tiny histogram
+    # window; the row-level window must partition by (__w, __b)
+    import re
+
+    windows = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
+    assert any("__w" in l and "__b" in l for l in windows), plan
+
+
+def test_importance_sample_rate_and_determinism(spark):
+    """Keep rate is proportional to weight (long docs kept more
+    often), capped at 1, and the realized sample is close to the
+    target fraction in token mass terms."""
+    from whatdropsnow_etl_spark.operators import importance_sample
+
+    rows = [(i, 50 if i < 900 else 5000) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    out = importance_sample(df, target_frac=0.3).cache()
+    rates = {
+        r["weight"]: r["keep_rate"] for r in out.select("weight", "keep_rate").distinct().collect()
+    }
+    # heavy docs: rate = min(1, .3*1000*5000/(900*50+100*5000)) = 1.0
+    assert rates.get(5000) == 1.0
+    # light docs kept at ~ .3*1000*50/545000 = 0.027523
+    assert abs(rates.get(50, 0) - 0.027523) < 1e-6
+    n_heavy = out.where(F.col("weight") == 5000).count()
+    assert n_heavy == 100  # rate 1 keeps all
+    again = sorted(map(tuple, importance_sample(df, target_frac=0.3).collect()))
+    assert again == sorted(map(tuple, out.collect()))
+    out.unpersist()
+
+
+def test_vocab_coverage_monotone_and_totals(spark):
+    """Coverage rises monotonically as min_cf drops, tops out at 1.0
+    over the full vocab, and (vocab_size, tokens_covered) match a
+    hand count."""
+    from whatdropsnow_etl_spark.operators import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d")], "doc_id bigint, text string"
+    )
+    rows = {r["min_cf"]: r for r in vocab_coverage(docs).collect()}
+    # cf: a=4, b=3, c=2, d=1 -> hist {4:1,3:1,2:1,1:1}, total 10
+    assert rows[4]["vocab_size"] == 1 and rows[4]["tokens_covered"] == 4
+    assert rows[3]["vocab_size"] == 2 and rows[3]["tokens_covered"] == 7
+    assert rows[1]["vocab_size"] == 4 and rows[1]["tokens_covered"] == 10
+    assert rows[1]["coverage"] == 1.0
+    assert rows[4]["coverage"] == 0.4
+
+
+def test_source_overlap_matrix_doc_and_shingle(spark):
+    """Doc mode counts exact mirrors; shingle mode catches partial
+    re-scrapes; Jaccard is against the union of distinct keys."""
+    from whatdropsnow_etl_spark.operators import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "A"),
+            (2, "alpha beta gamma delta", "B"),   # exact mirror of 1
+            (3, "alpha beta gamma other words", "B"),  # partial overlap
+            (4, "totally different text here", "C"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    doc_mode = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(docs, unit="doc").collect()
+    }
+    assert set(doc_mode) == {("A", "B")}
+    r = doc_mode[("A", "B")]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 1, 2)
+    assert r["jaccard"] == 0.5
+    sh_mode = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(docs, unit="shingle", k=3).collect()
+    }
+    # A-B share 'alpha beta gamma' + 'beta gamma delta' (doc2) and
+    # 'alpha beta gamma' (doc3) -> distinct shared shingles = 2
+    assert sh_mode[("A", "B")] == 2
+    assert ("A", "C") not in sh_mode
+    # duplicate-within-source must not inflate: add 100 copies in B
+    more = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta", "B") for i in range(100)],
+        "doc_id bigint, text string, source string",
+    )
+    again = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(docs.union(more), unit="doc").collect()
+    }
+    assert again[("A", "B")] == 1
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    """Majority of the k nearest labels wins; a split vote breaks to
+    the smaller label deterministically."""
+    from whatdropsnow_etl_spark.operators import knn_label_vote
+
+    # corpus on a line: three label-1 vectors near the query, two
+    # label-2 further away
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 1), (11, [0.99, 0.1], 1), (12, [0.98, 0.2], 1),
+            (13, [0.0, 1.0], 2), (14, [0.1, 0.99], 2),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.05])], "vec_id bigint, embedding array<double>"
+    )
+    [r] = knn_label_vote(corpus, queries, k=5).collect()
+    assert r["predicted_label"] == 1
+    assert r["n_votes"] == 3 and r["n_neighbors"] == 5
+    # k=4 -> 3 vs 1, still label 1; k=2 -> both label 1
+    [r2] = knn_label_vote(corpus, queries, k=2).collect()
+    assert r2["predicted_label"] == 1 and r2["n_votes"] == 2
+    # force a 1-1 tie: k=2 over one of each label
+    corpus_tie = spark.createDataFrame(
+        [(10, [1.0, 0.0], 9), (13, [0.9, 0.43], 3)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    [rt] = knn_label_vote(corpus_tie, queries, k=2).collect()
+    assert rt["predicted_label"] == 3 and rt["n_votes"] == 1

@@ -1248,3 +1248,73 @@ def span_dedup(
         )
         .select("doc_id", "n_spans", "n_dropped", "text_dedup")
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    unit: str = "doc",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between sources: for every unordered
+    source pair, how many distinct content keys appear in BOTH, and
+    the Jaccard of their key sets — the mirror-detection matrix
+    (which crawl dumps are re-scrapes of each other) that decides
+    which sources to drop wholesale before any per-doc dedup runs.
+
+    ``unit="doc"`` keys on the whole-document
+    md5(lower(trim(text))) hash of :func:`dedup_exact` (strict
+    mirrors only); ``unit="shingle"`` keys on distinct word
+    ``k``-grams — the containment-style signal that catches partial
+    re-scrapes and survives boilerplate edits that break exact
+    hashing. Either way the (key, source) projection is DISTINCT
+    first — the self-join on the content key multiplies per-key
+    source-list sizes (bounded by #sources, typically tens), never
+    per-key doc counts; a key repeated a million times inside one
+    crawl contributes one row. One distinct-shuffle, one hash-join
+    on the content key, one #sources^2-bounded aggregate, and a
+    broadcast of the per-source set sizes. Emits
+    (source_a < source_b, n_shared, n_a, n_b, jaccard) with jaccard
+    rounded to 6 decimals.
+    """
+    if unit == "doc":
+        keyed = df.select(
+            F.md5(F.lower(F.trim(F.col(text_col)))).alias("__h"),
+            F.col(source_col).alias("__s"),
+        )
+    elif unit == "shingle":
+        keyed = df.select(
+            F.explode(shingles(tokens(F.col(text_col)), k)).alias("__h"),
+            F.col(source_col).alias("__s"),
+        )
+    else:
+        raise ValueError(f"unknown unit {unit!r} (want 'doc' or 'shingle')")
+    hs = keyed.distinct()
+    sizes = hs.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    a = hs.select(F.col("__h"), F.col("__s").alias("source_a"))
+    b = hs.select(F.col("__h"), F.col("__s").alias("source_b"))
+    shared = (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = F.broadcast(sizes.select(F.col("__s").alias("source_a"), F.col("__n").alias("n_a")))
+    nb = F.broadcast(sizes.select(F.col("__s").alias("source_b"), F.col("__n").alias("n_b")))
+    return (
+        shared.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

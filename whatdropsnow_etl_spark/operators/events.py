@@ -200,3 +200,47 @@ def dup_rate_by_source(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (prev_type -> next_type) pair, how many
+    consecutive-event transitions occurred and what share of
+    prev_type's outgoing edges it is — the journey-analysis /
+    next-event-prediction baseline over a product event log.
+
+    One window per user (``lag`` over (ts, tiebreak) — parallel
+    across users, the natural high-cardinality key) feeding one
+    #types^2-bounded aggregate; the per-prev normalizer is a second
+    window over that tiny aggregate, not over events. Deterministic
+    (total per-user order via the tiebreak column), no UDFs.
+    Emits (prev_type, next_type, n_transitions, p) with p rounded
+    to 6 decimals.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_prev).cast("double"),
+            6,
+        ).alias("p"),
+    )

@@ -400,3 +400,132 @@ def quota_sample(
         .where(F.col("__rn") <= n_per_group)
         .select(id_col, group_col)
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    rank_buckets: int = 16,
+) -> DataFrame:
+    """Token-balanced shard assignment: write the corpus into
+    ``n_shards`` output shards whose total weight (token/char
+    counts) is near-equal — the packing step before a training run,
+    where uneven shards turn into straggler data-loader workers.
+
+    Snake (boustrophedon) assignment over the weight-descending
+    rank: row r goes to shard ``r % 2k`` if that is < k else
+    ``2k-1 - r % 2k``, so each double-round deals every shard one
+    heavier and one lighter doc; per-shard totals differ by at most
+    a few times the largest single weight, independent of corpus
+    size.
+
+    The global rank itself is computed WITHOUT a global sort: the
+    order key is ``(weight DESC, md5-bucket, id)``, so rank =
+    histogram offset + local rank. Phase 1 builds the
+    (weight, bucket) count histogram — a model-sized relation
+    (distinct weights x ``rank_buckets``) whose running-sum window
+    is trivially cheap; phase 2 ranks rows WITHIN each
+    (weight, bucket) group — parallel across groups, each group
+    ~1/(distinct_weights*buckets) of the corpus, raise
+    ``rank_buckets`` to fan wider. No corpus-sized single-task
+    window anywhere (the quota_sample lesson). The DuckDB oracle is
+    the naive one-window ROW_NUMBER over the identical order key.
+    Deterministic; emits (doc_id, weight, shard).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    w = F.col(weight_col).cast("bigint")
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    rows = df.select(
+        F.col(id_col), w.alias("__w"), bucket.alias("__b")
+    )
+    hist = rows.groupBy("__w", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_hist = (
+        Window.orderBy(F.col("__w").desc(), F.col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        "__w",
+        "__b",
+        F.coalesce(F.sum("__n").over(w_hist), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy("__w", "__b").orderBy(F.col(id_col))
+    period = 2 * n_shards
+    ranked = (
+        rows.join(F.broadcast(offsets), ["__w", "__b"])
+        .withColumn("__r", F.col("__off") + F.row_number().over(w_local) - 1)
+    )
+    pos = F.pmod(F.col("__r"), F.lit(period))
+    shard = F.when(pos < n_shards, pos).otherwise(F.lit(period - 1) - pos)
+    return ranked.select(
+        F.col(id_col),
+        F.col("__w").alias("weight"),
+        shard.cast("bigint").alias("shard"),
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    target_frac: float = 0.2,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional Bernoulli sampling: keep each doc with
+    probability proportional to its weight (token count, quality
+    score), scaled so the expected sample is ``target_frac`` of the
+    corpus — the token-budget-aware downsampling a mixing pipeline
+    uses when docs differ 100x in length and a uniform doc-level
+    sample would mis-state the TOKEN mix.
+
+    Per-doc keep rate ``p_i = min(1, f * N * w_i / W)`` (N docs,
+    total weight W) rounded to 6 decimals so both engine twins
+    quantize identically, then the same md5-hex-threshold predicate
+    as source_mix_sample — except the threshold is a computed
+    COLUMN, not a literal. One scalar aggregate broadcast back via
+    crossJoin; membership is then a map-only predicate: no shuffle
+    of the corpus, deterministic, append-stable up to the (N, W)
+    rescale. Emits (doc_id, weight, keep_rate).
+    """
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac {target_frac} outside (0, 1]")
+    w = F.col(weight_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(w).alias("__tw"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_frac)) * F.col("__n") * w / F.col("__tw"),
+        ),
+        6,
+    )
+    thr = F.lower(
+        F.lpad(
+            F.conv(
+                F.least(
+                    F.round(F.col("__rate") * F.lit(2.0**32)),
+                    F.lit(2.0**32 - 1),
+                )
+                .cast("bigint")
+                .cast("string"),
+                10,
+                16,
+            ),
+            8,
+            "0",
+        )
+    )
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__rate", rate)
+        .where(h < thr)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            F.col("__rate").alias("keep_rate"),
+        )
+    )

@@ -1152,3 +1152,52 @@ def vector_qc(
         F.isnan(n2).alias("has_nan"),
         (F.abs(F.sqrt(n2) - 1.0) <= unit_tol).alias("is_unit"),
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding space:
+    predict each query vector's label from its ``k`` nearest
+    labelled corpus vectors — the zero-training eval/autolabel
+    baseline (quality-classifier bootstrapping, probing whether an
+    embedding space separates the taxonomy at all).
+
+    Neighbor selection is exactly :func:`ann_cosine_topk` (same
+    ordering, same tie-break — swap in the IVF/PQ variants for the
+    100 TB candidate-generation path); the vote is then a
+    (#queries x k)-sized aggregate, two windowed ranks over
+    per-query groups bounded by k. Vote ties break (n_votes DESC,
+    label ASC) so the prediction is deterministic and engine-twin
+    exact. Emits (query_id, predicted_label, n_votes, n_neighbors).
+    """
+    nbrs = ann_cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("bigint").alias("__lbl"),
+    )
+    votes = (
+        nbrs.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w_q = Window.partitionBy("query_id")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("__lbl")
+    )
+    return (
+        votes.withColumn("n_neighbors", F.sum("n_votes").over(w_q))
+        .withColumn("__r", F.row_number().over(w_rank))
+        .where(F.col("__r") == 1)
+        .select(
+            "query_id",
+            F.col("__lbl").alias("predicted_label"),
+            "n_votes",
+            F.col("n_neighbors").cast("bigint").alias("n_neighbors"),
+        )
+    )

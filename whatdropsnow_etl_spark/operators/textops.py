@@ -722,3 +722,56 @@ def normalize_text(
         )
     )
     return out
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token coverage curve: for every distinct collection frequency
+    ``f`` in the corpus, how many distinct terms occur >= f times
+    (the vocab size if you cut there) and what share of ALL corpus
+    tokens that vocab covers — the curve behind every "32k vs 64k
+    vocab" tokenizer decision (coverage knees are where extra vocab
+    stops paying).
+
+    Three strictly shrinking relations: corpus -> term counts (one
+    explode + one groupBy with map-side combine) -> frequency
+    histogram (#distinct-frequency rows, thousands at most by Zipf)
+    -> running sums over the histogram. The only unpartitioned
+    window runs over the histogram, never the vocab or the corpus.
+    Integer masses summed exactly; only the final share divides.
+    Emits (min_cf, vocab_size, tokens_covered, coverage) ordered by
+    descending frequency; coverage rounds to 6 decimals.
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    cf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__cf"))
+    hist = cf.groupBy("__cf").agg(F.count(F.lit(1)).alias("__nterms"))
+    w = Window.orderBy(F.col("__cf").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return (
+        hist.select(
+            F.col("__cf").alias("min_cf"),
+            F.sum("__nterms").over(w).cast("bigint").alias("vocab_size"),
+            F.sum(F.col("__cf") * F.col("__nterms")).over(w)
+            .cast("bigint")
+            .alias("tokens_covered"),
+            F.sum(F.col("__cf") * F.col("__nterms")).over(w_all)
+            .cast("double")
+            .alias("__total"),
+        )
+        .select(
+            "min_cf",
+            "vocab_size",
+            "tokens_covered",
+            F.round(F.col("tokens_covered") / F.col("__total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
