@@ -1035,6 +1035,32 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import dedup_bow
+
+    return dedup_bow(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), k=3)
+
+
+def _quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import quality_calibration
+
+    return quality_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def _winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import winsorize_report
+
+    return winsorize_report(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value"
+    )
+
+
 def _knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import knn_label_vote
 
@@ -1147,6 +1173,10 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "source_overlap_matrix": ["jaccard", "n_a", "n_b", "n_shared", "source_a", "source_b"],
     "vocab_coverage": ["coverage", "min_cf", "tokens_covered", "vocab_size"],
     "knn_label_vote": ["n_neighbors", "n_votes", "predicted_label", "query_id"],
+    "dedup_bow": ["bow_hash", "keeper_doc_id", "n_docs"],
+    "ngram_novelty": ["doc_id", "n_novel", "n_shingles", "novelty"],
+    "quality_calibration": ["band", "n_docs", "n_pass", "pass_rate"],
+    "winsorize_report": ["clipped_share", "event_type", "hi_cents", "lo_cents", "n_high", "n_low", "n_total"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1332,10 +1362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_cascade": _resource_cascade,
         "multi_currency": _multi_currency,
         "upsert_latest": _upsert_latest,
-        "paginate": _paginate,
-        "asof_last_purchase": _asof_last_purchase,
-        "window_moving_avg": _window_moving_avg,
-        "sessionize": _sessionize,
         # (b') NEW in r5, oracle-bearing — first-ever signal beats
         # refreshing more r3 rows (source_mix_sample / token_count /
         # doc_fingerprint / q20 / repetition_stats / corpus_vocab /
@@ -1350,6 +1376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": _source_overlap_matrix,
         "vocab_coverage": _vocab_coverage,
         "knn_label_vote": _knn_label_vote,
+        "dedup_bow": _dedup_bow,
+        "ngram_novelty": _ngram_novelty,
+        "quality_calibration": _quality_calibration,
+        "winsorize_report": _winsorize_report,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1362,6 +1392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "paginate": _paginate,
+        "asof_last_purchase": _asof_last_purchase,
+        "window_moving_avg": _window_moving_avg,
+        "sessionize": _sessionize,
         "q20_heavy_suppliers": _q20,
         "repetition_stats": _repetition_stats,
         "corpus_vocab": _corpus_vocab,
@@ -3830,6 +3864,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
         FROM h GROUP BY doc_id, bucket
         HAVING SUM(sign) != 0
+    """
+    sql["dedup_bow"] = """
+        SELECT md5(array_to_string(
+                 list_sort(string_split(lower(text), ' ')), ' ')) AS bow_hash,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS keeper_doc_id
+        FROM documents
+        GROUP BY 1
+    """
+    sql["ngram_novelty"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        ), f AS (
+          SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s
+        )
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM sh JOIN f ON f.s = sh.s
+        GROUP BY sh.doc_id
+    """
+    # calibration composes the two existing per-doc oracles verbatim
+    # (the same reuse as the Spark side: band rides through the rule
+    # battery) — any fix to either propagates to the calibration twin
+    sql["quality_calibration"] = f"""
+        WITH g AS ({sql["gopher_rules"]}),
+             q AS ({sql["quality_score"]})
+        SELECT LEAST(CAST(FLOOR(q.quality * 10) AS BIGINT), 9) AS band,
+               COUNT(*) AS n_docs,
+               CAST(SUM(g.passes) AS BIGINT) AS n_pass,
+               ROUND(SUM(g.passes) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+        FROM g JOIN q ON g.doc_id = q.doc_id
+        GROUP BY 1
+    """
+    sql["winsorize_report"] = """
+        WITH c AS (
+          SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ), r AS (
+          SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        ), b AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = CAST(FLOOR(0.01 * (n - 1)) AS BIGINT) + 1
+                          THEN cents END) AS lo_cents,
+                 MAX(CASE WHEN rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1
+                          THEN cents END) AS hi_cents,
+                 CAST(MAX(n) AS BIGINT) AS n_total
+          FROM r GROUP BY event_type
+        )
+        SELECT b.event_type, lo_cents, hi_cents, n_total,
+               CAST(SUM(CASE WHEN c.cents < lo_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN c.cents > hi_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high,
+               ROUND((SUM(CASE WHEN c.cents < lo_cents THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN c.cents > hi_cents THEN 1 ELSE 0 END))
+                     / CAST(MAX(n_total) AS DOUBLE), 6) AS clipped_share
+        FROM b JOIN c ON c.event_type = b.event_type
+        GROUP BY b.event_type, lo_cents, hi_cents, n_total
     """
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but
     # we pin it explicitly per key. Any inner ORDER BY keeps its

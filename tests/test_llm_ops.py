@@ -1857,3 +1857,81 @@ def test_knn_label_vote_majority_and_tiebreak(spark):
     )
     [rt] = knn_label_vote(corpus_tie, queries, k=2).collect()
     assert rt["predicted_label"] == 3 and rt["n_votes"] == 1
+
+
+def test_dedup_bow_catches_reordered_docs(spark):
+    """Word-order permutations collapse to one BoW group; multiset
+    semantics keep repeated-word docs distinct from single-word
+    ones."""
+    from whatdropsnow_etl_spark.operators import dedup_bow
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma alpha beta"),      # reorder of 1
+            (3, "alpha alpha beta gamma"),  # extra multiplicity -> distinct
+            (4, "unrelated words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["keeper_doc_id"]: r["n_docs"] for r in dedup_bow(docs).collect()}
+    assert out == {1: 2, 3: 1, 4: 1}
+
+
+def test_ngram_novelty_first_occurrence_attribution(spark):
+    """A verbatim re-scrape has novelty 0; the original keeps 1.0;
+    a partial overlap lands in between; sub-k docs are absent."""
+    from whatdropsnow_etl_spark.operators import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # 3 shingles, all first -> 1.0
+            (2, "a b c d e"),        # exact rescrape -> 0.0
+            (3, "a b c x y z"),      # shares 'a b c' only
+            (4, "one two"),          # < k tokens -> absent
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs, k=3).collect()}
+    assert rows[1]["novelty"] == 1.0 and rows[1]["n_shingles"] == 3
+    assert rows[2]["novelty"] == 0.0
+    r3 = rows[3]
+    assert r3["n_shingles"] == 4 and r3["n_novel"] == 3 and r3["novelty"] == 0.75
+    assert 4 not in rows
+
+
+def test_quality_calibration_single_scan_and_bands(spark, tables):
+    """Bands partition the corpus (n_docs sums to corpus size),
+    pass_rate = n_pass/n_docs, and the plan reads the parquet
+    exactly once (the pass-through avoids a self-join)."""
+    from whatdropsnow_etl_spark.operators import quality_calibration
+
+    docs = tables["documents"]
+    logical = (
+        quality_calibration(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert logical.count("Relation [") == 1, logical
+    out = quality_calibration(docs).cache()
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["band"] <= 9
+        assert abs(r["pass_rate"] - round(r["n_pass"] / r["n_docs"], 6)) < 1e-9
+    out.unpersist()
+
+
+def test_winsorize_report_bounds_and_counts(spark):
+    """Hand-computable: 100 values 1..100 per group -> p01/p99 type-1
+    bounds at ranks floor(p*(n-1))+1, and the outside counts match."""
+    from whatdropsnow_etl_spark.operators import winsorize_report
+
+    rows = [(float(i), "t") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "value double, event_type string")
+    [r] = winsorize_report(df, ["event_type"], "value").collect()
+    # n=100: lo rank = floor(.01*99)+1 = 1 -> value 1 (100 cents);
+    # hi rank = floor(.99*99)+1 = 99 -> value 99 (9900 cents)
+    assert r["lo_cents"] == 100 and r["hi_cents"] == 9900
+    assert r["n_total"] == 100
+    assert r["n_low"] == 0      # nothing below the min
+    assert r["n_high"] == 1     # value 100 above 9900
+    assert r["clipped_share"] == 0.01

@@ -366,3 +366,49 @@ def pmi_collocations(
         .limit(top_k)
         .select("w1", "w2", "c_pair", "c_w1", "c_w2", "pmi_bits")
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram novelty: what fraction of a doc's distinct
+    word ``k``-grams appear in NO doc with a smaller id — the
+    marginal-contribution metric curation loops rank by ("this doc
+    adds nothing the corpus hasn't seen" → drop it first), and the
+    degenerate-generation check run over model outputs.
+
+    First-occurrence attribution via one shingle-keyed MIN
+    aggregate, joined back co-partitioned on the shingle key (AQE
+    reuses the exchange), then a doc-keyed count — two shuffles
+    total, no all-pairs anything; ids give the deterministic
+    "earlier" order (swap in a timestamp column upstream for
+    crawl-date semantics). Docs shorter than ``k`` tokens emit no
+    shingles and are absent from the output by contract. Emits
+    (doc_id, n_shingles, n_novel, novelty) with novelty rounded to
+    6 decimals.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("__s"),
+    )
+    first = sh.groupBy("__s").agg(F.min("doc_id").alias("__first"))
+    novel = (F.col("__first") == F.col("doc_id")).cast("bigint")
+    return (
+        sh.join(first, "__s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -1318,3 +1318,26 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_bow(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bag-of-words dedup: group docs whose sorted token multiset is
+    identical — the near-dup class exact hashing misses (templated /
+    shuffled boilerplate, reordered list pages) and shingle methods
+    over-pay for (word order is exactly what BoW ignores).
+
+    Key = md5 of the sorted token list (multiplicity kept: a doc
+    repeating a word twice is NOT the doc saying it once); keeper =
+    min id, same contract as :func:`dedup_exact`. One map-only
+    projection (sort happens per row inside the codegen'd
+    sort_array, never a shuffle) + one groupBy.
+    """
+    h = F.md5(F.array_join(F.sort_array(tokens(F.col(text_col))), " "))
+    return (
+        df.select(F.col(id_col), h.alias("bow_hash"))
+        .groupBy("bow_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_doc_id"),
+        )
+    )

@@ -117,3 +117,61 @@ def sampled_quantiles(
             "n_sample",
         )
     )
+
+
+def winsorize_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    scale: int = 100,
+) -> DataFrame:
+    """Winsorization pre-flight: per group, the exact type-1
+    [p_low, p_high] clip bounds and how many rows fall outside them
+    — the report you read before clipping a metric column (how much
+    signal would winsorizing destroy, per event type), without
+    materializing a clipped copy of the corpus.
+
+    Bounds come from :func:`exact_group_quantiles` (engine-exact
+    integer-cents rank selection); the count pass then re-scans the
+    input once with the bounds joined back BROADCAST (the bounds
+    relation is #groups-sized) — one window shuffle + one broadcast
+    scan, nothing corpus-sized moves twice. Emits per group:
+    (lo_cents, hi_cents, n_total, n_low, n_high, clipped_share)
+    with the share rounded to 6 decimals.
+    """
+    bounds = exact_group_quantiles(
+        df, group_cols, value_col, ps=(p_low, p_high), scale=scale
+    )
+    lo_label = f"p{str(p_low).replace('0.', '').ljust(2, '0')}_cents"
+    hi_label = f"p{str(p_high).replace('0.', '').ljust(2, '0')}_cents"
+    bounds = bounds.select(
+        *group_cols,
+        F.col(lo_label).alias("lo_cents"),
+        F.col(hi_label).alias("hi_cents"),
+    )
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    counted = (
+        df.select(*group_cols, cents.alias("__c"))
+        .join(F.broadcast(bounds), list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("lo_cents").alias("lo_cents"),
+            F.max("hi_cents").alias("hi_cents"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("__c") < F.col("lo_cents")).cast("bigint")).alias("n_low"),
+            F.sum((F.col("__c") > F.col("hi_cents")).cast("bigint")).alias("n_high"),
+        )
+    )
+    return counted.select(
+        *group_cols,
+        "lo_cents",
+        "hi_cents",
+        "n_total",
+        "n_low",
+        "n_high",
+        F.round(
+            (F.col("n_low") + F.col("n_high")) / F.col("n_total").cast("double"), 6
+        ).alias("clipped_share"),
+    )

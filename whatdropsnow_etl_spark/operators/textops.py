@@ -593,6 +593,7 @@ def gopher_rules(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_ratio: float = 0.8,
     min_stop_hits: int = 2,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality rule battery (Rae et al. 2021,
     "Scaling Language Models" §A1.1.1, public arXiv:2112.11446).
@@ -636,6 +637,7 @@ def gopher_rules(
     ok_stops = n_stop >= min_stop_hits
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         ok_words.cast("int").alias("ok_words"),
@@ -772,6 +774,54 @@ def vocab_coverage(
             "tokens_covered",
             F.round(F.col("tokens_covered") / F.col("__total"), 6).alias(
                 "coverage"
+            ),
+        )
+    )
+
+
+def quality_calibration(
+    docs: DataFrame,
+    n_bands: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **gopher_kwargs,
+) -> DataFrame:
+    """Filter-agreement calibration: bucket docs into fixed-width
+    bands of the heuristic quality score and measure, per band, what
+    fraction passes the Gopher rule battery — do the two independent
+    quality signals agree, and where is the score threshold that
+    matches the rules' judgment? (The report you read before picking
+    a quality cutoff for a 100 TB filter sweep.)
+
+    Single corpus scan: the band expression rides through
+    :func:`gopher_rules` as a pass-through column, so flags and band
+    come out of ONE projection — no self-join on doc id, no second
+    scan; then a #bands-row aggregate. Bands are the fixed-width
+    slices of stratified_sample_by_quality (scale-free; no global
+    rank). Emits (band, n_docs, n_pass, pass_rate) with pass_rate
+    rounded to 6 decimals.
+    """
+    q = quality_expr(text_col)
+    banded = docs.withColumn(
+        "band",
+        F.least(F.floor(q * n_bands).cast("bigint"), F.lit(n_bands - 1)),
+    )
+    flags = gopher_rules(
+        banded, text_col=text_col, id_col=id_col, extra_cols=("band",),
+        **gopher_kwargs,
+    )
+    return (
+        flags.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("passes").cast("bigint").alias("n_pass"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_pass",
+            F.round(F.col("n_pass") / F.col("n_docs").cast("double"), 6).alias(
+                "pass_rate"
             ),
         )
     )
