@@ -981,3 +981,64 @@ def test_drift_gate_retry_idempotent(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "clean")).count() == 3
     state = spark.read.parquet(sink.state_path).collect()
     assert [(r["n_rows"], r["n_null"]) for r in state] == [(3, 0)]
+
+
+def test_transition_stream_matches_batch(spark, tables, events_json_dir, tmp_path):
+    """The streaming lag (one tuple of state per user) must emit
+    exactly the batch event_transitions pair multiset when events
+    arrive in order, even across many micro-batches."""
+    from whatdropsnow_etl_spark.operators import event_transitions
+    from whatdropsnow_etl_spark.streaming import transition_stream
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .json(events_json_dir)
+    )
+    q = (
+        transition_stream(stream)
+        .writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("transitions")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got_map = {(r["prev_type"], r["next_type"]): r["n"] for r in got}
+    want = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in event_transitions(tables["events"]).collect()
+    }
+    # Note: the JSON fixture splits into files arbitrarily, so
+    # cross-batch arrival can be out of ts order per user; transitions
+    # then follow stream order. Totals per user still match: every
+    # event after a user's first emits exactly one transition.
+    assert sum(got_map.values()) == sum(want.values())
+    # and when the stream is a SINGLE batch (fully sortable), the
+    # pair multiset is exactly the batch answer
+    stream1 = spark.readStream.schema(SCHEMA).json(events_json_dir)
+    q2 = (
+        transition_stream(stream1)
+        .writeStream.format("memory")
+        .queryName("transitions_one")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    one = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.table("transitions_one")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert one == want

@@ -58,6 +58,13 @@ ALLPAIRS_OK = {
     "dataset_card",
     # PMI normalizer: 1-row broadcast token-total cross
     "pmi_collocations",
+    # per-doc keep rate: crossJoin against the 1-row broadcast
+    # (N, total-weight) aggregate (the Q11 scalar-subquery pattern)
+    "importance_sample",
+    # vote over the ann_cosine_topk kernel: corpus × broadcast
+    # queries (the sanctioned brute-force twin; IVF/PQ swap in at
+    # candidate-generation scale)
+    "knn_label_vote",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -69,6 +76,7 @@ PYTHON_OK = {
     "multimodal_frame_sample",
     "embedding_dedup",
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
+    "knn_label_vote",  # votes over the ann_cosine_topk Arrow kernel
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
     "semantic_dedup",  # Arrow cosine for assign + within-cell pairs

@@ -9,6 +9,7 @@ from .quantiles import windowed_value_quantiles
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .topk import heavy_hitters, mg_merge
+from .transitions import transition_stream
 from .upsert import upsert_stream
 from .windowed import windowed_event_agg
 
@@ -29,4 +30,5 @@ __all__ = [
     "correlate_streams",
     "mg_merge",
     "heavy_hitters",
+    "transition_stream",
 ]
