@@ -1035,6 +1035,22 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def _incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import incremental_join
+
+    a = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    b = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus", "o_custkey"
+    )
+    a_old = a.where(F.col("l_partkey") % 4 != 0)
+    a_new = a.where(F.col("l_partkey") % 4 == 0)
+    b_old = b.where(F.col("o_custkey") % 3 != 0).drop("o_custkey")
+    b_new = b.where(F.col("o_custkey") % 3 == 0).drop("o_custkey")
+    return incremental_join(a_old, a_new, b_old, b_new, ["l_orderkey"])
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1177,6 +1193,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "ngram_novelty": ["doc_id", "n_novel", "n_shingles", "novelty"],
     "quality_calibration": ["band", "n_docs", "n_pass", "pass_rate"],
     "winsorize_report": ["clipped_share", "event_type", "hi_cents", "lo_cents", "n_high", "n_low", "n_total"],
+    "incremental_join": ["l_extendedprice", "l_orderkey", "l_partkey", "o_orderstatus"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1361,7 +1378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ilike_search": _ilike_search,
         "resource_cascade": _resource_cascade,
         "multi_currency": _multi_currency,
-        "upsert_latest": _upsert_latest,
         # (b') NEW in r5, oracle-bearing — first-ever signal beats
         # refreshing more r3 rows (source_mix_sample / token_count /
         # doc_fingerprint / q20 / repetition_stats / corpus_vocab /
@@ -1380,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _ngram_novelty,
         "quality_calibration": _quality_calibration,
         "winsorize_report": _winsorize_report,
+        "incremental_join": _incremental_join,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1392,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "upsert_latest": _upsert_latest,
         "paginate": _paginate,
         "asof_last_purchase": _asof_last_purchase,
         "window_moving_avg": _window_moving_avg,
@@ -3902,6 +3920,24 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(g.passes) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
         FROM g JOIN q ON g.doc_id = q.doc_id
         GROUP BY 1
+    """
+    sql["incremental_join"] = """
+        WITH a AS (
+          SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
+        ), b AS (
+          SELECT o_orderkey AS l_orderkey, o_orderstatus, o_custkey FROM orders
+        ), a_old AS (
+          SELECT * FROM a WHERE l_partkey % 4 <> 0
+        ), b_old AS (
+          SELECT l_orderkey, o_orderstatus FROM b WHERE o_custkey % 3 <> 0
+        ), v_full AS (
+          SELECT a.l_orderkey, l_partkey, l_extendedprice, o_orderstatus
+          FROM a JOIN b USING (l_orderkey)
+        ), v_old AS (
+          SELECT a_old.l_orderkey, l_partkey, l_extendedprice, o_orderstatus
+          FROM a_old JOIN b_old USING (l_orderkey)
+        )
+        SELECT * FROM v_full EXCEPT ALL SELECT * FROM v_old
     """
     sql["winsorize_report"] = """
         WITH c AS (

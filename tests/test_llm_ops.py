@@ -1935,3 +1935,30 @@ def test_winsorize_report_bounds_and_counts(spark):
     assert r["n_low"] == 0      # nothing below the min
     assert r["n_high"] == 1     # value 100 above 9900
     assert r["clipped_share"] == 0.01
+
+
+def test_incremental_join_equals_recompute_diff(spark):
+    """The three-delta-term identity must reproduce EXACTLY the
+    multiset difference full_view(A+dA, B+dB) minus old_view(A, B),
+    including duplicate join keys on both sides."""
+    from whatdropsnow_etl_spark.operators import incremental_join
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (1, "a1b"), (2, "a2")], "k bigint, av string"
+    )
+    a_new = spark.createDataFrame([(2, "a2new"), (3, "a3new")], "k bigint, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], "k bigint, bv string")
+    b_new = spark.createDataFrame([(1, "b1new"), (2, "b2new")], "k bigint, bv string")
+    delta = sorted(
+        map(tuple, incremental_join(a_old, a_new, b_old, b_new, ["k"]).collect())
+    )
+    full = a_old.union(a_new).join(b_old.union(b_new), "k")
+    old = a_old.join(b_old, "k")
+    want = sorted(map(tuple, full.exceptAll(old).collect()))
+    assert delta == want
+    # key 1 dup-left x 2 b rows, key 2 cross-new, key 3 new x old
+    assert len(delta) == len(want) > 0
+    # empty deltas -> empty view delta (nothing recomputed)
+    empty_a = spark.createDataFrame([], "k bigint, av string")
+    empty_b = spark.createDataFrame([], "k bigint, bv string")
+    assert incremental_join(a_old, empty_a, b_old, empty_b, ["k"]).count() == 0
