@@ -1962,3 +1962,28 @@ def test_incremental_join_equals_recompute_diff(spark):
     empty_a = spark.createDataFrame([], "k bigint, av string")
     empty_b = spark.createDataFrame([], "k bigint, bv string")
     assert incremental_join(a_old, empty_a, b_old, empty_b, ["k"]).count() == 0
+
+
+def test_knn_label_vote_ivf_path(spark):
+    """The IVF candidate generator plugs into the same vote: on a
+    well-separated toy set with full probing it reproduces the
+    exact-path predictions."""
+    from whatdropsnow_etl_spark.operators import knn_label_vote
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 1), (11, [0.99, 0.1], 1), (12, [0.98, 0.2], 1),
+            (13, [0.0, 1.0], 2), (14, [0.1, 0.99], 2),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.05])], "vec_id bigint, embedding array<double>"
+    )
+    exact = knn_label_vote(corpus, queries, k=3).collect()
+    ivf = knn_label_vote(
+        corpus, queries, k=3, method="ivf", n_centroids=2, nprobe=2
+    ).collect()
+    assert [r["predicted_label"] for r in exact] == [
+        r["predicted_label"] for r in ivf
+    ] == [1]

@@ -1161,6 +1161,8 @@ def knn_label_vote(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    method: str = "exact",
+    **ann_kwargs,
 ) -> DataFrame:
     """k-NN majority-vote classification over the embedding space:
     predict each query vector's label from its ``k`` nearest
@@ -1174,9 +1176,22 @@ def knn_label_vote(
     (#queries x k)-sized aggregate, two windowed ranks over
     per-query groups bounded by k. Vote ties break (n_votes DESC,
     label ASC) so the prediction is deterministic and engine-twin
-    exact. Emits (query_id, predicted_label, n_votes, n_neighbors).
+    exact. ``method="ivf"`` swaps the candidate generator for
+    :func:`ann_ivf_topk` (pass n_centroids/nprobe/centroids through)
+    — the 100 TB shape, where the vote runs over probed-cell
+    candidates instead of the full corpus cross.
+    Emits (query_id, predicted_label, n_votes, n_neighbors).
     """
-    nbrs = ann_cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+    if method == "exact":
+        nbrs = ann_cosine_topk(
+            corpus, queries, id_col=id_col, vec_col=vec_col, k=k, **ann_kwargs
+        )
+    elif method == "ivf":
+        nbrs = ann_ivf_topk(
+            corpus, queries, id_col=id_col, vec_col=vec_col, k=k, **ann_kwargs
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'exact' or 'ivf')")
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).cast("bigint").alias("__lbl"),
