@@ -1051,6 +1051,12 @@ def _incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_join(a_old, a_new, b_old, b_new, ["l_orderkey"])
 
 
+def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import compression_ratio
+
+    return compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1194,6 +1200,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "quality_calibration": ["band", "n_docs", "n_pass", "pass_rate"],
     "winsorize_report": ["clipped_share", "event_type", "hi_cents", "lo_cents", "n_high", "n_low", "n_total"],
     "incremental_join": ["l_extendedprice", "l_orderkey", "l_partkey", "o_orderstatus"],
+    "compression_ratio": ["doc_id", "n_compressed", "n_raw", "ratio"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1493,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _q15,
         # rows-only with an existing driver row — never burn a slot
         "bpe_merges": _bpe_merges,
+        "compression_ratio": _compression_ratio,
         "hll_distinct_users": _hll_distinct,
         "ann_ivf_trained": _ann_ivf_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,

@@ -1987,3 +1987,24 @@ def test_knn_label_vote_ivf_path(spark):
     assert [r["predicted_label"] for r in exact] == [
         r["predicted_label"] for r in ivf
     ] == [1]
+
+
+def test_compression_ratio_pinned_vs_zlib(spark):
+    """Ratios match direct zlib byte-for-byte; repetitive text
+    compresses far below random-ish text; empty doc -> NULL ratio."""
+    import zlib
+
+    from whatdropsnow_etl_spark.operators import compression_ratio
+
+    rep = "spam " * 200
+    var = " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, rep), (2, var), (3, "")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for did, txt in [(1, rep), (2, var)]:
+        want = len(zlib.compress(txt.encode(), 6))
+        assert rows[did]["n_compressed"] == want
+        assert rows[did]["ratio"] == round(want / len(txt), 6)
+    assert rows[1]["ratio"] < 0.05 < rows[2]["ratio"]
+    assert rows[3]["ratio"] is None and rows[3]["n_raw"] == 0

@@ -90,6 +90,7 @@ PYTHON_OK = {
     "bpe_fertility",  # encode kernel + per-source aggregate
     "pack_chunks",  # per-group greedy packing (inherently sequential)
     "normalize_text",  # Arrow NFC kernel (unicodedata; map-only)
+    "compression_ratio",  # Arrow zlib kernel (C-speed; map-only)
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must

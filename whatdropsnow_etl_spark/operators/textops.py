@@ -825,3 +825,54 @@ def quality_calibration(
             ),
         )
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic cheap proxy for
+    repetitive / low-entropy text (highly compressible = templated,
+    degenerate, or spammy; the signal Gopher-style batteries add on
+    top of token heuristics because n-gram rules miss long-range
+    repetition).
+
+    Arrow-batched pandas UDF (zlib is C-speed; one call per row on
+    the batch, no Python loop over characters), map-only — zero
+    shuffle, output partitioning follows the scan. Deterministic for
+    a fixed zlib level (RFC 1950 stream, stable across runs and
+    workers). Emits (doc_id, n_raw, n_compressed, ratio) with ratio
+    = compressed/raw rounded to 6 decimals; empty docs report ratio
+    NULL (0-byte raw). Rows-only: DuckDB ships no zlib scalar, so
+    this is pytest-pinned against direct zlib calls instead of an
+    oracle twin.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # `from __future__ import annotations` stringifies signatures, so
+    # the pandas_udf type hint goes in via __annotations__ directly
+    def _zlen_fn(texts):
+        import zlib
+
+        return texts.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    _zlen_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _zlen = pandas_udf(_zlen_fn, "long")
+
+    n_raw = F.length(F.col(text_col)).cast("bigint")
+    return docs.select(
+        F.col(id_col),
+        n_raw.alias("n_raw"),
+        _zlen(F.col(text_col)).alias("n_compressed"),
+    ).withColumn(
+        "ratio",
+        F.when(
+            F.col("n_raw") > 0,
+            F.round(F.col("n_compressed") / F.col("n_raw").cast("double"), 6),
+        ),
+    )
