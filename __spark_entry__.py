@@ -1057,6 +1057,21 @@ def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(load_table(spark, sf_dir, "documents"))
 
 
+def _funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import funnel_latency
+
+    return funnel_latency(load_table(spark, sf_dir, "events"))
+
+
+def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import ann_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_report(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1201,6 +1216,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "winsorize_report": ["clipped_share", "event_type", "hi_cents", "lo_cents", "n_high", "n_low", "n_total"],
     "incremental_join": ["l_extendedprice", "l_orderkey", "l_partkey", "o_orderstatus"],
     "compression_ratio": ["doc_id", "n_compressed", "n_raw", "ratio"],
+    "funnel_latency": ["n_users", "p50_us", "p90_us", "stage_from", "stage_to"],
+    "ann_recall_report": ["n_hits", "query_id", "recall"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1383,8 +1400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity": _fk_integrity,
         "json_normalize": _json_normalize,
         "ilike_search": _ilike_search,
-        "resource_cascade": _resource_cascade,
-        "multi_currency": _multi_currency,
         # (b') NEW in r5, oracle-bearing — first-ever signal beats
         # refreshing more r3 rows (source_mix_sample / token_count /
         # doc_fingerprint / q20 / repetition_stats / corpus_vocab /
@@ -1404,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": _quality_calibration,
         "winsorize_report": _winsorize_report,
         "incremental_join": _incremental_join,
+        "funnel_latency": _funnel_latency,
+        "ann_recall_report": _ann_recall_report,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1416,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "resource_cascade": _resource_cascade,
+        "multi_currency": _multi_currency,
         "upsert_latest": _upsert_latest,
         "paginate": _paginate,
         "asof_last_purchase": _asof_last_purchase,
@@ -3947,6 +3966,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM v_full EXCEPT ALL SELECT * FROM v_old
     """
+    sql["funnel_latency"] = """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2, MAX(s1.t) AS t1
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2, MAX(s2.t2) AS t1
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        ), lat AS (
+          SELECT 'signup' AS stage_from, 'click' AS stage_to,
+                 epoch_us(t2) - epoch_us(t1) AS l
+          FROM s2
+          UNION ALL
+          SELECT 'click', 'purchase', epoch_us(t2) - epoch_us(t1) FROM s3
+        ), r AS (
+          SELECT stage_from, stage_to, l,
+                 ROW_NUMBER() OVER (PARTITION BY stage_from, stage_to
+                                    ORDER BY l) AS rn,
+                 COUNT(*) OVER (PARTITION BY stage_from, stage_to) AS n
+          FROM lat
+        )
+        SELECT stage_from, stage_to, CAST(MAX(n) AS BIGINT) AS n_users,
+               MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                        THEN l END) AS p50_us,
+               MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
+                        THEN l END) AS p90_us
+        FROM r GROUP BY stage_from, stage_to
+    """
     sql["winsorize_report"] = """
         WITH c AS (
           SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
@@ -3976,6 +4029,17 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(MAX(n_total) AS DOUBLE), 6) AS clipped_share
         FROM b JOIN c ON c.event_type = b.event_type
         GROUP BY b.event_type, lo_cents, hi_cents, n_total
+    """
+    # recall eval composes the exact + IVF oracle twins verbatim,
+    # the same reuse as the Spark side
+    sql["ann_recall_report"] = f"""
+        WITH ex AS ({sql["ann_cosine_topk"]}),
+             ap AS ({sql["ann_ivf_topk"]})
+        SELECT ex.query_id, CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,
+               ROUND(COUNT(ap.neighbor_id) / 5.0, 6) AS recall
+        FROM ex LEFT JOIN ap
+          ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id
     """
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but
     # we pin it explicitly per key. Any inner ORDER BY keeps its

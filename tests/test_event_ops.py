@@ -146,3 +146,35 @@ def test_event_transitions_tiebreak_same_ts(spark):
     )
     out = [(r["prev_type"], r["next_type"]) for r in event_transitions(ev).collect()]
     assert out == [("early", "late")]
+
+
+def test_funnel_latency_hand_case(spark):
+    """Two users convert signup->click at 60s and 120s; one goes on
+    to purchase 30s later. Type-1 quantiles over {60s, 120s}: BOTH
+    p50 and p90 pick rank floor(p*(n-1))+1 = 1 -> 60s (the lower
+    type-1 value; no interpolation)."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import funnel_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "signup"),
+        (2, 1, t0 + dt.timedelta(seconds=60), "click"),
+        (3, 1, t0 + dt.timedelta(seconds=90), "purchase"),
+        (4, 2, t0, "signup"),
+        (5, 2, t0 + dt.timedelta(seconds=120), "click"),
+        (6, 3, t0, "signup"),  # never converts
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = {
+        (r["stage_from"], r["stage_to"]): r for r in funnel_latency(ev).collect()
+    }
+    sc = out[("signup", "click")]
+    assert sc["n_users"] == 2
+    assert sc["p50_us"] == 60_000_000 and sc["p90_us"] == 60_000_000
+    cp = out[("click", "purchase")]
+    assert cp["n_users"] == 1
+    assert cp["p50_us"] == cp["p90_us"] == 30_000_000

@@ -2008,3 +2008,32 @@ def test_compression_ratio_pinned_vs_zlib(spark):
         assert rows[did]["ratio"] == round(want / len(txt), 6)
     assert rows[1]["ratio"] < 0.05 < rows[2]["ratio"]
     assert rows[3]["ratio"] is None and rows[3]["n_raw"] == 0
+
+
+def test_ann_recall_report_full_probe_is_perfect(spark):
+    """Probing every cell makes IVF exhaustive -> recall 1.0 for all
+    queries; probing 1 of many cells on adversarial data drops it."""
+    from whatdropsnow_etl_spark.operators import ann_recall_report
+
+    import math
+
+    corpus = spark.createDataFrame(
+        [
+            (10 + i, [math.cos(i / 7.0), math.sin(i / 7.0)])
+            for i in range(40)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    full = ann_recall_report(
+        corpus, queries, k=5, n_centroids=4, nprobe=4
+    ).collect()
+    assert all(r["recall"] == 1.0 for r in full)
+    part = ann_recall_report(
+        corpus, queries, k=5, n_centroids=8, nprobe=1
+    ).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in part)
+    assert all(r["n_hits"] == round(r["recall"] * 5) for r in part)

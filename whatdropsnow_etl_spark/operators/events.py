@@ -244,3 +244,73 @@ def event_transitions(
             6,
         ).alias("p"),
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    stages: Sequence[str] = ("signup", "click", "purchase"),
+    ps: Sequence[float] = (0.5, 0.9),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stage-to-stage conversion latency quantiles: for each adjacent
+    funnel step, how long converting users took — the
+    time-to-convert distribution product analytics reads next to the
+    funnel counts (is the drop-off a leak or just a slow step?).
+
+    Stage entry times chain exactly like :func:`event_funnel` (first
+    qualifying event STRICTLY AFTER the previous stage's entry);
+    converting users' latencies in epoch-microseconds then feed
+    :func:`~.quantiles.exact_group_quantiles` with scale=1 — the
+    engine-exact integer type-1 rank selection, no interpolation.
+    Per adjacent pair: (stage_from, stage_to, n_users, p50_us,
+    p90_us). Latency relations are #converting-users-sized; the
+    quantile window partitions by stage pair.
+    """
+    from ..functions.timeutil import ts_micros
+
+    if len(stages) < 2:
+        raise ValueError("need at least 2 stages")
+    entry = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    lat_parts: list[DataFrame] = []
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.where(F.col(type_col) == stage)
+            .join(entry, user_col)
+            .where(F.col(ts_col) > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t2"), F.max("__t").alias("__t"))
+        )
+        lat_parts.append(
+            nxt.select(
+                F.lit(stages[i - 1]).alias("stage_from"),
+                F.lit(stage).alias("stage_to"),
+                (ts_micros(F.col("__t2")) - ts_micros(F.col("__t"))).alias(
+                    "__lat_us"
+                ),
+            )
+        )
+        entry = nxt.select(user_col, F.col("__t2").alias("__t"))
+    lats = lat_parts[0]
+    for part in lat_parts[1:]:
+        lats = lats.unionByName(part)
+    q = exact_group_quantiles(
+        lats, ["stage_from", "stage_to"], "__lat_us", ps=ps, scale=1
+    )
+    counts = lats.groupBy("stage_from", "stage_to").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    renames = {
+        f"p{str(p).replace('0.', '').ljust(2, '0')}_cents":
+        f"p{str(p).replace('0.', '').ljust(2, '0')}_us"
+        for p in ps
+    }
+    out = q.join(F.broadcast(counts), ["stage_from", "stage_to"])
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select("stage_from", "stage_to", "n_users", *renames.values())

@@ -1216,3 +1216,54 @@ def knn_label_vote(
             F.col("n_neighbors").cast("bigint").alias("n_neighbors"),
         )
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF approximate path against the exact
+    brute-force twin, per query — the eval that decides nprobe /
+    n_centroids before committing an ANN config to a 100 TB corpus
+    (the ANN counterpart of lsh_tuning_report's band sweep).
+
+    Runs :func:`ann_cosine_topk` (truth) and :func:`ann_ivf_topk`
+    (candidate) over the same inputs and LEFT-joins truth→approx on
+    (query, neighbor): recall = matched/k. Like the LSH tuner, the
+    exact side prices this as a sample-scale tool — which is its
+    production use (tune on a slice, deploy the config). Emits
+    (query_id, n_hits, recall) with recall rounded to 6 decimals.
+    """
+    exact = ann_cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+    approx = ann_ivf_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        centroids=centroids,
+    ).select("query_id", F.col("neighbor_id").alias("__hit"))
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["__hit"]),
+            "left",
+        )
+        .select(exact["query_id"], F.col("__hit"))
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
