@@ -1353,14 +1353,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # implementation or oracle changed in r5 (salted quota_sample,
     # null-safe snapshot_diff, prefix-coded fingerprints); (d) the 20
     # queries whose latest signal is r2 — after this round no query's
-    # latest driver signal is older than r3; (d') the 21 oldest
-    # r3-green; (b) the 5 rows-only entries that have NEVER appeared
-    # in a driver window get their one-time exposure in slots 46-50
-    # (a weaker rows-only record still proves driver-environment
-    # execution; after r5 every registry entry has appeared in some
-    # CORRECTNESS_r*.json). Spill: remaining r3-green, then the
-    # r4-green block (freshest signal), rows-only tail last. Block
-    # sizes are asserted, not hand-counted:
+    # latest driver signal is older than r3; (d') the 5 oldest
+    # r3-green (the rest of the r3 backlog yielded its slots to the
+    # never-verified blocks below — first-ever signal beats an r3
+    # refresh, per the standing priority); (b') the 16 queries NEW
+    # in r5, all oracle-bearing; (b) the 5 rows-only entries that
+    # have NEVER appeared in a driver window get their one-time
+    # exposure in slots 46-50 (a weaker rows-only record still
+    # proves driver-environment execution; after r5 every pre-r5
+    # registry entry has appeared in some CORRECTNESS_r*.json).
+    # Spill: remaining r3-green, then the r4-green block (freshest
+    # signal), rows-only tail last. Block sizes are asserted, not
+    # hand-counted:
     # tests/test_entry_contract.py::test_gate_window_composition.
     base = {
         # (c) implementation OR oracle changed in r5 — their old
