@@ -1072,6 +1072,18 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import freshness_report
+
+    return freshness_report(load_table(spark, sf_dir, "events"))
+
+
+def _sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.plans.olap import sliding_window_agg
+
+    return sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1218,6 +1230,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "compression_ratio": ["doc_id", "n_compressed", "n_raw", "ratio"],
     "funnel_latency": ["n_users", "p50_us", "p90_us", "stage_from", "stage_to"],
     "ann_recall_report": ["n_hits", "query_id", "recall"],
+    "freshness_report": ["event_type", "lag_us", "latest_us", "n_rows"],
+    "sliding_window_agg": ["event_type", "n_events", "sum_value", "win_start_us"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1402,8 +1416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_segmentation": _flagship,
         "incremental_antijoin": _incremental_antijoin,
         "fk_integrity": _fk_integrity,
-        "json_normalize": _json_normalize,
-        "ilike_search": _ilike_search,
         # (b') NEW in r5, oracle-bearing — first-ever signal beats
         # refreshing more r3 rows (source_mix_sample / token_count /
         # doc_fingerprint / q20 / repetition_stats / corpus_vocab /
@@ -1425,6 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join": _incremental_join,
         "funnel_latency": _funnel_latency,
         "ann_recall_report": _ann_recall_report,
+        "freshness_report": _freshness_report,
+        "sliding_window_agg": _sliding_window_agg,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1437,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "json_normalize": _json_normalize,
+        "ilike_search": _ilike_search,
         "resource_cascade": _resource_cascade,
         "multi_currency": _multi_currency,
         "upsert_latest": _upsert_latest,
@@ -4003,6 +4019,29 @@ def oracle_sql() -> dict[str, str]:
                MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
                         THEN l END) AS p90_us
         FROM r GROUP BY stage_from, stage_to
+    """
+    sql["freshness_report"] = """
+        WITH per AS (
+          SELECT event_type, COUNT(*) AS n_rows,
+                 MAX(epoch_us(ts)) AS latest_us
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_rows, latest_us,
+               MAX(latest_us) OVER () - latest_us AS lag_us
+        FROM per
+    """
+    sql["sliding_window_agg"] = """
+        WITH e AS (
+          SELECT epoch_us(ts) AS t, event_type, value FROM events
+        ), w AS (
+          SELECT ((t // 900000000) - k) * 900000000 AS win_start_us,
+                 event_type, value
+          FROM e, UNNEST(range(0, 4)) AS u(k)
+        )
+        SELECT win_start_us, event_type, COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR)
+                    AS DOUBLE) AS sum_value
+        FROM w GROUP BY win_start_us, event_type
     """
     sql["winsorize_report"] = """
         WITH c AS (

@@ -178,3 +178,45 @@ def test_funnel_latency_hand_case(spark):
     cp = out[("click", "purchase")]
     assert cp["n_users"] == 1
     assert cp["p50_us"] == cp["p90_us"] == 30_000_000
+
+
+def test_sliding_window_membership(spark):
+    """An event at minute 40 of an hour lands in exactly 4 sliding
+    windows (1h window, 15m slide) whose starts cover (ts-1h, ts]."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.plans.olap import sliding_window_agg
+
+    ts = dt.datetime(2024, 1, 1, 10, 40, 0)
+    ev = spark.createDataFrame(
+        [(1, ts, 1, "click", 2.0)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    rows = sliding_window_agg(ev).collect()
+    assert len(rows) == 4
+    starts = sorted(r["win_start_us"] for r in rows)
+    us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    want = [((us // 900_000_000) - k) * 900_000_000 for k in range(3, -1, -1)]
+    assert starts == want
+    assert all(r["n_events"] == 1 and r["sum_value"] == 2.0 for r in rows)
+
+
+def test_freshness_report_lag(spark):
+    """Lag is measured against the freshest group; the freshest
+    group itself reports 0."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import freshness_report
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, t0, "live"),
+            (2, 1, t0 + dt.timedelta(hours=2), "live"),
+            (3, 2, t0, "stale"),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    out = {r["event_type"]: r for r in freshness_report(ev).collect()}
+    assert out["live"]["lag_us"] == 0 and out["live"]["n_rows"] == 2
+    assert out["stale"]["lag_us"] == 2 * 3600 * 1_000_000

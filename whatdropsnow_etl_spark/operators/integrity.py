@@ -206,3 +206,35 @@ def dataset_fingerprint(
     if group_cols:
         return keyed.groupBy(*group_cols).agg(*aggs)
     return keyed.agg(*aggs)
+
+
+def freshness_report(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group data freshness: row count, latest event time, and
+    lag behind the freshest group — the staleness dashboard every
+    multi-source ingestion runs (a source whose lag grows is a dead
+    feed long before volume alarms fire). Data-derived reference
+    (global max ts) so replays are deterministic — no wall clock.
+
+    One map-side-combined aggregate to #groups rows, then the global
+    max via a window over that tiny relation. Emits
+    (group, n_rows, latest_us, lag_us).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.timeutil import ts_micros
+
+    per = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(ts_micros(F.col(ts_col))).alias("latest_us"),
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        group_col,
+        "n_rows",
+        "latest_us",
+        (F.max("latest_us").over(w_all) - F.col("latest_us")).alias("lag_us"),
+    )

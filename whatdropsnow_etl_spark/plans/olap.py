@@ -1042,3 +1042,36 @@ def session_window_native(
             "sum_value",
         )
     )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Batch twin of the streaming SLIDING-window aggregate —
+    overlapping windows (each event lands in window/slide of them),
+    the smoothing variant dashboards use where tumbling buckets
+    jitter. Spark's built-in ``F.window`` with a slide expands each
+    row to its covering windows map-side (a projection, not a join
+    against a calendar table) and the aggregate map-side-combines
+    per (window, type) — one shuffle, exactly the tumbling plan with
+    a constant-factor wider input. Decimal-exact value sums; window
+    starts as epoch-micros BIGINT (1970-aligned, the F.window
+    default, mirrored arithmetically in the oracle).
+    """
+    w = F.window(F.col("ts"), window, slide)
+    return (
+        events.select(w.alias("__w"), "event_type", "value")
+        .groupBy("__w", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            ts_micros(F.col("__w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
