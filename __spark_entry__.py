@@ -1084,6 +1084,18 @@ def _sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_agg(load_table(spark, sf_dir, "events"))
 
 
+def _daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import daily_active_users
+
+    return daily_active_users(load_table(spark, sf_dir, "events"))
+
+
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import value_histogram
+
+    return value_histogram(load_table(spark, sf_dir, "events"))
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1232,6 +1244,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "ann_recall_report": ["n_hits", "query_id", "recall"],
     "freshness_report": ["event_type", "lag_us", "latest_us", "n_rows"],
     "sliding_window_agg": ["event_type", "n_events", "sum_value", "win_start_us"],
+    "daily_active_users": ["day", "event_type", "n_events", "n_users"],
+    "value_histogram": ["bin_id", "hi", "lo", "n"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1414,8 +1428,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality,
         # (d') oldest r3-green fill
         "flagship_segmentation": _flagship,
-        "incremental_antijoin": _incremental_antijoin,
-        "fk_integrity": _fk_integrity,
         # (b') NEW in r5, oracle-bearing — first-ever signal beats
         # refreshing more r3 rows (source_mix_sample / token_count /
         # doc_fingerprint / q20 / repetition_stats / corpus_vocab /
@@ -1439,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _ann_recall_report,
         "freshness_report": _freshness_report,
         "sliding_window_agg": _sliding_window_agg,
+        "daily_active_users": _daily_active_users,
+        "value_histogram": _value_histogram,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1451,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "incremental_antijoin": _incremental_antijoin,
+        "fk_integrity": _fk_integrity,
         "json_normalize": _json_normalize,
         "ilike_search": _ilike_search,
         "resource_cascade": _resource_cascade,
@@ -4019,6 +4035,25 @@ def oracle_sql() -> dict[str, str]:
                MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
                         THEN l END) AS p90_us
         FROM r GROUP BY stage_from, stage_to
+    """
+    sql["daily_active_users"] = """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY GROUPING SETS ((CAST(ts AS DATE)),
+                                (CAST(ts AS DATE), event_type))
+    """
+    sql["value_histogram"] = """
+        WITH b AS (
+          SELECT CAST(FLOOR(CAST(ROUND(value * 100, 0) AS BIGINT)
+                            / 5000.0) AS BIGINT) AS bin_id
+          FROM events
+        )
+        SELECT bin_id, bin_id * 5000 / 100.0 AS lo,
+               (bin_id + 1) * 5000 / 100.0 AS hi,
+               COUNT(*) AS n
+        FROM b GROUP BY bin_id
     """
     sql["freshness_report"] = """
         WITH per AS (

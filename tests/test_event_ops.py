@@ -220,3 +220,43 @@ def test_freshness_report_lag(spark):
     out = {r["event_type"]: r for r in freshness_report(ev).collect()}
     assert out["live"]["lag_us"] == 0 and out["live"]["n_rows"] == 2
     assert out["stale"]["lag_us"] == 2 * 3600 * 1_000_000
+
+
+def test_daily_active_users_rollup(spark):
+    """Subtotal (type NULL) counts distinct users across types; no
+    grand-total row leaks through."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import daily_active_users
+
+    d1 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, 1, d1, "a"), (2, 1, d1, "b"),   # user 1, two types
+        (3, 2, d1, "a"),
+        (4, 3, d1 + dt.timedelta(days=1), "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = {(str(r["day"]), r["event_type"]): (r["n_users"], r["n_events"])
+           for r in daily_active_users(ev).collect()}
+    assert out[("2024-01-01", None)] == (2, 3)   # users 1,2 over 3 events
+    assert out[("2024-01-01", "a")] == (2, 2)
+    assert out[("2024-01-01", "b")] == (1, 1)
+    assert out[("2024-01-02", None)] == (1, 1)
+    assert (None, None) not in {(d, t) for d, t in out}  # no grand total
+
+
+def test_value_histogram_bins(spark):
+    """Bin edges are exact at boundaries: value 50.0 goes to bin 1
+    (lo-inclusive), 49.99 stays in bin 0; negatives floor down."""
+    ev = spark.createDataFrame(
+        [(1, 49.99), (2, 50.0), (3, 0.0), (4, -0.01)],
+        "event_id bigint, value double",
+    )
+    from whatdropsnow_etl_spark.operators import value_histogram
+
+    out = {r["bin_id"]: r for r in value_histogram(ev).collect()}
+    assert out[0]["n"] == 2 and out[0]["lo"] == 0.0 and out[0]["hi"] == 50.0
+    assert out[1]["n"] == 1 and out[1]["lo"] == 50.0
+    assert out[-1]["n"] == 1 and out[-1]["lo"] == -50.0

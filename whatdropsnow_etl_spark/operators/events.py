@@ -314,3 +314,67 @@ def funnel_latency(
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out.select("stage_from", "stage_to", "n_users", *renames.values())
+
+
+def daily_active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact distinct-user rollup: DAU per day AND per (day, type)
+    in ONE grouping-sets pass — the activity report every event
+    product ships, with the subtotal and the breakdown sharing a
+    single scan.
+
+    COUNT(DISTINCT user) under grouping sets is the textbook
+    scale hazard: Spark plans it as an Expand (one replica per
+    grouping set) + two-phase distinct aggregate, so the shuffle
+    carries (day[, type], user) partial-distinct keys — never a
+    driver-side set, and skew spreads over the user dimension.
+    Expressed as ROLLUP(day, type) minus the grand-total row
+    (grouping_id drops it pre-aggregate-output; the oracle uses the
+    equivalent explicit GROUPING SETS). The subtotal row carries
+    type NULL. Emits (day, event_type, n_users, n_events).
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    return (
+        events.select(day, F.col(type_col), F.col(user_col))
+        .rollup("day", type_col)
+        .agg(
+            F.countDistinct(user_col).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.grouping_id().alias("__gid"),
+        )
+        .where(F.col("__gid") < 3)
+        .drop("__gid")
+    )
+
+
+def value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 50.0,
+) -> DataFrame:
+    """Equi-width numeric histogram of a metric column: fixed-width
+    bins (scale-free — no global min/max pass, no NTILE global
+    rank), one map-side-combined aggregate. Bin id =
+    floor(value / width) on integer cents so the bin edge is exact
+    in both engines (float division at a boundary like 50.0 would
+    put 49.999999... cents on engine-dependent sides). Emits
+    (bin_id, lo, hi, n) — lo/hi as exact cent-derived doubles.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    width_cents = int(round(bin_width * 100))
+    bin_id = F.floor(cents / width_cents).cast("bigint")
+    return (
+        events.select(bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin_id",
+            (F.col("bin_id") * width_cents / 100.0).alias("lo"),
+            ((F.col("bin_id") + 1) * width_cents / 100.0).alias("hi"),
+            "n",
+        )
+    )
