@@ -138,3 +138,45 @@ def test_fragmentation_report_uri_encoded_paths(spark, tables, tmp_path):
     rows = fragmentation_report(spark, path).collect()
     assert len(rows) == 1
     assert rows[0]["n_rows"] == 100
+
+
+def test_manifest_commit_versions_and_vacuum(spark, tmp_path):
+    """Atomic publish: each commit is a full version; uncommitted
+    files are invisible; old versions stay readable until vacuumed;
+    version-file create refuses to clobber."""
+    import os
+
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.sinks import (
+        commit_write,
+        current_version,
+        read_version,
+        vacuum,
+    )
+
+    path = str(tmp_path / "mtable")
+    v1 = commit_write(spark.range(10).selectExpr("id", "id * 2 AS x"), path)
+    v2 = commit_write(spark.range(5).selectExpr("id", "id * 3 AS x"), path)
+    assert (v1, v2) == (1, 2)
+    assert current_version(path) == 2
+    assert read_version(spark, path).count() == 5        # latest
+    assert read_version(spark, path, 1).count() == 10    # time travel
+    # an in-flight (never-committed) write is invisible to readers
+    spark.range(99).write.parquet(os.path.join(path, "data", "orphan"))
+    assert read_version(spark, path).count() == 5
+    # losing the commit race raises instead of clobbering
+    from whatdropsnow_etl_spark.sinks.manifest import _manifest_path
+
+    with _pytest.raises(FileExistsError):
+        fd = os.open(
+            _manifest_path(path, 2), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+        os.close(fd)
+    # vacuum keeps the last version; v1 files and the orphan survive
+    # or die per the reference rule (orphan is unreferenced -> dies)
+    deleted = vacuum(path, keep_last=1)
+    assert deleted and all(d.endswith(".parquet") for d in deleted)
+    assert read_version(spark, path).count() == 5
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, path, 1)

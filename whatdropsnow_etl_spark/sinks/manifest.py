@@ -1,0 +1,131 @@
+"""Manifest-committed parquet sink: atomic multi-file publish.
+
+A plain ``df.write.parquet(path)`` is not atomic to concurrent
+readers: they can list a directory mid-write and see half the files
+(or, with dynamic overwrite, a mix of old and new). The standard
+lakehouse fix — the core idea under Delta/Iceberg's log, rebuilt
+here on nothing but parquet + one JSON file — is to make the FILE
+LIST the unit of commit:
+
+- writers land data files under ``<path>/data/<commit-uuid>/``
+  (never visible to manifest readers until committed);
+- commit = atomically renaming one JSON manifest into place
+  (``os.replace`` — POSIX-atomic within a filesystem) naming the
+  exact data files of the new version plus per-file row counts;
+- readers load the manifest FIRST and read only the files it names
+  — a torn directory listing can't hurt them, and an aborted write
+  leaves only unreferenced files (garbage, never corruption);
+- versions are monotonically numbered; old manifests are kept, so
+  any prior version remains readable (time travel for free) until
+  ``vacuum`` drops files no retained manifest references.
+
+Scale: the manifest is file-list-sized (not data-sized); commits
+are O(1) renames. On a real object store the atomic-rename step maps
+to a conditional PUT of the version pointer — the protocol shape is
+identical. Concurrent WRITERS are serialized by the version-file
+create (``open(..., 'x')`` — fails rather than clobbers); this is
+single-writer-per-version, the same contract as a Delta log commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, f"manifest-{version:012d}.json")
+
+
+def current_version(path: str) -> int | None:
+    """Highest committed version, or None for an empty table."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return None
+    versions = [
+        int(n[len("manifest-"):-len(".json")])
+        for n in names
+        if n.startswith("manifest-") and n.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def commit_write(df: DataFrame, path: str) -> int:
+    """Write ``df`` as a new atomically-published version; returns
+    the committed version number. Readers never observe a partial
+    state: until the manifest rename lands, the new files are
+    invisible; after it, exactly the new file set is visible."""
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(path, "data", commit_id)
+    df.write.mode("errorifexists").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    version = (current_version(path) or 0) + 1
+    manifest = {
+        "version": version,
+        "commit_id": commit_id,
+        "files": [os.path.relpath(f, path) for f in files],
+    }
+    tmp = os.path.join(path, f".manifest-{commit_id}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = _manifest_path(path, version)
+    # single-writer-per-version: losing a race raises instead of
+    # clobbering the winner's commit
+    fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    os.replace(tmp, final)
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed version (default: latest) by its manifest's
+    exact file list — unreferenced/in-flight files are invisible."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version under {path}")
+    with open(_manifest_path(path, version)) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.parquet(*files)
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Drop data files referenced by NO retained manifest (the last
+    ``keep_last`` versions survive; older manifests are removed).
+    Returns the deleted file paths. Safe to run concurrently with
+    readers of retained versions — only unreferenced files go."""
+    latest = current_version(path)
+    if latest is None:
+        return []
+    keep_versions = [v for v in range(latest - keep_last + 1, latest + 1) if v >= 1]
+    keep_files: set[str] = set()
+    for v in keep_versions:
+        with open(_manifest_path(path, v)) as fh:
+            keep_files |= set(json.load(fh)["files"])
+    deleted: list[str] = []
+    data_root = os.path.join(path, "data")
+    for commit_dir in os.listdir(data_root) if os.path.isdir(data_root) else []:
+        cdir = os.path.join(data_root, commit_dir)
+        for name in os.listdir(cdir):
+            rel = os.path.relpath(os.path.join(cdir, name), path)
+            if name.endswith(".parquet") and rel not in keep_files:
+                os.remove(os.path.join(path, rel))
+                deleted.append(rel)
+        if not os.listdir(cdir):
+            os.rmdir(cdir)
+    for v in range(1, (latest - keep_last) + 1):
+        mp = _manifest_path(path, v)
+        if os.path.exists(mp):
+            os.remove(mp)
+    return deleted
