@@ -397,3 +397,63 @@ def test_hashed_features_permutation_invariant_and_mass_bounded(spark, words):
         by_doc[r["doc_id"]][r["bucket"]] = r["weight"]
     assert by_doc[0] == by_doc[1]
     assert sum(abs(w) for w in by_doc[0].values()) <= len(words)
+
+
+@given(
+    weights=st.lists(st.integers(1, 1000), min_size=1, max_size=60),
+    k=st.integers(1, 6),
+)
+@PROP
+def test_balanced_shards_snake_bound_property(spark, weights, k):
+    """For ANY weight multiset and shard count: every doc assigned
+    exactly once, shard ids within range, and per-shard totals
+    differ by at most the max single weight (the snake-deal
+    guarantee)."""
+    from whatdropsnow_etl_spark.operators import balanced_shards
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    out = balanced_shards(df, n_shards=k).collect()
+    assert len(out) == len(rows)
+    totals: dict[int, int] = {}
+    for r in out:
+        assert 0 <= r["shard"] < k
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["weight"]
+    if len(rows) >= k:
+        assert max(totals.values()) - min(totals.values()) <= max(weights)
+
+
+@given(
+    a_rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)),
+                    min_size=0, max_size=20),
+    b_rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)),
+                    min_size=0, max_size=20),
+    a_cut=st.integers(0, 99),
+    b_cut=st.integers(0, 99),
+)
+@PROP
+def test_incremental_join_identity_property(spark, a_rows, b_rows, a_cut, b_cut):
+    """ΔV identity holds for ARBITRARY splits and duplicate keys:
+    delta-join == full-recompute EXCEPT ALL old-join, as multisets."""
+    from whatdropsnow_etl_spark.operators import incremental_join
+
+    a = spark.createDataFrame(
+        [(k, f"a{v}") for k, v in a_rows] or [(None, None)], "k int, av string"
+    ).where(F.col("k").isNotNull())
+    b = spark.createDataFrame(
+        [(k, f"b{v}") for k, v in b_rows] or [(None, None)], "k int, bv string"
+    ).where(F.col("k").isNotNull())
+    a_old, a_new = a.where(F.col("k") % 100 >= a_cut % 100 // 2), a.where(
+        ~(F.col("k") % 100 >= a_cut % 100 // 2)
+    )
+    b_old, b_new = b.where(F.col("k") >= b_cut % 6), b.where(F.col("k") < b_cut % 6)
+    got = sorted(
+        map(tuple, incremental_join(a_old, a_new, b_old, b_new, ["k"]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, "k").exceptAll(a_old.join(b_old, "k")).collect(),
+        )
+    )
+    assert got == want
