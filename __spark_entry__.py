@@ -1096,6 +1096,12 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(load_table(spark, sf_dir, "events"))
 
 
+def _pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.plans.curation import pretraining_mix
+
+    return pretraining_mix(load_table(spark, sf_dir, "documents"), alpha=0.5)
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1246,6 +1252,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "sliding_window_agg": ["event_type", "n_events", "sum_value", "win_start_us"],
     "daily_active_users": ["day", "event_type", "n_events", "n_users"],
     "value_histogram": ["bin_id", "hi", "lo", "n"],
+    "pretraining_mix": ["doc_id", "keep_rate", "lang"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1427,7 +1434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "quality_score": _quality,
         # (d') oldest r3-green fill
-        "flagship_segmentation": _flagship,
         # (b') NEW in r5, oracle-bearing — first-ever signal beats
         # refreshing more r3 rows (source_mix_sample / token_count /
         # doc_fingerprint / q20 / repetition_stats / corpus_vocab /
@@ -1453,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_agg": _sliding_window_agg,
         "daily_active_users": _daily_active_users,
         "value_histogram": _value_histogram,
+        "pretraining_mix": _pretraining_mix,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1465,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "flagship_segmentation": _flagship,
         "incremental_antijoin": _incremental_antijoin,
         "fk_integrity": _fk_integrity,
         "json_normalize": _json_normalize,
@@ -4055,6 +4063,40 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n
         FROM b GROUP BY bin_id
     """
+    sql["pretraining_mix"] = f"""
+        WITH g AS ({{GOPHER}}),
+        kept AS (
+          SELECT d.doc_id, d.text, d.lang
+          FROM documents d JOIN g ON g.doc_id = d.doc_id
+          WHERE g.passes = 1
+        ), dedup AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+                   ) AS rn
+            FROM kept
+          ) WHERE rn = 1
+        ), c AS (
+          SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM dedup GROUP BY lang
+        ), w AS (
+          SELECT lang, n, pow(n, 0.5) AS na,
+                 SUM(pow(n, 0.5)) OVER () AS z,
+                 SUM(n) OVER () AS nn
+          FROM c
+        ), r AS (
+          SELECT lang, ROUND(LEAST(1.0, nn * (na / z) / n), 6) AS keep_rate
+          FROM w
+        ), t AS (
+          SELECT lang, keep_rate,
+                 printf('%08x', CAST(LEAST(ROUND(keep_rate * 4294967296.0),
+                                           4294967295.0) AS BIGINT)) AS thr
+          FROM r
+        )
+        SELECT d.doc_id, t.keep_rate, d.lang AS lang
+        FROM dedup d JOIN t ON d.lang = t.lang
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+    """.replace("{GOPHER}", sql["gopher_rules"])
     sql["freshness_report"] = """
         WITH per AS (
           SELECT event_type, COUNT(*) AS n_rows,

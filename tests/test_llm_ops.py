@@ -2037,3 +2037,32 @@ def test_ann_recall_report_full_probe_is_perfect(spark):
     ).collect()
     assert all(0.0 <= r["recall"] <= 1.0 for r in part)
     assert all(r["n_hits"] == round(r["recall"] * 5) for r in part)
+
+
+def test_pretraining_mix_pipeline_semantics(spark):
+    """Filter -> dedup -> mix composition: failing docs and
+    non-keeper duplicates never reach the mix; rates derive from the
+    POST-dedup lang counts; the whole thing composes lazily (no job
+    during construction is pinned by plan_audit's laziness check in
+    the registry)."""
+    from whatdropsnow_etl_spark.plans.curation import pretraining_mix
+
+    long_text = " ".join(
+        ["the a of and to"] * 5 + [f"w{i} x y z q" for i in range(5)]
+    )
+    rows = (
+        [(i, long_text, "en") for i in range(4)]             # dupes: keeper id 0
+        + [(10 + i, long_text + f" tail{i} m n o p", "de") for i in range(6)]
+        + [(100, "short", "en")]                             # fails gopher
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = pretraining_mix(docs, alpha=0.5).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 100 not in ids                 # filtered out
+    assert ids & {1, 2, 3} == set()       # only keeper 0 may survive
+    # post-dedup corpus: en x1, de x6 -> en rate caps at 1 (tail lang)
+    rates = {r["lang"]: r["keep_rate"] for r in out}
+    if "en" in rates:
+        assert rates["en"] == 1.0
+    for r in out:
+        assert 0 < r["keep_rate"] <= 1.0

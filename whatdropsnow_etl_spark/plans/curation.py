@@ -82,3 +82,43 @@ def curation_funnel(
         "stack(5, '1_all', c0, '2_quality', c1, '3_lang', c2,"
         " '4_exact_dedup', c3, '5_near_dedup', c4) AS (stage, n_docs)"
     ).orderBy("stage")
+
+
+def pretraining_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The end-to-end pre-training mix pipeline as ONE lazy plan:
+    Gopher rule filter → exact dedup (min-id keeper per content
+    hash) → temperature-rebalanced language mixing — the
+    filter/dedup/mix spine every pre-training corpus goes through,
+    composed from this repo's operators so Catalyst sees a single
+    query (filters push into the scan; the only shuffles are the
+    dedup hash window and nothing else — mixing is a broadcast
+    predicate).
+
+    Rates are computed over the FILTERED-AND-DEDUPED corpus (the
+    mix you actually train on), not the raw one — rebalancing
+    before dedup would over-weight the most duplicated languages.
+    Emits (doc_id, keep_rate, lang), the surviving epoch membership.
+    """
+    from ..operators.sampling import source_temperature_sample
+    from ..operators.textops import gopher_rules
+
+    kept = gopher_rules(
+        docs, text_col=text_col, id_col=id_col, extra_cols=(text_col, lang_col)
+    ).where(F.col("passes") == 1)
+    w = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col(text_col))))
+    ).orderBy(F.col(id_col))
+    dedup = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, lang_col)
+    )
+    return source_temperature_sample(
+        dedup, alpha=alpha, source_col=lang_col, id_col=id_col
+    )
