@@ -65,6 +65,9 @@ ALLPAIRS_OK = {
     # queries (the sanctioned brute-force twin; IVF/PQ swap in at
     # candidate-generation scale)
     "knn_label_vote",
+    # truth side IS ann_cosine_topk by definition (recall needs the
+    # exact answer); sample-scale tuning tool like lsh_tuning_report
+    "ann_recall_report",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -77,6 +80,7 @@ PYTHON_OK = {
     "embedding_dedup",
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
     "knn_label_vote",  # votes over the ann_cosine_topk Arrow kernel
+    "ann_recall_report",  # exact + IVF Arrow kernels (truth vs candidate)
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
     "semantic_dedup",  # Arrow cosine for assign + within-cell pairs
