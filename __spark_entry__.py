@@ -1102,6 +1102,12 @@ def _pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pretraining_mix(load_table(spark, sf_dir, "documents"), alpha=0.5)
 
 
+def _priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import priority_sample
+
+    return priority_sample(load_table(spark, sf_dir, "documents"), k=100)
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1253,6 +1259,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "daily_active_users": ["day", "event_type", "n_events", "n_users"],
     "value_histogram": ["bin_id", "hi", "lo", "n"],
     "pretraining_mix": ["doc_id", "keep_rate", "lang"],
+    "priority_sample": ["doc_id", "priority", "weight"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1410,7 +1417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _quota_sample,
         "snapshot_diff": _snapshot_diff,
         "dataset_fingerprint": _dataset_fingerprint,
-        "partition_fingerprints": _partition_fingerprints,
         # (d) the 20 queries whose latest driver signal is r2 —
         # the oldest-signal backlog, refreshed in full this round
         "q16_supplier_variety": _q16,
@@ -1460,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users": _daily_active_users,
         "value_histogram": _value_histogram,
         "pretraining_mix": _pretraining_mix,
+        "priority_sample": _priority_sample,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1472,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "partition_fingerprints": _partition_fingerprints,
         "flagship_segmentation": _flagship,
         "incremental_antijoin": _incremental_antijoin,
         "fk_integrity": _fk_integrity,
@@ -4097,6 +4105,19 @@ def oracle_sql() -> dict[str, str]:
         FROM dedup d JOIN t ON d.lang = t.lang
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
     """.replace("{GOPHER}", sql["gopher_rules"])
+    sql["priority_sample"] = """
+        WITH p AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST(n_chars AS DOUBLE)
+                 / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 1.0) / 4294967296.0) AS prio
+          FROM documents
+        )
+        SELECT doc_id, weight, ROUND(prio, 6) AS priority
+        FROM p
+        ORDER BY prio DESC, doc_id
+        LIMIT 100
+    """
     sql["freshness_report"] = """
         WITH per AS (
           SELECT event_type, COUNT(*) AS n_rows,

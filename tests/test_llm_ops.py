@@ -2066,3 +2066,22 @@ def test_pretraining_mix_pipeline_semantics(spark):
         assert rates["en"] == 1.0
     for r in out:
         assert 0 < r["keep_rate"] <= 1.0
+
+
+def test_priority_sample_weighted_and_exact_k(spark):
+    """Exactly k rows; heavy docs are drastically over-represented
+    vs their count share; zero-weight docs can never be selected
+    over positive ones; deterministic."""
+    from whatdropsnow_etl_spark.operators import priority_sample
+
+    rows = [(i, 10_000 if i < 50 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    out = priority_sample(df, k=100).cache()
+    assert out.count() == 100
+    heavy = out.where(F.col("weight") == 10_000).count()
+    # 50 heavy docs are 5% by count but 90% by mass; priority keeps
+    # essentially all of them (w/u ratio is 1000x the light docs)
+    assert heavy >= 45
+    again = sorted(map(tuple, priority_sample(df, k=100).collect()))
+    assert again == sorted(map(tuple, out.collect()))
+    out.unpersist()

@@ -529,3 +529,44 @@ def importance_sample(
             F.col("__rate").alias("keep_rate"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Priority sampling (Duffield/Lund/Thorup, JACM '07): a
+    weighted WITHOUT-replacement sample of exactly ``k`` rows with
+    unbiased subset-sum estimation properties — the principled way
+    to keep "k docs, long ones more likely" when Bernoulli rates
+    (importance_sample) would give a random-sized sample.
+
+    Priority = weight / u with u ∈ (0,1] derived from md5(id) — so
+    the sample is deterministic, append-stable in distribution, and
+    engine-twin exact: both engines build the same doubles from the
+    same integer hash bits and IEEE division agrees bit-for-bit.
+    Selection is a sort-limit on priority (TakeOrdered per-partition
+    heaps — no global sort, the fixed_size_sample machinery with a
+    weighted key). Emits (doc_id, weight, priority) with priority
+    rounded to 6 for display; selection uses the unrounded value
+    with an id tiebreak.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(2.0**32)
+    prio = F.col(weight_col).cast("double") / u
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            prio.alias("__p"),
+        )
+        .orderBy(F.col("__p").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "weight", F.round("__p", 6).alias("priority"))
+    )
