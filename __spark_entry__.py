@@ -1108,6 +1108,23 @@ def _priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(load_table(spark, sf_dir, "documents"), k=100)
 
 
+def _weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import weighted_quantiles
+
+    # "the doc length at which half the corpus CHARS sit" per lang —
+    # value and weight are both n_chars, scale=1 (already integer)
+    return weighted_quantiles(
+        load_table(spark, sf_dir, "documents"), ["lang"], "n_chars",
+        "n_chars", ps=(0.5, 0.9), scale=1,
+    )
+
+
+def _event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import event_rate_spikes
+
+    return event_rate_spikes(load_table(spark, sf_dir, "events"), threshold_x=2.0)
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1260,6 +1277,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "value_histogram": ["bin_id", "hi", "lo", "n"],
     "pretraining_mix": ["doc_id", "keep_rate", "lang"],
     "priority_sample": ["doc_id", "priority", "weight"],
+    "weighted_quantiles": ["lang", "p50_cents", "p90_cents"],
+    "event_rate_spikes": ["event_type", "hour_start_us", "n_events", "trailing_mean"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1452,7 +1471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": _importance_sample,
         "event_transitions": _event_transitions,
         "source_overlap_matrix": _source_overlap_matrix,
-        "vocab_coverage": _vocab_coverage,
         "knn_label_vote": _knn_label_vote,
         "dedup_bow": _dedup_bow,
         "ngram_novelty": _ngram_novelty,
@@ -1461,12 +1479,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join": _incremental_join,
         "funnel_latency": _funnel_latency,
         "ann_recall_report": _ann_recall_report,
-        "freshness_report": _freshness_report,
         "sliding_window_agg": _sliding_window_agg,
         "daily_active_users": _daily_active_users,
         "value_histogram": _value_histogram,
         "pretraining_mix": _pretraining_mix,
         "priority_sample": _priority_sample,
+        "weighted_quantiles": _weighted_quantiles,
+        "event_rate_spikes": _event_rate_spikes,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1479,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "vocab_coverage": _vocab_coverage,
+        "freshness_report": _freshness_report,
         "partition_fingerprints": _partition_fingerprints,
         "flagship_segmentation": _flagship,
         "incremental_antijoin": _incremental_antijoin,
@@ -4117,6 +4138,58 @@ def oracle_sql() -> dict[str, str]:
         FROM p
         ORDER BY prio DESC, doc_id
         LIMIT 100
+    """
+    sql["weighted_quantiles"] = """
+        WITH r AS (
+          SELECT lang, CAST(n_chars AS BIGINT) AS c,
+                 CAST(n_chars AS BIGINT) AS w
+          FROM documents
+        ), cw AS (
+          SELECT lang, c,
+                 SUM(w) OVER (PARTITION BY lang ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwt,
+                 SUM(w) OVER (PARTITION BY lang) AS tw
+          FROM r
+        )
+        SELECT lang,
+               CAST(MIN(CASE WHEN cwt >= -FLOOR(-0.5 * tw) THEN c END)
+                    AS BIGINT) AS p50_cents,
+               CAST(MIN(CASE WHEN cwt >= -FLOOR(-0.9 * tw) THEN c END)
+                    AS BIGINT) AS p90_cents
+        FROM cw GROUP BY lang
+    """
+    sql["event_rate_spikes"] = """
+        WITH counts AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), bounds AS (
+          SELECT (MIN(epoch_us(ts)) // 3600000000) * 3600000000 AS lo,
+                 (MAX(epoch_us(ts)) // 3600000000) * 3600000000 AS hi
+          FROM events
+        ), spine AS (
+          SELECT t.event_type,
+                 CAST(unnest(range(lo, hi + 3600000000, 3600000000))
+                      AS BIGINT) AS hour_start_us
+          FROM (SELECT DISTINCT event_type FROM events) t, bounds
+        ), dense AS (
+          SELECT s.event_type, s.hour_start_us,
+                 COALESCE(c.n, 0) AS n_events
+          FROM spine s
+          LEFT JOIN counts c USING (event_type, hour_start_us)
+        ), scored AS (
+          SELECT event_type, hour_start_us, n_events,
+                 SUM(n_events) OVER w AS tsum, COUNT(*) OVER w AS tn
+          FROM dense
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_start_us
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, hour_start_us,
+               CAST(n_events AS BIGINT) AS n_events,
+               ROUND(tsum / 24.0, 6) AS trailing_mean
+        FROM scored
+        WHERE tn = 24 AND CAST(n_events AS DOUBLE) > 2.0 * tsum / 24.0
     """
     sql["freshness_report"] = """
         WITH per AS (

@@ -260,3 +260,40 @@ def test_value_histogram_bins(spark):
     assert out[0]["n"] == 2 and out[0]["lo"] == 0.0 and out[0]["hi"] == 50.0
     assert out[1]["n"] == 1 and out[1]["lo"] == 50.0
     assert out[-1]["n"] == 1 and out[-1]["lo"] == -50.0
+
+
+def test_event_rate_spikes_densified_trailing(spark):
+    """A burst after a quiet period flags; the quiet hours count as
+    zeros in the trailing mean (densified spine); buckets without a
+    full trailing window never flag."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import event_rate_spikes
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hours 0..23: 1 event each (baseline); hour 24: silent;
+    # hour 30: 10-event burst
+    for h in range(24):
+        eid += 1
+        rows.append((eid, 1, t0 + dt.timedelta(hours=h), "a"))
+    for i in range(10):
+        eid += 1
+        rows.append((eid, 1, t0 + dt.timedelta(hours=30, minutes=i), "a"))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = event_rate_spikes(ev, trailing=24, threshold_x=2.0).collect()
+    spikes = {r["hour_start_us"]: r for r in out}
+    burst_us = int(
+        (t0 + dt.timedelta(hours=30)).replace(tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    assert burst_us in spikes
+    r = spikes[burst_us]
+    # trailing 24h before hour 30: hours 6..23 have 1 event (18), 24..29 zero
+    assert r["n_events"] == 10 and r["trailing_mean"] == 0.75
+    # nothing inside the first 24 hours can flag (no full window)
+    assert all(
+        hs >= burst_us - 6 * 3_600_000_000 for hs in spikes
+    )

@@ -2085,3 +2085,23 @@ def test_priority_sample_weighted_and_exact_k(spark):
     again = sorted(map(tuple, priority_sample(df, k=100).collect()))
     assert again == sorted(map(tuple, out.collect()))
     out.unpersist()
+
+
+def test_weighted_quantiles_mass_vs_row_median(spark):
+    """Weighted median follows the MASS: 9 docs of weight 1 at value
+    10 plus 1 doc of weight 100 at value 1000 -> weighted p50 is
+    1000 (the heavy doc holds >half the mass), while the row median
+    would be 10."""
+    from whatdropsnow_etl_spark.operators import weighted_quantiles
+
+    rows = [(i, 10.0, 1) for i in range(9)] + [(9, 1000.0, 100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, v double, w bigint")
+    [r] = weighted_quantiles(df, [], "v", "w", ps=(0.5,), scale=100).collect() \
+        if False else weighted_quantiles(
+            df.withColumn("g", F.lit("all")), ["g"], "v", "w", ps=(0.5,)
+        ).collect()
+    assert r["p50_cents"] == 100_000  # 1000.00 in cents
+    # uniform weights degenerate to the unweighted type-1 quantile
+    uni = df.withColumn("g", F.lit("all")).withColumn("w1", F.lit(1))
+    [ru] = weighted_quantiles(uni, ["g"], "v", "w1", ps=(0.5,)).collect()
+    assert ru["p50_cents"] == 1_000  # 10.00 — 5th of 10 rows

@@ -378,3 +378,91 @@ def value_histogram(
             "n",
         )
     )
+
+
+def event_rate_spikes(
+    events: DataFrame,
+    trailing: int = 24,
+    threshold_x: float = 2.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume-spike detection per event type: hourly counts against
+    the trailing-``trailing``-hour mean, flagging buckets whose rate
+    exceeds ``threshold_x`` times it — the replay-storm / bot-flood
+    / duplicate-ingestion monitor (the batch twin of what the drift
+    sink's uniqueness gate catches online).
+
+    The hour axis is DENSIFIED first: a types × hour-sequence spine
+    (one 1-row min/max aggregate broadcast into a map-side
+    sequence-explode; #types·#hours rows — calendar-sized, never
+    event-sized) left-joined with the real counts, so silent hours
+    correctly drag the trailing mean down instead of being skipped
+    — a spike after a quiet night is a spike. Trailing mean uses
+    exact integer sums divided once; buckets without a full
+    trailing window never flag. Emits flagged buckets only:
+    (event_type, hour_start_us, n_events, trailing_mean).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.timeutil import ts_micros
+
+    hour_us = 3_600_000_000
+    bucket = (F.floor(ts_micros(F.col(ts_col)) / hour_us) * hour_us).cast("bigint")
+    counts = (
+        events.select(F.col(type_col), bucket.alias("hour_start_us"))
+        .groupBy(type_col, "hour_start_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = events.agg(
+        (F.floor(F.min(ts_micros(F.col(ts_col))) / hour_us) * hour_us)
+        .cast("bigint")
+        .alias("__lo"),
+        (F.floor(F.max(ts_micros(F.col(ts_col))) / hour_us) * hour_us)
+        .cast("bigint")
+        .alias("__hi"),
+    )
+    spine = (
+        events.select(type_col).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            type_col,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(hour_us))
+            ).alias("hour_start_us"),
+        )
+    )
+    dense = spine.join(counts, [type_col, "hour_start_us"], "left").select(
+        type_col,
+        "hour_start_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+    w_trail = (
+        Window.partitionBy(type_col)
+        .orderBy("hour_start_us")
+        .rowsBetween(-trailing, -1)
+    )
+    scored = dense.select(
+        type_col,
+        "hour_start_us",
+        "n_events",
+        F.sum("n_events").over(w_trail).alias("__tsum"),
+        F.count(F.lit(1)).over(w_trail).alias("__tn"),
+    )
+    return (
+        scored.where(
+            (F.col("__tn") == trailing)
+            & (
+                F.col("n_events").cast("double")
+                > F.lit(float(threshold_x)) * F.col("__tsum") / F.lit(float(trailing))
+            )
+        )
+        .select(
+            type_col,
+            "hour_start_us",
+            "n_events",
+            F.round(F.col("__tsum") / F.lit(float(trailing)), 6).alias(
+                "trailing_mean"
+            ),
+        )
+    )

@@ -175,3 +175,49 @@ def winsorize_report(
             (F.col("n_low") + F.col("n_high")) / F.col("n_total").cast("double"), 6
         ).alias("clipped_share"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    ps: Sequence[float] = (0.5, 0.9),
+    scale: int = 100,
+) -> DataFrame:
+    """Exact WEIGHTED type-1 quantiles per group: the smallest value
+    whose cumulative weight reaches ``p * W`` — "the doc length at
+    which half the corpus TOKENS sit" is a weighted median of
+    lengths, not a row median (a handful of book-length docs carry
+    most of the mass; the unweighted p50 wildly understates where
+    tokens live).
+
+    Same distributed shape as exact_group_quantiles: per-group
+    window sort on integer cents with an exact BIGINT running
+    weight, then a conditional-MIN rank selection — integer
+    arithmetic end to end (the target ``ceil(p*W)`` is computed on
+    integer weights), bitwise engine-portable. Emits group cols +
+    one ``p{NN}_cents`` BIGINT per quantile.
+    """
+    cents = F.round(F.col(value_col) * scale, 0).cast("long").alias("__cents")
+    wgt = F.col(weight_col).cast("long").alias("__w")
+    w_rank = Window.partitionBy(*group_cols).orderBy(
+        F.col("__cents")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_grp = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, cents, wgt)
+        .withColumn("__cw", F.sum("__w").over(w_rank))
+        .withColumn("__tw", F.sum("__w").over(w_grp))
+    )
+
+    def pick(p: float):
+        # smallest cents with cumweight >= ceil(p * W): integer
+        # target = floor(p*W) + (1 if frac else 0) == -floor(-p*W)
+        target = -F.floor(F.lit(-p) * F.col("__tw"))
+        label = f"p{str(p).replace('0.', '').ljust(2, '0')}_cents"
+        return F.min(
+            F.when(F.col("__cw") >= target, F.col("__cents"))
+        ).alias(label)
+
+    return ranked.groupBy(*group_cols).agg(*[pick(p) for p in ps])
