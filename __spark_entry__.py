@@ -1125,6 +1125,21 @@ def _event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_rate_spikes(load_table(spark, sf_dir, "events"), threshold_x=2.0)
 
 
+def _dup_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import dup_degree_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_degree_report(
+        minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4), top_k=20
+    )
+
+
+def _lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import lang_diversity
+
+    return lang_diversity(load_table(spark, sf_dir, "documents"))
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1279,6 +1294,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "priority_sample": ["doc_id", "priority", "weight"],
     "weighted_quantiles": ["lang", "p50_cents", "p90_cents"],
     "event_rate_spikes": ["event_type", "hour_start_us", "n_events", "trailing_mean"],
+    "dup_degree_report": ["degree", "doc_id", "rank"],
+    "lang_diversity": ["effective_langs", "n_docs", "n_langs", "simpson", "source"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1479,13 +1496,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join": _incremental_join,
         "funnel_latency": _funnel_latency,
         "ann_recall_report": _ann_recall_report,
-        "sliding_window_agg": _sliding_window_agg,
         "daily_active_users": _daily_active_users,
-        "value_histogram": _value_histogram,
         "pretraining_mix": _pretraining_mix,
         "priority_sample": _priority_sample,
         "weighted_quantiles": _weighted_quantiles,
         "event_rate_spikes": _event_rate_spikes,
+        "dup_degree_report": _dup_degree_report,
+        "lang_diversity": _lang_diversity,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1498,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "sliding_window_agg": _sliding_window_agg,
+        "value_histogram": _value_histogram,
         "vocab_coverage": _vocab_coverage,
         "freshness_report": _freshness_report,
         "partition_fingerprints": _partition_fingerprints,
@@ -4191,6 +4210,21 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         WHERE tn = 24 AND CAST(n_events AS DOUBLE) > 2.0 * tsum / 24.0
     """
+    sql["lang_diversity"] = """
+        WITH bl AS (
+          SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+        ), agg AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                 COUNT(*) AS n_langs, CAST(SUM(n * n) AS BIGINT) AS sq
+          FROM bl GROUP BY source
+        )
+        SELECT source, n_docs, n_langs,
+               ROUND(1.0 - sq / CAST(n_docs * n_docs AS DOUBLE), 6)
+                 AS simpson,
+               ROUND(CAST(n_docs * n_docs AS DOUBLE) / sq, 6)
+                 AS effective_langs
+        FROM agg
+    """
     sql["freshness_report"] = """
         WITH per AS (
           SELECT event_type, COUNT(*) AS n_rows,
@@ -4244,6 +4278,21 @@ def oracle_sql() -> dict[str, str]:
         FROM b JOIN c ON c.event_type = b.event_type
         GROUP BY b.event_type, lo_cents, hi_cents, n_total
     """
+    sql["dup_degree_report"] = """
+        WITH p AS ({MINHASH}),
+        ends AS (
+          SELECT doc_a AS doc_id FROM p
+          UNION ALL SELECT doc_b FROM p
+        ), deg AS (
+          SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id
+        ), top AS (
+          SELECT doc_id, degree FROM deg
+          ORDER BY degree DESC, doc_id LIMIT 20
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY degree DESC, doc_id)
+                    AS BIGINT) AS rank, doc_id, degree
+        FROM top
+    """.replace("{MINHASH}", sql["dedup_minhash_lsh"])
     # recall eval composes the exact + IVF oracle twins verbatim,
     # the same reuse as the Spark side
     sql["ann_recall_report"] = f"""

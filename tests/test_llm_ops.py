@@ -2105,3 +2105,35 @@ def test_weighted_quantiles_mass_vs_row_median(spark):
     uni = df.withColumn("g", F.lit("all")).withColumn("w1", F.lit(1))
     [ru] = weighted_quantiles(uni, ["g"], "v", "w1", ps=(0.5,)).collect()
     assert ru["p50_cents"] == 1_000  # 10.00 — 5th of 10 rows
+
+
+def test_dup_degree_report_surfaces_hubs(spark):
+    """A hub paired with everything ranks first with the full
+    degree; rank order breaks ties by id."""
+    from whatdropsnow_etl_spark.operators import dup_degree_report
+
+    pairs = spark.createDataFrame(
+        [(1, i) for i in range(2, 12)] + [(5, 6)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = dup_degree_report(pairs, top_k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 5, 6]
+    assert out[0]["degree"] == 10 and out[0]["rank"] == 1
+    assert out[1]["degree"] == 2 and out[2]["degree"] == 2
+
+
+def test_lang_diversity_bounds_and_purity(spark):
+    """A single-language source scores simpson 0 / effective 1; a
+    perfectly balanced k-language source scores effective k."""
+    rows = (
+        [(i, "pure", "en") for i in range(10)]
+        + [(100 + i, "mixed", ["en", "de", "fr", "es"][i % 4]) for i in range(40)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, lang string")
+    from whatdropsnow_etl_spark.operators import lang_diversity
+
+    out = {r["source"]: r for r in lang_diversity(docs).collect()}
+    assert out["pure"]["simpson"] == 0.0 and out["pure"]["effective_langs"] == 1.0
+    assert out["mixed"]["n_langs"] == 4
+    assert out["mixed"]["effective_langs"] == 4.0
+    assert out["mixed"]["simpson"] == 0.75

@@ -1341,3 +1341,32 @@ def dedup_bow(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             F.min(id_col).alias("keeper_doc_id"),
         )
     )
+
+
+def dup_degree_report(
+    pairs: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """Hub diagnostic over a candidate near-dup pair relation: each
+    doc's degree (how many docs it pairs with) for the ``top_k``
+    most-connected docs — the boilerplate detector (a nav page or
+    licence stub pairs with EVERYTHING; clustering such hubs into
+    components merges half the corpus, so you want them surfaced
+    and special-cased BEFORE running connected components).
+
+    Degree = symmetric count over the (doc_a < doc_b) pair relation
+    (explode each pair into both endpoints — map-side, 2× pairs
+    rows, never corpus-sized); top-k via sort-limit heaps, rank over
+    the k survivors only. Emits (doc_id, degree, rank).
+    """
+    from pyspark.sql.window import Window
+
+    ends = pairs.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    top = deg.orderBy(F.col("degree").desc(), F.col("doc_id")).limit(top_k)
+    w = Window.orderBy(F.col("degree").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "doc_id", "degree"
+    )

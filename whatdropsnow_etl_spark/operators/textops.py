@@ -876,3 +876,46 @@ def compression_ratio(
             F.round(F.col("n_compressed") / F.col("n_raw").cast("double"), 6),
         ),
     )
+
+
+def lang_diversity(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source language-diversity report: docs, distinct
+    languages, and the Gini-Simpson index 1 − Σ p² (the probability
+    two random docs differ in language) with its inverse-Simpson
+    "effective language count" — the mix-planning diagnostic for
+    multilingual corpora, chosen over Shannon entropy because it is
+    a RATIONAL function of integer counts (no logs), so both engine
+    twins compute bit-identical doubles.
+
+    Two nested tiny aggregates: (source, lang) counts, then one row
+    per source. Emits (source, n_docs, n_langs, simpson,
+    effective_langs), floats rounded to 6.
+    """
+    by_lang = docs.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col)
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        by_lang.groupBy("source")
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum(F.col("__n") * F.col("__n")).alias("__sq"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_langs",
+            F.round(
+                1.0 - F.col("__sq") / (F.col("n_docs") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("simpson"),
+            F.round(
+                (F.col("n_docs") * F.col("n_docs")).cast("double") / F.col("__sq"),
+                6,
+            ).alias("effective_langs"),
+        )
+    )
