@@ -1140,6 +1140,12 @@ def _lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_diversity(load_table(spark, sf_dir, "documents"))
 
 
+def _funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import funnel_within
+
+    return funnel_within(load_table(spark, sf_dir, "events"), within="24 hours")
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1296,6 +1302,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "event_rate_spikes": ["event_type", "hour_start_us", "n_events", "trailing_mean"],
     "dup_degree_report": ["degree", "doc_id", "rank"],
     "lang_diversity": ["effective_langs", "n_docs", "n_langs", "simpson", "source"],
+    "funnel_within": ["n_users", "stage", "stage_idx"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1503,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_spikes": _event_rate_spikes,
         "dup_degree_report": _dup_degree_report,
         "lang_diversity": _lang_diversity,
+        "funnel_within": _funnel_within,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1515,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "daily_active_users": _daily_active_users,
         "sliding_window_agg": _sliding_window_agg,
         "value_histogram": _value_histogram,
         "vocab_coverage": _vocab_coverage,
@@ -4224,6 +4233,30 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(n_docs * n_docs AS DOUBLE) / sq, 6)
                  AS effective_langs
         FROM agg
+    """
+    sql["funnel_within"] = """
+        WITH s1 AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+            AND epoch_us(e.ts) <= s1.t + 86400000000
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+            AND epoch_us(e.ts) <= s2.t + 86400000000
+          GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
     """
     sql["freshness_report"] = """
         WITH per AS (

@@ -297,3 +297,28 @@ def test_event_rate_spikes_densified_trailing(spark):
     assert all(
         hs >= burst_us - 6 * 3_600_000_000 for hs in spikes
     )
+
+
+def test_funnel_within_deadline(spark):
+    """A user converting after the deadline counts in the unbounded
+    funnel but NOT in the bounded one."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import event_funnel, funnel_within
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "signup"),
+        (2, 1, t0 + dt.timedelta(hours=2), "click"),      # in time
+        (3, 2, t0, "signup"),
+        (4, 2, t0 + dt.timedelta(days=3), "click"),       # too late
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    bounded = {r["stage"]: r["n_users"] for r in
+               funnel_within(ev, within="24 hours").collect()}
+    unbounded = {r["stage"]: r["n_users"] for r in event_funnel(ev).collect()}
+    assert unbounded["click"] == 2
+    assert bounded["click"] == 1
+    assert bounded["signup"] == 2
