@@ -1490,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # move to the spill, staying r3-green)
         "source_temperature_sample": _source_temperature_sample,
         "temperature_upsample": _temperature_upsample,
-        "sampled_quantiles": _sampled_quantiles,
         "balanced_shards": _balanced_shards,
         "importance_sample": _importance_sample,
         "event_transitions": _event_transitions,
@@ -1523,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "sampled_quantiles": _sampled_quantiles,
         "daily_active_users": _daily_active_users,
         "sliding_window_agg": _sliding_window_agg,
         "value_histogram": _value_histogram,
