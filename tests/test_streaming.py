@@ -990,10 +990,17 @@ def test_transition_stream_matches_batch(spark, tables, events_json_dir, tmp_pat
     from whatdropsnow_etl_spark.operators import event_transitions
     from whatdropsnow_etl_spark.streaming import transition_stream
 
+    src4 = str(tmp_path / "trans_src4")
+    (
+        tables["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(src4)
+    )
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)  # force several micro-batches
-        .json(events_json_dir)
+        .json(src4)
     )
     q = (
         transition_stream(stream)
@@ -1042,3 +1049,54 @@ def test_transition_stream_matches_batch(spark, tables, events_json_dir, tmp_pat
         .collect()
     }
     assert one == want
+
+
+def test_manifest_stream_sink_exactly_once(spark, tables, events_json_dir, tmp_path):
+    """Each micro-batch becomes one atomic full-snapshot version;
+    redelivering a batch id is a no-op; the final version equals the
+    full input; intermediate versions stay readable."""
+    from whatdropsnow_etl_spark.sinks.manifest import (
+        committed_meta,
+        current_version,
+        read_version,
+    )
+    from whatdropsnow_etl_spark.streaming import ManifestStreamSink
+
+    path = str(tmp_path / "mstream")
+    sink = ManifestStreamSink(path)
+    # events_json_dir can be a single file (coalesce on a 1-partition
+    # frame is a no-op); force a genuinely multi-file source so
+    # maxFilesPerTrigger yields several micro-batches
+    src4 = str(tmp_path / "src4")
+    (
+        tables["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(src4)
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src4)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_m"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_versions = current_version(path)
+    assert n_versions and n_versions >= 2  # several micro-batches
+    total = tables["events"].count()
+    assert read_version(spark, path).count() == total
+    # versions are cumulative snapshots: strictly growing counts
+    counts = [read_version(spark, path, v).count() for v in range(1, n_versions + 1)]
+    assert counts == sorted(counts) and counts[-1] == total
+    # redelivery of an old batch id: no new version, same data
+    first_batch = spark.table  # noqa: F841 (clarity only)
+    sink(read_version(spark, path, 1), batch_id=0)
+    assert current_version(path) == n_versions
+    assert read_version(spark, path).count() == total
+    ids = [m["batch_id"] for m in committed_meta(path)]
+    assert len(ids) == len(set(ids))

@@ -54,24 +54,42 @@ def current_version(path: str) -> int | None:
     return max(versions) if versions else None
 
 
-def commit_write(df: DataFrame, path: str) -> int:
+def commit_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    meta: dict | None = None,
+) -> int:
     """Write ``df`` as a new atomically-published version; returns
     the committed version number. Readers never observe a partial
     state: until the manifest rename lands, the new files are
-    invisible; after it, exactly the new file set is visible."""
+    invisible; after it, exactly the committed file set is visible.
+    ``mode="overwrite"`` makes the new version exactly this write's
+    files (snapshot replace); ``mode="append"`` makes it the
+    previous version's files PLUS this write's (the streaming /
+    incremental-load shape — every version is a full-table snapshot,
+    so time travel still works). ``meta`` is stored verbatim in the
+    manifest (e.g. a streaming batch id for idempotent replay)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(path, "data", commit_id)
     df.write.mode("errorifexists").parquet(data_dir)
     files = sorted(
-        os.path.join(data_dir, n)
+        os.path.relpath(os.path.join(data_dir, n), path)
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
-    version = (current_version(path) or 0) + 1
+    prev = current_version(path)
+    if mode == "append" and prev is not None:
+        with open(_manifest_path(path, prev)) as fh:
+            files = json.load(fh)["files"] + files
+    version = (prev or 0) + 1
     manifest = {
         "version": version,
         "commit_id": commit_id,
-        "files": [os.path.relpath(f, path) for f in files],
+        "files": files,
+        "meta": meta or {},
     }
     tmp = os.path.join(path, f".manifest-{commit_id}.tmp")
     with open(tmp, "w") as fh:
@@ -98,6 +116,21 @@ def read_version(
         manifest = json.load(fh)
     files = [os.path.join(path, f) for f in manifest["files"]]
     return spark.read.parquet(*files)
+
+
+def committed_meta(path: str) -> list[dict]:
+    """All retained manifests' meta dicts, oldest first — the
+    idempotence ledger for streaming replays."""
+    latest = current_version(path)
+    if latest is None:
+        return []
+    out = []
+    for v in range(1, latest + 1):
+        mp = _manifest_path(path, v)
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                out.append(json.load(fh).get("meta", {}))
+    return out
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[str]:

@@ -9,6 +9,7 @@ from .quantiles import windowed_value_quantiles
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .topk import heavy_hitters, mg_merge
+from .manifest_sink import ManifestStreamSink
 from .transitions import transition_stream
 from .upsert import upsert_stream
 from .windowed import windowed_event_agg
@@ -31,4 +32,5 @@ __all__ = [
     "mg_merge",
     "heavy_hitters",
     "transition_stream",
+    "ManifestStreamSink",
 ]
