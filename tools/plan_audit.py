@@ -68,6 +68,9 @@ ALLPAIRS_OK = {
     # truth side IS ann_cosine_topk by definition (recall needs the
     # exact answer); sample-scale tuning tool like lsh_tuning_report
     "ann_recall_report",
+    # hour-spine densification: crossJoin against the 1-row
+    # (min, max) bounds aggregate (the Q11 scalar-subquery pattern)
+    "event_rate_spikes",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
