@@ -1146,6 +1146,13 @@ def _funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_within(load_table(spark, sf_dir, "events"), within="24 hours")
 
 
+def _media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import attach_media_payload, media_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_probe(attach_media_payload(docs))
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1303,6 +1310,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "dup_degree_report": ["degree", "doc_id", "rank"],
     "lang_diversity": ["effective_langs", "n_docs", "n_langs", "simpson", "source"],
     "funnel_within": ["n_users", "stage", "stage_idx"],
+    "media_probe": ["doc_id", "energy", "format", "height", "n_samples", "sample_rate", "sum_rgb", "width"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1492,7 +1500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_upsample": _temperature_upsample,
         "balanced_shards": _balanced_shards,
         "importance_sample": _importance_sample,
-        "event_transitions": _event_transitions,
         "source_overlap_matrix": _source_overlap_matrix,
         "knn_label_vote": _knn_label_vote,
         "dedup_bow": _dedup_bow,
@@ -1510,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_degree_report": _dup_degree_report,
         "lang_diversity": _lang_diversity,
         "funnel_within": _funnel_within,
+        "media_probe": _media_probe,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1522,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "event_transitions": _event_transitions,
         "sampled_quantiles": _sampled_quantiles,
         "daily_active_users": _daily_active_users,
         "sliding_window_agg": _sliding_window_agg,
@@ -4257,6 +4266,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
         UNION ALL
         SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    """
+    # the decoder must RECOVER these numbers from real BMP/WAV bytes;
+    # the oracle predicts them from the id-derived generation formula
+    sql["media_probe"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(4 + doc_id % 13 AS BIGINT) END AS width,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(3 + doc_id % 7 AS BIGINT) END AS height,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST((4 + doc_id % 13) * (3 + doc_id % 7)
+                         * ((doc_id % 256) + (doc_id * 3) % 256
+                            + (doc_id * 7) % 256) AS BIGINT) END AS sum_rgb,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(8000 + (doc_id % 3) * 4000 AS BIGINT)
+                    END AS sample_rate,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(50 + doc_id % 100 AS BIGINT) END AS n_samples,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST((50 + doc_id % 100)
+                         * (100 + doc_id % 1000)
+                         * (100 + doc_id % 1000) AS BIGINT) END AS energy
+        FROM documents
     """
     sql["freshness_report"] = """
         WITH per AS (

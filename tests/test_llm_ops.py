@@ -2137,3 +2137,57 @@ def test_lang_diversity_bounds_and_purity(spark):
     assert out["mixed"]["n_langs"] == 4
     assert out["mixed"]["effective_langs"] == 4.0
     assert out["mixed"]["simpson"] == 0.75
+
+
+def test_media_codecs_roundtrip_and_layout(spark):
+    """The BMP/WAV codecs parse REAL bytes: round-trip recovery,
+    BGR channel order + 4-byte row padding on a hand-built
+    non-solid bitmap, and exact integer PCM energy."""
+    import struct
+
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_bmp24,
+        decode_wav16,
+        encode_bmp24,
+        encode_wav16,
+    )
+
+    d = decode_bmp24(encode_bmp24(5, 3, (10, 20, 30)))
+    assert (d["width"], d["height"]) == (5, 3)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (150, 300, 450)
+    # hand-built 2x1 BMP: pixel0 pure red, pixel1 pure blue; stride
+    # pads 6 bytes -> 8
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + 8, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 0, 0, 0, 0)
+    # BGR: red pixel = 00 00 FF, blue pixel = FF 00 00, then 2 pad bytes
+    raw = header + info + bytes([0, 0, 255, 255, 0, 0, 0, 0])
+    d2 = decode_bmp24(raw)
+    assert (d2["sum_r"], d2["sum_g"], d2["sum_b"]) == (255, 0, 255)
+    w = decode_wav16(encode_wav16(16000, np.array([3, -4, 5])))
+    assert w == {"sample_rate": 16000, "n_samples": 3, "energy": 9 + 16 + 25}
+    # corrupt magic raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp24(b"XX garbage")
+    with _pytest.raises(ValueError):
+        decode_wav16(b"not riff data here")
+
+
+def test_media_probe_decodes_real_payloads(spark):
+    """End-to-end over Spark: generated payloads are format-
+    conformant binaries and the probe recovers the id-derived
+    parameters from the BYTES (not from the id)."""
+    from whatdropsnow_etl_spark.operators import attach_media_payload, media_probe
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: r for r in media_probe(attach_media_payload(docs)).collect()}
+    assert out[4]["format"] == "bmp"
+    assert out[4]["width"] == 4 + 4 % 13 and out[4]["height"] == 3 + 4 % 7
+    assert out[7]["format"] == "wav"
+    amp = 100 + 7 % 1000
+    assert out[7]["energy"] == (50 + 7 % 100) * amp * amp
+    assert out[7]["sample_rate"] == 8000 + (7 % 3) * 4000

@@ -212,3 +212,103 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, format string, width bigint, height bigint,"
+    " sum_rgb bigint, sample_rate bigint, n_samples bigint, energy bigint"
+)
+
+
+def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL media bytes per doc — a solid-color 24-bit
+    BMP for even ids, a constant-amplitude 16-bit PCM WAV for odd —
+    with every generation parameter a pure function of the id. The
+    payloads are genuine format-conformant binaries (any external
+    BMP/WAV reader opens them); because the parameters are
+    id-derived, a SQL oracle can predict what a CORRECT decoder must
+    recover, making the binary decode itself oracle-checkable.
+    """
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.media import encode_bmp24, encode_wav16
+
+        for batch in it:
+            payloads = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = 4 + did % 13, 3 + did % 7
+                    rgb = (did % 256, (did * 3) % 256, (did * 7) % 256)
+                    payloads.append(encode_bmp24(w, h, rgb))
+                else:
+                    rate = 8000 + (did % 3) * 4000
+                    n = 50 + did % 100
+                    amp = 100 + did % 1000
+                    payloads.append(
+                        encode_wav16(rate, np.full(n, amp, dtype=np.int64))
+                    )
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """REAL byte-level media probe: sniff the magic bytes and decode
+    BMP (dimensions + exact per-channel pixel sums, reported as one
+    combined ``sum_rgb``) or WAV (rate, sample count, exact integer
+    PCM energy) with the pure-stdlib codecs in ``functions.media``.
+    One Arrow-batched narrow map — payload bytes never shuffle, only
+    the small metadata rows move on. Unknown formats raise (a
+    corrupt blob in a media table is a data bug, not a row to drop
+    silently). Emits MEDIA_SCHEMA with NULLs in the
+    other modality's columns.
+    """
+
+    def probe(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.media import decode_bmp24, decode_wav16
+
+        for batch in it:
+            rows = []
+            for did, payload in zip(batch["doc_id"], batch["payload"]):
+                payload = bytes(payload)
+                if payload[:2] == b"BM":
+                    d = decode_bmp24(payload)
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "format": "bmp",
+                            "width": d["width"],
+                            "height": d["height"],
+                            "sum_rgb": d["sum_r"] + d["sum_g"] + d["sum_b"],
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "energy": None,
+                        }
+                    )
+                elif payload[:4] == b"RIFF":
+                    d = decode_wav16(payload)
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "format": "wav",
+                            "width": None,
+                            "height": None,
+                            "sum_rgb": None,
+                            "sample_rate": d["sample_rate"],
+                            "n_samples": d["n_samples"],
+                            "energy": d["energy"],
+                        }
+                    )
+                else:
+                    raise ValueError(f"unknown media magic for doc {did}")
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(probe, schema=MEDIA_SCHEMA)
