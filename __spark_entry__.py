@@ -1153,6 +1153,13 @@ def _media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_probe(attach_media_payload(docs))
 
 
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import attach_media_payload, media_resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_resize(attach_media_payload(docs), out_w=8, out_h=8)
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -1311,6 +1318,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "lang_diversity": ["effective_langs", "n_docs", "n_langs", "simpson", "source"],
     "funnel_within": ["n_users", "stage", "stage_idx"],
     "media_probe": ["doc_id", "energy", "format", "height", "n_samples", "sample_rate", "sum_rgb", "width"],
+    "media_resize": ["doc_id", "out_height", "out_sum_rgb", "out_width", "src_height", "src_width"],
     "join_cardinality": ["join_key", "n_left", "n_pairs", "n_right"],
     "quota_sample": ["doc_id", "source"],
     "dataset_fingerprint": ["n_rows", "sum_hash", "xor_hash"],
@@ -1500,7 +1508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_upsample": _temperature_upsample,
         "balanced_shards": _balanced_shards,
         "importance_sample": _importance_sample,
-        "source_overlap_matrix": _source_overlap_matrix,
         "knn_label_vote": _knn_label_vote,
         "dedup_bow": _dedup_bow,
         "ngram_novelty": _ngram_novelty,
@@ -1518,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_diversity": _lang_diversity,
         "funnel_within": _funnel_within,
         "media_probe": _media_probe,
+        "media_resize": _media_resize,
         # (b) rows-only entries that have NEVER produced a driver
         # row (one-time exposure per the r4 verdict: a weaker
         # rows-only record still proves they execute in the
@@ -1530,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r3-green spill (locally parity-checked each round)
+        "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
         "sampled_quantiles": _sampled_quantiles,
         "daily_active_users": _daily_active_users,
@@ -4290,6 +4299,16 @@ def oracle_sql() -> dict[str, str]:
                          * (100 + doc_id % 1000)
                          * (100 + doc_id % 1000) AS BIGINT) END AS energy
         FROM documents
+    """
+    sql["media_resize"] = """
+        SELECT doc_id,
+               CAST(4 + doc_id % 13 AS BIGINT) AS src_width,
+               CAST(3 + doc_id % 7 AS BIGINT) AS src_height,
+               CAST(8 AS BIGINT) AS out_width,
+               CAST(8 AS BIGINT) AS out_height,
+               CAST(64 * ((doc_id % 256) + (doc_id * 3) % 256
+                          + (doc_id * 7) % 256) AS BIGINT) AS out_sum_rgb
+        FROM documents WHERE doc_id % 2 = 0
     """
     sql["freshness_report"] = """
         WITH per AS (

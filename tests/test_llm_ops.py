@@ -2191,3 +2191,26 @@ def test_media_probe_decodes_real_payloads(spark):
     amp = 100 + 7 % 1000
     assert out[7]["energy"] == (50 + 7 % 100) * amp * amp
     assert out[7]["sample_rate"] == 8000 + (7 % 3) * 4000
+
+
+def test_media_resize_real_pixels(spark):
+    """Resize round-trips through real BMP bytes: a hand-built 2x1
+    red|blue bitmap upscaled to 4x2 nearest-neighbor has exactly
+    2 red + 2 blue columns (sums prove the gather indexed real
+    pixels, not metadata)."""
+    import struct
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_bmp24,
+        resize_bmp24_nearest,
+    )
+
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + 8, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 0, 0, 0, 0)
+    raw = header + info + bytes([0, 0, 255, 255, 0, 0, 0, 0])  # red | blue
+    out = decode_bmp24(resize_bmp24_nearest(raw, 4, 2))
+    assert (out["width"], out["height"]) == (4, 2)
+    # cols 0-1 map to red, 2-3 to blue; 2 rows each
+    assert out["sum_r"] == 255 * 4 and out["sum_b"] == 255 * 4
+    assert out["sum_g"] == 0

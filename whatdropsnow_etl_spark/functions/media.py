@@ -107,3 +107,39 @@ def decode_wav16(payload: bytes) -> dict:
         "n_samples": int(s.size),
         "energy": int((s * s).sum()),
     }
+
+
+def resize_bmp24_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real nearest-neighbor resample of a 24-bit BMP: decode the
+    pixel array, index-map rows/cols, re-encode. No external libs —
+    the arithmetic is the same gather a production resizer does,
+    minus filtering."""
+    if len(payload) < _BMP_HEADER.size + _BMP_INFO.size or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _, _, _, off = _BMP_HEADER.unpack_from(payload, 0)
+    (_, width, height, _, bpp, comp, *_rest) = _BMP_INFO.unpack_from(
+        payload, _BMP_HEADER.size
+    )
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP")
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=off)
+        .reshape(height, stride)[:, : width * 3]
+        .reshape(height, width, 3)
+    )
+    ys = (np.arange(out_h) * height) // out_h
+    xs = (np.arange(out_w) * width) // out_w
+    out = px[ys][:, xs]  # nearest-neighbor gather
+    out_stride_pad = (-(out_w * 3)) % 4
+    rows = [
+        out[y].tobytes() + b"\x00" * out_stride_pad for y in range(out_h)
+    ]
+    pixel_data = b"".join(rows)
+    offset = _BMP_HEADER.size + _BMP_INFO.size
+    header = _BMP_HEADER.pack(b"BM", offset + len(pixel_data), 0, 0, offset)
+    info = _BMP_INFO.pack(
+        _BMP_INFO.size, out_w, out_h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_data
