@@ -80,6 +80,8 @@ PYTHON_OK = {
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "media_probe",  # real BMP/WAV byte decode (numpy per batch)
+    "media_resize",  # real BMP pixel gather + re-encode
     "embedding_dedup",
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
     "knn_label_vote",  # votes over the ann_cosine_topk Arrow kernel
