@@ -1452,20 +1452,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fresh driver row (the standing contract): (a) fixed driver
     # failures — none, r4 was 50/50 green; (c) the four queries whose
     # implementation or oracle changed in r5 (salted quota_sample,
-    # null-safe snapshot_diff, prefix-coded fingerprints); (d) the 20
-    # queries whose latest signal is r2 — after this round no query's
-    # latest driver signal is older than r3; (d') the 5 oldest
-    # r3-green (the rest of the r3 backlog yielded its slots to the
-    # never-verified blocks below — first-ever signal beats an r3
-    # refresh, per the standing priority); (b') the 16 queries NEW
-    # in r5, all oracle-bearing; (b) the 5 rows-only entries that
-    # have NEVER appeared in a driver window get their one-time
-    # exposure in slots 46-50 (a weaker rows-only record still
-    # proves driver-environment execution; after r5 every pre-r5
-    # registry entry has appeared in some CORRECTNESS_r*.json).
-    # Spill: remaining r3-green, then the r4-green block (freshest
-    # signal), rows-only tail last. Block sizes are asserted, not
-    # hand-counted:
+    # null-safe snapshot_diff, prefix-rendered dataset_fingerprint —
+    # partition_fingerprints shares that exact code path, so one
+    # fresh row covers the change and its slot went to a
+    # never-verified query); (d) the 20 queries whose latest signal
+    # is r2 — after this round no query's latest driver signal is
+    # older than r3; (b') 22 of the 29 queries NEW in r5, all
+    # oracle-bearing (the whole r3 backlog and 7 of the cheapest /
+    # most-pytest-pinned r5 entries yielded their slots — first-ever
+    # signal beats a refresh, and 29 new queries don't fit beside
+    # the 20-strong r2 backlog; the 7 spilled r5 entries lead the
+    # r6 window contract); (b) the 5 rows-only entries that have
+    # NEVER appeared in a driver window get their one-time exposure
+    # in slots 46-50 (a weaker rows-only record still proves
+    # driver-environment execution; after r5 every pre-r5 registry
+    # entry has appeared in some CORRECTNESS_r*.json). Spill:
+    # never-driver-seen r5 entries first, then r3-green, then the
+    # r4-green block (freshest signal), rows-only tail last. Block
+    # sizes are asserted, not hand-counted:
     # tests/test_entry_contract.py::test_gate_window_composition.
     base = {
         # (c) implementation OR oracle changed in r5 — their old

@@ -180,3 +180,16 @@ def test_manifest_commit_versions_and_vacuum(spark, tmp_path):
     assert read_version(spark, path).count() == 5
     with _pytest.raises(FileNotFoundError):
         read_version(spark, path, 1)
+
+
+def test_manifest_read_pushes_filters(spark, tmp_path):
+    """Reading by manifest file-list must not lose parquet filter
+    pushdown — the scan is a normal FileScan with PushedFilters."""
+    from whatdropsnow_etl_spark.sinks import commit_write, read_version
+
+    path = str(tmp_path / "mpush")
+    commit_write(spark.range(1000).selectExpr("id", "id % 7 AS k"), path)
+    df = read_version(spark, path).where("k = 3").select("id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan, plan
+    assert df.count() == len([i for i in range(1000) if i % 7 == 3])
