@@ -1271,6 +1271,48 @@ def _hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(load_table(spark, sf_dir, "documents"))
 
 
+def _trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import trend_report
+
+    return trend_report(load_table(spark, sf_dir, "events"))
+
+
+def _quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import quantile_bucketize
+
+    return quantile_bucketize(
+        load_table(spark, sf_dir, "events"), "value", "event_id",
+        n_bins=8, k=1024,
+    )
+
+
+def _k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import k_anonymity_report
+
+    # (lang, source) classes alone are all large in the testdata, so
+    # add a 100-char length band as the third quasi-identifier — the
+    # realistic fine-grained case where small classes exist and the
+    # suppression path is actually exercised
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    return k_anonymity_report(docs, ["lang", "source", "len_band"], k=5)
+
+
+def _grid_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import grid_diversity_sample
+
+    return grid_diversity_sample(
+        load_table(spark, sf_dir, "embeddings"), dims=4, levels=4
+    )
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 # Per-query presentation-sort keys: the output columns in name-sorted
 # order — exactly the key order the driver's hash uses after it sorts
 # columns by name. Both twins sort by this list (Spark: asc_nulls_last,
@@ -1281,6 +1323,11 @@ def _hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # magnitude smaller than inputs), not a mid-plan shuffle.
 # Pinned against live schemas by tests/test_entry_contract.py.
 _ORDER_KEYS: dict[str, list[str]] = {
+    "trend_report": ["event_type", "n_days", "slope_den", "slope_num", "sum_count"],
+    "quantile_bucketize": ["bin_id", "hi_cents", "lo_cents", "n"],
+    "k_anonymity_report": ["lang", "len_band", "n_classes", "n_rows", "source", "suppressed"],
+    "grid_diversity_sample": ["cell", "keeper_vec_id", "n_in_cell"],
+    "label_centroids": ["dim", "label", "mean_micro", "n_vecs", "sum_micro"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
     "hashed_features": ["bucket", "doc_id", "weight"],
@@ -1541,6 +1588,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_opq_trained": _ann_opq_trained,
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
+        # NEW post-gate late-r5 additions — never driver-seen,
+        # oracle-bearing; they lead the r6 rotation per the standing
+        # contract (first-ever signal beats any refresh)
+        "trend_report": _trend_report,
+        "quantile_bucketize": _quantile_bucketize,
+        "k_anonymity_report": _k_anonymity_report,
+        "grid_diversity_sample": _grid_diversity_sample,
+        "label_centroids": _label_centroids,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4366,6 +4421,119 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(MAX(n_total) AS DOUBLE), 6) AS clipped_share
         FROM b JOIN c ON c.event_type = b.event_type
         GROUP BY b.event_type, lo_cents, hi_cents, n_total
+    """
+    sql["trend_report"] = """
+        WITH daily AS (
+          SELECT event_type AS grp,
+                 CAST(FLOOR(EPOCH(ts) / 86400.0) AS BIGINT) AS day,
+                 COUNT(*) AS y
+          FROM events GROUP BY 1, 2
+        ), anch AS (
+          SELECT grp, y,
+                 day - MIN(day) OVER (PARTITION BY grp) AS x
+          FROM daily
+        )
+        SELECT grp AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(y) AS BIGINT) AS sum_count,
+               CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+                 AS slope_num,
+               CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+                 AS slope_den
+        FROM anch GROUP BY grp
+    """
+    sql["quantile_bucketize"] = """
+        WITH s AS (
+          SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+          FROM events
+          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+          LIMIT 1024
+        ), a AS (
+          SELECT list_sort(list(c)) AS arr, COUNT(*) AS n FROM s
+        ), b AS (
+          SELECT [arr[CAST(FLOOR(0.125 * (n - 1)) AS BIGINT) + 1],
+                  arr[CAST(FLOOR(0.25  * (n - 1)) AS BIGINT) + 1],
+                  arr[CAST(FLOOR(0.375 * (n - 1)) AS BIGINT) + 1],
+                  arr[CAST(FLOOR(0.5   * (n - 1)) AS BIGINT) + 1],
+                  arr[CAST(FLOOR(0.625 * (n - 1)) AS BIGINT) + 1],
+                  arr[CAST(FLOOR(0.75  * (n - 1)) AS BIGINT) + 1],
+                  arr[CAST(FLOOR(0.875 * (n - 1)) AS BIGINT) + 1]] AS bnds
+          FROM a
+        ), ev AS (
+          SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events
+        )
+        SELECT CAST(len(list_filter(b.bnds, x -> x <= ev.c)) AS BIGINT)
+                 AS bin_id,
+               MIN(ev.c) AS lo_cents, MAX(ev.c) AS hi_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev, b GROUP BY 1
+    """
+    sql["label_centroids"] = """
+        WITH ex AS (
+          SELECT label,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                 CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                      AS BIGINT) AS micro
+          FROM embeddings
+        )
+        SELECT label, dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(micro) AS BIGINT) AS sum_micro,
+               CAST(FLOOR(SUM(micro) / COUNT(*)) AS BIGINT) AS mean_micro
+        FROM ex GROUP BY label, dim
+    """
+    sql["k_anonymity_report"] = """
+        WITH cls AS (
+          SELECT CAST(lang AS VARCHAR) AS lang,
+                 CAST(source AS VARCHAR) AS source,
+                 CAST(CAST(FLOOR(n_chars / 100) AS BIGINT) AS VARCHAR)
+                   AS len_band,
+                 COUNT(*) AS n
+          FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT lang, source, len_band,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS n_classes,
+               FALSE AS suppressed
+        FROM cls WHERE n >= 5
+        UNION ALL
+        SELECT '*', '*', '*',
+               CAST(SUM(n) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               TRUE
+        FROM cls WHERE n < 5 HAVING COUNT(*) > 0
+    """
+    sql["grid_diversity_sample"] = """
+        WITH m AS (
+          SELECT MIN(CAST(embedding[1] AS DOUBLE)) AS mn0,
+                 MAX(CAST(embedding[1] AS DOUBLE)) AS mx0,
+                 MIN(CAST(embedding[2] AS DOUBLE)) AS mn1,
+                 MAX(CAST(embedding[2] AS DOUBLE)) AS mx1,
+                 MIN(CAST(embedding[3] AS DOUBLE)) AS mn2,
+                 MAX(CAST(embedding[3] AS DOUBLE)) AS mx2,
+                 MIN(CAST(embedding[4] AS DOUBLE)) AS mn3,
+                 MAX(CAST(embedding[4] AS DOUBLE)) AS mx3
+          FROM embeddings
+        ), lv AS (
+          SELECT vec_id,
+            CASE WHEN mx0 > mn0 THEN LEAST(3, CAST(FLOOR(
+              (CAST(embedding[1] AS DOUBLE) - mn0) / (mx0 - mn0) * 4)
+              AS BIGINT)) ELSE 0 END AS l0,
+            CASE WHEN mx1 > mn1 THEN LEAST(3, CAST(FLOOR(
+              (CAST(embedding[2] AS DOUBLE) - mn1) / (mx1 - mn1) * 4)
+              AS BIGINT)) ELSE 0 END AS l1,
+            CASE WHEN mx2 > mn2 THEN LEAST(3, CAST(FLOOR(
+              (CAST(embedding[3] AS DOUBLE) - mn2) / (mx2 - mn2) * 4)
+              AS BIGINT)) ELSE 0 END AS l2,
+            CASE WHEN mx3 > mn3 THEN LEAST(3, CAST(FLOOR(
+              (CAST(embedding[4] AS DOUBLE) - mn3) / (mx3 - mn3) * 4)
+              AS BIGINT)) ELSE 0 END AS l3
+          FROM embeddings, m
+        )
+        SELECT l0 * 64 + l1 * 16 + l2 * 4 + l3 AS cell,
+               MIN(vec_id) AS keeper_vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_in_cell
+        FROM lv GROUP BY 1
     """
     sql["dup_degree_report"] = """
         WITH p AS ({MINHASH}),

@@ -322,3 +322,37 @@ def test_funnel_within_deadline(spark):
     assert unbounded["click"] == 2
     assert bounded["click"] == 1
     assert bounded["signup"] == 2
+
+
+def test_trend_report_hand_slope(spark):
+    from whatdropsnow_etl_spark.operators import trend_report
+
+    # type "a": 1 event on day 0, 2 on day 1, 3 on day 2 -> exact
+    # slope 1 event/day: num = 3*8 - 3*6 = 6, den = 3*5 - 9 = 6.
+    # type "b": a single day -> den = 0 (undefined slope, emitted).
+    rows = []
+    for day, n in [(1, 1), (2, 2), (3, 3)]:
+        rows += [(f"2024-01-0{day} 10:00:0{i}", 7, "a", 1.0) for i in range(n)]
+    rows.append(("2024-01-05 10:00:00", 7, "b", 1.0))
+    got = {r["event_type"]: r for r in trend_report(_events(spark, rows)).collect()}
+    a = got["a"]
+    assert (a["n_days"], a["sum_count"]) == (3, 6)
+    assert (a["slope_num"], a["slope_den"]) == (6, 6)
+    b = got["b"]
+    assert (b["n_days"], b["slope_num"], b["slope_den"]) == (1, 0, 0)
+
+
+def test_trend_report_anchor_invariance(spark):
+    from whatdropsnow_etl_spark.operators import trend_report
+
+    rows = [
+        ("2024-01-01 10:00:00", 1, "a", 1.0),
+        ("2024-01-02 10:00:00", 1, "a", 1.0),
+        ("2024-01-02 11:00:00", 1, "a", 1.0),
+        ("2024-01-04 10:00:00", 1, "a", 1.0),
+    ]
+    shifted = [(ts.replace("2024-01", "2024-03"), u, t, v) for ts, u, t, v in rows]
+    [r1] = trend_report(_events(spark, rows)).collect()
+    [r2] = trend_report(_events(spark, shifted)).collect()
+    # re-anchoring makes the slope depend only on the day OFFSETS
+    assert (r1["slope_num"], r1["slope_den"]) == (r2["slope_num"], r2["slope_den"])

@@ -2214,3 +2214,135 @@ def test_media_resize_real_pixels(spark):
     # cols 0-1 map to red, 2-3 to blue; 2 rows each
     assert out["sum_r"] == 255 * 4 and out["sum_b"] == 255 * 4
     assert out["sum_g"] == 0
+
+
+def test_quantile_bucketize_balance_and_partition(spark):
+    """k >= n makes the boundary sample exact: with distinct values
+    the bin populations differ by at most 2 (type-1 rank rounding),
+    every row lands in exactly one bin, and bins never overlap in
+    value space."""
+    from whatdropsnow_etl_spark.operators import quantile_bucketize
+
+    n = 800
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(n)], "event_id long, value double"
+    )
+    rows = sorted(
+        quantile_bucketize(df, "value", "event_id", n_bins=8, k=n).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    assert [r["bin_id"] for r in rows] == list(range(8))
+    assert sum(r["n"] for r in rows) == n
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 2, sizes
+    for lo_row, hi_row in zip(rows, rows[1:]):
+        assert lo_row["hi_cents"] < hi_row["lo_cents"]
+
+
+def test_quantile_bucketize_all_ties_single_bin(spark):
+    """Identical values: every boundary equals the value, so all rows
+    land in the last bin — by-value assignment never splits a tie
+    across bins."""
+    from whatdropsnow_etl_spark.operators import quantile_bucketize
+
+    df = spark.createDataFrame(
+        [(i, 42.0) for i in range(50)], "event_id long, value double"
+    )
+    [r] = quantile_bucketize(df, "value", "event_id", n_bins=8, k=64).collect()
+    assert (r["bin_id"], r["n"]) == (7, 50)
+
+
+def test_k_anonymity_suppression_and_residual(spark):
+    from whatdropsnow_etl_spark.operators import k_anonymity_report
+
+    rows = (
+        [("en", "web") for _ in range(6)]
+        + [("de", "web"), ("de", "web")]
+        + [("fr", "book")]
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {
+        (r["lang"], r["source"]): r
+        for r in k_anonymity_report(df, ["lang", "source"], k=5).collect()
+    }
+    safe = out[("en", "web")]
+    assert (safe["n_rows"], safe["n_classes"], safe["suppressed"]) == (6, 1, False)
+    resid = out[("*", "*")]
+    # the two sub-k classes (de/web x2, fr/book x1) fold into one row
+    assert (resid["n_rows"], resid["n_classes"], resid["suppressed"]) == (3, 2, True)
+    assert len(out) == 2
+
+
+def test_k_anonymity_no_residual_when_all_safe(spark):
+    from whatdropsnow_etl_spark.operators import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [("en", "web")] * 5 + [("de", "web")] * 7, "lang string, source string"
+    )
+    out = k_anonymity_report(df, ["lang", "source"], k=5).collect()
+    assert len(out) == 2
+    assert not any(r["suppressed"] for r in out)
+
+
+def test_grid_diversity_sample_collapse_and_clamp(spark):
+    """A dense cluster collapses to one keeper; isolated points
+    survive in their own cells; the max coordinate clamps into the
+    top level instead of spilling to level==levels."""
+    from whatdropsnow_etl_spark.operators import grid_diversity_sample
+
+    dense = [(i, [0.01 * (i % 3), 0.0, 0.0, 0.0]) for i in range(10)]
+    sparse = [(100, [10.0, 0.0, 0.0, 0.0]), (101, [0.0, 10.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in dense + sparse],
+        "vec_id long, embedding array<float>",
+    )
+    rows = grid_diversity_sample(df, dims=4, levels=4).collect()
+    by_cell = {r["cell"]: r for r in rows}
+    # dense cluster: all 10 in cell 0 (level 0 on every dim), keeper=min id
+    assert by_cell[0]["keeper_vec_id"] == 0 and by_cell[0]["n_in_cell"] == 10
+    # vec 100 maxes dim0 -> level 3 (clamped), others 0 -> cell 3*64
+    assert by_cell[3 * 64]["keeper_vec_id"] == 100
+    # vec 101 maxes dim1 -> cell 3*16
+    assert by_cell[3 * 16]["keeper_vec_id"] == 101
+    assert len(rows) == 3
+
+
+def test_grid_diversity_sample_constant_dim(spark):
+    """A constant dimension (max == min) quantizes to level 0 for
+    every row instead of dividing by zero."""
+    from whatdropsnow_etl_spark.operators import grid_diversity_sample
+
+    df = spark.createDataFrame(
+        [(i, [5.0, float(i), 5.0, 5.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = grid_diversity_sample(df, dims=4, levels=4).collect()
+    # only dim1 varies -> cells are l1*16 with l1 in 0..3
+    assert sorted(r["cell"] for r in rows) == [0, 16, 32, 48]
+    assert sum(r["n_in_cell"] for r in rows) == 8
+
+
+def test_label_centroids_hand_mean(spark):
+    from whatdropsnow_etl_spark.operators import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, -2.0]),
+            (2, 0, [2.0, 3.0]),
+            (3, 1, [0.5, 0.25]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {
+        (r["label"], r["dim"]): r for r in label_centroids(df).collect()
+    }
+    # label 0, dim 1: (1e6 + 2e6)/2 = 1.5e6 -> floor 1_500_000
+    r = out[(0, 1)]
+    assert (r["n_vecs"], r["sum_micro"], r["mean_micro"]) == (2, 3_000_000, 1_500_000)
+    # label 0, dim 2: (-2e6 + 3e6)/2 = 0.5e6
+    r = out[(0, 2)]
+    assert (r["sum_micro"], r["mean_micro"]) == (1_000_000, 500_000)
+    # label 1 is a single vector: mean == its own micro coords
+    assert out[(1, 1)]["mean_micro"] == 500_000
+    assert out[(1, 2)]["mean_micro"] == 250_000
+    assert len(out) == 4

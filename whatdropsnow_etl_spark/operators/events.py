@@ -528,3 +528,65 @@ def funnel_within(
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+def trend_report(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group least-squares trend of the daily event count, in
+    exact integer arithmetic — "is traffic for this event type
+    growing or shrinking, and how fast" without ever leaving BIGINT.
+
+    The OLS slope over points (x=day, y=count) is
+    ``(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)``; both numerator and
+    denominator are integer-valued when x and y are integers, so the
+    operator emits the exact fraction (``slope_num``, ``slope_den``)
+    instead of a float quotient — engine-bitwise-portable, and the
+    caller divides at display time. Days are re-anchored per group
+    (``x = day - min(day) over group``) so the sums stay far from
+    BIGINT overflow even with years of history and billions of
+    events per day (x is bounded by the window span, not the epoch).
+
+    Plan shape: one map-side day truncation, one (group, day)
+    partial-aggregated count (combine before shuffle), a #groups-
+    sized window for the anchor, then a #groups-row final aggregate.
+    Nothing corpus-sized crosses the wire after the first combine.
+    The slope sign convention: positive = growing.
+
+    Output: (group, n_days, sum_count, slope_num, slope_den) — all
+    BIGINT; slope = slope_num / slope_den (den is 0 when n_days < 2,
+    emitted as-is rather than NULLed so the caller sees the
+    undefined-slope case explicitly).
+    """
+    day = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(86400.0)
+    ).cast("long")
+    daily = (
+        events.select(F.col(group_col).alias("grp"), day.alias("__day"))
+        .groupBy("grp", "__day")
+        .agg(F.count(F.lit(1)).alias("__y"))
+    )
+    w = Window.partitionBy("grp")
+    anchored = daily.withColumn(
+        "__x", (F.col("__day") - F.min("__day").over(w)).cast("long")
+    )
+    agg = anchored.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("__y").alias("sum_count"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("sum_count").cast("bigint").alias("sum_count"),
+        (
+            F.col("n_days") * F.col("__sxy") - F.col("__sx") * F.col("sum_count")
+        ).cast("bigint").alias("slope_num"),
+        (
+            F.col("n_days") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+        ).cast("bigint").alias("slope_den"),
+    )

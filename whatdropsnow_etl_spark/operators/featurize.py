@@ -67,3 +67,49 @@ def hashed_features(
         .agg(F.sum("__sign").cast("bigint").alias("weight"))
         .where(F.col("weight") != 0)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label mean embedding (class prototype) in exact fixed-
+    point arithmetic — the centroid table behind nearest-class-mean
+    classifiers, label-noise screens ("which examples sit far from
+    their own class prototype"), and class-similarity matrices.
+
+    Float summation is order-dependent, so a naive avg() differs
+    between engines (and between runs of the SAME engine once
+    partitioning changes). Instead each coordinate is rounded to
+    integer micro-units first (ROUND(x*1e6) — the proven cents
+    trick), summed as BIGINT (associative, any partitioning), and
+    the mean emitted both as the exact (sum, n) pair and as
+    floor(sum/n) micro-units (the division is exact in double below
+    2^53, so the floor is engine-identical).
+
+    Plan: posexplode is a map-side projection (rows x dims, no
+    shuffle), then ONE map-side-combined groupBy(label, dim) —
+    #labels x dims result rows. At 100 TB the combine does the
+    work; nothing but the bounded centroid table crosses the wire.
+    Emits (label, dim 1-based, n_vecs, sum_micro, mean_micro).
+    """
+    micro = F.round(
+        F.col("__v").cast("double") * scale, 0
+    ).cast("long")
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("__p", "__v"),
+    ).select(
+        "label",
+        (F.col("__p") + 1).cast("bigint").alias("dim"),
+        micro.alias("__micro"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("__micro").alias("sum_micro"),
+        F.floor(F.sum("__micro") / F.count(F.lit(1))).cast("bigint").alias(
+            "mean_micro"
+        ),
+    )

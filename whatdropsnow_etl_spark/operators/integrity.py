@@ -238,3 +238,53 @@ def freshness_report(
         "latest_us",
         (F.max("latest_us").over(w_all) - F.col("latest_us")).alias("lag_us"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity suppression over a set of quasi-identifier
+    columns — the privacy gate a training corpus passes before
+    release: any combination of quasi-identifiers shared by fewer
+    than k rows could single out an individual, so those equivalence
+    classes are suppressed into one ``*`` residual bucket instead of
+    being published.
+
+    Classes with n >= k keep their values (suppressed=false,
+    n_classes=1); all smaller classes merge into a single row with
+    every quasi-identifier replaced by ``*``, carrying the merged
+    row count and how many distinct classes were folded in. The
+    residual row appears only when at least one class is below k, so
+    a fully-anonymous table reports exactly its classes.
+
+    Plan: one map-side-combined groupBy to #classes rows; the
+    suppression split and residual fold both run on that tiny
+    relation (a #classes-sized aggregate), so nothing corpus-sized
+    is touched twice. All counts BIGINT-exact.
+    """
+    cls = df.groupBy(*[F.col(c).cast("string").alias(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    safe = cls.where(F.col("__n") >= k).select(
+        *quasi_cols,
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.lit(1).cast("bigint").alias("n_classes"),
+        F.lit(False).alias("suppressed"),
+    )
+    residual = (
+        cls.where(F.col("__n") < k)
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        )
+        .where(F.col("n_classes") > 0)
+        .select(
+            *[F.lit("*").alias(c) for c in quasi_cols],
+            "n_rows",
+            "n_classes",
+            F.lit(True).alias("suppressed"),
+        )
+    )
+    return safe.unionByName(residual)

@@ -221,3 +221,79 @@ def weighted_quantiles(
         ).alias(label)
 
     return ranked.groupBy(*group_cols).agg(*[pick(p) for p in ps])
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 8,
+    k: int = 1024,
+    scale: int = 100,
+) -> DataFrame:
+    """Equi-depth feature binning with sample-derived boundaries —
+    Spark ML's QuantileDiscretizer re-expressed engine-exact (no
+    approx_percentile internals, no RNG), for bucketing a numeric
+    feature before training.
+
+    An exact equi-depth cut needs a global rank (one total-order
+    sort of the corpus); production discretizers instead take
+    quantile boundaries from a sample and assign bins with a
+    broadcast comparison — that is this operator. The sample is the
+    k rows with smallest md5(id) (the same deterministic bottom-k
+    trick as sampled_quantiles: a distributed sort-limit, per-
+    partition top-k heaps, never a full shuffle), boundaries are
+    type-1 quantiles at p=i/n_bins of that sample, and every row's
+    bin is ``#{boundaries <= value}`` computed by a broadcast
+    array_filter — map-only over the corpus, no global sort
+    anywhere. Bin populations are then equi-depth up to the
+    standard O(sqrt(p(1-p)/k)) sample-rank error, pinned in pytest.
+
+    Everything compares in integer cents, and the boundary ranks
+    are integer arithmetic, so Spark and the SQL twin pick
+    identical boundaries and identical bins. Output: one row per
+    non-empty bin (bin_id, lo_cents, hi_cents, n) — lo/hi are the
+    observed min/max cents in the bin, n the population.
+    """
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    sample = (
+        df.select(
+            cents.alias("__c"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col),
+        )
+        .orderBy(F.col("__h"), F.col(id_col))
+        .limit(k)
+    )
+    arr = sample.agg(
+        F.sort_array(F.collect_list("__c")).alias("__arr"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    bounds = arr.select(
+        F.array(
+            *[
+                F.element_at(
+                    "__arr",
+                    (
+                        F.floor(F.lit(i / n_bins) * (F.col("__n") - 1)) + 1
+                    ).cast("int"),
+                )
+                for i in range(1, n_bins)
+            ]
+        ).alias("__bnds")
+    )
+    assigned = (
+        df.select(cents.alias("__c"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(
+                F.filter(F.col("__bnds"), lambda b: b <= F.col("__c"))
+            ).cast("bigint").alias("bin_id"),
+            "__c",
+        )
+    )
+    return assigned.groupBy("bin_id").agg(
+        F.min("__c").alias("lo_cents"),
+        F.max("__c").alias("hi_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )

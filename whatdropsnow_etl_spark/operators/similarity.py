@@ -1267,3 +1267,67 @@ def ann_recall_report(
             F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+def grid_diversity_sample(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 4,
+    levels: int = 4,
+) -> DataFrame:
+    """Quantization-grid diversity (coreset) sampling: keep one
+    representative per cell of a regular grid over the leading
+    embedding dimensions — the cheap shuffle-light cousin of
+    SemDeDup for thinning over-dense regions of embedding space
+    before training (dense regions collapse to one keeper per cell,
+    sparse regions survive untouched).
+
+    Each of the first ``dims`` coordinates is quantized to
+    ``levels`` equal-width levels between its global min and max
+    (level = clamp(floor((x-mn)/(mx-mn)*levels))); the cell id is
+    the base-``levels`` digit string of those levels. Every
+    arithmetic step is the same IEEE double expression in both
+    engines, so cell assignment is engine-exact — no RNG, no
+    library kernels.
+
+    Plan: one #dims-column min/max aggregate (broadcast back as a
+    1-row relation — model-sized, never a corpus collect), a
+    map-only level projection, then one groupBy(cell) with
+    map-side combine. The grid has at most levels^dims cells, so
+    the output is bounded regardless of corpus size. Emits
+    (cell, keeper_vec_id, n_in_cell) where keeper is the min id in
+    the cell — deterministic and append-shrink-stable (a new row
+    only changes its own cell).
+    """
+    x = [
+        F.element_at(F.col(vec_col), i + 1).cast("double") for i in range(dims)
+    ]
+    bounds = emb.agg(
+        *[F.min(x[i]).alias(f"__mn{i}") for i in range(dims)],
+        *[F.max(x[i]).alias(f"__mx{i}") for i in range(dims)],
+    )
+    lv = []
+    for i in range(dims):
+        mn, mx = F.col(f"__mn{i}"), F.col(f"__mx{i}")
+        raw = F.floor((x[i] - mn) / (mx - mn) * levels).cast("long")
+        lv.append(
+            F.when(mx > mn, F.least(F.lit(levels - 1).cast("long"), raw))
+            .otherwise(F.lit(0).cast("long"))
+            .alias(f"__l{i}")
+        )
+    cells = (
+        emb.crossJoin(F.broadcast(bounds))
+        .select(F.col(id_col), *lv)
+        .select(
+            F.col(id_col),
+            sum(
+                (F.col(f"__l{i}") * (levels ** (dims - 1 - i)) for i in range(dims)),
+                F.lit(0).cast("long"),
+            ).alias("cell"),
+        )
+    )
+    return cells.groupBy("cell").agg(
+        F.min(id_col).alias("keeper_vec_id"),
+        F.count(F.lit(1)).alias("n_in_cell"),
+    )
