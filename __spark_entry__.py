@@ -252,6 +252,41 @@ def _asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event matched to the user's NEAREST purchase within
+    30 minutes either way (attribution modeling: a purchase shortly
+    BEFORE a click is a re-view, shortly after a conversion — both
+    belong to the same session), ties to the earlier purchase."""
+    from whatdropsnow_etl_spark.operators import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value").cast("decimal(12,2)")).cast("double").alias("pv"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols={"pv": "purchase_value"},
+        direction="nearest",
+        tolerance_us=30 * 60 * 1_000_000,
+        matched_ts_alias="purchase_ts_us",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_micros("ts").alias("ts_us"),
+        "purchase_value",
+        "purchase_ts_us",
+    )
+
+
 def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the corpus, with deterministic synthetic PII
     appended per doc (the synthetic corpus has none) so the parity
@@ -1328,6 +1363,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "k_anonymity_report": ["lang", "len_band", "n_classes", "n_rows", "source", "suppressed"],
     "grid_diversity_sample": ["cell", "keeper_vec_id", "n_in_cell"],
     "label_centroids": ["dim", "label", "mean_micro", "n_vecs", "sum_micro"],
+    "asof_nearest_purchase": ["event_id", "purchase_ts_us", "purchase_value", "ts_us", "user_id"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
     "hashed_features": ["bucket", "doc_id", "weight"],
@@ -1596,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_report": _k_anonymity_report,
         "grid_diversity_sample": _grid_diversity_sample,
         "label_centroids": _label_centroids,
+        "asof_nearest_purchase": _asof_nearest_purchase,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4467,6 +4504,42 @@ def oracle_sql() -> dict[str, str]:
                MIN(ev.c) AS lo_cents, MAX(ev.c) AS hi_cents,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM ev, b GROUP BY 1
+    """
+    sql["asof_nearest_purchase"] = """
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, ts,
+                 CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS pv
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts
+        ), b AS (
+          SELECT c.event_id, epoch_us(p.ts) AS bts, p.pv AS bv
+          FROM c ASOF LEFT JOIN p
+            ON c.user_id = p.user_id AND c.ts >= p.ts
+        ), f AS (
+          SELECT c.event_id, epoch_us(p.ts) AS fts, p.pv AS fv
+          FROM c ASOF LEFT JOIN p
+            ON c.user_id = p.user_id AND c.ts <= p.ts
+        ), g AS (
+          SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                 b.bts, b.bv, f.fts, f.fv
+          FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+        ), d AS (
+          SELECT *,
+                 (bts IS NOT NULL AND ts_us - bts <= 1800000000) AS vb,
+                 (fts IS NOT NULL AND fts - ts_us <= 1800000000) AS vf
+          FROM g
+        ), e AS (
+          SELECT *,
+                 (vb AND (NOT vf OR ts_us - bts <= fts - ts_us)) AS ub
+          FROM d
+        )
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN ub THEN bv WHEN vf THEN fv END AS purchase_value,
+               CASE WHEN ub THEN bts WHEN vf THEN fts END AS purchase_ts_us
+        FROM e
     """
     sql["label_centroids"] = """
         WITH ex AS (

@@ -186,6 +186,41 @@ def test_asof_join_semantics(spark):
     assert tol[2] == (200.0, True)  # 12:00 - 11:00 = exactly 1h
     assert tol[4] == (None, False)  # next day: out of tolerance
 
+    near = run(direction="nearest")
+    assert near[1] == (100.0, True)  # exact tie -> dist 0 both ways
+    assert near[3] == (100.0, True)  # 09:00: only forward exists
+    assert near[2] == (200.0, True)  # 12:00: only backward exists
+    assert near[4] == (200.0, True)  # next day: backward, no tolerance
+
+    # tolerance excludes the far next-day backward match
+    near_tol = run(direction="nearest", tolerance_us=3600 * 1_000_000)
+    assert near_tol[4] == (None, False)
+
+
+def test_asof_join_nearest_prefers_closer_and_ties_backward(spark):
+    from whatdropsnow_etl_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:30:00")],
+        "id long, t string",
+    ).select("id", F.col("t").cast("timestamp").alias("ts"), F.lit(7).alias("k"))
+    right = spark.createDataFrame(
+        # 09:50 is 10 min before left#1; 10:25 is 25 min after it but
+        # only 5 min before left#2; 10:35 is 5 min after left#2 (tie)
+        [("2024-01-01 09:50:00", 1.0), ("2024-01-01 10:25:00", 2.0),
+         ("2024-01-01 10:35:00", 3.0)],
+        "t string, price double",
+    ).select(F.col("t").cast("timestamp").alias("ts"), "price", F.lit(7).alias("k"))
+    got = {
+        r["id"]: r["price"]
+        for r in asof_join(
+            left, right, ts_col="ts", by_cols=["k"], value_cols=["price"],
+            direction="nearest",
+        ).collect()
+    }
+    assert got[1] == 1.0  # 10 min back beats 25 min forward
+    assert got[2] == 2.0  # 5-min tie both ways -> backward wins
+
 
 def test_asof_join_respects_keys(spark):
     from whatdropsnow_etl_spark.operators import asof_join

@@ -42,7 +42,9 @@ def asof_join(
     tolerance_us: int | None = None,
     matched_ts_alias: str = "matched_ts_us",
 ) -> DataFrame:
-    """Backward/forward as-of join on ``by_cols`` over ``ts_col``.
+    """Backward/forward/nearest as-of join on ``by_cols`` over
+    ``ts_col`` (nearest = pandas merge_asof direction='nearest':
+    the closer of the two candidates, ties to backward).
 
     ``value_cols`` maps right column -> output alias (a plain
     sequence aliases each to itself). Output = every left column,
@@ -50,8 +52,10 @@ def asof_join(
     (epoch-micros BIGINT of the matched right timestamp, NULL when
     no match).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if not isinstance(value_cols, Mapping):
         value_cols = {c: c for c in value_cols}
     by_cols = list(by_cols)
@@ -78,6 +82,70 @@ def asof_join(
         *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
     )
     unioned = l.unionByName(r)
+    if direction == "nearest":
+        # pandas merge_asof direction='nearest': the closer of the
+        # backward and forward candidates, ties to backward. Both
+        # carries run over the SAME hash partitioning (one exchange,
+        # two in-partition sorts — still the single-shuffle lower
+        # bound for per-key temporal alignment). Tolerance applies
+        # per direction before the distance comparison.
+        wb = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col("__ts_us").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col("__ts_us").desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        right_ts = F.when(F.col("__side") == 0, F.col("__ts_us"))
+        sel = unioned.select(
+            "*",
+            F.last(right_ts, ignorenulls=True).over(wb).alias("__b_ts"),
+            F.last(right_ts, ignorenulls=True).over(wf).alias("__f_ts"),
+            *[
+                F.last(
+                    F.when(F.col("__side") == 0, F.col(f"__rv_{c}")),
+                    ignorenulls=True,
+                )
+                .over(wb)
+                .alias(f"__b_{c}")
+                for c in value_cols
+            ],
+            *[
+                F.last(
+                    F.when(F.col("__side") == 0, F.col(f"__rv_{c}")),
+                    ignorenulls=True,
+                )
+                .over(wf)
+                .alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        ).where(F.col("__side") == 1)
+        gap_b = F.col("__ts_us") - F.col("__b_ts")
+        gap_f = F.col("__f_ts") - F.col("__ts_us")
+        in_tol_b = (
+            gap_b <= F.lit(tolerance_us) if tolerance_us is not None else F.lit(True)
+        )
+        in_tol_f = (
+            gap_f <= F.lit(tolerance_us) if tolerance_us is not None else F.lit(True)
+        )
+        valid_b = F.col("__b_ts").isNotNull() & in_tol_b
+        valid_f = F.col("__f_ts").isNotNull() & in_tol_f
+        use_b = valid_b & (~valid_f | (gap_b <= gap_f))
+        return sel.select(
+            *[F.col(c) for c in left_cols],
+            *[
+                F.when(use_b, F.col(f"__b_{c}"))
+                .when(valid_f, F.col(f"__f_{c}"))
+                .alias(alias)
+                for c, alias in value_cols.items()
+            ],
+            F.when(use_b, F.col("__b_ts"))
+            .when(valid_f, F.col("__f_ts"))
+            .alias(matched_ts_alias),
+        )
     order = (
         [F.col("__ts_us").asc(), F.col("__side").asc()]
         if direction == "backward"
