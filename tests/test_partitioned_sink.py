@@ -193,3 +193,41 @@ def test_manifest_read_pushes_filters(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan, plan
     assert df.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
+def test_manifest_schema_evolution_append(spark, tmp_path):
+    """Appends may add nullable columns: the evolved version reads
+    old rows as NULL in the new column, time travel keeps the old
+    schema, and a type-changing append is refused at commit time."""
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.sinks import commit_write, read_version
+
+    path = str(tmp_path / "evolve")
+    commit_write(spark.range(4).selectExpr("id", "id * 2 AS x"), path)
+    # append with an extra column
+    commit_write(
+        spark.range(3).selectExpr("id", "id * 2 AS x", "'b' AS tag"),
+        path,
+        mode="append",
+    )
+    latest = read_version(spark, path)
+    assert latest.columns == ["id", "x", "tag"]
+    rows = latest.collect()
+    assert len(rows) == 7
+    assert sum(r["tag"] is None for r in rows) == 4       # pre-evolution rows
+    assert sum(r["tag"] == "b" for r in rows) == 3
+    # time travel: v1 still presents its own (pre-evolution) schema
+    assert read_version(spark, path, 1).columns == ["id", "x"]
+    # appends that OMIT an existing column read it back as NULL
+    commit_write(spark.range(2).selectExpr("id + 100 AS id"), path, mode="append")
+    v3 = read_version(spark, path)
+    assert v3.columns == ["id", "x", "tag"]
+    assert v3.where("id >= 100").collect()[0]["x"] is None
+    # type flips are corruption deferred to read time -> refused
+    with _pytest.raises(ValueError, match="type"):
+        commit_write(
+            spark.range(1).selectExpr("CAST(id AS STRING) AS id"),
+            path,
+            mode="append",
+        )

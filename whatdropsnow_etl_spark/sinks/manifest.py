@@ -81,14 +81,45 @@ def commit_write(
         if n.endswith(".parquet")
     )
     prev = current_version(path)
+    # schema evolution contract (the Delta/Iceberg rule): appends may
+    # ADD nullable columns and may OMIT existing ones (read as NULL),
+    # but may never change a column's type — a type flip would make
+    # old files unreadable under the new schema, which is corruption
+    # deferred to read time. The table schema is recorded per version
+    # so reads don't depend on which file the parquet reader samples.
+    new_fields = {f["name"]: f for f in df.schema.jsonValue()["fields"]}
+    table_fields = None
     if mode == "append" and prev is not None:
         with open(_manifest_path(path, prev)) as fh:
-            files = json.load(fh)["files"] + files
+            prev_manifest = json.load(fh)
+        files = prev_manifest["files"] + files
+        prev_fields = prev_manifest.get("schema")
+        if prev_fields is not None:
+            changed = [
+                f["name"]
+                for f in prev_fields
+                if f["name"] in new_fields
+                and new_fields[f["name"]]["type"] != f["type"]
+            ]
+            if changed:
+                raise ValueError(
+                    f"append changes column type(s) {changed}; evolution "
+                    "allows only adding nullable columns"
+                )
+            prev_names = {f["name"] for f in prev_fields}
+            table_fields = prev_fields + [
+                f
+                for f in df.schema.jsonValue()["fields"]
+                if f["name"] not in prev_names
+            ]
+    if table_fields is None:
+        table_fields = df.schema.jsonValue()["fields"]
     version = (prev or 0) + 1
     manifest = {
         "version": version,
         "commit_id": commit_id,
         "files": files,
+        "schema": table_fields,
         "meta": meta or {},
     }
     tmp = os.path.join(path, f".manifest-{commit_id}.tmp")
@@ -107,7 +138,15 @@ def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a committed version (default: latest) by its manifest's
-    exact file list — unreferenced/in-flight files are invisible."""
+    exact file list — unreferenced/in-flight files are invisible.
+
+    Reads honor the version's RECORDED table schema: after a
+    schema-evolving append the file set is heterogeneous, and a
+    plain parquet read would take whichever file's footer it samples
+    (silently dropping the new column). ``mergeSchema`` unifies the
+    footers, then the manifest schema pins column order and
+    presence — files written before a column existed read as NULL
+    for it, exactly the lakehouse contract."""
     if version is None:
         version = current_version(path)
         if version is None:
@@ -115,7 +154,23 @@ def read_version(
     with open(_manifest_path(path, version)) as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, f) for f in manifest["files"]]
-    return spark.read.parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    schema = manifest.get("schema")
+    if schema is not None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        cols = []
+        for f in schema:
+            ftype = StructType.fromJson({"fields": [f], "type": "struct"})[
+                f["name"]
+            ].dataType
+            if f["name"] in df.columns:
+                cols.append(F.col(f["name"]).cast(ftype).alias(f["name"]))
+            else:
+                cols.append(F.lit(None).cast(ftype).alias(f["name"]))
+        df = df.select(*cols)
+    return df
 
 
 def committed_meta(path: str) -> list[dict]:
