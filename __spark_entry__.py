@@ -1348,6 +1348,14 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+def _feature_class_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import feature_class_lift
+
+    return feature_class_lift(
+        load_table(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
 # Per-query presentation-sort keys: the output columns in name-sorted
 # order — exactly the key order the driver's hash uses after it sorts
 # columns by name. Both twins sort by this list (Spark: asc_nulls_last,
@@ -1364,6 +1372,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "grid_diversity_sample": ["cell", "keeper_vec_id", "n_in_cell"],
     "label_centroids": ["dim", "label", "mean_micro", "n_vecs", "sum_micro"],
     "asof_nearest_purchase": ["event_id", "purchase_ts_us", "purchase_value", "ts_us", "user_id"],
+    "feature_class_lift": ["bin_id", "c_bin", "c_cell", "c_class", "class", "lift_den", "lift_num"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
     "hashed_features": ["bucket", "doc_id", "weight"],
@@ -1633,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_diversity_sample": _grid_diversity_sample,
         "label_centroids": _label_centroids,
         "asof_nearest_purchase": _asof_nearest_purchase,
+        "feature_class_lift": _feature_class_lift,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4504,6 +4514,30 @@ def oracle_sql() -> dict[str, str]:
                MIN(ev.c) AS lo_cents, MAX(ev.c) AS hi_cents,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM ev, b GROUP BY 1
+    """
+    sql["feature_class_lift"] = """
+        WITH b AS (
+          SELECT CAST(FLOOR(CAST(ROUND(value * 100, 0) AS BIGINT)
+                            / 5000) AS BIGINT) AS bin_id,
+                 CAST(event_type AS VARCHAR) AS class
+          FROM events
+        ), cells AS (
+          SELECT bin_id, class, COUNT(*) AS c_cell FROM b GROUP BY 1, 2
+        ), bins AS (
+          SELECT bin_id, COUNT(*) AS c_bin FROM b GROUP BY 1
+        ), classes AS (
+          SELECT class, COUNT(*) AS c_class FROM b GROUP BY 1
+        ), t AS (
+          SELECT COUNT(*) AS n FROM b
+        )
+        SELECT cells.bin_id, cells.class,
+               CAST(c_cell AS BIGINT) AS c_cell,
+               CAST(c_bin AS BIGINT) AS c_bin,
+               CAST(c_class AS BIGINT) AS c_class,
+               CAST(c_cell * n AS BIGINT) AS lift_num,
+               CAST(c_bin * c_class AS BIGINT) AS lift_den
+        FROM cells JOIN bins USING (bin_id)
+        JOIN classes USING (class), t
     """
     sql["asof_nearest_purchase"] = """
         WITH c AS (

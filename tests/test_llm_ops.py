@@ -2346,3 +2346,27 @@ def test_label_centroids_hand_mean(spark):
     assert out[(1, 1)]["mean_micro"] == 500_000
     assert out[(1, 2)]["mean_micro"] == 250_000
     assert len(out) == 4
+
+
+def test_feature_class_lift_hand_table(spark):
+    """2x2 hand case: bin 0 is pure class a, bin 1 is pure class b —
+    diagonal cells lift above 1 (num > den), and margins/totals are
+    exact."""
+    from whatdropsnow_etl_spark.operators import feature_class_lift
+
+    # values 0..49 cents -> bin 0; 10000 cents -> bin 2
+    rows = [(float(i) / 100.0, "a") for i in range(6)] + [
+        (100.0, "b") for _ in range(4)
+    ]
+    df = spark.createDataFrame(rows, "value double, event_type string")
+    out = {
+        (r["bin_id"], r["class"]): r
+        for r in feature_class_lift(df, "value", "event_type").collect()
+    }
+    a = out[(0, "a")]
+    assert (a["c_cell"], a["c_bin"], a["c_class"]) == (6, 6, 6)
+    # lift = (6*10)/(6*6) > 1
+    assert a["lift_num"] == 60 and a["lift_den"] == 36
+    b = out[(2, "b")]
+    assert (b["c_cell"], b["lift_num"], b["lift_den"]) == (4, 40, 16)
+    assert len(out) == 2  # no off-diagonal cells exist

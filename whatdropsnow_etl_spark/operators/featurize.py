@@ -113,3 +113,58 @@ def label_centroids(
             "mean_micro"
         ),
     )
+
+
+def feature_class_lift(
+    df: DataFrame,
+    feature_col: str,
+    class_col: str,
+    scale: int = 100,
+    width_cents: int = 5000,
+) -> DataFrame:
+    """Contingency-table lift between a binned numeric feature and a
+    class label — the feature-vs-label association preflight run
+    before training on (or stratifying by) a column: a cell whose
+    joint count beats what its margins predict (lift > 1) marks a
+    feature range that separates the class.
+
+    Lift = p(bin, class) / (p(bin)·p(class)) is emitted as the EXACT
+    integer fraction (lift_num, lift_den) = (c_cell·N, c_bin·c_class)
+    — the trend_report convention: no float division, engine-bitwise
+    portable, callers compare num·den' vs num'·den. Bins are the
+    scale-free equi-width value_histogram cut (floor(cents/width) —
+    no global min/max pass, no rank), so the whole report is one
+    groupBy(bin, class) plus two margin aggregates broadcast back:
+    nothing corpus-sized moves twice, and the output is
+    #bins × #classes regardless of corpus size.
+
+    Products stay in BIGINT (c·N ≤ ~1e18 for counts to ~1e9; at true
+    100 TB cell counts, route through DECIMAL — same caveat as PMI).
+    Emits (bin_id, class, c_cell, c_bin, c_class, lift_num,
+    lift_den).
+    """
+    cents = F.round(F.col(feature_col) * scale, 0).cast("long")
+    binned = df.select(
+        F.floor(cents / F.lit(width_cents)).cast("bigint").alias("bin_id"),
+        F.col(class_col).cast("string").alias("class"),
+    )
+    cells = binned.groupBy("bin_id", "class").agg(
+        F.count(F.lit(1)).alias("c_cell")
+    )
+    bins = binned.groupBy("bin_id").agg(F.count(F.lit(1)).alias("c_bin"))
+    classes = binned.groupBy("class").agg(F.count(F.lit(1)).alias("c_class"))
+    total = binned.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        cells.join(F.broadcast(bins), "bin_id")
+        .join(F.broadcast(classes), "class")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin_id",
+            "class",
+            F.col("c_cell").cast("bigint").alias("c_cell"),
+            F.col("c_bin").cast("bigint").alias("c_bin"),
+            F.col("c_class").cast("bigint").alias("c_class"),
+            (F.col("c_cell") * F.col("__n")).cast("bigint").alias("lift_num"),
+            (F.col("c_bin") * F.col("c_class")).cast("bigint").alias("lift_den"),
+        )
+    )
