@@ -71,6 +71,14 @@ ALLPAIRS_OK = {
     # hour-spine densification: crossJoin against the 1-row
     # (min, max) bounds aggregate (the Q11 scalar-subquery pattern)
     "event_rate_spikes",
+    # bin assignment: corpus × 1-row broadcast boundary array
+    # (the Q11 scalar-subquery pattern) — not a data×data cross
+    "quantile_bucketize",
+    # level quantization: corpus × 1-row broadcast per-dim min/max
+    # bounds aggregate — not a data×data cross
+    "grid_diversity_sample",
+    # lift denominator: 1-row broadcast corpus-total cross
+    "feature_class_lift",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
