@@ -3842,6 +3842,7 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
           SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
           FROM events
+          WHERE value IS NOT NULL
           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
           LIMIT 500
         ), a AS (
@@ -4493,6 +4494,7 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
           SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
           FROM events
+          WHERE value IS NOT NULL
           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
           LIMIT 1024
         ), a AS (
@@ -4508,6 +4510,7 @@ def oracle_sql() -> dict[str, str]:
           FROM a
         ), ev AS (
           SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events
+          WHERE value IS NOT NULL
         )
         SELECT CAST(len(list_filter(b.bnds, x -> x <= ev.c)) AS BIGINT)
                  AS bin_id,

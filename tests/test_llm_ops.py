@@ -2370,3 +2370,29 @@ def test_feature_class_lift_hand_table(spark):
     b = out[(2, "b")]
     assert (b["c_cell"], b["lift_num"], b["lift_den"]) == (4, 40, 16)
     assert len(out) == 2  # no off-diagonal cells exist
+
+
+def test_quantile_bucketize_empty_and_null_values(spark):
+    """Empty input produces an empty report (no index-0 crash), and
+    NULL values are excluded from both the sample and the binning
+    instead of silently landing in bin 0."""
+    from whatdropsnow_etl_spark.operators import quantile_bucketize
+
+    empty = spark.createDataFrame([], "event_id long, value double")
+    assert quantile_bucketize(empty, "value", "event_id").collect() == []
+
+    withnull = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)] + [(99, None), (98, None)],
+        "event_id long, value double",
+    )
+    rows = quantile_bucketize(withnull, "value", "event_id", n_bins=4, k=64).collect()
+    assert sum(r["n"] for r in rows) == 40  # NULL rows carry no bin
+
+
+def test_sampled_quantiles_empty_input_null_estimates(spark):
+    from whatdropsnow_etl_spark.operators import sampled_quantiles
+
+    empty = spark.createDataFrame([], "event_id long, value double")
+    rows = sampled_quantiles(empty, "value", "event_id", k=16).collect()
+    assert len(rows) == 3
+    assert all(r["est_cents"] is None and r["n_sample"] == 0 for r in rows)

@@ -524,3 +524,25 @@ def test_dataset_fingerprint_properties(spark):
     lit_n = spark.createDataFrame([(1, "N")], "k bigint, v string")
     real_null = spark.createDataFrame([(1, None)], "k bigint, v string")
     assert fp(lit_n) != fp(real_null)
+
+
+def test_asof_join_null_valued_right_row_not_chimeric(spark):
+    """A right row whose VALUE is NULL must match as (its ts, NULL),
+    never pair its timestamp with an older row's value."""
+    from whatdropsnow_etl_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00")], "id long, t string"
+    ).select("id", F.col("t").cast("timestamp").alias("ts"), F.lit(7).alias("k"))
+    right = spark.createDataFrame(
+        [("2024-01-01 09:00:00", 5.0), ("2024-01-01 10:00:00", None)],
+        "t string, price double",
+    ).select(F.col("t").cast("timestamp").alias("ts"), "price", F.lit(7).alias("k"))
+    for direction in ("backward", "nearest"):
+        [r] = asof_join(
+            left, right, ts_col="ts", by_cols=["k"], value_cols=["price"],
+            direction=direction,
+        ).collect()
+        assert r["price"] is None, direction
+        # matched the 10:00 row, not the 09:00 one
+        assert r["matched_ts_us"] == 1704103200000000, direction

@@ -231,3 +231,58 @@ def test_manifest_schema_evolution_append(spark, tmp_path):
             path,
             mode="append",
         )
+
+
+def test_manifest_pre_upgrade_append_reconstructs_schema(spark, tmp_path):
+    """Appending onto a manifest written before schemas were
+    recorded reconstructs the table schema from file footers: old
+    columns survive the append and type flips are still refused."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.sinks import commit_write, read_version
+    from whatdropsnow_etl_spark.sinks.manifest import _manifest_path
+
+    path = str(tmp_path / "legacy")
+    commit_write(spark.range(3).selectExpr("id", "id * 2 AS x"), path)
+    # simulate a pre-upgrade manifest: drop the recorded schema
+    mp = _manifest_path(path, 1)
+    with open(mp) as fh:
+        m = _json.load(fh)
+    del m["schema"]
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    # an append that omits x must not erase it from the table schema
+    commit_write(spark.range(2).selectExpr("id + 10 AS id"), path, mode="append")
+    latest = read_version(spark, path)
+    assert latest.columns == ["id", "x"]
+    assert latest.where("id >= 10").collect()[0]["x"] is None
+    # and a type flip is still refused
+    with _pytest.raises(ValueError, match="type"):
+        commit_write(
+            spark.range(1).selectExpr("CAST(id AS STRING) AS id"),
+            path,
+            mode="append",
+        )
+
+
+def test_manifest_added_columns_recorded_nullable(spark, tmp_path):
+    """A column added by append is recorded nullable in the manifest
+    schema even when the incoming frame declares it non-nullable —
+    pre-evolution rows read as NULL in it."""
+    import json as _json
+
+    from whatdropsnow_etl_spark.sinks import commit_write
+    from whatdropsnow_etl_spark.sinks.manifest import _manifest_path
+
+    path = str(tmp_path / "nullable")
+    commit_write(spark.range(2).selectExpr("id"), path)
+    # 'tag' is non-nullable in the incoming frame (literal)
+    commit_write(
+        spark.range(2).selectExpr("id", "'b' AS tag"), path, mode="append"
+    )
+    with open(_manifest_path(path, 2)) as fh:
+        schema = _json.load(fh)["schema"]
+    tag = [f for f in schema if f["name"] == "tag"][0]
+    assert tag["nullable"] is True

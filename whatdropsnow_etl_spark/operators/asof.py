@@ -99,30 +99,32 @@ def asof_join(
             .orderBy(F.col("__ts_us").desc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        right_ts = F.when(F.col("__side") == 0, F.col("__ts_us"))
-        sel = unioned.select(
-            "*",
-            F.last(right_ts, ignorenulls=True).over(wb).alias("__b_ts"),
-            F.last(right_ts, ignorenulls=True).over(wf).alias("__f_ts"),
-            *[
-                F.last(
-                    F.when(F.col("__side") == 0, F.col(f"__rv_{c}")),
-                    ignorenulls=True,
-                )
-                .over(wb)
-                .alias(f"__b_{c}")
-                for c in value_cols
-            ],
-            *[
-                F.last(
-                    F.when(F.col("__side") == 0, F.col(f"__rv_{c}")),
-                    ignorenulls=True,
-                )
-                .over(wf)
-                .alias(f"__f_{c}")
-                for c in value_cols
-            ],
-        ).where(F.col("__side") == 1)
+        # carry ts + values as ONE struct so the match is always
+        # row-consistent: separate ignorenulls carries would skip a
+        # right row whose VALUE is NULL and pair its timestamp with
+        # an older row's value (a chimera no row-wise oracle emits)
+        right_row = F.when(
+            F.col("__side") == 0,
+            F.struct(
+                F.col("__ts_us").alias("ts"),
+                *[F.col(f"__rv_{c}").alias(f"v_{c}") for c in value_cols],
+            ),
+        )
+        sel = (
+            unioned.select(
+                "*",
+                F.last(right_row, ignorenulls=True).over(wb).alias("__b"),
+                F.last(right_row, ignorenulls=True).over(wf).alias("__f"),
+            )
+            .where(F.col("__side") == 1)
+            .select(
+                "*",
+                F.col("__b.ts").alias("__b_ts"),
+                F.col("__f.ts").alias("__f_ts"),
+                *[F.col(f"__b.v_{c}").alias(f"__b_{c}") for c in value_cols],
+                *[F.col(f"__f.v_{c}").alias(f"__f_{c}") for c in value_cols],
+            )
+        )
         gap_b = F.col("__ts_us") - F.col("__b_ts")
         gap_f = F.col("__f_ts") - F.col("__ts_us")
         in_tol_b = (
@@ -156,23 +158,27 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    marked = unioned.select(
-        "*",
-        F.last(
-            F.when(F.col("__side") == 0, F.col("__ts_us")), ignorenulls=True
+    # one-struct carry: see the nearest branch — keeps a NULL-valued
+    # right row's match row-consistent instead of chimeric
+    right_row = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__ts_us").alias("ts"),
+            *[F.col(f"__rv_{c}").alias(f"v_{c}") for c in value_cols],
+        ),
+    )
+    marked = (
+        unioned.select(
+            "*",
+            F.last(right_row, ignorenulls=True).over(w).alias("__m"),
         )
-        .over(w)
-        .alias("__m_ts"),
-        *[
-            F.last(
-                F.when(F.col("__side") == 0, F.col(f"__rv_{c}")),
-                ignorenulls=True,
-            )
-            .over(w)
-            .alias(f"__m_{c}")
-            for c in value_cols
-        ],
-    ).where(F.col("__side") == 1)
+        .where(F.col("__side") == 1)
+        .select(
+            "*",
+            F.col("__m.ts").alias("__m_ts"),
+            *[F.col(f"__m.v_{c}").alias(f"__m_{c}") for c in value_cols],
+        )
+    )
     if tolerance_us is not None:
         gap = (
             F.col("__ts_us") - F.col("__m_ts")

@@ -151,9 +151,13 @@ def feature_class_lift(
     cells = binned.groupBy("bin_id", "class").agg(
         F.count(F.lit(1)).alias("c_cell")
     )
-    bins = binned.groupBy("bin_id").agg(F.count(F.lit(1)).alias("c_bin"))
-    classes = binned.groupBy("class").agg(F.count(F.lit(1)).alias("c_class"))
-    total = binned.agg(F.count(F.lit(1)).alias("__n"))
+    # margins roll up from the #cells-sized relation, never from the
+    # corpus again — the identical cells exchange subtree is reused
+    # across all three branches (ReuseExchange), so the corpus is
+    # scanned and shuffled exactly once
+    bins = cells.groupBy("bin_id").agg(F.sum("c_cell").alias("c_bin"))
+    classes = cells.groupBy("class").agg(F.sum("c_cell").alias("c_class"))
+    total = cells.agg(F.sum("c_cell").alias("__n"))
     return (
         cells.join(F.broadcast(bins), "bin_id")
         .join(F.broadcast(classes), "class")

@@ -62,6 +62,33 @@ def exact_group_quantiles(
     return ranked.groupBy(*group_cols).agg(*[pick(p) for p in ps])
 
 
+def _bottom_k_cents(
+    df: DataFrame, value_col: str, id_col: str, k: int, scale: int
+) -> DataFrame:
+    """Deterministic bottom-k-by-md5(id) sample of NON-NULL integer
+    cents, as one (`__arr` sorted-ascending, `__n`) aggregate row —
+    the shared sampling kernel of sampled_quantiles and
+    quantile_bucketize. NULL values are excluded BEFORE the cut
+    (collect_list drops NULLs but a count would not, and the two
+    diverging is exactly the off-by-NULL boundary drift a twin pair
+    can't afford); both consumers' oracles filter identically."""
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    sample = (
+        df.select(
+            cents.alias("__c"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col),
+        )
+        .where(F.col("__c").isNotNull())
+        .orderBy(F.col("__h"), F.col(id_col))
+        .limit(k)
+    )
+    return sample.agg(
+        F.sort_array(F.collect_list("__c")).alias("__arr"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+
 def sampled_quantiles(
     df: DataFrame,
     value_col: str,
@@ -94,25 +121,25 @@ def sampled_quantiles(
     Emits one row per requested p: (p DOUBLE, est_cents BIGINT,
     n_sample BIGINT).
     """
-    cents = F.round(F.col(value_col) * scale, 0).cast("long")
-    h = F.md5(F.col(id_col).cast("string"))
-    sample = (
-        df.select(cents.alias("__cents"), h.alias("__h"), F.col(id_col))
-        .orderBy(F.col("__h"), F.col(id_col))
-        .limit(k)
-    )
-    arr = sample.agg(
-        F.sort_array(F.collect_list("__cents")).alias("__arr"),
-        F.count(F.lit(1)).alias("n_sample"),
+    arr = _bottom_k_cents(df, value_col, id_col, k, scale).select(
+        "__arr", F.col("__n").alias("n_sample")
     )
     qs = F.array(*[F.lit(float(p)) for p in ps])
     return (
         arr.select(F.explode(qs).alias("p"), "__arr", "n_sample")
         .select(
             "p",
-            F.element_at(
-                "__arr",
-                (F.floor(F.col("p") * (F.col("n_sample") - 1)) + 1).cast("int"),
+            # empty-input guard: n=0 would index element_at(arr, 0),
+            # an error under ANSI; NULL estimate mirrors the SQL
+            # twin's out-of-range arr[0]
+            F.when(
+                F.col("n_sample") > 0,
+                F.element_at(
+                    "__arr",
+                    (F.floor(F.col("p") * (F.col("n_sample") - 1)) + 1).cast(
+                        "int"
+                    ),
+                ),
             ).alias("est_cents"),
             "n_sample",
         )
@@ -256,27 +283,21 @@ def quantile_bucketize(
     observed min/max cents in the bin, n the population.
     """
     cents = F.round(F.col(value_col) * scale, 0).cast("long")
-    sample = (
-        df.select(
-            cents.alias("__c"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-            F.col(id_col),
-        )
-        .orderBy(F.col("__h"), F.col(id_col))
-        .limit(k)
-    )
-    arr = sample.agg(
-        F.sort_array(F.collect_list("__c")).alias("__arr"),
-        F.count(F.lit(1)).alias("__n"),
-    )
+    arr = _bottom_k_cents(df, value_col, id_col, k, scale)
+    # empty-input guard: n=0 would index element_at(arr, 0), an
+    # error under ANSI; NULL boundaries + the NULL-row filter below
+    # make the empty corpus produce an empty report in both twins
     bounds = arr.select(
         F.array(
             *[
-                F.element_at(
-                    "__arr",
-                    (
-                        F.floor(F.lit(i / n_bins) * (F.col("__n") - 1)) + 1
-                    ).cast("int"),
+                F.when(
+                    F.col("__n") > 0,
+                    F.element_at(
+                        "__arr",
+                        (
+                            F.floor(F.lit(i / n_bins) * (F.col("__n") - 1)) + 1
+                        ).cast("int"),
+                    ),
                 )
                 for i in range(1, n_bins)
             ]
@@ -284,6 +305,9 @@ def quantile_bucketize(
     )
     assigned = (
         df.select(cents.alias("__c"))
+        # NULL values carry no bin (a NULL comparison would silently
+        # land them in bin 0) — excluded here AND from the sample
+        .where(F.col("__c").isNotNull())
         .crossJoin(F.broadcast(bounds))
         .select(
             F.size(

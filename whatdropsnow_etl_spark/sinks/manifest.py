@@ -94,24 +94,40 @@ def commit_write(
             prev_manifest = json.load(fh)
         files = prev_manifest["files"] + files
         prev_fields = prev_manifest.get("schema")
-        if prev_fields is not None:
-            changed = [
-                f["name"]
-                for f in prev_fields
-                if f["name"] in new_fields
-                and new_fields[f["name"]]["type"] != f["type"]
+        if prev_fields is None:
+            # pre-upgrade manifest with no recorded schema:
+            # reconstruct it from the committed files' footers
+            # (mergeSchema unifies any heterogeneous appends) so the
+            # type guard and column preservation apply to old tables
+            # too, instead of silently skipping both
+            prev_files = [
+                os.path.join(path, f) for f in prev_manifest["files"]
             ]
-            if changed:
-                raise ValueError(
-                    f"append changes column type(s) {changed}; evolution "
-                    "allows only adding nullable columns"
-                )
-            prev_names = {f["name"] for f in prev_fields}
-            table_fields = prev_fields + [
-                f
-                for f in df.schema.jsonValue()["fields"]
-                if f["name"] not in prev_names
-            ]
+            prev_fields = (
+                df.sparkSession.read.option("mergeSchema", "true")
+                .parquet(*prev_files)
+                .schema.jsonValue()["fields"]
+            )
+        changed = [
+            f["name"]
+            for f in prev_fields
+            if f["name"] in new_fields
+            and new_fields[f["name"]]["type"] != f["type"]
+        ]
+        if changed:
+            raise ValueError(
+                f"append changes column type(s) {changed}; evolution "
+                "allows only adding nullable columns"
+            )
+        prev_names = {f["name"] for f in prev_fields}
+        # added columns are recorded nullable regardless of the
+        # incoming frame's flag: every pre-evolution row reads as
+        # NULL in them, so a non-nullable declaration would lie
+        table_fields = prev_fields + [
+            {**f, "nullable": True}
+            for f in df.schema.jsonValue()["fields"]
+            if f["name"] not in prev_names
+        ]
     if table_fields is None:
         table_fields = df.schema.jsonValue()["fields"]
     version = (prev or 0) + 1
