@@ -1160,6 +1160,26 @@ def _event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_rate_spikes(load_table(spark, sf_dir, "events"), threshold_x=2.0)
 
 
+def _pair_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected MinHash candidate-pair graph
+    (each pair contributes both directions): the hub refinement of
+    dup_degree_report — template/boilerplate clusters whose members
+    near-duplicate OTHER hubs outrank equal-degree leaf stars."""
+    from whatdropsnow_etl_spark.operators import minhash_lsh_pairs, pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    pr = pagerank(edges, iters=8)
+    # round for presentation only (rows-only query: the driver
+    # checks execution, pytest pins values vs a pure-Python twin)
+    return pr.select("node", F.round("rank", 9).alias("rank"), "out_deg")
+
+
 def _dup_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dup_degree_report
 
@@ -1373,6 +1393,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "label_centroids": ["dim", "label", "mean_micro", "n_vecs", "sum_micro"],
     "asof_nearest_purchase": ["event_id", "purchase_ts_us", "purchase_value", "ts_us", "user_id"],
     "feature_class_lift": ["bin_id", "c_bin", "c_cell", "c_class", "class", "lift_den", "lift_num"],
+    "pair_pagerank": ["node", "out_deg", "rank"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
     "hashed_features": ["bucket", "doc_id", "weight"],
@@ -1748,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": _hll_distinct,
         "ann_ivf_trained": _ann_ivf_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        "pair_pagerank": _pair_pagerank,
     }
     return {k: _with_presentation_order(k, v) for k, v in base.items()}
 

@@ -2396,3 +2396,50 @@ def test_sampled_quantiles_empty_input_null_estimates(spark):
     rows = sampled_quantiles(empty, "value", "event_id", k=16).collect()
     assert len(rows) == 3
     assert all(r["est_cents"] is None and r["n_sample"] == 0 for r in rows)
+
+
+def _pagerank_py(edges, iters=8, d=0.85):
+    """Pure-Python reference: identical synchronous iteration."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        dangling = sum(r for u, r in rank.items() if out[u] == 0)
+        nxt = {u: (1 - d) / n + d * dangling / n for u in nodes}
+        for u, v in edges:
+            nxt[v] += d * rank[u] / out[u]
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_reference_and_conserves_mass(spark):
+    from whatdropsnow_etl_spark.operators import pagerank
+
+    # directed graph with a dangling node (4) and a hub (1)
+    edges = [(1, 2), (1, 3), (2, 1), (3, 1), (3, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    ref = _pagerank_py(edges, iters=8)
+    assert set(got) == set(ref)
+    for u in ref:
+        assert abs(got[u] - ref[u]) < 1e-9, (u, got[u], ref[u])
+    # mass conservation: dangling redistribution keeps sum at 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub outranks every leaf
+    assert got[1] == max(got.values())
+
+
+def test_pagerank_undirected_pair_graph_degree_monotone(spark):
+    """On a star + a triangle passed both directions, the star
+    center outranks triangle members, which outrank star leaves."""
+    from whatdropsnow_etl_spark.operators import pagerank
+
+    und = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (12, 10)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    assert got[0] > got[10] > got[1]
+    assert abs(sum(got.values()) - 1.0) < 1e-9

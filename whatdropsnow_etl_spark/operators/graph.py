@@ -1,0 +1,113 @@
+"""Iterative graph analytics over edge lists: PageRank.
+
+The duplicate-pair graph (MinHash/SimHash candidate pairs) is the
+corpus-scale graph a curation pipeline actually owns, and
+`dup_degree_report` already ranks its hubs by raw degree. PageRank
+is the standard refinement — a doc that near-duplicates OTHER hubs
+outranks one with the same degree of leaf neighbors (template pages
+and boilerplate clusters surface first), and the same operator runs
+provenance graphs (page → linked page) when the corpus carries link
+metadata.
+
+Spark-first shape: the classic synchronous iteration as DataFrame
+joins — ranks ⋈ edges on src (both sides hash-partitioned on the
+node key, so every round reuses one exchange pattern), a map-side
+combined sum per dst, and a #nodes-row dangling-mass scalar folded
+back via the 1-row-broadcast pattern. Each round ends in
+``localCheckpoint(eager=True)`` — the two-stars convention — so
+lineage stays flat across iterations instead of doubling (10 rounds
+of lazy joins otherwise compile a 2^10-deep plan). Convergence is
+geometric in the damping factor; fixed ``iters`` keeps the round
+count deterministic (the BPE/kmeans contract: iteration count is
+part of the operator's identity, not a runtime race).
+
+Rows-only by nature (float mass diffusion has no SQL twin the
+driver could hash bit-identically — sums of doubles are
+partition-order sensitive at the ulp); pinned in pytest against a
+pure-Python reference to 1e-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Directed PageRank with uniform teleport and dangling-mass
+    redistribution over an (src, dst) edge list.
+
+    rank_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} rank_t(u)/out(u)
+                                   + dangling_t/N)
+
+    where dangling_t is the total rank parked on nodes with no
+    out-edges (redistributed uniformly — the standard fix that keeps
+    total mass at exactly 1). Undirected graphs pass each edge in
+    both directions (then no node dangles).
+
+    Output: (node, rank DOUBLE, out_deg BIGINT) for every node that
+    appears as an endpoint. Scale: per round, one co-partitioned
+    join + one combined aggregate; the only driver-side values are
+    N and the dangling scalar (1-row collects, the kmeans/BPE
+    model-sized contract).
+    """
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("rank"),
+            F.lit(0).cast("bigint").alias("out_deg"),
+        )
+    out_deg = e.groupBy(F.col("__src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = (
+        nodes.join(out_deg, "node", "left")
+        .select(
+            "node", F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg")
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = (
+            ranks.where(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            ranks.where(F.col("out_deg") > 0)
+            .join(e, F.col("node") == F.col("__src"))
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("__in"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank", "out_deg")
