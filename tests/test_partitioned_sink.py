@@ -286,3 +286,45 @@ def test_manifest_added_columns_recorded_nullable(spark, tmp_path):
         schema = _json.load(fh)["schema"]
     tag = [f for f in schema if f["name"] == "tag"][0]
     assert tag["nullable"] is True
+
+
+def test_manifest_merge_latest_wins_and_time_travel(spark, tmp_path):
+    """MERGE publishes the latest-wins state as one new atomic
+    version: updates replace matched keys, insert unmatched ones,
+    ties go to the update, and the pre-merge version stays readable."""
+    from whatdropsnow_etl_spark.sinks import merge_write, read_version
+
+    path = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "id long, v string, ver long"
+    )
+    assert merge_write(base, path, keys=["id"], order_col="ver") == 1
+    updates = spark.createDataFrame(
+        # id 2: newer -> replaces; id 3: SAME ver -> update wins tie;
+        # id 4: new key -> inserted
+        [(2, "B", 20), (3, "C", 10), (4, "d", 5)], "id long, v string, ver long"
+    )
+    assert merge_write(updates, path, keys=["id"], order_col="ver") == 2
+    got = {r["id"]: r["v"] for r in read_version(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "C", 4: "d"}
+    # time travel: pre-merge state intact
+    v1 = {r["id"]: r["v"] for r in read_version(spark, path, 1).collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c"}
+
+
+def test_manifest_merge_with_added_column(spark, tmp_path):
+    """Schema evolution composes with MERGE: updates carrying a new
+    column merge cleanly, old unmatched rows read NULL in it."""
+    from whatdropsnow_etl_spark.sinks import merge_write, read_version
+
+    path = str(tmp_path / "merged_evolve")
+    merge_write(
+        spark.createDataFrame([(1, 1), (2, 1)], "id long, ver long"),
+        path, keys=["id"], order_col="ver",
+    )
+    merge_write(
+        spark.createDataFrame([(2, 2, "x")], "id long, ver long, tag string"),
+        path, keys=["id"], order_col="ver",
+    )
+    rows = {r["id"]: r["tag"] for r in read_version(spark, path).collect()}
+    assert rows == {1: None, 2: "x"}

@@ -6,13 +6,20 @@ from .partitioned_parquet import (
     read_partitioned_events,
     write_partitioned_events,
 )
-from .manifest import commit_write, current_version, read_version, vacuum
+from .manifest import (
+    commit_write,
+    current_version,
+    merge_write,
+    read_version,
+    vacuum,
+)
 from .upsert_parquet import UpsertParquetSink
 
 __all__ = [
     "UpsertParquetSink",
     "commit_write",
     "current_version",
+    "merge_write",
     "read_version",
     "vacuum",
     "write_partitioned_events",

@@ -233,3 +233,64 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if os.path.exists(mp):
             os.remove(mp)
     return deleted
+
+
+def merge_write(
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    meta: dict | None = None,
+) -> int:
+    """MERGE (latest-wins upsert) committed as a new atomic version —
+    the Delta ``MERGE INTO`` shape on the manifest table: read the
+    current version, resolve each key to the single newest row by
+    ``order_col`` (updates beat existing rows on ties via a side
+    marker, matching ON CONFLICT DO UPDATE), and publish the result
+    as one new snapshot version. Readers flip from the old state to
+    the merged state atomically; time travel keeps every pre-merge
+    version; a crash mid-merge leaves only unreferenced files.
+
+    Schema evolution composes: updates may add nullable columns
+    (validated by the commit path's type guard via the recorded
+    schema).
+
+    Scale: the merge itself is the latest_wins window — ONE shuffle
+    on the key columns, the same exchange a warehouse MERGE needs.
+    The rewrite cost is the full-snapshot write, which is the
+    manifest sink's contract (every version is a complete file set);
+    for keyed partial rewrites at 100 TB the bucketed upsert sink
+    (sinks/upsert_parquet.py) is the partition-local alternative —
+    this operator buys atomic multi-reader snapshots instead.
+    """
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators.upsert import latest_wins
+
+    spark = updates.sparkSession
+    prev = current_version(path)
+    if prev is None:
+        merged = latest_wins(
+            updates.withColumn("__upd", F.lit(1)),
+            keys,
+            [F.col(order_col).desc(), F.col("__upd").desc()],
+        ).drop("__upd")
+        return commit_write(merged, path, mode="overwrite", meta=meta)
+    existing = read_version(spark, path, prev)
+    new_cols = [c for c in updates.columns if c not in existing.columns]
+    for c in new_cols:
+        existing = existing.withColumn(
+            c, F.lit(None).cast(updates.schema[c].dataType)
+        )
+    missing = [c for c in existing.columns if c not in updates.columns]
+    for c in missing:
+        updates = updates.withColumn(
+            c, F.lit(None).cast(existing.schema[c].dataType)
+        )
+    both = existing.withColumn("__upd", F.lit(0)).unionByName(
+        updates.withColumn("__upd", F.lit(1))
+    )
+    merged = latest_wins(
+        both, keys, [F.col(order_col).desc(), F.col("__upd").desc()]
+    ).drop("__upd")
+    return commit_write(merged, path, mode="overwrite", meta=meta)
