@@ -57,9 +57,14 @@ def pagerank(
     N and the dangling scalar (1-row collects, the kmeans/BPE
     model-sized contract).
     """
+    # materialize the edge list once: it is re-joined EVERY round,
+    # and a lazy lineage (e.g. the whole MinHash pair pipeline)
+    # would re-execute per iteration — the classic iterative-graph
+    # trap. One localCheckpoint beats 8 recomputes; the edge list is
+    # the dataset an iterative graph algorithm owns by contract.
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
@@ -85,11 +90,18 @@ def pagerank(
     )
     ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
+    # dangling-node EXISTENCE is a property of the graph, not the
+    # iteration: check it once. Undirected pair graphs (every node
+    # has an out-edge) then skip the per-round dangling-sum job
+    # entirely — at 8 iterations that halves the scheduled jobs.
+    has_dangling = base.where(F.col("out_deg") == 0).limit(1).count() > 0
     for _ in range(iters):
         dangling = (
             ranks.where(F.col("out_deg") == 0)
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
+            if has_dangling
+            else 0.0
         )
         contrib = (
             ranks.where(F.col("out_deg") > 0)
