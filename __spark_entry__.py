@@ -1332,6 +1332,12 @@ def _trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_report(load_table(spark, sf_dir, "events"))
 
 
+def _top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import top_event_paths
+
+    return top_event_paths(load_table(spark, sf_dir, "events"), k=3, top_k=20)
+
+
 def _quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import quantile_bucketize
 
@@ -1394,6 +1400,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "asof_nearest_purchase": ["event_id", "purchase_ts_us", "purchase_value", "ts_us", "user_id"],
     "feature_class_lift": ["bin_id", "c_bin", "c_cell", "c_class", "class", "lift_den", "lift_num"],
     "pair_pagerank": ["node", "out_deg", "rank"],
+    "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
     "hashed_features": ["bucket", "doc_id", "weight"],
@@ -1664,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": _label_centroids,
         "asof_nearest_purchase": _asof_nearest_purchase,
         "feature_class_lift": _feature_class_lift,
+        "top_event_paths": _top_event_paths,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4539,6 +4547,24 @@ def oracle_sql() -> dict[str, str]:
                MIN(ev.c) AS lo_cents, MAX(ev.c) AS hi_cents,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM ev, b GROUP BY 1
+    """
+    sql["top_event_paths"] = """
+        WITH s AS (
+          SELECT user_id, event_type AS t0,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t1,
+                 LEAD(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t2
+          FROM events
+        ), runs AS (
+          SELECT user_id, t0 || ' > ' || t1 || ' > ' || t2 AS path
+          FROM s WHERE t2 IS NOT NULL
+        ), c AS (
+          SELECT path, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM runs GROUP BY path
+        )
+        SELECT path, n, n_users FROM c ORDER BY n DESC, path LIMIT 20
     """
     sql["feature_class_lift"] = """
         WITH b AS (

@@ -356,3 +356,39 @@ def test_trend_report_anchor_invariance(spark):
     [r2] = trend_report(_events(spark, shifted)).collect()
     # re-anchoring makes the slope depend only on the day OFFSETS
     assert (r1["slope_num"], r1["slope_den"]) == (r2["slope_num"], r2["slope_den"])
+
+
+def test_top_event_paths_windows_and_users(spark):
+    from whatdropsnow_etl_spark.operators import top_event_paths
+
+    rows = [
+        # user 1: a b c d -> paths "a>b>c", "b>c>d"
+        ("2024-01-01 10:00:00", 1, "a", 1.0),
+        ("2024-01-01 10:01:00", 1, "b", 1.0),
+        ("2024-01-01 10:02:00", 1, "c", 1.0),
+        ("2024-01-01 10:03:00", 1, "d", 1.0),
+        # user 2: a b c -> "a>b>c" again (distinct user)
+        ("2024-01-01 11:00:00", 2, "a", 1.0),
+        ("2024-01-01 11:01:00", 2, "b", 1.0),
+        ("2024-01-01 11:02:00", 2, "c", 1.0),
+        # user 3: too short for any length-3 path
+        ("2024-01-01 12:00:00", 3, "a", 1.0),
+        ("2024-01-01 12:01:00", 3, "b", 1.0),
+    ]
+    got = {
+        r["path"]: (r["n"], r["n_users"])
+        for r in top_event_paths(_events(spark, rows)).collect()
+    }
+    assert got == {"a > b > c": (2, 2), "b > c > d": (1, 1)}
+
+
+def test_top_event_paths_never_crosses_users(spark):
+    from whatdropsnow_etl_spark.operators import top_event_paths
+
+    # consecutive global rows but different users: no window forms
+    rows = [
+        ("2024-01-01 10:00:00", 1, "a", 1.0),
+        ("2024-01-01 10:01:00", 2, "b", 1.0),
+        ("2024-01-01 10:02:00", 3, "c", 1.0),
+    ]
+    assert top_event_paths(_events(spark, rows)).collect() == []

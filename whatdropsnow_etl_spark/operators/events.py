@@ -590,3 +590,49 @@ def trend_report(
             F.col("n_days") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
         ).cast("bigint").alias("slope_den"),
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    k: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common length-``k`` event-type paths — the sequence
+    generalization of event_transitions (order-1 Markov): "view >
+    click > purchase" ranked against every other 3-step journey,
+    the path-mining staple behind funnel discovery (event_funnel
+    CHECKS a hypothesized order; this FINDS the orders worth
+    hypothesizing).
+
+    Windows are per-user consecutive runs ordered by (ts, id) — the
+    id tiebreak makes same-timestamp runs deterministic, matching
+    event_transitions' convention. One user-partitioned window
+    (lead × (k-1), linear in rows), a map-side-combined path count,
+    then a sort-limit heap cut to ``top_k`` — no global sort.
+    Emits (path 'a > b > c', n, n_users) ordered by n DESC with
+    path ASC tiebreak; n_users counts distinct users who ever took
+    the path (path-keyed exact distinct — the sketch escape hatch
+    at extreme scale is kmv/hll, same note as daily_active_users).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, k)
+    ]
+    runs = events.select(
+        F.col(user_col).alias("__u"),
+        F.concat_ws(" > ", *steps).alias("path"),
+        steps[-1].isNotNull().alias("__complete"),
+    ).where(F.col("__complete"))
+    counted = runs.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__u")).alias("n_users"),
+    )
+    return (
+        counted.orderBy(F.col("n").desc(), F.col("path"))
+        .limit(top_k)
+        .select("path", F.col("n").cast("bigint"), F.col("n_users").cast("bigint"))
+    )
