@@ -457,3 +457,78 @@ def test_incremental_join_identity_property(spark, a_rows, b_rows, a_cut, b_cut)
         )
     )
     assert got == want
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),       # key
+        st.integers(0, 1000),    # ts seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(lefts=asof_rows, rights=asof_rows, tol=st.integers(1, 500))
+@PROP
+def test_asof_nearest_matches_bruteforce(spark, lefts, rights, tol):
+    """For every left row the nearest match equals the brute-force
+    answer: min |Δts| within tolerance, ties to the backward
+    candidate. Right rows are deduped per (key, ts) to honor the
+    operator's uniqueness contract."""
+    from whatdropsnow_etl_spark.operators import asof_join
+
+    rights = sorted({(k, ts) for k, ts in rights})
+    left_df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)],
+        "id long, k long, tsec long",
+    ).select("id", "k", F.timestamp_seconds("tsec").alias("ts"))
+    right_df = spark.createDataFrame(
+        [(k, ts, float(k * 1000 + ts)) for k, ts in rights],
+        "k long, tsec long, v double",
+    ).select("k", F.timestamp_seconds("tsec").alias("ts"), "v")
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left_df, right_df, ts_col="ts", by_cols=["k"], value_cols=["v"],
+            direction="nearest", tolerance_us=tol * 1_000_000,
+        ).collect()
+    }
+    for i, (k, lts) in enumerate(lefts):
+        cands = [
+            (abs(lts - rts), 0 if rts <= lts else 1, rts, v_k, v_ts)
+            for (v_k, v_ts) in [(rk, rts) for rk, rts in rights if rk == k]
+            for rts in [v_ts]
+            if abs(lts - rts) <= tol
+        ]
+        expect = None
+        if cands:
+            # min distance; tie -> backward (rts <= lts sorts first)
+            _, _, _, ck, cts = min(cands)
+            expect = float(ck * 1000 + cts)
+        assert got[i] == expect, (i, k, lts, got[i], expect)
+
+
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=60
+    ),
+    n_bins=st.integers(2, 8),
+)
+@PROP
+def test_quantile_bucketize_partition_property(spark, vals, n_bins):
+    """Any input: bins partition the non-NULL rows, ids stay in
+    [0, n_bins-1], and bins never overlap in value space."""
+    from whatdropsnow_etl_spark.operators import quantile_bucketize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    rows = sorted(
+        quantile_bucketize(df, "value", "event_id", n_bins=n_bins, k=64).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    assert sum(r["n"] for r in rows) == len(vals)
+    assert all(0 <= r["bin_id"] < n_bins for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] < b["lo_cents"]
