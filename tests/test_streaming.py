@@ -1100,3 +1100,60 @@ def test_manifest_stream_sink_exactly_once(spark, tables, events_json_dir, tmp_p
     assert read_version(spark, path).count() == total
     ids = [m["batch_id"] for m in committed_meta(path)]
     assert len(ids) == len(set(ids))
+
+
+def test_path_stream_matches_batch(spark, tables, events_json_dir, tmp_path):
+    """The streaming k-wide window (a (k-1)-suffix of state per
+    user) must emit exactly the batch top_event_paths window
+    multiset when the stream is a single (fully sortable) batch,
+    and the per-user record count must survive multi-batch arrival."""
+    from whatdropsnow_etl_spark.operators import top_event_paths
+    from whatdropsnow_etl_spark.streaming import path_stream
+
+    stream1 = spark.readStream.schema(SCHEMA).json(events_json_dir)
+    q = (
+        path_stream(stream1, k=3)
+        .writeStream.format("memory")
+        .queryName("paths_one")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_paths1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["path"]: r["n"]
+        for r in spark.table("paths_one")
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want_df = top_event_paths(tables["events"], k=3, top_k=10**9)
+    want = {r["path"]: r["n"] for r in want_df.collect()}
+    assert got == want
+    # multi-batch: windows chain across micro-batches through state,
+    # so the total record count equals the batch total even when
+    # file splits land a user's events in different batches
+    src4 = str(tmp_path / "paths_src4")
+    (
+        tables["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(src4)
+    )
+    stream4 = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src4)
+    )
+    q2 = (
+        path_stream(stream4, k=3)
+        .writeStream.format("memory")
+        .queryName("paths_multi")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_paths4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert spark.table("paths_multi").count() == sum(want.values())

@@ -10,6 +10,7 @@ from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .topk import heavy_hitters, mg_merge
 from .manifest_sink import ManifestStreamSink
+from .paths import path_stream
 from .transitions import transition_stream
 from .upsert import upsert_stream
 from .windowed import windowed_event_agg
@@ -31,6 +32,7 @@ __all__ = [
     "correlate_streams",
     "mg_merge",
     "heavy_hitters",
+    "path_stream",
     "transition_stream",
     "ManifestStreamSink",
 ]
