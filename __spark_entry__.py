@@ -1661,6 +1661,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_opq_trained": _ann_opq_trained,
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
+        # r6 window contract (the standing rotation, priority (b)
+        # first-ever signal): 15 oracle-bearing queries will have NO
+        # driver row after r5 — the 7 spilled r5 entries
+        # (source_overlap_matrix, event_transitions,
+        # sampled_quantiles, sliding_window_agg, value_histogram,
+        # vocab_coverage, freshness_report) and the 8 late-r5
+        # additions below (trend_report, quantile_bucketize,
+        # k_anonymity_report, grid_diversity_sample, label_centroids,
+        # asof_nearest_purchase, feature_class_lift,
+        # top_event_paths). They lead r6's first 50; the remaining
+        # ~35 slots refresh the oldest r3-greens. compression_ratio
+        # and pair_pagerank are the rows-only never-seen tail if r6
+        # repeats the one-time-exposure trade.
         # NEW post-gate late-r5 additions — never driver-seen,
         # oracle-bearing; they lead the r6 rotation per the standing
         # contract (first-ever signal beats any refresh)
