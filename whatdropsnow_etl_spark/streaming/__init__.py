@@ -9,7 +9,7 @@ from .quantiles import windowed_value_quantiles
 from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .topk import heavy_hitters, mg_merge
-from .manifest_sink import ManifestStreamSink
+from .manifest_sink import ManifestMergeStreamSink, ManifestStreamSink
 from .paths import path_stream
 from .transitions import transition_stream
 from .upsert import upsert_stream
@@ -34,5 +34,6 @@ __all__ = [
     "heavy_hitters",
     "path_stream",
     "transition_stream",
+    "ManifestMergeStreamSink",
     "ManifestStreamSink",
 ]

@@ -45,3 +45,50 @@ class ManifestStreamSink:
         commit_write(
             batch_df, self.path, mode="append", meta={"batch_id": batch_id}
         )
+
+
+class ManifestMergeStreamSink:
+    """Exactly-once streaming UPSERT into the manifest table —
+    ``stream.writeStream.foreachBatch(ManifestMergeStreamSink(path,
+    keys, order_col))``: each micro-batch MERGEs (latest-wins by
+    ``order_col``, ties to the batch) into the current snapshot and
+    publishes the result as one new atomic version. The streaming
+    CDC-apply shape: a keyed change stream materialized as a
+    queryable, time-travelable table.
+
+    Same idempotence ledger as the append sink (batch id in
+    manifest meta; a redelivered batch is skipped before any work) —
+    and because each version is the FULL merged snapshot, skipping a
+    redelivered batch leaves the table exactly as the first
+    delivery did: replay-safe without tombstones or dedup reads.
+
+    Scale: per batch, one key-partitioned window over
+    (snapshot ∪ batch) — the same exchange any MERGE needs — plus
+    the full-snapshot rewrite that is the manifest sink's contract.
+    For high-frequency small batches at 100 TB, land via the append
+    sink and merge on a cadence (the compaction trade); this sink
+    is the low-latency always-queryable end of that dial.
+    """
+
+    def __init__(self, path: str, keys: list[str], order_col: str):
+        self.path = path
+        self.keys = keys
+        self.order_col = order_col
+
+    def _committed_batch_ids(self) -> set[int]:
+        return {
+            m["batch_id"] for m in committed_meta(self.path) if "batch_id" in m
+        }
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..sinks.manifest import merge_write
+
+        if batch_id in self._committed_batch_ids():
+            return
+        merge_write(
+            batch_df,
+            self.path,
+            keys=self.keys,
+            order_col=self.order_col,
+            meta={"batch_id": batch_id},
+        )
