@@ -1382,6 +1382,18 @@ def _feature_class_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import bm25_search
+
+    return bm25_search(load_table(spark, sf_dir, "documents"))
+
+
 # Per-query presentation-sort keys: the output columns in name-sorted
 # order — exactly the key order the driver's hash uses after it sorts
 # columns by name. Both twins sort by this list (Spark: asc_nulls_last,
@@ -1399,6 +1411,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "label_centroids": ["dim", "label", "mean_micro", "n_vecs", "sum_micro"],
     "asof_nearest_purchase": ["event_id", "purchase_ts_us", "purchase_value", "ts_us", "user_id"],
     "feature_class_lift": ["bin_id", "c_bin", "c_cell", "c_class", "class", "lift_den", "lift_num"],
+    "zipf_fit": ["n_points", "slope_den", "slope_num", "total_tokens", "vocab_size"],
+    "bm25_search": ["dl", "doc_id", "score"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
@@ -1666,12 +1680,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
-        # vocab_coverage, freshness_report) and the 8 late-r5
+        # vocab_coverage, freshness_report) and the 10 late-r5
         # additions below (trend_report, quantile_bucketize,
         # k_anonymity_report, grid_diversity_sample, label_centroids,
         # asof_nearest_purchase, feature_class_lift,
-        # top_event_paths). They lead r6's first 50; the remaining
-        # ~35 slots refresh the oldest r3-greens. compression_ratio
+        # top_event_paths, zipf_fit, bm25_search). They lead r6's
+        # first 50; the remaining ~33 slots refresh the oldest
+        # r3-greens. compression_ratio
         # and pair_pagerank are the rows-only never-seen tail if r6
         # repeats the one-time-exposure trade.
         # NEW post-gate late-r5 additions — never driver-seen,
@@ -1685,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_purchase": _asof_nearest_purchase,
         "feature_class_lift": _feature_class_lift,
         "top_event_paths": _top_event_paths,
+        "zipf_fit": _zipf_fit,
+        "bm25_search": _bm25_search,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4602,6 +4619,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_bin * c_class AS BIGINT) AS lift_den
         FROM cells JOIN bins USING (bin_id)
         JOIN classes USING (class), t
+    """
+    sql["zipf_fit"] = """
+        WITH freq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+          FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+          )
+          WHERE term <> ''
+          GROUP BY term
+        ), ranked AS (
+          SELECT cf,
+                 row_number() OVER (ORDER BY cf DESC, term) AS rank
+          FROM freq
+        ), pts AS (
+          SELECT cf,
+                 CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+                 CAST(length(bin(cf)) - 1 AS BIGINT) AS y
+          FROM ranked
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(cf) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+                 AS slope_num,
+               CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+                 AS slope_den
+        FROM pts
+    """
+    sql["bm25_search"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             t -> t <> '') AS tk
+          FROM documents
+        ), per AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS BIGINT) AS dl,
+                 CAST(len(list_filter(tk, t -> t = 'dup')) AS BIGINT) AS tf0,
+                 CAST(len(list_filter(tk, t -> t = 'key')) AS BIGINT) AS tf1,
+                 CAST(len(list_filter(tk, t -> t = 'window')) AS BIGINT) AS tf2
+          FROM toks
+        ), st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS ltot,
+                 CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                 CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                 CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM per
+        ), sc AS (
+          SELECT doc_id, dl,
+                 (CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df0 + 1 AS DOUBLE))
+                   * (CAST(44 * tf0 * ltot AS DOUBLE)
+                      / CAST(20 * tf0 * ltot + 6 * ltot + 18 * dl * n AS DOUBLE))
+                 + (CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df1 + 1 AS DOUBLE))
+                   * (CAST(44 * tf1 * ltot AS DOUBLE)
+                      / CAST(20 * tf1 * ltot + 6 * ltot + 18 * dl * n AS DOUBLE))
+                 + (CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df2 + 1 AS DOUBLE))
+                   * (CAST(44 * tf2 * ltot AS DOUBLE)
+                      / CAST(20 * tf2 * ltot + 6 * ltot + 18 * dl * n AS DOUBLE))
+                   AS score
+          FROM per, st
+        )
+        SELECT doc_id, dl, score FROM sc
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20
     """
     sql["asof_nearest_purchase"] = """
         WITH c AS (

@@ -2443,3 +2443,95 @@ def test_pagerank_undirected_pair_graph_degree_monotone(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
     assert got[0] > got[10] > got[1]
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_zipf_fit_hand_computed_slope(spark):
+    from whatdropsnow_etl_spark.operators import zipf_fit
+
+    # cf: a=8 b=4 c=2 d=1 -> ranks 1..4
+    # x = floor(log2(rank)) = 0,1,1,2 ; y = floor(log2(cf)) = 3,2,1,0
+    # n=4 sx=4 sy=6 sxx=6 sxy=3 -> num = 4*3-4*6 = -12, den = 4*6-16 = 8
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a"),
+            (2, "b b b b"),
+            (3, "c  c"),  # double space: empty token must be dropped
+            (4, "d"),
+        ],
+        "doc_id bigint, text string",
+    )
+    [r] = zipf_fit(docs).collect()
+    assert (r["vocab_size"], r["total_tokens"], r["n_points"]) == (4, 15, 4)
+    assert (r["slope_num"], r["slope_den"]) == (-12, 8)
+
+
+def test_zipf_fit_degenerate_single_term(spark):
+    from whatdropsnow_etl_spark.operators import zipf_fit
+
+    docs = spark.createDataFrame([(1, "x x x")], "doc_id bigint, text string")
+    [r] = zipf_fit(docs).collect()
+    # one (x, y) point: den = n*sxx - sx^2 = 1*0 - 0 = 0 (undefined,
+    # emitted as-is per the trend_report convention)
+    assert (r["vocab_size"], r["total_tokens"]) == (1, 3)
+    assert (r["slope_num"], r["slope_den"]) == (0, 0)
+
+
+def _bm25_py(docs, terms, k=20):
+    """Row-at-a-time replica of the operator's exact formula
+    (odds-ratio idf, rational tf saturation, left-to-right sum)."""
+    toks = {d: [t for t in txt.lower().split(" ") if t] for d, txt in docs}
+    n = len(toks)
+    ltot = sum(len(v) for v in toks.values())
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = []
+    for d, v in toks.items():
+        dl = len(v)
+        score = 0.0
+        for t in terms:
+            tf = v.count(t)
+            idf = float(2 * n + 2) / float(2 * df[t] + 1)
+            part = idf * (
+                float(44 * tf * ltot)
+                / float(20 * tf * ltot + 6 * ltot + 18 * dl * n)
+            )
+            score = score + part
+        if score > 0:
+            out.append((d, dl, score))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+def test_bm25_search_exact_scores_and_cut(spark):
+    from whatdropsnow_etl_spark.operators import bm25_search
+
+    rows = [
+        (1, "dup dup other"),
+        (2, "key window"),
+        (3, "nothing here at all"),  # no query term: filtered out
+        (4, "dup"),
+        (5, "dup key window dup filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r["doc_id"], r["dl"], r["score"])
+        for r in bm25_search(docs, terms=("dup", "key", "window")).collect()
+    ]
+    want = _bm25_py(rows, ("dup", "key", "window"))
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == w[2], (g, w)  # bitwise-exact, no tolerance
+    assert all(d != 3 for d, _, _ in got)
+    # rare-term density wins: the 2-token doc holding both
+    # singleton terms outranks the longer all-terms doc
+    assert got[0][0] == 2 and {d for d, _, _ in got} == {1, 2, 4, 5}
+
+
+def test_bm25_search_top_k_cut(spark):
+    from whatdropsnow_etl_spark.operators import bm25_search
+
+    rows = [(i, "dup " + "pad " * i + "end") for i in range(1, 30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bm25_search(docs, terms=("dup",), top_k=7).collect()
+    assert len(out) == 7
+    # shorter docs saturate higher: doc_ids 1..7 in length order
+    assert [r["doc_id"] for r in out] == list(range(1, 8))

@@ -79,6 +79,9 @@ ALLPAIRS_OK = {
     "grid_diversity_sample",
     # lift denominator: 1-row broadcast corpus-total cross
     "feature_class_lift",
+    # BM25 corpus stats (N, Ltot, df…): 1-row broadcast aggregate
+    # joined back to the per-doc projection (the Q11 pattern)
+    "bm25_search",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel

@@ -412,3 +412,78 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantized Zipf-law fit over corpus token frequencies — "does
+    this corpus look like natural language, and how steep is its
+    head" (Zipf exponent ~1 for natural text; synthetic/boilerplate
+    corpora skew flat or cliff-shaped). A standard corpus-health
+    check next to vocab_coverage / repetition_stats.
+
+    Zipf's law predicts log(freq) ~ -s * log(rank). The fit here is
+    OLS over the WHOLE-BIT logs x = floor(log2(rank)),
+    y = floor(log2(cf)) — length(bin(n))-1, pure integer, because
+    libm log differs by 1 ulp across engines (the module-header
+    determinism argument). Bit quantization rounds each coordinate
+    down by <1, and the OLS slope over bit-bucketed points tracks
+    the true exponent to ~0.1 — plenty to separate natural (~-1)
+    from flat (~0) — while staying engine-bitwise-exact. The slope
+    is emitted as the exact integer fraction (slope_num, slope_den)
+    per the trend_report convention: slope = num/den, negative for
+    Zipf-like decay; den = 0 when fewer than 2 distinct (x, y)
+    points (emitted as-is).
+
+    Plan shape: one explode + (token) map-combined count (the only
+    corpus-sized shuffle), a vocab-bounded global row_number for
+    rank (single-task sort over #distinct tokens — the corpus_vocab
+    caveat: vocab-bounded, not corpus-bounded; ~1e7 terms at 100 TB
+    is a single comfortable task), then a one-row aggregate. BIGINT
+    overflow headroom: n*Sxy <= V * (V*max_x*max_y) with
+    max_x, max_y <= 63 — safe through vocab ~ 3e7; beyond that,
+    fit over the top-3e7 ranks (the head defines the exponent).
+
+    Output (one row): vocab_size, total_tokens, n_points,
+    slope_num, slope_den — all BIGINT.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))),
+    )
+    pts = ranked.select(
+        "cf",
+        (F.length(F.bin("rank")) - 1).cast("long").alias("__x"),
+        (F.length(F.bin("cf")) - 1).cast("long").alias("__y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cf").alias("total_tokens"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    return agg.select(
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("__n").cast("bigint").alias("n_points"),
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        .cast("bigint")
+        .alias("slope_den"),
+    )

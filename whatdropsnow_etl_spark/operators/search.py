@@ -7,7 +7,7 @@ Catalyst can push into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -19,3 +19,103 @@ def ilike_search(df: DataFrame, col: str, needle: str) -> DataFrame:
 def ilike_exact(df: DataFrame, col: str, value: str) -> DataFrame:
     """Case-insensitive exact match (the reference's brand lookup)."""
     return df.where(F.lower(F.col(col)) == value.lower())
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: tuple[str, ...] = ("dup", "key", "window"),
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k full-text scoring with an odds-ratio idf — the
+    lexical-retrieval baseline behind corpus search and RAG-style
+    recall sets, over whitespace tokens (the corpus_vocab
+    convention).
+
+    Deviation, and why: classic BM25's idf is
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``, which simplifies to
+    ``ln((2N+2)/(2df+1))``. libm ``ln`` differs by 1 ulp across
+    engines (the bigram_surprisal determinism argument), so this
+    operator uses the ODDS RATIO ``(2N+2)/(2df+1)`` itself —
+    the same quantity without the log. Per-term ranking is
+    unchanged (log is monotone); multi-term mixing weights rare
+    terms more steeply than log-idf would. Every score is built
+    from exact BIGINT counts by int->double conversion, one IEEE
+    division per factor, one multiply, and a fixed left-to-right
+    term sum — bitwise deterministic on any IEEE-754 engine, no
+    libm anywhere.
+
+    The tf saturation keeps classic k1=1.2, b=0.75 as exact
+    rationals (6/5, 3/4): with dl the doc token count, Ltot the
+    corpus token count and N the doc count (avgdl = Ltot/N),
+
+        tfpart = 44*tf*Ltot / (20*tf*Ltot + 6*Ltot + 18*dl*N)
+
+    (both sides of the classic formula multiplied by 20*Ltot).
+    The BIGINT products stay exact-in-double while
+    ``44*tf*Ltot < 2^53``; past that both engines round the
+    int->double conversion identically (IEEE round-to-nearest), so
+    determinism survives even when exactness doesn't.
+
+    Plan shape: one map-side pass computes per-doc (dl, tf_1..tf_k)
+    from a single tokenize; a one-row corpus-stats aggregate
+    (N, Ltot, df_1..df_k) is broadcast back (BroadcastNestedLoopJoin
+    over a single row); scoring is map-side; the cut is a
+    TakeOrdered (distributed per-partition heaps, no global sort).
+    Docs matching no term are filtered before the cut. At 100 TB
+    nothing wider than (id, dl, k tf columns) leaves the scan.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+
+    # A 2-arg lambda would flip F.filter into its (element, index)
+    # form, so bind each term via a closure factory instead.
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            _tf(t).cast("long").alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("dl").alias("__ltot"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+    # Fixed left-to-right association: f0 + f1 + ... (parenthesized
+    # by fold order) so the double sum is order-pinned in both twins.
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"__tf_{i}"), F.col(f"__df_{i}")
+        idf = (
+            (F.lit(2) * F.col("__n") + F.lit(2)).cast("double")
+            / (F.lit(2) * df + F.lit(1)).cast("double")
+        )
+        num = (F.lit(44) * tf * F.col("__ltot")).cast("double")
+        den = (
+            F.lit(20) * tf * F.col("__ltot")
+            + F.lit(6) * F.col("__ltot")
+            + F.lit(18) * F.col("dl") * F.col("__n")
+        ).cast("double")
+        part = idf * (num / den)
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col("dl"),
+            score.alias("score"),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
