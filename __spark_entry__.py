@@ -1394,6 +1394,12 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(load_table(spark, sf_dir, "documents"))
 
 
+def _sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import sparse_cosine_join
+
+    return sparse_cosine_join(load_table(spark, sf_dir, "documents"))
+
+
 # Per-query presentation-sort keys: the output columns in name-sorted
 # order — exactly the key order the driver's hash uses after it sorts
 # columns by name. Both twins sort by this list (Spark: asc_nulls_last,
@@ -1413,6 +1419,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "feature_class_lift": ["bin_id", "c_bin", "c_cell", "c_class", "class", "lift_den", "lift_num"],
     "zipf_fit": ["n_points", "slope_den", "slope_num", "total_tokens", "vocab_size"],
     "bm25_search": ["dl", "doc_id", "score"],
+    "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
@@ -1684,7 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additions below (trend_report, quantile_bucketize,
         # k_anonymity_report, grid_diversity_sample, label_centroids,
         # asof_nearest_purchase, feature_class_lift,
-        # top_event_paths, zipf_fit, bm25_search). They lead r6's
+        # top_event_paths, zipf_fit, bm25_search,
+        # sparse_cosine_join). They lead r6's
         # first 50; the remaining ~33 slots refresh the oldest
         # r3-greens. compression_ratio
         # and pair_pagerank are the rows-only never-seen tail if r6
@@ -1702,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_paths": _top_event_paths,
         "zipf_fit": _zipf_fit,
         "bm25_search": _bm25_search,
+        "sparse_cosine_join": _sparse_cosine_join,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4619,6 +4628,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_bin * c_class AS BIGINT) AS lift_den
         FROM cells JOIN bins USING (bin_id)
         JOIN classes USING (class), t
+    """
+    sql["sparse_cosine_join"] = """
+        WITH posts AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+          )
+          WHERE term <> '' GROUP BY doc_id, term
+        ), norms AS (
+          SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+          FROM posts GROUP BY doc_id
+        ), dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+          FROM posts a JOIN posts b USING (term)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, dot, na.n2 AS na2, nb.n2 AS nb2
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE dot * dot * 100 >= 81 * na.n2 * nb.n2
     """
     sql["zipf_fit"] = """
         WITH freq AS (

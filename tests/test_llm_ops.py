@@ -2535,3 +2535,90 @@ def test_bm25_search_top_k_cut(spark):
     assert len(out) == 7
     # shorter docs saturate higher: doc_ids 1..7 in length order
     assert [r["doc_id"] for r in out] == list(range(1, 8))
+
+
+def _cosine_pairs_py(rows, num, den):
+    """Brute-force integer replica of sparse_cosine_join."""
+    from collections import Counter
+
+    vecs = {
+        d: Counter(t for t in txt.lower().split(" ") if t) for d, txt in rows
+    }
+    vecs = {d: v for d, v in vecs.items() if v}
+    out = []
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dot = sum(tf * vecs[b].get(t, 0) for t, tf in vecs[a].items())
+            na2 = sum(tf * tf for tf in vecs[a].values())
+            nb2 = sum(tf * tf for tf in vecs[b].values())
+            if dot * dot * den * den >= num * num * na2 * nb2:
+                out.append((a, b, dot, na2, nb2))
+    return sorted(out)
+
+
+def test_sparse_cosine_join_both_modes_match_bruteforce(spark):
+    from whatdropsnow_etl_spark.operators import sparse_cosine_join
+
+    rows = [
+        (1, "red red blue"),
+        (2, "red red blue green"),   # near-dup of 1
+        (3, "green green yellow"),
+        (4, "red red blue"),         # exact dup of 1 (cos = 1)
+        (5, "purple"),               # no overlap with anything
+        (6, ""),                     # empty: drops out entirely
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = _cosine_pairs_py(rows, 9, 10)
+    for mode in ("dense", "sparse"):
+        got = sorted(
+            tuple(r) for r in sparse_cosine_join(docs, mode=mode).collect()
+        )
+        assert got == want, (mode, got, want)
+    assert (1, 4) in {(a, b) for a, b, *_ in want}  # the exact dup pair
+
+
+def test_sparse_cosine_join_threshold_boundary_inclusive(spark):
+    from whatdropsnow_etl_spark.operators import sparse_cosine_join
+
+    # identical 2-token docs: cos exactly 1 -> included at num/den = 1/1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id bigint, text string"
+    )
+    for mode in ("dense", "sparse"):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in sparse_cosine_join(
+                docs, threshold=(1, 1), mode=mode
+            ).collect()
+        }
+        assert got == {(1, 2)}, (mode, got)
+
+
+def test_sparse_cosine_join_modes_agree_on_random_corpus(spark):
+    """Seeded random corpus with a wide-ish vocab and a skewed head
+    (stopword-tier terms) — the shape the prefix filter exists for.
+    Dense and sparse must emit identical relations."""
+    import random
+
+    from whatdropsnow_etl_spark.operators import sparse_cosine_join
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(120)]
+    rows = []
+    for d in range(60):
+        n = rng.randint(3, 25)
+        # heavy head: term t0..t4 appear everywhere
+        toks = [vocab[rng.randrange(5)] for _ in range(n // 2)]
+        toks += [vocab[rng.randrange(120)] for _ in range(n - n // 2)]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = _cosine_pairs_py(rows, 7, 10)
+    for mode in ("dense", "sparse"):
+        got = sorted(
+            tuple(r)
+            for r in sparse_cosine_join(
+                docs, threshold=(7, 10), mode=mode
+            ).collect()
+        )
+        assert got == want, mode

@@ -82,6 +82,9 @@ ALLPAIRS_OK = {
     # BM25 corpus stats (N, Ltot, df…): 1-row broadcast aggregate
     # joined back to the per-doc projection (the Q11 pattern)
     "bm25_search",
+    # blocked-GEMM tile join (b1 <= b2 over B-row block relations,
+    # the embedding_dedup shape) — bounded by B², not data×data
+    "sparse_cosine_join",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -94,6 +97,7 @@ PYTHON_OK = {
     "media_probe",  # real BMP/WAV byte decode (numpy per batch)
     "media_resize",  # real BMP pixel gather + re-encode
     "embedding_dedup",
+    "sparse_cosine_join",  # integer-GEMM tile kernel (dense regime)
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
     "knn_label_vote",  # votes over the ann_cosine_topk Arrow kernel
     "ann_recall_report",  # exact + IVF Arrow kernels (truth vs candidate)
@@ -142,6 +146,10 @@ EAGER_OK = {
     "semantic_dedup",
     # + sample-trained Lloyd's codebook (driver-looped fixpoint)
     "semantic_dedup_trained",
+    # regime probe: auto mode pins the postings (localCheckpoint),
+    # counts the vocab to pick dense vs sparse, and collects the
+    # (bounded) vocab for the dense vector layout
+    "sparse_cosine_join",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
