@@ -1400,6 +1400,17 @@ def _sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_cosine_join(load_table(spark, sf_dir, "documents"))
 
 
+def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        k=5,
+    )
+
+
 # Per-query presentation-sort keys: the output columns in name-sorted
 # order — exactly the key order the driver's hash uses after it sorts
 # columns by name. Both twins sort by this list (Spark: asc_nulls_last,
@@ -1420,6 +1431,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "zipf_fit": ["n_points", "slope_den", "slope_num", "total_tokens", "vocab_size"],
     "bm25_search": ["dl", "doc_id", "score"],
     "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
+    "bloom_decontaminate": ["doc_id", "n_grams"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
@@ -1692,7 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k_anonymity_report, grid_diversity_sample, label_centroids,
         # asof_nearest_purchase, feature_class_lift,
         # top_event_paths, zipf_fit, bm25_search,
-        # sparse_cosine_join). They lead r6's
+        # sparse_cosine_join, bloom_decontaminate). They lead r6's
         # first 50; the remaining ~33 slots refresh the oldest
         # r3-greens. compression_ratio
         # and pair_pagerank are the rows-only never-seen tail if r6
@@ -1711,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _zipf_fit,
         "bm25_search": _bm25_search,
         "sparse_cosine_join": _sparse_cosine_join,
+        "bloom_decontaminate": _bloom_decontaminate,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4628,6 +4641,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_bin * c_class AS BIGINT) AS lift_den
         FROM cells JOIN bins USING (bin_id)
         JOIN classes USING (class), t
+    """
+    sql["bloom_decontaminate"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4] AS s
+          FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+        ), tr AS (
+          SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0
+        ), ev AS (
+          SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0
+        ), dirty AS (
+          SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.s = ev.s
+        ), grams AS (
+          SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n
+          FROM tr GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(COALESCE(g.n, 0) AS BIGINT) AS n_grams
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+        LEFT JOIN grams g USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
     """
     sql["sparse_cosine_join"] = """
         WITH posts AS (

@@ -2622,3 +2622,64 @@ def test_sparse_cosine_join_modes_agree_on_random_corpus(spark):
             ).collect()
         )
         assert got == want, mode
+
+
+def _clean_docs_py(train_rows, eval_rows, k=3):
+    def sh(txt):
+        t = [x for x in txt.lower().split(" ")]
+        return {" ".join(t[i:i + k]) for i in range(len(t) - k + 1)}
+
+    ev = set().union(*[sh(t) for _, t in eval_rows]) if eval_rows else set()
+    return sorted(
+        (d, len(sh(t)))
+        for d, t in train_rows
+        if not (sh(t) & ev)
+    )
+
+
+def test_bloom_decontaminate_matches_exact_anti_join(spark):
+    from whatdropsnow_etl_spark.operators import bloom_decontaminate
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "a b c d e"),
+        (3, "totally novel content here now"),
+        (4, "x y"),                       # shorter than k: clean, 0 grams
+    ]
+    ev = [(100, "on the mat again today"), (101, "a b c d e f")]
+    t = spark.createDataFrame(train, "doc_id bigint, text string")
+    e = spark.createDataFrame(ev, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["n_grams"])
+        for r in bloom_decontaminate(t, e, k=3).collect()
+    )
+    assert got == _clean_docs_py(train, ev, k=3)
+    # doc 1 shares "on the mat", doc 2 shares "a b c" etc -> dirty
+    assert [d for d, _ in got] == [3, 4]
+
+
+def test_bloom_decontaminate_exact_under_forced_false_positives(spark):
+    """A deliberately tiny bitmap (64 bits for hundreds of shingles)
+    makes nearly every probe bloom-positive; the confirm join must
+    still produce the exact anti-join result."""
+    from whatdropsnow_etl_spark.operators import bloom_decontaminate
+
+    train = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(40)]
+    ev = [(1000 + i, f"tok{i} tok{i+1} tok{i+2}") for i in range(0, 40, 7)]
+    t = spark.createDataFrame(train, "doc_id bigint, text string")
+    e = spark.createDataFrame(ev, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["n_grams"])
+        for r in bloom_decontaminate(t, e, k=3, m_bits=64, n_hashes=2).collect()
+    )
+    assert got == _clean_docs_py(train, ev, k=3)
+
+
+def test_bloom_decontaminate_empty_eval_keeps_everything(spark):
+    from whatdropsnow_etl_spark.operators import bloom_decontaminate
+
+    train = [(1, "a b c"), (2, "d e f")]
+    t = spark.createDataFrame(train, "doc_id bigint, text string")
+    e = spark.createDataFrame([], "doc_id bigint, text string")
+    got = sorted(r["doc_id"] for r in bloom_decontaminate(t, e, k=3).collect())
+    assert got == [1, 2]

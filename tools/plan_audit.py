@@ -146,6 +146,9 @@ EAGER_OK = {
     "semantic_dedup",
     # + sample-trained Lloyd's codebook (driver-looped fixpoint)
     "semantic_dedup_trained",
+    # the Bloom bitmap is assembled by a bounded (m/64-row) job at
+    # composition — the documented EAGER exception
+    "bloom_decontaminate",
     # regime probe: auto mode pins the postings (localCheckpoint),
     # counts the vocab to pick dense vs sparse, and collects the
     # (bounded) vocab for the dense vector layout

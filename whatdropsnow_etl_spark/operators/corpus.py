@@ -88,6 +88,123 @@ def decontaminate_ngrams(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CLEAN training docs — those sharing NO k-gram with the eval
+    set — via a Bloom prefilter in front of an exact confirm join.
+    Exact result (the Bloom can only admit false POSITIVES, which the
+    confirm join then rejects); the sketch is pure optimization.
+
+    The regime this exists for: :func:`decontaminate_ngrams`
+    broadcasts the eval shingle set exactly, which stops working when
+    the contamination list is itself huge (every eval suite + its
+    paraphrases ~ 10⁸ shingles). A Bloom filter keeps the broadcast
+    O(m bits) regardless of list size, and the exact join that
+    resolves its false positives only ever sees the bloom-POSITIVE
+    train shingles — at 1% fpp the anti-join shuffle shrinks from
+    the whole corpus's shingles to (true hits + 1% noise).
+
+    Spark-first build, no driver-side key set at any size:
+
+    1. eval shingle hashes feed ``n_hashes`` positions each
+       (``pmod(xxhash64(h, i), m_bits)``); a distributed
+       ``bit_or`` groupBy over 64-bit words assembles the bitmap —
+       the ONLY collect is <= m_bits/64 words (128 KiB at the 2²⁰
+       default), bounded by m, never by list size.
+    2. The bitmap rides into the probe side as an array<long>
+       literal; the membership test is shift/mask arithmetic inside
+       whole-stage codegen (no UDF, no broadcast variable plumbing).
+    3. Bloom-positive train shingles confirm against the eval
+       relation with a left-semi shuffle join; contaminated doc ids
+       anti-join back onto the train ids.
+
+    Sizing contract: keep ``m_bits >= ~10x`` the distinct eval
+    shingle count for ~1% fpp; past ~2²⁵ the plan literal gets heavy
+    and a broadcast-variable Pandas-UDF probe becomes the better
+    carrier (out of scope here). Shingle identity is xxhash64 (the
+    decontaminate_ngrams collision convention).
+
+    Output: (doc_id, n_grams) — every clean train doc and its
+    distinct-shingle count (0 for docs shorter than k tokens, which
+    cannot be contaminated).
+
+    Composition runs the bitmap job (an EAGER_OK operator, like the
+    trained-codebook ANN family).
+    """
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out),
+                F.explode(shingles(tokens(F.col(text_col)), k=k)).alias("__s"),
+            )
+            .select(out, F.xxhash64("__s").alias("__h"))
+            .distinct()
+        )
+
+    tr = grams(train, "doc_id")
+    ev = grams(eval_docs, "__edoc").select("__h").distinct()
+
+    def positions(h):
+        return [
+            F.pmod(F.xxhash64(h, F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+
+    # the python F.shiftleft/shiftright helpers only accept literal
+    # shift amounts; call_function reaches the SQL variants that
+    # take a column
+    def shl(value, bits):
+        return F.call_function("shiftleft", value, bits.cast("int"))
+
+    def shr(value, bits):
+        return F.call_function("shiftright", value, bits.cast("int"))
+
+    words = (
+        ev.select(F.explode(F.array(*positions(F.col("__h")))).alias("__p"))
+        .select(
+            F.shiftright("__p", 6).alias("__w"),
+            shl(F.lit(1).cast("long"), F.col("__p") % 64).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits >> 6)
+    for r in words:
+        bitmap[r["__w"]] = r["__bits"]
+    arr = F.lit(bitmap)
+
+    might = None
+    for pos in positions(F.col("__h")):
+        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+        hit = shr(word, pos % 64).bitwiseAND(F.lit(1)) == 1
+        might = hit if might is None else (might & hit)
+
+    hits = (
+        tr.where(might)
+        .join(ev, "__h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    counts = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left_anti")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_grams"),
+        )
+    )
+
+
 def bigram_surprisal(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
