@@ -1400,6 +1400,18 @@ def _sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_cosine_join(load_table(spark, sf_dir, "documents"))
 
 
+def _zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import zorder_layout_report
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day",
+        F.floor(
+            F.col("ts").cast("timestamp").cast("double") / F.lit(86400.0)
+        ).cast("long"),
+    )
+    return zorder_layout_report(ev, "user_id", "day")
+
+
 def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import bloom_decontaminate
 
@@ -1432,6 +1444,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bm25_search": ["dl", "doc_id", "score"],
     "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
     "bloom_decontaminate": ["doc_id", "n_grams"],
+    "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
@@ -1704,7 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k_anonymity_report, grid_diversity_sample, label_centroids,
         # asof_nearest_purchase, feature_class_lift,
         # top_event_paths, zipf_fit, bm25_search,
-        # sparse_cosine_join, bloom_decontaminate). They lead r6's
+        # sparse_cosine_join, bloom_decontaminate,
+        # zorder_layout_report). They lead r6's
         # first 50; the remaining ~33 slots refresh the oldest
         # r3-greens. compression_ratio
         # and pair_pagerank are the rows-only never-seen tail if r6
@@ -1724,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,
         "sparse_cosine_join": _sparse_cosine_join,
         "bloom_decontaminate": _bloom_decontaminate,
+        "zorder_layout_report": _zorder_layout_report,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4641,6 +4656,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_bin * c_class AS BIGINT) AS lift_den
         FROM cells JOIN bins USING (bin_id)
         JOIN classes USING (class), t
+    """
+    sql["zorder_layout_report"] = """
+        WITH d AS (
+          SELECT user_id AS a,
+                 CAST(FLOOR(EPOCH(ts) / 86400.0) AS BIGINT) AS b
+          FROM events
+        ), bounds AS (
+          SELECT MIN(a) AS loa, MAX(a) AS hia,
+                 MIN(b) AS lob, MAX(b) AS hib
+          FROM d
+        ), k AS (
+          SELECT a, b,
+                 CAST(FLOOR(CAST((a - loa) * 256 AS DOUBLE)
+                            / (hia - loa + 1)) AS BIGINT) AS ba,
+                 CAST(FLOOR(CAST((b - lob) * 256 AS DOUBLE)
+                            / (hib - lob + 1)) AS BIGINT) AS bb
+          FROM d, bounds
+        )
+        SELECT CAST(((((ba >> 0) & 1) << 0) + (((bb >> 0) & 1) << 1) + (((ba >> 1) & 1) << 2) + (((bb >> 1) & 1) << 3) + (((ba >> 2) & 1) << 4) + (((bb >> 2) & 1) << 5) + (((ba >> 3) & 1) << 6) + (((bb >> 3) & 1) << 7) + (((ba >> 4) & 1) << 8) + (((bb >> 4) & 1) << 9) + (((ba >> 5) & 1) << 10) + (((bb >> 5) & 1) << 11) + (((ba >> 6) & 1) << 12) + (((bb >> 6) & 1) << 13) + (((ba >> 7) & 1) << 14) + (((bb >> 7) & 1) << 15)) >> 8 AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(a) AS BIGINT) AS min_a,
+               CAST(MAX(a) AS BIGINT) AS max_a,
+               CAST(MIN(b) AS BIGINT) AS min_b,
+               CAST(MAX(b) AS BIGINT) AS max_b
+        FROM k GROUP BY 1
     """
     sql["bloom_decontaminate"] = """
         WITH toks AS (

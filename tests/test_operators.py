@@ -546,3 +546,56 @@ def test_asof_join_null_valued_right_row_not_chimeric(spark):
         assert r["price"] is None, direction
         # matched the 10:00 row, not the 09:00 one
         assert r["matched_ts_us"] == 1704103200000000, direction
+
+
+def test_zorder_key_hand_interleave(spark):
+    from pyspark.sql import functions as F
+    from whatdropsnow_etl_spark.functions.layout import zorder_key
+
+    # a=0b101, b=0b011 -> z bits: a at even positions, b at odd:
+    # a bits (1,0,1) -> 1<<0, 0<<2, 1<<4 ; b bits (1,1,0) -> 1<<1, 1<<3, 0<<5
+    # z = 1 + 2 + 8 + 16 = 27
+    df = spark.createDataFrame([(5, 3)], "a long, b long")
+    [r] = df.select(
+        zorder_key([F.col("a"), F.col("b")], bits=3).alias("z")
+    ).collect()
+    assert r["z"] == 27
+
+
+def test_zorder_key_width_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from whatdropsnow_etl_spark.functions.layout import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b")], bits=32)
+
+
+def test_zorder_layout_bounds_both_dims(spark):
+    """On a 64x64 uniform grid every z-file must cover a narrow range
+    of BOTH dimensions — the pruning property a linear sort cannot
+    give (sorting by a leaves b's per-file range at full span)."""
+    from whatdropsnow_etl_spark.operators import zorder_layout_report
+
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = zorder_layout_report(df, "a", "b").collect()
+    assert len(out) == 256
+    assert sum(r["n_rows"] for r in out) == 64 * 64
+    for r in out:
+        # top-4 z bits per dim -> 16 cells of width 4 along each axis
+        assert r["max_a"] - r["min_a"] <= 3, r
+        assert r["max_b"] - r["min_b"] <= 3, r
+
+
+def test_zorder_layout_degenerate_constant_dim(spark):
+    from whatdropsnow_etl_spark.operators import zorder_layout_report
+
+    rows = [(a, 7) for a in range(100)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = zorder_layout_report(df, "a", "b").collect()
+    assert sum(r["n_rows"] for r in out) == 100
+    # constant dim buckets to 0 everywhere; layout degrades to a
+    # clean 1-D range partition on the other dim
+    for r in out:
+        assert r["min_b"] == r["max_b"] == 7

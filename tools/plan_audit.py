@@ -79,6 +79,9 @@ ALLPAIRS_OK = {
     "grid_diversity_sample",
     # lift denominator: 1-row broadcast corpus-total cross
     "feature_class_lift",
+    # layout bounds: 1-row broadcast (min, max)-per-dim aggregate
+    # (the Q11 scalar-subquery pattern)
+    "zorder_layout_report",
     # BM25 corpus stats (N, Ltot, df…): 1-row broadcast aggregate
     # joined back to the per-doc projection (the Q11 pattern)
     "bm25_search",
