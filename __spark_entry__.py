@@ -673,6 +673,28 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(load_table(spark, sf_dir, "documents"), span_tokens=8)
 
 
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import line_dedup
+
+    # The synthetic corpus is single-line, so "lines" are 3-token
+    # windows (identical machinery; real corpora use line_tokens=None)
+    return line_dedup(
+        load_table(spark, sf_dir, "documents"), min_docs=5, line_tokens=3
+    )
+
+
+def _last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import last_touch_attribution
+
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+def _hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import hourly_acf
+
+    return hourly_acf(load_table(spark, sf_dir, "events"), lags=3)
+
+
 def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import event_funnel
 
@@ -1446,6 +1468,9 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bloom_decontaminate": ["doc_id", "n_grams"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
+    "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
+    "last_touch_attribution": ["n_conversions", "total_value", "touch_type"],
+    "hourly_acf": ["cov_num", "event_type", "lag", "n_pairs", "varx_num", "vary_num"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
@@ -1718,8 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_nearest_purchase, feature_class_lift,
         # top_event_paths, zipf_fit, bm25_search,
         # sparse_cosine_join, bloom_decontaminate,
-        # zorder_layout_report). They lead r6's
-        # first 50; the remaining ~33 slots refresh the oldest
+        # zorder_layout_report, line_dedup, last_touch_attribution,
+        # hourly_acf). They lead r6's
+        # first 50; the remaining ~30 slots refresh the oldest
         # r3-greens. compression_ratio
         # and pair_pagerank are the rows-only never-seen tail if r6
         # repeats the one-time-exposure trade.
@@ -1739,6 +1765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_cosine_join": _sparse_cosine_join,
         "bloom_decontaminate": _bloom_decontaminate,
         "zorder_layout_report": _zorder_layout_report,
+        "line_dedup": _line_dedup,
+        "last_touch_attribution": _last_touch_attribution,
+        "hourly_acf": _hourly_acf,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
@@ -4923,6 +4952,108 @@ def oracle_sql() -> dict[str, str]:
         FROM ex LEFT JOIN ap
           ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
         GROUP BY ex.query_id
+    """
+    sql["line_dedup"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), seg AS (
+          SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS line_idx,
+                 string_agg(t[i], ' ' ORDER BY i) AS line_text
+          FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+          GROUP BY doc_id, (i - 1) // 3
+        ), boiler AS (
+          SELECT line_text FROM seg GROUP BY line_text
+          HAVING COUNT(DISTINCT doc_id) >= 5
+        ), marked AS (
+          SELECT s.doc_id, s.line_idx, s.line_text,
+                 b.line_text IS NOT NULL AS is_boiler
+          FROM seg s LEFT JOIN boiler b USING (line_text)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line_text END,
+                          ' ' ORDER BY line_idx), '') AS text_clean
+        FROM marked GROUP BY doc_id
+    """
+    sql["last_touch_attribution"] = """
+        WITH t AS (
+          SELECT event_type, ts, value,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER w AS tt,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN ts END IGNORE NULLS)
+                   OVER w AS tts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT COALESCE(CASE WHEN tts >= ts - INTERVAL 7 DAY THEN tt END,
+                        'direct') AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_value
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1
+    """
+    sql["hourly_acf"] = """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100
+                      AS DECIMAL(20,0)) AS svc
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), lagged AS (
+          SELECT event_type, svc,
+                 lag(svc, 1) OVER w AS l1,
+                 lag(svc, 2) OVER w AS l2,
+                 lag(svc, 3) OVER w AS l3
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ), per AS (
+          SELECT event_type,
+            COUNT(l1) AS n1,
+            CAST(SUM(CASE WHEN l1 IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx1,
+            CAST(SUM(l1) AS DECIMAL(38,0)) AS sy1,
+            CAST(SUM(svc * l1) AS DECIMAL(38,0)) AS sxy1,
+            CAST(SUM(CASE WHEN l1 IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx1,
+            CAST(SUM(l1 * l1) AS DECIMAL(38,0)) AS syy1,
+            COUNT(l2) AS n2,
+            CAST(SUM(CASE WHEN l2 IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx2,
+            CAST(SUM(l2) AS DECIMAL(38,0)) AS sy2,
+            CAST(SUM(svc * l2) AS DECIMAL(38,0)) AS sxy2,
+            CAST(SUM(CASE WHEN l2 IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx2,
+            CAST(SUM(l2 * l2) AS DECIMAL(38,0)) AS syy2,
+            COUNT(l3) AS n3,
+            CAST(SUM(CASE WHEN l3 IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx3,
+            CAST(SUM(l3) AS DECIMAL(38,0)) AS sy3,
+            CAST(SUM(svc * l3) AS DECIMAL(38,0)) AS sxy3,
+            CAST(SUM(CASE WHEN l3 IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx3,
+            CAST(SUM(l3 * l3) AS DECIMAL(38,0)) AS syy3
+          FROM lagged GROUP BY event_type
+        ), stacked AS (
+          SELECT event_type, 1 AS lag, n1 AS n_pairs,
+                 sx1 AS sx, sy1 AS sy, sxy1 AS sxy, sxx1 AS sxx, syy1 AS syy
+          FROM per
+          UNION ALL
+          SELECT event_type, 2, n2, sx2, sy2, sxy2, sxx2, syy2 FROM per
+          UNION ALL
+          SELECT event_type, 3, n3, sx3, sy3, sxy3, sxx3, syy3 FROM per
+        )
+        SELECT event_type,
+               CAST(lag AS INTEGER) AS lag,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(CAST(COALESCE(CAST(n_pairs AS DECIMAL(10,0)) * sxy
+                                  - sx * sy, 0) AS DECIMAL(38,0))
+                    AS VARCHAR) AS cov_num,
+               CAST(CAST(COALESCE(CAST(n_pairs AS DECIMAL(10,0)) * sxx
+                                  - sx * sx, 0) AS DECIMAL(38,0))
+                    AS VARCHAR) AS varx_num,
+               CAST(CAST(COALESCE(CAST(n_pairs AS DECIMAL(10,0)) * syy
+                                  - sy * sy, 0) AS DECIMAL(38,0))
+                    AS VARCHAR) AS vary_num
+        FROM stacked
     """
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but
     # we pin it explicitly per key. Any inner ORDER BY keeps its

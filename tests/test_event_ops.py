@@ -392,3 +392,80 @@ def test_top_event_paths_never_crosses_users(spark):
         ("2024-01-01 10:02:00", 3, "c", 1.0),
     ]
     assert top_event_paths(_events(spark, rows)).collect() == []
+
+
+def test_last_touch_attribution_semantics(spark):
+    from whatdropsnow_etl_spark.operators import last_touch_attribution
+
+    rows = [
+        # user 1: click then purchase next day -> credited to click
+        ("2024-01-01 10:00:00", 1, "click", 0.0),
+        ("2024-01-02 10:00:00", 1, "purchase", 10.0),
+        # user 2: view 10 days before purchase -> outside 7d -> direct
+        ("2024-01-01 10:00:00", 2, "view", 0.0),
+        ("2024-01-11 10:00:00", 2, "purchase", 5.0),
+        # user 3: purchase with NO prior event at all -> direct
+        ("2024-01-05 10:00:00", 3, "purchase", 2.5),
+        # user 4: a prior PURCHASE never credits itself; the view
+        # before it does (last non-conversion touch wins)
+        ("2024-01-03 09:00:00", 4, "view", 0.0),
+        ("2024-01-03 10:00:00", 4, "purchase", 1.0),
+        ("2024-01-04 10:00:00", 4, "purchase", 2.0),
+    ]
+    out = {
+        r["touch_type"]: (r["n_conversions"], r["total_value"])
+        for r in last_touch_attribution(_events(spark, rows)).collect()
+    }
+    assert out == {
+        "click": (1, 10.0),
+        "direct": (2, 7.5),
+        "view": (2, 3.0),
+    }
+
+
+def test_hourly_acf_hand_computed(spark):
+    from whatdropsnow_etl_spark.operators import hourly_acf
+
+    # one event per hour -> hourly series in cents: 100, 200, 300, 400
+    rows = [
+        ("2024-01-01 00:30:00", 1, "click", 1.0),
+        ("2024-01-01 01:30:00", 1, "click", 2.0),
+        ("2024-01-01 02:30:00", 1, "click", 3.0),
+        ("2024-01-01 03:30:00", 1, "click", 4.0),
+    ]
+    out = {
+        r["lag"]: r
+        for r in hourly_acf(_events(spark, rows), lags=2).collect()
+    }
+    # lag 1 pairs: x=(200,300,400), y=(100,200,300)  [cents]
+    # n=3 sx=900 sy=600 sxy=200_000 sxx=290_000 syy=140_000
+    r1 = out[1]
+    assert r1["n_pairs"] == 3
+    assert int(r1["cov_num"]) == 3 * 200_000 - 900 * 600
+    assert int(r1["varx_num"]) == 3 * 290_000 - 900 * 900
+    assert int(r1["vary_num"]) == 3 * 140_000 - 600 * 600
+    # a perfectly linear series has ACF exactly 1 at every lag
+    import math
+
+    acf1 = int(r1["cov_num"]) / math.sqrt(
+        int(r1["varx_num"]) * int(r1["vary_num"])
+    )
+    assert abs(acf1 - 1.0) < 1e-12
+
+
+def test_hourly_acf_constant_series_zero_variance(spark):
+    from whatdropsnow_etl_spark.operators import hourly_acf
+
+    rows = [
+        ("2024-01-01 00:30:00", 1, "view", 5.0),
+        ("2024-01-01 01:30:00", 1, "view", 5.0),
+        ("2024-01-01 02:30:00", 1, "view", 5.0),
+    ]
+    out = {
+        r["lag"]: r for r in hourly_acf(_events(spark, rows), lags=1).collect()
+    }
+    r1 = out[1]
+    # constant series: variance terms are '0' strings, never NULL
+    assert r1["varx_num"] == "0" and r1["vary_num"] == "0"
+    assert r1["cov_num"] == "0"
+    assert r1["n_pairs"] == 2

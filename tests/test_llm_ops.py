@@ -2683,3 +2683,51 @@ def test_bloom_decontaminate_empty_eval_keeps_everything(spark):
     e = spark.createDataFrame([], "doc_id bigint, text string")
     got = sorted(r["doc_id"] for r in bloom_decontaminate(t, e, k=3).collect())
     assert got == [1, 2]
+
+
+def test_line_dedup_contract(spark):
+    from whatdropsnow_etl_spark.operators import line_dedup
+
+    # "lines" below are newline-separated; 'boiler' appears in 3 docs
+    docs = spark.createDataFrame(
+        [
+            (0, "boiler\nkeep one\nunique a"),
+            (1, "boiler\nunique b"),
+            (2, "unique c\nboiler"),
+            (3, "solo text"),
+            (4, "boiler"),  # fully-boilerplate doc -> empty, not dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()
+    }
+    assert len(out) == 5  # every doc survives as a row
+    assert out[0]["n_removed"] == 1
+    assert out[0]["text_clean"] == "keep one\nunique a"
+    assert out[1]["text_clean"] == "unique b"
+    assert out[2]["text_clean"] == "unique c"
+    assert out[3]["n_removed"] == 0 and out[3]["text_clean"] == "solo text"
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 1
+    # 'boiler' is in exactly 4 docs: min_docs=5 is above threshold,
+    # so nothing is removed
+    none = line_dedup(docs, min_docs=5).agg(F.sum("n_removed")).collect()[0][0]
+    assert none == 0
+
+
+def test_line_dedup_token_windows_and_hashed_key(tables):
+    from whatdropsnow_etl_spark.operators import line_dedup
+
+    docs = tables["documents"]
+    a = line_dedup(docs, min_docs=5, line_tokens=3)
+    b = line_dedup(docs, min_docs=5, line_tokens=3, hash_lines=True)
+    # hashed-key path is identical at test scale (same trade as
+    # span_dedup's hash_spans)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # line count conserves the corpus: sum(n_lines) == sum(ceil(n/3))
+    exp = docs.select(
+        F.ceil(F.size(F.split(F.lower("text"), " ")) / 3)
+        .cast("bigint")
+        .alias("e")
+    ).agg(F.sum("e")).collect()[0][0]
+    assert a.agg(F.sum("n_lines")).collect()[0][0] == exp

@@ -1250,6 +1250,108 @@ def span_dedup(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 5,
+    line_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_lines: bool = False,
+) -> DataFrame:
+    """CCNet/MassiveText-style boilerplate LINE removal: drop every
+    line that occurs in at least ``min_docs`` DISTINCT documents,
+    from every document (headers, footers, nav bars, cookie banners
+    — Wenzek et al. 2019 arXiv:1911.00359 §3.1 dedups at the
+    paragraph level the same way; Gopher's MassiveText repeats it
+    per line). Complements :func:`span_dedup` (which keeps the
+    FIRST occurrence of any repeated span): frequency-threshold
+    removal deletes boilerplate from ALL copies, including the
+    first — the right call when the repeated text is noise, not
+    content.
+
+    ``line_tokens=None`` splits on newline — the real-corpus mode.
+    The synthetic corpus is single-line, so the registry query uses
+    ``line_tokens=k``: consecutive k-token windows stand in as
+    "lines" (identical machinery, engine-portable segmentation
+    mirrored in the SQL oracle).
+
+    Scale shape: map-only line explode (no row multiplication
+    beyond 1/k), ONE shuffle on the line key for the distinct-doc
+    frequency count (map-side partial agg), one line-keyed join to
+    mark boilerplate (AQE broadcasts the frequent-line set when it
+    is small — it always is relative to the corpus: it holds only
+    lines repeated ≥ min_docs times), one doc-keyed aggregate to
+    reassemble. ``hash_lines=True`` keys the count and join on
+    ``xxhash64(line)`` — fixed-width 8-byte shuffle rows, the
+    100 TB default; collisions over-delete one line in ~n²/2⁶⁴
+    (same trade as span_dedup's ``hash_spans``).
+
+    Docs never vanish: a fully-boilerplate doc emits an empty
+    ``text_clean``. Emits (doc_id, n_lines, n_removed, text_clean).
+    """
+    if line_tokens is None:
+        parts = F.split(F.col(text_col), "\n")
+        lines = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(parts).alias("line_idx", "line_text"),
+        )
+        joiner = "\n"
+    else:
+        stride = line_tokens
+        toks = tokens(F.col(text_col))
+        n = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        lines = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        (s / stride).cast("bigint").alias("line_idx"),
+                        F.array_join(
+                            F.slice(toks, s + 1, line_tokens), " "
+                        ).alias("line_text"),
+                    ),
+                )
+            ).alias("ln"),
+        ).select("doc_id", "ln.line_idx", "ln.line_text")
+        joiner = " "
+
+    key = F.xxhash64("line_text") if hash_lines else F.col("line_text")
+    lines = lines.withColumn("__k", key)
+    boiler = (
+        lines.groupBy("__k")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__k", F.lit(1).alias("__boiler"))
+    )
+    marked = lines.join(boiler, "__k", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__boiler").isNull(),
+                                F.struct("line_idx", "line_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line_text"],
+                ),
+                joiner,
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "text_clean")
+    )
+
+
 def source_overlap_matrix(
     df: DataFrame,
     text_col: str = "text",

@@ -636,3 +636,165 @@ def top_event_paths(
         .limit(top_k)
         .select("path", F.col("n").cast("bigint"), F.col("n_users").cast("bigint"))
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    within_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch conversion attribution: each ``conversion`` event
+    is credited to the user's most recent PRECEDING non-conversion
+    event type, provided that touch happened within ``within_days``
+    of the conversion; conversions with no qualifying touch are
+    credited to ``'direct'`` (the standard marketing-attribution
+    last-touch model; the reference lands raw events and stops —
+    this is the query its users run next).
+
+    One window pass per user carries the running last non-conversion
+    (type, ts) via ``last(..., ignorenulls=True)`` over rows
+    UNBOUNDED PRECEDING..1 PRECEDING — no self-join, no per-user
+    collect. Ties in ``ts`` break on ``event_id`` so the order (and
+    the DuckDB twin) is total. Scale shape: ONE shuffle on
+    ``user_id`` (high cardinality — the natural event-log partition
+    key; per-user partitions are session-sized, never corpus-sized),
+    then a 5-ish-row final aggregate. Conversion values sum as exact
+    decimals (functions/money.py pattern) so the DOUBLE output is
+    engine- and partitioning-independent.
+
+    Emits (touch_type, n_conversions, total_value) — one row per
+    crediting event type plus 'direct'.
+    """
+    from ..functions.money import exact_sum
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_conv = F.col(type_col) != conversion
+    touch_type = F.last(F.when(non_conv, F.col(type_col)), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(non_conv, F.col(ts_col)), ignorenulls=True).over(w)
+    conv = (
+        events.select(
+            F.col(type_col),
+            F.col(ts_col),
+            F.col(value_col),
+            touch_type.alias("__tt"),
+            touch_ts.alias("__tts"),
+        )
+        .where(F.col(type_col) == conversion)
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("__tts")
+                    >= F.col(ts_col) - F.expr(f"INTERVAL {int(within_days)} DAYS"),
+                    F.col("__tt"),
+                ),
+                F.lit("direct"),
+            ).alias("touch_type"),
+            F.col(value_col),
+        )
+    )
+    return conv.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        exact_sum(value_col).alias("total_value"),
+    )
+
+
+def hourly_acf(
+    events: DataFrame,
+    lags: int = 3,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Autocorrelation of the hourly value series per event type, at
+    lags 1..``lags`` -- the seasonality/burstiness diagnostic for an
+    event stream (high lag-24 ACF means diurnal load; near-zero ACF
+    everywhere means the load is memoryless, so rate-spike
+    thresholds can be stationary).
+
+    Two-level scale shape: the corpus-sized work is ONE shuffle --
+    the (type, hour) aggregate with map-side partial combine;
+    everything after runs on the bounded hourly series (#hours x
+    #types rows -- calendar-sized, NOT corpus-sized, so the per-type
+    lag window partition is bounded by the time range no matter how
+    many events). Hours with no events are compressed out of the
+    sequence; join a calendar spine first if zero-filled ACF is
+    wanted.
+
+    Exact-fraction output (the trend_report idiom): the Pearson
+    numerator and the two variance terms of acf(k) =
+    ``cov / sqrt(varx * vary)`` are integer-valued in cents, so the
+    operator emits them EXACTLY -- as DECIMAL(38,0) rendered to
+    VARCHAR (the dataset_fingerprint idiom; BIGINT would sit within
+    35% of overflow already at sf1, and any float path is
+    engine-order-dependent). The caller divides at display time:
+    ``acf = cov_num / sqrt(varx_num * vary_num)``. Pairs are
+    (x = series[t], y = series[t-k]) over observed hours in order.
+
+    Emits (event_type, lag, n_pairs, cov_num, varx_num, vary_num);
+    the fraction terms are '0'-safe strings, never NULL (a constant
+    series yields varx_num = '0' -- the undefined-ACF case is
+    visible, not NULLed).
+    """
+    from ..functions.money import money
+
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("__h"),
+    ).agg(
+        (F.sum(money(value_col)) * 100)
+        .cast("decimal(20,0)")
+        .alias("__svc")
+    )
+    w = Window.partitionBy("event_type").orderBy("__h")
+    lag_cols = [
+        F.lag("__svc", k).over(w).alias(f"__l{k}") for k in range(1, lags + 1)
+    ]
+    lagged = hourly.select("event_type", "__svc", *lag_cols)
+
+    aggs = []
+    for k in range(1, lags + 1):
+        lk = F.col(f"__l{k}")
+        x = F.when(lk.isNotNull(), F.col("__svc"))
+        aggs += [
+            F.count(lk).alias(f"n{k}"),
+            F.sum(x).cast("decimal(38,0)").alias(f"sx{k}"),
+            F.sum(lk).cast("decimal(38,0)").alias(f"sy{k}"),
+            F.sum(x * lk).cast("decimal(38,0)").alias(f"sxy{k}"),
+            F.sum(x * x).cast("decimal(38,0)").alias(f"sxx{k}"),
+            F.sum(lk * lk).cast("decimal(38,0)").alias(f"syy{k}"),
+        ]
+    per_type = lagged.groupBy("event_type").agg(*aggs)
+
+    stack_args = ", ".join(
+        f"{k}, n{k}, sx{k}, sy{k}, sxy{k}, sxx{k}, syy{k}"
+        for k in range(1, lags + 1)
+    )
+    stacked = per_type.select(
+        "event_type",
+        F.expr(
+            f"stack({lags}, {stack_args})"
+            " AS (lag, n_pairs, sx, sy, sxy, sxx, syy)"
+        ),
+    )
+    n = F.col("n_pairs").cast("decimal(10,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    cov = F.coalesce(n * F.col("sxy") - F.col("sx") * F.col("sy"), zero)
+    varx = F.coalesce(n * F.col("sxx") - F.col("sx") * F.col("sx"), zero)
+    vary = F.coalesce(n * F.col("syy") - F.col("sy") * F.col("sy"), zero)
+    return stacked.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        cov.cast("decimal(38,0)").cast("string").alias("cov_num"),
+        varx.cast("decimal(38,0)").cast("string").alias("varx_num"),
+        vary.cast("decimal(38,0)").cast("string").alias("vary_num"),
+    )
