@@ -695,6 +695,12 @@ def _hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_acf(load_table(spark, sf_dir, "events"), lags=3)
 
 
+def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import quality_lr
+
+    return quality_lr(load_table(spark, sf_dir, "documents"), iters=20)
+
+
 def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import event_funnel
 
@@ -1471,6 +1477,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
     "last_touch_attribution": ["n_conversions", "total_value", "touch_type"],
     "hourly_acf": ["cov_num", "event_type", "lag", "n_pairs", "varx_num", "vary_num"],
+    "quality_lr": ["doc_id", "score_micro", "weak_label"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
@@ -1747,8 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hourly_acf). They lead r6's
         # first 50; the remaining ~30 slots refresh the oldest
         # r3-greens. compression_ratio
-        # and pair_pagerank are the rows-only never-seen tail if r6
-        # repeats the one-time-exposure trade.
+        # pair_pagerank, and quality_lr are the rows-only never-seen
+        # tail if r6 repeats the one-time-exposure trade.
         # NEW post-gate late-r5 additions — never driver-seen,
         # oracle-bearing; they lead the r6 rotation per the standing
         # contract (first-ever signal beats any refresh)
@@ -1768,6 +1775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _line_dedup,
         "last_touch_attribution": _last_touch_attribution,
         "hourly_acf": _hourly_acf,
+        # rows-only by design: 20-iteration distributed GD has no SQL
+        # twin; partitioning-invariance + numpy GD pytest-pinned
+        "quality_lr": _quality_lr,
         # r3-green spill (locally parity-checked each round)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,

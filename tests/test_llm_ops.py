@@ -2731,3 +2731,71 @@ def test_line_dedup_token_windows_and_hashed_key(tables):
         .alias("e")
     ).agg(F.sum("e")).collect()[0][0]
     assert a.agg(F.sum("n_lines")).collect()[0][0] == exp
+
+
+def test_lr_train_partitioning_invariant(tables):
+    from whatdropsnow_etl_spark.operators import lr_train
+    from whatdropsnow_etl_spark.operators.classifier import _feature_cols
+
+    docs = tables["documents"]
+    feats = _feature_cols("text")
+    label = (F.length("text") > 150).cast("double")
+    m1 = lr_train(docs.repartition(1), feats, label, iters=8)
+    m17 = lr_train(docs.repartition(17), feats, label, iters=8)
+    # decimal-quantized gradient accumulation: training is
+    # bit-identical under any partitioning
+    assert m1["weights"] == m17["weights"]
+    assert m1["bias"] == m17["bias"]
+    assert m1["loss"] == m17["loss"]
+
+
+def test_lr_train_matches_numpy_reference(tables):
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators import lr_train
+    from whatdropsnow_etl_spark.operators.classifier import _feature_cols
+
+    docs = tables["documents"]
+    feats = _feature_cols("text")
+    label = (F.length("text") > 150).cast("double")
+    iters, lr = 12, 1.0
+    model = lr_train(docs, feats, label, iters=iters, lr=lr)
+
+    names = list(feats)
+    rows = docs.select(
+        *[c.alias(n) for n, c in feats.items()], label.alias("y")
+    ).collect()
+    X = np.array([[r[n] for n in names] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    std = X.std(axis=0)
+    std[std == 0] = 1e-9  # mirror lr_train's constant-feature floor
+    X = (X - X.mean(axis=0)) / std
+    w = np.zeros(len(names))
+    b = 0.0
+    n = len(y)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        w -= lr * (X.T @ (p - y)) / n
+        b -= lr * (p - y).sum() / n
+    got = np.array([model["weights"][c] for c in names])
+    assert np.allclose(got, w, rtol=1e-6, atol=1e-8)
+    assert abs(model["bias"] - b) < 1e-8
+    # loss decreases over training
+    assert model["loss"][-1] < model["loss"][0]
+
+
+def test_quality_lr_separates_weak_labels(tables):
+    from whatdropsnow_etl_spark.operators import quality_lr
+
+    docs = tables["documents"]
+    out = quality_lr(docs, iters=10).cache()
+    assert out.count() == docs.count()
+    means = {
+        r["weak_label"]: r["m"]
+        for r in out.groupBy("weak_label")
+        .agg(F.avg("score_micro").alias("m"))
+        .collect()
+    }
+    # the trained classifier orders the weak classes correctly
+    assert means[1] > means[0]
+    out.unpersist()

@@ -1,0 +1,216 @@
+"""Distributed logistic-regression quality classifier.
+
+Closes the loop the heuristic filters open: ``gopher_rules`` /
+``quality_score`` are hand-tuned gates; the standard next step in a
+pre-training pipeline (CCNet arXiv:1911.00359 §4, GPT-3's WebText
+classifier) is to TRAIN a lightweight classifier on weak labels and
+score the whole corpus with it. The reference (wdn_api.py) has no
+analytics at all — this is engine-side capability its users gain.
+
+Architecture (the kmeans/BPE division of labor):
+
+- **Training state is model-sized, data stays distributed.** Each
+  gradient-descent iteration is ONE corpus scan reduced map-side to
+  k+1 numbers (k features + the loss) — the treeAggregate pattern
+  expressed as a DataFrame aggregate; only the k-row gradient is
+  collected. Weights live in the driver and enter the next scan as
+  literals in a pure Column expression; nothing corpus-sized ever
+  reaches the driver.
+- **Bit-reproducible distributed training.** Float sums depend on
+  partial-aggregation order, so a naive double gradient differs
+  run-to-run on a cluster. Here each row's gradient contribution is
+  computed in double (deterministic per row), quantized to
+  DECIMAL(30,15), and summed EXACTLY — the gradient, and therefore
+  every weight at every iteration, is bit-identical under any
+  partitioning (pytest-pinned: 1-partition vs 17-partition training
+  yields byte-equal weights). The 1e-15 quantization perturbs the
+  gradient below float noise.
+- **At 100 TB**: train on a sample (``sample_fraction``), score the
+  full corpus map-only — scoring is a single codegen'd projection
+  with weight literals, embarrassingly parallel. The train scan
+  count is ``iters`` (default 30); the feature frame is cached so
+  feature extraction runs once, not per-iteration.
+
+Features are standardized with decimal-exact means/variances (same
+order-independence argument). Weak labels default to the
+``gopher_rules`` conjunction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import STOPWORDS
+from ..functions.text import stop_count, tokens
+
+#: feature-name -> Column factory over a text column. Fixed, small,
+#: and pure-Column: one narrow projection extracts all of them.
+def _feature_cols(text_col: str) -> dict[str, Column]:
+    text = F.lower(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_stop = stop_count(toks, STOPWORDS).cast("double")
+    n_punct = F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
+    tok_len_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    ).cast("double")
+    n_types = F.size(F.array_distinct(toks)).cast("double")
+    return {
+        "log_len": F.log1p(n_tokens),
+        "stop_ratio": n_stop / n_tokens,
+        "punct_ratio": n_punct / n_chars,
+        "mean_word_len": tok_len_sum / n_tokens,
+        "ttr": n_types / n_tokens,
+    }
+
+
+_QDEC = "decimal(30,15)"  # gradient/statistic quantization grid
+
+
+def _exact_mean_std(feat: DataFrame, names: list[str]) -> dict[str, tuple[float, float]]:
+    """Per-feature (mean, std) via decimal-exact sums — identical on
+    any partitioning. Variance via E[x^2] - E[x]^2 in double over the
+    two exact sums; std floors at 1e-9 so constant features don't
+    divide by zero (they standardize to 0)."""
+    aggs = []
+    for c in names:
+        d = F.col(c).cast(_QDEC)
+        aggs += [
+            F.sum(d).cast("double").alias(f"s_{c}"),
+            F.sum(d * d).cast("double").alias(f"ss_{c}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = feat.agg(*aggs).collect()[0]
+    n = float(row["n"])
+    out = {}
+    for c in names:
+        m = row[f"s_{c}"] / n
+        var = row[f"ss_{c}"] / n - m * m
+        out[c] = (m, max(var, 0.0) ** 0.5 or 1e-9)
+    return out
+
+
+def lr_train(
+    df: DataFrame,
+    feature_exprs: dict[str, Column],
+    label_expr: Column,
+    iters: int = 30,
+    lr: float = 1.0,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> dict:
+    """Train logistic regression by full-batch gradient descent.
+
+    Returns a model dict: ``{"weights": {name: w}, "bias": w0,
+    "stats": {name: (mean, std)}, "loss": [per-iter mean NLL]}``.
+    Weights apply to STANDARDIZED features; :func:`lr_score` folds
+    the standardization back in.
+    """
+    src = df
+    if sample_fraction is not None and sample_fraction < 1.0:
+        src = df.sample(fraction=sample_fraction, seed=seed)
+    names = list(feature_exprs)
+    feat = src.select(
+        *[expr.alias(c) for c, expr in feature_exprs.items()],
+        label_expr.cast("double").alias("__y"),
+    ).persist()
+    try:
+        stats = _exact_mean_std(feat, names)
+        std_cols = [
+            ((F.col(c) - F.lit(stats[c][0])) / F.lit(stats[c][1])).alias(c)
+            for c in names
+        ]
+        z = feat.select(*std_cols, "__y")
+
+        w = {c: 0.0 for c in names}
+        b = 0.0
+        n = feat.count()
+        losses = []
+        for _ in range(iters):
+            margin = F.lit(b)
+            for c in names:
+                margin = margin + F.lit(w[c]) * F.col(c)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            err = (p - F.col("__y")).alias("__e")
+            row = z.select(*names, "__y", err).agg(
+                *[
+                    F.sum((F.col("__e") * F.col(c)).cast(_QDEC))
+                    .cast("double")
+                    .alias(f"g_{c}")
+                    for c in names
+                ],
+                F.sum(F.col("__e").cast(_QDEC)).cast("double").alias("g_b"),
+                # mean NLL, same exact-sum treatment (monitoring only)
+                F.sum(
+                    (
+                        -F.col("__y") * F.log(F.greatest(p, F.lit(1e-15)))
+                        - (1 - F.col("__y"))
+                        * F.log(F.greatest(1 - p, F.lit(1e-15)))
+                    ).cast(_QDEC)
+                )
+                .cast("double")
+                .alias("nll"),
+            ).collect()[0]
+            for c in names:
+                w[c] -= lr * row[f"g_{c}"] / n
+            b -= lr * row["g_b"] / n
+            losses.append(row["nll"] / n)
+        return {"weights": w, "bias": b, "stats": stats, "loss": losses}
+    finally:
+        feat.unpersist()
+
+
+def lr_score(
+    df: DataFrame, model: dict, feature_exprs: dict[str, Column]
+) -> Column:
+    """Sigmoid score column for ``model`` — a pure codegen'd
+    projection (weight and standardization constants are literals),
+    map-only at any scale."""
+    margin = F.lit(model["bias"])
+    for c, expr in feature_exprs.items():
+        m, s = model["stats"][c]
+        margin = margin + F.lit(model["weights"][c]) * ((expr - F.lit(m)) / F.lit(s))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
+def quality_lr(
+    docs: DataFrame,
+    iters: int = 30,
+    lr: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Train on gopher_rules weak labels, score every doc.
+
+    Output (doc_id, weak_label, score_micro): score_micro =
+    floor(sigmoid * 1e6) as BIGINT — integer-rendered because the
+    training is bit-deterministic, so the scores are too (rows-only
+    registry entry by design: the 30-iteration loop has no SQL twin;
+    pytest pins partitioning-invariance and a numpy GD reference).
+    """
+    from .textops import gopher_rules
+
+    feats = _feature_cols(text_col)
+    # carry the text column through so features and labels come off
+    # one relation (no join; gopher_rules is a map-only projection)
+    labeled = gopher_rules(
+        docs, text_col=text_col, id_col=id_col, extra_cols=(text_col,)
+    )
+    label = F.col("passes").cast("double")
+    model = lr_train(
+        labeled,
+        feats,
+        label,
+        iters=iters,
+        lr=lr,
+        sample_fraction=sample_fraction,
+    )
+    score = lr_score(labeled, model, feats)
+    return labeled.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("passes").cast("bigint").alias("weak_label"),
+        F.floor(score * 1e6).cast("bigint").alias("score_micro"),
+    )
