@@ -328,3 +328,27 @@ def test_manifest_merge_with_added_column(spark, tmp_path):
     )
     rows = {r["id"]: r["tag"] for r in read_version(spark, path).collect()}
     assert rows == {1: None, 2: "x"}
+
+
+def test_write_observed_metrics_match_written_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.sinks.observed import write_observed
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None), (4, None, 5.0)],
+        "id long, name string, v double",
+    )
+    out = str(tmp_path / "observed")
+    metrics = write_observed(
+        df, out, null_cols=("name", "v"), min_max_col="id"
+    )
+    # metrics computed BY the write tasks, not by a second scan
+    assert metrics["n_rows"] == 4
+    assert metrics["n_null_name"] == 2
+    assert metrics["n_null_v"] == 1
+    assert metrics["min_id"] == 1 and metrics["max_id"] == 4
+    # and they describe exactly what landed on disk
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.where(F.col("name").isNull()).count() == 2

@@ -13,9 +13,12 @@ from .manifest import (
     read_version,
     vacuum,
 )
+from .observed import qc_metric_exprs, write_observed
 from .upsert_parquet import UpsertParquetSink
 
 __all__ = [
+    "qc_metric_exprs",
+    "write_observed",
     "UpsertParquetSink",
     "commit_write",
     "current_version",
