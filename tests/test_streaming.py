@@ -1189,3 +1189,74 @@ def test_manifest_merge_stream_sink_upserts_exactly_once(spark, tmp_path):
     # time travel to the pre-merge snapshot
     v1 = {r["id"]: r["v"] for r in read_version(spark, path, 1).collect()}
     assert v1 == {1: "a", 2: "b"}
+
+
+def test_attribution_stream_matches_batch(spark, tables, events_json_dir, tmp_path):
+    """The streaming last-touch state (one tuple per user) must credit
+    exactly like the batch window when events arrive in order, and
+    conserve one credited record per conversion across micro-batches
+    regardless of arrival order."""
+    from whatdropsnow_etl_spark.operators import last_touch_attribution
+    from whatdropsnow_etl_spark.streaming import attribution_stream
+
+    # single batch (fully sortable): credited multiset == batch twin
+    stream1 = spark.readStream.schema(SCHEMA).json(events_json_dir)
+    q = (
+        attribution_stream(stream1)
+        .writeStream.format("memory")
+        .queryName("attrib_one")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["touch_type"]: (r["n"], round(r["v"], 2))
+        for r in spark.table("attrib_one")
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v"),
+        )
+        .collect()
+    }
+    want = {
+        r["touch_type"]: (r["n_conversions"], round(r["total_value"], 2))
+        for r in last_touch_attribution(tables["events"]).collect()
+    }
+    assert got == want
+
+    # several micro-batches, arbitrary file split: arrival order per
+    # user may differ, but every conversion still emits EXACTLY one
+    # credited record and total credited value is conserved
+    src4 = str(tmp_path / "attrib_src4")
+    (
+        tables["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(src4)
+    )
+    stream4 = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src4)
+    )
+    q2 = (
+        attribution_stream(stream4)
+        .writeStream.format("memory")
+        .queryName("attrib_many")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    n_purchases = tables["events"].where(F.col("event_type") == "purchase").count()
+    many = spark.table("attrib_many")
+    assert many.count() == n_purchases
+    total = many.agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+    ).collect()[0][0]
+    want_total = sum(v for _, v in want.values())
+    assert round(total, 2) == round(want_total, 2)

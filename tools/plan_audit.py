@@ -156,6 +156,10 @@ EAGER_OK = {
     # counts the vocab to pick dense vs sparse, and collects the
     # (bounded) vocab for the dense vector layout
     "sparse_cosine_join",
+    # logistic-regression training is a driver-looped GD fixpoint
+    # (one k-row gradient collect per iteration, the kmeans/BPE
+    # contract); scoring itself is a lazy map-only projection
+    "quality_lr",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {

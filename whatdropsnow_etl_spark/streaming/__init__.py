@@ -11,6 +11,7 @@ from .sink import write_stream_parquet
 from .topk import heavy_hitters, mg_merge
 from .manifest_sink import ManifestMergeStreamSink, ManifestStreamSink
 from .paths import path_stream
+from .attribution import attribution_stream
 from .transitions import transition_stream
 from .upsert import upsert_stream
 from .windowed import windowed_event_agg
@@ -33,6 +34,7 @@ __all__ = [
     "mg_merge",
     "heavy_hitters",
     "path_stream",
+    "attribution_stream",
     "transition_stream",
     "ManifestMergeStreamSink",
     "ManifestStreamSink",
