@@ -695,6 +695,12 @@ def _hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_acf(load_table(spark, sf_dir, "events"), lags=3)
 
 
+def _densify_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import densify_hours
+
+    return densify_hours(load_table(spark, sf_dir, "events"))
+
+
 def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import quality_lr
 
@@ -1478,6 +1484,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "last_touch_attribution": ["n_conversions", "total_value", "touch_type"],
     "hourly_acf": ["cov_num", "event_type", "lag", "n_pairs", "varx_num", "vary_num"],
     "quality_lr": ["doc_id", "score_micro", "weak_label"],
+    "densify_hours": ["event_type", "hour_us", "n_events", "sum_value"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
@@ -1751,7 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top_event_paths, zipf_fit, bm25_search,
         # sparse_cosine_join, bloom_decontaminate,
         # zorder_layout_report, line_dedup, last_touch_attribution,
-        # hourly_acf). They lead r6's
+        # hourly_acf, densify_hours). They lead r6's
         # first 50; the remaining ~30 slots refresh the oldest
         # r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
@@ -1775,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _line_dedup,
         "last_touch_attribution": _last_touch_attribution,
         "hourly_acf": _hourly_acf,
+        "densify_hours": _densify_hours,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5064,6 +5072,28 @@ def oracle_sql() -> dict[str, str]:
                                   - sy * sy, 0) AS DECIMAL(38,0))
                     AS VARCHAR) AS vary_num
         FROM stacked
+    """
+    sql["densify_hours"] = """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), bounds AS (
+          SELECT min(h) AS mn, max(h) AS mx FROM hourly
+        ), spine AS (
+          SELECT t.event_type, u.h
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               bounds b,
+               LATERAL (SELECT unnest(generate_series(b.mn, b.mx,
+                                      INTERVAL 1 HOUR)) AS h) u
+        )
+        SELECT s.event_type,
+               CAST(epoch_us(s.h) AS BIGINT) AS hour_us,
+               COALESCE(hy.n, 0) AS n_events,
+               COALESCE(hy.sv, 0.0) AS sum_value
+        FROM spine s LEFT JOIN hourly hy
+          ON hy.event_type = s.event_type AND hy.h = s.h
     """
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but
     # we pin it explicitly per key. Any inner ORDER BY keeps its

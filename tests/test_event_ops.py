@@ -469,3 +469,30 @@ def test_hourly_acf_constant_series_zero_variance(spark):
     assert r1["varx_num"] == "0" and r1["vary_num"] == "0"
     assert r1["cov_num"] == "0"
     assert r1["n_pairs"] == 2
+
+
+def test_densify_hours_fills_gaps(spark):
+    from whatdropsnow_etl_spark.operators import densify_hours
+
+    rows = [
+        ("2024-01-01 00:10:00", 1, "click", 1.0),
+        # hour 01 empty for click
+        ("2024-01-01 02:10:00", 1, "click", 2.0),
+        ("2024-01-01 02:20:00", 2, "click", 3.0),
+        # 'view' only ever at hour 00 -> hours 01, 02 zero-filled
+        ("2024-01-01 00:30:00", 3, "view", 4.0),
+    ]
+    out = {
+        (r["event_type"], r["hour_us"]): (r["n_events"], r["sum_value"])
+        for r in densify_hours(_events(spark, rows)).collect()
+    }
+    h0 = 1704067200000000  # 2024-01-01 00:00 UTC in micros
+    hour = 3600 * 1_000_000
+    # full grid: 2 types x 3 hours
+    assert len(out) == 6
+    assert out[("click", h0)] == (1, 1.0)
+    assert out[("click", h0 + hour)] == (0, 0.0)
+    assert out[("click", h0 + 2 * hour)] == (2, 5.0)
+    assert out[("view", h0)] == (1, 4.0)
+    assert out[("view", h0 + hour)] == (0, 0.0)
+    assert out[("view", h0 + 2 * hour)] == (0, 0.0)

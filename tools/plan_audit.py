@@ -58,6 +58,9 @@ ALLPAIRS_OK = {
     "dataset_card",
     # PMI normalizer: 1-row broadcast token-total cross
     "pmi_collocations",
+    # calendar spine: #types rows × 1-row broadcast bounds aggregate
+    # (the Q11 scalar-subquery pattern) — not a data×data cross
+    "densify_hours",
     # per-doc keep rate: crossJoin against the 1-row broadcast
     # (N, total-weight) aggregate (the Q11 scalar-subquery pattern)
     "importance_sample",

@@ -798,3 +798,65 @@ def hourly_acf(
         varx.cast("decimal(38,0)").cast("string").alias("varx_num"),
         vary.cast("decimal(38,0)").cast("string").alias("vary_num"),
     )
+
+
+def densify_hours(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly aggregate on a gap-free calendar spine: every (type,
+    hour) cell between the corpus' first and last hour exists, with
+    zeros where no events landed — the densify step time-series
+    consumers (ACF on a true regular grid, rate-spike baselines,
+    charting) need before treating the series as regularly sampled.
+
+    Scale shape: the corpus-sized work is ONE (type, hour) aggregate
+    with map-side combine; the spine is built lazily from a 1-row
+    bounds aggregate crossed (broadcast, Q11 scalar-subquery
+    pattern) with the distinct type list and exploded — everything
+    after the first aggregate is calendar-sized (#hours x #types),
+    never corpus-sized, and no job runs at composition. Hours are
+    emitted as epoch-micros BIGINT (the house timestamp convention);
+    value sums are decimal-exact doubles, zero-filled.
+
+    Emits (event_type, hour_us, n_events, sum_value).
+    """
+    from ..functions.money import money
+    from ..functions.timeutil import ts_micros
+
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"), hour.alias("__h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(money(value_col)).cast("double").alias("__sv"),
+        )
+    )
+    bounds = hourly.agg(
+        F.min("__h").alias("__mn"), F.max("__h").alias("__mx")
+    )
+    types = events.select(
+        F.col(type_col).alias("event_type")
+    ).distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("__mn", "__mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("__h"),
+        )
+    )
+    return (
+        spine.join(hourly, ["event_type", "__h"], "left")
+        .select(
+            "event_type",
+            ts_micros(F.col("__h")).alias("hour_us"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("__sv"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
