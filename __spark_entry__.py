@@ -683,6 +683,17 @@ def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import line_dedup_incremental, line_freq_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    # existing corpus = doc_id < 250 (indexed once), new batch = rest
+    idx = line_freq_index(docs.where(F.col("doc_id") < 250), line_tokens=3)
+    return line_dedup_incremental(
+        docs.where(F.col("doc_id") >= 250), idx, min_docs=5, line_tokens=3
+    )
+
+
 def _last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import last_touch_attribution
 
@@ -1481,6 +1492,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
+    "line_dedup_incremental": ["doc_id", "n_lines", "n_removed", "text_clean"],
     "last_touch_attribution": ["n_conversions", "total_value", "touch_type"],
     "hourly_acf": ["cov_num", "event_type", "lag", "n_pairs", "varx_num", "vary_num"],
     "quality_lr": ["doc_id", "score_micro", "weak_label"],
@@ -1758,7 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top_event_paths, zipf_fit, bm25_search,
         # sparse_cosine_join, bloom_decontaminate,
         # zorder_layout_report, line_dedup, last_touch_attribution,
-        # hourly_acf, densify_hours). They lead r6's
+        # hourly_acf, densify_hours, line_dedup_incremental). They
+        # lead r6's
         # first 50; the remaining ~30 slots refresh the oldest
         # r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
@@ -1780,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _bloom_decontaminate,
         "zorder_layout_report": _zorder_layout_report,
         "line_dedup": _line_dedup,
+        "line_dedup_incremental": _line_dedup_incremental,
         "last_touch_attribution": _last_touch_attribution,
         "hourly_acf": _hourly_acf,
         "densify_hours": _densify_hours,
@@ -4986,6 +5000,39 @@ def oracle_sql() -> dict[str, str]:
           SELECT s.doc_id, s.line_idx, s.line_text,
                  b.line_text IS NOT NULL AS is_boiler
           FROM seg s LEFT JOIN boiler b USING (line_text)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line_text END,
+                          ' ' ORDER BY line_idx), '') AS text_clean
+        FROM marked GROUP BY doc_id
+    """
+    sql["line_dedup_incremental"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), seg AS (
+          SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS line_idx,
+                 string_agg(t[i], ' ' ORDER BY i) AS line_text
+          FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+          GROUP BY doc_id, (i - 1) // 3
+        ), idx AS (
+          SELECT line_text, COUNT(DISTINCT doc_id) AS ni
+          FROM seg WHERE doc_id < 250 GROUP BY line_text
+        ), bseg AS (
+          SELECT * FROM seg WHERE doc_id >= 250
+        ), bcnt AS (
+          SELECT line_text, COUNT(DISTINCT doc_id) AS nb
+          FROM bseg GROUP BY line_text
+        ), boiler AS (
+          SELECT b.line_text
+          FROM bcnt b LEFT JOIN idx i USING (line_text)
+          WHERE COALESCE(i.ni, 0) + b.nb >= 5
+        ), marked AS (
+          SELECT s.doc_id, s.line_idx, s.line_text,
+                 bo.line_text IS NOT NULL AS is_boiler
+          FROM bseg s LEFT JOIN boiler bo USING (line_text)
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_lines,

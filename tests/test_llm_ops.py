@@ -2799,3 +2799,32 @@ def test_quality_lr_separates_weak_labels(tables):
     # the trained classifier orders the weak classes correctly
     assert means[1] > means[0]
     out.unpersist()
+
+
+def test_line_dedup_incremental_matches_full_rerun(tables):
+    from whatdropsnow_etl_spark.operators import (
+        line_dedup,
+        line_dedup_incremental,
+        line_freq_index,
+        line_freq_merge,
+    )
+
+    docs = tables["documents"]
+    old = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    idx = line_freq_index(old, line_tokens=3)
+    inc = line_dedup_incremental(batch, idx, min_docs=5, line_tokens=3)
+    # incremental cleaning of the batch == full corpus re-run
+    # restricted to the batch (counts are additive over disjoint sets)
+    full = line_dedup(docs, min_docs=5, line_tokens=3).where(
+        F.col("doc_id") >= 250
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # merged index == index built over the union
+    merged = line_freq_merge(idx, line_freq_index(batch, line_tokens=3))
+    union_idx = line_freq_index(docs, line_tokens=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union_idx.collect())
+    )

@@ -1250,6 +1250,46 @@ def span_dedup(
     )
 
 
+def _doc_lines(
+    docs: DataFrame,
+    line_tokens: int | None,
+    id_col: str,
+    text_col: str,
+    hash_lines: bool,
+) -> tuple[DataFrame, str]:
+    """(doc_id, line_idx, line_text, __k) explode shared by the
+    line-dedup family; returns (lines, reassembly joiner)."""
+    if line_tokens is None:
+        parts = F.split(F.col(text_col), "\n")
+        lines = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(parts).alias("line_idx", "line_text"),
+        )
+        joiner = "\n"
+    else:
+        stride = line_tokens
+        toks = tokens(F.col(text_col))
+        n = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        lines = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        (s / stride).cast("bigint").alias("line_idx"),
+                        F.array_join(
+                            F.slice(toks, s + 1, line_tokens), " "
+                        ).alias("line_text"),
+                    ),
+                )
+            ).alias("ln"),
+        ).select("doc_id", "ln.line_idx", "ln.line_text")
+        joiner = " "
+    key = F.xxhash64("line_text") if hash_lines else F.col("line_text")
+    return lines.withColumn("__k", key), joiner
+
+
 def line_dedup(
     docs: DataFrame,
     min_docs: int = 5,
@@ -1289,36 +1329,7 @@ def line_dedup(
     Docs never vanish: a fully-boilerplate doc emits an empty
     ``text_clean``. Emits (doc_id, n_lines, n_removed, text_clean).
     """
-    if line_tokens is None:
-        parts = F.split(F.col(text_col), "\n")
-        lines = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(parts).alias("line_idx", "line_text"),
-        )
-        joiner = "\n"
-    else:
-        stride = line_tokens
-        toks = tokens(F.col(text_col))
-        n = F.size(toks)
-        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
-        lines = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda s: F.struct(
-                        (s / stride).cast("bigint").alias("line_idx"),
-                        F.array_join(
-                            F.slice(toks, s + 1, line_tokens), " "
-                        ).alias("line_text"),
-                    ),
-                )
-            ).alias("ln"),
-        ).select("doc_id", "ln.line_idx", "ln.line_text")
-        joiner = " "
-
-    key = F.xxhash64("line_text") if hash_lines else F.col("line_text")
-    lines = lines.withColumn("__k", key)
+    lines, joiner = _doc_lines(docs, line_tokens, id_col, text_col, hash_lines)
     boiler = (
         lines.groupBy("__k")
         .agg(F.countDistinct("doc_id").alias("__nd"))
@@ -1326,6 +1337,11 @@ def line_dedup(
         .select("__k", F.lit(1).alias("__boiler"))
     )
     marked = lines.join(boiler, "__k", "left")
+    return _reassemble_lines(marked, joiner)
+
+
+def _reassemble_lines(marked: DataFrame, joiner: str) -> DataFrame:
+    """Doc-keyed reassembly of surviving lines; one shuffle."""
     return (
         marked.groupBy("doc_id")
         .agg(
@@ -1350,6 +1366,83 @@ def line_dedup(
         )
         .select("doc_id", "n_lines", "n_removed", "text_clean")
     )
+
+
+def line_freq_index(
+    docs: DataFrame,
+    line_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_lines: bool = False,
+) -> DataFrame:
+    """Line-frequency index for :func:`line_dedup_incremental`:
+    (``__k`` line key, ``n_docs`` distinct-document count). Built
+    once over the existing corpus, persisted, merged per batch with
+    :func:`line_freq_merge` — the same build-once-probe-forever
+    contract as ``minhash_band_index``. With ``hash_lines=True`` the
+    index stores ONLY 8-byte keys (no line text) — at 100 TB the
+    index is the distinct-line relation, orders of magnitude smaller
+    than the corpus."""
+    lines, _ = _doc_lines(docs, line_tokens, id_col, text_col, hash_lines)
+    return lines.groupBy("__k").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+def line_freq_merge(index_a: DataFrame, index_b: DataFrame) -> DataFrame:
+    """Merge two line-frequency indexes by summing counts — exact
+    when the underlying document sets are disjoint (the ingestion-
+    batch contract; overlapping sets over-count shared lines)."""
+    return (
+        index_a.unionByName(index_b)
+        .groupBy("__k")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )
+
+
+def line_dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    min_docs: int = 5,
+    line_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_lines: bool = False,
+) -> DataFrame:
+    """Incremental boilerplate-line removal: clean a NEW ingestion
+    batch against the line frequencies of the EXISTING corpus plus
+    the batch itself — the production shape of :func:`line_dedup` at
+    100 TB, where re-exploding the whole corpus per daily crawl is
+    impossible.
+
+    A line is boilerplate when (index count + batch count) >=
+    ``min_docs`` — exactly what full ``line_dedup`` over
+    corpus ∪ batch would decide (pytest-pinned), because counts are
+    additive over disjoint doc sets. Cost: the batch is exploded
+    fresh (batch-sized); its distinct line keys probe the index via
+    a key join (AQE broadcasts the batch side when it is small —
+    the incremental_dedup_minhash shape); the existing corpus text
+    is never re-read. Fold the batch into the index afterward with
+    ``line_freq_merge(index, line_freq_index(batch, ...))``.
+
+    Emits the cleaned BATCH docs only: (doc_id, n_lines, n_removed,
+    text_clean).
+    """
+    lines, joiner = _doc_lines(batch, line_tokens, id_col, text_col, hash_lines)
+    batch_counts = lines.groupBy("__k").agg(
+        F.countDistinct("doc_id").alias("__nb")
+    )
+    combined = (
+        batch_counts.join(
+            index.select("__k", F.col("n_docs").alias("__ni")), "__k", "left"
+        )
+        .where(
+            F.coalesce(F.col("__ni"), F.lit(0)) + F.col("__nb") >= min_docs
+        )
+        .select("__k", F.lit(1).alias("__boiler"))
+    )
+    marked = lines.join(combined, "__k", "left")
+    return _reassemble_lines(marked, joiner)
 
 
 def source_overlap_matrix(
