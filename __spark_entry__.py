@@ -712,6 +712,15 @@ def _densify_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densify_hours(load_table(spark, sf_dir, "events"))
 
 
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
 def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import quality_lr
 
@@ -1500,6 +1509,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "hourly_acf": ["cov_num", "event_type", "lag", "n_pairs", "varx_num", "vary_num"],
     "quality_lr": ["doc_id", "score_micro", "weak_label"],
     "densify_hours": ["event_type", "hour_us", "n_events", "sum_value"],
+    "hard_negatives": ["cosine", "neighbor_id", "neighbor_label", "query_id", "query_label", "rnk"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
@@ -1773,8 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top_event_paths, zipf_fit, bm25_search,
         # sparse_cosine_join, bloom_decontaminate,
         # zorder_layout_report, line_dedup, last_touch_attribution,
-        # hourly_acf, densify_hours, line_dedup_incremental). They
-        # lead r6's
+        # hourly_acf, densify_hours, line_dedup_incremental,
+        # hard_negatives). They lead r6's
         # first 50; the remaining ~30 slots refresh the oldest
         # r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
@@ -1800,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_touch_attribution": _last_touch_attribution,
         "hourly_acf": _hourly_acf,
         "densify_hours": _densify_hours,
+        "hard_negatives": _hard_negatives,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5122,6 +5133,32 @@ def oracle_sql() -> dict[str, str]:
                                   - sy * sy, 0) AS DECIMAL(38,0))
                     AS VARCHAR) AS vary_num
         FROM stacked
+    """
+    sql["hard_negatives"] = """
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(label AS INTEGER) AS query_label,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 10
+        ), c AS (
+          SELECT vec_id AS neighbor_id, CAST(label AS INTEGER) AS neighbor_label,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 10
+        ), s AS (
+          SELECT query_id, query_label, neighbor_id, neighbor_label,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS cos_raw
+          FROM q CROSS JOIN c
+          WHERE c.neighbor_label <> q.query_label
+        ), r AS (
+          SELECT query_id, query_label, neighbor_id, neighbor_label, cos_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM s
+        )
+        SELECT query_id, query_label, neighbor_id, neighbor_label, rnk,
+               ROUND(cos_raw, 6) AS cosine
+        FROM r WHERE rnk <= 5
     """
     sql["densify_hours"] = """
         WITH hourly AS (

@@ -2828,3 +2828,51 @@ def test_line_dedup_incremental_matches_full_rerun(tables):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, union_idx.collect())
     )
+
+
+def test_hard_negative_mining_excludes_same_label(tables):
+    from whatdropsnow_etl_spark.operators import (
+        ann_cosine_topk,
+        hard_negative_mining,
+    )
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    out = hard_negative_mining(corpus, queries, k=5).cache()
+    # no mined negative ever shares the query's label
+    assert out.where(F.col("neighbor_label") == F.col("query_label")).count() == 0
+    # exactly k per query (corpus has ample cross-label candidates)
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+    assert len(per_q) == queries.count()
+    # the label filter runs BELOW the top-k window: a mined negative at
+    # rank 1 must be at least as similar as every other cross-label
+    # candidate — verify against unfiltered exact top-k: any top-k
+    # neighbor with a different label must appear in the mined set
+    plain = (
+        ann_cosine_topk(corpus, queries, k=5)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("query_label"),
+            ),
+            "query_id",
+        )
+        .where(F.col("neighbor_label") != F.col("query_label"))
+        .select("query_id", "neighbor_id")
+    )
+    missing = plain.join(
+        out.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    assert missing.count() == 0
+    out.unpersist()

@@ -61,6 +61,9 @@ ALLPAIRS_OK = {
     # calendar spine: #types rows × 1-row broadcast bounds aggregate
     # (the Q11 scalar-subquery pattern) — not a data×data cross
     "densify_hours",
+    # exact ANN kernel contract: corpus × bounded broadcast queries
+    # (the ann_cosine_topk shape with a label predicate)
+    "hard_negatives",
     # per-doc keep rate: crossJoin against the 1-row broadcast
     # (N, total-weight) aggregate (the Q11 scalar-subquery pattern)
     "importance_sample",
@@ -105,6 +108,7 @@ PYTHON_OK = {
     "embedding_dedup",
     "sparse_cosine_join",  # integer-GEMM tile kernel (dense regime)
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
+    "hard_negatives",  # same Arrow cosine kernel + label predicate
     "knn_label_vote",  # votes over the ann_cosine_topk Arrow kernel
     "ann_recall_report",  # exact + IVF Arrow kernels (truth vs candidate)
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine

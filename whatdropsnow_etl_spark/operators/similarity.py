@@ -1331,3 +1331,69 @@ def grid_diversity_sample(
         F.min(id_col).alias("keeper_vec_id"),
         F.count(F.lit(1)).alias("n_in_cell"),
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: per
+    query, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the negatives nearest the decision boundary, which
+    contribute the most gradient signal (in-batch random negatives
+    go stale; mined hard negatives are the standard fix for
+    embedding-model training, e.g. DPR arXiv:2004.04906 §3.2).
+
+    Same execution contract as :func:`ann_cosine_topk` (this IS that
+    kernel plus a label-mismatch predicate pushed below the top-k
+    window): corpus × broadcast-queries exact scoring — the
+    oracle-twinned flavor; at 100 TB restrict candidates first with
+    the IVF/LSH paths and apply the same label filter, trading the
+    usual recall for candidate volume. The filter runs BEFORE the
+    window, so same-label neighbors never consume top-k slots.
+
+    Emits (query_id, query_label, neighbor_id, neighbor_label, rnk,
+    cosine) — neighbor_label is retained because downstream loss
+    mining often weights negatives by class.
+    """
+    cos = cosine_sim_arrow()
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        to_double_array(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        to_double_array(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cos(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("query_label").cast("int").alias("query_label"),
+            "neighbor_id",
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            "rnk",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
