@@ -712,6 +712,10 @@ def _densify_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densify_hours(load_table(spark, sf_dir, "events"))
 
 
+def _share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return olap.share_of_parent(load_tables(spark, sf_dir))
+
+
 def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hard_negative_mining
 
@@ -1510,6 +1514,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "quality_lr": ["doc_id", "score_micro", "weak_label"],
     "densify_hours": ["event_type", "hour_us", "n_events", "sum_value"],
     "hard_negatives": ["cosine", "neighbor_id", "neighbor_label", "query_id", "query_label", "rnk"],
+    "share_of_parent": ["n_name", "r_name", "revenue", "share"],
     "top_event_paths": ["n", "n_users", "path"],
     "semantic_dedup": ["cell", "dup_of", "keep", "vec_id"],
     "heldout_perplexity": ["avg_bits", "doc_id", "n_bigrams", "oov_bigrams", "sum_bits"],
@@ -1784,7 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sparse_cosine_join, bloom_decontaminate,
         # zorder_layout_report, line_dedup, last_touch_attribution,
         # hourly_acf, densify_hours, line_dedup_incremental,
-        # hard_negatives). They lead r6's
+        # hard_negatives, share_of_parent). They lead r6's
         # first 50; the remaining ~30 slots refresh the oldest
         # r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
@@ -1811,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_acf": _hourly_acf,
         "densify_hours": _densify_hours,
         "hard_negatives": _hard_negatives,
+        "share_of_parent": _share_of_parent,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5133,6 +5139,24 @@ def oracle_sql() -> dict[str, str]:
                                   - sy * sy, 0) AS DECIMAL(38,0))
                     AS VARCHAR) AS vary_num
         FROM stacked
+    """
+    sql["share_of_parent"] = f"""
+        WITH per_nation AS (
+          SELECT r_name, n_name,
+                 SUM(CAST(l_extendedprice AS {MONEY})
+                     * (1 - CAST(l_discount AS {RATE}))) AS rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name
+        )
+        SELECT r_name, n_name,
+               CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+               CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(rev) OVER (PARTITION BY r_name)
+                             AS VARCHAR) AS DOUBLE) AS share
+        FROM per_nation
     """
     sql["hard_negatives"] = """
         WITH q AS (

@@ -42,3 +42,27 @@ def test_flagship_broadcasts_dims(tables):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_share_of_parent_sums_to_one(spark, tables):
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.plans.olap import share_of_parent
+
+    out = share_of_parent(tables).cache()
+    # every (region, nation) with supplier revenue appears once
+    assert out.groupBy("r_name", "n_name").count().where(
+        F.col("count") > 1
+    ).count() == 0
+    # shares sum to 1 within each region (exact decimal num/den)
+    sums = out.groupBy("r_name").agg(F.sum("share").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+    # revenue-weighted consistency: share == revenue / region total
+    joined = out.join(
+        out.groupBy("r_name").agg(F.sum("revenue").alias("tot")), "r_name"
+    )
+    bad = joined.where(
+        F.abs(F.col("share") - F.col("revenue") / F.col("tot")) > 1e-9
+    )
+    assert bad.count() == 0
+    out.unpersist()

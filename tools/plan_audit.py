@@ -163,6 +163,10 @@ EAGER_OK = {
     # counts the vocab to pick dense vs sparse, and collects the
     # (bounded) vocab for the dense vector layout
     "sparse_cosine_join",
+    # PageRank is a driver-looped fixpoint; the edge list is
+    # localCheckpoint'ed at composition (the measured -64% fix for
+    # re-deriving the MinHash pair pipeline every rank round)
+    "pair_pagerank",
     # logistic-regression training is a driver-looped GD fixpoint
     # (one k-row gradient collect per iteration, the kmeans/BPE
     # contract); scoring itself is a lazy map-only projection

@@ -1075,3 +1075,47 @@ def sliding_window_agg(
             "sum_value",
         )
     )
+
+
+def share_of_parent(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hierarchical ratio-to-parent report: each nation's share of
+    its region's supplier-side revenue — the share-of-parent window
+    pattern every BI rollup needs (ratio_to_report in Oracle,
+    share-of-total in TPC-DS-style reporting).
+
+    Scale shape: ONE fact shuffle for the (region, nation) aggregate
+    (nation/region dims broadcast); the ratio window then runs over
+    the 25-row aggregate, not the fact — partition-by-region on a
+    dim-sized relation, never a corpus window. Sums stay decimal
+    through the window so numerator and denominator are exact; the
+    single double division at the end is IEEE-deterministic on both
+    engines (share emitted unrounded, the exact_avg contract).
+
+    Emits (r_name, n_name, revenue, share); shares sum to 1 within
+    each region by construction.
+    """
+    from pyspark.sql.window import Window
+
+    supp = tables["supplier"].select("s_suppkey", "s_nationkey")
+    nation = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    region = tables["region"].select("r_regionkey", "r_name")
+    items = tables["lineitem"].select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    per_nation = (
+        items.join(F.broadcast(supp), items.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("__rev").cast("double").alias("revenue"),
+        (
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(w).cast("double")
+        ).alias("share"),
+    )
