@@ -352,3 +352,29 @@ def test_write_observed_metrics_match_written_rows(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 4
     assert back.where(F.col("name").isNull()).count() == 2
+
+
+def test_manifest_diff_versions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.sinks import commit_write, diff_versions
+
+    path = str(tmp_path / "mdiff")
+    # v1: ids 0..9 with x = 2*id
+    v1 = commit_write(spark.range(10).selectExpr("id", "id * 2 AS x"), path)
+    # v2: ids 3..12 with x = 2*id except id=5 changed
+    df2 = spark.range(3, 13).selectExpr(
+        "id", "CASE WHEN id = 5 THEN 999 ELSE id * 2 END AS x"
+    )
+    v2 = commit_write(df2, path)
+    out = {
+        r["id"]: r["status"]
+        for r in diff_versions(spark, path, ["id"], v1, v2).collect()
+    }
+    assert all(out[i] == "removed" for i in range(0, 3))
+    assert all(out[i] == "added" for i in range(10, 13))
+    assert out[5] == "changed"
+    assert all(out[i] == "unchanged" for i in (3, 4, 6, 7, 8, 9))
+    # default new_version = latest: diffing v2 against itself-as-latest
+    same = diff_versions(spark, path, ["id"], v2)
+    assert same.where(F.col("status") != "unchanged").count() == 0

@@ -9,6 +9,7 @@ from .partitioned_parquet import (
 from .manifest import (
     commit_write,
     current_version,
+    diff_versions,
     merge_write,
     read_version,
     vacuum,
@@ -17,6 +18,7 @@ from .observed import qc_metric_exprs, write_observed
 from .upsert_parquet import UpsertParquetSink
 
 __all__ = [
+    "diff_versions",
     "qc_metric_exprs",
     "write_observed",
     "UpsertParquetSink",
