@@ -1423,7 +1423,11 @@ def line_dedup_incremental(
     a key join (AQE broadcasts the batch side when it is small —
     the incremental_dedup_minhash shape); the existing corpus text
     is never re-read. Fold the batch into the index afterward with
-    ``line_freq_merge(index, line_freq_index(batch, ...))``.
+    ``line_freq_merge(index, line_freq_index(batch, ...))``. The
+    index MUST have been built with the same ``line_tokens`` and
+    ``hash_lines`` as the probe — keys from mismatched settings
+    simply never match (every line then looks novel), so pin both
+    parameters wherever the index is persisted.
 
     Emits the cleaned BATCH docs only: (doc_id, n_lines, n_removed,
     text_clean).
