@@ -94,6 +94,10 @@ ALLPAIRS_OK = {
     # blocked-GEMM tile join (b1 <= b2 over B-row block relations,
     # the embedding_dedup shape) — bounded by B², not data×data
     "sparse_cosine_join",
+    # Bloom bitmap carrier: crossJoin against the ONE-row broadcast
+    # bitmap relation (the Q11 scalar-subquery pattern) — not a
+    # data×data cross
+    "bloom_decontaminate",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -156,9 +160,6 @@ EAGER_OK = {
     "semantic_dedup",
     # + sample-trained Lloyd's codebook (driver-looped fixpoint)
     "semantic_dedup_trained",
-    # the Bloom bitmap is assembled by a bounded (m/64-row) job at
-    # composition — the documented EAGER exception
-    "bloom_decontaminate",
     # regime probe: auto mode pins the postings (localCheckpoint),
     # counts the vocab to pick dense vs sparse, and collects the
     # (bounded) vocab for the dense vector layout

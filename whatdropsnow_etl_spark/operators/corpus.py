@@ -111,32 +111,37 @@ def bloom_decontaminate(
     train shingles — at 1% fpp the anti-join shuffle shrinks from
     the whole corpus's shingles to (true hits + 1% noise).
 
-    Spark-first build, no driver-side key set at any size:
+    Spark-first build, fully lazy, no driver-side key set (or
+    bitmap) at any size:
 
     1. eval shingle hashes feed ``n_hashes`` positions each
        (``pmod(xxhash64(h, i), m_bits)``); a distributed
-       ``bit_or`` groupBy over 64-bit words assembles the bitmap —
-       the ONLY collect is <= m_bits/64 words (128 KiB at the 2²⁰
-       default), bounded by m, never by list size.
-    2. The bitmap rides into the probe side as an array<long>
-       literal; the membership test is shift/mask arithmetic inside
-       whole-stage codegen (no UDF, no broadcast variable plumbing).
+       ``bit_or`` groupBy over 64-bit words assembles the sparse
+       word set, and a single global aggregate densifies it into ONE
+       row holding the full ``array<bigint>`` bitmap (map_from_entries
+       + transform over sequence — nothing ever touches the driver).
+    2. That 1-row relation broadcast-cross-joins onto the probe side
+       (a BroadcastNestedLoopJoin of exactly one 128 KiB row at the
+       2²⁰ default); the membership test is shift/mask arithmetic on
+       the array column inside whole-stage codegen. Carrying the
+       bitmap as DATA rather than a plan literal matters twice: a
+       2²⁰-bit ``F.lit`` array is 16 384 py4j round-trips (~8 s of
+       driver time, measured) and a 16 384-node expression tree for
+       the analyzer, while the broadcast row is O(1) plan nodes at
+       any m.
     3. Bloom-positive train shingles confirm against the eval
        relation with a left-semi shuffle join; contaminated doc ids
        anti-join back onto the train ids.
 
     Sizing contract: keep ``m_bits >= ~10x`` the distinct eval
-    shingle count for ~1% fpp; past ~2²⁵ the plan literal gets heavy
-    and a broadcast-variable Pandas-UDF probe becomes the better
-    carrier (out of scope here). Shingle identity is xxhash64 (the
+    shingle count for ~1% fpp; the broadcast row scales to ~2³⁰ bits
+    (128 MiB) before executor-memory pressure, two decades past the
+    plan-literal ceiling. Shingle identity is xxhash64 (the
     decontaminate_ngrams collision convention).
 
     Output: (doc_id, n_grams) — every clean train doc and its
     distinct-shingle count (0 for docs shorter than k tokens, which
     cannot be contaminated).
-
-    Composition runs the bitmap job (an EAGER_OK operator, like the
-    trained-codebook ANN family).
     """
     def grams(df: DataFrame, out: str) -> DataFrame:
         return (
@@ -166,6 +171,15 @@ def bloom_decontaminate(
     def shr(value, bits):
         return F.call_function("shiftright", value, bits.cast("int"))
 
+    # densify the sparse word set into ONE row holding the full
+    # array<bigint> bitmap: left-join a range spine (zero-fill) and
+    # collect_list + array_sort into index order. NOT map_from_entries
+    # + per-index element_at — Spark map lookup is a linear scan, so
+    # that densify is O(n_words^2): 8.9 s vs 0.7 s at the 2^20
+    # default, measured. The single-row collect_list is bounded by
+    # n_words (16 B each), never by eval-list size.
+    n_words = m_bits >> 6
+    spark = train.sparkSession
     words = (
         ev.select(F.explode(F.array(*positions(F.col("__h")))).alias("__p"))
         .select(
@@ -174,22 +188,46 @@ def bloom_decontaminate(
         )
         .groupBy("__w")
         .agg(F.bit_or("__b").alias("__bits"))
-        .collect()
     )
-    bitmap = [0] * (m_bits >> 6)
-    for r in words:
-        bitmap[r["__w"]] = r["__bits"]
-    arr = F.lit(bitmap)
+    bitmap_row = (
+        spark.range(n_words)
+        .join(words, F.col("id") == F.col("__w"), "left")
+        .select(
+            F.struct(
+                F.col("id").alias("i"),
+                F.coalesce(F.col("__bits"), F.lit(0).cast("long")).alias("b"),
+            ).alias("__s")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("__s")), lambda s: s["b"]
+            ).alias("__bm")
+        )
+    )
 
+    arr = F.col("__bm")
     might = None
     for pos in positions(F.col("__h")):
         word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
         hit = shr(word, pos % 64).bitwiseAND(F.lit(1)) == 1
         might = hit if might is None else (might & hit)
 
+    # Gate ORDERING is load-bearing at scale: the confirm semi-join
+    # must see only bloom-POSITIVE shingles, but Catalyst's
+    # PushLeftSemiLeftAntiThroughJoin will happily reorder the semi
+    # join below the bloom cross-join when the semi key is derived
+    # from the probe side alone (observed in the physical plan) —
+    # which re-shuffles the ENTIRE training shingle set, the exact
+    # cost this operator exists to avoid. Deriving the confirm key
+    # THROUGH the bloom test (NULL when bloom-negative) references
+    # both join children, making that push illegal; bloom-negative
+    # rows carry a NULL key, which a left-semi probe never matches
+    # and the inferred IsNotNull filter drops before any exchange.
+    probed = tr.crossJoin(F.broadcast(bitmap_row)).select(
+        "doc_id", F.when(might, F.col("__h")).alias("__h")
+    )
     hits = (
-        tr.where(might)
-        .join(ev, "__h", "left_semi")
+        probed.join(ev, "__h", "left_semi")
         .select("doc_id")
         .distinct()
     )
