@@ -1484,6 +1484,39 @@ def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import epoch_shuffle
+
+    return epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), n_shards=8, seed=1
+    )
+
+
+def _interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import interleave_sources
+
+    return interleave_sources(load_table(spark, sf_dir, "documents"))
+
+
+def _blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import blocklist_filter
+
+    return blocklist_filter(
+        load_table(spark, sf_dir, "documents"),
+        ["spark", "vector", "stream"],
+        max_distinct_terms=3,
+    )
+
+
+def _corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import corr_matrix
+
+    return corr_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 # Per-query presentation-sort keys: the output columns in name-sorted
 # order — exactly the key order the driver's hash uses after it sorts
 # columns by name. Both twins sort by this list (Spark: asc_nulls_last,
@@ -1505,6 +1538,10 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bm25_search": ["dl", "doc_id", "score"],
     "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
     "bloom_decontaminate": ["doc_id", "n_grams"],
+    "epoch_shuffle": ["doc_id", "pos", "shard"],
+    "interleave_sources": ["doc_id", "interleave_key", "source", "src_rank"],
+    "blocklist_filter": ["doc_id", "keep", "n_blocked", "n_blocked_terms", "source"],
+    "corr_matrix": ["col_x", "col_y", "corr"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1817,6 +1854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densify_hours": _densify_hours,
         "hard_negatives": _hard_negatives,
         "share_of_parent": _share_of_parent,
+        "epoch_shuffle": _epoch_shuffle,
+        "interleave_sources": _interleave_sources,
+        "blocklist_filter": _blocklist_filter,
+        "corr_matrix": _corr_matrix,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5205,6 +5246,77 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(hy.sv, 0.0) AS sum_value
         FROM spine s LEFT JOIN hourly hy
           ON hy.event_type = s.event_type AND hy.h = s.h
+    """
+    sql["epoch_shuffle"] = """
+        WITH k AS (
+          SELECT doc_id,
+                 md5('1:' || CAST(doc_id AS VARCHAR)) AS key
+          FROM documents
+        ), s AS (
+          SELECT doc_id, key,
+                 CAST(('0x' || substr(key, 1, 15)) AS BIGINT) % 8 AS shard
+          FROM k
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY key, doc_id) AS BIGINT) AS pos
+        FROM s
+    """
+    sql["interleave_sources"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      AS BIGINT) AS src_rank,
+                 COUNT(*) OVER (PARTITION BY source) AS n_src
+          FROM documents
+        )
+        SELECT doc_id, source, src_rank,
+               (CAST(src_rank AS DOUBLE) - 0.5) / CAST(n_src AS DOUBLE)
+                 AS interleave_key
+        FROM r
+    """
+    sql["blocklist_filter"] = """
+        WITH t AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(lower(text), ' '),
+                     x -> list_contains(['spark','vector','stream'], x))
+                   AS hits
+          FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(len(hits) AS BIGINT) AS n_blocked,
+               CAST(len(list_distinct(hits)) AS BIGINT) AS n_blocked_terms,
+               len(list_distinct(hits)) < 3 AS keep
+        FROM t
+    """
+    _cm = {"q": "l_quantity", "e": "l_extendedprice", "d": "l_discount", "t": "l_tax"}
+    _cm_sums = ",\n".join(
+        f"CAST(SUM(CAST({c} AS {MONEY})) AS DOUBLE) AS s_{a}"
+        for a, c in _cm.items()
+    )
+    _cm_prods = ",\n".join(
+        f"CAST(SUM(CAST({_cm[a]} AS {MONEY}) * CAST({_cm[b]} AS {MONEY}))"
+        f" AS DOUBLE) AS p_{a}{b}"
+        for i, a in enumerate(_cm)
+        for b in list(_cm)[i:]
+    )
+    _cm_rows = "\nUNION ALL\n".join(
+        f"SELECT '{_cm[a]}' AS col_x, '{_cm[b]}' AS col_y,"
+        f" (n*p_{a}{b} - s_{a}*s_{b})"
+        f" / sqrt((n*p_{a}{a} - s_{a}*s_{a}) * (n*p_{b}{b} - s_{b}*s_{b}))"
+        f" AS corr FROM a"
+        for i, a in enumerate(_cm)
+        for b in list(_cm)[i + 1 :]
+    )
+    sql["corr_matrix"] = f"""
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            {_cm_sums},
+            {_cm_prods}
+          FROM lineitem
+        )
+        {_cm_rows}
     """
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but
     # we pin it explicitly per key. Any inner ORDER BY keeps its

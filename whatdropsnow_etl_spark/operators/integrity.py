@@ -288,3 +288,64 @@ def k_anonymity_report(
         )
     )
     return safe.unionByName(residual)
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    dec_type: str = "decimal(12,2)",
+) -> DataFrame:
+    """Pearson correlation matrix over numeric columns, exact and
+    engine-deterministic — the feature-redundancy / drift-diagnosis
+    pass run before training on tabular features.
+
+    One corpus scan computes every moment (count, per-column sums,
+    all pairwise product sums) in a SINGLE aggregate — the classic
+    one-pass sufficient-statistics trick, so k columns cost k(k+3)/2
+    map-side-combined sums, never k^2 scans. The 6-or-so output rows
+    then unfold from the one-row moment relation with an explode (no
+    second pass). Built-in ``corr()`` is a double SUM under the hood
+    — nondeterministic across partition orders, so each run (and
+    each engine) would hash differently; instead every sum is
+    decimal-exact (the money contract, functions/money.py) cast to
+    double ONCE, and the final corr arithmetic is a fixed sequence
+    of IEEE ops on identical doubles — bit-equal on any engine, any
+    partitioning.
+
+    ``dec_type`` must hold the inputs exactly (2-dp money / rates
+    by default) and their pairwise products within 38 digits.
+
+    Output: (col_x, col_y, corr double), one row per unordered pair
+    x < y in the given column order.
+    """
+    cols = list(cols)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec_type)).cast("double").alias(f"s_{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            aggs.append(
+                F.sum(F.col(x).cast(dec_type) * F.col(y).cast(dec_type))
+                .cast("double")
+                .alias(f"p_{x}_{y}")
+            )
+    moments = df.agg(*aggs)
+
+    def var_term(c: str):
+        return F.col("n") * F.col(f"p_{c}_{c}") - F.col(f"s_{c}") * F.col(f"s_{c}")
+
+    pairs = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            num = F.col("n") * F.col(f"p_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+            den = F.sqrt(var_term(x) * var_term(y))
+            pairs.append(
+                F.struct(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    (num / den).alias("corr"),
+                )
+            )
+    return moments.select(F.explode(F.array(*pairs)).alias("e")).select(
+        "e.col_x", "e.col_y", "e.corr"
+    )

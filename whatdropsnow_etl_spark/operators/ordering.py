@@ -1,0 +1,151 @@
+"""Deterministic training-order operators: epoch shuffle and
+source interleaving.
+
+A training run consumes the corpus in a specific order, and that
+order is part of the experiment: it must be reproducible bit-for-bit
+(resume from a checkpoint, re-run an ablation) and statistically
+"shuffled" (no long same-source runs that make gradients stale).
+Both operators here derive the order from content-independent
+hashes, so every engine, every run, and every cluster layout
+produces the identical ordering — the same determinism contract as
+the sampling family (sampling.py).
+
+Scale pattern shared by both: a global rank is NEVER computed with a
+corpus-wide single-partition window. The order key is an md5 hash,
+so its 2-hex-char PREFIX partitions the key space into 256 buckets
+that the full-key sort already visits in prefix order. rank =
+(running count of earlier buckets) + (rank within own bucket):
+phase 1 builds the per-(group, bucket) count histogram — a
+model-sized relation — and phase 2 ranks only within (group,
+bucket), parallel across groups x 256 buckets. This is the
+balanced_shards rank trick (sampling.py:405) applied to hash-ordered
+ranks; the DuckDB oracle twin stays the naive one-window ROW_NUMBER
+over the identical (key, id) order, which proves the decomposition
+exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _bucketed_rank(
+    rows: DataFrame, group_cols: list[str], key: str, id_col: str
+) -> DataFrame:
+    """rank of each row within its group under (key, id) order,
+    without a per-group single-task window.
+
+    ``key`` must be an md5-style hex string column so its first two
+    characters are a prefix whose lexicographic order agrees with
+    the full key's. Adds column ``__rank`` (1-based bigint).
+    """
+    bucket = F.substring(F.col(key), 1, 2).alias("__bkt")
+    rows = rows.withColumn("__bkt", bucket)
+    gcols = [F.col(c) for c in group_cols]
+    hist = rows.groupBy(*gcols, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_hist = (
+        Window.partitionBy(*gcols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        *gcols,
+        "__bkt",
+        F.coalesce(F.sum("__n").over(w_hist), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy(*gcols, "__bkt").orderBy(
+        F.col(key), F.col(id_col)
+    )
+    return (
+        rows.join(F.broadcast(offsets), group_cols + ["__bkt"])
+        .withColumn(
+            "__rank", (F.col("__off") + F.row_number().over(w_local))
+        )
+        .drop("__bkt", "__off")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seed-keyed epoch shuffle with shard assignment:
+    (id, shard, pos) such that reading shard 0 pos 1..k, shard 1
+    pos 1..k, ... visits the corpus in a pseudo-random order that is
+    a pure function of (seed, id).
+
+    Each epoch passes a new ``seed`` for a fresh permutation;
+    resuming mid-epoch is just "skip to (shard, pos)". The order key
+    is ``md5(seed || ':' || id)``; the shard is the low bits of the
+    numeric form of the SAME hash (independent of the ordering,
+    which uses the full value). Positions within a shard come from
+    the prefix-bucket histogram rank (module docstring) — no
+    corpus/n_shards-sized sort task: at production scale pick
+    n_shards in the thousands AND the rank stays (shard x 256)-way
+    parallel regardless.
+
+    Output: (id, shard bigint, pos bigint), pos 1-based per shard.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    )
+    rows = df.select(
+        F.col(id_col), key.alias("__key"), shard.alias("shard")
+    )
+    ranked = _bucketed_rank(rows, ["shard"], "__key", id_col)
+    return ranked.select(
+        id_col, F.col("shard"), F.col("__rank").cast("bigint").alias("pos")
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proportional deterministic source interleave: assign every
+    row an ``interleave_key`` double such that reading the corpus in
+    key order mixes all sources at their corpus-wide rates from the
+    very first batch — every prefix of the ordering holds ~its fair
+    share of each source (within one row per source).
+
+    Classic stride scheduling: row r of n_s rows in source s gets
+    key (r - 0.5) / n_s, spreading each source uniformly over (0,1).
+    A 90%-web/10%-code corpus then yields ~9 web docs between
+    consecutive code docs instead of the head-of-corpus clumping a
+    plain hash shuffle gives small sources. Within a source the
+    order is the usual deterministic md5(id) permutation.
+
+    The per-source rank uses the prefix-bucket histogram trick
+    (module docstring) — sources are few and huge at 100 TB, exactly
+    the shape where a naive per-source window collapses to one task
+    per source (the quota_sample lesson, sampling.py:360). The key
+    arithmetic is two IEEE double ops on exact integers, so both
+    engines emit bit-identical keys.
+
+    Output: (id, source, src_rank bigint, interleave_key double).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    rows = df.select(F.col(id_col), F.col(source_col), h.alias("__key"))
+    ranked = _bucketed_rank(rows, [source_col], "__key", id_col)
+    counts = (
+        rows.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_src"))
+    )
+    out = ranked.join(F.broadcast(counts), source_col)
+    key = (F.col("__rank").cast("double") - F.lit(0.5)) / F.col(
+        "__n_src"
+    ).cast("double")
+    return out.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("__rank").cast("bigint").alias("src_rank"),
+        key.alias("interleave_key"),
+    )

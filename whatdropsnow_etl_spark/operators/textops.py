@@ -919,3 +919,46 @@ def lang_diversity(
             ).alias("effective_langs"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    max_distinct_terms: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Wordlist safety/curation filter: count blocklisted-term hits
+    per document and flag which docs survive — the standing first
+    pass of corpus curation (NSFW/spam/boilerplate wordlists) before
+    any model-based scoring.
+
+    Pure map-side Column arithmetic: tokenize, keep the tokens that
+    appear in the (tiny, literal) term array, count them and their
+    distinct forms. A doc is kept while it matches FEWER than
+    ``max_distinct_terms`` distinct blocklist entries — distinct, so
+    one unlucky high-frequency token can't sink a long document the
+    way a raw-hit threshold would. NO shuffle, NO join: the term
+    list folds into the plan as an array literal (wordlists are
+    KB-sized; a corpus-sized blocklist would be decontaminate_ngrams'
+    job instead). Exact-token equality, not substring: "class"
+    never matches a blocklisted "ass" (the scunthorpe failure of
+    regex blocklists).
+
+    Output: (id, source, n_blocked bigint, n_blocked_terms bigint,
+    keep boolean). Deterministic; engine-twin via list_filter /
+    list_distinct on the identical whitespace tokenization.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    hits = F.filter(toks, lambda t: F.array_contains(terms_arr, t))
+    n_blocked = F.size(hits).cast("bigint")
+    n_terms = F.size(F.array_distinct(hits)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        n_blocked.alias("n_blocked"),
+        n_terms.alias("n_blocked_terms"),
+        (n_terms < F.lit(max_distinct_terms)).alias("keep"),
+    )
