@@ -1814,11 +1814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 15 oracle-bearing queries will have NO
+        # first-ever signal): 31 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
-        # vocab_coverage, freshness_report) and the 10 late-r5
+        # vocab_coverage, freshness_report) and the 24 late-r5
         # additions below (trend_report, quantile_bucketize,
         # k_anonymity_report, grid_diversity_sample, label_centroids,
         # asof_nearest_purchase, feature_class_lift,
@@ -1826,9 +1826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sparse_cosine_join, bloom_decontaminate,
         # zorder_layout_report, line_dedup, last_touch_attribution,
         # hourly_acf, densify_hours, line_dedup_incremental,
-        # hard_negatives, share_of_parent). They lead r6's
-        # first 50; the remaining ~30 slots refresh the oldest
-        # r3-greens. compression_ratio
+        # hard_negatives, share_of_parent, epoch_shuffle,
+        # interleave_sources, blocklist_filter, corr_matrix). They
+        # lead r6's first 50; the remaining ~19 slots refresh the
+        # oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
         # NEW post-gate late-r5 additions — never driver-seen,
