@@ -1517,6 +1517,34 @@ def _corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import cooccurrence_pairs
+
+    return cooccurrence_pairs(
+        load_table(spark, sf_dir, "documents"), window=3, top_k=100
+    )
+
+
+def _vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"), n_buckets=20)
+
+
+def _kwic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import kwic_search
+
+    return kwic_search(
+        load_table(spark, sf_dir, "documents"), "spark", width=3, top_k=100
+    )
+
+
+def _market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.plans.olap import market_basket
+
+    return market_basket(load_table(spark, sf_dir, "lineitem"), top_k=100)
+
+
 # Per-query presentation-sort keys: the output columns in name-sorted
 # order — exactly the key order the driver's hash uses after it sorts
 # columns by name. Both twins sort by this list (Spark: asc_nulls_last,
@@ -1542,6 +1570,10 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "interleave_sources": ["doc_id", "interleave_key", "source", "src_rank"],
     "blocklist_filter": ["doc_id", "keep", "n_blocked", "n_blocked_terms", "source"],
     "corr_matrix": ["col_x", "col_y", "corr"],
+    "cooccurrence_pairs": ["a", "b", "n_cooc"],
+    "vocab_growth": ["bucket", "cum_tokens", "cum_vocab", "n_new_terms", "n_tokens"],
+    "kwic_search": ["doc_id", "left_ctx", "pos", "right_ctx"],
+    "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1814,11 +1846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 31 oracle-bearing queries will have NO
+        # first-ever signal): 35 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
-        # vocab_coverage, freshness_report) and the 24 late-r5
+        # vocab_coverage, freshness_report) and the 28 late-r5
         # additions below (trend_report, quantile_bucketize,
         # k_anonymity_report, grid_diversity_sample, label_centroids,
         # asof_nearest_purchase, feature_class_lift,
@@ -1827,9 +1859,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zorder_layout_report, line_dedup, last_touch_attribution,
         # hourly_acf, densify_hours, line_dedup_incremental,
         # hard_negatives, share_of_parent, epoch_shuffle,
-        # interleave_sources, blocklist_filter, corr_matrix). They
-        # lead r6's first 50; the remaining ~19 slots refresh the
-        # oldest r3-greens. compression_ratio
+        # interleave_sources, blocklist_filter, corr_matrix,
+        # cooccurrence_pairs, vocab_growth, kwic_search,
+        # market_basket — 28 late additions, 35 never-seen total).
+        # They lead r6's first 50; the remaining ~15 slots refresh
+        # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
         # NEW post-gate late-r5 additions — never driver-seen,
@@ -1859,6 +1893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_sources": _interleave_sources,
         "blocklist_filter": _blocklist_filter,
         "corr_matrix": _corr_matrix,
+        "cooccurrence_pairs": _cooccurrence_pairs,
+        "vocab_growth": _vocab_growth,
+        "kwic_search": _kwic_search,
+        "market_basket": _market_basket,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5318,6 +5356,112 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem
         )
         {_cm_rows}
+    """
+    sql["cooccurrence_pairs"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, toks[i] AS tok, i
+          FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+        ), pairs AS (
+          SELECT least(p1.tok, p2.tok) AS a,
+                 greatest(p1.tok, p2.tok) AS b
+          FROM pos p1 JOIN pos p2
+            ON p1.doc_id = p2.doc_id
+           AND p2.i > p1.i AND p2.i <= p1.i + 3
+        )
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_cooc
+        FROM pairs GROUP BY a, b
+        ORDER BY n_cooc DESC, a, b
+        LIMIT 100
+    """
+    sql["vocab_growth"] = """
+        WITH tok AS (
+          SELECT doc_id AS id, u.term
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                FROM documents) d,
+               UNNEST(t) AS u(term)
+          WHERE u.term <> ''
+        ), b AS (
+          SELECT MIN(doc_id) AS lo,
+                 MAX(doc_id) - MIN(doc_id) + 1 AS span
+          FROM documents
+        ), tb AS (
+          SELECT CAST(FLOOR(((id - lo) * 20) / span) AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM tok, b GROUP BY 1
+        ), nt AS (
+          SELECT CAST(FLOOR(((first_id - lo) * 20) / span) AS BIGINT)
+                   AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_new_terms
+          FROM (SELECT term, MIN(id) AS first_id FROM tok GROUP BY term) f,
+               b
+          GROUP BY 1
+        ), spine AS (
+          SELECT CAST(i AS BIGINT) AS bucket FROM range(20) s(i)
+        ), filled AS (
+          SELECT spine.bucket,
+                 COALESCE(n_tokens, 0) AS n_tokens,
+                 COALESCE(n_new_terms, 0) AS n_new_terms
+          FROM spine
+          LEFT JOIN tb ON tb.bucket = spine.bucket
+          LEFT JOIN nt ON nt.bucket = spine.bucket
+        )
+        SELECT bucket, n_tokens, n_new_terms,
+               CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(SUM(n_new_terms) OVER w AS BIGINT) AS cum_vocab
+        FROM filled
+        WINDOW w AS (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    sql["kwic_search"] = """
+        WITH t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, toks, i
+          FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+          WHERE toks[i] = 'spark'
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               COALESCE(array_to_string(
+                 toks[GREATEST(i - 3, 1) : i - 1], ' '), '') AS left_ctx,
+               COALESCE(array_to_string(
+                 toks[i + 1 : LEAST(i + 3, len(toks))], ' '), '')
+                 AS right_ctx
+        FROM hits
+        ORDER BY doc_id, pos
+        LIMIT 100
+    """
+    sql["market_basket"] = """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), pairs AS (
+          SELECT a.pk AS pk1, b.pk AS pk2,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM items a JOIN items b
+            ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY a.pk, b.pk
+        ), top AS (
+          SELECT * FROM pairs
+          ORDER BY n_both DESC, pk1, pk2
+          LIMIT 100
+        ), pp AS (
+          SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_ord
+          FROM items GROUP BY pk
+        ), tot AS (
+          SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+        )
+        SELECT pk1, pk2, n_both,
+               p1.n_ord AS n_pk1, p2.n_ord AS n_pk2,
+               CAST(n_both * n_orders AS DOUBLE)
+                 / CAST(p1.n_ord * p2.n_ord AS DOUBLE) AS lift
+        FROM top
+        JOIN pp p1 ON top.pk1 = p1.pk
+        JOIN pp p2 ON top.pk2 = p2.pk, tot
     """
     # twin (_ORDER_KEYS); DuckDB's default null order is NULLS LAST but
     # we pin it explicitly per key. Any inner ORDER BY keeps its

@@ -642,3 +642,137 @@ def zipf_fit(
         .cast("bigint")
         .alias("slope_den"),
     )
+
+
+def cooccurrence_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """GloVe-style windowed term co-occurrence counts — the
+    preprocessing pass of count-based embeddings (GloVe, PPMI-SVD)
+    and the raw material of collocation mining at corpus scale
+    (arXiv:1406.5018-adjacent; pmi_collocations scores ADJACENT
+    pairs, this counts ALL pairs within a +-window).
+
+    Every (t_i, t_j) pair with 0 < j - i <= window counts once,
+    keyed on the UNORDERED pair (least, greatest) so 'a b' and
+    'b a' accumulate together. A token repeated inside one window
+    co-occurs with itself (a==b rows) — real signal for repetition-
+    heavy corpora, kept.
+
+    Plan shape: the pair explode is MAP-SIDE — a transform-with-
+    index over the token array zips each token against its
+    following window slice, flatten + one explode; the only
+    corpus-sized shuffle is the (a, b)-keyed count with map-side
+    combine (pair cardinality ~ vocab^2-bounded, observed-pairs in
+    practice). The top-k cut is a distributed TakeOrdered heap
+    (orderBy + limit), never a global sort. At 100 TB this is the
+    canonical "build the co-occurrence matrix" job: one shuffle of
+    16-byte-ish pair keys; window size multiplies map output, not
+    shuffle keys.
+
+    Output: (a, b, n_cooc bigint), top_k rows by
+    (n_cooc DESC, a, b) — the deterministic tie order.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    pair_lists = F.transform(
+        toks,
+        lambda x, i: F.transform(
+            F.slice(toks, i + F.lit(2), F.lit(window)),
+            lambda y: F.struct(
+                F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+            ),
+        ),
+    )
+    return (
+        docs.select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("a"), F.asc("b"))
+        .limit(top_k)
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_buckets: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct
+    vocabulary vs cumulative tokens, sampled at n_buckets points
+    along the doc-id order — the corpus-health diagnostic that
+    answers "is new data still adding new language, or are we
+    re-crawling the same text?" (V(n) ~ K*n^beta for fresh natural
+    text, beta~0.5; a flattening curve means saturation/duplication;
+    pairs with zipf_fit which reads the same health from the
+    frequency axis).
+
+    Scale shape: "cumulative distinct" is NOT computed by scanning
+    in order — each term contributes its FIRST-APPEARANCE doc
+    (one vocab-sized min aggregate), first appearances and token
+    counts bucket by doc-id range (bounds from a 1-row broadcast
+    aggregate, the Q11/densify_hours pattern), and the cumulative
+    sums run over the n_buckets-row relation only. Corpus cost: one
+    token explode feeding BOTH aggregates; nothing corpus-sized is
+    ever sorted or windowed. Buckets with no docs zero-fill from a
+    sequence spine so the curve is always exactly n_buckets points.
+
+    Output: (bucket, n_tokens, n_new_terms, cum_tokens, cum_vocab)
+    — all BIGINT, bucket 0..n_buckets-1 ascending.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("term"))
+        .where(F.col("term") != "")
+    )
+    bounds = docs.agg(
+        F.min(id_col).alias("__lo"),
+        (F.max(id_col) - F.min(id_col) + 1).alias("__span"),
+    )
+
+    def bucket(idc: Column) -> Column:
+        # floor((id - lo) * B / span). FLOOR of the double quotient,
+        # not a bare BIGINT cast: Spark's cast truncates but DuckDB's
+        # rounds, so only floor agrees across engines. The numerator
+        # (id - lo) * B is exact in double while < 2^53 — ids at 1e12
+        # docs x B=20 still clear it by 400x.
+        return F.floor(
+            (idc - F.col("__lo")) * F.lit(n_buckets) / F.col("__span")
+        ).cast("bigint")
+
+    tok_counts = (
+        toks.join(F.broadcast(bounds))
+        .groupBy(bucket(F.col("__id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    first_seen = toks.groupBy("term").agg(F.min("__id").alias("__first"))
+    new_terms = (
+        first_seen.join(F.broadcast(bounds))
+        .groupBy(bucket(F.col("__first")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_terms"))
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket")
+    ).select(F.col("bucket").cast("bigint").alias("bucket"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(tok_counts, "bucket", "left")
+        .join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_new_terms", F.lit(0)).cast("bigint").alias("n_new_terms"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            "n_new_terms",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("n_new_terms").over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )

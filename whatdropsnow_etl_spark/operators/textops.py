@@ -962,3 +962,58 @@ def blocklist_filter(
         n_terms.alias("n_blocked_terms"),
         (n_terms < F.lit(max_distinct_terms)).alias("keep"),
     )
+
+
+def kwic_search(
+    df: DataFrame,
+    term: str,
+    width: int = 3,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of
+    ``term`` with ``width`` tokens of context on each side — the
+    corpus-inspection primitive behind "show me how this token is
+    actually used" (quality triage, contamination spot-checks,
+    annotation sampling).
+
+    Scale shape: hit POSITIONS are found map-side with a
+    transform-with-index over the token array (no exploding every
+    token of every document — only matches are exploded, so a rare
+    term costs ~nothing beyond the scan), contexts are two array
+    slices of the same token array, and the output is cut to
+    ``top_k`` by the deterministic (doc, position) order via a
+    distributed TakeOrdered heap. Exact-token equality (the
+    blocklist_filter contract), not substring.
+
+    Output: (doc_id, pos bigint 1-based, left_ctx, right_ctx),
+    top_k rows by (doc_id, pos).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    hit_pos = F.filter(
+        F.transform(
+            toks, lambda x, i: F.when(x == F.lit(term), i + F.lit(1))
+        ),
+        lambda v: v.isNotNull(),
+    )
+    out = df.select(
+        F.col(id_col), toks.alias("__t"), F.explode(hit_pos).alias("pos")
+    )
+    p = F.col("pos")
+    left = F.slice(
+        F.col("__t"),
+        F.greatest(p - F.lit(width), F.lit(1)),
+        F.least(F.lit(width), p - F.lit(1)),
+    )
+    right = F.slice(F.col("__t"), p + F.lit(1), F.lit(width))
+    return (
+        out.select(
+            F.col(id_col),
+            p.cast("bigint").alias("pos"),
+            F.array_join(left, " ").alias("left_ctx"),
+            F.array_join(right, " ").alias("right_ctx"),
+        )
+        .orderBy(id_col, "pos")
+        .limit(top_k)
+    )

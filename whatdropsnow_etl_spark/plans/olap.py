@@ -1119,3 +1119,69 @@ def share_of_parent(tables: dict[str, DataFrame]) -> DataFrame:
             / F.sum("__rev").over(w).cast("double")
         ).alias("share"),
     )
+
+
+def market_basket(
+    lineitem: DataFrame,
+    top_k: int = 100,
+) -> DataFrame:
+    """Market-basket pair affinity: the part pairs most often bought
+    together in one order, with exact lift — the classic co-purchase
+    association query (the support/lift core of Apriori, done as one
+    declarative plan; recommendation and assortment analytics run
+    exactly this against order lines).
+
+    Plan shape: reduce lines to DISTINCT (order, part) first (a
+    repeated part must not self-pair), then a SELF-JOIN co-
+    partitioned on the order key — order groups are tiny and
+    uniform (TPC-H <= 7 lines), so the pair blowup is bounded
+    per-key and skew-free; one map-side-combined pair count; the
+    top-k cut runs BEFORE any enrichment, so the per-part order
+    counts and the grand total (1-row broadcast) join against k
+    rows, not the pair relation. Lift arrives as the exact integer
+    fraction (lift_num = n_both * n_orders, lift_den = n_a * n_b)
+    plus one IEEE division for display — engine-bit-equal.
+
+    Output: (pk1, pk2, n_both, n_pk1, n_pk2, lift double), top_k by
+    (n_both DESC, pk1, pk2).
+    """
+    items = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    top = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("pk1"), F.col("b.pk").alias("pk2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .orderBy(F.desc("n_both"), F.asc("pk1"), F.asc("pk2"))
+        .limit(top_k)
+    )
+    per_part = items.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ord")
+    )
+    totals = items.select("ok").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    # both enrichment joins broadcast the K-ROW side; per_part (part-
+    # sized, big at scale) only ever streams map-side
+    half = per_part.join(F.broadcast(top), F.col("pk") == F.col("pk1")).select(
+        "pk1", "pk2", "n_both", F.col("n_ord").alias("n_pk1")
+    )
+    enriched = (
+        per_part.alias("p2")
+        .join(F.broadcast(half), F.col("p2.pk") == F.col("pk2"))
+        .select("pk1", "pk2", "n_both", "n_pk1", F.col("n_ord").alias("n_pk2"))
+    )
+    return enriched.join(F.broadcast(totals)).select(
+        "pk1",
+        "pk2",
+        "n_both",
+        "n_pk1",
+        "n_pk2",
+        (
+            (F.col("n_both") * F.col("n_orders")).cast("double")
+            / (F.col("n_pk1") * F.col("n_pk2")).cast("double")
+        ).alias("lift"),
+    )
