@@ -1539,6 +1539,24 @@ def _kwic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import percentile_rank
+
+    return percentile_rank(
+        load_table(spark, sf_dir, "documents"),
+        value_col="n_chars",
+        group_col="source",
+    )
+
+
+def _user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import user_event_sequences
+
+    return user_event_sequences(
+        load_table(spark, sf_dir, "events"), max_len=20
+    )
+
+
 def _market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.plans.olap import market_basket
 
@@ -1574,6 +1592,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "vocab_growth": ["bucket", "cum_tokens", "cum_vocab", "n_new_terms", "n_tokens"],
     "kwic_search": ["doc_id", "left_ctx", "pos", "right_ctx"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
+    "percentile_rank": ["doc_id", "n_chars", "pct_rank", "source"],
+    "user_event_sequences": ["n_events", "seq", "user_id"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1846,11 +1866,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 35 oracle-bearing queries will have NO
+        # first-ever signal): 37 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
-        # vocab_coverage, freshness_report) and the 28 late-r5
+        # vocab_coverage, freshness_report) and the 30 late-r5
         # additions below (trend_report, quantile_bucketize,
         # k_anonymity_report, grid_diversity_sample, label_centroids,
         # asof_nearest_purchase, feature_class_lift,
@@ -1861,8 +1881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hard_negatives, share_of_parent, epoch_shuffle,
         # interleave_sources, blocklist_filter, corr_matrix,
         # cooccurrence_pairs, vocab_growth, kwic_search,
-        # market_basket — 28 late additions, 35 never-seen total).
-        # They lead r6's first 50; the remaining ~15 slots refresh
+        # market_basket, percentile_rank, user_event_sequences —
+        # 30 late additions, 37 never-seen total).
+        # They lead r6's first 50; the remaining ~13 slots refresh
         # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
@@ -1897,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _vocab_growth,
         "kwic_search": _kwic_search,
         "market_basket": _market_basket,
+        "percentile_rank": _percentile_rank,
+        "user_event_sequences": _user_event_sequences,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5435,6 +5458,24 @@ def oracle_sql() -> dict[str, str]:
         FROM hits
         ORDER BY doc_id, pos
         LIMIT 100
+    """
+    sql["percentile_rank"] = """
+        SELECT doc_id, source, n_chars,
+               PERCENT_RANK() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS pct_rank
+        FROM documents
+        WHERE n_chars IS NOT NULL
+    """
+    sql["user_event_sequences"] = """
+        WITH r AS (
+          SELECT user_id, event_type, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+        FROM r WHERE rn <= 20 GROUP BY user_id
     """
     sql["market_basket"] = """
         WITH items AS (

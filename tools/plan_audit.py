@@ -80,6 +80,9 @@ ALLPAIRS_OK = {
     # bin assignment: corpus × 1-row broadcast boundary array
     # (the Q11 scalar-subquery pattern) — not a data×data cross
     "quantile_bucketize",
+    # bucket assignment: corpus × 1-row broadcast sample-boundary
+    # array (same shape as quantile_bucketize)
+    "percentile_rank",
     # level quantization: corpus × 1-row broadcast per-dim min/max
     # bounds aggregate — not a data×data cross
     "grid_diversity_sample",

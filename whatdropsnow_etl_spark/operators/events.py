@@ -860,3 +860,62 @@ def densify_hours(
             F.coalesce(F.col("__sv"), F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def user_event_sequences(
+    events: DataFrame,
+    max_len: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user ordered interaction history, truncated to the most
+    recent ``max_len`` events — the feature builder behind
+    sequential recommenders and behavioral LLM-training examples
+    (SASRec/BERT4Rec-style "last-N actions" sequences).
+
+    One user-partitioned window keeps the last N events (row_number
+    over (ts, id) DESC — user_id is the high-cardinality key, so
+    the window parallelizes; the per-user state is then N-bounded
+    by construction), then one groupBy collects, sorts by the SAME
+    (ts, id) order and joins into the sequence string — collect_list
+    is unordered across partitions, so the deterministic order
+    comes from array_sort over (ts_us, id) sort keys, never from
+    arrival order.
+
+    Output: (user_id, n_events bigint, seq string) — seq is
+    space-joined event types, OLDEST of the kept window first
+    (training consumes history forward).
+    """
+    from ..functions.timeutil import ts_micros
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.desc("__us"), F.desc("__id")
+    )
+    kept = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col),
+            ts_micros(F.col(ts_col)).alias("__us"),
+            F.col(id_col).alias("__id"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_len)
+    )
+    return kept.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__us"), F.col("__id"), F.col(type_col)
+                        )
+                    )
+                ),
+                lambda s: s[type_col],
+            ),
+            " ",
+        ).alias("seq"),
+    )

@@ -149,3 +149,120 @@ def interleave_sources(
         F.col("__rank").cast("bigint").alias("src_rank"),
         key.alias("interleave_key"),
     )
+
+
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    sample_k: int = 1024,
+) -> DataFrame:
+    """Exact percentile rank of a numeric column, globally or per
+    group — the feature-normalization pass behind curriculum
+    ordering, per-source quality cutoffs ("keep the top 20% of each
+    crawl"), and rank features for ranking models.
+
+    pct_rank = (rank - 1) / (n - 1) over the total order
+    (value, id) — the SQL PERCENT_RANK convention with the repo's
+    deterministic id tiebreak, so the answer is a pure function of
+    the data.
+
+    Scale shape — the SAMPLE-SORT rank: a per-group window would
+    put each group in one task (the quota_sample lesson), and the
+    md5-prefix trick (module docstring) doesn't apply because the
+    order key here is a VALUE with unknown distribution. Instead
+    the value space is partitioned by boundaries taken from a
+    deterministic bottom-k-by-md5(id) sample (the
+    quantile_bucketize contract): bucket(v) = #{boundaries <= v}
+    via a broadcast array_filter (map-only), so each bucket holds
+    ~n/n_buckets rows REGARDLESS of the value distribution, up to
+    sample-rank error. Ranks then decompose exactly as
+    (running count of earlier buckets) + (rank within own bucket):
+    the histogram is (groups x buckets)-sized, and the only
+    windows run over it and over (group, bucket) sub-partitions.
+    Equal values always share a bucket (<= rule), so cross-bucket
+    order is strict and the decomposition is exact — pinned in
+    pytest against the naive single window. Caveat: a group whose
+    values are ALL equal collapses into one (group, bucket) task —
+    ties are unsplittable under a value order (the id tiebreak
+    inside a tie region has no value boundary to cut on); heavy-tie
+    columns should rank a composite (value, secondary) instead.
+
+    Output: (id, [group], value, pct_rank double); single-row
+    groups emit 0.0.
+    """
+    gcols = [group_col] if group_col else []
+    rows = df.select(
+        F.col(id_col), *gcols, F.col(value_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+    # boundaries from the deterministic global sample: bottom-k rows
+    # by md5(id), type-1 quantiles at i/n_buckets
+    samp = (
+        rows.select("__v", F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h", "__v")
+        .limit(sample_k)
+    )
+    arr = samp.agg(
+        F.array_sort(F.collect_list("__v")).alias("__arr"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    bounds = arr.select(
+        F.array(
+            *[
+                F.when(
+                    F.col("__n") > 0,
+                    F.element_at(
+                        "__arr",
+                        (
+                            F.floor(F.lit(i / n_buckets) * (F.col("__n") - 1))
+                            + 1
+                        ).cast("int"),
+                    ),
+                )
+                for i in range(1, n_buckets)
+            ]
+        ).alias("__bnds")
+    )
+    bucketed = rows.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        *gcols,
+        F.col("__v"),
+        F.size(
+            F.filter(F.col("__bnds"), lambda b: b <= F.col("__v"))
+        ).alias("__bkt"),
+    )
+    hist = bucketed.groupBy(*gcols, "__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*[F.col(c) for c in gcols])
+    offsets = hist.select(
+        *gcols,
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_tot).alias("__n_grp"),
+    )
+    w_local = Window.partitionBy(
+        *[F.col(c) for c in gcols], F.col("__bkt")
+    ).orderBy("__v", id_col)
+    ranked = bucketed.join(
+        F.broadcast(offsets), gcols + ["__bkt"]
+    ).withColumn("__rank", F.col("__off") + F.row_number().over(w_local))
+    return ranked.select(
+        F.col(id_col),
+        *gcols,
+        F.col("__v").alias(value_col),
+        F.when(
+            F.col("__n_grp") > 1,
+            (F.col("__rank") - 1).cast("double")
+            / (F.col("__n_grp") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+    )

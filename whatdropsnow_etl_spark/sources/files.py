@@ -104,3 +104,47 @@ def read_binary_files(
     if max_bytes is not None:
         df = df.where(F.col("length") <= max_bytes)
     return df
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV landing with corrupt-row quarantine: returns
+    (good, bad) — the ingestion posture when a feed is too valuable
+    to FAILFAST on one mangled row but silently nulling bad rows
+    (plain PERMISSIVE) would poison downstream stats.
+
+    ``good`` carries the declared schema; ``bad`` is
+    (_corrupt_record string) holding each unparseable raw line for
+    the quarantine sink / replay queue. The split is two filters
+    over ONE cached read: Spark refuses a query that references
+    only the corrupt-record column of an un-materialized CSV scan
+    (SPARK-21610 — the column exists only while parsing), and
+    without the cache the file would be parsed twice anyway. The
+    cache is row-format-scan-sized; at 100 TB quarantine splits run
+    as part of the land-to-parquet conversion job, which
+    materializes everything once regardless.
+    """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full = schema.add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, bad
