@@ -532,3 +532,79 @@ def test_quantile_bucketize_partition_property(spark, vals, n_bins):
     assert all(0 <= r["bin_id"] < n_bins for r in rows)
     for a, b in zip(rows, rows[1:]):
         assert a["hi_cents"] < b["lo_cents"]
+
+
+ranked_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1_000_000),  # id (dedup below)
+        st.integers(0, 2),  # group
+        st.integers(-50, 50),  # value (heavy ties by design)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=ranked_rows)
+@PROP
+def test_percentile_rank_decomposition_exact(spark, rows):
+    """The sample-sort rank equals the naive single-window
+    PERCENT_RANK for ANY value/group layout — ties, skew, tiny
+    samples, single-row groups."""
+    from pyspark.sql.window import Window
+
+    from whatdropsnow_etl_spark.operators import percentile_rank
+
+    uniq = {r[0]: r for r in rows}.values()
+    df = spark.createDataFrame(
+        [(i, f"g{g}", float(v)) for i, g, v in uniq],
+        "doc_id long, source string, v double",
+    )
+    got = {
+        r.doc_id: r.pct_rank
+        for r in percentile_rank(
+            df, "v", group_col="source", n_buckets=4, sample_k=8
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy("v", "doc_id")
+    naive = {
+        r.doc_id: r.pr
+        for r in df.select(
+            "doc_id", F.percent_rank().over(w).alias("pr")
+        ).collect()
+    }
+    assert got == naive
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    window=st.integers(1, 4),
+)
+@PROP
+def test_cooccurrence_matches_bruteforce(spark, texts, window):
+    """Map-side pair explode equals the O(n^2) per-doc brute force
+    for ANY token layout and window size."""
+    from collections import Counter
+
+    from whatdropsnow_etl_spark.operators import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): r.n_cooc
+        for r in cooccurrence_pairs(df, window=window, top_k=10_000).collect()
+    }
+    ref: Counter = Counter()
+    for t in texts:
+        for i in range(len(t)):
+            for j in range(i + 1, min(i + window, len(t) - 1) + 1):
+                ref[tuple(sorted((t[i], t[j])))] += 1
+    assert got == dict(ref)

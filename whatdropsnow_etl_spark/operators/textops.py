@@ -950,6 +950,11 @@ def blocklist_filter(
     keep boolean). Deterministic; engine-twin via list_filter /
     list_distinct on the identical whitespace tokenization.
     """
+    if not terms:
+        # F.array() with zero elements types as array<null> and
+        # array_contains rejects it; an empty blocklist is almost
+        # certainly a config bug upstream, not "keep everything"
+        raise ValueError("blocklist_filter: terms must be non-empty")
     toks = F.split(F.lower(F.col(text_col)), " ")
     terms_arr = F.array(*[F.lit(t) for t in terms])
     hits = F.filter(toks, lambda t: F.array_contains(terms_arr, t))
