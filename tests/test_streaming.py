@@ -1260,3 +1260,80 @@ def test_attribution_stream_matches_batch(spark, tables, events_json_dir, tmp_pa
     ).collect()[0][0]
     want_total = sum(v for _, v in want.values())
     assert round(total, 2) == round(want_total, 2)
+
+
+def test_history_stream_matches_batch(spark, tables, events_json_dir, tmp_path):
+    """Single fully-sortable batch: the streaming last-N suffix per
+    user must equal the batch user_event_sequences relation exactly.
+    Multi-batch: sequences chain through state — the latest record
+    per user keeps n_events == min(total events, N) and a
+    max_len-bounded sequence regardless of file splits."""
+    from whatdropsnow_etl_spark.operators import user_event_sequences
+    from whatdropsnow_etl_spark.streaming import history_stream
+
+    stream1 = spark.readStream.schema(SCHEMA).json(events_json_dir)
+    q = (
+        history_stream(stream1, max_len=5)
+        .writeStream.format("memory")
+        .queryName("hist_one")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["n_events"], r["seq"])
+        for r in spark.table("hist_one").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["seq"])
+        for r in user_event_sequences(tables["events"], max_len=5).collect()
+    }
+    assert got == want
+    # multi-batch arrival: keep only the last emission per user
+    src = str(tmp_path / "hist_src4")
+    (
+        tables["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.json(src)
+    )
+    stream4 = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q2 = (
+        history_stream(stream4, max_len=5)
+        .writeStream.format("memory")
+        .queryName("hist_multi")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    import pyspark.sql.functions as SF
+    from pyspark.sql.window import Window as W
+
+    latest = (
+        spark.table("hist_multi")
+        .withColumn(
+            "rn",
+            SF.row_number().over(
+                W.partitionBy("user_id").orderBy(SF.desc("ts_us"))
+            ),
+        )
+        .where("rn = 1")
+    )
+    totals = {
+        r["user_id"]: r["n"]
+        for r in tables["events"]
+        .groupBy("user_id")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in latest.collect():
+        assert r["n_events"] == min(totals[r["user_id"]], 5)
+        assert len(r["seq"].split(" ")) == r["n_events"]

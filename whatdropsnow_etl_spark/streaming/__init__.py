@@ -10,6 +10,7 @@ from .sessions import sessionize_stream
 from .sink import write_stream_parquet
 from .topk import heavy_hitters, mg_merge
 from .manifest_sink import ManifestMergeStreamSink, ManifestStreamSink
+from .history import history_stream
 from .paths import path_stream
 from .attribution import attribution_stream
 from .transitions import transition_stream
@@ -33,6 +34,7 @@ __all__ = [
     "correlate_streams",
     "mg_merge",
     "heavy_hitters",
+    "history_stream",
     "path_stream",
     "attribution_stream",
     "transition_stream",
