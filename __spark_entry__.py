@@ -1539,6 +1539,17 @@ def _kwic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the MinHash candidate-pair graph: the
+    cohesion diagnostic between raw degree (dup_degree_report) and
+    full components — triangle-free hubs are the boilerplate nodes
+    to cut before clustering."""
+    from whatdropsnow_etl_spark.operators import minhash_lsh_pairs, triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return triangle_count(minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4))
+
+
 def _percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import percentile_rank
 
@@ -1594,6 +1605,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
     "percentile_rank": ["doc_id", "n_chars", "pct_rank", "source"],
     "user_event_sequences": ["n_events", "seq", "user_id"],
+    "triangle_count": ["doc_id", "n_tri"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1866,7 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 37 oracle-bearing queries will have NO
+        # first-ever signal): 38 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
@@ -1881,9 +1893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hard_negatives, share_of_parent, epoch_shuffle,
         # interleave_sources, blocklist_filter, corr_matrix,
         # cooccurrence_pairs, vocab_growth, kwic_search,
-        # market_basket, percentile_rank, user_event_sequences —
-        # 30 late additions, 37 never-seen total).
-        # They lead r6's first 50; the remaining ~13 slots refresh
+        # market_basket, percentile_rank, user_event_sequences,
+        # triangle_count — 31 late additions, 38 never-seen total).
+        # They lead r6's first 50; the remaining ~12 slots refresh
         # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
@@ -1920,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket": _market_basket,
         "percentile_rank": _percentile_rank,
         "user_event_sequences": _user_event_sequences,
+        "triangle_count": _triangle_count,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5477,6 +5490,22 @@ def oracle_sql() -> dict[str, str]:
                string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
         FROM r WHERE rn <= 20 GROUP BY user_id
     """
+    sql["triangle_count"] = """
+        WITH p AS ({MINHASH}),
+        e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM p),
+        t AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), nodes AS (
+          SELECT x AS doc_id FROM t
+          UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM nodes GROUP BY doc_id
+    """.replace("{MINHASH}", sql["dedup_minhash_lsh"])
     sql["market_basket"] = """
         WITH items AS (
           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -125,3 +125,40 @@ def test_market_basket_support_and_lift(spark):
     assert ac.n_both == 1 and ac.n_pk2 == 1
     assert math.isclose(ac.lift, 4 / 3, rel_tol=1e-12)
     assert (20, 30) not in out
+
+
+def test_triangle_count_hand_and_bruteforce(spark):
+    from itertools import combinations
+
+    from whatdropsnow_etl_spark.operators import triangle_count
+
+    # K4 on {1..4} (4 triangles, each node in 3) + path 5-6-7 (none)
+    # + a duplicate and a reversed edge that must not double-count
+    edges = (
+        list(combinations([1, 2, 3, 4], 2))
+        + [(5, 6), (6, 7)]
+        + [(1, 2), (3, 1)]
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.n_tri for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # random graph vs brute force
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(25))
+    redges = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(80)
+    }
+    rdf = spark.createDataFrame(
+        sorted(redges), "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.n_tri for r in triangle_count(rdf).collect()}
+    ref: dict[int, int] = {}
+    es = set(redges)
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for v in (x, y, z):
+                ref[v] = ref.get(v, 0) + 1
+    assert got == ref

@@ -123,3 +123,78 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank", "out_deg")
+
+
+def triangle_count(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Per-node triangle counts over the (undirected) duplicate-pair
+    graph — the clustering-structure diagnostic between raw degree
+    (dup_degree_report) and full components (dedup_clusters): many
+    triangles = genuinely cohesive near-dup cliques (templates,
+    mirrors); a high-degree node with NO triangles is a boilerplate
+    hub stitching unrelated docs, exactly the node to cut before
+    clustering merges half the corpus.
+
+    Scale shape — DEGREE ORIENTATION (Suri & Vassilvitskii's
+    "curse of the last reducer" fix): each undirected edge is
+    directed from its lower-(degree, id) endpoint, so every
+    vertex's out-degree is O(sqrt(m)) even for celebrity hubs; the
+    wedge self-join (out-neighbor pairs per source) is therefore
+    per-vertex-bounded where the naive adjacency join explodes
+    quadratically on hubs. Each triangle is found exactly once, at
+    its minimum-order vertex, by closing the wedge against the
+    canonical edge set. Joins are plain vertex-keyed shuffles
+    (AQE broadcasts the small sides at test scale).
+
+    Input: a candidate-pair relation with canonical doc_a < doc_b
+    rows (duplicates tolerated — edges are distinct'd).
+    Output: (doc_id, n_tri bigint), one row per node in >=1
+    triangle; every triangle credits its 3 corners.
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    )
+    # orient low-(degree, id) -> high; canonical a < b breaks ties
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    directed = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    w1, w2 = directed.alias("w1"), directed.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.dst") < F.col("w2.dst")),
+    ).select(
+        F.col("w1.src").alias("x"),
+        F.col("w1.dst").alias("y"),
+        F.col("w2.dst").alias("z"),
+    )
+    # close against the canonical (id-ordered) edge set: y < z by id
+    tri = wedges.join(
+        edges, (F.col("y") == F.col("a")) & (F.col("z") == F.col("b"))
+    ).select("x", "y", "z")
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
