@@ -1550,6 +1550,29 @@ def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4))
 
 
+def _distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI-shaped drift binning between the even- and odd-id halves
+    of the corpus (a deterministic two-snapshot stand-in)."""
+    from whatdropsnow_etl_spark.operators import distribution_shift_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distribution_shift_report(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        value_col="n_chars",
+        id_col="doc_id",
+        n_bins=10,
+    )
+
+
+def _benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import benford_check
+
+    return benford_check(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
 def _percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import percentile_rank
 
@@ -1606,6 +1629,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "percentile_rank": ["doc_id", "n_chars", "pct_rank", "source"],
     "user_event_sequences": ["n_events", "seq", "user_id"],
     "triangle_count": ["doc_id", "n_tri"],
+    "distribution_shift_report": ["bin", "n_new", "n_old", "share_delta", "share_new", "share_old"],
+    "benford_check": ["delta", "digit", "expected", "n", "share"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1878,7 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 38 oracle-bearing queries will have NO
+        # first-ever signal): 40 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
@@ -1894,8 +1919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleave_sources, blocklist_filter, corr_matrix,
         # cooccurrence_pairs, vocab_growth, kwic_search,
         # market_basket, percentile_rank, user_event_sequences,
-        # triangle_count — 31 late additions, 38 never-seen total).
-        # They lead r6's first 50; the remaining ~12 slots refresh
+        # triangle_count, distribution_shift_report, benford_check —
+        # 33 late additions, 40 never-seen total).
+        # They lead r6's first 50; the remaining ~10 slots refresh
         # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
@@ -1933,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_rank": _percentile_rank,
         "user_event_sequences": _user_event_sequences,
         "triangle_count": _triangle_count,
+        "distribution_shift_report": _distribution_shift,
+        "benford_check": _benford_check,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5489,6 +5517,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
         FROM r WHERE rn <= 20 GROUP BY user_id
+    """
+    import math as _math
+
+    # per-element DOUBLE casts: DuckDB types bare decimal literals as
+    # DECIMAL, which the driver hashes differently from Spark's double
+    _benford_exp = ", ".join(
+        f"CAST({_math.log10(1 + 1 / d)!r} AS DOUBLE)" for d in range(1, 10)
+    )
+    sql["benford_check"] = f"""
+        WITH k AS (
+          SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+          FROM lineitem
+        ), kept AS (
+          SELECT c FROM k WHERE c > 0
+        ), d AS (
+          SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM kept GROUP BY 1
+        )
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+               ([{_benford_exp}])[CAST(digit AS INT)] AS expected,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                 - ([{_benford_exp}])[CAST(digit AS INT)] AS delta
+        FROM d
+    """
+    sql["distribution_shift_report"] = """
+        WITH old AS (
+          SELECT doc_id AS id,
+                 CAST(ROUND(n_chars * 100, 0) AS BIGINT) AS c
+          FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        ), nw AS (
+          SELECT doc_id AS id,
+                 CAST(ROUND(n_chars * 100, 0) AS BIGINT) AS c
+          FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        ), samp AS (
+          SELECT c FROM old
+          ORDER BY md5(CAST(id AS VARCHAR)), c LIMIT 1024
+        ), arr AS (
+          SELECT list_sort(list(c)) AS a, COUNT(*) AS n FROM samp
+        ), bnds AS (
+          SELECT list_transform(range(1, 10),
+                   i -> a[CAST(FLOOR((i / 10.0) * (n - 1)) AS INT) + 1])
+                 AS b
+          FROM arr
+        ), ob AS (
+          SELECT CAST(len(list_filter(b, x -> x <= c)) AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_old
+          FROM old, bnds GROUP BY 1
+        ), nb AS (
+          SELECT CAST(len(list_filter(b, x -> x <= c)) AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM nw, bnds GROUP BY 1
+        ), spine AS (
+          SELECT CAST(i AS BIGINT) AS bin FROM range(10) t(i)
+        ), filled AS (
+          SELECT spine.bin,
+                 COALESCE(n_old, 0) AS n_old,
+                 COALESCE(n_new, 0) AS n_new
+          FROM spine
+          LEFT JOIN ob ON ob.bin = spine.bin
+          LEFT JOIN nb ON nb.bin = spine.bin
+        )
+        SELECT bin, n_old, n_new,
+               CASE WHEN SUM(n_old) OVER () > 0
+                    THEN CAST(n_old AS DOUBLE)
+                         / CAST(SUM(n_old) OVER () AS DOUBLE)
+                    ELSE 0.0 END AS share_old,
+               CASE WHEN SUM(n_new) OVER () > 0
+                    THEN CAST(n_new AS DOUBLE)
+                         / CAST(SUM(n_new) OVER () AS DOUBLE)
+                    ELSE 0.0 END AS share_new,
+               CASE WHEN SUM(n_new) OVER () > 0
+                    THEN CAST(n_new AS DOUBLE)
+                         / CAST(SUM(n_new) OVER () AS DOUBLE)
+                    ELSE 0.0 END
+               - CASE WHEN SUM(n_old) OVER () > 0
+                      THEN CAST(n_old AS DOUBLE)
+                           / CAST(SUM(n_old) OVER () AS DOUBLE)
+                      ELSE 0.0 END AS share_delta
+        FROM filled
     """
     sql["triangle_count"] = """
         WITH p AS ({MINHASH}),

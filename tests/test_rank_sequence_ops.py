@@ -97,3 +97,53 @@ def test_read_csv_quarantine_splits(spark, tmp_path):
     assert math.isclose(g[3], 7.25)
     b = [r._corrupt_record for r in bad.collect()]
     assert b == ["2,not_a_number"]
+
+
+def test_distribution_shift_detects_shift(spark):
+    from whatdropsnow_etl_spark.operators import distribution_shift_report
+
+    old = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(500)], "doc_id long, v double"
+    )
+    # new: same shape but shifted +60 — mass must pile into top bins
+    new = spark.createDataFrame(
+        [(i, float(i % 100 + 60)) for i in range(500)],
+        "doc_id long, v double",
+    )
+    out = {
+        r.bin: r
+        for r in distribution_shift_report(
+            old, new, "v", "doc_id", n_bins=5
+        ).collect()
+    }
+    assert len(out) == 5
+    assert abs(sum(r.share_old for r in out.values()) - 1.0) < 1e-12
+    assert abs(sum(r.share_new for r in out.values()) - 1.0) < 1e-12
+    # identical snapshots: zero delta everywhere
+    same = distribution_shift_report(old, old, "v", "doc_id", n_bins=5)
+    assert all(r.share_delta == 0.0 for r in same.collect())
+    # shifted: the top bin gains share
+    assert out[4].share_new > out[4].share_old
+
+
+def test_benford_on_benford_and_uniform(spark):
+    import math
+
+    from whatdropsnow_etl_spark.operators import benford_check
+
+    # log-uniform magnitudes over WHOLE decades follow Benford
+    # (a fractional last decade over-weights low digits)
+    vals = [10 ** (i / 2000) for i in range(6000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r for r in benford_check(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    for d in range(1, 10):
+        assert abs(out[d].share - math.log10(1 + 1 / d)) < 0.02
+        assert abs(out[d].delta) < 0.02
+    # uniform [1, 2) is ALL first-digit 1 (scaled to cents: 100-199)
+    uni = spark.createDataFrame(
+        [(1.0 + i / 2000,) for i in range(1000)], "v double"
+    )
+    uo = {r.digit: r for r in benford_check(uni, "v").collect()}
+    assert set(uo) == {1} and uo[1].share == 1.0
+    assert uo[1].delta > 0.6  # wildly non-Benford, as it should flag

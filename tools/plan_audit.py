@@ -83,6 +83,8 @@ ALLPAIRS_OK = {
     # bucket assignment: corpus × 1-row broadcast sample-boundary
     # array (same shape as quantile_bucketize)
     "percentile_rank",
+    # both sides bin against the same 1-row broadcast boundary array
+    "distribution_shift_report",
     # level quantization: corpus × 1-row broadcast per-dim min/max
     # bounds aggregate — not a data×data cross
     "grid_diversity_sample",

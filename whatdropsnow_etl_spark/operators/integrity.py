@@ -349,3 +349,172 @@ def corr_matrix(
     return moments.select(F.explode(F.array(*pairs)).alias("e")).select(
         "e.col_x", "e.col_y", "e.corr"
     )
+
+
+def distribution_shift_report(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    sample_k: int = 1024,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-bin distribution comparison between two snapshots of a
+    numeric column — the binning/counting half of a PSI
+    (population stability index) drift check, the standard ML-ops
+    gate between a training-time feature distribution and what
+    production is serving now. schema_drift_report catches nulls
+    and cardinality; this catches the SHAPE moving.
+
+    Bin boundaries come from the OLD side's deterministic
+    bottom-k-by-md5 sample quantiles (the quantile_bucketize
+    contract — old is the reference distribution, so new-side mass
+    piling into edge bins is exactly the signal); both sides then
+    bucket map-only against the broadcast boundary array, one
+    map-combined count each, and the report joins on a bin spine so
+    empty bins still show. Values compare in integer
+    ``scale``-ths (cents by default) so both engines bin
+    identically.
+
+    PSI itself is sum((share_new - share_old) * ln(share_new /
+    share_old)) — a LOG over n_bins numbers: compute it driver-side
+    from this (tiny) relation. The corpus-scale work (sampling,
+    binning, counting) is all here; the log stays out of the
+    engine-determinism surface (the bigram_surprisal argument).
+
+    Output: (bin, n_old, n_new, share_old, share_new, share_delta),
+    bins 0..n_bins-1; shares are exact-integer divisions (0.0 when
+    a side is empty).
+    """
+    def cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.round(F.col(value_col) * scale, 0).cast("long").alias("__c"),
+        ).where(F.col("__c").isNotNull())
+
+    old_c, new_c = cents(old), cents(new)
+    samp = (
+        old_c.select("__c", F.md5(F.col("__id").cast("string")).alias("__h"))
+        .orderBy("__h", "__c")
+        .limit(sample_k)
+    )
+    arr = samp.agg(
+        F.array_sort(F.collect_list("__c")).alias("__arr"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    bounds = arr.select(
+        F.array(
+            *[
+                F.when(
+                    F.col("__n") > 0,
+                    F.element_at(
+                        "__arr",
+                        (
+                            F.floor(F.lit(i / n_bins) * (F.col("__n") - 1)) + 1
+                        ).cast("int"),
+                    ),
+                )
+                for i in range(1, n_bins)
+            ]
+        ).alias("__bnds")
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(
+                F.size(
+                    F.filter(F.col("__bnds"), lambda b: b <= F.col("__c"))
+                ).cast("bigint").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    ).select(F.col("bin").cast("bigint").alias("bin"))
+    joined = (
+        spine.join(binned(old_c, "n_old"), "bin", "left")
+        .join(binned(new_c, "n_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+    )
+    # totals as windows over the n_bins-row report (lazy, bounded) —
+    # never a composition-time count() (the plan-audit laziness rule)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    share_old = F.when(
+        F.sum("n_old").over(w) > 0,
+        F.col("n_old").cast("double") / F.sum("n_old").over(w).cast("double"),
+    ).otherwise(F.lit(0.0))
+    share_new = F.when(
+        F.sum("n_new").over(w) > 0,
+        F.col("n_new").cast("double") / F.sum("n_new").over(w).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "bin",
+        "n_old",
+        "n_new",
+        share_old.alias("share_old"),
+        share_new.alias("share_new"),
+        (share_new - share_old).alias("share_delta"),
+    )
+
+
+def benford_check(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / unit-mixup screen for financial and
+    measured quantities (naturally-occurring multi-scale positives
+    follow P(d) = log10(1 + 1/d); flat or spiky first digits mean
+    synthetic, truncated, or unit-mangled data).
+
+    Digit extraction is string-free-of-floats: values round to
+    integer ``scale``-ths first (scaling by a power of ten never
+    changes the leading significant digit), and the leading digit
+    is the first character of the BIGINT's decimal rendering —
+    identical across engines, where double-to-string formatting is
+    not. Non-positive values are excluded (Benford applies to
+    positive magnitudes). One map-combined 9-row aggregate; the
+    expected shares fold in as driver literals (constants, not
+    engine math).
+
+    Output: (digit 1-9, n, share, expected, delta) — share and
+    delta are exact-integer divisions against the kept-row total.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    kept = df.select(cents.alias("__c")).where(F.col("__c") > 0)
+    digit = F.substring(F.col("__c").cast("string"), 1, 1).cast("bigint")
+    counts = kept.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # unpartitioned window over the <=9-row digit relation only
+    w_tot = F.sum("n").over(Window.partitionBy())
+    expected = F.element_at(
+        F.array(
+            *[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]
+        ),
+        F.col("digit").cast("int"),
+    )
+    return counts.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / w_tot.cast("double")).alias("share"),
+        expected.alias("expected"),
+        (
+            F.col("n").cast("double") / w_tot.cast("double") - expected
+        ).alias("delta"),
+    )
