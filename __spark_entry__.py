@@ -1573,6 +1573,18 @@ def _benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import hybrid_search
+
+    return hybrid_search(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        terms=("dup", "key", "window"),
+        query_vec_id=0,
+        k_each=20,
+    )
+
+
 def _percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import percentile_rank
 
@@ -1631,6 +1643,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "triangle_count": ["doc_id", "n_tri"],
     "distribution_shift_report": ["bin", "n_new", "n_old", "share_delta", "share_new", "share_old"],
     "benford_check": ["delta", "digit", "expected", "n", "share"],
+    "hybrid_search": ["doc_id", "lex_rank", "rrf", "vec_rank"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1903,7 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 40 oracle-bearing queries will have NO
+        # first-ever signal): 41 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
@@ -1919,9 +1932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleave_sources, blocklist_filter, corr_matrix,
         # cooccurrence_pairs, vocab_growth, kwic_search,
         # market_basket, percentile_rank, user_event_sequences,
-        # triangle_count, distribution_shift_report, benford_check —
-        # 33 late additions, 40 never-seen total).
-        # They lead r6's first 50; the remaining ~10 slots refresh
+        # triangle_count, distribution_shift_report, benford_check,
+        # hybrid_search — 34 late additions, 41 never-seen total).
+        # They lead r6's first 50; the remaining ~9 slots refresh
         # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
@@ -1961,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _triangle_count,
         "distribution_shift_report": _distribution_shift,
         "benford_check": _benford_check,
+        "hybrid_search": _hybrid_search,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5599,6 +5613,42 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 0.0 END AS share_delta
         FROM filled
     """
+    sql["hybrid_search"] = """
+        WITH lex AS (
+          SELECT * FROM ({BM25}) bm
+        ), lexr AS (
+          SELECT doc_id AS ldoc,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS lex_rank
+          FROM lex
+        ), q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id = 0
+        ), c AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id <> 0
+        ), s AS (
+          SELECT neighbor_id,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS cos_raw
+          FROM q CROSS JOIN c
+        ), vr AS (
+          SELECT neighbor_id AS vdoc, vrnk AS vec_rank FROM (
+            SELECT neighbor_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos_raw DESC,
+                        neighbor_id) AS BIGINT) AS vrnk
+            FROM s
+          ) r WHERE vrnk <= 20
+        )
+        SELECT COALESCE(ldoc, vdoc) AS doc_id,
+               lex_rank, vec_rank,
+               COALESCE(CAST(1 AS DOUBLE)
+                        / CAST(60 + lex_rank AS DOUBLE), 0.0)
+               + COALESCE(CAST(1 AS DOUBLE)
+                          / CAST(60 + vec_rank AS DOUBLE), 0.0) AS rrf
+        FROM lexr FULL JOIN vr ON ldoc = vdoc
+    """.replace("{BM25}", sql["bm25_search"])
     sql["triangle_count"] = """
         WITH p AS ({MINHASH}),
         e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM p),

@@ -147,3 +147,49 @@ def test_benford_on_benford_and_uniform(spark):
     uo = {r.digit: r for r in benford_check(uni, "v").collect()}
     assert set(uo) == {1} and uo[1].share == 1.0
     assert uo[1].delta > 0.6  # wildly non-Benford, as it should flag
+
+
+def test_hybrid_search_rrf_fusion(spark):
+    """RRF must credit docs on both lists with both terms, docs on
+    one list with one, and rank strictly by the fused score when one
+    doc dominates both lists."""
+    from whatdropsnow_etl_spark.operators import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "dup key window dup key"),  # strong lexical hit
+            (1, "key filter other words"),  # weak lexical hit
+            (2, "nothing relevant here"),  # no lexical hit
+            (3, "window case alone stands"),
+        ],
+        "doc_id long, text string",
+    )
+    # embeddings: vec 0 is the query; 1 and 2 close, 3 orthogonal
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.8, 0.3]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.doc_id: r
+        for r in hybrid_search(
+            docs, emb, terms=("dup", "key", "window"), k_each=3
+        ).collect()
+    }
+    # doc 0: lexical rank 1, in vector top-3? vec ranks: 1, 2, 3 for
+    # docs 1,2,3 (query vec 0 excluded from corpus)
+    assert out[0].lex_rank == 1 and out[0].vec_rank is None
+    assert out[1].vec_rank == 1 and out[1].lex_rank is not None
+    assert out[2].vec_rank == 2 and out[2].lex_rank is None
+    # doc 1 is on BOTH lists -> two rrf terms
+    r1 = out[1]
+    assert abs(
+        r1.rrf - (1.0 / (60 + r1.lex_rank) + 1.0 / 61)
+    ) < 1e-15
+    # single-list docs carry exactly one term
+    assert abs(out[0].rrf - 1.0 / 61) < 1e-15
+    assert abs(out[2].rrf - 1.0 / 62) < 1e-15

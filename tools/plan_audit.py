@@ -96,6 +96,9 @@ ALLPAIRS_OK = {
     # BM25 corpus stats (N, Ltot, df…): 1-row broadcast aggregate
     # joined back to the per-doc projection (the Q11 pattern)
     "bm25_search",
+    # composes bm25_search + the ann_cosine_topk kernel (corpus ×
+    # 1-row broadcast query); the fusion itself is a k×k outer join
+    "hybrid_search",
     # blocked-GEMM tile join (b1 <= b2 over B-row block relations,
     # the embedding_dedup shape) — bounded by B², not data×data
     "sparse_cosine_join",
@@ -117,6 +120,7 @@ PYTHON_OK = {
     "embedding_dedup",
     "sparse_cosine_join",  # integer-GEMM tile kernel (dense regime)
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)
+    "hybrid_search",  # composes the same Arrow cosine kernel
     "hard_negatives",  # same Arrow cosine kernel + label predicate
     "knn_label_vote",  # votes over the ann_cosine_topk Arrow kernel
     "ann_recall_report",  # exact + IVF Arrow kernels (truth vs candidate)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def ilike_search(df: DataFrame, col: str, needle: str) -> DataFrame:
@@ -118,4 +119,75 @@ def bm25_search(
         .where(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: tuple[str, ...] = ("dup", "key", "window"),
+    query_vec_id: int = 0,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion —
+    the industry-standard RAG recall set (BM25 catches exact terms,
+    the embedding side catches paraphrase; RRF combines WITHOUT
+    score calibration, which is why it won: ranks are comparable
+    when scores never are).
+
+    rrf(d) = sum over lists of 1/(rrf_k + rank_d) for the lists
+    containing d (Cormack et al.'s k=60 default). Both inputs are
+    the repo's exact kernels — bm25_search (libm-free odds-ratio
+    idf) and ann_cosine_topk (bit-exact Arrow cosine) — so the
+    ranks, and therefore the fused score (two IEEE divisions and
+    one add on exact integers), are engine-deterministic.
+
+    Scale shape: each side is already a top-k_each cut (TakeOrdered
+    / bounded-window kernels), so the fusion is a FULL OUTER join
+    of two k-row relations — nothing corpus-sized happens here; at
+    100 TB the candidate generators swap to their scale variants
+    (bm25 unchanged, IVF/PQ for the vector side) with the fusion
+    untouched.
+
+    Output: (doc_id, lex_rank, vec_rank nullable bigint, rrf
+    double), one row per doc in either list.
+    """
+    from .similarity import ann_cosine_topk
+
+    lex = bm25_search(docs, terms, top_k=k_each, id_col=id_col)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))  # k_each-bounded
+    lexr = lex.select(
+        F.col(id_col).alias("__ldoc"),
+        F.row_number().over(w).cast("bigint").alias("lex_rank"),
+    )
+    vec = ann_cosine_topk(
+        embeddings.where(F.col(vec_id_col) != query_vec_id),
+        embeddings.where(F.col(vec_id_col) == query_vec_id),
+        id_col=vec_id_col,
+        k=k_each,
+    )
+    vecr = vec.select(
+        F.col("neighbor_id").alias("__vdoc"),
+        F.col("rnk").cast("bigint").alias("vec_rank"),
+    )
+    fused = lexr.join(
+        vecr, F.col("__ldoc") == F.col("__vdoc"), "full_outer"
+    )
+
+    def rrf_term(rank: Column) -> Column:
+        return F.when(
+            rank.isNotNull(),
+            F.lit(1.0) / (F.lit(rrf_k) + rank).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return fused.select(
+        F.coalesce("__ldoc", "__vdoc").alias("doc_id"),
+        "lex_rank",
+        "vec_rank",
+        (rrf_term(F.col("lex_rank")) + rrf_term(F.col("vec_rank"))).alias(
+            "rrf"
+        ),
     )
