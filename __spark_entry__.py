@@ -1585,6 +1585,13 @@ def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import attach_media_payload, media_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_resample(attach_media_payload(docs), out_rate=16000)
+
+
 def _percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import percentile_rank
 
@@ -1644,6 +1651,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "distribution_shift_report": ["bin", "n_new", "n_old", "share_delta", "share_new", "share_old"],
     "benford_check": ["delta", "digit", "expected", "n", "share"],
     "hybrid_search": ["doc_id", "lex_rank", "rrf", "vec_rank"],
+    "media_resample": ["doc_id", "energy_out", "n_out", "n_src", "out_rate", "src_rate"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1916,7 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 41 oracle-bearing queries will have NO
+        # first-ever signal): 42 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
@@ -1933,8 +1941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cooccurrence_pairs, vocab_growth, kwic_search,
         # market_basket, percentile_rank, user_event_sequences,
         # triangle_count, distribution_shift_report, benford_check,
-        # hybrid_search — 34 late additions, 41 never-seen total).
-        # They lead r6's first 50; the remaining ~9 slots refresh
+        # hybrid_search, media_resample — 35 late additions,
+        # 42 never-seen total).
+        # They lead r6's first 50; the remaining ~8 slots refresh
         # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
@@ -1975,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_shift_report": _distribution_shift,
         "benford_check": _benford_check,
         "hybrid_search": _hybrid_search,
+        "media_resample": _media_resample,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5649,6 +5659,19 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(60 + vec_rank AS DOUBLE), 0.0) AS rrf
         FROM lexr FULL JOIN vr ON ldoc = vdoc
     """.replace("{BM25}", sql["bm25_search"])
+    sql["media_resample"] = """
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS src_rate,
+               CAST(50 + doc_id % 100 AS BIGINT) AS n_src,
+               CAST(16000 AS BIGINT) AS out_rate,
+               CAST(((50 + doc_id % 100) - 1) * 16000
+                    // (8000 + (doc_id % 3) * 4000) + 1 AS BIGINT) AS n_out,
+               CAST((((50 + doc_id % 100) - 1) * 16000
+                     // (8000 + (doc_id % 3) * 4000) + 1)
+                    * (100 + doc_id % 1000)
+                    * (100 + doc_id % 1000) AS BIGINT) AS energy_out
+        FROM documents WHERE doc_id % 2 = 1
+    """
     sql["triangle_count"] = """
         WITH p AS ({MINHASH}),
         e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM p),

@@ -193,3 +193,63 @@ def test_hybrid_search_rrf_fusion(spark):
     # single-list docs carry exactly one term
     assert abs(out[0].rrf - 1.0 / 61) < 1e-15
     assert abs(out[2].rrf - 1.0 / 62) < 1e-15
+
+
+def test_wav_resample_sine_roundtrip(spark):
+    """Resampling must preserve signal content, not just metadata: a
+    real sine upsampled 2x keeps its frequency (zero-crossing count
+    doubles-in-samples but stays fixed per second) and linear
+    interpolation stays within the int16 rounding envelope."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_wav16,
+        encode_wav16,
+        resample_wav16,
+    )
+
+    rate, secs, freq = 8000, 1, 50
+    t = np.arange(rate * secs) / rate
+    sine = np.rint(10000 * np.sin(2 * np.pi * freq * t)).astype(np.int64)
+    wav = encode_wav16(rate, sine)
+    up = resample_wav16(wav, 16000)
+    d = decode_wav16(up)
+    assert d["sample_rate"] == 16000
+    assert d["n_samples"] == (rate * secs - 1) * 2 + 1
+    out = np.frombuffer(up[-2 * d["n_samples"]:], dtype="<i2")
+    # zero crossings per second unchanged => frequency preserved
+    zc = int(((out[:-1] < 0) & (out[1:] >= 0)).sum())
+    assert abs(zc - freq) <= 1
+    # every interpolated value within the true sine +- quantization
+    t2 = np.arange(d["n_samples"]) / 16000
+    true = 10000 * np.sin(2 * np.pi * freq * t2)
+    assert np.abs(out - true).max() < 25  # interp + rounding envelope
+    # identity resample: bytes decode to the identical signal
+    same = decode_wav16(resample_wav16(wav, 8000))
+    assert same["n_samples"] == rate * secs
+    assert same["energy"] == int((sine * sine).sum())
+
+
+def test_media_resample_operator_formula(spark):
+    from whatdropsnow_etl_spark.operators import (
+        attach_media_payload,
+        media_resample,
+    )
+
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    out = {
+        r.doc_id: r
+        for r in media_resample(
+            attach_media_payload(docs), out_rate=16000
+        ).collect()
+    }
+    # only odd ids are WAVs
+    assert set(out) == {i for i in range(20) if i % 2 == 1}
+    for did, r in out.items():
+        rate = 8000 + (did % 3) * 4000
+        n = 50 + did % 100
+        amp = 100 + did % 1000
+        n_out = (n - 1) * 16000 // rate + 1
+        assert (r.src_rate, r.n_src) == (rate, n)
+        assert (r.out_rate, r.n_out) == (16000, n_out)
+        assert r.energy_out == n_out * amp * amp

@@ -143,3 +143,52 @@ def resize_bmp24_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
         _BMP_INFO.size, out_w, out_h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
     )
     return header + info + pixel_data
+
+
+def resample_wav16(payload: bytes, out_rate: int) -> bytes:
+    """Linear-interpolation resample of a mono 16-bit PCM WAV to
+    ``out_rate`` — real DSP on real bytes, numpy-vectorized.
+
+    Output sample j sits at source position j * in_rate / out_rate,
+    tracked as an EXACT integer rational (num = j * in_rate;
+    k = num // out_rate; frac = (num % out_rate) / out_rate), so
+    sample alignment is bit-reproducible — only the interpolated
+    VALUE touches float64, and it rounds half-to-even back to int16.
+    n_out = (n_in - 1) * out_rate // in_rate + 1: the last output
+    sample never reads past the final source sample.
+    """
+    import numpy as np
+
+    # chunk-walk like decode_wav16 — never string-search for b"data"
+    # (raw PCM bytes can contain it)
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only mono 16-bit PCM WAV")
+        elif cid == b"data":
+            samples = np.frombuffer(
+                payload, dtype="<i2", count=clen // 2, offset=pos
+            ).astype(np.float64)
+        pos += clen + (clen % 2)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    n_in = samples.size
+    if n_in == 0 or rate == out_rate:
+        return encode_wav16(out_rate, samples.astype(np.int64))
+    n_out = (n_in - 1) * out_rate // rate + 1
+    j = np.arange(n_out, dtype=np.int64)
+    num = j * rate
+    k = num // out_rate
+    frac = (num % out_rate).astype(np.float64) / float(out_rate)
+    k2 = np.minimum(k + 1, n_in - 1)
+    vals = samples[k] * (1.0 - frac) + samples[k2] * frac
+    out = np.clip(np.rint(vals), -32768, 32767).astype(np.int64)
+    return encode_wav16(out_rate, out)

@@ -357,3 +357,55 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
 
     bmps = media.where(F.startswith(F.col("payload"), F.lit(b"BM")))
     return bmps.mapInPandas(go, schema=MEDIA_RESIZE_SCHEMA)
+
+
+MEDIA_RESAMPLE_SCHEMA = (
+    "doc_id bigint, src_rate bigint, n_src bigint,"
+    " out_rate bigint, n_out bigint, energy_out bigint"
+)
+
+
+def media_resample(media: DataFrame, out_rate: int = 16000) -> DataFrame:
+    """REAL audio resample over the WAV payloads: decode PCM,
+    linear-interpolate to ``out_rate``, re-encode, then decode the
+    RESULT for its rate/length/energy — the media_resize round-trip
+    contract applied to audio (the resampled bytes must themselves
+    be a valid WAV a third-party reader opens). Sample-rate
+    normalization is the first step of every audio training
+    pipeline (ASR/TTS corpora standardize to one rate before
+    featurization).
+
+    Non-WAV payloads filter out JVM-side before the Python
+    boundary (startswith on the RIFF magic — a codegen'd byte
+    compare); the Arrow batch carries only (id, payload) and only
+    metadata rows move on. Position arithmetic is exact-integer
+    rational (functions/media.resample_wav16), so output length and
+    constant-signal energy are formula-predictable — which is what
+    makes a REAL byte-level resampler SQL-oracle-checkable.
+    """
+
+    def go(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.media import decode_wav16, resample_wav16
+
+        for batch in it:
+            rows = []
+            for did, payload in zip(batch["doc_id"], batch["payload"]):
+                payload = bytes(payload)
+                src = decode_wav16(payload)
+                out = decode_wav16(resample_wav16(payload, out_rate))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "src_rate": src["sample_rate"],
+                        "n_src": src["n_samples"],
+                        "out_rate": out["sample_rate"],
+                        "n_out": out["n_samples"],
+                        "energy_out": out["energy"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    wavs = media.where(F.startswith(F.col("payload"), F.lit(b"RIFF")))
+    return wavs.mapInPandas(go, schema=MEDIA_RESAMPLE_SCHEMA)
