@@ -1592,6 +1592,16 @@ def _media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_resample(attach_media_payload(docs), out_rate=16000)
 
 
+def _media_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import (
+        attach_media_payload,
+        media_silence_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_silence_report(attach_media_payload(docs))
+
+
 def _percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import percentile_rank
 
@@ -1652,6 +1662,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "benford_check": ["delta", "digit", "expected", "n", "share"],
     "hybrid_search": ["doc_id", "lex_rank", "rrf", "vec_rank"],
     "media_resample": ["doc_id", "energy_out", "n_out", "n_src", "out_rate", "src_rate"],
+    "media_silence_report": ["doc_id", "max_run", "n_active", "n_frames"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1924,7 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 42 oracle-bearing queries will have NO
+        # first-ever signal): 43 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
@@ -1941,9 +1952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cooccurrence_pairs, vocab_growth, kwic_search,
         # market_basket, percentile_rank, user_event_sequences,
         # triangle_count, distribution_shift_report, benford_check,
-        # hybrid_search, media_resample — 35 late additions,
-        # 42 never-seen total).
-        # They lead r6's first 50; the remaining ~8 slots refresh
+        # hybrid_search, media_resample, media_silence_report —
+        # 36 late additions, 43 never-seen total).
+        # They lead r6's first 50; the remaining ~7 slots refresh
         # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
@@ -1985,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_check": _benford_check,
         "hybrid_search": _hybrid_search,
         "media_resample": _media_resample,
+        "media_silence_report": _media_silence,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5670,6 +5682,16 @@ def oracle_sql() -> dict[str, str]:
                      // (8000 + (doc_id % 3) * 4000) + 1)
                     * (100 + doc_id % 1000)
                     * (100 + doc_id % 1000) AS BIGINT) AS energy_out
+        FROM documents WHERE doc_id % 2 = 1
+    """
+    sql["media_silence_report"] = """
+        SELECT doc_id,
+               CAST(((50 + doc_id % 100) - 32) // 16 + 1 AS BIGINT)
+                 AS n_frames,
+               CAST(((50 + doc_id % 100) - 32) // 16 + 1 AS BIGINT)
+                 AS n_active,
+               CAST(((50 + doc_id % 100) - 32) // 16 + 1 AS BIGINT)
+                 AS max_run
         FROM documents WHERE doc_id % 2 = 1
     """
     sql["triangle_count"] = """

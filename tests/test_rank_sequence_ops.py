@@ -253,3 +253,38 @@ def test_media_resample_operator_formula(spark):
         assert (r.src_rate, r.n_src) == (rate, n)
         assert (r.out_rate, r.n_out) == (16000, n_out)
         assert r.energy_out == n_out * amp * amp
+
+
+def test_media_silence_vad_runs(spark):
+    """VAD must find the active runs a cutter would keep: silence -
+    tone - silence - tone yields two runs with the longer one
+    reported, framed on the documented hop grid."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.media import encode_wav16
+    from whatdropsnow_etl_spark.operators import media_silence_report
+
+    sig = np.concatenate(
+        [
+            np.zeros(160, dtype=np.int64),  # silence
+            np.full(320, 5000, dtype=np.int64),  # tone: ~19 frames
+            np.zeros(160, dtype=np.int64),
+            np.full(96, 5000, dtype=np.int64),  # short tone
+        ]
+    )
+    wav = encode_wav16(8000, sig)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    [r] = media_silence_report(df, frame=32, hop=16, threshold=50).collect()
+    n = sig.size
+    assert r.n_frames == (n - 32) // 16 + 1
+    # active frames exist, but not all frames are active
+    assert 0 < r.n_active < r.n_frames
+    # the long tone dominates the max run; it spans ~320/16 frames
+    assert 17 <= r.max_run <= 21
+    # all-silence: nothing active
+    quiet = encode_wav16(8000, np.zeros(400, dtype=np.int64))
+    qdf = spark.createDataFrame(
+        [(2, bytearray(quiet))], "doc_id long, payload binary"
+    )
+    [q] = media_silence_report(qdf).collect()
+    assert q.n_active == 0 and q.max_run == 0

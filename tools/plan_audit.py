@@ -118,6 +118,7 @@ PYTHON_OK = {
     "media_probe",  # real BMP/WAV byte decode (numpy per batch)
     "media_resize",  # real BMP pixel gather + re-encode
     "media_resample",  # real WAV linear-interp resample (numpy per batch)
+    "media_silence_report",  # exact-integer frame-energy VAD
     "embedding_dedup",
     "sparse_cosine_join",  # integer-GEMM tile kernel (dense regime)
     "ann_cosine_topk",  # Arrow cosine kernel (bit-exact, vectorized)

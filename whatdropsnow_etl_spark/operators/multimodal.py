@@ -409,3 +409,78 @@ def media_resample(media: DataFrame, out_rate: int = 16000) -> DataFrame:
 
     wavs = media.where(F.startswith(F.col("payload"), F.lit(b"RIFF")))
     return wavs.mapInPandas(go, schema=MEDIA_RESAMPLE_SCHEMA)
+
+
+MEDIA_VAD_SCHEMA = (
+    "doc_id bigint, n_frames bigint, n_active bigint, max_run bigint"
+)
+
+
+def media_silence_report(
+    media: DataFrame,
+    frame: int = 32,
+    hop: int = 16,
+    threshold: int = 50,
+) -> DataFrame:
+    """Energy-threshold voice-activity framing over the WAV
+    payloads — the VAD trim/segment pass ASR corpora run before
+    featurization (silence wastes tokens; long active runs are the
+    usable utterances).
+
+    A frame is ACTIVE when its exact integer energy exceeds the
+    mean-square threshold: sum(s^2) > threshold^2 * frame — all
+    int64 arithmetic on decoded PCM, no float anywhere, so the
+    report is bit-deterministic and (for the id-derived synthetic
+    payloads) closed-form predictable. Frames start at multiples of
+    ``hop``; the last partial frame is dropped (the standard
+    framing convention). Emits per doc: total frames, active
+    frames, and the LONGEST consecutive active run (the usable-
+    segment length a cutter would keep).
+    """
+
+    def go(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.media import decode_wav16
+
+        thr = threshold * threshold * frame
+        for batch in it:
+            rows = []
+            for did, payload in zip(batch["doc_id"], batch["payload"]):
+                payload = bytes(payload)
+                d = decode_wav16(payload)
+                n = d["n_samples"]
+                # re-extract samples via the same chunk walk
+                import struct as _struct  # noqa: PLC0415
+
+                pos, samples = 12, None
+                while pos + 8 <= len(payload):
+                    cid, clen = _struct.unpack_from("<4sI", payload, pos)
+                    pos += 8
+                    if cid == b"data":
+                        samples = np.frombuffer(
+                            payload, dtype="<i2", count=clen // 2, offset=pos
+                        ).astype(np.int64)
+                    pos += clen + (clen % 2)
+                n_frames = max((n - frame) // hop + 1, 0) if n >= frame else 0
+                active = np.zeros(n_frames, dtype=bool)
+                for i in range(n_frames):
+                    seg = samples[i * hop : i * hop + frame]
+                    active[i] = int((seg * seg).sum()) > thr
+                max_run = run = 0
+                for a in active:
+                    run = run + 1 if a else 0
+                    max_run = max(max_run, run)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": n_frames,
+                        "n_active": int(active.sum()),
+                        "max_run": max_run,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    wavs = media.where(F.startswith(F.col("payload"), F.lit(b"RIFF")))
+    return wavs.mapInPandas(go, schema=MEDIA_VAD_SCHEMA)
