@@ -378,3 +378,45 @@ def test_manifest_diff_versions(spark, tmp_path):
     # default new_version = latest: diffing v2 against itself-as-latest
     same = diff_versions(spark, path, ["id"], v2)
     assert same.where(F.col("status") != "unchanged").count() == 0
+
+
+def test_manifest_delete_where_and_keys(spark, tmp_path):
+    """Compliance deletes: the new version drops exactly the matched
+    rows, the predicate lands in the commit meta, the pre-delete
+    snapshot stays time-travelable (until vacuum — the documented
+    physical-erasure step), and diff_versions reproduces the removed
+    rows as the audit trail. Key deletes are null-safe."""
+    from whatdropsnow_etl_spark.sinks import (
+        commit_write,
+        delete_keys,
+        delete_where,
+        diff_versions,
+        read_version,
+    )
+    from whatdropsnow_etl_spark.sinks.manifest import committed_meta
+
+    path = str(tmp_path / "gdpr")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "nullkey")],
+        "user_id long, payload string",
+    )
+    v1 = commit_write(base, path)
+    v2 = delete_where(spark, path, "user_id = 2", meta={"ticket": "REQ-1"})
+    assert {r.user_id for r in read_version(spark, path, v2).collect()} == {
+        1,
+        3,
+        None,
+    }
+    # pre-delete snapshot still readable; meta records the predicate
+    assert read_version(spark, path, v1).count() == 4
+    metas = committed_meta(path)  # oldest first, versions from 1
+    assert metas[v2 - 1]["deleted_where"] == "user_id = 2"
+    assert metas[v2 - 1]["ticket"] == "REQ-1"
+    # audit: the diff is exactly the deleted row
+    d = diff_versions(spark, path, ["user_id"], v1, v2)
+    removed = [r for r in d.collect() if r["status"] == "removed"]
+    assert [r.user_id for r in removed] == [2]
+    # null-safe key delete: a NULL tombstone removes the NULL-key row
+    tomb = spark.createDataFrame([(None,), (3,)], "user_id long")
+    v3 = delete_keys(spark, path, tomb, keys=["user_id"])
+    assert {r.user_id for r in read_version(spark, path, v3).collect()} == {1}

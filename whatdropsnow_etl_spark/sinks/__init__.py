@@ -10,6 +10,8 @@ from .manifest import (
     commit_write,
     current_version,
     diff_versions,
+    delete_keys,
+    delete_where,
     merge_write,
     read_version,
     vacuum,
@@ -24,6 +26,8 @@ __all__ = [
     "UpsertParquetSink",
     "commit_write",
     "current_version",
+    "delete_keys",
+    "delete_where",
     "merge_write",
     "read_version",
     "vacuum",

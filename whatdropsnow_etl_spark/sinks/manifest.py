@@ -331,3 +331,80 @@ def diff_versions(
             c for c in old.columns if c in set(new.columns) and c not in keys
         ]
     return snapshot_diff(old, new, key_cols, compare_cols)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    meta: dict | None = None,
+) -> int:
+    """DELETE ... WHERE committed as a new atomic version — the
+    compliance primitive (GDPR/CCPA right-to-be-forgotten, takedown
+    requests) on the manifest table: readers flip atomically from
+    the old snapshot to one without the matching rows.
+
+    The audit trail composes from what the sink already provides:
+    the predicate is recorded in the commit meta, ``diff_versions``
+    reproduces the exact removed rows, and ``vacuum`` is the
+    PHYSICAL erasure step — time travel intentionally keeps deleted
+    rows readable until the retention cut, exactly like Delta's
+    VACUUM contract (document retention accordingly for legal
+    deletes).
+
+    Scale: the anti-filter is map-only; the rewrite is the
+    full-snapshot write that is this sink's versioning contract.
+    """
+    prev = current_version(path)
+    if prev is None:
+        raise ValueError(f"no committed version at {path}")
+    existing = read_version(spark, path, prev)
+    # delete only rows where the predicate is provably TRUE: a bare
+    # NOT(cond) silently deletes rows where cond is NULL (three-valued
+    # logic) — the opposite of what a legal delete may do
+    kept = existing.where(f"NOT coalesce(({condition}), false)")
+    return commit_write(
+        kept,
+        path,
+        mode="overwrite",
+        meta={**(meta or {}), "deleted_where": condition},
+    )
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    tombstones: DataFrame,
+    keys: Sequence[str],
+    meta: dict | None = None,
+) -> int:
+    """DELETE by key list committed as a new atomic version: drops
+    every row whose key tuple appears in ``tombstones`` (the
+    erasure-request list) via a LEFT ANTI join — null-safe on each
+    key column so a NULL key in a tombstone matches NULL-keyed rows
+    instead of silently deleting nothing (the snapshot_diff
+    eqNullSafe lesson).
+
+    Scale: the tombstone list is request-sized — broadcast anti
+    join, the corpus never shuffles; rewrite cost is the sink's
+    full-snapshot contract (see delete_where).
+    """
+    from pyspark.sql import functions as F
+
+    prev = current_version(path)
+    if prev is None:
+        raise ValueError(f"no committed version at {path}")
+    existing = read_version(spark, path, prev)
+    cond = None
+    for k in keys:
+        eq = existing[k].eqNullSafe(tombstones[k])
+        cond = eq if cond is None else cond & eq
+    kept = existing.join(
+        F.broadcast(tombstones.select(*keys).distinct()), cond, "left_anti"
+    )
+    return commit_write(
+        kept,
+        path,
+        mode="overwrite",
+        meta={**(meta or {}), "deleted_keys": list(keys)},
+    )
