@@ -1337,3 +1337,43 @@ def test_history_stream_matches_batch(spark, tables, events_json_dir, tmp_path):
     for r in latest.collect():
         assert r["n_events"] == min(totals[r["user_id"]], 5)
         assert len(r["seq"].split(" ")) == r["n_events"]
+
+
+def test_drift_gate_distribution_shift(spark, tmp_path):
+    """The value-distribution gate: batches drawn from the baseline
+    distribution append; a batch whose mass moved (same null rate,
+    same uniqueness — invisible to the other two gates) quarantines,
+    and the frozen boundaries + cumulative counts ignore it."""
+    from whatdropsnow_etl_spark.streaming import DriftGatedSink
+
+    sink = DriftGatedSink(
+        spark,
+        path=str(tmp_path / "clean"),
+        quarantine_path=str(tmp_path / "quar"),
+        cols=["value"],
+        shift_cols=["value"],
+        shift_id_col="event_id",
+        max_share_l1=0.6,
+        shift_bins=4,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "event_id bigint, value double")
+    uniform = lambda lo, n, start: [
+        (start + i, float(lo + (i % 40))) for i in range(n)
+    ]
+    # batch 0 bootstraps boundaries from values 0..39
+    sink(mk(uniform(0, 80, 0)), 0)
+    # batch 1: same distribution — appends
+    sink(mk(uniform(0, 80, 100)), 1)
+    assert sink.n_appended == 2
+    # batch 2: all mass at 1000+ (0% nulls, all-unique ids) — only
+    # the shift gate can see this; quarantined
+    sink(mk(uniform(1000, 80, 200)), 2)
+    assert sink.n_quarantined == 1
+    # batch 3: back to baseline — boundaries/counts were not poisoned
+    sink(mk(uniform(0, 40, 300)), 3)
+    assert sink.n_appended == 3
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    assert quar.count() == 80
+    assert {r.event_id for r in quar.select("event_id").collect()} == set(
+        range(200, 280)
+    )

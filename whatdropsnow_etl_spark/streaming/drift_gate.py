@@ -73,6 +73,10 @@ class DriftGatedSink:
         uniqueness_cols: Sequence[str] | None = None,
         min_uniqueness_vs_baseline: float = 0.5,
         hll_p: int = 12,
+        shift_cols: Sequence[str] | None = None,
+        shift_id_col: str = "event_id",
+        max_share_l1: float = 0.5,
+        shift_bins: int = 10,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -103,6 +107,24 @@ class DriftGatedSink:
         self.min_uniqueness_vs_baseline = min_uniqueness_vs_baseline
         self.hll_p = hll_p
         self.reg_path = self.state_path.rstrip("/") + "__hll"
+        # third gate (opt-in): VALUE-DISTRIBUTION shift on numeric
+        # columns — the streaming half of
+        # operators.integrity.distribution_shift_report. Bin
+        # boundaries FREEZE from the first accepted batch's
+        # deterministic sample quantiles (frozen boundaries are what
+        # make per-batch shares comparable across the table's
+        # lifetime); the baseline is cumulative per-bin counts —
+        # a sum monoid, O(cols x bins) state, merged only on accept
+        # so a drifted batch can't normalize the drift. A batch
+        # quarantines when the L1 distance between its bin shares
+        # and the baseline's exceeds ``max_share_l1`` (L1 instead of
+        # PSI: no log, exact integer-share arithmetic, bounded [0,2]).
+        self.shift_cols = list(shift_cols or [])
+        self.shift_id_col = shift_id_col
+        self.max_share_l1 = max_share_l1
+        self.shift_bins = shift_bins
+        self.bnds_path = self.state_path.rstrip("/") + "__shift_bnds"
+        self.shift_counts_path = self.state_path.rstrip("/") + "__shift_counts"
         self.n_appended = 0
         self.n_quarantined = 0
 
@@ -149,6 +171,65 @@ class DriftGatedSink:
             if c in est and rows > 0:
                 out[c] = est[c] / rows
         return out
+
+    def _shift_boundaries(self, batch_df: DataFrame) -> dict[str, list[int]]:
+        """Frozen per-column bin boundaries; bootstrapped from the
+        first accepted batch via the quantile_bucketize sample
+        contract (bottom-k by md5(id), type-1 quantiles)."""
+        if os.path.exists(self.bnds_path):
+            rows = self.spark.read.parquet(self.bnds_path).collect()
+            return {r["column"]: list(r["bnds"]) for r in rows}
+        from ..operators.quantiles import _bottom_k_cents
+
+        out = {}
+        for c in self.shift_cols:
+            [arr] = _bottom_k_cents(
+                batch_df, c, self.shift_id_col, 1024, 100
+            ).collect()
+            vals, n = list(arr["__arr"]), arr["__n"]
+            if n == 0:
+                continue
+            out[c] = [
+                vals[int((i / self.shift_bins) * (n - 1))]
+                for i in range(1, self.shift_bins)
+            ]
+        self.spark.createDataFrame(
+            [(c, b) for c, b in out.items()],
+            "column string, bnds array<bigint>",
+        ).coalesce(1).write.mode("overwrite").parquet(self.bnds_path)
+        return out
+
+    def _shift_counts(
+        self, batch_df: DataFrame, bnds: dict[str, list[int]]
+    ) -> dict[str, list[int]]:
+        """Per-column per-bin batch counts against the frozen
+        boundaries — one tiny agg per gated column."""
+        out = {}
+        for c, b in bnds.items():
+            cents = F.round(F.col(c) * 100, 0).cast("long")
+            arr = F.array(*[F.lit(x) for x in b])
+            rows = (
+                batch_df.select(cents.alias("__c"))
+                .where(F.col("__c").isNotNull())
+                .groupBy(
+                    F.size(
+                        F.filter(arr, lambda x: x <= F.col("__c"))
+                    ).alias("bin")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            counts = [0] * self.shift_bins
+            for r in rows:
+                counts[r["bin"]] = r["n"]
+            out[c] = counts
+        return out
+
+    def _shift_baseline(self) -> dict[str, list[int]]:
+        if not os.path.exists(self.shift_counts_path):
+            return {}
+        rows = self.spark.read.parquet(self.shift_counts_path).collect()
+        return {r["column"]: list(r["counts"]) for r in rows}
 
     def _last_batch_id(self) -> int:
         marker = self.state_path.rstrip("/") + "__last_batch"
@@ -202,6 +283,24 @@ class DriftGatedSink:
                     batch_uni = brow[f"__d_{c}"] / brow["__n"]
                     if batch_uni < self.min_uniqueness_vs_baseline * bu:
                         drifted.append(c)
+        shift_bnds: dict[str, list[int]] = {}
+        batch_counts: dict[str, list[int]] = {}
+        if self.shift_cols:
+            shift_bnds = self._shift_boundaries(batch_df)
+            batch_counts = self._shift_counts(batch_df, shift_bnds)
+            shift_base = self._shift_baseline()
+            for c, counts in batch_counts.items():
+                if c not in shift_base:
+                    continue
+                bn, nn_ = sum(shift_base[c]), sum(counts)
+                if bn == 0 or nn_ == 0:
+                    continue
+                l1 = sum(
+                    abs(x / nn_ - y / bn)
+                    for x, y in zip(counts, shift_base[c])
+                )
+                if l1 > self.max_share_l1:
+                    drifted.append(c)
         if drifted and base:
             batch_df.write.mode("append").parquet(self.quarantine_path)
             self.n_quarantined += 1
@@ -233,4 +332,24 @@ class DriftGatedSink:
             self.spark.createDataFrame(
                 merged_regs, "column string, __reg bigint, __rho int"
             ).coalesce(1).write.mode("overwrite").parquet(self.reg_path)
+        if self.shift_cols and batch_counts:
+            shift_base = self._shift_baseline()
+            merged_counts = [
+                (
+                    c,
+                    [
+                        x + y
+                        for x, y in zip(
+                            counts,
+                            shift_base.get(c, [0] * self.shift_bins),
+                        )
+                    ],
+                )
+                for c, counts in batch_counts.items()
+            ]
+            self.spark.createDataFrame(
+                merged_counts, "column string, counts array<bigint>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self.shift_counts_path
+            )
         self._record_batch_id(batch_id)
