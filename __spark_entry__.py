@@ -1602,6 +1602,24 @@ def _media_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_silence_report(attach_media_payload(docs))
 
 
+def _active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-uncertainty annotation batch over the deterministic
+    heuristic quality score (the oracle-able stand-in for a trained
+    classifier's scores; quality_lr is the rows-only trained path)."""
+    from whatdropsnow_etl_spark.operators import (
+        active_learning_batch,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return active_learning_batch(
+        scored, k_per_group=10, score_col="quality"
+    )
+
+
 def _percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import percentile_rank
 
@@ -1663,6 +1681,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "hybrid_search": ["doc_id", "lex_rank", "rrf", "vec_rank"],
     "media_resample": ["doc_id", "energy_out", "n_out", "n_src", "out_rate", "src_rate"],
     "media_silence_report": ["doc_id", "max_run", "n_active", "n_frames"],
+    "active_learning_batch": ["doc_id", "quality", "rank_in_group", "source", "uncertainty"],
     "zorder_layout_report": ["file_id", "max_a", "max_b", "min_a", "min_b", "n_rows"],
     "pair_pagerank": ["node", "out_deg", "rank"],
     "line_dedup": ["doc_id", "n_lines", "n_removed", "text_clean"],
@@ -1935,7 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_trained": _semantic_dedup_trained,
         # ---- driver gate window ends here (slot 50) ----
         # r6 window contract (the standing rotation, priority (b)
-        # first-ever signal): 43 oracle-bearing queries will have NO
+        # first-ever signal): 44 oracle-bearing queries will have NO
         # driver row after r5 — the 7 spilled r5 entries
         # (source_overlap_matrix, event_transitions,
         # sampled_quantiles, sliding_window_agg, value_histogram,
@@ -1952,9 +1971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cooccurrence_pairs, vocab_growth, kwic_search,
         # market_basket, percentile_rank, user_event_sequences,
         # triangle_count, distribution_shift_report, benford_check,
-        # hybrid_search, media_resample, media_silence_report —
-        # 36 late additions, 43 never-seen total).
-        # They lead r6's first 50; the remaining ~7 slots refresh
+        # hybrid_search, media_resample, media_silence_report,
+        # active_learning_batch — 37 late additions, 44 never-seen
+        # total). They lead r6's first 50; the ~6 remaining slots
+        # refresh
         # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
         # tail if r6 repeats the one-time-exposure trade.
@@ -1997,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _hybrid_search,
         "media_resample": _media_resample,
         "media_silence_report": _media_silence,
+        "active_learning_batch": _active_learning_batch,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5694,6 +5715,23 @@ def oracle_sql() -> dict[str, str]:
                  AS max_run
         FROM documents WHERE doc_id % 2 = 1
     """
+    sql["active_learning_batch"] = """
+        WITH q AS (
+          SELECT doc_id, quality FROM ({QUALITY}) x
+        ), s AS (
+          SELECT q.doc_id, d.source, q.quality,
+                 ABS(q.quality - 0.5) AS uncertainty
+          FROM q JOIN documents d ON q.doc_id = d.doc_id
+        ), r AS (
+          SELECT doc_id, source, quality, uncertainty,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY uncertainty, doc_id) AS BIGINT)
+                   AS rank_in_group
+          FROM s
+        )
+        SELECT doc_id, source, quality, uncertainty, rank_in_group
+        FROM r WHERE rank_in_group <= 10
+    """.replace("{QUALITY}", sql["quality_score"])
     sql["triangle_count"] = """
         WITH p AS ({MINHASH}),
         e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM p),

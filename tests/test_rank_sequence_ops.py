@@ -288,3 +288,60 @@ def test_media_silence_vad_runs(spark):
     )
     [q] = media_silence_report(qdf).collect()
     assert q.n_active == 0 and q.max_run == 0
+
+
+def test_group_topk_matches_plain_window(spark):
+    """The salted two-phase cut is bit-identical to the naive
+    single-window top-k for any order, including heavy score ties."""
+    rows = [
+        (i, f"g{i % 2}", float((i * 13) % 7)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    from whatdropsnow_etl_spark.operators import group_topk
+
+    got = {
+        (r.doc_id, r.rank_in_group)
+        for r in group_topk(
+            df, ["g"], [F.col("v").desc(), F.col("doc_id").asc()], 7, "doc_id"
+        ).collect()
+    }
+    naive = {
+        (r.doc_id, r.rn)
+        for r in df.select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("g").orderBy(
+                    F.col("v").desc(), F.col("doc_id").asc()
+                )
+            )
+            .cast("bigint")
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_active_learning_picks_boundary_scores(spark):
+    from whatdropsnow_etl_spark.operators import active_learning_batch
+
+    rows = [
+        (1, "a", 0.51),  # closest to the boundary
+        (2, "a", 0.95),
+        (3, "a", 0.45),
+        (4, "a", 0.02),
+        (5, "b", 0.99),
+        (6, "b", 0.52),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {
+        (r.source, r.rank_in_group): r.doc_id
+        for r in active_learning_batch(df, k_per_group=2).collect()
+    }
+    assert out[("a", 1)] == 1  # |0.51-0.5| = 0.01
+    assert out[("a", 2)] == 3  # |0.45-0.5| = 0.05
+    assert out[("b", 1)] == 6
+    assert out[("b", 2)] == 5
+    assert len(out) == 4

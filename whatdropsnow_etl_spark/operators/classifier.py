@@ -214,3 +214,40 @@ def quality_lr(
         F.col("passes").cast("bigint").alias("weak_label"),
         F.floor(score * 1e6).cast("bigint").alias("score_micro"),
     )
+
+
+def active_learning_batch(
+    scored: DataFrame,
+    k_per_group: int = 10,
+    score_col: str = "score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Max-uncertainty annotation batch: per group, the ``k`` docs
+    whose classifier score sits closest to the 0.5 decision boundary
+    — the standard active-learning loop step (label where the model
+    is least sure; grouped per source so one noisy domain doesn't
+    monopolize the annotation budget).
+
+    Uncertainty = |score - 1/2| exactly (one subtraction + abs of
+    the already-deterministic score); the per-group cut is the
+    salted group_topk primitive (few sources = the one-task-per-
+    group window trap), ordered by (uncertainty, id) — a total
+    order, so the batch is a pure function of the scores.
+
+    Output: (id, group, score, uncertainty, rank_in_group).
+    """
+    from .windows import group_topk
+
+    unc = F.abs(F.col(score_col) - F.lit(0.5))
+    base = scored.select(
+        F.col(id_col), F.col(group_col), F.col(score_col),
+        unc.alias("uncertainty"),
+    )
+    return group_topk(
+        base,
+        [group_col],
+        [F.col("uncertainty").asc(), F.col(id_col).asc()],
+        k_per_group,
+        id_col,
+    )

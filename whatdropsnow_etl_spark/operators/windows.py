@@ -8,7 +8,7 @@ window. Money/value aggregation inside frames is decimal-exact
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -90,4 +90,44 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec(value_col)).cast("double").alias("sum_value"),
         )
+    )
+
+
+def group_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    id_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """General top-``k`` per group by an arbitrary total order —
+    quota_sample's salted two-phase cut factored out for any order
+    key (quota_sample is this with the md5(id) order; topn_per_group
+    is the plain-window form for high-cardinality groups).
+
+    Phase 1 ranks within (group, xxhash64(id) % salt_buckets)
+    sub-groups and keeps each bucket's local top-k (every globally
+    top-k row is, a fortiori, in its own bucket's top-k), shrinking
+    each group to <= salt_buckets * k rows while fanning the heavy
+    scan across groups x buckets tasks; phase 2 re-ranks the
+    survivors per group under the SAME order. Bit-identical to the
+    single-window form (pinned in pytest) — use this whenever the
+    group count is small relative to the cluster (the
+    one-task-per-group window trap).
+
+    ``order_cols`` must be a TOTAL order (append ``id_col`` as the
+    last key if the caller's order can tie). Keeps all input
+    columns; adds ``rank_in_group`` (1-based bigint).
+    """
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    gcols = [F.col(c) for c in group_cols]
+    w_salted = Window.partitionBy(*gcols, salt).orderBy(*order_cols)
+    w_group = Window.partitionBy(*gcols).orderBy(*order_cols)
+    return (
+        df.withColumn("__srn", F.row_number().over(w_salted))
+        .where(F.col("__srn") <= k)
+        .withColumn("rank_in_group", F.row_number().over(w_group).cast("bigint"))
+        .where(F.col("rank_in_group") <= k)
+        .drop("__srn")
     )
