@@ -1443,6 +1443,14 @@ def _feature_class_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import chi2_features
+
+    return chi2_features(
+        load_table(spark, sf_dir, "documents"), min_df=5, top_k=10
+    )
+
+
 def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import zipf_fit
 
@@ -1661,6 +1669,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "label_centroids": ["dim", "label", "mean_micro", "n_vecs", "sum_micro"],
     "asof_nearest_purchase": ["event_id", "purchase_ts_us", "purchase_value", "ts_us", "user_id"],
     "feature_class_lift": ["bin_id", "c_bin", "c_cell", "c_class", "class", "lift_den", "lift_num"],
+    "chi2_features": ["chi2", "class", "df_cell", "df_term", "n_class", "n_total", "rank", "term"],
     "zipf_fit": ["n_points", "slope_den", "slope_num", "total_tokens", "vocab_size"],
     "bm25_search": ["dl", "doc_id", "score"],
     "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
@@ -1972,8 +1981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # market_basket, percentile_rank, user_event_sequences,
         # triangle_count, distribution_shift_report, benford_check,
         # hybrid_search, media_resample, media_silence_report,
-        # active_learning_batch — 37 late additions, 44 never-seen
-        # total). They lead r6's first 50; the ~6 remaining slots
+        # active_learning_batch, chi2_features — 38 late additions,
+        # 45 never-seen
+        # total). They lead r6's first 50; the ~5 remaining slots
         # refresh
         # the oldest r3-greens. compression_ratio
         # pair_pagerank, and quality_lr are the rows-only never-seen
@@ -2018,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resample": _media_resample,
         "media_silence_report": _media_silence,
         "active_learning_batch": _active_learning_batch,
+        "chi2_features": _chi2_features,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -4938,6 +4949,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_bin * c_class AS BIGINT) AS lift_den
         FROM cells JOIN bins USING (bin_id)
         JOIN classes USING (class), t
+    """
+    sql["chi2_features"] = """
+        WITH toks AS (
+          SELECT CAST(source AS VARCHAR) AS class,
+                 UNNEST(list_distinct(string_split(lower(text), ' ')))
+                   AS term
+          FROM documents
+        ), cells AS (
+          SELECT term, class, COUNT(*) AS a FROM toks GROUP BY 1, 2
+        ), tmarg AS (
+          SELECT term, SUM(a) AS df_term FROM cells GROUP BY 1
+          HAVING SUM(a) >= 5
+        ), cmarg AS (
+          SELECT CAST(source AS VARCHAR) AS class, COUNT(*) AS n_class
+          FROM documents GROUP BY 1
+        ), tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        j AS (
+          SELECT class, term,
+                 CAST(a AS BIGINT) AS df_cell,
+                 CAST(df_term AS BIGINT) AS df_term,
+                 CAST(n_class AS BIGINT) AS n_class,
+                 CAST(n_total AS BIGINT) AS n_total,
+                 CAST(a AS HUGEINT)
+                   * CAST(n_total - df_term - n_class + a AS HUGEINT)
+                 - CAST(df_term - a AS HUGEINT)
+                   * CAST(n_class - a AS HUGEINT) AS diff
+          FROM cells JOIN tmarg USING (term) JOIN cmarg USING (class), tot
+          WHERE df_term < n_total
+        ), sc AS (
+          SELECT class, term, df_cell, df_term, n_class, n_total,
+                 CAST(CAST(n_total AS HUGEINT) * diff * diff AS DOUBLE)
+                   / CAST(CAST(df_term AS HUGEINT)
+                          * CAST(n_total - df_term AS HUGEINT)
+                          * CAST(n_class AS HUGEINT)
+                          * CAST(n_total - n_class AS HUGEINT)
+                          AS DOUBLE) AS chi2
+          FROM j
+        )
+        SELECT class, term, df_cell, df_term, n_class, n_total, chi2,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY class ORDER BY chi2 DESC, term
+               ) AS BIGINT) AS "rank"
+        FROM sc
+        QUALIFY "rank" <= 10
     """
     sql["zorder_layout_report"] = """
         WITH d AS (

@@ -2876,3 +2876,46 @@ def test_hard_negative_mining_excludes_same_label(tables):
     )
     assert missing.count() == 0
     out.unpersist()
+
+
+def test_chi2_features_hand_table(spark):
+    """Hand-computed 2-class corpus: term 'x' appears only in class
+    a's docs, 'c' in every doc. chi2 for a perfectly-separating term
+    equals N (the 2x2 maximum); an everywhere-term is dropped
+    (den=0); counts are exact."""
+    from whatdropsnow_etl_spark.operators import chi2_features
+
+    rows = [(i, "x c", "a") for i in range(6)] + [
+        (10 + i, "y c", "b") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = chi2_features(df, min_df=1, top_k=10).collect()
+    by = {(r["class"], r["term"]): r for r in out}
+    # 'c' is in all 12 docs -> df_term == n_total -> excluded
+    assert not any(t == "c" for _, t in by)
+    xa = by[("a", "x")]
+    assert (xa["df_cell"], xa["df_term"], xa["n_class"], xa["n_total"]) == (
+        6, 6, 6, 12,
+    )
+    # a=6 b=0 c=0 d=6: chi2 = 12*(36)^2 / (6*6*6*6) = 12.0 exactly
+    assert xa["chi2"] == 12.0 and xa["rank"] == 1
+    # occurrence cells exist only where the term appears in the
+    # class: 'x' never occurs in a class-b doc, so no ('b','x') row
+    assert ("b", "x") not in by
+
+
+def test_chi2_features_salted_cut_equals_single_window(spark):
+    """The salted two-phase top-k must be bit-identical to the plain
+    one-window-per-class form (the oracle's shape) on a corpus with
+    many terms per class — the quota_sample preservation argument."""
+    from pyspark.sql import Window
+
+    from whatdropsnow_etl_spark.operators import chi2_features
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = chi2_features(docs, min_df=2, top_k=5, salt_buckets=7)
+    slow = chi2_features(docs, min_df=2, top_k=5, salt_buckets=1)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )

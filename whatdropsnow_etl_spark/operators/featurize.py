@@ -30,7 +30,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -171,4 +171,114 @@ def feature_class_lift(
             (F.col("c_cell") * F.col("__n")).cast("bigint").alias("lift_num"),
             (F.col("c_bin") * F.col("c_class")).cast("bigint").alias("lift_den"),
         )
+    )
+
+
+def chi2_features(
+    docs: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    min_df: int = 5,
+    top_k: int = 10,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-class chi-squared feature selection over document-level
+    term occurrence — the vocabulary-picking step in front of every
+    bag-of-words quality/domain classifier (CCNet/fastText-style
+    curation): for each class, the ``top_k`` terms whose presence is
+    most dependent on class membership.
+
+    Contingency table per (term, class), from DOC counts (each doc
+    counts once per distinct term — occurrence, not frequency):
+      a = docs in class containing term      b = df_term - a
+      c = n_class - a                        d = N - df_term - c
+      chi2 = N * (a*d - b*c)^2 / (df_term * (N-df_term)
+                                  * n_class * (N-n_class))
+
+    Determinism/exactness contract (the exact_avg convention): every
+    count is exact BIGINT; numerator and denominator are built in
+    DECIMAL(38,0) (the DuckDB twin uses HUGEINT — both exact to
+    ~1e38, i.e. corpora to ~2e7 docs; beyond that route the
+    intermediates through DOUBLE and accept statistic-grade
+    precision), then ONE correctly-rounded cast each and ONE
+    division produce a bit-identical double in both engines. Ties
+    break on term ASC.
+
+    Scale shape:
+    - corpus is scanned once and shuffled once (the (term, class)
+      cell aggregate with map-side combine); the term margin rolls
+      up from the CELLS relation (vocab-sized), never the corpus;
+      the class margin and N are broadcast;
+    - the per-class top-k is the SALTED two-phase cut
+      (quota_sample's pattern): rank within (class,
+      xxhash64(term) % salt_buckets), keep top_k, then re-rank the
+      classes x salt_buckets x top_k survivors — no
+      one-task-per-class window over a 100 TB vocabulary, and the
+      result is bit-identical to the single-window form (any global
+      top-k member is a fortiori in its salt bucket's top-k).
+
+    Emits (class, term, df_cell, df_term, n_class, n_total, chi2,
+    rank). No reference twin — extends SURVEY §2.3's text-analysis
+    family (the reference's 397-LoC ETL has no feature selection).
+    """
+    toks = docs.select(
+        F.col(class_col).cast("string").alias("class"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    )
+    cells = toks.groupBy("term", "class").agg(
+        F.count(F.lit(1)).alias("df_cell")
+    )
+    # vocab-sized margin from the cells relation (ReuseExchange), not
+    # a second corpus pass; min_df prunes the hapax tail before the
+    # join fans it back out
+    tmarg = (
+        cells.groupBy("term")
+        .agg(F.sum("df_cell").alias("df_term"))
+        .where(F.col("df_term") >= min_df)
+    )
+    cmarg = docs.groupBy(F.col(class_col).cast("string").alias("class")).agg(
+        F.count(F.lit(1)).alias("n_class")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = (
+        cells.join(tmarg, "term")
+        .join(F.broadcast(cmarg), "class")
+        .crossJoin(F.broadcast(tot))
+        # a term present in EVERY doc has zero discriminative power
+        # and a zero denominator — drop it
+        .where(F.col("df_term") < F.col("n_total"))
+    )
+    a = F.col("df_cell")
+    b = F.col("df_term") - a
+    c = F.col("n_class") - a
+    d = F.col("n_total") - F.col("df_term") - F.col("n_class") + a
+    diff = dec(a) * dec(d) - dec(b) * dec(c)
+    num = dec(F.col("n_total")) * diff * diff
+    den = (
+        dec(F.col("df_term"))
+        * dec(F.col("n_total") - F.col("df_term"))
+        * dec(F.col("n_class"))
+        * dec(F.col("n_total") - F.col("n_class"))
+    )
+    scored = j.select(
+        "class",
+        "term",
+        a.cast("bigint").alias("df_cell"),
+        F.col("df_term").cast("bigint").alias("df_term"),
+        F.col("n_class").cast("bigint").alias("n_class"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (num.cast("double") / den.cast("double")).alias("chi2"),
+    )
+    order = [F.col("chi2").desc(), F.col("term").asc()]
+    salt = F.pmod(F.xxhash64("term"), F.lit(salt_buckets))
+    w_salted = Window.partitionBy(F.col("class"), salt).orderBy(*order)
+    w_class = Window.partitionBy("class").orderBy(*order)
+    return (
+        scored.withColumn("__srn", F.row_number().over(w_salted))
+        .where(F.col("__srn") <= top_k)
+        .withColumn("rank", F.row_number().over(w_class).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+        .drop("__srn")
     )

@@ -1,0 +1,167 @@
+"""Exact one-pass distributed PCA for embedding columns.
+
+The standard preprocessing in front of large-scale vector pipelines
+(FAISS's ``PCAR`` / OPQ's unlearned cousin): project d-dim embeddings
+onto the top-k principal axes to cut ANN index cost, whiten before
+clustering, or screen for dead/collinear dimensions. The reference
+(397-LoC ETL) has none of this; extends SURVEY §2.3's
+embedding family next to kmeans/PQ/OPQ.
+
+Scale design — the covariance is a ONE-PASS map-side reduction, never
+a sample and never a corpus-sized collect:
+
+- each Arrow batch contributes the sufficient statistics
+  (n, Σx, ΣxᵀX) — a single (1 + d + d²)-wide row per batch
+  (`mapInPandas`, integer matmul inside numpy);
+- batch partials shuffle as a SKINNY (pos, val) relation and reduce
+  with one model-sized groupBy — #batches × (d²+d) rows total cross
+  the wire regardless of corpus size (d=64 → 4 KB per batch);
+- accumulation is EXACT: coordinates are rounded to integer
+  micro-units first (the label_centroids fixed-point trick), so
+  products and sums are integers (DECIMAL(38,0) — overflow-free to
+  ~1e13 rows at unit-scale embeddings) and the resulting covariance
+  is bit-identical across partitionings, retries and cluster sizes
+  — no float-summation order dependence;
+- the driver solves the d×d eigenproblem (model-sized numpy
+  ``eigh``) and fixes each eigenvector's sign so its
+  largest-|coordinate| entry is positive — a deterministic
+  convention, since eigenvectors are sign-ambiguous;
+- projection is MAP-ONLY: the (d×k) component matrix ships in the
+  task closure and every Arrow batch is one fused ``(X - mean) @ W``
+  matmul (the OPQ encode convention).
+
+Not SQL-expressible (eigendecomposition) — no DuckDB oracle;
+rows-only, pinned by pytest vs numpy PCA on the same rows
+(eigenvalues, axis alignment, projection) plus a
+partitioning-invariance bit-identity check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def pca_train(
+    corpus: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+):
+    """Exact full-corpus PCA axes. Returns ``(components_df, model)``
+    where components_df is the model-sized relation (component INT
+    1-based, eigenvalue DOUBLE, vector ARRAY<DOUBLE>, mean
+    ARRAY<DOUBLE>) and ``model`` is the (mean, W) ndarray pair that
+    :func:`pca_project` closes over.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = len(
+        corpus.select(F.col(vec_col)).where(F.col(vec_col).isNotNull())
+        .first()[0]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            vs = pdf["v"].to_numpy()
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            Xi = np.rint(X * _MICRO).astype(np.int64)
+            g = (Xi.T @ Xi).reshape(-1)  # exact int64 per batch
+            s = Xi.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "pos": range(dim * dim + dim + 1),
+                    "val": [float("nan")] * 0  # placeholder, replaced below
+                    or list(map(int, g)) + list(map(int, s)) + [len(Xi)],
+                }
+            )
+
+    stats = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .mapInPandas(partials, "pos long, val long")
+        .groupBy("pos")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("t"))
+        .collect()
+    )
+    acc = {r["pos"]: int(r["t"]) for r in stats}
+    n = acc[dim * dim + dim]
+    G = np.array(
+        [acc[i] for i in range(dim * dim)], dtype=np.float64
+    ).reshape(dim, dim) / (_MICRO * _MICRO)
+    s = (
+        np.array([acc[dim * dim + i] for i in range(dim)], dtype=np.float64)
+        / _MICRO
+    )
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    W = evecs[:, order]
+    # deterministic sign: largest-|coordinate| entry positive
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    lam = evals[order]
+    spark = corpus.sparkSession
+    comp = spark.createDataFrame(
+        [
+            (
+                j + 1,
+                float(lam[j]),
+                [float(x) for x in W[:, j]],
+                [float(x) for x in mean],
+            )
+            for j in range(W.shape[1])
+        ],
+        "component int, eigenvalue double, vector array<double>,"
+        " mean array<double>",
+    )
+    return comp, (mean, W)
+
+
+def pca_project(
+    emb: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Map-only projection onto trained axes: one fused
+    ``(X - mean) @ W`` matmul per Arrow batch, model in the task
+    closure (the OPQ encode convention). Emits (id, out_col
+    array<double>)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    mean, W = model
+    mean = np.asarray(mean, dtype=np.float64)
+    Wm = np.asarray(W, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _proj(vs):
+        import pandas as pd
+
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        P = (X - mean) @ Wm
+        return pd.Series([[float(x) for x in row] for row in P])
+
+    return emb.select(
+        F.col(id_col), _proj(F.col(vec_col)).alias(out_col)
+    )
+
+
+def embedding_pca(
+    emb: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train-then-project convenience: exact one-pass PCA on the
+    given corpus, then the map-only projection of the SAME corpus
+    onto the top ``n_components`` axes. Emits (vec_id, pca)."""
+    _, model = pca_train(emb, n_components=n_components, vec_col=vec_col)
+    return pca_project(emb, model, id_col=id_col, vec_col=vec_col)
