@@ -1443,6 +1443,14 @@ def _feature_class_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import embedding_pca
+
+    return embedding_pca(
+        load_table(spark, sf_dir, "embeddings"), n_components=8
+    )
+
+
 def _chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import chi2_features
 
@@ -1670,6 +1678,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "asof_nearest_purchase": ["event_id", "purchase_ts_us", "purchase_value", "ts_us", "user_id"],
     "feature_class_lift": ["bin_id", "c_bin", "c_cell", "c_class", "class", "lift_den", "lift_num"],
     "chi2_features": ["chi2", "class", "df_cell", "df_term", "n_class", "n_total", "rank", "term"],
+    "embedding_pca": ["pca", "vec_id"],
     "zipf_fit": ["n_points", "slope_den", "slope_num", "total_tokens", "vocab_size"],
     "bm25_search": ["dl", "doc_id", "score"],
     "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
@@ -1985,9 +1994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 45 never-seen
         # total). They lead r6's first 50; the ~5 remaining slots
         # refresh
-        # the oldest r3-greens. compression_ratio
-        # pair_pagerank, and quality_lr are the rows-only never-seen
-        # tail if r6 repeats the one-time-exposure trade.
+        # the oldest r3-greens. compression_ratio,
+        # pair_pagerank, quality_lr, and embedding_pca are the
+        # rows-only never-seen tail if r6 repeats the
+        # one-time-exposure trade.
         # NEW post-gate late-r5 additions — never driver-seen,
         # oracle-bearing; they lead the r6 rotation per the standing
         # contract (first-ever signal beats any refresh)
@@ -2138,6 +2148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _ann_ivf_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "pair_pagerank": _pair_pagerank,
+        # rows-only by design: eigendecomposition has no SQL twin;
+        # numpy-pinned + partitioning-invariance bit-identity pytest
+        "embedding_pca": _embedding_pca,
     }
     return {k: _with_presentation_order(k, v) for k, v in base.items()}
 

@@ -2919,3 +2919,58 @@ def test_chi2_features_salted_cut_equals_single_window(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, slow.collect())
     )
+
+
+def test_pca_train_matches_numpy(spark):
+    """Distributed one-pass PCA must agree with numpy PCA on the same
+    rows: eigenvalues to fixed-point resolution, axes aligned up to
+    the documented sign convention, projection = (X-mean)@W."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators import pca_project, pca_train
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    comp, model = pca_train(emb, n_components=4)
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    # numpy twin with the SAME micro-unit quantization the operator
+    # documents (exactness is at 1e-6 coordinate resolution)
+    Xq = np.rint(X * 1_000_000) / 1_000_000
+    mu = Xq.mean(axis=0)
+    cov = (Xq.T @ Xq) / len(Xq) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    got = {r["component"]: r for r in comp.collect()}
+    for j, oi in enumerate(order):
+        assert abs(got[j + 1]["eigenvalue"] - evals[oi]) < 1e-9
+        v_np = evecs[:, oi]
+        v_sp = np.asarray(got[j + 1]["vector"])
+        # sign-insensitive axis alignment
+        assert abs(abs(float(v_np @ v_sp)) - 1.0) < 1e-9
+        # documented sign convention: largest-|coord| entry positive
+        assert v_sp[int(np.argmax(np.abs(v_sp)))] > 0
+    # projection twin
+    mean, W = model
+    proj = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in pca_project(emb, model).collect()
+    }
+    for r in rows[:20]:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        assert np.allclose(proj[r["vec_id"]], (x - mean) @ W, atol=1e-9)
+
+
+def test_pca_train_partitioning_invariant(spark):
+    """Exact integer accumulation makes the trained axes bit-identical
+    under any repartitioning — the float-sum order dependence the
+    fixed-point contract exists to kill."""
+    from whatdropsnow_etl_spark.operators import pca_train
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1, _ = pca_train(emb.repartition(1), n_components=3)
+    c7, _ = pca_train(emb.repartition(7), n_components=3)
+    assert sorted(map(tuple, c1.collect())) == sorted(
+        map(tuple, c7.collect())
+    )

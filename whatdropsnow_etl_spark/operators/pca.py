@@ -73,8 +73,7 @@ def pca_train(
             yield pd.DataFrame(
                 {
                     "pos": range(dim * dim + dim + 1),
-                    "val": [float("nan")] * 0  # placeholder, replaced below
-                    or list(map(int, g)) + list(map(int, s)) + [len(Xi)],
+                    "val": list(map(int, g)) + list(map(int, s)) + [len(Xi)],
                 }
             )
 
