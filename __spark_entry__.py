@@ -1443,6 +1443,12 @@ def _feature_class_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import nb_classify
+
+    return nb_classify(load_table(spark, sf_dir, "documents"))
+
+
 def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import embedding_pca
 
@@ -1679,6 +1685,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "feature_class_lift": ["bin_id", "c_bin", "c_cell", "c_class", "class", "lift_den", "lift_num"],
     "chi2_features": ["chi2", "class", "df_cell", "df_term", "n_class", "n_total", "rank", "term"],
     "embedding_pca": ["pca", "vec_id"],
+    "nb_classify": ["doc_id", "hit", "n_tokens", "predicted", "score_bits", "source"],
     "zipf_fit": ["n_points", "slope_den", "slope_num", "total_tokens", "vocab_size"],
     "bm25_search": ["dl", "doc_id", "score"],
     "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
@@ -1990,8 +1997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # market_basket, percentile_rank, user_event_sequences,
         # triangle_count, distribution_shift_report, benford_check,
         # hybrid_search, media_resample, media_silence_report,
-        # active_learning_batch, chi2_features — 38 late additions,
-        # 45 never-seen
+        # active_learning_batch, chi2_features, nb_classify — 39
+        # late additions, 46 never-seen
         # total). They lead r6's first 50; the ~5 remaining slots
         # refresh
         # the oldest r3-greens. compression_ratio,
@@ -2039,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_silence_report": _media_silence,
         "active_learning_batch": _active_learning_batch,
         "chi2_features": _chi2_features,
+        "nb_classify": _nb_classify,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5006,6 +5014,84 @@ def oracle_sql() -> dict[str, str]:
                ) AS BIGINT) AS "rank"
         FROM sc
         QUALIFY "rank" <= 10
+    """
+    sql["nb_classify"] = """
+        WITH tr AS (
+          SELECT CAST(source AS VARCHAR) AS cand,
+                 UNNEST(string_split(lower(text), ' ')) AS tok
+          FROM documents WHERE doc_id % 10 != 0
+        ), cells AS (
+          SELECT cand, tok, COUNT(*) AS c_tc FROM tr GROUP BY 1, 2
+        ), totals AS (
+          SELECT cand, CAST(SUM(c_tc) AS BIGINT) AS total_c
+          FROM cells GROUP BY 1
+        ), vocab AS (
+          SELECT COUNT(DISTINCT tok) AS v FROM cells
+        ), priors AS (
+          SELECT CAST(source AS VARCHAR) AS cand, COUNT(*) AS n_c
+          FROM documents WHERE doc_id % 10 != 0 GROUP BY 1
+        ), ntr AS (
+          SELECT COUNT(*) AS n_train FROM documents WHERE doc_id % 10 != 0
+        ), consts AS (
+          SELECT cand, total_c, v,
+                 length(format('{:b}', total_c + v)) - 1 AS default_bits,
+                 CASE WHEN n_train >=
+                        n_c * (CAST(1 AS BIGINT) <<
+                          (length(format('{:b}', n_train))
+                           - length(format('{:b}', n_c))))
+                      THEN length(format('{:b}', n_train))
+                           - length(format('{:b}', n_c))
+                      ELSE length(format('{:b}', n_train))
+                           - length(format('{:b}', n_c)) - 1
+                 END AS prior_bits
+          FROM totals JOIN priors USING (cand), vocab, ntr
+        ), held AS (
+          SELECT doc_id, CAST(source AS VARCHAR) AS source,
+                 UNNEST(string_split(lower(text), ' ')) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ), per_doc AS (
+          SELECT doc_id, source, COUNT(*) AS n_tokens
+          FROM held GROUP BY 1, 2
+        ), deltas AS (
+          SELECT doc_id, cand,
+                 SUM(
+                   (CASE WHEN (total_c + v) >= (c_tc + 1)
+                             * (CAST(1 AS BIGINT) <<
+                                 (length(format('{:b}', total_c + v))
+                                  - length(format('{:b}', c_tc + 1))))
+                         THEN length(format('{:b}', total_c + v))
+                              - length(format('{:b}', c_tc + 1))
+                         ELSE length(format('{:b}', total_c + v))
+                              - length(format('{:b}', c_tc + 1)) - 1
+                    END)
+                   - (length(format('{:b}', total_c + v)) - 1)
+                 ) AS delta_sum
+          FROM held
+          JOIN cells USING (tok)
+          JOIN totals USING (cand), vocab
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT per_doc.doc_id, per_doc.source, per_doc.n_tokens,
+                 consts.cand,
+                 COALESCE(deltas.delta_sum, 0)
+                   + per_doc.n_tokens * consts.default_bits
+                   + consts.prior_bits AS score
+          FROM per_doc CROSS JOIN consts
+          LEFT JOIN deltas ON deltas.doc_id = per_doc.doc_id
+                          AND deltas.cand = consts.cand
+        ), best AS (
+          SELECT doc_id, source, n_tokens, cand, score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score, cand
+                 ) AS rn
+          FROM scored
+        )
+        SELECT doc_id, source, cand AS predicted,
+               CAST(score AS BIGINT) AS score_bits,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN cand = source THEN 1 ELSE 0 END AS BIGINT)
+                 AS hit
+        FROM best WHERE rn = 1
     """
     sql["zorder_layout_report"] = """
         WITH d AS (

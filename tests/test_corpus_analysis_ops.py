@@ -162,3 +162,40 @@ def test_triangle_count_hand_and_bruteforce(spark):
             for v in (x, y, z):
                 ref[v] = ref.get(v, 0) + 1
     assert got == ref
+
+
+def test_nb_classify_disjoint_vocab_hand_case(spark):
+    """Two classes with disjoint vocabularies: every held-out doc must
+    classify to its own class, and the winning score decomposes as
+    prior + sum of per-token whole-bit surprisals (hand-checked)."""
+    from whatdropsnow_etl_spark.operators import nb_classify
+
+    rows = (
+        # class a docs: ids 1..8 train (id%10!=0 means all but 10,20)
+        [(i, "alpha beta", "a") for i in range(1, 9)]
+        + [(10, "alpha beta", "a")]          # held (10 % 10 == 0)
+        + [(100 + i, "gamma delta", "b") for i in range(1, 9)]
+        + [(110, "gamma delta", "b")]        # held
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in nb_classify(df).collect()}
+    assert set(out) == {10, 110}
+    assert out[10]["predicted"] == "a" and out[10]["hit"] == 1
+    assert out[110]["predicted"] == "b" and out[110]["hit"] == 1
+    # hand score for doc 10 under class a: V=4 distinct train tokens,
+    # total_a=16 occurrences, each token seen 8x ->
+    # bits = floor(log2((16+4)/(8+1))) = floor(log2(20/9)) = 1 per
+    # token, prior = floor(log2(16/8)) = 1 -> score = 2*1 + 1 = 3
+    assert out[10]["score_bits"] == 3 and out[10]["n_tokens"] == 2
+
+
+def test_nb_classify_partitioning_invariant(spark):
+    """Whole-bit integer scoring is exact, so the classification is
+    bit-identical under any repartitioning of the input."""
+    from whatdropsnow_etl_spark.operators import nb_classify
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(map(tuple, nb_classify(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, nb_classify(docs.repartition(13)).collect()))
+    assert a == b

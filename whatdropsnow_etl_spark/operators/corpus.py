@@ -776,3 +776,133 @@ def vocab_growth(
             F.sum("n_new_terms").over(w).cast("bigint").alias("cum_vocab"),
         )
     )
+
+
+def nb_classify(
+    docs: DataFrame,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_mod: int = 10,
+) -> DataFrame:
+    """Multinomial Naive Bayes source classifier in exact whole-bit
+    arithmetic — the fastText/CCNet-style domain classifier closing
+    the loop on ``chi2_features``: train token likelihoods per class
+    on docs with ``id % holdout_mod != 0``, classify the held-out
+    rest by minimum total surprisal.
+
+    Scoring is the bigram_surprisal/heldout_perplexity whole-bits
+    contract (libm log differs across engines at the ulp; float
+    sums are shuffle-order-dependent): per token position the
+    add-one-smoothed class surprisal
+    ``bits(c,t) = floor(log2((total_c + V) / (c_tc + 1)))`` is an
+    exact BIGINT, plus a per-class prior ``floor(log2(N/n_c))``
+    counted once. Prediction = argmin of the integer score, ties to
+    the lexicographically smallest class — bit-identical on any
+    engine and partitioning.
+
+    Scale shape — the DELTA formulation keeps vocabulary misses out
+    of the join entirely: score(c) = prior_c + n_tokens·default_c
+    + Σ_present (bits(c,t) − default_c), where
+    ``default_c = bits(c, unseen)`` depends only on the class. So
+    the only corpus-sized joins are (a) held tokens ⋈ the
+    (class, token) count relation on token — each held token expands
+    only by the number of classes that actually CONTAIN it, never by
+    |classes| — and (b) a broadcast of the classes-sized constants
+    table; per-(doc, class) partial sums combine map-side. Docs from
+    classes absent in train still classify (across train classes).
+
+    Emits one row per held-out doc: (doc_id, source, predicted,
+    score_bits, n_tokens, hit).
+    """
+    cls = F.col(class_col).cast("string")
+    train_docs = docs.where(F.col(id_col) % holdout_mod != 0)
+    held_docs = docs.where(F.col(id_col) % holdout_mod == 0)
+
+    tr = train_docs.select(
+        cls.alias("cand"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    cells = tr.groupBy("cand", "tok").agg(F.count(F.lit(1)).alias("c_tc"))
+    totals = cells.groupBy("cand").agg(F.sum("c_tc").alias("total_c"))
+    vocab = cells.agg(F.count_distinct("tok").alias("v"))
+    priors = train_docs.groupBy(cls.alias("cand")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    n_train = train_docs.agg(F.count(F.lit(1)).alias("n_train"))
+
+    # classes-sized constants: default (unseen-token) bits and prior
+    consts = (
+        totals.join(F.broadcast(priors), "cand")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "cand",
+            "total_c",
+            "v",
+            _floor_log2_ratio(
+                F.col("total_c") + F.col("v"), F.lit(1)
+            ).alias("default_bits"),
+            _floor_log2_ratio(F.col("n_train"), F.col("n_c")).alias(
+                "prior_bits"
+            ),
+        )
+    )
+
+    held = held_docs.select(
+        F.col(id_col).alias("doc_id"),
+        cls.alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    per_doc = held.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    # present-token deltas: bits(c,t) - default_c <= 0, only for
+    # (token, class) pairs the train corpus actually contains
+    deltas = (
+        held.join(cells, "tok")
+        .join(F.broadcast(consts.select("cand", "total_c", "v")), "cand")
+        .select(
+            "doc_id",
+            "cand",
+            (
+                _floor_log2_ratio(
+                    F.col("total_c") + F.col("v"), F.col("c_tc") + 1
+                )
+                - _floor_log2_ratio(F.col("total_c") + F.col("v"), F.lit(1))
+            ).alias("delta"),
+        )
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("delta").alias("delta_sum"))
+    )
+    scored = (
+        per_doc.crossJoin(
+            F.broadcast(consts.select("cand", "default_bits", "prior_bits"))
+        )
+        .join(deltas, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cand",
+            (
+                F.coalesce(F.col("delta_sum"), F.lit(0))
+                + F.col("n_tokens") * F.col("default_bits")
+                + F.col("prior_bits")
+            ).alias("score"),
+        )
+    )
+    best = F.min(F.struct(F.col("score"), F.col("cand"))).alias("m")
+    return (
+        scored.groupBy("doc_id", "source", "n_tokens")
+        .agg(best)
+        .select(
+            "doc_id",
+            "source",
+            F.col("m.cand").alias("predicted"),
+            F.col("m.score").cast("bigint").alias("score_bits"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("m.cand") == F.col("source"))
+            .cast("bigint")
+            .alias("hit"),
+        )
+    )
