@@ -106,6 +106,13 @@ ALLPAIRS_OK = {
     # bitmap relation (the Q11 scalar-subquery pattern) — not a
     # data×data cross
     "bloom_decontaminate",
+    # chi2 denominator: 1-row broadcast corpus-total cross (the
+    # feature_class_lift shape)
+    "chi2_features",
+    # NB scoring: 1-row broadcast vocab/N crosses + the per-doc ×
+    # classes-sized constants broadcast — all bounded, never
+    # data×data
+    "nb_classify",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -140,6 +147,9 @@ PYTHON_OK = {
     "pack_chunks",  # per-group greedy packing (inherently sequential)
     "normalize_text",  # Arrow NFC kernel (unicodedata; map-only)
     "compression_ratio",  # Arrow zlib kernel (C-speed; map-only)
+    # sufficient-statistics partials + fused (X-mean)@W projection
+    # (numpy per Arrow batch — the OPQ encode convention)
+    "embedding_pca",
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must
@@ -183,6 +193,10 @@ EAGER_OK = {
     # (one k-row gradient collect per iteration, the kmeans/BPE
     # contract); scoring itself is a lazy map-only projection
     "quality_lr",
+    # PCA training reduces the corpus to one model-sized
+    # sufficient-statistics collect (d²+d+1 values) at composition;
+    # projection itself is a lazy map-only Arrow matmul
+    "embedding_pca",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
