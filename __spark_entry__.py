@@ -1443,6 +1443,23 @@ def _feature_class_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import (
+        kmv_merge_rollup,
+        kmv_registers,
+    )
+
+    # per-(type, day) register table — what an incremental pipeline
+    # persists as each day lands — merged up to event_type without
+    # rescanning raw events; k=16384 keeps parity SFs in the
+    # exact-below-k regime (the kmv_distinct_users contract)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = kmv_registers(ev, ["event_type", "day"], "user_id", k=16_384)
+    return kmv_merge_rollup(daily, ["event_type"], k=16_384)
+
+
 def _nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import nb_classify
 
@@ -1686,6 +1703,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "chi2_features": ["chi2", "class", "df_cell", "df_term", "n_class", "n_total", "rank", "term"],
     "embedding_pca": ["pca", "vec_id"],
     "nb_classify": ["doc_id", "hit", "n_tokens", "predicted", "score_bits", "source"],
+    "kmv_sketch_rollup": ["approx_distinct", "event_type"],
     "zipf_fit": ["n_points", "slope_den", "slope_num", "total_tokens", "vocab_size"],
     "bm25_search": ["dl", "doc_id", "score"],
     "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
@@ -1997,8 +2015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # market_basket, percentile_rank, user_event_sequences,
         # triangle_count, distribution_shift_report, benford_check,
         # hybrid_search, media_resample, media_silence_report,
-        # active_learning_batch, chi2_features, nb_classify — 39
-        # late additions, 46 never-seen
+        # active_learning_batch, chi2_features, nb_classify,
+        # kmv_sketch_rollup — 40 late additions, 47 never-seen
         # total). They lead r6's first 50; the ~5 remaining slots
         # refresh
         # the oldest r3-greens. compression_ratio,
@@ -2047,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_learning_batch": _active_learning_batch,
         "chi2_features": _chi2_features,
         "nb_classify": _nb_classify,
+        "kmv_sketch_rollup": _kmv_sketch_rollup,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5014,6 +5033,11 @@ def oracle_sql() -> dict[str, str]:
                ) AS BIGINT) AS "rank"
         FROM sc
         QUALIFY "rank" <= 10
+    """
+    sql["kmv_sketch_rollup"] = """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS approx_distinct
+        FROM events GROUP BY event_type
     """
     sql["nb_classify"] = """
         WITH tr AS (

@@ -354,3 +354,43 @@ def test_editdist_band_cap(spark, tables):
         for r in editdist_pairs(docs, max_dist=8, max_band_docs=5).collect()
     }
     assert sub <= base
+
+
+def test_kmv_merge_rollup_equals_direct_sketch(spark):
+    """The mergeability contract: per-day sketches merged up to
+    event_type give the SAME estimates as sketching the whole table
+    directly — KMV registers are hash values, so union + re-truncate
+    is identical to the one-shot sketch. k is set well below the
+    distinct-user count so the (k-1)/u_k estimate path (not the
+    exact-below-k path) is the one being compared."""
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators import (
+        kmv_count_distinct,
+        kmv_merge_rollup,
+        kmv_registers,
+    )
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    k = 32
+    daily = kmv_registers(ev, ["event_type", "day"], "user_id", k=k)
+    merged = kmv_merge_rollup(daily, ["event_type"], k=k)
+    direct = kmv_count_distinct(ev, ["event_type"], "user_id", k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # two-level composition: the same merge over a re-sliced register
+    # table gives the same answer again (rollups compose losslessly)
+    two_level = kmv_merge_rollup(
+        daily.withColumn("month", F.trunc("day", "month")).select(
+            "event_type", "month", "__u"
+        ),
+        ["event_type"],
+        k=k,
+    )
+    assert sorted(map(tuple, two_level.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

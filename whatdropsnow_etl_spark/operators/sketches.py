@@ -251,3 +251,58 @@ def kmv_count_distinct(
         *group_cols,
         F.round(est, 0).cast("long").alias("approx_distinct"),
     )
+
+
+def kmv_merge_rollup(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """Merge per-slice KMV register relations up to ``group_cols`` and
+    estimate distincts — the incremental COUNT(DISTINCT) pattern a
+    100 TB pipeline actually runs: sketch each day/partition ONCE as
+    it lands (``kmv_registers`` keyed by group + slice columns),
+    persist the tiny register table (≤ k rows per slice), and answer
+    "distinct users this month/quarter/ever" by merging sketches —
+    the raw corpus is never rescanned.
+
+    Merge = distinct hashes per group across slices, re-take the k
+    smallest. Because KMV registers are hash VALUES (not register
+    positions), the merged sketch is BIT-IDENTICAL to sketching the
+    union directly (pytest-pinned), so estimates never degrade with
+    the number of merge levels — rollups compose: day → month →
+    year each from the previous level's sketches.
+
+    Scale shape: the input is already sketch-sized (≤ slices × k
+    rows per group), so the dedup groupBy and the per-group rank
+    window move model-sized data only — the window's single task per
+    group sees at most slices × k rows by construction, never the
+    corpus. Same estimator as ``kmv_count_distinct``: exact below k
+    (the sketch IS the distinct hash set), (k-1)/u_k beyond.
+
+    Emits (group_cols…, approx_distinct).
+    """
+    from pyspark.sql.window import Window
+
+    merged = (
+        sketches.select(*group_cols, "__u")
+        .groupBy(*group_cols, "__u")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__u")
+    regs = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(F.when(F.col("__rn") == k, F.col("__u"))).alias("__uk"),
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__uk"))
+    return agg.select(
+        *group_cols,
+        F.round(est, 0).cast("long").alias("approx_distinct"),
+    )
