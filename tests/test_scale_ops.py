@@ -394,3 +394,27 @@ def test_kmv_merge_rollup_equals_direct_sketch(spark):
     assert sorted(map(tuple, two_level.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_hll_merge_rollup_equals_direct_sketch(spark):
+    """MAX(rho) per register position IS the HLL merge: per-day
+    register tables merged up to event_type estimate identically to
+    sketching the whole table in one shot."""
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators import (
+        hll_count_distinct,
+        hll_merge_rollup,
+        hll_registers,
+    )
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_registers(ev, ["event_type", "day"], "user_id", p=8)
+    merged = hll_merge_rollup(daily, ["event_type"], p=8)
+    direct = hll_count_distinct(ev, ["event_type"], "user_id", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

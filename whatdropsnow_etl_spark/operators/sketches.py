@@ -86,6 +86,26 @@ def hll_estimate_from_registers(
     )
 
 
+def hll_merge_rollup(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    p: int = 12,
+) -> DataFrame:
+    """Merge per-slice HLL register relations up to ``group_cols``
+    and estimate — the fixed-size (2^p rows per slice, ever) twin of
+    ``kmv_merge_rollup`` for pipelines that prefer bounded register
+    storage over KMV's set-operation support. MAX(__rho) per
+    register position IS the HLL merge, so the merged estimate is
+    bit-identical to sketching the union directly (pytest-pinned);
+    rollups compose day → month → year without rescanning raw data.
+    Input: union of ``hll_registers`` outputs keyed by group + slice
+    columns. Emits (group_cols…, approx_distinct)."""
+    merged = regs.groupBy(*group_cols, "__reg").agg(
+        F.max("__rho").alias("__rho")
+    )
+    return hll_estimate_from_registers(merged, group_cols, p)
+
+
 def hll_count_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
