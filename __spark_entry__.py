@@ -1443,6 +1443,18 @@ def _feature_class_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.functions.text import tokens
+    from whatdropsnow_etl_spark.operators import rank_correlation
+
+    # "is char length a faithful proxy for token count?" — the
+    # scorer-swap check on two deterministic integer features
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text")))
+    )
+    return rank_correlation(docs, "n_chars", "n_tokens")
+
+
 def _kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import (
         kmv_merge_rollup,
@@ -1704,6 +1716,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "embedding_pca": ["pca", "vec_id"],
     "nb_classify": ["doc_id", "hit", "n_tokens", "predicted", "score_bits", "source"],
     "kmv_sketch_rollup": ["approx_distinct", "event_type"],
+    "rank_correlation": ["n_rows", "rho"],
     "zipf_fit": ["n_points", "slope_den", "slope_num", "total_tokens", "vocab_size"],
     "bm25_search": ["dl", "doc_id", "score"],
     "sparse_cosine_join": ["doc_a", "doc_b", "dot", "na2", "nb2"],
@@ -2016,7 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # triangle_count, distribution_shift_report, benford_check,
         # hybrid_search, media_resample, media_silence_report,
         # active_learning_batch, chi2_features, nb_classify,
-        # kmv_sketch_rollup — 40 late additions, 47 never-seen
+        # kmv_sketch_rollup, rank_correlation — 41 late additions,
+        # 48 never-seen
         # total). They lead r6's first 50; the ~5 remaining slots
         # refresh
         # the oldest r3-greens. compression_ratio,
@@ -2066,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_features": _chi2_features,
         "nb_classify": _nb_classify,
         "kmv_sketch_rollup": _kmv_sketch_rollup,
+        "rank_correlation": _rank_correlation,
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
@@ -5033,6 +5048,41 @@ def oracle_sql() -> dict[str, str]:
                ) AS BIGINT) AS "rank"
         FROM sc
         QUALIFY "rank" <= 10
+    """
+    sql["rank_correlation"] = """
+        WITH b AS (
+          SELECT doc_id, n_chars AS x,
+                 len(string_split(lower(text), ' ')) AS y
+          FROM documents
+          WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        ), r AS (
+          SELECT CAST(2 * RANK() OVER (ORDER BY x)
+                      + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT)
+                   AS ax,
+                 CAST(2 * RANK() OVER (ORDER BY y)
+                      + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT)
+                   AS ay
+          FROM b
+        ), m AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(CAST(ax AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(ay AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(ax AS HUGEINT) * CAST(ax AS HUGEINT))
+                      AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(ay AS HUGEINT) * CAST(ay AS HUGEINT))
+                      AS HUGEINT) AS syy,
+                 CAST(SUM(CAST(ax AS HUGEINT) * CAST(ay AS HUGEINT))
+                      AS HUGEINT) AS sxy
+          FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                     AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS rho
+        FROM m
     """
     sql["kmv_sketch_rollup"] = """
         SELECT event_type,

@@ -183,3 +183,79 @@ def test_corr_matrix_perfect_linear(spark):
     [r] = corr_matrix(df, ["a", "b"]).collect()
     assert (r.col_x, r.col_y) == ("a", "b")
     assert math.isclose(r.corr, 1.0, rel_tol=1e-12)
+
+
+def test_rank_correlation_hand_cases(spark):
+    """Perfect monotone agreement gives rho == 1.0 exactly; perfect
+    reversal gives -1.0; and a hand-computable tied case matches the
+    scipy-convention tie-averaged value."""
+    from whatdropsnow_etl_spark.operators import rank_correlation
+
+    mono = spark.createDataFrame(
+        [(i, float(i), float(i * i)) for i in range(1, 21)],
+        "doc_id long, x double, y double",
+    )
+    r = rank_correlation(mono, "x", "y").collect()[0]
+    assert r["n_rows"] == 20 and r["rho"] == 1.0
+    rev = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(1, 21)],
+        "doc_id long, x double, y double",
+    )
+    assert rank_correlation(rev, "x", "y").collect()[0]["rho"] == -1.0
+    # tied case: x = (1,1,2), y = (1,2,2)
+    # ar2_x = (3,3,6), ar2_y = (2,5,5); Pearson over those:
+    # n=3 sx=12 sy=12 sxx=54 syy=54 sxy=51
+    # num = 3*51-144 = 9; var = 3*54-144 = 18 each
+    # rho = 9 / (sqrt(18)·sqrt(18)) — mathematically 0.5, and the
+    # assertion pins the documented IEEE evaluation order exactly
+    # (sqrt(18)² = 18.000000000000004, not 18)
+    import math
+
+    tied = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, 2.0), (3, 2.0, 2.0)],
+        "doc_id long, x double, y double",
+    )
+    expect = 9.0 / (math.sqrt(18.0) * math.sqrt(18.0))
+    assert rank_correlation(tied, "x", "y").collect()[0]["rho"] == expect
+
+
+def test_rank_correlation_matches_naive_window(spark):
+    """The sample-sort decomposition must equal the naive
+    single-window RANK() formulation bit-for-bit on real data with
+    heavy ties (n_chars collides across docs)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.functions.text import tokens
+    from whatdropsnow_etl_spark.operators import rank_correlation
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text")))
+    )
+    fast = rank_correlation(docs, "n_chars", "n_tokens").collect()[0]
+
+    def ar2(c):
+        return (
+            2 * F.rank().over(W.orderBy(F.col(c)))
+            + F.count(F.lit(1)).over(W.partitionBy(F.col(c)))
+            - 1
+        ).cast("bigint")
+
+    r = docs.select(ar2("n_chars").alias("ax"), ar2("n_tokens").alias("ay"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("ax")).alias("sx"),
+        F.sum(dec("ay")).alias("sy"),
+        F.sum(dec("ax") * dec("ax")).alias("sxx"),
+        F.sum(dec("ay") * dec("ay")).alias("syy"),
+        F.sum(dec("ax") * dec("ay")).alias("sxy"),
+    ).collect()[0]
+    import math
+
+    num = float(m["n"] * m["sxy"] - m["sx"] * m["sy"])
+    vx = float(m["n"] * m["sxx"] - m["sx"] * m["sx"])
+    vy = float(m["n"] * m["syy"] - m["sy"] * m["sy"])
+    naive = num / (math.sqrt(vx) * math.sqrt(vy))
+    assert fast["rho"] == naive

@@ -109,6 +109,9 @@ ALLPAIRS_OK = {
     # chi2 denominator: 1-row broadcast corpus-total cross (the
     # feature_class_lift shape)
     "chi2_features",
+    # two sample-boundary crosses (1-row broadcast arrays each, the
+    # percentile_rank shape)
+    "rank_correlation",
     # NB scoring: 1-row broadcast vocab/N crosses + the per-doc ×
     # classes-sized constants broadcast — all bounded, never
     # data×data

@@ -266,3 +266,160 @@ def percentile_rank(
         .otherwise(F.lit(0.0))
         .alias("pct_rank"),
     )
+
+
+def _avg_rank2(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int,
+    sample_k: int,
+) -> DataFrame:
+    """Doubled tie-average rank of ``value_col`` as an exact BIGINT:
+    ar2(v) = 2·min_rank(v) + tie_count(v) − 1 (doubling keeps the
+    half-integer average exact). Same sample-sort decomposition as
+    percentile_rank — boundary buckets from a deterministic
+    bottom-k-by-md5(id) sample, rank = bucket offset + within-bucket
+    rank, ties never span buckets (boundaries compare <=), so no
+    corpus-wide single-partition window anywhere. Emits (id, ar2)."""
+    rows = df.select(
+        F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+    samp = (
+        rows.select("__v", F.md5(F.col("__id").cast("string")).alias("__h"))
+        .orderBy("__h", "__v")
+        .limit(sample_k)
+    )
+    arr = samp.agg(
+        F.array_sort(F.collect_list("__v")).alias("__arr"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    bounds = arr.select(
+        F.array(
+            *[
+                F.when(
+                    F.col("__n") > 0,
+                    F.element_at(
+                        "__arr",
+                        (
+                            F.floor(F.lit(i / n_buckets) * (F.col("__n") - 1))
+                            + 1
+                        ).cast("int"),
+                    ),
+                )
+                for i in range(1, n_buckets)
+            ]
+        ).alias("__bnds")
+    )
+    bucketed = rows.crossJoin(F.broadcast(bounds)).select(
+        "__id",
+        "__v",
+        F.size(
+            F.filter(F.col("__bnds"), lambda b: b <= F.col("__v"))
+        ).alias("__bkt"),
+    )
+    # value-grain counts: ties collapse BEFORE any window runs
+    vals = bucketed.groupBy("__bkt", "__v").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = vals.groupBy("__bkt").agg(F.sum("__cnt").alias("__bc"))
+    offsets = hist.select(
+        "__bkt", F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_less = (
+        Window.partitionBy("__bkt")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked_vals = (
+        vals.withColumn(
+            "__less", F.coalesce(F.sum("__cnt").over(w_less), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "__bkt")
+        .select(
+            "__bkt",
+            "__v",
+            (
+                2 * (F.col("__off") + F.col("__less"))
+                + F.col("__cnt")
+                + 1
+            ).cast("bigint").alias("__ar2"),
+        )
+    )
+    return bucketed.join(ranked_vals, ["__bkt", "__v"]).select(
+        "__id", "__ar2"
+    )
+
+
+def rank_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    sample_k: int = 1024,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two numeric columns —
+    the scorer-swap validation a curation pipeline runs before
+    replacing a quality model: if the new scorer rank-orders the
+    corpus like the old one (rho ≈ 1), downstream cutoffs and mixes
+    are preserved; a drop says the swap re-curates the dataset.
+
+    Tie handling is EXACT: Spearman-with-ties is Pearson over
+    tie-averaged ranks, so each side's doubled average rank (an
+    exact BIGINT — doubling keeps half-integer tie averages exact)
+    feeds exact DECIMAL(38) moment sums (n, Σx, Σy, Σxx, Σyy, Σxy;
+    exact to ~1e9 rows since ar2 ≤ 2n), and
+    rho = (nΣxy − ΣxΣy) / (sqrt(nΣxx − Σx²) · sqrt(nΣyy − Σy²))
+    is three correctly-rounded casts, two IEEE-correctly-rounded
+    sqrts, one multiply and one divide — bit-identical across
+    engines (the exact_avg contract extended by sqrt, which IEEE 754
+    requires correctly rounded).
+
+    Scale shape: each side's ranks use the percentile_rank
+    sample-sort decomposition (bucket offsets + within-bucket
+    windows at VALUE grain — ties collapse before any window runs,
+    and no corpus-wide single-partition window exists); the two rank
+    relations join back on id (one co-partitioned shuffle) and
+    reduce to a 1-row moment aggregate. The DuckDB oracle twin is
+    the naive single-sort RANK() formulation, which proves the
+    decomposition exact.
+
+    Emits ONE row: (n_rows, rho). Rows with a NULL on either side
+    are dropped (pairwise-complete convention).
+    """
+    both = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    rx = _avg_rank2(both, x_col, id_col, n_buckets, sample_k)
+    ry = _avg_rank2(both, y_col, id_col, n_buckets, sample_k)
+    j = rx.withColumnRenamed("__ar2", "__x").join(
+        ry.withColumnRenamed("__ar2", "__y"), "__id"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("__x")).alias("sx"),
+        F.sum(dec("__y")).alias("sy"),
+        F.sum(dec("__x") * dec("__x")).alias("sxx"),
+        F.sum(dec("__y") * dec("__y")).alias("syy"),
+        F.sum(dec("__x") * dec("__y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        ).alias("rho"),
+    )
