@@ -218,8 +218,13 @@ def chi2_features(
       top-k member is a fortiori in its salt bucket's top-k).
 
     Emits (class, term, df_cell, df_term, n_class, n_total, chi2,
-    rank). No reference twin — extends SURVEY §2.3's text-analysis
-    family (the reference's 397-LoC ETL has no feature selection).
+    rank). Only OBSERVED (term, class) cells are scored (a >= 1):
+    selection surfaces positive indicators of each class, the
+    standard feature-selection use; a term's ABSENCE signal for a
+    class shows up as the same term scored high in the
+    complementary classes. No reference twin — extends SURVEY
+    §2.3's text-analysis family (the reference's 397-LoC ETL has no
+    feature selection).
     """
     toks = docs.select(
         F.col(class_col).cast("string").alias("class"),
