@@ -259,3 +259,55 @@ def test_rank_correlation_matches_naive_window(spark):
     vy = float(m["n"] * m["syy"] - m["sy"] * m["sy"])
     naive = num / (math.sqrt(vx) * math.sqrt(vy))
     assert fast["rho"] == naive
+
+
+def test_rank_correlation_grouped_matches_naive(spark):
+    """group_col mode: one rho per source, each bit-identical to the
+    naive per-group RANK() formulation."""
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.functions.text import tokens
+    from whatdropsnow_etl_spark.operators import rank_correlation
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text")))
+    )
+    fast = {
+        r["source"]: (r["n_rows"], r["rho"])
+        for r in rank_correlation(
+            docs, "n_chars", "n_tokens", group_col="source"
+        ).collect()
+    }
+
+    def ar2(c):
+        return (
+            2 * F.rank().over(W.partitionBy("source").orderBy(F.col(c)))
+            + F.count(F.lit(1)).over(W.partitionBy("source", F.col(c)))
+            - 1
+        ).cast("bigint")
+
+    r = docs.select(
+        "source", ar2("n_chars").alias("ax"), ar2("n_tokens").alias("ay")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    for m in (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(dec("ax")).alias("sx"),
+            F.sum(dec("ay")).alias("sy"),
+            F.sum(dec("ax") * dec("ax")).alias("sxx"),
+            F.sum(dec("ay") * dec("ay")).alias("syy"),
+            F.sum(dec("ax") * dec("ay")).alias("sxy"),
+        )
+        .collect()
+    ):
+        num = float(m["n"] * m["sxy"] - m["sx"] * m["sy"])
+        vx = float(m["n"] * m["sxx"] - m["sx"] * m["sx"])
+        vy = float(m["n"] * m["syy"] - m["sy"] * m["sy"])
+        naive = num / (math.sqrt(vx) * math.sqrt(vy))
+        assert fast[m["source"]] == (int(m["n"]), naive), m["source"]

@@ -274,16 +274,20 @@ def _avg_rank2(
     id_col: str,
     n_buckets: int,
     sample_k: int,
+    gcols: list[str],
 ) -> DataFrame:
-    """Doubled tie-average rank of ``value_col`` as an exact BIGINT:
+    """Doubled tie-average rank of ``value_col`` (within each group
+    when ``gcols`` is non-empty) as an exact BIGINT:
     ar2(v) = 2·min_rank(v) + tie_count(v) − 1 (doubling keeps the
     half-integer average exact). Same sample-sort decomposition as
-    percentile_rank — boundary buckets from a deterministic
-    bottom-k-by-md5(id) sample, rank = bucket offset + within-bucket
-    rank, ties never span buckets (boundaries compare <=), so no
-    corpus-wide single-partition window anywhere. Emits (id, ar2)."""
+    percentile_rank — boundary buckets from a deterministic GLOBAL
+    bottom-k-by-md5(id) sample (boundaries only balance buckets;
+    per-group exactness never depends on them), rank = per-group
+    bucket offset + within-(group, bucket) rank, ties never span
+    buckets (boundaries compare <=), so no corpus- or group-wide
+    single-partition window anywhere. Emits (gcols…, id, ar2)."""
     rows = df.select(
-        F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
+        *gcols, F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
     ).where(F.col("__v").isNotNull())
     samp = (
         rows.select("__v", F.md5(F.col("__id").cast("string")).alias("__h"))
@@ -312,6 +316,7 @@ def _avg_rank2(
         ).alias("__bnds")
     )
     bucketed = rows.crossJoin(F.broadcast(bounds)).select(
+        *gcols,
         "__id",
         "__v",
         F.size(
@@ -319,18 +324,22 @@ def _avg_rank2(
         ).alias("__bkt"),
     )
     # value-grain counts: ties collapse BEFORE any window runs
-    vals = bucketed.groupBy("__bkt", "__v").agg(
+    vals = bucketed.groupBy(*gcols, "__bkt", "__v").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    w_off = Window.orderBy("__bkt").rowsBetween(
-        Window.unboundedPreceding, -1
+    w_off = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    hist = vals.groupBy("__bkt").agg(F.sum("__cnt").alias("__bc"))
+    hist = vals.groupBy(*gcols, "__bkt").agg(F.sum("__cnt").alias("__bc"))
     offsets = hist.select(
-        "__bkt", F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__off")
+        *gcols,
+        "__bkt",
+        F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__off"),
     )
     w_less = (
-        Window.partitionBy("__bkt")
+        Window.partitionBy(*[F.col(c) for c in gcols], F.col("__bkt"))
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -338,8 +347,9 @@ def _avg_rank2(
         vals.withColumn(
             "__less", F.coalesce(F.sum("__cnt").over(w_less), F.lit(0))
         )
-        .join(F.broadcast(offsets), "__bkt")
+        .join(F.broadcast(offsets), gcols + ["__bkt"])
         .select(
+            *gcols,
             "__bkt",
             "__v",
             (
@@ -349,9 +359,9 @@ def _avg_rank2(
             ).cast("bigint").alias("__ar2"),
         )
     )
-    return bucketed.join(ranked_vals, ["__bkt", "__v"]).select(
-        "__id", "__ar2"
-    )
+    return bucketed.join(
+        ranked_vals, gcols + ["__bkt", "__v"]
+    ).select(*gcols, "__id", "__ar2")
 
 
 def rank_correlation(
@@ -359,6 +369,7 @@ def rank_correlation(
     x_col: str,
     y_col: str,
     id_col: str = "doc_id",
+    group_col: str | None = None,
     n_buckets: int = 64,
     sample_k: int = 1024,
 ) -> DataFrame:
@@ -367,6 +378,8 @@ def rank_correlation(
     replacing a quality model: if the new scorer rank-orders the
     corpus like the old one (rho ≈ 1), downstream cutoffs and mixes
     are preserved; a drop says the swap re-curates the dataset.
+    With ``group_col``, one rho per group — the per-source drift
+    monitor ("which domains would the new scorer re-curate?").
 
     Tie handling is EXACT: Spearman-with-ties is Pearson over
     tie-averaged ranks, so each side's doubled average rank (an
@@ -380,27 +393,31 @@ def rank_correlation(
     requires correctly rounded).
 
     Scale shape: each side's ranks use the percentile_rank
-    sample-sort decomposition (bucket offsets + within-bucket
-    windows at VALUE grain — ties collapse before any window runs,
-    and no corpus-wide single-partition window exists); the two rank
-    relations join back on id (one co-partitioned shuffle) and
-    reduce to a 1-row moment aggregate. The DuckDB oracle twin is
-    the naive single-sort RANK() formulation, which proves the
+    sample-sort decomposition (per-group bucket offsets +
+    within-(group, bucket) windows at VALUE grain — ties collapse
+    before any window runs, and no corpus- or group-wide
+    single-partition window exists); the two rank relations join
+    back on (group, id) (one co-partitioned shuffle) and reduce to a
+    groups-sized moment aggregate. The DuckDB oracle twin is the
+    naive single-sort RANK() formulation, which proves the
     decomposition exact.
 
-    Emits ONE row: (n_rows, rho). Rows with a NULL on either side
-    are dropped (pairwise-complete convention).
+    Emits one row per group (ONE row when ungrouped):
+    (group?, n_rows, rho). Rows with a NULL on either side are
+    dropped (pairwise-complete convention); rho is NULL for a group
+    with a constant side (zero rank variance).
     """
+    gcols = [group_col] if group_col else []
     both = df.where(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     )
-    rx = _avg_rank2(both, x_col, id_col, n_buckets, sample_k)
-    ry = _avg_rank2(both, y_col, id_col, n_buckets, sample_k)
+    rx = _avg_rank2(both, x_col, id_col, n_buckets, sample_k, gcols)
+    ry = _avg_rank2(both, y_col, id_col, n_buckets, sample_k, gcols)
     j = rx.withColumnRenamed("__ar2", "__x").join(
-        ry.withColumnRenamed("__ar2", "__y"), "__id"
+        ry.withColumnRenamed("__ar2", "__y"), gcols + ["__id"]
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    m = j.agg(
+    m = j.groupBy(*gcols).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(dec("__x")).alias("sx"),
         F.sum(dec("__y")).alias("sy"),
@@ -418,6 +435,7 @@ def rank_correlation(
         "double"
     )
     return m.select(
+        *gcols,
         F.col("n").cast("bigint").alias("n_rows"),
         F.when(
             (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
