@@ -5031,7 +5031,7 @@ def oracle_sql() -> dict[str, str]:
                  - CAST(df_term - a AS HUGEINT)
                    * CAST(n_class - a AS HUGEINT) AS diff
           FROM cells JOIN tmarg USING (term) JOIN cmarg USING (class), tot
-          WHERE df_term < n_total
+          WHERE df_term < n_total AND n_class < n_total
         ), sc AS (
           SELECT class, term, df_cell, df_term, n_class, n_total,
                  CAST(CAST(n_total AS HUGEINT) * diff * diff AS DOUBLE)

@@ -812,8 +812,11 @@ def nb_classify(
     table; per-(doc, class) partial sums combine map-side. Docs from
     classes absent in train still classify (across train classes).
 
-    Emits one row per held-out doc: (doc_id, source, predicted,
-    score_bits, n_tokens, hit).
+    Emits one row per held-out doc with non-NULL text: (doc_id,
+    source, predicted, score_bits, n_tokens, hit). A NULL-text doc
+    has no token evidence to score and is dropped (both twins
+    agree); a NULL source still classifies and counts as a miss
+    (hit = 0).
     """
     cls = F.col(class_col).cast("string")
     train_docs = docs.where(F.col(id_col) % holdout_mod != 0)
@@ -901,8 +904,11 @@ def nb_classify(
             F.col("m.cand").alias("predicted"),
             F.col("m.score").cast("bigint").alias("score_bits"),
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            (F.col("m.cand") == F.col("source"))
-            .cast("bigint")
-            .alias("hit"),
+            # NULL-safe: a NULL source is a miss (0), not NULL — the
+            # oracle's CASE WHEN = THEN 1 ELSE 0 semantics
+            F.coalesce(
+                (F.col("m.cand") == F.col("source")).cast("bigint"),
+                F.lit(0),
+            ).alias("hit"),
         )
     )

@@ -252,8 +252,14 @@ def chi2_features(
         .join(F.broadcast(cmarg), "class")
         .crossJoin(F.broadcast(tot))
         # a term present in EVERY doc has zero discriminative power
-        # and a zero denominator — drop it
-        .where(F.col("df_term") < F.col("n_total"))
+        # and a zero denominator — drop it; same guard on the class
+        # margin (a single-class corpus has nothing to contrast, and
+        # an unguarded den=0 division diverges between engines:
+        # Spark NULL vs DuckDB NaN)
+        .where(
+            (F.col("df_term") < F.col("n_total"))
+            & (F.col("n_class") < F.col("n_total"))
+        )
     )
     a = F.col("df_cell")
     b = F.col("df_term") - a

@@ -151,6 +151,37 @@ def interleave_sources(
     )
 
 
+def _boundary_expr(n_buckets: int, arr_col: str, n_col: str):
+    """n_buckets-1 type-1 sample-quantile boundaries as ONE array
+    Column, from a 1-row (sorted sample array, sample count)
+    aggregate — the shared sample-sort bucketing primitive
+    (percentile_rank and rank_correlation both cut on it)."""
+    return F.array(
+        *[
+            F.when(
+                F.col(n_col) > 0,
+                F.element_at(
+                    arr_col,
+                    (
+                        F.floor(F.lit(i / n_buckets) * (F.col(n_col) - 1))
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+            for i in range(1, n_buckets)
+        ]
+    )
+
+
+def _bucket_of(bounds_col: str, value_col: str):
+    """bucket(v) = #{boundaries <= v} via a broadcast array filter —
+    map-only; equal values always share a bucket (<= rule), so ties
+    never span buckets and rank decompositions stay exact."""
+    return F.size(
+        F.filter(F.col(bounds_col), lambda b: b <= F.col(value_col))
+    )
+
+
 def percentile_rank(
     df: DataFrame,
     value_col: str,
@@ -209,29 +240,13 @@ def percentile_rank(
         F.count(F.lit(1)).alias("__n"),
     )
     bounds = arr.select(
-        F.array(
-            *[
-                F.when(
-                    F.col("__n") > 0,
-                    F.element_at(
-                        "__arr",
-                        (
-                            F.floor(F.lit(i / n_buckets) * (F.col("__n") - 1))
-                            + 1
-                        ).cast("int"),
-                    ),
-                )
-                for i in range(1, n_buckets)
-            ]
-        ).alias("__bnds")
+        _boundary_expr(n_buckets, "__arr", "__n").alias("__bnds")
     )
     bucketed = rows.crossJoin(F.broadcast(bounds)).select(
         F.col(id_col),
         *gcols,
         F.col("__v"),
-        F.size(
-            F.filter(F.col("__bnds"), lambda b: b <= F.col("__v"))
-        ).alias("__bkt"),
+        _bucket_of("__bnds", "__v").alias("__bkt"),
     )
     hist = bucketed.groupBy(*gcols, "__bkt").agg(
         F.count(F.lit(1)).alias("__cnt")
@@ -268,62 +283,15 @@ def percentile_rank(
     )
 
 
-def _avg_rank2(
-    df: DataFrame,
-    value_col: str,
-    id_col: str,
-    n_buckets: int,
-    sample_k: int,
-    gcols: list[str],
-) -> DataFrame:
-    """Doubled tie-average rank of ``value_col`` (within each group
-    when ``gcols`` is non-empty) as an exact BIGINT:
+def _rank_from_buckets(bucketed: DataFrame, gcols: list[str]) -> DataFrame:
+    """Doubled tie-average rank from a pre-bucketed
+    (gcols…, __id, __v, __bkt) relation as an exact BIGINT:
     ar2(v) = 2·min_rank(v) + tie_count(v) − 1 (doubling keeps the
-    half-integer average exact). Same sample-sort decomposition as
-    percentile_rank — boundary buckets from a deterministic GLOBAL
-    bottom-k-by-md5(id) sample (boundaries only balance buckets;
-    per-group exactness never depends on them), rank = per-group
-    bucket offset + within-(group, bucket) rank, ties never span
-    buckets (boundaries compare <=), so no corpus- or group-wide
-    single-partition window anywhere. Emits (gcols…, id, ar2)."""
-    rows = df.select(
-        *gcols, F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
-    ).where(F.col("__v").isNotNull())
-    samp = (
-        rows.select("__v", F.md5(F.col("__id").cast("string")).alias("__h"))
-        .orderBy("__h", "__v")
-        .limit(sample_k)
-    )
-    arr = samp.agg(
-        F.array_sort(F.collect_list("__v")).alias("__arr"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    bounds = arr.select(
-        F.array(
-            *[
-                F.when(
-                    F.col("__n") > 0,
-                    F.element_at(
-                        "__arr",
-                        (
-                            F.floor(F.lit(i / n_buckets) * (F.col("__n") - 1))
-                            + 1
-                        ).cast("int"),
-                    ),
-                )
-                for i in range(1, n_buckets)
-            ]
-        ).alias("__bnds")
-    )
-    bucketed = rows.crossJoin(F.broadcast(bounds)).select(
-        *gcols,
-        "__id",
-        "__v",
-        F.size(
-            F.filter(F.col("__bnds"), lambda b: b <= F.col("__v"))
-        ).alias("__bkt"),
-    )
-    # value-grain counts: ties collapse BEFORE any window runs
+    half-integer average exact). rank = per-group bucket offset +
+    within-(group, bucket) rank at VALUE grain — ties collapse
+    before any window runs, and no corpus- or group-wide
+    single-partition window exists (the percentile_rank
+    decomposition). Emits (gcols…, __id, __ar2)."""
     vals = bucketed.groupBy(*gcols, "__bkt", "__v").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
@@ -392,15 +360,18 @@ def rank_correlation(
     engines (the exact_avg contract extended by sqrt, which IEEE 754
     requires correctly rounded).
 
-    Scale shape: each side's ranks use the percentile_rank
-    sample-sort decomposition (per-group bucket offsets +
-    within-(group, bucket) windows at VALUE grain — ties collapse
-    before any window runs, and no corpus- or group-wide
-    single-partition window exists); the two rank relations join
-    back on (group, id) (one co-partitioned shuffle) and reduce to a
-    groups-sized moment aggregate. The DuckDB oracle twin is the
-    naive single-sort RANK() formulation, which proves the
-    decomposition exact.
+    Scale shape: ONE deterministic bottom-k-by-md5(id) sample pass
+    yields BOTH sides' bucket boundaries (the shared
+    percentile_rank sample-sort primitives _boundary_expr /
+    _bucket_of), one map-only cross against the 1-row boundary pair
+    buckets both columns, and each side's ranks decompose via
+    _rank_from_buckets (per-group bucket offsets + VALUE-grain
+    within-bucket windows — ties collapse before any window, no
+    corpus- or group-wide single-partition window). The two rank
+    relations join back on (group, id) and reduce to a groups-sized
+    moment aggregate. The DuckDB oracle twin is the naive
+    single-sort RANK() formulation, which proves the decomposition
+    exact.
 
     Emits one row per group (ONE row when ungrouped):
     (group?, n_rows, rho). Rows with a NULL on either side are
@@ -408,14 +379,55 @@ def rank_correlation(
     with a constant side (zero rank variance).
     """
     gcols = [group_col] if group_col else []
-    both = df.where(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    rows = df.select(
+        *gcols,
+        F.col(id_col).alias("__id"),
+        F.col(x_col).alias("__vx"),
+        F.col(y_col).alias("__vy"),
+    ).where(F.col("__vx").isNotNull() & F.col("__vy").isNotNull())
+    samp = (
+        rows.select(
+            "__vx", "__vy", F.md5(F.col("__id").cast("string")).alias("__h")
+        )
+        .orderBy("__h", "__vx", "__vy")
+        .limit(sample_k)
     )
-    rx = _avg_rank2(both, x_col, id_col, n_buckets, sample_k, gcols)
-    ry = _avg_rank2(both, y_col, id_col, n_buckets, sample_k, gcols)
-    j = rx.withColumnRenamed("__ar2", "__x").join(
-        ry.withColumnRenamed("__ar2", "__y"), gcols + ["__id"]
+    arr = samp.agg(
+        F.array_sort(F.collect_list("__vx")).alias("__ax"),
+        F.array_sort(F.collect_list("__vy")).alias("__ay"),
+        F.count(F.lit(1)).alias("__n"),
     )
+    bounds = arr.select(
+        _boundary_expr(n_buckets, "__ax", "__n").alias("__bx"),
+        _boundary_expr(n_buckets, "__ay", "__n").alias("__by"),
+    )
+    bucketed = rows.crossJoin(F.broadcast(bounds)).select(
+        *gcols,
+        "__id",
+        "__vx",
+        "__vy",
+        _bucket_of("__bx", "__vx").alias("__bktx"),
+        _bucket_of("__by", "__vy").alias("__bkty"),
+    )
+    rx = _rank_from_buckets(
+        bucketed.select(
+            *gcols,
+            "__id",
+            F.col("__vx").alias("__v"),
+            F.col("__bktx").alias("__bkt"),
+        ),
+        gcols,
+    ).withColumnRenamed("__ar2", "__x")
+    ry = _rank_from_buckets(
+        bucketed.select(
+            *gcols,
+            "__id",
+            F.col("__vy").alias("__v"),
+            F.col("__bkty").alias("__bkt"),
+        ),
+        gcols,
+    ).withColumnRenamed("__ar2", "__y")
+    j = rx.join(ry, gcols + ["__id"])
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = j.groupBy(*gcols).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),

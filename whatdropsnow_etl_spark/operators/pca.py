@@ -19,7 +19,9 @@ a sample and never a corpus-sized collect:
 - accumulation is EXACT: coordinates are rounded to integer
   micro-units first (the label_centroids fixed-point trick), so
   products and sums are integers (DECIMAL(38,0) — overflow-free to
-  ~1e13 rows at unit-scale embeddings) and the resulting covariance
+  ~1e13 rows at unit-scale embeddings; per-chunk int64 partials are
+  row-bounded from each batch's max coordinate magnitude so they
+  can never wrap) and the resulting covariance
   is bit-identical across partitionings, retries and cluster sizes
   — no float-summation order dependence;
 - the driver solves the d×d eigenproblem (model-sized numpy
@@ -58,24 +60,45 @@ def pca_train(
     import numpy as np
     import pandas as pd
 
-    dim = len(
+    head = (
         corpus.select(F.col(vec_col)).where(F.col(vec_col).isNotNull())
-        .first()[0]
+        .first()
     )
+    if head is None:
+        raise ValueError(
+            f"pca_train: no non-NULL '{vec_col}' rows to train on"
+        )
+    dim = len(head[0])
 
     def partials(batches):
         for pdf in batches:
             vs = pdf["v"].to_numpy()
             X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
             Xi = np.rint(X * _MICRO).astype(np.int64)
-            g = (Xi.T @ Xi).reshape(-1)  # exact int64 per batch
-            s = Xi.sum(axis=0)
-            yield pd.DataFrame(
-                {
-                    "pos": range(dim * dim + dim + 1),
-                    "val": list(map(int, g)) + list(map(int, s)) + [len(Xi)],
-                }
-            )
+            # int64 Gram cells sum (coord·1e6)² over the chunk rows:
+            # bound the chunk so the per-cell sum stays < 2^62 even
+            # at this batch's max coordinate magnitude (unit-scale
+            # vectors allow ~4e6 rows/chunk; |coord|≈30 still ~500)
+            m = int(np.abs(Xi).max(initial=1)) or 1
+            if m * m > (1 << 62):
+                raise ValueError(
+                    "pca_train: coordinate magnitude exceeds the "
+                    "fixed-point exactness range (|x| > ~2e3); "
+                    "rescale the embeddings first"
+                )
+            rows_per_chunk = max(1, (1 << 62) // (m * m))
+            for lo in range(0, len(Xi), rows_per_chunk):
+                C = Xi[lo : lo + rows_per_chunk]
+                g = (C.T @ C).reshape(-1)  # exact int64 per chunk
+                s = C.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "pos": range(dim * dim + dim + 1),
+                        "val": list(map(int, g))
+                        + list(map(int, s))
+                        + [len(C)],
+                    }
+                )
 
     stats = (
         corpus.select(F.col(vec_col).alias("v"))
@@ -131,7 +154,9 @@ def pca_project(
 ) -> DataFrame:
     """Map-only projection onto trained axes: one fused
     ``(X - mean) @ W`` matmul per Arrow batch, model in the task
-    closure (the OPQ encode convention). Emits (id, out_col
+    closure (the OPQ encode convention). NULL vectors are dropped —
+    the same rows pca_train excludes, so train-then-project covers
+    exactly the trainable corpus. Emits (id, out_col
     array<double>)."""
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
@@ -148,7 +173,7 @@ def pca_project(
         P = (X - mean) @ Wm
         return pd.Series([[float(x) for x in row] for row in P])
 
-    return emb.select(
+    return emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _proj(F.col(vec_col)).alias(out_col)
     )
 

@@ -260,6 +260,18 @@ def kmv_count_distinct(
     relative error ~1/sqrt(k-2) (~6% at k=256).
     """
     regs = kmv_registers(df, group_cols, col, k)
+    return _kmv_estimate(regs, group_cols, k)
+
+
+def _kmv_estimate(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Shared estimator over a ranked KMV register relation
+    (__u, __rn): exact count below k, (k-1)/u_k at the cap — the
+    single place the estimate formula lives, used by both the direct
+    sketch and the merge rollup."""
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.max(F.when(F.col("__rn") == k, F.col("__u"))).alias("__uk"),
@@ -315,14 +327,4 @@ def kmv_merge_rollup(
         merged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
     )
-    agg = regs.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.max(F.when(F.col("__rn") == k, F.col("__u"))).alias("__uk"),
-    )
-    est = F.when(
-        F.col("__n") < k, F.col("__n").cast("double")
-    ).otherwise(F.lit(float(k - 1)) / F.col("__uk"))
-    return agg.select(
-        *group_cols,
-        F.round(est, 0).cast("long").alias("approx_distinct"),
-    )
+    return _kmv_estimate(regs, group_cols, k)
