@@ -2974,3 +2974,40 @@ def test_pca_train_partitioning_invariant(spark):
     assert sorted(map(tuple, c1.collect())) == sorted(
         map(tuple, c7.collect())
     )
+
+
+def test_pca_stats_merge_equals_direct(spark):
+    """Incremental PCA: per-slice sufficient-statistics relations
+    merged by union + sum equal the one-shot stats BIT-IDENTICALLY
+    (exact integer micro-unit sums), so pca_solve over merged daily
+    stats gives the same axes as retraining on all history."""
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators import (
+        pca_solve,
+        pca_sufficient_stats,
+        pca_train,
+    )
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    merged_stats = (
+        pca_sufficient_stats(half_a, dim=64)
+        .unionByName(pca_sufficient_stats(half_b, dim=64))
+        .groupBy("pos")
+        .agg(F.sum("t").alias("t"))
+    )
+    direct_stats = {
+        r["pos"]: int(r["t"])
+        for r in pca_sufficient_stats(emb, dim=64).collect()
+    }
+    merged = {r["pos"]: int(r["t"]) for r in merged_stats.collect()}
+    assert merged == direct_stats
+    # and the solved axes are identical to the one-shot trainer
+    comp_m, _ = pca_solve(merged_stats, 64, n_components=3, spark=spark)
+    comp_d, _ = pca_train(emb, n_components=3)
+    assert sorted(map(tuple, comp_m.collect())) == sorted(
+        map(tuple, comp_d.collect())
+    )

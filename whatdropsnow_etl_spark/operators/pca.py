@@ -46,29 +46,34 @@ from pyspark.sql import functions as F
 _MICRO = 1_000_000
 
 
-def pca_train(
+def pca_sufficient_stats(
     corpus: DataFrame,
-    n_components: int = 8,
     vec_col: str = "embedding",
-):
-    """Exact full-corpus PCA axes. Returns ``(components_df, model)``
-    where components_df is the model-sized relation (component INT
-    1-based, eigenvalue DOUBLE, vector ARRAY<DOUBLE>, mean
-    ARRAY<DOUBLE>) and ``model`` is the (mean, W) ndarray pair that
-    :func:`pca_project` closes over.
-    """
+    dim: int | None = None,
+) -> DataFrame:
+    """The mergeable half of PCA training: the (pos, t) sufficient-
+    statistics relation (d²+d+1 rows — flattened ΣxᵀX, Σx, n in
+    exact micro-unit DECIMAL(38,0)). Persist one per day/partition
+    as data lands, MERGE by union + groupBy(pos).sum — sums of exact
+    integers, so stats(day1) ⊕ stats(day2) is BIT-IDENTICAL to
+    sketching the union (pytest-pinned) — and re-solve axes with
+    :func:`pca_solve` whenever needed, never rescanning history:
+    the kmv/hll_merge_rollup incremental pattern applied to a
+    trained model."""
     import numpy as np
     import pandas as pd
 
-    head = (
-        corpus.select(F.col(vec_col)).where(F.col(vec_col).isNotNull())
-        .first()
-    )
-    if head is None:
-        raise ValueError(
-            f"pca_train: no non-NULL '{vec_col}' rows to train on"
+    if dim is None:
+        head = (
+            corpus.select(F.col(vec_col))
+            .where(F.col(vec_col).isNotNull())
+            .first()
         )
-    dim = len(head[0])
+        if head is None:
+            raise ValueError(
+                f"pca_sufficient_stats: no non-NULL '{vec_col}' rows"
+            )
+        dim = len(head[0])
 
     def partials(batches):
         for pdf in batches:
@@ -100,15 +105,57 @@ def pca_train(
                     }
                 )
 
-    stats = (
+    return (
         corpus.select(F.col(vec_col).alias("v"))
         .where(F.col("v").isNotNull())
         .mapInPandas(partials, "pos long, val long")
         .groupBy("pos")
         .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("t"))
-        .collect()
     )
-    acc = {r["pos"]: int(r["t"]) for r in stats}
+
+
+def pca_train(
+    corpus: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+):
+    """Exact full-corpus PCA axes. Returns ``(components_df, model)``
+    where components_df is the model-sized relation (component INT
+    1-based, eigenvalue DOUBLE, vector ARRAY<DOUBLE>, mean
+    ARRAY<DOUBLE>) and ``model`` is the (mean, W) ndarray pair that
+    :func:`pca_project` closes over. One-shot composition of
+    :func:`pca_sufficient_stats` + :func:`pca_solve`; incremental
+    pipelines call the two halves separately and merge stats
+    relations between them."""
+    head = (
+        corpus.select(F.col(vec_col)).where(F.col(vec_col).isNotNull())
+        .first()
+    )
+    if head is None:
+        raise ValueError(
+            f"pca_train: no non-NULL '{vec_col}' rows to train on"
+        )
+    dim = len(head[0])
+    stats = pca_sufficient_stats(corpus, vec_col=vec_col, dim=dim)
+    return pca_solve(stats, dim, n_components, spark=corpus.sparkSession)
+
+
+def pca_solve(
+    stats: DataFrame,
+    dim: int,
+    n_components: int = 8,
+    spark=None,
+):
+    """Solve PCA axes from a (possibly merged) sufficient-statistics
+    relation — the model-sized second half (d²+d+1-value collect +
+    driver eigh). Merge stats from slices with
+    ``union(...).groupBy("pos").agg(F.sum("t").alias("t"))``."""
+    import numpy as np
+
+    spark = spark or stats.sparkSession
+    acc = {r["pos"]: int(r["t"]) for r in stats.collect()}
+    if not acc:
+        raise ValueError("pca_solve: empty sufficient-statistics relation")
     n = acc[dim * dim + dim]
     G = np.array(
         [acc[i] for i in range(dim * dim)], dtype=np.float64
@@ -128,7 +175,6 @@ def pca_train(
         if W[i, j] < 0:
             W[:, j] = -W[:, j]
     lam = evals[order]
-    spark = corpus.sparkSession
     comp = spark.createDataFrame(
         [
             (
