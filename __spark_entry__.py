@@ -2084,11 +2084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design: 20-iteration distributed GD has no SQL
         # twin; partitioning-invariance + numpy GD pytest-pinned
         "quality_lr": _quality_lr,
-        # r3-green spill (locally parity-checked each round)
+        # r3-green spill (locally parity-checked each round) —
+        # daily_active_users is NOT repeated here: it occupies a
+        # gate-window slot above (dict literals silently drop
+        # duplicate keys; test_no_duplicate_registry_keys pins this)
         "source_overlap_matrix": _source_overlap_matrix,
         "event_transitions": _event_transitions,
         "sampled_quantiles": _sampled_quantiles,
-        "daily_active_users": _daily_active_users,
         "sliding_window_agg": _sliding_window_agg,
         "value_histogram": _value_histogram,
         "vocab_coverage": _vocab_coverage,

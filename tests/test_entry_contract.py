@@ -126,3 +126,31 @@ def test_every_query_has_a_survey_row():
     ).read()
     missing = [n for n in entrymod.queries() if f"`{n}`" not in survey]
     assert not missing, f"queries with no SURVEY.md row: {missing}"
+
+
+def test_no_duplicate_registry_keys():
+    """Python dict literals silently drop duplicate keys (a duplicate
+    shifts every later entry's gate-window slot by one with no
+    runtime signal — found live in r5). Parse the source and assert
+    every string key in queries()'s dict literal is unique."""
+    import ast
+    import os
+
+    src = open(
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    ).read()
+    tree = ast.parse(src)
+    qfn = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "queries"
+    )
+    for node in ast.walk(qfn):
+        if isinstance(node, ast.Dict):
+            keys = [
+                k.value
+                for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate registry keys: {dupes}"

@@ -3011,3 +3011,49 @@ def test_pca_stats_merge_equals_direct(spark):
     assert sorted(map(tuple, comp_m.collect())) == sorted(
         map(tuple, comp_d.collect())
     )
+
+
+def test_resize_bmp24_topdown_orientation():
+    """A top-down BMP (negative biHeight) resized 1:1 must render the
+    SAME visual image as its bottom-up twin — the output header
+    declares bottom-up, so the row order must flip for top-down
+    sources (a non-flipped encode renders vertically mirrored)."""
+    import struct
+
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_bmp24,
+        resize_bmp24_nearest,
+    )
+
+    w = h = 4
+    # visual image: row 0 (top) all-red, the rest all-blue (BGR order)
+    vis = np.zeros((h, w, 3), dtype=np.uint8)
+    vis[0, :, 2] = 255  # top row red
+    vis[1:, :, 0] = 255  # others blue
+    stride_pad = (-(w * 3)) % 4
+
+    def encode(rows_top_first, signed_h):
+        pixel = b"".join(
+            r.tobytes() + b"\x00" * stride_pad for r in rows_top_first
+        )
+        off = 14 + 40
+        return (
+            struct.pack("<2sIHHI", b"BM", off + len(pixel), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, signed_h, 1, 24, 0, len(pixel),
+                2835, 2835, 0, 0,
+            )
+            + pixel
+        )
+
+    bottom_up = encode(list(vis[::-1]), h)     # stored bottom-first
+    top_down = encode(list(vis), -h)           # stored top-first
+    out_bu = resize_bmp24_nearest(bottom_up, w, h)
+    out_td = resize_bmp24_nearest(top_down, w, h)
+    # both outputs are bottom-up encodings of the SAME visual image
+    assert out_bu[14 + 40:] == out_td[14 + 40:]
+    # and the decoded top row is the red one in both
+    d = decode_bmp24(out_td)
+    assert d is not None

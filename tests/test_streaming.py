@@ -1377,3 +1377,134 @@ def test_drift_gate_distribution_shift(spark, tmp_path):
     assert {r.event_id for r in quar.select("event_id").collect()} == set(
         range(200, 280)
     )
+
+
+def test_manifest_sink_ledger_survives_vacuum(spark, tables, tmp_path):
+    """The idempotence ledger is the cumulative max_batch_id in the
+    LATEST manifest's meta: after vacuum(keep_last=1) removes old
+    manifests, a replayed old batch id is still skipped — and the
+    committed-test never rescans history (O(1) via latest_meta)."""
+    from whatdropsnow_etl_spark.sinks.manifest import (
+        current_version,
+        latest_meta,
+        read_version,
+        vacuum,
+    )
+    from whatdropsnow_etl_spark.streaming import ManifestStreamSink
+
+    path = str(tmp_path / "mvac")
+    sink = ManifestStreamSink(path)
+    ev = tables["events"].select("event_id", "event_type").limit(30)
+    b0 = ev.limit(10)
+    b1 = ev.limit(20)
+    sink(b0, 0)
+    sink(b1, 1)
+    assert latest_meta(path)["max_batch_id"] == 1
+    n_before = read_version(spark, path).count()
+    vacuum(path, keep_last=1)
+    assert current_version(path) == 2  # latest manifest retained
+    # replay of batch 0 (older than the vacuumed ledger window under
+    # the old set-based scheme) must STILL be a no-op
+    sink(b0, 0)
+    assert current_version(path) == 2
+    assert read_version(spark, path).count() == n_before
+    # a genuinely new batch commits and carries the ledger forward
+    sink(ev.limit(5), 2)
+    assert latest_meta(path)["max_batch_id"] == 2
+
+
+def test_manifest_commit_never_leaves_tmp_or_empty_file(spark, tables, tmp_path):
+    """The link(2) publish: after any commit the directory holds no
+    .tmp residue and every manifest parses as complete JSON (the
+    earlier O_CREAT+replace sequence could expose a zero-byte
+    manifest; a crash there bricked the table)."""
+    import json
+    import os
+
+    from whatdropsnow_etl_spark.sinks.manifest import commit_write
+
+    path = str(tmp_path / "mlink")
+    ev = tables["events"].select("event_id").limit(5)
+    commit_write(ev, path, mode="overwrite")
+    commit_write(ev, path, mode="append")
+    names = os.listdir(path)
+    assert not [n for n in names if n.endswith(".tmp")]
+    for n in names:
+        if n.startswith("manifest-"):
+            with open(os.path.join(path, n)) as fh:
+                m = json.load(fh)  # parses — never zero-byte
+            assert m["files"]
+
+
+def test_drift_gate_shift_only_config_not_inert(spark, tmp_path):
+    """A shift-only configuration (cols=[], shift_cols=['value'])
+    must still quarantine on a distribution shift — the old
+    `drifted and base` condition silently disabled every gate when
+    the null-profile baseline was empty."""
+    from whatdropsnow_etl_spark.streaming import DriftGatedSink
+
+    sink = DriftGatedSink(
+        spark,
+        path=str(tmp_path / "clean2"),
+        quarantine_path=str(tmp_path / "quar2"),
+        cols=[],
+        shift_cols=["value"],
+        shift_id_col="event_id",
+        max_share_l1=0.6,
+        shift_bins=4,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "event_id bigint, value double")
+    uniform = lambda lo, n, start: [
+        (start + i, float(lo + (i % 40))) for i in range(n)
+    ]
+    sink(mk(uniform(0, 80, 0)), 0)    # bootstraps boundaries+counts
+    sink(mk(uniform(0, 80, 100)), 1)  # baseline-like: appends
+    sink(mk(uniform(1000, 80, 200)), 2)  # shifted: MUST quarantine
+    assert sink.n_quarantined == 1
+    assert sink.n_appended == 2
+
+
+def test_drift_gate_quarantined_batch_cannot_freeze_boundaries(spark, tmp_path):
+    """Shift boundaries bootstrap from the first ACCEPTED batch: a
+    batch quarantined by the null gate before any boundaries exist
+    must not persist its (corrupted) value distribution as the
+    frozen binning."""
+    import os
+
+    from whatdropsnow_etl_spark.streaming import DriftGatedSink
+
+    state = str(tmp_path / "state3")
+    sink = DriftGatedSink(
+        spark,
+        path=str(tmp_path / "clean3"),
+        quarantine_path=str(tmp_path / "quar3"),
+        cols=["value"],
+        shift_cols=["value"],
+        shift_id_col="event_id",
+        state_path=state,
+        max_null_rate_jump=0.2,
+        shift_bins=4,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "event_id bigint, value double")
+    # batch 0: clean — establishes the null baseline AND the frozen
+    # boundaries from values 0..39
+    sink(mk([(i, float(i % 40)) for i in range(80)]), 0)
+    assert os.path.exists(sink.bnds_path)
+    bnds_before = sink._stored_boundaries()["value"]
+    # wipe the boundary store to simulate enabling shift_cols later:
+    # the next batch is null-flooded AND value-corrupted — it must be
+    # quarantined and must NOT freeze boundaries from its values
+    import shutil
+
+    shutil.rmtree(sink.bnds_path)
+    bad = mk(
+        [(200 + i, None) for i in range(40)]
+        + [(300 + i, 99999.0) for i in range(40)]
+    )
+    sink(bad, 1)
+    assert sink.n_quarantined == 1
+    assert not os.path.exists(sink.bnds_path)
+    # a following clean batch re-bootstraps sane boundaries
+    sink(mk([(400 + i, float(i % 40)) for i in range(80)]), 2)
+    assert sink.n_appended == 2
+    assert sink._stored_boundaries()["value"] == bnds_before

@@ -122,6 +122,7 @@ def resize_bmp24_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
     )
     if bpp != 24 or comp != 0:
         raise NotImplementedError("only uncompressed 24-bit BMP")
+    top_down = height < 0
     height = abs(height)
     stride = (width * 3 + 3) // 4 * 4
     px = (
@@ -132,6 +133,11 @@ def resize_bmp24_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
     ys = (np.arange(out_h) * height) // out_h
     xs = (np.arange(out_w) * width) // out_w
     out = px[ys][:, xs]  # nearest-neighbor gather
+    if top_down:
+        # input rows were stored top-first (negative biHeight); the
+        # output header declares bottom-up, so flip — otherwise a
+        # top-down source renders vertically mirrored
+        out = out[::-1]
     out_stride_pad = (-(out_w * 3)) % 4
     rows = [
         out[y].tobytes() + b"\x00" * out_stride_pad for y in range(out_h)

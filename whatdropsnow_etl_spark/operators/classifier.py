@@ -115,7 +115,15 @@ def lr_train(
     feat = src.select(
         *[expr.alias(c) for c, expr in feature_exprs.items()],
         label_expr.cast("double").alias("__y"),
-    ).persist()
+    )
+    # rows with an undefined feature (e.g. punct_ratio = x/0 -> NULL
+    # on an empty doc) or label are EXCLUDED from training: F.sum
+    # skips NULLs but counts would include the rows, silently biasing
+    # the standardization stats and every gradient's divisor
+    cond = F.col("__y").isNotNull()
+    for c in names:
+        cond = cond & F.col(c).isNotNull()
+    feat = feat.where(cond).persist()
     try:
         stats = _exact_mean_std(feat, names)
         std_cols = [
@@ -190,6 +198,10 @@ def quality_lr(
     training is bit-deterministic, so the scores are too (rows-only
     registry entry by design: the 30-iteration loop has no SQL twin;
     pytest pins partitioning-invariance and a numpy GD reference).
+    Docs whose features are undefined (empty text makes punct_ratio
+    x/0 -> NULL) are excluded from TRAINING (lr_train's NULL filter)
+    and emit score_micro NULL here — explicitly unscoreable, never a
+    silently-biased gradient.
     """
     from .textops import gopher_rules
 

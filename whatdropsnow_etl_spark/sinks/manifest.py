@@ -23,8 +23,9 @@ Scale: the manifest is file-list-sized (not data-sized); commits
 are O(1) renames. On a real object store the atomic-rename step maps
 to a conditional PUT of the version pointer — the protocol shape is
 identical. Concurrent WRITERS are serialized by the version-file
-create (``open(..., 'x')`` — fails rather than clobbers); this is
-single-writer-per-version, the same contract as a Delta log commit.
+link (``os.link`` — fails rather than clobbers, and the name appears
+only WITH its full content); this is single-writer-per-version, the
+same contract as a Delta log commit.
 """
 
 from __future__ import annotations
@@ -143,11 +144,16 @@ def commit_write(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     final = _manifest_path(path, version)
-    # single-writer-per-version: losing a race raises instead of
-    # clobbering the winner's commit
-    fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.close(fd)
-    os.replace(tmp, final)
+    # single-writer-per-version AND all-or-nothing publish: link(2)
+    # makes the final name appear atomically WITH its full content
+    # (an earlier O_CREAT+replace sequence exposed a zero-byte
+    # manifest between the two syscalls — a crash there bricked the
+    # table) and raises FileExistsError if a racing writer already
+    # claimed this version, instead of clobbering its commit
+    try:
+        os.link(tmp, final)
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -190,6 +196,19 @@ def read_version(
     return df
 
 
+def latest_meta(path: str) -> dict | None:
+    """The CURRENT version's meta dict (None for an empty table) —
+    the O(1) read the streaming sinks' idempotence check uses: each
+    sink commit records a cumulative ``max_batch_id`` there, so the
+    skip decision never rescans the whole manifest history and
+    survives ``vacuum`` (the latest manifest is always retained)."""
+    v = current_version(path)
+    if v is None:
+        return None
+    with open(_manifest_path(path, v)) as fh:
+        return json.load(fh).get("meta", {})
+
+
 def committed_meta(path: str) -> list[dict]:
     """All retained manifests' meta dicts, oldest first — the
     idempotence ledger for streaming replays."""
@@ -209,7 +228,15 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Drop data files referenced by NO retained manifest (the last
     ``keep_last`` versions survive; older manifests are removed).
     Returns the deleted file paths. Safe to run concurrently with
-    readers of retained versions — only unreferenced files go."""
+    readers of retained versions — only unreferenced files go.
+
+    Streaming-replay note: the streaming sinks' idempotence ledger
+    is the cumulative ``max_batch_id`` carried in EVERY sink
+    commit's meta, so vacuuming old manifests does not shrink it
+    (the latest manifest always survives). Only a pre-upgrade table
+    whose manifests carry bare ``batch_id`` entries loses ledger
+    depth to vacuum — re-commit once with a current sink to migrate.
+    """
     latest = current_version(path)
     if latest is None:
         return []

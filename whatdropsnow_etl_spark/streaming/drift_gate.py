@@ -172,17 +172,28 @@ class DriftGatedSink:
                 out[c] = est[c] / rows
         return out
 
-    def _shift_boundaries(self, batch_df: DataFrame) -> dict[str, list[int]]:
-        """Frozen per-column bin boundaries; bootstrapped from the
-        first accepted batch via the quantile_bucketize sample
-        contract (bottom-k by md5(id), type-1 quantiles)."""
-        if os.path.exists(self.bnds_path):
-            rows = self.spark.read.parquet(self.bnds_path).collect()
-            return {r["column"]: list(r["bnds"]) for r in rows}
+    def _stored_boundaries(self) -> dict[str, list[int]]:
+        """Per-column frozen bin boundaries already persisted (from
+        prior ACCEPTED batches)."""
+        if not os.path.exists(self.bnds_path):
+            return {}
+        rows = self.spark.read.parquet(self.bnds_path).collect()
+        return {r["column"]: list(r["bnds"]) for r in rows}
+
+    def _compute_boundaries(
+        self, batch_df: DataFrame, cols: list[str]
+    ) -> dict[str, list[int]]:
+        """Bin boundaries for ``cols`` from THIS batch (the
+        quantile_bucketize sample contract: bottom-k by md5(id),
+        type-1 quantiles). Pure compute — persistence happens only
+        on the ACCEPT path, so a quarantined batch can never freeze
+        corrupted boundaries (and a column all-NULL in one batch is
+        simply retried on the next accepted one, not silently
+        excluded forever)."""
         from ..operators.quantiles import _bottom_k_cents
 
         out = {}
-        for c in self.shift_cols:
+        for c in cols:
             [arr] = _bottom_k_cents(
                 batch_df, c, self.shift_id_col, 1024, 100
             ).collect()
@@ -193,11 +204,13 @@ class DriftGatedSink:
                 vals[int((i / self.shift_bins) * (n - 1))]
                 for i in range(1, self.shift_bins)
             ]
+        return out
+
+    def _persist_boundaries(self, bnds: dict[str, list[int]]) -> None:
         self.spark.createDataFrame(
-            [(c, b) for c, b in out.items()],
+            [(c, b) for c, b in bnds.items()],
             "column string, bnds array<bigint>",
         ).coalesce(1).write.mode("overwrite").parquet(self.bnds_path)
-        return out
 
     def _shift_counts(
         self, batch_df: DataFrame, bnds: dict[str, list[int]]
@@ -284,9 +297,14 @@ class DriftGatedSink:
                     if batch_uni < self.min_uniqueness_vs_baseline * bu:
                         drifted.append(c)
         shift_bnds: dict[str, list[int]] = {}
+        fresh_bnds: dict[str, list[int]] = {}
         batch_counts: dict[str, list[int]] = {}
         if self.shift_cols:
-            shift_bnds = self._shift_boundaries(batch_df)
+            stored = self._stored_boundaries()
+            missing = [c for c in self.shift_cols if c not in stored]
+            if missing:
+                fresh_bnds = self._compute_boundaries(batch_df, missing)
+            shift_bnds = {**stored, **fresh_bnds}
             batch_counts = self._shift_counts(batch_df, shift_bnds)
             shift_base = self._shift_baseline()
             for c, counts in batch_counts.items():
@@ -301,7 +319,12 @@ class DriftGatedSink:
                 )
                 if l1 > self.max_share_l1:
                     drifted.append(c)
-        if drifted and base:
+        # every gate contributor self-guards on ITS baseline (null:
+        # col in base; uniqueness: base_uni non-empty; shift: column
+        # in shift_base), so an empty null-profile baseline must not
+        # suppress the others — `drifted and base` once made a
+        # shift-only configuration silently inert
+        if drifted:
             batch_df.write.mode("append").parquet(self.quarantine_path)
             self.n_quarantined += 1
             self._record_batch_id(batch_id)
@@ -332,6 +355,10 @@ class DriftGatedSink:
             self.spark.createDataFrame(
                 merged_regs, "column string, __reg bigint, __rho int"
             ).coalesce(1).write.mode("overwrite").parquet(self.reg_path)
+        if fresh_bnds:
+            # boundaries freeze only from an ACCEPTED batch — the
+            # documented "first accepted batch" bootstrap contract
+            self._persist_boundaries({**self._stored_boundaries(), **fresh_bnds})
         if self.shift_cols and batch_counts:
             shift_base = self._shift_baseline()
             merged_counts = [

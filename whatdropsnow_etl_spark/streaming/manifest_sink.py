@@ -25,7 +25,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..sinks.manifest import commit_write, committed_meta
+from ..sinks.manifest import commit_write, committed_meta, latest_meta
+
+
+def _max_committed_batch_id(path: str) -> int:
+    """O(1) idempotence ledger: the cumulative ``max_batch_id`` the
+    sinks record in every manifest's meta. foreachBatch ids are
+    monotone within a checkpoint and only the most recent batch is
+    ever redelivered, so ``batch_id <= max`` IS the committed test —
+    without rescanning every retained manifest per batch (O(V²) over
+    a stream's life) and robust to ``vacuum`` dropping old manifests
+    (the latest one always survives). Tables written before this
+    field existed (or with interleaved manual commits) fall back to
+    the full ledger scan once."""
+    m = latest_meta(path)
+    if m is None:
+        return -1
+    if "max_batch_id" in m:
+        return int(m["max_batch_id"])
+    ids = [
+        x["batch_id"] for x in committed_meta(path) if "batch_id" in x
+    ]
+    return max(ids) if ids else -1
 
 
 class ManifestStreamSink:
@@ -34,16 +55,14 @@ class ManifestStreamSink:
     def __init__(self, path: str):
         self.path = path
 
-    def _committed_batch_ids(self) -> set[int]:
-        return {
-            m["batch_id"] for m in committed_meta(self.path) if "batch_id" in m
-        }
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self._committed_batch_ids():
+        if batch_id <= _max_committed_batch_id(self.path):
             return  # redelivery of an already-published batch
         commit_write(
-            batch_df, self.path, mode="append", meta={"batch_id": batch_id}
+            batch_df,
+            self.path,
+            mode="append",
+            meta={"batch_id": batch_id, "max_batch_id": batch_id},
         )
 
 
@@ -75,20 +94,15 @@ class ManifestMergeStreamSink:
         self.keys = keys
         self.order_col = order_col
 
-    def _committed_batch_ids(self) -> set[int]:
-        return {
-            m["batch_id"] for m in committed_meta(self.path) if "batch_id" in m
-        }
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..sinks.manifest import merge_write
 
-        if batch_id in self._committed_batch_ids():
+        if batch_id <= _max_committed_batch_id(self.path):
             return
         merge_write(
             batch_df,
             self.path,
             keys=self.keys,
             order_col=self.order_col,
-            meta={"batch_id": batch_id},
+            meta={"batch_id": batch_id, "max_batch_id": batch_id},
         )
