@@ -3293,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, event_id,
                  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
           FROM events
+          WHERE value IS NOT NULL
         ), r AS (
           SELECT event_type, cents,
                  ROW_NUMBER() OVER (PARTITION BY event_type
@@ -3663,6 +3664,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, event_id,
                  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
           FROM events
+          WHERE value IS NOT NULL
         ), r AS (
           SELECT event_type, cents,
                  ROW_NUMBER() OVER (PARTITION BY event_type
@@ -4744,6 +4746,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT lang, CAST(n_chars AS BIGINT) AS c,
                  CAST(n_chars AS BIGINT) AS w
           FROM documents
+          WHERE n_chars IS NOT NULL
         ), cw AS (
           SELECT lang, c,
                  SUM(w) OVER (PARTITION BY lang ORDER BY c
@@ -4765,14 +4768,14 @@ def oracle_sql() -> dict[str, str]:
                  COUNT(*) AS n
           FROM events GROUP BY 1, 2
         ), bounds AS (
-          SELECT (MIN(epoch_us(ts)) // 3600000000) * 3600000000 AS lo,
-                 (MAX(epoch_us(ts)) // 3600000000) * 3600000000 AS hi
-          FROM events
+          SELECT event_type,
+                 MIN(hour_start_us) AS lo, MAX(hour_start_us) AS hi
+          FROM counts GROUP BY 1
         ), spine AS (
-          SELECT t.event_type,
+          SELECT event_type,
                  CAST(unnest(range(lo, hi + 3600000000, 3600000000))
                       AS BIGINT) AS hour_start_us
-          FROM (SELECT DISTINCT event_type FROM events) t, bounds
+          FROM bounds
         ), dense AS (
           SELECT s.event_type, s.hour_start_us,
                  COALESCE(c.n, 0) AS n_events
@@ -4891,6 +4894,7 @@ def oracle_sql() -> dict[str, str]:
         WITH c AS (
           SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
           FROM events
+          WHERE value IS NOT NULL
         ), r AS (
           SELECT event_type, cents,
                  ROW_NUMBER() OVER (PARTITION BY event_type
@@ -5529,24 +5533,24 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY event_type ORDER BY h)
         ), per AS (
           SELECT event_type,
-            COUNT(l1) AS n1,
-            CAST(SUM(CASE WHEN l1 IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx1,
-            CAST(SUM(l1) AS DECIMAL(38,0)) AS sy1,
+            COUNT(CASE WHEN l1 IS NOT NULL AND svc IS NOT NULL THEN 1 END) AS n1,
+            CAST(SUM(CASE WHEN l1 IS NOT NULL AND svc IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx1,
+            CAST(SUM(CASE WHEN svc IS NOT NULL THEN l1 END) AS DECIMAL(38,0)) AS sy1,
             CAST(SUM(svc * l1) AS DECIMAL(38,0)) AS sxy1,
-            CAST(SUM(CASE WHEN l1 IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx1,
-            CAST(SUM(l1 * l1) AS DECIMAL(38,0)) AS syy1,
-            COUNT(l2) AS n2,
-            CAST(SUM(CASE WHEN l2 IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx2,
-            CAST(SUM(l2) AS DECIMAL(38,0)) AS sy2,
+            CAST(SUM(CASE WHEN l1 IS NOT NULL AND svc IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx1,
+            CAST(SUM(CASE WHEN svc IS NOT NULL THEN l1 * l1 END) AS DECIMAL(38,0)) AS syy1,
+            COUNT(CASE WHEN l2 IS NOT NULL AND svc IS NOT NULL THEN 1 END) AS n2,
+            CAST(SUM(CASE WHEN l2 IS NOT NULL AND svc IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx2,
+            CAST(SUM(CASE WHEN svc IS NOT NULL THEN l2 END) AS DECIMAL(38,0)) AS sy2,
             CAST(SUM(svc * l2) AS DECIMAL(38,0)) AS sxy2,
-            CAST(SUM(CASE WHEN l2 IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx2,
-            CAST(SUM(l2 * l2) AS DECIMAL(38,0)) AS syy2,
-            COUNT(l3) AS n3,
-            CAST(SUM(CASE WHEN l3 IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx3,
-            CAST(SUM(l3) AS DECIMAL(38,0)) AS sy3,
+            CAST(SUM(CASE WHEN l2 IS NOT NULL AND svc IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx2,
+            CAST(SUM(CASE WHEN svc IS NOT NULL THEN l2 * l2 END) AS DECIMAL(38,0)) AS syy2,
+            COUNT(CASE WHEN l3 IS NOT NULL AND svc IS NOT NULL THEN 1 END) AS n3,
+            CAST(SUM(CASE WHEN l3 IS NOT NULL AND svc IS NOT NULL THEN svc END) AS DECIMAL(38,0)) AS sx3,
+            CAST(SUM(CASE WHEN svc IS NOT NULL THEN l3 END) AS DECIMAL(38,0)) AS sy3,
             CAST(SUM(svc * l3) AS DECIMAL(38,0)) AS sxy3,
-            CAST(SUM(CASE WHEN l3 IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx3,
-            CAST(SUM(l3 * l3) AS DECIMAL(38,0)) AS syy3
+            CAST(SUM(CASE WHEN l3 IS NOT NULL AND svc IS NOT NULL THEN svc * svc END) AS DECIMAL(38,0)) AS sxx3,
+            CAST(SUM(CASE WHEN svc IS NOT NULL THEN l3 * l3 END) AS DECIMAL(38,0)) AS syy3
           FROM lagged GROUP BY event_type
         ), stacked AS (
           SELECT event_type, 1 AS lag, n1 AS n_pairs,

@@ -3057,3 +3057,25 @@ def test_resize_bmp24_topdown_orientation():
     # and the decoded top row is the red one in both
     d = decode_bmp24(out_td)
     assert d is not None
+
+
+def test_sparse_cosine_join_string_ids_take_sparse_path(spark):
+    """Non-integral doc ids: auto mode must fall back to the sparse
+    path (the dense tile kernel is int64-only) and produce the same
+    pairs with the id type preserved; an explicit dense ask raises a
+    clear ValueError instead of a numpy crash in the executor."""
+    import pytest
+
+    from whatdropsnow_etl_spark.operators import sparse_cosine_join
+
+    rows = [
+        ("doc-a", "spark shuffle join"),
+        ("doc-b", "spark shuffle join"),
+        ("doc-c", "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = sparse_cosine_join(df, threshold=(9, 10), mode="auto").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {("doc-a", "doc-b")}
+    assert isinstance(out[0]["doc_a"], str)
+    with pytest.raises(ValueError, match="integral id"):
+        sparse_cosine_join(df, threshold=(9, 10), mode="dense")

@@ -81,6 +81,25 @@ def sparse_cosine_join(
         .groupBy("__doc", "__term")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )
+    # the dense tile kernel materializes doc ids as int64 numpy
+    # arrays (and declares a bigint output schema): non-integral id
+    # columns must take the sparse path — auto falls back silently,
+    # an explicit dense ask fails loudly instead of crashing inside
+    # the executor with a numpy conversion error
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_integral = isinstance(
+        df.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    if mode == "dense" and not id_integral:
+        raise ValueError(
+            f"mode='dense' requires an integral id column; "
+            f"{id_col!r} is {df.schema[id_col].dataType.simpleString()}"
+            " — use mode='sparse'"
+        )
+    if mode == "auto" and not id_integral:
+        mode = "sparse"
     if mode in ("auto", "dense"):
         # these paths run 3-4 separate jobs over the postings (vocab
         # probe, vocab collect, doc count, the tile job) — pin the

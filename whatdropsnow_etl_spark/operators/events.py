@@ -366,6 +366,10 @@ def value_histogram(
     """
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
     width_cents = int(round(bin_width * 100))
+    if width_cents <= 0:
+        raise ValueError(
+            f"bin_width must be >= 0.005 (one cent), got {bin_width}"
+        )
     bin_id = F.floor(cents / width_cents).cast("bigint")
     return (
         events.select(bin_id.alias("bin_id"))
@@ -414,23 +418,21 @@ def event_rate_spikes(
         .groupBy(type_col, "hour_start_us")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    bounds = events.agg(
-        (F.floor(F.min(ts_micros(F.col(ts_col))) / hour_us) * hour_us)
-        .cast("bigint")
-        .alias("__lo"),
-        (F.floor(F.max(ts_micros(F.col(ts_col))) / hour_us) * hour_us)
-        .cast("bigint")
-        .alias("__hi"),
+    # PER-TYPE bounds, rolled up from the calendar-sized counts
+    # relation (no second corpus scan for the type list): a type
+    # launched mid-corpus densifies only over ITS OWN life, so its
+    # launch ramp isn't compared against pre-launch zero-fill (the
+    # global-bounds form flagged every early hour of a new type as
+    # a spike)
+    bounds = counts.groupBy(type_col).agg(
+        F.min("hour_start_us").alias("__lo"),
+        F.max("hour_start_us").alias("__hi"),
     )
-    spine = (
-        events.select(type_col).distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            type_col,
-            F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(hour_us))
-            ).alias("hour_start_us"),
-        )
+    spine = bounds.select(
+        type_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(hour_us))
+        ).alias("hour_start_us"),
     )
     dense = spine.join(counts, [type_col, "hour_start_us"], "left").select(
         type_col,
@@ -488,6 +490,16 @@ def funnel_within(
     corpus-wide window); the deadline is one extra predicate on the
     already-joined pair. Emits (stage_idx, stage, n_users),
     monotonically non-increasing.
+
+    Anchoring contract — FIRST-TOUCH: each stage's entry is the
+    EARLIEST qualifying event (the Amplitude-style convention, and
+    what the DuckDB twin computes). This is deliberately NOT
+    exists-any-compliant-chain semantics: a user whose early stage-i
+    event expires the window but whose LATER stage-i event would
+    have chained through is not counted ("did the user convert
+    within 24 h of their first click", not "of any click"). The
+    any-chain variant needs a per-user sequential scan; first-touch
+    is a per-stage aggregate.
     """
     n, unit = within.split()
     _us = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
@@ -572,22 +584,29 @@ def trend_report(
     anchored = daily.withColumn(
         "__x", (F.col("__day") - F.min("__day").over(w)).cast("long")
     )
+    # moment sums and the num/den products run in DECIMAL(38,0) (the
+    # hourly_acf convention): n_days·Σxy at "years of history,
+    # billions of events/day" scale exceeds BIGINT, and Spark 4's
+    # default ANSI mode turns that silent wrap into a job-killing
+    # overflow — the final cast back to BIGINT is safe for any
+    # emit-able slope fraction (document: |num| < 9.2e18)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = anchored.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("__y").alias("sum_count"),
         F.sum("__x").alias("__sx"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(dec("__x") * dec("__x")).alias("__sxx"),
+        F.sum(dec("__x") * dec("__y")).alias("__sxy"),
     )
     return agg.select(
         F.col("grp").alias(group_col),
         F.col("n_days").cast("bigint").alias("n_days"),
         F.col("sum_count").cast("bigint").alias("sum_count"),
         (
-            F.col("n_days") * F.col("__sxy") - F.col("__sx") * F.col("sum_count")
+            dec("n_days") * F.col("__sxy") - dec("__sx") * dec("sum_count")
         ).cast("bigint").alias("slope_num"),
         (
-            F.col("n_days") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+            dec("n_days") * F.col("__sxx") - dec("__sx") * dec("__sx")
         ).cast("bigint").alias("slope_den"),
     )
 
@@ -763,14 +782,21 @@ def hourly_acf(
     aggs = []
     for k in range(1, lags + 1):
         lk = F.col(f"__l{k}")
-        x = F.when(lk.isNotNull(), F.col("__svc"))
+        # a pair exists only when BOTH ends are non-NULL (an hour
+        # whose events all carry NULL value sums to a NULL __svc):
+        # gating every aggregate on the same condition keeps n_pairs
+        # consistent with the sums — a one-sided count silently
+        # corrupted cov = n·sxy − sx·sy
+        valid = lk.isNotNull() & F.col("__svc").isNotNull()
+        x = F.when(valid, F.col("__svc"))
+        y = F.when(valid, lk)
         aggs += [
-            F.count(lk).alias(f"n{k}"),
+            F.count(y).alias(f"n{k}"),
             F.sum(x).cast("decimal(38,0)").alias(f"sx{k}"),
-            F.sum(lk).cast("decimal(38,0)").alias(f"sy{k}"),
-            F.sum(x * lk).cast("decimal(38,0)").alias(f"sxy{k}"),
+            F.sum(y).cast("decimal(38,0)").alias(f"sy{k}"),
+            F.sum(x * y).cast("decimal(38,0)").alias(f"sxy{k}"),
             F.sum(x * x).cast("decimal(38,0)").alias(f"sxx{k}"),
-            F.sum(lk * lk).cast("decimal(38,0)").alias(f"syy{k}"),
+            F.sum(y * y).cast("decimal(38,0)").alias(f"syy{k}"),
         ]
     per_type = lagged.groupBy("event_type").agg(*aggs)
 
@@ -839,9 +865,11 @@ def densify_hours(
     bounds = hourly.agg(
         F.min("__h").alias("__mn"), F.max("__h").alias("__mx")
     )
-    types = events.select(
-        F.col(type_col).alias("event_type")
-    ).distinct()
+    # type list from the calendar-sized hourly relation (its exchange
+    # is already materialized for the join side) — the aggregate
+    # drops no types, and a second corpus-wide distinct() scan is
+    # pure waste at the module's design scale
+    types = hourly.select("event_type").distinct()
     spine = (
         types.crossJoin(F.broadcast(bounds))
         .select(

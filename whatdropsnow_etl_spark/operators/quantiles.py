@@ -48,6 +48,11 @@ def exact_group_quantiles(
     w_grp = Window.partitionBy(*group_cols)
     ranked = (
         df.select(*group_cols, cents, *( [tiebreak_col] if tiebreak_col else [] ))
+        # NULL values are not ranked: NULLS-FIRST ordering would
+        # shift every quantile down and let p_low land ON a NULL
+        # (the _bottom_k_cents convention — quantiles are over the
+        # REAL values; both twins filter identically)
+        .where(F.col("__cents").isNotNull())
         .withColumn("__rn", F.row_number().over(w_rank))
         .withColumn("__n", F.count(F.lit(1)).over(w_grp))
     )
@@ -181,6 +186,10 @@ def winsorize_report(
     cents = F.round(F.col(value_col) * scale, 0).cast("long")
     counted = (
         df.select(*group_cols, cents.alias("__c"))
+        # NULL values can never be clipped, so counting them in
+        # n_total silently deflated clipped_share; the quantile
+        # bounds above exclude them too (one consistent population)
+        .where(cents.isNotNull())
         .join(F.broadcast(bounds), list(group_cols))
         .groupBy(*group_cols)
         .agg(
@@ -234,6 +243,12 @@ def weighted_quantiles(
     w_grp = Window.partitionBy(*group_cols)
     ranked = (
         df.select(*group_cols, cents, wgt)
+        # a NULL value (or weight) carries no locatable mass: left
+        # in, NULLS-FIRST ordering would add its weight to every
+        # row's cumulative sum and drag the selected quantile toward
+        # smaller values — filter both (the exact_group_quantiles
+        # convention; both twins agree)
+        .where(F.col("__cents").isNotNull() & F.col("__w").isNotNull())
         .withColumn("__cw", F.sum("__w").over(w_rank))
         .withColumn("__tw", F.sum("__w").over(w_grp))
     )
