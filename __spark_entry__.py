@@ -2907,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, lower(text) AS lt,
                      string_split(lower(text), ' ') AS t
               FROM documents
+              WHERE length(lower(text)) > 0
             ), m AS (
               SELECT doc_id,
                 CAST(length(lt) AS BIGINT) AS n_chars_txt,
@@ -3197,6 +3198,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, lower(text) AS lt,
                  string_split(lower(text), ' ') AS t
           FROM documents
+          WHERE length(lower(text)) > 0
         ), m AS (
           SELECT doc_id,
             CAST(len(list_filter(t,
@@ -4248,12 +4250,15 @@ def oracle_sql() -> dict[str, str]:
           FROM w
         ), t AS (
           SELECT lang, keep_rate,
-                 printf('%08x', CAST(LEAST(ROUND(keep_rate * 4294967296.0),
-                                           4294967295.0) AS BIGINT)) AS thr
+                 CASE WHEN keep_rate >= 1.0 THEN 'g'
+                      ELSE printf('%08x',
+                             CAST(LEAST(ROUND(keep_rate * 4294967296.0),
+                                        4294967295.0) AS BIGINT))
+                 END AS thr
           FROM r
         )
         SELECT d.doc_id, t.keep_rate, d.lang AS lang
-        FROM documents d JOIN t ON d.lang = t.lang
+        FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
         ORDER BY d.doc_id, t.keep_rate, d.lang
     """
@@ -4279,7 +4284,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, d.lang AS lang,
                  base + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                                   < thr THEN 1 ELSE 0 END AS n_copies
-          FROM documents d JOIN t ON d.lang = t.lang
+          FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
         )
         SELECT CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy,
                doc_id, lang
@@ -4330,9 +4335,11 @@ def oracle_sql() -> dict[str, str]:
           FROM documents, s
         ), t AS (
           SELECT doc_id, weight, keep_rate,
-                 printf('%08x',
-                        CAST(LEAST(ROUND(keep_rate * 4294967296.0),
-                                   4294967295.0) AS BIGINT)) AS thr
+                 CASE WHEN keep_rate >= 1.0 THEN 'g'
+                      ELSE printf('%08x',
+                             CAST(LEAST(ROUND(keep_rate * 4294967296.0),
+                                        4294967295.0) AS BIGINT))
+                 END AS thr
           FROM r
         )
         SELECT doc_id, weight, keep_rate FROM t

@@ -496,3 +496,20 @@ def test_densify_hours_fills_gaps(spark):
     assert out[("view", h0)] == (1, 4.0)
     assert out[("view", h0 + hour)] == (0, 0.0)
     assert out[("view", h0 + 2 * hour)] == (0, 0.0)
+
+
+def test_profile_events_hyphenated_column_name(spark):
+    """The stack() expression backtick-quotes generated references, so
+    a column name that is not a bare identifier profiles instead of
+    parsing as subtraction or failing."""
+    from whatdropsnow_etl_spark.operators.integrity import (
+        profile_numeric_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,)], ["unit-price"]
+    )
+    [r] = profile_numeric_columns(df, ["unit-price"]).collect()
+    assert r["column"] == "unit-price"
+    assert (r["n_rows"], r["n_null"], r["n_distinct"]) == (3, 1, 2)
+    assert r["min_v"] == 1.0 and r["max_v"] == 2.0

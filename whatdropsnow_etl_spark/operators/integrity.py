@@ -78,8 +78,13 @@ def profile_numeric_columns(
             ),
         ]
     wide = df.agg(*aggs)
+    # backtick-quote the generated references: a column name that is
+    # not a bare identifier ('unit-price', a space, …) would otherwise
+    # parse as an expression (subtraction) or fail outright — the
+    # aliases above were created via .alias() and survive any name
     stack_expr = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max, {c}__sum"
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__dist`,"
+        f" `{c}__min`, `{c}__max`, `{c}__sum`"
         for c in cols
     )
     return wide.select(
@@ -479,14 +484,19 @@ def benford_check(
     synthetic, truncated, or unit-mangled data).
 
     Digit extraction is string-free-of-floats: values round to
-    integer ``scale``-ths first (scaling by a power of ten never
-    changes the leading significant digit), and the leading digit
-    is the first character of the BIGINT's decimal rendering —
-    identical across engines, where double-to-string formatting is
-    not. Non-positive values are excluded (Benford applies to
-    positive magnitudes). One map-combined 9-row aggregate; the
-    expected shares fold in as driver literals (constants, not
-    engine math).
+    integer ``scale``-ths first (SCALING by a power of ten never
+    changes the leading significant digit — but the ROUNDING does
+    quantize: a value within one decade of 1/scale can shift its
+    leading digit, e.g. 0.095 → round(9.5) = 10 → digit 1 at
+    scale=100, and positives below 0.5/scale round to 0 and are
+    excluded entirely; pick ``scale`` ≥ 10/min-magnitude so the
+    quantization artifacts stay out of the tested digits), and the
+    leading digit is the first character of the BIGINT's decimal
+    rendering — identical across engines, where double-to-string
+    formatting is not. Non-positive values are excluded (Benford
+    applies to positive magnitudes). One map-combined 9-row
+    aggregate; the expected shares fold in as driver literals
+    (constants, not engine math).
 
     Output: (digit 1-9, n, share, expected, delta) — share and
     delta are exact-integer divisions against the kept-row total.

@@ -37,12 +37,20 @@ def stratified_sample_by_quality(
     deterministic, uncorrelated with content, identical in SQL.
     """
     q = quality_expr(text_col)
-    banded = df.select(
-        F.col(id_col),
-        F.round(q, 6).alias("quality"),
-        F.least(
-            F.floor(q * n_bands).cast("bigint"), F.lit(n_bands - 1)
-        ).alias("band"),
+    banded = (
+        df
+        # empty/NULL text has an UNDEFINED quality (its ratios divide
+        # by zero): left in, the NULL score would land in the TOP
+        # band (F.least skips NULLs → band n-1) and empty docs could
+        # fill the best-quality stratum; they are excluded instead
+        .where(F.length(F.lower(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.round(q, 6).alias("quality"),
+            F.least(
+                F.floor(q * n_bands).cast("bigint"), F.lit(n_bands - 1)
+            ).alias("band"),
+        )
     )
     w = Window.partitionBy("band").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
@@ -61,6 +69,12 @@ def _rate_hex(rate: float) -> str:
     identically in every engine — no hex parsing required."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate {rate} outside [0, 1]")
+    if rate >= 1.0:
+        # 'g' sorts after every 8-hex-char string, so `frac < 'g'` is
+        # always true — a capped threshold of 'ffffffff' would drop
+        # the ~1-in-4.3B docs whose md5 prefix is exactly that even
+        # at a 100% keep rate
+        return "g"
     return format(min(int(rate * 2**32), 2**32 - 1), "08x")
 
 
@@ -156,24 +170,38 @@ def source_temperature_sample(
             ).alias("keep_rate"),
         )
     )
-    thr = F.lower(
-        F.lpad(
-            F.conv(
-                F.least(
-                    F.round(F.col("keep_rate") * F.lit(2.0**32)),
-                    F.lit(2.0**32 - 1),
-                ).cast("bigint").cast("string"),
-                10,
-                16,
-            ),
-            8,
-            "0",
+    # rate 1.0 (head sources hit the cap) must keep EVERYTHING: 'g'
+    # sorts after any 8-hex prefix (the _rate_hex convention), where
+    # a capped 'ffffffff' would drop md5-prefix-'ffffffff' docs
+    thr = F.when(F.col("keep_rate") >= 1.0, F.lit("g")).otherwise(
+        F.lower(
+            F.lpad(
+                F.conv(
+                    F.least(
+                        F.round(F.col("keep_rate") * F.lit(2.0**32)),
+                        F.lit(2.0**32 - 1),
+                    ).cast("bigint").cast("string"),
+                    10,
+                    16,
+                ),
+                8,
+                "0",
+            )
         )
     )
     frac = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    # NULL-safe join: the groupBy above counts a NULL-source group
+    # into the budget/normalizer, so a null-rejecting equi-join would
+    # silently drop those docs while still spending their mass —
+    # the sample would undershoot target_rows with no warning
+    rt = F.broadcast(
+        rates.withColumn("__thr", thr).withColumnRenamed(
+            source_col, "__src"
+        )
+    )
     return (
         df.select(id_col, source_col)
-        .join(F.broadcast(rates.withColumn("__thr", thr)), source_col)
+        .join(rt, F.col(source_col).eqNullSafe(F.col("__src")))
         .where(frac < F.col("__thr"))
         .select(id_col, source_col, "keep_rate")
     )
@@ -250,9 +278,14 @@ def temperature_upsample(
     )
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
     n_copies = F.col("__base") + (h < F.col("__thr")).cast("bigint")
+    # NULL-safe join — the source_temperature_sample rationale
+    rates = rates.withColumnRenamed(source_col, "__src")
     return (
         df.select(id_col, source_col)
-        .join(F.broadcast(rates), source_col)
+        .join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+        )
         .withColumn("__copies", n_copies)
         .where(F.col("__copies") >= 1)
         .select(
@@ -407,7 +440,6 @@ def balanced_shards(
     n_shards: int = 8,
     weight_col: str = "n_chars",
     id_col: str = "doc_id",
-    rank_buckets: int = 16,
 ) -> DataFrame:
     """Token-balanced shard assignment: write the corpus into
     ``n_shards`` output shards whose total weight (token/char
@@ -425,12 +457,13 @@ def balanced_shards(
     order key is ``(weight DESC, md5-bucket, id)``, so rank =
     histogram offset + local rank. Phase 1 builds the
     (weight, bucket) count histogram — a model-sized relation
-    (distinct weights x ``rank_buckets``) whose running-sum window
-    is trivially cheap; phase 2 ranks rows WITHIN each
-    (weight, bucket) group — parallel across groups, each group
-    ~1/(distinct_weights*buckets) of the corpus, raise
-    ``rank_buckets`` to fan wider. No corpus-sized single-task
-    window anywhere (the quota_sample lesson). The DuckDB oracle is
+    (distinct weights x 256 fixed md5-prefix buckets) whose
+    running-sum window is trivially cheap; phase 2 ranks rows WITHIN
+    each (weight, bucket) group — parallel across groups, each group
+    ~1/(distinct_weights*256) of the corpus. No corpus-sized
+    single-task window anywhere (the quota_sample lesson). (An
+    earlier ``rank_buckets`` knob was dead — the 2-hex-char prefix
+    hardcodes 256 — so it was removed rather than left lying.) The DuckDB oracle is
     the naive one-window ROW_NUMBER over the identical order key.
     Deterministic; emits (doc_id, weight, shard).
     """
@@ -502,20 +535,24 @@ def importance_sample(
         ),
         6,
     )
-    thr = F.lower(
-        F.lpad(
-            F.conv(
-                F.least(
-                    F.round(F.col("__rate") * F.lit(2.0**32)),
-                    F.lit(2.0**32 - 1),
-                )
-                .cast("bigint")
-                .cast("string"),
-                10,
-                16,
-            ),
-            8,
-            "0",
+    # same 'g' escape as source_temperature_sample: heavy docs whose
+    # rate caps at 1.0 must never lose the md5-prefix-'ffffffff' row
+    thr = F.when(F.col("__rate") >= 1.0, F.lit("g")).otherwise(
+        F.lower(
+            F.lpad(
+                F.conv(
+                    F.least(
+                        F.round(F.col("__rate") * F.lit(2.0**32)),
+                        F.lit(2.0**32 - 1),
+                    )
+                    .cast("bigint")
+                    .cast("string"),
+                    10,
+                    16,
+                ),
+                8,
+                "0",
+            )
         )
     )
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)

@@ -102,7 +102,12 @@ def quality_score(
     )
     mean_word_len = tok_len_sum.cast("double") / n_tokens
     quality = quality_expr(text_col)
-    return df.select(
+    # empty/NULL text has undefined ratios (x/0): Spark yields NULL
+    # where DuckDB IEEE division yields NaN/inf — the twins would
+    # diverge, and every quality consumer (calibration, stratified
+    # bands) mishandles the undefined score; the report covers
+    # SCOREABLE docs by contract
+    return df.where(F.length(text) > 0).select(
         F.col(id_col),
         n_chars.alias("n_chars_txt"),
         n_tokens.alias("n_tokens"),
@@ -802,7 +807,13 @@ def quality_calibration(
     rounded to 6 decimals.
     """
     q = quality_expr(text_col)
-    banded = docs.withColumn(
+    # empty/NULL text has an undefined quality score; unfiltered, the
+    # NULL would land in the TOP band (F.least skips NULLs) — the
+    # stratified_sample_by_quality contract: unscoreable docs are
+    # excluded from the calibration population
+    banded = docs.where(
+        F.length(F.lower(F.col(text_col))) > 0
+    ).withColumn(
         "band",
         F.least(F.floor(q * n_bands).cast("bigint"), F.lit(n_bands - 1)),
     )

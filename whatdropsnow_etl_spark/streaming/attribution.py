@@ -87,7 +87,9 @@ def attribution_stream(
         if out:
             yield pd.DataFrame(out)
 
-    prepared = events.withWatermark(ts_col, watermark).select(
+    prepared = events.withWatermark(ts_col, watermark).where(
+        F.col(ts_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
         F.col(user_col).cast("bigint").alias("user_id"),
         ts_micros(F.col(ts_col)).alias("ts_us"),
         F.col(id_col).cast("bigint").alias("event_id"),

@@ -16,9 +16,11 @@ the record stream feeds a latest-wins upsert (streaming/upsert.py)
 keyed on user_id — together they are the live materialized view of
 the batch operator.
 
-Scale: state is one <=N-token string + (ts, id) per ever-seen user,
+Scale: state is one <=N-token string per ever-seen user,
 hash-partitioned by user_id; emission volume is touched-users per
-batch, not events. Cross-batch disorder follows stream order (the
+batch, not events. Rows with a NULL ts or id are dropped before the
+stateful op (un-sequenceable; a poison row would otherwise
+crash-loop the query on replay). Cross-batch disorder follows stream order (the
 single-batch test pins exactness for in-order delivery; the
 multi-batch test pins the order-insensitive invariants).
 """
@@ -57,7 +59,12 @@ def history_stream(
     """
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
-    state_schema = "seq string, last_ts bigint, last_id bigint"
+    # state separator is \x1f, NOT the space the display format uses:
+    # a space-joined state round-trip would split a multi-word event
+    # type ('add to cart') into three tokens on restore, inflating
+    # n_events and mis-trimming the kept window
+    state_schema = "seq string"
+    _SEP = "\x1f"
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -65,17 +72,16 @@ def history_stream(
         user_id = key[0]
         rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
         if state.exists:
-            seq_str, last_ts, last_id = state.get
-            seq = seq_str.split(" ") if seq_str else []
+            (seq_str,) = state.get
+            seq = seq_str.split(_SEP) if seq_str else []
         else:
-            seq, last_ts, last_id = [], 0, 0
-        for ts_us, eid, etype in zip(
-            rows["ts_us"], rows["event_id"], rows["event_type"]
-        ):
+            seq = []
+        last_ts = 0
+        for ts_us, etype in zip(rows["ts_us"], rows["event_type"]):
             seq.append(str(etype))
-            last_ts, last_id = int(ts_us), int(eid)
+            last_ts = int(ts_us)
         seq = seq[-max_len:]
-        state.update((" ".join(seq), last_ts, last_id))
+        state.update((_SEP.join(seq),))
         yield pd.DataFrame(
             [
                 {
@@ -87,11 +93,17 @@ def history_stream(
             ]
         )
 
-    prepared = events.withWatermark(ts_col, watermark).select(
-        F.col(user_col).cast("bigint").alias("user_id"),
-        ts_micros(F.col(ts_col)).alias("ts_us"),
-        F.col(id_col).cast("bigint").alias("event_id"),
-        F.col(type_col).cast("string").alias("event_type"),
+    prepared = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).cast("bigint").alias("user_id"),
+            ts_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(id_col).cast("bigint").alias("event_id"),
+            F.col(type_col).cast("string").alias("event_type"),
+        )
+        # NULL ts/id rows cannot be sequenced and int(NaN) would
+        # crash-loop the query on checkpoint replay — drop them
+        .where(F.col("ts_us").isNotNull() & F.col("event_id").isNotNull())
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -4,8 +4,7 @@ Streaming twin of operators.events.top_event_paths' window stage:
 emit one record per COMPLETED length-``k`` run of consecutive events
 in each user's stream. Spark's built-in streaming ops can't express
 a k-wide lead() across micro-batches, so this generalizes
-transition_stream's one-tuple state to the last ``k-1`` event types
-(plus the last event's ts/id for the ordering contract):
+transition_stream's one-tuple state to the last ``k-1`` event types:
 ``applyInPandasWithState`` chains each batch's rows (sorted
 (ts, id) within the batch) off the stored suffix and emits the
 full path string whenever the window fills. Downstream, an ordinary
@@ -17,7 +16,12 @@ hash-partitioned by user_id — the transition_stream footprint
 contract times a constant. Same ordering contract too: intra-batch
 disorder is corrected by the sort; cross-batch disorder follows
 stream order (the batch twin's test pins exactness for in-order
-delivery).
+delivery). Rows with a NULL ts or id are dropped before the
+stateful op (they cannot be sequenced; left in, one poison row
+would crash-loop the query on replay). The ``watermark`` is applied
+to the source for engine bookkeeping, but with NoTimeout state
+never expires — unbounded per-user retention is this operator's
+documented footprint, the price of "paths across any gap".
 """
 
 from __future__ import annotations
@@ -51,8 +55,7 @@ def path_stream(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    suffix_cols = ", ".join(f"t{i} string" for i in range(k - 1))
-    state_schema = f"{suffix_cols}, last_ts bigint, last_id bigint"
+    state_schema = ", ".join(f"t{i} string" for i in range(k - 1))
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -67,10 +70,7 @@ def path_stream(
         else:
             suffix = []
         out: list[dict] = []
-        last_ts, last_id = 0, 0
-        for ts_us, eid, etype in zip(
-            rows["ts_us"], rows["event_id"], rows["event_type"]
-        ):
+        for ts_us, etype in zip(rows["ts_us"], rows["event_type"]):
             suffix.append(str(etype))
             if len(suffix) >= k:
                 out.append(
@@ -81,18 +81,26 @@ def path_stream(
                     }
                 )
                 suffix = suffix[-(k - 1):]
-            last_ts, last_id = int(ts_us), int(eid)
         padded = suffix[-(k - 1):]
         padded = [None] * ((k - 1) - len(padded)) + padded
-        state.update(tuple(padded) + (last_ts, last_id))
+        state.update(tuple(padded))
         if out:
             yield pd.DataFrame(out)
 
-    prepared = events.withWatermark(ts_col, watermark).select(
-        F.col(user_col).cast("bigint").alias("user_id"),
-        ts_micros(F.col(ts_col)).alias("ts_us"),
-        F.col(id_col).cast("bigint").alias("event_id"),
-        F.col(type_col).cast("string").alias("event_type"),
+    prepared = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).cast("bigint").alias("user_id"),
+            ts_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(id_col).cast("bigint").alias("event_id"),
+            F.col(type_col).cast("string").alias("event_type"),
+        )
+        # a NULL ts/id row would reach the pandas fn as NaN and
+        # int(NaN) would crash the micro-batch — and a checkpoint
+        # restart replays the same offsets, so one poison row
+        # crash-loops the query forever; un-sequenceable rows are
+        # dropped instead (documented)
+        .where(F.col("ts_us").isNotNull() & F.col("event_id").isNotNull())
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,

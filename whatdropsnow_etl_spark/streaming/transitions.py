@@ -43,7 +43,10 @@ from whatdropsnow_etl_spark.functions.timeutil import ts_micros
 OUTPUT_SCHEMA = (
     "user_id bigint, prev_type string, next_type string, ts_us bigint"
 )
-STATE_SCHEMA = "last_type string, last_ts bigint, last_id bigint"
+# just the last type: a stored (ts, id) pair was never read back
+# (cross-batch disorder follows stream order by contract), so it
+# was two bigints of state-store bloat per ever-seen user
+STATE_SCHEMA = "last_type string"
 
 
 def transition_stream(
@@ -64,9 +67,7 @@ def transition_stream(
         rows = rows.sort_values(["ts_us", "event_id"])
         prev = state.get if state.exists else None
         out: list[dict] = []
-        for ts_us, eid, etype in zip(
-            rows["ts_us"], rows["event_id"], rows["event_type"]
-        ):
+        for ts_us, etype in zip(rows["ts_us"], rows["event_type"]):
             if prev is not None:
                 out.append(
                     {
@@ -76,16 +77,22 @@ def transition_stream(
                         "ts_us": int(ts_us),
                     }
                 )
-            prev = (str(etype), int(ts_us), int(eid))
+            prev = (str(etype),)
         state.update(prev)
         if out:
             yield pd.DataFrame(out)
 
-    prepared = events.withWatermark(ts_col, watermark).select(
-        F.col(user_col).cast("bigint").alias("user_id"),
-        ts_micros(F.col(ts_col)).alias("ts_us"),
-        F.col(id_col).cast("bigint").alias("event_id"),
-        F.col(type_col).cast("string").alias("event_type"),
+    prepared = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).cast("bigint").alias("user_id"),
+            ts_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(id_col).cast("bigint").alias("event_id"),
+            F.col(type_col).cast("string").alias("event_type"),
+        )
+        # NULL ts/id rows cannot be sequenced; int(NaN) would
+        # crash-loop the query on checkpoint replay
+        .where(F.col("ts_us").isNotNull() & F.col("event_id").isNotNull())
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,
