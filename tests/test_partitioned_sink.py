@@ -420,3 +420,53 @@ def test_manifest_delete_where_and_keys(spark, tmp_path):
     tomb = spark.createDataFrame([(None,), (3,)], "user_id long")
     v3 = delete_keys(spark, path, tomb, keys=["user_id"])
     assert {r.user_id for r in read_version(spark, path, v3).collect()} == {1}
+
+
+def test_compact_preserves_hive_layout(spark, tmp_path):
+    """Compacting a date-partitioned directory must keep the
+    event_date=... layout (a flat rewrite silently demotes the
+    partition column and loses listing-time pruning)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.sinks.partitioned_parquet import (
+        compact_parquet,
+        write_partitioned_events,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3} 10:00:00", i) for i in range(60)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "part")
+    write_partitioned_events(ev, path)
+    before = spark.read.parquet(path).orderBy("event_id").collect()
+    compact_parquet(spark, path)
+    dirs = [d for d in os.listdir(path) if d.startswith("event_date=")]
+    assert len(dirs) == 3, dirs
+    after = spark.read.parquet(path).orderBy("event_id").collect()
+    assert [r["event_id"] for r in before] == [r["event_id"] for r in after]
+
+
+def test_files_per_partition_splits_a_date(spark, tmp_path):
+    """files_per_partition > 1 must actually split a single date's
+    rows across multiple files (the unsalted repartition hashed the
+    date alone, so every date stayed whole in one task)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.sinks.partitioned_parquet import (
+        write_partitioned_events,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, "2024-02-01 %02d:00:00" % (i % 24), i) for i in range(500)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "salted")
+    write_partitioned_events(ev, path, files_per_partition=4)
+    files = glob.glob(f"{path}/event_date=2024-02-01/*.parquet")
+    assert len(files) >= 2, files
+    assert spark.read.parquet(path).count() == 500

@@ -1508,3 +1508,43 @@ def test_drift_gate_quarantined_batch_cannot_freeze_boundaries(spark, tmp_path):
     sink(mk([(400 + i, float(i % 40)) for i in range(80)]), 2)
     assert sink.n_appended == 2
     assert sink._stored_boundaries()["value"] == bnds_before
+
+
+def test_incremental_dedup_replay_no_self_match(spark, tables, tmp_path):
+    """A replayed micro-batch probes a store that already holds its
+    own bucket rows: the probe must not report a doc as a near-dup
+    of itself (unique docs were quarantined as dups before the
+    batch_doc != index_doc guard)."""
+    from whatdropsnow_etl_spark.streaming.incremental_dedup import (
+        probe_and_grow_index,
+    )
+
+    store = str(tmp_path / "idx")
+    matches = str(tmp_path / "m")
+    docs = tables["documents"].select("doc_id", "text").limit(40)
+    apply = probe_and_grow_index(store, matches)
+    apply(docs, 0)          # first delivery: buckets land
+    apply(docs, 0)          # replay of the SAME batch (offsets lost)
+    got = spark.read.parquet(matches)
+    self_matches = got.where("batch_doc = index_doc").count()
+    assert self_matches == 0, f"{self_matches} self-matches emitted"
+
+
+def test_csv_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    """read_csv_quarantine must not append _corrupt_record to the
+    caller's StructType in place (StructType.add mutates)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from whatdropsnow_etl_spark.sources.files import read_csv_quarantine
+
+    p = str(tmp_path / "x.csv")
+    open(p, "w").write("a,b\n1,2\nbad,row,extra,cols,here\n")
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    good, bad = read_csv_quarantine(spark, p, schema, header=True)
+    assert len(schema.fields) == 2  # caller's object untouched
+    assert good.count() == 1 and bad.count() == 1
+    # a second call with the same object must behave identically
+    good2, _ = read_csv_quarantine(spark, p, schema, header=True)
+    assert len(schema.fields) == 2 and good2.count() == 1

@@ -67,29 +67,16 @@ def write_bucketed(
                     loc = r["data_type"].removeprefix("file:")
                     break
             spark.sql(f"DROP TABLE IF EXISTS {table}")
-        elif "." in table:
-            # not cataloged: there is no authoritative way to derive a
-            # qualified table's orphan dir — refuse rather than rmtree
-            # a guessed path
-            raise ValueError(
-                f"table {table!r} is database-qualified but not in the"
-                " catalog; clear its stale location manually (the"
-                " orphan-dir guess is only safe for simple names in"
-                " the default database)"
-            )
-        else:
-            db = spark.catalog.currentDatabase()
-            if db != "default":
-                raise ValueError(
-                    f"table {table!r} is not in the catalog and the"
-                    f" current database is {db!r}; the orphan-dir guess"
-                    " is only safe in the default database — clear the"
-                    " stale location manually"
-                )
+        elif "." not in table and spark.catalog.currentDatabase() == "default":
             warehouse = spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             )
             loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        # qualified names / non-default databases with no catalog
+        # entry: there is no authoritative orphan-dir to guess, but a
+        # CLEAN warehouse must still work — attempt the write and only
+        # fail (with guidance) if an orphan location actually blocks
+        # it, instead of refusing upfront
         if loc and os.path.isdir(loc):
             shutil.rmtree(loc)
     writer = (
@@ -99,7 +86,18 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
-    writer.saveAsTable(table)
+    try:
+        writer.saveAsTable(table)
+    except Exception as e:  # noqa: BLE001
+        if "LOCATION_ALREADY_EXISTS" in str(e):
+            raise ValueError(
+                f"table {table!r} is not in the catalog but its"
+                " location already exists (an orphan from a previous"
+                " run); the orphan-dir guess is only safe for simple"
+                " names in the default database — clear the stale"
+                " location manually"
+            ) from e
+        raise
     return df.sparkSession.table(table)
 
 

@@ -31,10 +31,28 @@ def write_partitioned_events(
 ) -> None:
     """Write events as parquet partitioned by event_date(ts)."""
     df = events.withColumn("event_date", F.to_date(F.col(ts_col)))
-    parts = [F.col("event_date")]
-    df = df.repartition(*parts) if files_per_partition == 1 else df.repartition(
-        files_per_partition, *parts
-    )
+    if files_per_partition == 1:
+        df = df.repartition(F.col("event_date"))
+    else:
+        # splitting a DATE into N files needs a salt in the hash —
+        # repartition(n, event_date) hashes the date alone, so every
+        # date still lands whole in one task (a skewed 2 TB day would
+        # be written by a single task) and total parallelism
+        # collapses to n; the deterministic ts-derived salt keeps the
+        # layout reproducible across retries (no rand()), and the
+        # EXPLICIT partition count keeps AQE from coalescing the
+        # salted exchange back into one task at small volumes
+        salt = F.pmod(
+            F.xxhash64(F.col(ts_col)), F.lit(files_per_partition)
+        )
+        n_parts = int(
+            events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        df = df.repartition(
+            max(n_parts, files_per_partition),
+            F.col("event_date"),
+            salt.alias("__salt"),
+        )
     if sort_col is not None:
         df = df.sortWithinPartitions("event_date", sort_col)
     df.write.partitionBy("event_date").mode("overwrite").parquet(path)
@@ -73,12 +91,21 @@ def compact_parquet(
     )
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     tmp = path.rstrip("/") + "__compact_tmp"
-    (
-        spark.read.parquet(path)
-        .coalesce(n_files)
-        .write.mode("overwrite")
-        .parquet(tmp)
+    # preserve a Hive layout: a flat rewrite would demote discovered
+    # partition directories (event_date=...) to plain data columns
+    # and silently lose listing-time pruning for every later query
+    part_cols = sorted(
+        {
+            d.split("=", 1)[0]
+            for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        }
     )
+    df = spark.read.parquet(path).coalesce(n_files)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
     return sum(

@@ -89,9 +89,17 @@ class UpsertParquetSink:
         if missing:
             raise ValueError(f"upsert batch is missing columns {missing}")
         meta = self._load_meta()
-        if meta["keys"] != self.keys or meta["n_buckets"] != self.n_buckets:
+        if (
+            meta["keys"] != self.keys
+            or meta["n_buckets"] != self.n_buckets
+            # version_col decides WHICH row wins latest-wins: a sink
+            # reopened with the wrong one would silently resolve by
+            # the wrong ordering and return stale winners
+            or meta.get("version_col", self.version_col) != self.version_col
+        ):
             raise ValueError(
                 f"sink at {self.path} was created with keys={meta['keys']}"
+                f" version_col={meta.get('version_col')!r}"
                 f" n_buckets={meta['n_buckets']}"
             )
         batch = meta["next_batch"]
@@ -112,13 +120,20 @@ class UpsertParquetSink:
         """FK-tolerant upsert (reference db.py:63-67): rows whose FK
         resolves are written; orphans are returned for logging, not
         raised. Returns (batch_id, orphans)."""
-        from ..operators.integrity import valid_only
-
-        parent_keys = parent.select(F.col(pk).alias("__pk")).distinct()
-        orphans = df.join(
-            F.broadcast(parent_keys), df[fk] == F.col("__pk"), "left_anti"
+        # ONE distinct parent-key projection feeds both sides (the
+        # semi- and anti-join split of the same broadcast relation) —
+        # routing the kept side through integrity.valid_only would
+        # distinct+broadcast the parent a second time per call
+        parent_keys = F.broadcast(
+            parent.select(F.col(pk).alias("__pk")).distinct()
         )
-        batch = self.upsert(valid_only(df, parent, fk, pk))
+        kept = df.join(
+            parent_keys, df[fk] == F.col("__pk"), "left_semi"
+        )
+        orphans = df.join(
+            parent_keys, df[fk] == F.col("__pk"), "left_anti"
+        )
+        batch = self.upsert(kept)
         return batch, orphans
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -145,9 +160,18 @@ class UpsertParquetSink:
         )
         import shutil
 
+        # swap order matters: renaming the live dir ASIDE first means
+        # a crash at any point leaves either the old state (data or
+        # data.old present) or the new one — never a table with NO
+        # data directory (the old rmtree-then-replace had exactly
+        # that window)
         data = os.path.join(self.path, "data")
-        shutil.rmtree(data)
+        old = data + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.replace(data, old)
         os.replace(tmp, data)
+        shutil.rmtree(old)
         meta = self._load_meta()
         meta["next_batch"] = 1
         self._save_meta(meta)

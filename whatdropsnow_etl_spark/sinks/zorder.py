@@ -40,7 +40,16 @@ def zorder_value(a: Column, b: Column) -> Column:
     scale narrower domains up — a column left in its low bits loses
     the interleave to the other column's high bits and gets no
     clustering."""
-    return F.shiftleft(_spread16(a), 1).bitwiseOR(_spread16(b)).cast("long")
+    # widen BEFORE the shift: on IntegerType inputs _spread16 can
+    # reach 0x55555555 and shiftleft(...) would wrap int32 negative
+    # (a >= 32768 sorts before a < 32768 — a broken Morton order
+    # across the sign boundary); bigint inputs were unaffected,
+    # which is why tests masked it
+    return (
+        F.shiftleft(_spread16(a).cast("long"), 1)
+        .bitwiseOR(_spread16(b).cast("long"))
+        .cast("long")
+    )
 
 
 def write_zordered(

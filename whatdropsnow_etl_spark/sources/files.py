@@ -131,7 +131,11 @@ def read_csv_quarantine(
     """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    full = schema.add("_corrupt_record", "string")
+    # COPY before add: StructType.add mutates in place and returns
+    # self, so appending to the caller's schema object would make
+    # their later reads expect a phantom _corrupt_record column (and
+    # a second call here would add it twice)
+    full = StructType(list(schema.fields)).add("_corrupt_record", "string")
     df = (
         spark.read.schema(full)
         .option("header", str(header).lower())

@@ -12,10 +12,13 @@ Same persist-registers-not-data pattern as the streaming HLL
 maintenance (`tests/test_streaming.py`). At-least-once caveat: a
 replayed batch appends its bucket rows twice in plain parquet, so
 the probe drops duplicate (doc_id, band) rows before counting —
-band counts stay exact under replay; the matches output can still
-carry a replayed batch's rows twice (dedupe downstream on
-(batch_doc, index_doc), or hold both outputs in a transactional
-table format with MERGE in production).
+band counts stay exact under replay — and excludes
+``batch_doc == index_doc`` pairs (a replayed batch probes a store
+that already holds its own rows; without the guard every replayed
+doc would "match" itself and be quarantined as a dup). The matches
+output can still carry a replayed batch's rows twice (dedupe
+downstream on (batch_doc, index_doc), or hold both outputs in a
+transactional table format with MERGE in production).
 
 Within-batch duplicates are intentionally NOT probed here (they
 arrive together; run minhash_lsh_pairs on the batch if needed) —
@@ -54,13 +57,29 @@ def probe_and_grow_index(
             )
             if os.path.isdir(store_dir):
                 # drop replayed bucket rows so replays can't inflate
-                # the shared-band counts
+                # the shared-band counts; the store's id column is
+                # ALWAYS literally 'doc_id' (minhash_band_index
+                # aliases the caller's id_col to it), so dedup on
+                # that — using the caller's name crashed any
+                # non-default id_col with UNRESOLVED_COLUMN
                 index = spark.read.parquet(store_dir).dropDuplicates(
-                    [id_col, "band"]
+                    ["doc_id", "band"]
                 )
-                matches = incremental_dedup_minhash(
-                    batch_df, index, text_col, id_col, k, num_hashes, bands
-                ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+                matches = (
+                    incremental_dedup_minhash(
+                        batch_df, index, text_col, id_col, k,
+                        num_hashes, bands,
+                    )
+                    # a replayed batch probes a store that already
+                    # holds ITS OWN bucket rows (write landed, offset
+                    # commit didn't): without this, every replayed
+                    # doc "matches" itself and unique docs get
+                    # quarantined as dups downstream
+                    .where(F.col("batch_doc") != F.col("index_doc"))
+                    .withColumn(
+                        "batch_id", F.lit(batch_id).cast("bigint")
+                    )
+                )
                 matches.write.mode("append").format("parquet").save(matches_dir)
             buckets.write.mode("append").format("parquet").save(store_dir)
         finally:
