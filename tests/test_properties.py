@@ -320,7 +320,10 @@ def test_rate_hex_threshold_monotone(rate, ids):
     from whatdropsnow_etl_spark.operators.sampling import _rate_hex
 
     hx = _rate_hex(rate)
-    assert len(hx) == 8
+    # rate 1.0 returns the 'g' sentinel (sorts after every hex
+    # prefix, keeps EVERYTHING — the old capped 'ffffffff' dropped
+    # md5-prefix-'ffffffff' ids); all other rates are 8 hex chars
+    assert hx == "g" if rate >= 1.0 else len(hx) == 8
     kept = sum(
         1 for i in ids if hashlib.md5(str(i).encode()).hexdigest()[:8] < hx
     )
@@ -328,9 +331,7 @@ def test_rate_hex_threshold_monotone(rate, ids):
     if rate == 0.0:
         assert kept == 0
     if rate == 1.0:
-        # threshold is ffffffff; only an id hashing to exactly ffffffff
-        # would be dropped (probability 2^-32)
-        assert kept >= len(ids) - 1
+        assert kept == len(ids)
     # monotone: a higher rate never keeps fewer
     hx2 = _rate_hex(min(1.0, rate + 0.25))
     kept2 = sum(

@@ -304,10 +304,10 @@ def test_jdbc_option_building():
 
     sql = upsert_sql("offers", "offers_stage", ["id"], ["price", "updated_at"])
     assert sql == (
-        "INSERT INTO offers (id, price, updated_at) "
-        "SELECT id, price, updated_at FROM offers_stage "
-        "ON CONFLICT (id) DO UPDATE SET "
-        "price = excluded.price, updated_at = excluded.updated_at"
+        'INSERT INTO offers ("id", "price", "updated_at") '
+        'SELECT "id", "price", "updated_at" FROM offers_stage '
+        'ON CONFLICT ("id") DO UPDATE SET '
+        '"price" = excluded."price", "updated_at" = excluded."updated_at"'
     )
 
 

@@ -421,18 +421,20 @@ def quota_sample(
     pick in ITS group), engine-twin-exact: the DuckDB oracle stays
     the straightforward one-window QUALIFY.
     """
+    # thin wrapper over the factored-out primitive (windows.group_topk
+    # IS this algorithm generalized to any total order) — one copy of
+    # the salted two-phase invariant to maintain, bit-identical output
+    from .windows import group_topk
+
     order_cols = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
-    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
-    w_salted = Window.partitionBy(F.col(group_col), salt).orderBy(*order_cols)
-    w_group = Window.partitionBy(group_col).orderBy(*order_cols)
-    return (
-        df.select(F.col(id_col), F.col(group_col))
-        .withColumn("__srn", F.row_number().over(w_salted))
-        .where(F.col("__srn") <= n_per_group)
-        .withColumn("__rn", F.row_number().over(w_group))
-        .where(F.col("__rn") <= n_per_group)
-        .select(id_col, group_col)
-    )
+    return group_topk(
+        df.select(F.col(id_col), F.col(group_col)),
+        [group_col],
+        order_cols,
+        n_per_group,
+        id_col,
+        salt_buckets=salt_buckets,
+    ).select(id_col, group_col)
 
 
 def balanced_shards(

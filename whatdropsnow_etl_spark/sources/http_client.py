@@ -27,7 +27,7 @@ import threading
 import time
 from collections.abc import Callable, Iterable, Mapping
 
-from .json_api import PageFetchError, fetch_pages
+from .json_api import PageFetchError, PermanentFetchError, fetch_pages
 
 try:  # pragma: no cover - exercised implicitly by import
     import requests as _requests
@@ -96,10 +96,22 @@ class HttpJsonClient:
                 if resp.status_code == 404 and ignore_404:
                     return None
                 if not resp.ok:
+                    # 4xx (minus 429, the rate-limit signal) is a
+                    # PERMANENT client error: retrying a 401/403/404
+                    # through the full backoff schedule stalls an
+                    # ingestion run minutes per request before
+                    # failing anyway — fail fast instead
+                    if 400 <= resp.status_code < 500 and resp.status_code != 429:
+                        raise PermanentFetchError(
+                            f"non-retryable status {resp.status_code}"
+                            f" for {url}"
+                        )
                     raise PageFetchError(
                         f"request failed with status {resp.status_code} for {url}"
                     )
                 return resp.json()
+            except PermanentFetchError:
+                raise
             except Exception:  # noqa: BLE001 — transient, retry
                 if attempt == self.tries - 1:
                     raise

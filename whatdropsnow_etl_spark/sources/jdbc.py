@@ -92,9 +92,19 @@ def upsert_sql(table: str, stage: str, key_cols: list[str], value_cols: list[str
     instead of row batches."""
     if not value_cols:
         raise ValueError("upsert with no value columns is a no-op")
-    cols = ", ".join([*key_cols, *value_cols])
-    keys = ", ".join(key_cols)
-    sets = ", ".join(f"{c} = excluded.{c}" for c in value_cols)
+    if not key_cols:
+        # would otherwise emit 'ON CONFLICT () DO UPDATE' — a syntax
+        # error surfacing only at execution, far from the mistake
+        raise ValueError("upsert needs at least one key column")
+
+    def q(ident: str) -> str:
+        # quote identifiers: a reserved word ('user', 'order') or
+        # mixed-case column binds wrong or fails unquoted
+        return '"' + ident.replace('"', '""') + '"'
+
+    cols = ", ".join(q(c) for c in [*key_cols, *value_cols])
+    keys = ", ".join(q(c) for c in key_cols)
+    sets = ", ".join(f"{q(c)} = excluded.{q(c)}" for c in value_cols)
     return (
         f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage} "
         f"ON CONFLICT ({keys}) DO UPDATE SET {sets}"

@@ -33,6 +33,12 @@ class PageFetchError(Exception):
     pass
 
 
+class PermanentFetchError(Exception):
+    """A non-retryable client error (4xx other than 429): the request
+    will never succeed as-is, so retry loops re-raise it immediately
+    instead of burning the whole backoff schedule on it."""
+
+
 def fetch_pages(
     fetch_page: Callable[[int, int], Mapping | None],
     out_dir: str,
@@ -71,7 +77,12 @@ def fetch_pages(
         landed += len(data)
         total = response["meta"]["page"]["total_count"]
         current = response["meta"]["page"]["current_page"]
-        if current * page_size >= total or not data:
+        # terminate on LANDED rows, not current*page_size: a server
+        # that clamps pages below the requested size would otherwise
+        # pass the requested-size bound with rows still unread —
+        # silent data loss (e.g. 200 records, 100-row requests, 50-row
+        # server cap: the old bound stopped after 100)
+        if landed >= total or not data:
             break
         page = current + 1
     return landed

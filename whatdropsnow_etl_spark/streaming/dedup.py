@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dedup_stream(
@@ -36,4 +37,15 @@ def dedup_stream(
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             list(key_cols)
         )
-    return events.dropDuplicates(list(key_cols))
+    # batch fallback must be DETERMINISTIC: plain dropDuplicates
+    # keeps an arbitrary row per key (whichever a task saw first),
+    # so a backfill could disagree with the live stream on payload
+    # columns when duplicate sends differ — keep the earliest by
+    # (ts, remaining columns) instead
+    from ..operators.upsert import latest_wins
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in events.columns if c not in key_cols
+        and c != ts_col
+    ]
+    return latest_wins(events, list(key_cols), order)

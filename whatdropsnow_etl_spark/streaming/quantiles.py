@@ -42,12 +42,19 @@ def windowed_value_quantiles(
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
+
+    def _label(p: float) -> str:
+        # dot-free label: the old str(p)-derived scheme produced
+        # 'p1.0_cents' for p=1.0, which the string-select below
+        # parsed as struct access and failed at query construction
+        return f"p{int(round(p * 100)):02d}_cents"
+
     qcols = [
         F.percentile_approx(
             "__cents", F.lit(float(p)), F.lit(accuracy)
         )
         .cast("long")
-        .alias(f"p{str(p).replace('0.', '').ljust(2, '0')}_cents")
+        .alias(_label(p))
         for p in ps
     ]
     return (
@@ -62,6 +69,6 @@ def windowed_value_quantiles(
             ts_micros(F.col("win.start")).alias("window_start_us"),
             "event_type",
             "n_events",
-            *[f"p{str(p).replace('0.', '').ljust(2, '0')}_cents" for p in ps],
+            *[_label(p) for p in ps],
         )
     )

@@ -63,8 +63,11 @@ def sessionize_stream(
 ) -> DataFrame:
     """Gap sessionization over a streaming events DataFrame."""
     n, unit = gap.split()
+    # case-insensitive: the batch twin's own default is '30 MINUTES'
+    # (any INTERVAL casing), and a lowercase-only lookup raised
+    # KeyError at query construction for it
     gap_us = int(n) * {"seconds": 1, "minutes": 60, "hours": 3600}[
-        unit.rstrip("s") + "s"
+        unit.lower().rstrip("s") + "s"
     ] * _US
 
     def fn(
@@ -90,14 +93,29 @@ def sessionize_stream(
         cur = (st[0], st[1], st[2], st[3]) if st and st[2] > 0 else None
         for ts_us, value in zip(rows["ts_us"], rows["value"]):
             ts_us = int(ts_us)
+            # NULL value arrives as NaN: the batch twin's F.sum skips
+            # NULLs, so a poisoned NaN sum_value would diverge
+            v = 0.0 if pd.isna(value) else float(value)
             if cur is None:
-                cur = (ts_us, ts_us, 1, float(value))
+                cur = (ts_us, ts_us, 1, v)
             elif ts_us - cur[1] > gap_us:
                 seq += 1
                 closed.append(_close(user_id, cur, seq))
-                cur = (ts_us, ts_us, 1, float(value))
+                cur = (ts_us, ts_us, 1, v)
             else:
-                cur = (cur[0], ts_us, cur[2] + 1, cur[3] + float(value))
+                # cross-batch late event (ts <= stored last): merge
+                # via min-start / max-last so the session END never
+                # moves BACKWARD (that made the timeout fire early
+                # and session_end regress); an event older than the
+                # open session merges into it rather than
+                # resurrecting a closed one — the documented
+                # stream-order divergence from the batch twin
+                cur = (
+                    min(cur[0], ts_us),
+                    max(cur[1], ts_us),
+                    cur[2] + 1,
+                    cur[3] + v,
+                )
         state.update((cur[0], cur[1], cur[2], cur[3], seq))
         # flush the open session once the watermark passes last + gap
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)

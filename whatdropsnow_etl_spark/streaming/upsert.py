@@ -43,11 +43,14 @@ def upsert_stream(
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        order = order_cols or [F.col(sink.version_col).desc()]
-        collapsed = latest_wins(batch_df, sink.keys, order)
-        if collapsed.isEmpty():
+        # empty-check the RAW batch (no shuffle): isEmpty() on the
+        # collapsed frame ran the latest-wins window once, and
+        # sink.upsert then recomputed the same uncached lineage —
+        # every micro-batch paid the key shuffle twice
+        if batch_df.isEmpty():
             return
-        sink.upsert(collapsed)
+        order = order_cols or [F.col(sink.version_col).desc()]
+        sink.upsert(latest_wins(batch_df, sink.keys, order))
 
     return (
         events.writeStream.foreachBatch(write_batch)
