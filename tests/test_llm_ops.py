@@ -2476,6 +2476,50 @@ def test_zipf_fit_degenerate_single_term(spark):
     assert (r["slope_num"], r["slope_den"]) == (0, 0)
 
 
+def test_zipf_fit_matches_naive_ranked_window(tables):
+    """The r6 histogram decomposition (rank runs split into bit
+    buckets in closed form — no per-term rank, no unpartitioned
+    vocab window) must be BIT-identical to the r5 formulation
+    (row_number over (cf DESC, term ASC), x = bits(rank)): same
+    point multiset, same exact-integer OLS fraction. Real corpus so
+    tie groups straddle bit boundaries."""
+    from pyspark.sql import Window
+
+    from whatdropsnow_etl_spark.functions import tokens
+    from whatdropsnow_etl_spark.operators import zipf_fit
+
+    docs = tables["documents"]
+    [got] = zipf_fit(docs).collect()
+
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    pts = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))),
+    ).select(
+        "cf",
+        (F.length(F.bin("rank")) - 1).cast("long").alias("x"),
+        (F.length(F.bin("cf")) - 1).cast("long").alias("y"),
+    )
+    [ref] = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cf").alias("tot"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()
+    assert got["vocab_size"] == ref["n"]
+    assert got["total_tokens"] == ref["tot"]
+    assert got["n_points"] == ref["n"]
+    assert got["slope_num"] == ref["n"] * ref["sxy"] - ref["sx"] * ref["sy"]
+    assert got["slope_den"] == ref["n"] * ref["sxx"] - ref["sx"] * ref["sx"]
+
+
 def _bm25_py(docs, terms, k=20):
     """Row-at-a-time replica of the operator's exact formula
     (odds-ratio idf, rational tf saturation, left-to-right sum)."""

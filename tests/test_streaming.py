@@ -1413,6 +1413,37 @@ def test_manifest_sink_ledger_survives_vacuum(spark, tables, tmp_path):
     assert latest_meta(path)["max_batch_id"] == 2
 
 
+def test_manifest_sink_new_checkpoint_not_swallowed(spark, tables, tmp_path):
+    """The ledger is scoped to app_id (Delta txn appId pattern): a
+    NEW checkpoint (foreachBatch ids restart at 0) pointed at an
+    existing table must COMMIT its batch 0, not silently discard
+    every batch until the id overtakes the old stream's max — while
+    redelivery within each stream stays a no-op."""
+    from whatdropsnow_etl_spark.sinks.manifest import (
+        current_version,
+        latest_meta,
+        read_version,
+    )
+    from whatdropsnow_etl_spark.streaming import ManifestStreamSink
+
+    path = str(tmp_path / "mledger")
+    ev = tables["events"].select("event_id", "event_type").limit(30)
+    old = ManifestStreamSink(path, app_id="ckpt-old")
+    old(ev.limit(10), 0)
+    old(ev.limit(20), 5)
+    assert latest_meta(path)["max_batch_id"] == 5
+    n_old = read_version(spark, path).count()
+    # fresh checkpoint over the existing table: batch 0 must land
+    new = ManifestStreamSink(path, app_id="ckpt-new")
+    new(ev.limit(7), 0)
+    assert read_version(spark, path).count() == n_old + 7
+    assert latest_meta(path)["ledger_app_id"] == "ckpt-new"
+    # redelivery of the NEW stream's batch 0 is still a no-op
+    v = current_version(path)
+    new(ev.limit(7), 0)
+    assert current_version(path) == v
+
+
 def test_manifest_commit_never_leaves_tmp_or_empty_file(spark, tables, tmp_path):
     """The link(2) publish: after any commit the directory holds no
     .tmp residue and every manifest parses as complete JSON (the

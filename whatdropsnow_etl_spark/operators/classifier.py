@@ -84,6 +84,12 @@ def _exact_mean_std(feat: DataFrame, names: list[str]) -> dict[str, tuple[float,
     aggs.append(F.count(F.lit(1)).alias("n"))
     row = feat.agg(*aggs).collect()[0]
     n = float(row["n"])
+    if n == 0:
+        raise ValueError(
+            "lr_train: no trainable rows after NULL filtering/sampling "
+            "(every row had a NULL feature or label, or sample_fraction "
+            "selected nothing)"
+        )
     out = {}
     for c in names:
         m = row[f"s_{c}"] / n

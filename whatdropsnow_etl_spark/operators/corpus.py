@@ -593,14 +593,29 @@ def zipf_fit(
     Zipf-like decay; den = 0 when fewer than 2 distinct (x, y)
     points (emitted as-is).
 
-    Plan shape: one explode + (token) map-combined count (the only
-    corpus-sized shuffle), a vocab-bounded global row_number for
-    rank (single-task sort over #distinct tokens — the corpus_vocab
-    caveat: vocab-bounded, not corpus-bounded; ~1e7 terms at 100 TB
-    is a single comfortable task), then a one-row aggregate. BIGINT
-    overflow headroom: n*Sxy <= V * (V*max_x*max_y) with
-    max_x, max_y <= 63 — safe through vocab ~ 3e7; beyond that,
-    fit over the top-3e7 ranks (the head defines the exponent).
+    Plan shape — NO per-term rank is ever materialized (the r5
+    version ranked the full vocabulary under one unpartitioned
+    row_number, a single-task sort over ~1e7+ terms at 100 TB —
+    the r5 verdict's flagged wall): because y = bits(cf) is
+    constant across a tie group and the tie group occupies the
+    consecutive rank run [start, start+n), the multiset of (x, y)
+    points is a PURE FUNCTION of the frequency histogram
+    (cf -> n_terms). So: one explode + (token) map-combined count
+    (the only corpus-sized shuffle), collapse to the distinct-cf
+    histogram (#distinct frequencies ~ O(sqrt(total_tokens)) —
+    orders of magnitude below vocab), rank-run starts via the
+    two-level decomposition (bit-bucket-of-cf offsets over a
+    <=63-row relation + per-bucket local cumsum; (bits(cf) DESC,
+    cf DESC) == cf DESC, so no unpartitioned window ever sees a
+    data-sized relation), then each run [start, end] splits into
+    its <=63 intersecting rank-bit buckets in closed form
+    (explode over sequence(bits(start), bits(end))), and a one-row
+    aggregate. Point multiset — and therefore (slope_num,
+    slope_den) — bit-identical to the ranked formulation
+    (pytest-pinned). BIGINT overflow headroom: n*Sxy <=
+    V * (V*max_x*max_y) with max_x, max_y <= 63 — safe through
+    vocab ~ 3e7; beyond that, fit over the top-3e7 ranks (the head
+    defines the exponent).
 
     Output (one row): vocab_size, total_tokens, n_points,
     slope_num, slope_den — all BIGINT.
@@ -613,25 +628,85 @@ def zipf_fit(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cf"))
     )
-    ranked = freq.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))),
+    # distinct-frequency histogram: cf -> number of terms at that cf
+    hist = (
+        freq.groupBy("cf")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__yb", (F.length(F.bin("cf")) - 1).cast("long"))
     )
-    pts = ranked.select(
-        "cf",
-        (F.length(F.bin("rank")) - 1).cast("long").alias("__x"),
-        (F.length(F.bin("cf")) - 1).cast("long").alias("__y"),
+    # rank-run start per cf under cf-DESC order, without ANY
+    # unpartitioned window: the offset of bit bucket b is the term
+    # count of all HIGHER buckets (higher cf ranks first), built by
+    # exploding each histogram row into the buckets below its own
+    # (<=63 rows each, histogram-sized total) and re-aggregating —
+    # zero windows; the only window left is the within-bucket local
+    # cumsum, partitioned by bucket (buckets split the histogram
+    # geometrically). sequence() is guarded because Spark generates
+    # DESCENDING sequences when start > stop (yb = 0 must
+    # contribute nothing, not [0, -1]).
+    contrib = hist.where(F.col("__yb") > 0).select(
+        F.explode(
+            F.sequence(F.lit(0), (F.col("__yb") - 1).cast("int"))
+        ).alias("__b"),
+        "__n",
     )
-    agg = pts.agg(
-        F.count(F.lit(1)).alias("vocab_size"),
-        F.sum("cf").alias("total_tokens"),
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    boff = contrib.groupBy("__b").agg(F.sum("__n").alias("__boff"))
+    w_loc = (
+        Window.partitionBy("__yb")
+        .orderBy(F.desc("cf"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return agg.select(
+    runs = (
+        hist.join(
+            F.broadcast(boff), hist["__yb"] == boff["__b"], "left"
+        )
+        .drop("__b")
+        .withColumn("__boff", F.coalesce(F.col("__boff"), F.lit(0)))
+        .withColumn(
+            "__start",
+            (
+                F.col("__boff")
+                + F.coalesce(F.sum("__n").over(w_loc), F.lit(0))
+                + 1
+            ).cast("long"),
+        )
+        .withColumn("__end", (F.col("__start") + F.col("__n") - 1))
+    )
+    # split each rank run into its intersecting x = bits(rank)
+    # buckets: count of ranks r in [start, end] with bits(r) = x is
+    # the overlap of [start, end] and [2^x, 2^(x+1) - 1]
+    two_x = F.expr("shiftleft(1L, cast(__x AS INT))")
+    exp = runs.select(
+        "__yb",
+        "__start",
+        "__end",
+        F.explode(
+            F.sequence(
+                (F.length(F.bin("__start")) - 1).cast("int"),
+                (F.length(F.bin("__end")) - 1).cast("int"),
+            )
+        ).alias("__x"),
+    ).select(
+        F.col("__x").cast("long").alias("__x"),
+        F.col("__yb").alias("__y"),
+        (
+            F.least(F.col("__end"), two_x * 2 - 1)
+            - F.greatest(F.col("__start"), two_x)
+            + 1
+        ).alias("__cnt"),
+    )
+    stats = exp.agg(
+        F.coalesce(F.sum("__cnt"), F.lit(0)).alias("__n"),
+        F.sum(F.col("__cnt") * F.col("__x")).alias("__sx"),
+        F.sum(F.col("__cnt") * F.col("__y")).alias("__sy"),
+        F.sum(F.col("__cnt") * F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__cnt") * F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    totals = hist.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("vocab_size"),
+        F.sum(F.col("cf") * F.col("__n")).alias("total_tokens"),
+    )
+    return totals.crossJoin(F.broadcast(stats)).select(
         F.col("vocab_size").cast("bigint").alias("vocab_size"),
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
         F.col("__n").cast("bigint").alias("n_points"),

@@ -31,6 +31,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _join_nullsafe(
+    left: DataFrame, right: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Inner equi-join on ``cols`` that matches NULL keys to NULL
+    keys. The plain using-join these rank decompositions previously
+    used silently drops NULL-group rows, while the window twins
+    (PARTITION BY) keep a NULL partition — a latent divergence.
+    EqualNullSafe is a hash-joinable key, so broadcast hints on
+    ``right`` survive. Duplicated right-side key columns are
+    renamed before the join and dropped after."""
+    renamed = right
+    for c in cols:
+        renamed = renamed.withColumnRenamed(c, f"__r_{c}")
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+    return left.join(renamed, cond).drop(*[f"__r_{c}" for c in cols])
+
+
 def _bucketed_rank(
     rows: DataFrame, group_cols: list[str], key: str, id_col: str
 ) -> DataFrame:
@@ -59,7 +78,7 @@ def _bucketed_rank(
         F.col(key), F.col(id_col)
     )
     return (
-        rows.join(F.broadcast(offsets), group_cols + ["__bkt"])
+        _join_nullsafe(rows, F.broadcast(offsets), group_cols + ["__bkt"])
         .withColumn(
             "__rank", (F.col("__off") + F.row_number().over(w_local))
         )
@@ -266,8 +285,8 @@ def percentile_rank(
     w_local = Window.partitionBy(
         *[F.col(c) for c in gcols], F.col("__bkt")
     ).orderBy("__v", id_col)
-    ranked = bucketed.join(
-        F.broadcast(offsets), gcols + ["__bkt"]
+    ranked = _join_nullsafe(
+        bucketed, F.broadcast(offsets), gcols + ["__bkt"]
     ).withColumn("__rank", F.col("__off") + F.row_number().over(w_local))
     return ranked.select(
         F.col(id_col),
@@ -315,7 +334,11 @@ def _rank_from_buckets(bucketed: DataFrame, gcols: list[str]) -> DataFrame:
         vals.withColumn(
             "__less", F.coalesce(F.sum("__cnt").over(w_less), F.lit(0))
         )
-        .join(F.broadcast(offsets), gcols + ["__bkt"])
+        .transform(
+            lambda d: _join_nullsafe(
+                d, F.broadcast(offsets), gcols + ["__bkt"]
+            )
+        )
         .select(
             *gcols,
             "__bkt",
@@ -327,8 +350,8 @@ def _rank_from_buckets(bucketed: DataFrame, gcols: list[str]) -> DataFrame:
             ).cast("bigint").alias("__ar2"),
         )
     )
-    return bucketed.join(
-        ranked_vals, gcols + ["__bkt", "__v"]
+    return _join_nullsafe(
+        bucketed, ranked_vals, gcols + ["__bkt", "__v"]
     ).select(*gcols, "__id", "__ar2")
 
 

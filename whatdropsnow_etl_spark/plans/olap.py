@@ -516,11 +516,15 @@ def q15_top_supplier(
     date_to: str = "1996-04-01",
 ) -> DataFrame:
     """TPC-H Q15 flavor: supplier(s) achieving the max quarterly
-    revenue. The max is a window over the already-aggregated
-    per-supplier relation (tiny — one row per supplier), so the
-    'correlated subquery' costs no second pass over the fact."""
-    from pyspark.sql.window import Window
-
+    revenue. The 'correlated subquery' max is the Q11 pattern: a
+    1-row MAX aggregate over the per-supplier relation, broadcast
+    back via crossJoin — never a Window.partitionBy() (global)
+    window, which would funnel the whole per-supplier relation
+    through one task at 100 TB-class supplier cardinality (the r5
+    verdict's flagged wall). The max aggregate combines map-side,
+    so no single task ever holds more than its partition's
+    partials; the per-supplier groupBy exchange feeding both
+    consumers is identical and AQE-reusable."""
     rev = (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
@@ -529,9 +533,9 @@ def q15_top_supplier(
         .groupBy("l_suppkey")
         .agg(exact_sum_expr(_disc_price()).alias("total_revenue"))
     )
-    w = Window.partitionBy()
-    best = rev.withColumn("mx", F.max("total_revenue").over(w)).where(
-        F.col("total_revenue") == F.col("mx")
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    best = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("__mx")
     )
     return best.join(
         F.broadcast(supplier.select("s_suppkey", "s_name")),

@@ -74,12 +74,15 @@ def attribution_stream(
             credited = "direct"
             if touch is not None and touch[1] >= int(ts_us) - within_us:
                 credited = touch[0]
+            # a NULL conversion value arrives here as NaN; the batch
+            # twin's F.sum skips NULLs, so emit 0.0 (not NaN, which
+            # would poison the downstream total_value aggregate)
             out.append(
                 {
                     "user_id": user_id,
                     "touch_type": credited,
                     "ts_us": int(ts_us),
-                    "value": float(value),
+                    "value": 0.0 if pd.isna(value) else float(value),
                 }
             )
         if touch is not None:

@@ -22,6 +22,12 @@ would crash-loop the query on replay). The ``watermark`` is applied
 to the source for engine bookkeeping, but with NoTimeout state
 never expires — unbounded per-user retention is this operator's
 documented footprint, the price of "paths across any gap".
+
+BREAKING STATE MIGRATION (r5): STATE_SCHEMA dropped its unread
+(last_ts, last_id) fields. State is stored positionally, so a
+restart from a pre-change checkpoint will fail or misread state —
+use a fresh checkpoint directory when upgrading across this change
+(see streaming/transitions.py, same shrink, same release).
 """
 
 from __future__ import annotations

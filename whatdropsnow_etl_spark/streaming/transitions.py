@@ -26,6 +26,15 @@ corrected; an event arriving in a LATER batch than its successor
 produces stream-order transitions (the standard streaming
 approximation — exactness requires per-user in-order delivery
 across batches, which the batch twin's test pins).
+
+BREAKING STATE MIGRATION (r5): STATE_SCHEMA shrank from
+(last_type, last_ts, last_id) to just ``last_type`` (the dropped
+fields were never read back). ``applyInPandasWithState`` stores
+state by position, so a query restarted from a checkpoint written
+under the old 3-field schema will fail or misread state — discard
+the old checkpoint directory (fresh checkpoint) when upgrading
+across this change. The same applies to ``streaming/paths.py``,
+which made the same shrink in the same release.
 """
 
 from __future__ import annotations
