@@ -55,49 +55,52 @@ def test_oracle_keys_subset_of_queries():
 GATE_WINDOW = 50  # the driver verifies only the first 50 queries() entries
 
 
-# r4-verdict exception: these five rows-only queries had NEVER
-# appeared in a driver window; r5 deliberately spends slots 46-50 on
-# their one-time exposure (a weaker rows-only record still proves
-# driver-environment execution). After r5 they return to the tail and
-# the window goes back to oracle-only.
-NEVER_SEEN_ROWS_ONLY = [
-    "bpe_encode",
-    "bpe_fertility",
-    "ann_pq_trained",
-    "ann_opq_trained",
-    "semantic_dedup_trained",
-]
+# After r5, exactly these oracle-bearing queries had NEVER produced a
+# driver CORRECTNESS row (the 7 r5-window spills + the 41 late-r5
+# additions); the r5 verdict's ask #1 is that all of them get a fresh
+# driver row in r6. They must fill the window ahead of any refresh.
+NEVER_DRIVER_SEEN_R6 = {
+    # 7 r5-window spills
+    "source_overlap_matrix", "event_transitions", "sampled_quantiles",
+    "sliding_window_agg", "value_histogram", "vocab_coverage",
+    "freshness_report",
+    # 41 late-r5 additions
+    "trend_report", "quantile_bucketize", "k_anonymity_report",
+    "grid_diversity_sample", "label_centroids", "asof_nearest_purchase",
+    "feature_class_lift", "top_event_paths", "zipf_fit", "bm25_search",
+    "sparse_cosine_join", "bloom_decontaminate", "zorder_layout_report",
+    "line_dedup", "line_dedup_incremental", "last_touch_attribution",
+    "hourly_acf", "densify_hours", "hard_negatives", "share_of_parent",
+    "epoch_shuffle", "interleave_sources", "blocklist_filter",
+    "corr_matrix", "cooccurrence_pairs", "vocab_growth", "kwic_search",
+    "market_basket", "percentile_rank", "user_event_sequences",
+    "triangle_count", "distribution_shift_report", "benford_check",
+    "hybrid_search", "media_resample", "media_silence_report",
+    "active_learning_batch", "chi2_features", "nb_classify",
+    "kmv_sketch_rollup", "rank_correlation",
+}
+
+# implementation changed in r6 — old green rows no longer cover the
+# shipped code, so they take the remaining slots
+CHANGED_IN_R6 = ["q15_top_supplier", "dedup_editdist"]
 
 
 def test_gate_window_composition():
-    """Derived (not hand-counted) gate-window contract: no rows-only
-    query burns a gate slot EXCEPT the five never-driver-seen entries
-    deliberately exposed this round, which must sit at the very end of
-    the window so every oracle-bearing slot comes first."""
+    """Derived (not hand-counted) r6 gate-window contract: every
+    never-driver-seen oracle-bearing query fills the window first
+    (the r5 verdict's ask #1 — the whole cohort gets its first
+    driver row), the two r6-changed queries take the remaining
+    slots, and no rows-only query burns a slot."""
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
-    wasted = [
-        q for q in gated if q not in oracles and q not in NEVER_SEEN_ROWS_ONLY
-    ]
+    wasted = [q for q in gated if q not in oracles]
     assert not wasted, f"rows-only queries inside gate window: {wasted}"
-    assert gated[-len(NEVER_SEEN_ROWS_ONLY):] == NEVER_SEEN_ROWS_ONLY
-    # the changed-this-round block must lead the window
-    assert order[0] == "quota_sample"
-    assert order[1] == "snapshot_diff"
-    # every r2-stale query is inside the window (the r5 rotation's
-    # whole point: after r5 no signal is older than r3)
-    r2_stale = {
-        "q16_supplier_variety", "q17_small_quantity_revenue",
-        "q18_large_orders", "q19_disjunctive_revenue",
-        "q11_important_stock", "q21_waiting_suppliers",
-        "q22_sales_opportunity", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
-        "ann_lsh_bucketed", "redact_pii", "stratified_sample",
-        "window_topn_per_group", "rollup_flag_status",
-        "tumbling_window_agg", "dedup_exact", "lang_id", "quality_score",
-    }
-    assert r2_stale <= set(gated), r2_stale - set(gated)
+    assert NEVER_DRIVER_SEEN_R6 <= set(gated), (
+        NEVER_DRIVER_SEEN_R6 - set(gated)
+    )
+    assert gated[-len(CHANGED_IN_R6):] == CHANGED_IN_R6
+    assert len(NEVER_DRIVER_SEEN_R6) + len(CHANGED_IN_R6) == GATE_WINDOW
 
 
 def test_no_oracle_emits_hugeint():
