@@ -4907,7 +4907,9 @@ def oracle_sql() -> dict[str, str]:
     # the oracle predicts them from the id-derived generation formula
     sql["media_probe"] = """
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+               CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+                    WHEN doc_id % 2 = 0 THEN 'png'
+                    ELSE 'wav' END AS format,
                CASE WHEN doc_id % 2 = 0
                     THEN CAST(4 + doc_id % 13 AS BIGINT) END AS width,
                CASE WHEN doc_id % 2 = 0

@@ -2191,6 +2191,83 @@ def test_media_probe_decodes_real_payloads(spark):
     amp = 100 + 7 % 1000
     assert out[7]["energy"] == (50 + 7 % 100) * amp * amp
     assert out[7]["sample_rate"] == 8000 + (7 % 3) * 4000
+    # id % 4 == 2 -> PNG, decoded through the real inflate+un-filter
+    # path; the image formulas are format-independent by construction
+    for did in (2, 6):
+        w, h = 4 + did % 13, 3 + did % 7
+        s = (did % 256) + (did * 3) % 256 + (did * 7) % 256
+        assert out[did]["format"] == "png"
+        assert (out[did]["width"], out[did]["height"]) == (w, h)
+        assert out[did]["sum_rgb"] == w * h * s
+
+
+def test_pil_decode_path(spark):
+    """Coverage for the optional Pillow decoder wherever PIL exists
+    (skipped otherwise): extract_features(decoder='pil') must read
+    real dimensions from real image bytes. Our own PNG encoder makes
+    the fixture — also a third-party check that its output opens in
+    a mainstream reader."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    from whatdropsnow_etl_spark.functions.media import encode_png_rgb8
+    from whatdropsnow_etl_spark.operators.multimodal import extract_features
+
+    png = encode_png_rgb8(9, 4, (1, 2, 3))
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("png", len(png)))],
+        "doc_id bigint, payload binary, meta struct<format:string,n_bytes:bigint>",
+    )
+    [row] = extract_features(df, decoder="pil").collect()
+    assert (row["fake_width"], row["fake_height"]) == (9, 4)
+
+
+def test_pil_decode_unavailable_is_honest_gate():
+    """Without Pillow the 'pil' decoder raises NotImplementedError
+    with a pointer to the fake decoder — never a silent fallback."""
+    import pytest as _pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("Pillow installed; the gate path can't trigger")
+    except ImportError:
+        pass
+    from whatdropsnow_etl_spark.operators.multimodal import _pil_decode
+
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        _pil_decode(b"\x89PNG....")
+
+
+def test_png_codec_all_filters_round_trip():
+    """The PNG decoder inverts every scanline filter type (0..4) on
+    a random image, bit-exactly — and verifies chunk CRCs."""
+    import numpy as np
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_png_rgb8,
+        encode_png_rgb8,
+        resize_png_rgb8_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (7, 5, 3)).astype(np.uint8)
+    for ft in range(5):
+        d = decode_png_rgb8(encode_png_rgb8(5, 7, pixels=px, filter_type=ft))
+        assert (d["px"] == px).all(), f"filter {ft}"
+        assert d["sum_g"] == int(px[:, :, 1].astype(np.int64).sum())
+    # corrupting one IDAT byte must fail the CRC check, not decode
+    # to silently-wrong pixels
+    p = bytearray(encode_png_rgb8(5, 7, pixels=px, filter_type=4))
+    p[60] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb8(bytes(p))
+    # resize round trip stays a valid PNG with the exact gather sums
+    r = decode_png_rgb8(
+        resize_png_rgb8_nearest(encode_png_rgb8(2, 1, (255, 0, 0)), 4, 2)
+    )
+    assert (r["width"], r["height"], r["sum_r"]) == (4, 2, 255 * 8)
 
 
 def test_media_resize_real_pixels(spark):

@@ -1,14 +1,18 @@
-"""Real byte-level media codecs: 24-bit BMP and 16-bit PCM WAV.
+"""Real byte-level media codecs: 24-bit BMP, 8-bit RGB PNG, and
+16-bit PCM WAV.
 
 The multimodal operators' decode step was honestly stubbed while no
-media library ships in the runtime — but two production formats
+media library ships in the runtime — but three production formats
 need none: BMP (Windows device-independent bitmap, uncompressed
 24-bit) and WAV (RIFF PCM) are plain struct-packed headers over raw
-arrays, fully decodable with the standard library plus numpy. These
-codecs upgrade the multimodal path from "plumbing with a fake
-decoder" to "real bytes in, verified pixels/samples out" for one
-image and one audio format; richer formats (JPEG/PNG/MP3) still
-require external libs and keep the explicit NotImplementedError.
+arrays, and PNG's only compression is zlib (already in the stdlib),
+so a full IHDR/IDAT decoder — inflate + all five scanline filters
+(None/Sub/Up/Average/Paeth) + CRC verification — is pure
+stdlib+numpy for the 8-bit truecolor subset. These codecs upgrade
+the multimodal path from "plumbing with a fake decoder" to "real
+bytes in, verified pixels/samples out"; formats that genuinely need
+an external entropy coder (JPEG/MP3) keep the explicit
+NotImplementedError.
 
 Stats are returned in EXACT integer form (pixel sums, PCM energy)
 rather than float means — so a DuckDB oracle that knows a synthetic
@@ -66,6 +70,176 @@ def decode_bmp24(payload: bytes) -> dict:
         "sum_b": int(px[:, :, 0].sum()),
         "top_down": bool(flipped),
     }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb8(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    pixels: "np.ndarray | None" = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal 8-bit truecolor (color type 2) PNG. Either a solid
+    ``rgb`` color or an explicit (height, width, 3) uint8 ``pixels``
+    array. ``filter_type`` applies that scanline filter to EVERY row
+    (0=None..4=Paeth) — any conformant decoder must invert it, which
+    is how the decoder's filter paths get test coverage."""
+    import zlib
+
+    if pixels is None:
+        pixels = np.tile(
+            np.array(rgb, dtype=np.uint8), (height, width, 1)
+        )
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    raw = px.astype(np.int32)
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, 1:] = raw[:-1, :-1]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+        )
+        filt = raw - pred
+    else:
+        raise ValueError(f"bad filter_type {filter_type}")
+    body = b"".join(
+        bytes([filter_type]) + (filt[y] % 256).astype(np.uint8).tobytes()
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8(payload: bytes) -> dict:
+    """Full decode of an 8-bit truecolor PNG: chunk walk with CRC
+    verification, zlib inflate, per-scanline un-filtering (all five
+    filter types), exact integer per-channel sums — the same output
+    contract as :func:`decode_bmp24`. Returns the pixel array too
+    (``px``) so resize can reuse the decode."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_i, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG "
+                    f"(depth={depth} color={ctype_i} interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    body = zlib.decompress(idat)
+    stride = width * 3
+    if len(body) != height * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((height, width, 3), dtype=np.int32)
+    for y in range(height):
+        cur = rows[y, 1:].reshape(width, 3).astype(np.int32)
+        ft = int(filters[y])
+        prev = out[y - 1] if y > 0 else np.zeros((width, 3), np.int32)
+        if ft == 0:
+            out[y] = cur
+        elif ft == 1:  # Sub: left neighbor — sequential in x
+            acc = np.zeros(3, np.int32)
+            for x in range(width):
+                acc = (cur[x] + acc) % 256
+                out[y, x] = acc
+        elif ft == 2:  # Up
+            out[y] = (cur + prev) % 256
+        elif ft == 3:  # Average
+            for x in range(width):
+                left = out[y, x - 1] if x > 0 else np.zeros(3, np.int32)
+                out[y, x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            for x in range(width):
+                left = out[y, x - 1] if x > 0 else np.zeros(3, np.int32)
+                ul = prev[x - 1] if x > 0 else np.zeros(3, np.int32)
+                p = left + prev[x] - ul
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - prev[x]),
+                    np.abs(p - ul),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev[x], ul),
+                )
+                out[y, x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {ft} on row {y}")
+    px = out.astype(np.int64)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sum_r": int(px[:, :, 0].sum()),
+        "sum_g": int(px[:, :, 1].sum()),
+        "sum_b": int(px[:, :, 2].sum()),
+        "px": out.astype(np.uint8),
+    }
+
+
+def resize_png_rgb8_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of an 8-bit RGB PNG: full decode
+    (inflate + un-filter), index gather, re-encode. Same arithmetic
+    as :func:`resize_bmp24_nearest`."""
+    d = decode_png_rgb8(payload)
+    px = d["px"]
+    ys = (np.arange(out_h) * d["height"]) // out_h
+    xs = (np.arange(out_w) * d["width"]) // out_w
+    return encode_png_rgb8(out_w, out_h, pixels=px[ys][:, xs])
 
 
 def encode_wav16(sample_rate: int, samples: "np.ndarray") -> bytes:

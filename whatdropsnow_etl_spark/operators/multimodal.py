@@ -221,20 +221,28 @@ MEDIA_SCHEMA = (
 
 
 def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Synthesize REAL media bytes per doc — a solid-color 24-bit
-    BMP for even ids, a constant-amplitude 16-bit PCM WAV for odd —
-    with every generation parameter a pure function of the id. The
-    payloads are genuine format-conformant binaries (any external
-    BMP/WAV reader opens them); because the parameters are
-    id-derived, a SQL oracle can predict what a CORRECT decoder must
-    recover, making the binary decode itself oracle-checkable.
+    """Synthesize REAL media bytes per doc — a solid-color image for
+    even ids (24-bit BMP when id % 4 == 0, 8-bit RGB PNG when
+    id % 4 == 2, cycling through all five PNG scanline filters so
+    the inflate+un-filter decoder is exercised end to end), a
+    constant-amplitude 16-bit PCM WAV for odd ids — with every
+    generation parameter a pure function of the id. The payloads are
+    genuine format-conformant binaries (any external BMP/PNG/WAV
+    reader opens them); because the parameters are id-derived, a SQL
+    oracle can predict what a CORRECT decoder must recover, making
+    the binary decode itself oracle-checkable (image w/h/pixel-sum
+    formulas are format-independent by construction).
     """
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        from ..functions.media import encode_bmp24, encode_wav16
+        from ..functions.media import (
+            encode_bmp24,
+            encode_png_rgb8,
+            encode_wav16,
+        )
 
         for batch in it:
             payloads = []
@@ -243,7 +251,14 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if did % 2 == 0:
                     w, h = 4 + did % 13, 3 + did % 7
                     rgb = (did % 256, (did * 3) % 256, (did * 7) % 256)
-                    payloads.append(encode_bmp24(w, h, rgb))
+                    if did % 4 == 0:
+                        payloads.append(encode_bmp24(w, h, rgb))
+                    else:
+                        payloads.append(
+                            encode_png_rgb8(
+                                w, h, rgb, filter_type=(did // 2) % 5
+                            )
+                        )
                 else:
                     rate = 8000 + (did % 3) * 4000
                     n = 50 + did % 100
@@ -260,9 +275,11 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def media_probe(media: DataFrame) -> DataFrame:
     """REAL byte-level media probe: sniff the magic bytes and decode
-    BMP (dimensions + exact per-channel pixel sums, reported as one
-    combined ``sum_rgb``) or WAV (rate, sample count, exact integer
-    PCM energy) with the pure-stdlib codecs in ``functions.media``.
+    BMP or PNG (dimensions + exact per-channel pixel sums, reported
+    as one combined ``sum_rgb``; the PNG path is a full
+    inflate + un-filter + CRC-check decode) or WAV (rate, sample
+    count, exact integer PCM energy) with the pure-stdlib codecs in
+    ``functions.media``.
     One Arrow-batched narrow map — payload bytes never shuffle, only
     the small metadata rows move on. Unknown formats raise (a
     corrupt blob in a media table is a data bug, not a row to drop
@@ -273,18 +290,27 @@ def media_probe(media: DataFrame) -> DataFrame:
     def probe(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd  # noqa: PLC0415
 
-        from ..functions.media import decode_bmp24, decode_wav16
+        from ..functions.media import (
+            decode_bmp24,
+            decode_png_rgb8,
+            decode_wav16,
+        )
 
         for batch in it:
             rows = []
             for did, payload in zip(batch["doc_id"], batch["payload"]):
                 payload = bytes(payload)
-                if payload[:2] == b"BM":
-                    d = decode_bmp24(payload)
+                if payload[:2] == b"BM" or payload[:4] == b"\x89PNG":
+                    is_png = payload[:4] == b"\x89PNG"
+                    d = (
+                        decode_png_rgb8(payload)
+                        if is_png
+                        else decode_bmp24(payload)
+                    )
                     rows.append(
                         {
                             "doc_id": did,
-                            "format": "bmp",
+                            "format": "png" if is_png else "bmp",
                             "width": d["width"],
                             "height": d["height"],
                             "sum_rgb": d["sum_r"] + d["sum_g"] + d["sum_b"],
@@ -321,11 +347,12 @@ MEDIA_RESIZE_SCHEMA = (
 
 
 def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """REAL image resize over the BMP payloads: decode pixels,
-    nearest-neighbor gather to (out_w, out_h), re-encode, then
-    decode the RESULT to report its dimensions and exact pixel sums
+    """REAL image resize over the BMP and PNG payloads: decode
+    pixels (for PNG: inflate + un-filter), nearest-neighbor gather
+    to (out_w, out_h), re-encode IN THE SOURCE FORMAT, then decode
+    the RESULT to report its dimensions and exact pixel sums
     — the round-trip proves the resampled bytes are themselves a
-    valid image, not just that a resize function ran. Non-BMP
+    valid image, not just that a resize function ran. Non-image
     payloads (the WAV half of the media table) are filtered out
     JVM-side before the Python boundary. Narrow Arrow map; only
     metadata rows move on.
@@ -334,15 +361,24 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     def go(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd  # noqa: PLC0415
 
-        from ..functions.media import decode_bmp24, resize_bmp24_nearest
+        from ..functions.media import (
+            decode_bmp24,
+            decode_png_rgb8,
+            resize_bmp24_nearest,
+            resize_png_rgb8_nearest,
+        )
 
         for batch in it:
             rows = []
             for did, payload in zip(batch["doc_id"], batch["payload"]):
                 payload = bytes(payload)
-                src = decode_bmp24(payload)
-                resized = resize_bmp24_nearest(payload, out_w, out_h)
-                d = decode_bmp24(resized)
+                if payload[:4] == b"\x89PNG":
+                    dec, rsz = decode_png_rgb8, resize_png_rgb8_nearest
+                else:
+                    dec, rsz = decode_bmp24, resize_bmp24_nearest
+                src = dec(payload)
+                resized = rsz(payload, out_w, out_h)
+                d = dec(resized)
                 rows.append(
                     {
                         "doc_id": did,
@@ -355,8 +391,11 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    bmps = media.where(F.startswith(F.col("payload"), F.lit(b"BM")))
-    return bmps.mapInPandas(go, schema=MEDIA_RESIZE_SCHEMA)
+    imgs = media.where(
+        F.startswith(F.col("payload"), F.lit(b"BM"))
+        | F.startswith(F.col("payload"), F.lit(b"\x89PNG"))
+    )
+    return imgs.mapInPandas(go, schema=MEDIA_RESIZE_SCHEMA)
 
 
 MEDIA_RESAMPLE_SCHEMA = (
