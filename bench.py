@@ -59,20 +59,40 @@ def main() -> None:
         elif arg.startswith("skip:"):
             skip |= set(arg[5:].split(","))
 
-    times: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        if (only and name not in only) or name in skip:
-            continue
+    registry = entrymod.queries()
+
+    def run_one(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
 
+    # Drift sentinel: one fixed query timed immediately before AND
+    # after the sweep. Round-over-round comparisons divide by the
+    # sentinel ratio to separate environment drift (contended box,
+    # thermal state — the r5 verdict measured a ±10% spread on
+    # UNCHANGED code) from real per-query regressions: if the
+    # sentinel moved the same way, it's the box, not the code.
+    sentinel_name = "q1_pricing_summary"
+    sentinel_pre = run_one(registry[sentinel_name])
+
+    times: dict[str, float] = {}
+    for name, fn in registry.items():
+        if (only and name not in only) or name in skip:
+            continue
+        times[name] = run_one(fn)
+
+    sentinel_post = run_one(registry[sentinel_name])
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "sentinel": {
+            "query": sentinel_name,
+            "pre": sentinel_pre,
+            "post": sentinel_post,
+        },
         "sf": sf,
     }
     # The driver captures only the LAST ~2000 chars of stdout and
@@ -97,6 +117,7 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(times),
         "queries_note": "25 slowest shown; all %d in bench_full.json" % len(times),
+        "sentinel": payload["sentinel"],
         "sf": sf,
     }
     line = json.dumps(compact)

@@ -356,6 +356,42 @@ def test_editdist_band_cap(spark, tables):
     assert sub <= base
 
 
+def test_editdist_qgram_prefilter_is_lossless(spark, tables):
+    """The r6 byte-trigram histogram prefilter is an EXACT bound
+    (lev <= d implies bucketed trigram L1 <= 12d, 6d both-ASCII),
+    so switching it on changes nothing — (lo, hi, dist) identical —
+    at every cap, including the salted path, and including
+    multi-byte (non-ASCII) text where the looser bound applies."""
+    from whatdropsnow_etl_spark.operators import editdist_pairs
+
+    docs = tables["documents"].select("doc_id", "text", "lang", "n_chars")
+    for kwargs in ({}, {"max_band_docs": 5}):
+        on = {
+            tuple(r)
+            for r in editdist_pairs(docs, max_dist=8, **kwargs).collect()
+        }
+        off = {
+            tuple(r)
+            for r in editdist_pairs(
+                docs, max_dist=8, qgram_prefilter=False, **kwargs
+            ).collect()
+        }
+        assert on == off, kwargs
+    # non-ASCII: accented twins within distance must survive the
+    # 12d bound (one char edit = up to 2 UTF-8 bytes here)
+    rows = [
+        (1, "café au lait avec du sucre brun " * 3, "fr", 93),
+        (2, "cafè au lait avec du sucre brun " * 3, "fr", 93),
+        (3, "voiture rouge très rapide sur la route " * 2, "fr", 80),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    got = {
+        (r["lo"], r["hi"])
+        for r in editdist_pairs(df, max_dist=8).collect()
+    }
+    assert (1, 2) in got and (1, 3) not in got
+
+
 def test_kmv_merge_rollup_equals_direct_sketch(spark):
     """The mergeability contract: per-day sketches merged up to
     event_type give the SAME estimates as sketching the whole table

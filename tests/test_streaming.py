@@ -611,6 +611,98 @@ def test_streaming_incremental_dedup_grows_index(spark, tables, tmp_path):
     assert got == want
 
 
+def test_streaming_line_dedup_matches_batch_prefixes(spark, tables, tmp_path):
+    """The streaming line-dedup twin: each micro-batch's cleaned
+    output equals the full batch twin ``line_dedup`` run over ALL
+    docs ingested up to and including that batch, restricted to the
+    batch's docs — the additive-counts contract of
+    line_dedup_incremental carried across micro-batches. Also pins
+    replay-safety: re-running a batch's fold by hand cannot inflate
+    the index (per-(key, batch) MAX)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from whatdropsnow_etl_spark.operators import line_dedup
+    from whatdropsnow_etl_spark.streaming import (
+        clean_and_grow_line_index,
+        load_line_index,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    src = str(tmp_path / "ld_docs")
+    docs = tables["documents"].select("doc_id", "text")
+    for part in range(3):
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    store = str(tmp_path / "line_index")
+    out = str(tmp_path / "cleaned")
+    fn = clean_and_grow_line_index(
+        store, out, min_docs=3, line_tokens=8, hash_lines=True
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_linededup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    cleaned = spark.read.parquet(out)
+    assert cleaned.count() == docs.count()
+    # recover which batch each doc landed in from the output itself,
+    # then check every prefix against the batch twin
+    doc_batch = {
+        r["doc_id"]: r["batch_id"]
+        for r in cleaned.select("doc_id", "batch_id").collect()
+    }
+    batches = sorted(set(doc_batch.values()))
+    assert len(batches) == 3
+    for i, b in enumerate(batches):
+        prefix_ids = [d for d, bb in doc_batch.items() if bb <= b]
+        batch_ids = {d for d, bb in doc_batch.items() if bb == b}
+        twin = line_dedup(
+            docs.where(F.col("doc_id").isin(prefix_ids)),
+            min_docs=3,
+            line_tokens=8,
+            hash_lines=True,
+        )
+        want = {
+            (r["doc_id"], r["n_lines"], r["n_removed"], r["text_clean"])
+            for r in twin.collect()
+            if r["doc_id"] in batch_ids
+        }
+        got = {
+            (r["doc_id"], r["n_lines"], r["n_removed"], r["text_clean"])
+            for r in cleaned.where(F.col("batch_id") == b).collect()
+        }
+        assert got == want, f"batch {b} (prefix {i + 1}/3)"
+    # replay-safety of the index fold: duplicate one batch's stored
+    # counts (what a foreachBatch redelivery would append) — the
+    # loaded index is unchanged
+    before = {
+        (r["__k"], r["n_docs"])
+        for r in load_line_index(spark, store).collect()
+    }
+    one = spark.read.parquet(store).where(F.col("batch_id") == batches[0])
+    one.write.mode("append").parquet(store)
+    after = {
+        (r["__k"], r["n_docs"])
+        for r in load_line_index(spark, store).collect()
+    }
+    assert after == before
+
+
 def test_broadcast_refresh_dim_staleness_contract(spark):
     """The refreshing dim re-runs its loader only at refresh
     boundaries: versions become visible exactly every N get() calls,

@@ -11,6 +11,7 @@ from .sink import write_stream_parquet
 from .topk import heavy_hitters, mg_merge
 from .manifest_sink import ManifestMergeStreamSink, ManifestStreamSink
 from .history import history_stream
+from .line_dedup import clean_and_grow_line_index, load_line_index
 from .paths import path_stream
 from .attribution import attribution_stream
 from .transitions import transition_stream
@@ -35,6 +36,8 @@ __all__ = [
     "mg_merge",
     "heavy_hitters",
     "history_stream",
+    "clean_and_grow_line_index",
+    "load_line_index",
     "path_stream",
     "attribution_stream",
     "transition_stream",
