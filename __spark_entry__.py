@@ -1590,6 +1590,64 @@ def _kwic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall counts over nb_classify's held-out
+    predictions — the scorecard closing the domain-classifier loop."""
+    from whatdropsnow_etl_spark.operators import classifier_eval, nb_classify
+
+    preds = nb_classify(load_table(spark, sf_dir, "documents"))
+    return classifier_eval(preds, true_col="source", pred_col="predicted")
+
+
+def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-relevance IR eval of the exact cosine retrieval: the
+    query set is the ann_cosine_topk registry split (vec_id < 10 vs
+    rest), ground truth is label equality — 'does the embedding
+    space retrieve same-class vectors first'."""
+    from whatdropsnow_etl_spark.operators import ann_cosine_topk, retrieval_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    results = ann_cosine_topk(corpus, queries, k=5)
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    ).join(
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__cl")
+        ),
+        F.col("__ql") == F.col("__cl"),
+    ).select("query_id", "neighbor_id")
+    return retrieval_eval(results, truth, k=5)
+
+
+def _strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no HTML, so the registry query wraps
+    each doc in id-derived markup (tags, a script block whose JS
+    string contains a tag, comments, double-escaped entities) with
+    the SAME concat both twins compute — the strip itself is the
+    operator vs the oracle's regexp_replace chain over real markup,
+    not a no-op over clean text."""
+    from whatdropsnow_etl_spark.operators import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    wrapped = F.concat(
+        F.lit("<html><!-- doc "),
+        did,
+        F.lit(
+            ' --><head><style>p{color:red}</style>'
+            '<script type="text/javascript">var x="</p>";</script>'
+            '</head><body><p class="c'
+        ),
+        did,
+        F.lit('">'),
+        F.col("text"),
+        F.lit(" &amp;amp; &lt;b&gt;tail&quot;s&#39;</p><br/></body></html>"),
+    )
+    return strip_markup(docs.select("doc_id", wrapped.alias("text")))
+
+
 def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts over the MinHash candidate-pair graph: the
     cohesion diagnostic between raw degree (dup_degree_report) and
@@ -1728,6 +1786,9 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "cooccurrence_pairs": ["a", "b", "n_cooc"],
     "vocab_growth": ["bucket", "cum_tokens", "cum_vocab", "n_new_terms", "n_tokens"],
     "kwic_search": ["doc_id", "left_ctx", "pos", "right_ctx"],
+    "strip_markup": ["doc_id", "n_chars_clean", "n_chars_raw", "text_clean"],
+    "retrieval_eval": ["first_rel_rank", "hit", "n_rel_topk", "n_retrieved", "query_id"],
+    "classifier_eval": ["label", "n_correct", "n_pred", "n_true"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
     "percentile_rank": ["doc_id", "n_chars", "pct_rank", "source"],
     "user_event_sequences": ["n_events", "seq", "user_id"],
@@ -2054,6 +2115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pairs": _cooccurrence_pairs,
         "vocab_growth": _vocab_growth,
         "kwic_search": _kwic_search,
+        # NEW in r6 — never driver-seen; leads the r7 window contract
+        "strip_markup": _strip_markup,
+        "retrieval_eval": _retrieval_eval,
+        "classifier_eval": _classifier_eval,
         "market_basket": _market_basket,
         "percentile_rank": _percentile_rank,
         "user_event_sequences": _user_event_sequences,
@@ -5862,6 +5927,91 @@ def oracle_sql() -> dict[str, str]:
         FROM hits
         ORDER BY doc_id, pos
         LIMIT 100
+    """
+    # composes the nb_classify oracle verbatim; null-safe class join
+    # (a NULL-truth class must surface, not vanish), exact counts
+    sql["classifier_eval"] = f"""
+        WITH nb AS ({sql["nb_classify"]}),
+        t AS (
+          SELECT source AS label, COUNT(*) AS n_true,
+                 SUM(CASE WHEN predicted = source THEN 1 ELSE 0 END)
+                   AS n_correct
+          FROM nb GROUP BY source
+        ), p AS (
+          SELECT predicted AS plabel, COUNT(*) AS n_pred
+          FROM nb GROUP BY predicted
+        )
+        SELECT COALESCE(t.label, p.plabel) AS label,
+               CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+               CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(COALESCE(t.n_correct, 0) AS BIGINT) AS n_correct
+        FROM t FULL OUTER JOIN p ON t.label IS NOT DISTINCT FROM p.plabel
+        ORDER BY label
+    """
+    # composes the ann_cosine_topk oracle verbatim (the hybrid_search
+    # pattern); relevance = label equality, metrics exact integers
+    sql["retrieval_eval"] = f"""
+        WITH ex AS ({sql["ann_cosine_topk"]}),
+        truth AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM embeddings q JOIN embeddings c ON q.label = c.label
+          WHERE q.vec_id < 10 AND c.vec_id >= 10
+        )
+        SELECT ex.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+               CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                              AND ex.rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rel_topk,
+               CAST(MIN(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN ex.rnk END) AS BIGINT) AS first_rel_rank,
+               CAST(CASE WHEN MIN(CASE WHEN t.neighbor_id IS NOT NULL
+                                       THEN ex.rnk END) IS NOT NULL
+                         THEN 1 ELSE 0 END AS BIGINT) AS hit
+        FROM ex LEFT JOIN truth t
+          ON t.query_id = ex.query_id AND t.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id
+        ORDER BY ex.query_id
+    """
+    # same id-derived wrap as the Spark twin, then the identical
+    # strip pipeline: script/style blocks, comments, tags -> space,
+    # core entities (&amp; LAST = one unescape level), whitespace
+    # collapse. Every pattern is shared Java-regex/RE2 syntax.
+    sql["strip_markup"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 '<html><!-- doc ' || CAST(doc_id AS VARCHAR)
+                 || ' --><head><style>p{color:red}</style>'
+                 || '<script type="text/javascript">var x="</p>";</script>'
+                 || '</head><body><p class="c' || CAST(doc_id AS VARCHAR)
+                 || '">' || text
+                 || ' &amp;amp; &lt;b&gt;tail&quot;s&#39;</p><br/></body></html>'
+                   AS raw
+          FROM documents
+        ), s AS (
+          SELECT doc_id, raw,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              raw,
+              '(?is)<script\\b.*?</script[^>]*>', ' ', 'g'),
+              '(?is)<style\\b.*?</style[^>]*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g') AS x
+          FROM w
+        ), e AS (
+          SELECT doc_id, raw,
+            replace(replace(replace(replace(replace(replace(replace(
+              x,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', CHR(39)), '&apos;', CHR(39)), '&nbsp;', ' '),
+              '&amp;', '&') AS x
+          FROM s
+        )
+        SELECT doc_id,
+               TRIM(regexp_replace(x, '[ \t\n\r]+', ' ', 'g')) AS text_clean,
+               CAST(LENGTH(raw) AS BIGINT) AS n_chars_raw,
+               CAST(LENGTH(TRIM(regexp_replace(x, '[ \t\n\r]+', ' ', 'g')))
+                    AS BIGINT) AS n_chars_clean
+        FROM e
+        ORDER BY doc_id
     """
     sql["percentile_rank"] = """
         SELECT doc_id, source, n_chars,

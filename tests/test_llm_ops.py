@@ -2201,6 +2201,79 @@ def test_media_probe_decodes_real_payloads(spark):
         assert out[did]["sum_rgb"] == w * h * s
 
 
+def test_retrieval_eval_hand_case(spark):
+    """q1: relevant at ranks 2 and 3 -> first=2, n_rel_topk(k=2)=1;
+    q2: nothing relevant -> first NULL, hit 0; q3: rank-1 hit."""
+    from whatdropsnow_etl_spark.operators import retrieval_eval
+
+    results = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            (2, 10, 1), (2, 11, 2),
+            (3, 13, 1),
+        ],
+        "query_id long, neighbor_id long, rnk long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (1, 12), (3, 13), (3, 99)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in retrieval_eval(results, truth, k=2).collect()}
+    assert (out[1]["n_retrieved"], out[1]["n_rel_topk"],
+            out[1]["first_rel_rank"], out[1]["hit"]) == (3, 1, 2, 1)
+    assert (out[2]["first_rel_rank"], out[2]["hit"]) == (None, 0)
+    assert (out[3]["n_rel_topk"], out[3]["first_rel_rank"], out[3]["hit"]) == (1, 1, 1)
+
+
+def test_classifier_eval_hand_matrix(spark):
+    """Hand confusion matrix incl. a NULL-truth row (must surface as
+    a label=NULL class, counting toward its prediction's n_pred) and
+    a predicted-only class."""
+    from whatdropsnow_etl_spark.operators import classifier_eval
+
+    preds = spark.createDataFrame(
+        [
+            ("a", "a"), ("a", "a"), ("a", "b"),
+            ("b", "a"), ("b", "b"),
+            (None, "c"),
+        ],
+        "source string, predicted string",
+    )
+    out = {r["label"]: r for r in classifier_eval(preds).collect()}
+    assert (out["a"]["n_true"], out["a"]["n_pred"], out["a"]["n_correct"]) == (3, 3, 2)
+    assert (out["b"]["n_true"], out["b"]["n_pred"], out["b"]["n_correct"]) == (2, 2, 1)
+    assert (out["c"]["n_true"], out["c"]["n_pred"], out["c"]["n_correct"]) == (0, 1, 0)
+    assert (out[None]["n_true"], out[None]["n_pred"], out[None]["n_correct"]) == (1, 0, 0)
+
+
+def test_strip_markup_hand_cases(spark):
+    """Script/style content removed WHOLESALE (including tags inside
+    JS strings), comments and tags -> space (no glued words),
+    one-level entity unescape with &amp; last, whitespace collapse;
+    a plain-text doc passes through modulo collapse."""
+    from whatdropsnow_etl_spark.operators import strip_markup
+
+    rows = [
+        (1, '<p>a</p><p>b</p>'),  # tags separate: 'a b', never 'ab'
+        (2, '<script>var x="</p>hidden";</script>seen'),
+        (3, '<style a=b>p{}</style>ok<!-- no -->fine'),
+        (4, '&amp;lt; &amp; &lt;b&gt; &quot;q&quot; &#39;t&#39; &nbsp;'),
+        (5, 'plain  text\nhere'),
+        (6, '<SCRIPT>upper</script>case<BR/>x'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in strip_markup(df).collect()}
+    assert out[1]["text_clean"] == "a b"
+    assert out[2]["text_clean"] == "seen"
+    assert out[3]["text_clean"] == "ok fine"
+    # one unescape level: &amp;lt; -> &lt; (NOT <); &amp; -> &
+    assert out[4]["text_clean"] == "&lt; & <b> \"q\" 't'"
+    assert out[5]["text_clean"] == "plain text here"
+    assert out[6]["text_clean"] == "case x"  # (?i) tag match
+    assert out[5]["n_chars_raw"] == len("plain  text\nhere")
+    assert out[5]["n_chars_clean"] == len("plain text here")
+
+
 def test_pil_decode_path(spark):
     """Coverage for the optional Pillow decoder wherever PIL exists
     (skipped otherwise): extract_features(decoder='pil') must read

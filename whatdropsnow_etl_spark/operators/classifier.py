@@ -269,3 +269,52 @@ def active_learning_batch(
         k_per_group,
         id_col,
     )
+
+
+def classifier_eval(
+    preds: DataFrame,
+    true_col: str = "source",
+    pred_col: str = "predicted",
+) -> DataFrame:
+    """Per-class evaluation of ANY (true, predicted) relation — the
+    scorecard that closes the classifier loop (nb_classify /
+    quality_lr / knn_label_vote all emit one): for every class seen
+    as truth OR prediction, the exact BIGINT counts
+    (n_true, n_pred, n_correct) from which precision (correct/pred),
+    recall (correct/true) and F1 are display-time divisions — no
+    float aggregate crosses engines (the retrieval_eval contract).
+
+    NULL labels are a real class (unlabeled docs get predicted too):
+    the class join is null-safe, so a NULL-truth row counts toward
+    its predicted class's n_pred and surfaces as a label=NULL row
+    rather than silently vanishing from the report.
+
+    Scale shape: two map-side-combined aggregates over the
+    predictions relation to #classes-sized partials, one null-safe
+    full-outer join over those — nothing bigger than the class set
+    ever shuffles twice.
+    """
+    t = preds.groupBy(F.col(true_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            F.when(F.col(pred_col) == F.col(true_col), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    p = preds.groupBy(F.col(pred_col).alias("__plabel")).agg(
+        F.count(F.lit(1)).alias("__n_pred")
+    )
+    return (
+        t.join(p, F.col("label").eqNullSafe(F.col("__plabel")), "full_outer")
+        .select(
+            F.coalesce(F.col("label"), F.col("__plabel")).alias("label"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce(F.col("__n_pred"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pred"),
+            F.coalesce(F.col("n_correct"), F.lit(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )

@@ -1397,3 +1397,70 @@ def hard_negative_mining(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rnk",
+    k: int = 5,
+) -> DataFrame:
+    """Label-relevance evaluation of ANY ranked retrieval result —
+    the per-query scorecard behind MRR / hit@k / precision@k, the
+    standard IR eval loop (complement of :func:`ann_recall_report`,
+    which scores an approximate index against the exact kernel;
+    this scores the RANKING against ground-truth relevance, e.g.
+    "does the embedding space retrieve same-class items first?").
+
+    ``results`` is any (query, doc, rank) relation — the repo's ANN
+    / BM25 / hybrid kernels all emit one; ``truth`` is the relevant
+    (query, doc) pair set (presence = relevant). Per query emits
+    EXACT integers only: n_retrieved, n_rel_topk (relevant among
+    rank <= k), first_rel_rank (NULL when nothing relevant
+    retrieved — the reciprocal-rank numerator stays a display-time
+    division), hit (first_rel_rank IS NOT NULL as 0/1). No float
+    aggregate crosses engines, so twins agree bit-for-bit — the
+    repo-wide exact-fraction contract for eval statistics.
+
+    Scale shape: results relations are (queries x k)-bounded by the
+    retrieval contract, truth joins on (query, doc) keys; one hash
+    join + one query-keyed aggregate, nothing corpus-sized.
+    """
+    rel = truth.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+    ).distinct().withColumn("__rel", F.lit(1))
+    joined = results.join(
+        rel,
+        (F.col(query_col) == F.col("__q")) & (F.col(doc_col) == F.col("__d")),
+        "left",
+    )
+    return (
+        joined.groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(
+                F.when(
+                    F.col("__rel").isNotNull() & (F.col(rank_col) <= k), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rel_topk"),
+            F.min(
+                F.when(F.col("__rel").isNotNull(), F.col(rank_col))
+            )
+            .cast("bigint")
+            .alias("first_rel_rank"),
+        )
+        .select(
+            query_col,
+            "n_retrieved",
+            "n_rel_topk",
+            "first_rel_rank",
+            F.when(F.col("first_rel_rank").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("hit"),
+        )
+    )

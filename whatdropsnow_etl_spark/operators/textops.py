@@ -1033,3 +1033,57 @@ def kwic_search(
         .orderBy(id_col, "pos")
         .limit(top_k)
     )
+
+
+def strip_markup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style markup stripping (arXiv:1910.10683 §2.2 drops pages
+    the cleanup can't save; this is the cleanup): remove
+    <script>/<style> blocks wholesale (their CONTENT is code, not
+    language), HTML comments, then every remaining tag (replaced by
+    a space — tags are block separators, and gluing 'word</p><p>word'
+    would mint fake tokens), unescape the core named entities, and
+    collapse whitespace. The step every web-crawl corpus takes
+    between "HTML bytes" and "text the quality/dedup stages see".
+
+    Engine-portable by construction (the normalize_text contract):
+    every pattern is shared Java-regex/RE2 syntax — non-greedy
+    ``.*?`` with inline ``(?is)`` flags, explicit ``[ \\t\\n\\r]``
+    whitespace classes (never ``\\s``, whose membership differs),
+    plain string replaces for entities with ``&amp;`` LAST so
+    double-escaped input unescapes exactly one level (the standard
+    ordering bug, pinned in pytest). Unterminated script blocks
+    degrade identically in both engines: the open tag strips as a
+    tag, its content stays (a data bug surfaced, not hidden).
+    Numeric character references pass through untouched — decoding
+    them needs chr(), which SQL twins can't express portably.
+
+    Scale shape: map-only codegen'd regexp_replace chain, zero
+    shuffle, zero joins, composes upstream of normalize_text /
+    gopher_rules for free. Emits (id, text_clean, n_chars_raw,
+    n_chars_clean) — the shrink ratio is the "was this page mostly
+    markup" signal.
+    """
+    raw = F.col(text_col)
+    x = F.regexp_replace(raw, r"(?is)<script\b.*?</script[^>]*>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b.*?</style[^>]*>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # LAST: one unescape level for &amp;lt;
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.trim(F.regexp_replace(x, "[ \t\n\r]+", " "))
+    return docs.select(
+        F.col(id_col),
+        x.alias("text_clean"),
+        F.length(raw).cast("bigint").alias("n_chars_raw"),
+        F.length(x).cast("bigint").alias("n_chars_clean"),
+    )
