@@ -257,6 +257,83 @@ def test_run_reference_etl_recency_skip_and_upsert(spark, tmp_path, api):
     assert offers["o2"]["updated_at"] == t2
 
 
+def test_run_reference_etl_all_orphan_offers(spark, tmp_path, api):
+    """Every offer referencing a missing product (R4 extreme case):
+    the offers table ends readable-and-empty (not a schema-inference
+    crash on a part-file-less dir), the retailer level fetches
+    nothing, and the run completes."""
+    from whatdropsnow_etl_spark.plans import run_reference_etl
+    from whatdropsnow_etl_spark.sources.http_client import HttpJsonClient
+
+    stub, srv = api
+    for pid in list(stub.offers):
+        stub.offers[pid] = [
+            dict(o, attributes=dict(o["attributes"], product_id=999))
+            for o in stub.offers[pid]
+        ]
+    client = HttpJsonClient(srv.url, delay=0.001, timeout=5)
+    tables = run_reference_etl(
+        spark,
+        client,
+        ["nike"],
+        str(tmp_path / "etl3"),
+        now=datetime.datetime(2026, 8, 1),
+        page_size=2,
+    )
+    assert tables["offers"].count() == 0
+    assert "retailers" not in tables or tables["retailers"].count() == 0
+    assert not [p for p in stub.requests if p.startswith("/retailers/")]
+
+
+def test_upsert_sink_empty_only_batches_readable(spark, tmp_path):
+    """A sink whose only batches were empty reads back as an empty
+    relation of the recorded schema (regression: schema inference
+    over a part-file-less data dir crashed)."""
+    from whatdropsnow_etl_spark.sinks import UpsertParquetSink
+
+    sink = UpsertParquetSink(
+        str(tmp_path / "mt"), keys=["k"], version_col="v"
+    )
+    empty = spark.createDataFrame([], "k long, v long, s string")
+    sink.upsert(empty)
+    out = sink.read(spark)
+    assert out.columns == ["k", "v", "s"]
+    assert out.count() == 0
+    # and a later real batch upserts over it normally
+    sink.upsert(spark.createDataFrame([(1, 2, "x")], "k long, v long, s string"))
+    assert sink.read(spark).count() == 1
+
+
+def test_run_reference_etl_same_now_rerun_no_stale_landing(
+    spark, tmp_path, api
+):
+    """Re-running with the SAME now after the API shrank must not
+    resurrect stale landed pages: the landing dirs are cleared per
+    fetch. (The offer level re-fetches offer-less products 12/13 on
+    any rerun — see the recency test — so shrink product 10's offers
+    and force a full re-fetch by clearing the offers table state.)"""
+    import shutil
+
+    from whatdropsnow_etl_spark.plans import run_reference_etl
+    from whatdropsnow_etl_spark.sources.http_client import HttpJsonClient
+
+    stub, srv = api
+    client = HttpJsonClient(srv.url, delay=0.001, timeout=5)
+    base = str(tmp_path / "etl4")
+    t0 = datetime.datetime(2026, 8, 1, 12, 0, 0)
+    tables = run_reference_etl(spark, client, ["nike"], base, now=t0, page_size=2)
+    assert {r["id"] for r in tables["offers"].collect()} == {
+        "o1", "o2", "o3", "o5"
+    }
+    # the API drops o2; wipe table state so the same-now rerun
+    # re-fetches everything into the SAME run_tag landing dirs
+    stub.offers["10"] = stub.offers["10"][:1]
+    shutil.rmtree(base + "/tables")
+    tables = run_reference_etl(spark, client, ["nike"], base, now=t0, page_size=2)
+    got = {r["id"] for r in tables["offers"].collect()}
+    assert got == {"o1", "o3", "o5"}  # o2 gone — no stale id-file rows
+
+
 def test_run_reference_etl_unknown_brand_raises(spark, tmp_path, api):
     from whatdropsnow_etl_spark.plans import run_reference_etl
     from whatdropsnow_etl_spark.sources.http_client import HttpJsonClient

@@ -157,6 +157,8 @@ def decode_png_rgb8(payload: bytes) -> dict:
     idat = b""
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)

@@ -161,8 +161,16 @@ class ReferenceEtl:
     # -- landing + normalize -------------------------------------------------
 
     def _land_dir(self, run_tag: str, *parts: str) -> str:
+        """Fresh landing directory for one fetch: cleared if it
+        already exists — a re-run with the same ``now`` (same
+        run_tag) would otherwise normalize STALE page/id files left
+        by a previous, larger fetch alongside the new ones."""
+        import shutil
+
         safe = [re.sub(r"[^A-Za-z0-9_.-]", "_", p) for p in (run_tag, *parts)]
-        return os.path.join(self.base_dir, "landing", *safe)
+        path = os.path.join(self.base_dir, "landing", *safe)
+        shutil.rmtree(path, ignore_errors=True)
+        return path
 
     def _normalize(self, pages_dir: str, columns, now) -> DataFrame:
         df = normalize_pages(self.spark, pages_dir, columns)

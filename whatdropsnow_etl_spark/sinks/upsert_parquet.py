@@ -111,6 +111,12 @@ class UpsertParquetSink:
             .parquet(os.path.join(self.path, "data"))
         )
         meta["next_batch"] = batch + 1
+        # record the logical schema so read() stays well-defined even
+        # when every batch so far was empty (an empty write lands only
+        # _SUCCESS — no part files — and bare spark.read.parquet would
+        # fail schema inference; found via the all-orphan-offers case
+        # in the reference pipeline)
+        meta["schema"] = df.schema.json()
         self._save_meta(meta)
         return batch
 
@@ -137,8 +143,29 @@ class UpsertParquetSink:
         return batch, orphans
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Merge-on-read: latest-wins state across all batches."""
-        df = spark.read.parquet(os.path.join(self.path, "data"))
+        """Merge-on-read: latest-wins state across all batches. A
+        table whose batches were ALL empty (possible: every row of
+        every upsert_valid call was an FK orphan) has a data dir with
+        no part files — return an empty relation of the recorded
+        logical schema instead of failing parquet schema inference."""
+        import glob
+
+        from pyspark.sql.types import StructType
+
+        data_dir = os.path.join(self.path, "data")
+        if not glob.glob(
+            os.path.join(data_dir, "**", "*.parquet"), recursive=True
+        ):
+            meta = self._load_meta()
+            if "schema" not in meta:
+                raise FileNotFoundError(
+                    f"upsert sink at {self.path} has no data and no"
+                    " recorded schema"
+                )
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(meta["schema"]))
+            )
+        df = spark.read.parquet(data_dir)
         order = (
             [F.col(self.version_col).desc(), F.col("__batch").desc()]
             if self.resolve_by_version
