@@ -1590,6 +1590,45 @@ def _kwic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking over the standard embeddings split; rows-only
+    (iterative greedy argmax — no SQL twin), pinned in pytest
+    against a pure-Python MMR reference."""
+    from whatdropsnow_etl_spark.operators import mmr_diversify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_diversify(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        pool=20,
+    )
+
+
+def _winsorize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import winsorize_apply
+
+    return winsorize_apply(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        "event_id",
+    )
+
+
+def _ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2-style clipped bigram overlap between adjacent-id doc
+    pairs — the deterministic pairing that exercises the operator
+    over real text without needing a paired corpus."""
+    from whatdropsnow_etl_spark.operators import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+    return ngram_overlap(pairs, n=2)
+
+
 def _classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall counts over nb_classify's held-out
     predictions — the scorecard closing the domain-classifier loop."""
@@ -1789,6 +1828,9 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "strip_markup": ["doc_id", "n_chars_clean", "n_chars_raw", "text_clean"],
     "retrieval_eval": ["first_rel_rank", "hit", "n_rel_topk", "n_retrieved", "query_id"],
     "classifier_eval": ["label", "n_correct", "n_pred", "n_true"],
+    "ngram_overlap": ["id_a", "id_b", "n_grams_a", "n_grams_b", "n_overlap"],
+    "winsorize_apply": ["cents", "cents_clipped", "event_id", "event_type", "was_clipped"],
+    "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
     "percentile_rank": ["doc_id", "n_chars", "pct_rank", "source"],
     "user_event_sequences": ["n_events", "seq", "user_id"],
@@ -2119,6 +2161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_markup": _strip_markup,
         "retrieval_eval": _retrieval_eval,
         "classifier_eval": _classifier_eval,
+        "ngram_overlap": _ngram_overlap,
+        "winsorize_apply": _winsorize_apply,
+        # rows-only (iterative greedy) — no oracle_sql entry
+        "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
         "percentile_rank": _percentile_rank,
         "user_event_sequences": _user_event_sequences,
@@ -5927,6 +5973,70 @@ def oracle_sql() -> dict[str, str]:
         FROM hits
         ORDER BY doc_id, pos
         LIMIT 100
+    """
+    # same type-1 bound selection as the winsorize_report oracle,
+    # then a per-row clamp; NULL values pass through unclipped
+    sql["winsorize_apply"] = """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ), nn AS (
+          SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c WHERE cents IS NOT NULL
+        ), b AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = CAST(FLOOR(0.01 * (n - 1)) AS BIGINT) + 1
+                          THEN cents END) AS lo,
+                 MAX(CASE WHEN rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1
+                          THEN cents END) AS hi
+          FROM nn GROUP BY event_type
+        )
+        SELECT c.event_id, c.event_type, c.cents,
+               CAST(CASE WHEN c.cents IS NOT NULL
+                    THEN LEAST(GREATEST(c.cents, b.lo), b.hi) END AS BIGINT)
+                 AS cents_clipped,
+               CASE WHEN c.cents IS NOT NULL
+                    THEN c.cents != LEAST(GREATEST(c.cents, b.lo), b.hi)
+                    ELSE FALSE END AS was_clipped
+        FROM c LEFT JOIN b USING (event_type)
+        ORDER BY event_id
+    """
+    # mirror of the operator's union+conditional-count shape; grams
+    # positional (multiset) so the ROUGE clipping is about counts
+    sql["ngram_overlap"] = """
+        WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.t AS ta, b.t AS tb
+          FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
+        ), e AS (
+          SELECT id_a, id_b, ta[i] || ' ' || ta[i+1] AS g, 1 AS s
+          FROM p, UNNEST(range(1, len(ta))) AS u(i)
+          UNION ALL
+          SELECT id_a, id_b, tb[i] || ' ' || tb[i+1] AS g, 2 AS s
+          FROM p, UNNEST(range(1, len(tb))) AS u(i)
+        ), pg AS (
+          SELECT id_a, id_b, g,
+                 SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS cb
+          FROM e GROUP BY id_a, id_b, g
+        ), r AS (
+          SELECT id_a, id_b,
+                 SUM(ca) AS n_grams_a, SUM(cb) AS n_grams_b,
+                 SUM(LEAST(ca, cb)) AS n_overlap
+          FROM pg GROUP BY id_a, id_b
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(COALESCE(r.n_grams_a, 0) AS BIGINT) AS n_grams_a,
+               CAST(COALESCE(r.n_grams_b, 0) AS BIGINT) AS n_grams_b,
+               CAST(COALESCE(r.n_overlap, 0) AS BIGINT) AS n_overlap
+        FROM p LEFT JOIN r ON p.id_a = r.id_a AND p.id_b = r.id_b
+        ORDER BY p.id_a
     """
     # composes the nb_classify oracle verbatim; null-safe class join
     # (a NULL-truth class must surface, not vanish), exact counts

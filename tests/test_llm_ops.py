@@ -2201,6 +2201,102 @@ def test_media_probe_decodes_real_payloads(spark):
         assert out[did]["sum_rgb"] == w * h * s
 
 
+def test_mmr_diversify_matches_python_reference(spark):
+    """MMR greedy selection == a pure-Python reference on hand
+    vectors, and the diversification actually happens: two
+    near-duplicate top hits can't both occupy the head of the list
+    at lam=0.5."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators import mmr_diversify
+
+    # corpus: 10/11 near-duplicates highly relevant to the query
+    # direction; 12 orthogonal-ish; 13 negative; query = e1
+    vecs = {
+        10: [1.0, 0.05, 0.0],
+        11: [1.0, 0.06, 0.0],
+        12: [0.7, 0.0, 0.71],  # relevant but pointing elsewhere
+        13: [-0.2, 0.1, 1.0],
+    }
+    rows = [(i, list(v)) for i, v in vecs.items()] + [(1, [1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    out = sorted(
+        mmr_diversify(corpus, queries, k=3, pool=4, lam=0.5).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+
+    # python reference
+    def unit(v):
+        v = np.asarray(v, float)
+        return v / np.linalg.norm(v)
+
+    q = unit([1.0, 0.0, 0.0])
+    ids = sorted(vecs)
+    rel = {i: round(float(unit(vecs[i]) @ q), 6) for i in ids}
+    pool = sorted(ids, key=lambda i: (-rel[i], i))
+    sel, expect = [], []
+    for rank in range(1, 4):
+        best, best_s = None, None
+        for i in pool:
+            if i in sel:
+                continue
+            pen = max(float(unit(vecs[i]) @ unit(vecs[j])) for j in sel) if sel else 0.0
+            s = 0.5 * rel[i] - 0.5 * pen
+            if best_s is None or s > best_s or (s == best_s and i < best):
+                best, best_s = i, s
+        sel.append(best)
+        expect.append((rank, best, round(best_s, 6)))
+    got = [(r["mmr_rank"], r["neighbor_id"], r["mmr_score"]) for r in out]
+    for (er, ei, es), (gr, gi, gs) in zip(expect, got):
+        assert (er, ei) == (gr, gi)
+        assert abs(es - gs) < 1e-6
+    # the near-duplicate of the top hit was pushed out of slot 2
+    assert got[0][1] == 10 and got[1][1] != 11
+
+
+def test_winsorize_apply_hand_case(spark):
+    """Values 1..100 with p01/p99: lo = rank floor(.01*99)+1 = 1 ->
+    100 cents, hi = rank 99 -> 9900 cents; only the max clips; a
+    NULL value passes through unclipped and unflagged."""
+    from whatdropsnow_etl_spark.operators import winsorize_apply
+
+    rows = [(i, "t", float(i)) for i in range(1, 101)] + [(200, "t", None)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {
+        r["event_id"]: r
+        for r in winsorize_apply(
+            df, ["event_type"], "value", "event_id"
+        ).collect()
+    }
+    assert (out[100]["cents"], out[100]["cents_clipped"], out[100]["was_clipped"]) == (
+        10000, 9900, True,
+    )
+    assert (out[1]["cents_clipped"], out[1]["was_clipped"]) == (100, False)
+    assert (out[50]["cents_clipped"], out[50]["was_clipped"]) == (5000, False)
+    assert (out[200]["cents"], out[200]["cents_clipped"], out[200]["was_clipped"]) == (
+        None, None, False,
+    )
+
+
+def test_ngram_overlap_hand_case(spark):
+    """ROUGE clipping: 'x y' appears 2x in A but 1x in B -> matches
+    once; a too-short side yields zero grams, never NULL."""
+    from whatdropsnow_etl_spark.operators import ngram_overlap
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "x y x y x", "x y x z"),
+            (3, 4, "a", "b c"),  # A too short for bigrams
+        ],
+        "id_a long, id_b long, text_a string, text_b string",
+    )
+    out = {r["id_a"]: r for r in ngram_overlap(pairs, n=2).collect()}
+    assert (out[1]["n_grams_a"], out[1]["n_grams_b"], out[1]["n_overlap"]) == (4, 3, 2)
+    assert (out[3]["n_grams_a"], out[3]["n_grams_b"], out[3]["n_overlap"]) == (0, 1, 0)
+
+
 def test_retrieval_eval_hand_case(spark):
     """q1: relevant at ranks 2 and 3 -> first=2, n_rel_topk(k=2)=1;
     q2: nothing relevant -> first NULL, hit 0; q3: rank-1 hit."""

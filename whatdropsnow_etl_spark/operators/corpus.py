@@ -987,3 +987,80 @@ def nb_classify(
             ).alias("hit"),
         )
     )
+
+
+def ngram_overlap(
+    pairs: DataFrame,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N-style exact n-gram overlap between PAIRED texts — the
+    eval primitive behind summarization/paraphrase scoring and the
+    quantitative half of a dedup audit ("HOW similar are the pairs
+    the LSH stage flagged?"). Per pair: n-gram counts of each side
+    and the CLIPPED multiset intersection Σ_g min(cnt_a(g), cnt_b(g))
+    (the ROUGE clipping — a gram repeated 10× in A and once in B
+    matches once). Precision = overlap/n_b, recall = overlap/n_a are
+    display-time divisions; only exact BIGINTs cross engines (the
+    retrieval_eval contract).
+
+    Scale shape: per-side gram explode keyed by (pair, gram) into
+    ONE map-side-combined aggregate carrying both sides' counts
+    (conditional sums — no self-join), then a pair-keyed rollup.
+    The shuffle carries one row per DISTINCT (pair, gram), never
+    positions; gram strings can be xxhash64-narrowed by callers via
+    a pre-projection if pair texts are huge.
+
+    Emits (id_a, id_b, n_grams_a, n_grams_b, n_overlap). Pairs where
+    either side has fewer than ``n`` tokens contribute zero grams on
+    that side (overlap 0, never NULL).
+    """
+    # positional (multiset) shingles: ROUGE clipping is about COUNTS,
+    # and the default distinct=True would collapse every repeat
+    a_grams = shingles(tokens(F.col(text_a)), n, distinct=False)
+    b_grams = shingles(tokens(F.col(text_b)), n, distinct=False)
+    base = pairs.select(
+        F.col(id_a).alias("id_a"),
+        F.col(id_b).alias("id_b"),
+        a_grams.alias("__ga"),
+        b_grams.alias("__gb"),
+    )
+    exploded = base.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "__ga", lambda g: F.struct(g.alias("g"), F.lit(1).alias("s"))
+                ),
+                F.transform(
+                    "__gb", lambda g: F.struct(g.alias("g"), F.lit(2).alias("s"))
+                ),
+            )
+        ).alias("e"),
+    ).select("id_a", "id_b", F.col("e.g").alias("g"), F.col("e.s").alias("s"))
+    per_gram = exploded.groupBy("id_a", "id_b", "g").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).alias("cb"),
+    )
+    rolled = per_gram.groupBy("id_a", "id_b").agg(
+        F.sum("ca").cast("bigint").alias("n_grams_a"),
+        F.sum("cb").cast("bigint").alias("n_grams_b"),
+        F.sum(F.least("ca", "cb")).cast("bigint").alias("n_overlap"),
+    )
+    # pairs whose BOTH sides were too short for any gram vanish in
+    # the explode; restore them with zero counts (left join back)
+    return (
+        base.select("id_a", "id_b")
+        .join(rolled, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_grams_a", F.lit(0)).cast("bigint").alias("n_grams_a"),
+            F.coalesce("n_grams_b", F.lit(0)).cast("bigint").alias("n_grams_b"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+    )

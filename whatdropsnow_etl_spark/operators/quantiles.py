@@ -336,3 +336,58 @@ def quantile_bucketize(
         F.max("__c").alias("hi_cents"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def winsorize_apply(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    scale: int = 100,
+) -> DataFrame:
+    """Apply the winsorization :func:`winsorize_report` previews:
+    clip each row's value to its group's exact type-1
+    [p_low, p_high] bounds — the actual outlier-taming transform
+    before a metric feeds a mean/regression/normalization stage.
+
+    Same bound machinery (integer-cents rank selection,
+    engine-exact), bounds joined back BROADCAST (#groups-sized),
+    then a map-only clamp: cents' = LEAST(GREATEST(c, lo), hi).
+    The clipped value is returned in cents (BIGINT) — dividing back
+    to a float display unit is the caller's display-time choice (the
+    exact-integer eval contract). NULL values pass through unclipped
+    and unflagged (no mass to clip; the report excludes them too).
+
+    Emits (id, group_cols..., cents, cents_clipped, was_clipped).
+    """
+    bounds = exact_group_quantiles(
+        df, group_cols, value_col, ps=(p_low, p_high), scale=scale
+    )
+    lo_label = f"p{str(p_low).replace('0.', '').ljust(2, '0')}_cents"
+    hi_label = f"p{str(p_high).replace('0.', '').ljust(2, '0')}_cents"
+    bounds = bounds.select(
+        *group_cols,
+        F.col(lo_label).alias("__lo"),
+        F.col(hi_label).alias("__hi"),
+    )
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    clipped = F.least(F.greatest(F.col("__c"), F.col("__lo")), F.col("__hi"))
+    return (
+        df.select(F.col(id_col), *group_cols, cents.alias("__c"))
+        .join(F.broadcast(bounds), list(group_cols), "left")
+        .select(
+            id_col,
+            *group_cols,
+            F.col("__c").alias("cents"),
+            F.when(F.col("__c").isNotNull(), clipped)
+            .cast("bigint")
+            .alias("cents_clipped"),
+            F.when(
+                F.col("__c").isNotNull(), F.col("__c") != clipped
+            )
+            .otherwise(F.lit(False))
+            .alias("was_clipped"),
+        )
+    )

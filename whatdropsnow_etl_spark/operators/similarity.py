@@ -1464,3 +1464,100 @@ def retrieval_eval(
             .alias("hit"),
         )
     )
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) — the standard RAG/retrieval diversification step: an
+    exact top-k packs the context window with near-duplicates of the
+    best hit; MMR greedily picks the next candidate maximizing
+    ``lam * rel(d) - (1 - lam) * max_sim(d, already_selected)``, so
+    each slot adds information instead of repetition.
+
+    Pipeline shape: relevance pool = exact cosine top-``pool`` per
+    query (:func:`ann_cosine_topk` — swap the IVF/LSH candidate
+    paths in at 100 TB), candidate vectors joined back, then ONE
+    ``applyInPandas`` per query over its ≤pool rows — the greedy
+    argmax needs candidate-candidate similarities, which only exist
+    pool-locally (pool² ≤ 400 dots per query, numpy). State is
+    pool-bounded per query and queries parallelize across the
+    high-cardinality key; nothing corpus-sized reaches Python.
+
+    Determinism: the group sorts by (relevance DESC, id ASC) before
+    the greedy loop and ties break by (score DESC, id ASC), so the
+    selection is a pure function of the data regardless of
+    partitioning. Rows-only by nature (an iterative greedy argmax
+    has no SQL twin) — pinned in pytest against a pure-Python
+    reference on hand vectors.
+
+    Emits (query_id, neighbor_id, mmr_rank 1..k, relevance,
+    mmr_score), scores rounded to 6 decimals.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    pooled = ann_cosine_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=pool
+    )
+    cand = pooled.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            to_double_array(vec_col).alias("__cv"),
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cosine", "__cv")
+
+    schema = (
+        "query_id bigint, neighbor_id bigint, mmr_rank bigint,"
+        " relevance double, mmr_score double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415
+
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T
+        rel = pdf["cosine"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, min(k, n) + 1):
+            best_i, best_score = -1, None
+            for i in range(n):
+                if i in selected:
+                    continue
+                penalty = max(sims[i, j] for j in selected) if selected else 0.0
+                score = lam * rel[i] - (1.0 - lam) * penalty
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and ids[i] < ids[best_i])
+                ):
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            out.append(
+                {
+                    "query_id": int(pdf["query_id"].iloc[0]),
+                    "neighbor_id": int(ids[best_i]),
+                    "mmr_rank": rank,
+                    "relevance": round(float(rel[best_i]), 6),
+                    "mmr_score": round(float(best_score), 6),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return cand.groupBy("query_id").applyInPandas(pick, schema=schema)
