@@ -116,6 +116,17 @@ ALLPAIRS_OK = {
     # classes-sized constants broadcast — all bounded, never
     # data×data
     "nb_classify",
+    # OLS totals × bit-bucket stats: 1-row × 1-row broadcast cross
+    # (the Q11 scalar-subquery pattern; r6 histogram decomposition)
+    "zipf_fit",
+    # composes the ann_cosine_topk kernel (corpus × bounded
+    # broadcast queries); the truth join is (queries×k)-bounded
+    "retrieval_eval",
+    # composes nb_classify's bounded 1-row/classes-sized crosses
+    "classifier_eval",
+    # relevance pool IS ann_cosine_topk (corpus × bounded broadcast
+    # queries); the greedy stage is (queries × pool)-bounded
+    "mmr_diversify",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -153,6 +164,13 @@ PYTHON_OK = {
     # sufficient-statistics partials + fused (X-mean)@W projection
     # (numpy per Arrow batch — the OPQ encode convention)
     "embedding_pca",
+    # r6 q-gram prefilter: per-doc byte-trigram histogram (numpy
+    # bincount per Arrow batch, once per doc below the pair shuffle)
+    "dedup_editdist",
+    # composes the ann_cosine_topk Arrow kernel
+    "retrieval_eval",
+    # ann kernel pool + pool-bounded applyInPandas greedy argmax
+    "mmr_diversify",
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must
