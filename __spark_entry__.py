@@ -5868,13 +5868,18 @@ def oracle_sql() -> dict[str, str]:
         FROM t
     """
     _cm = {"q": "l_quantity", "e": "l_extendedprice", "d": "l_discount", "t": "l_tax"}
+    # VARCHAR-routed DECIMAL->DOUBLE casts (the r2 convention):
+    # DuckDB's direct cast double-rounds past 2^53, and the pairwise
+    # PRODUCT sums cross that line at sf0.1 (found by the r6
+    # cross-SF parity sweep — sf0.01 sums sat below it, so the gate
+    # never saw the ulp drift)
     _cm_sums = ",\n".join(
-        f"CAST(SUM(CAST({c} AS {MONEY})) AS DOUBLE) AS s_{a}"
+        f"CAST(CAST(SUM(CAST({c} AS {MONEY})) AS VARCHAR) AS DOUBLE) AS s_{a}"
         for a, c in _cm.items()
     )
     _cm_prods = ",\n".join(
-        f"CAST(SUM(CAST({_cm[a]} AS {MONEY}) * CAST({_cm[b]} AS {MONEY}))"
-        f" AS DOUBLE) AS p_{a}{b}"
+        f"CAST(CAST(SUM(CAST({_cm[a]} AS {MONEY}) * CAST({_cm[b]} AS {MONEY}))"
+        f" AS VARCHAR) AS DOUBLE) AS p_{a}{b}"
         for i, a in enumerate(_cm)
         for b in list(_cm)[i:]
     )
