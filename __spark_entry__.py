@@ -1590,6 +1590,14 @@ def _kwic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import dup_weighting
+
+    return dup_weighting(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
 def _mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR re-ranking over the standard embeddings split; rows-only
     (iterative greedy argmax — no SQL twin), pinned in pytest
@@ -1831,6 +1839,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "ngram_overlap": ["id_a", "id_b", "n_grams_a", "n_grams_b", "n_overlap"],
     "winsorize_apply": ["cents", "cents_clipped", "event_id", "event_type", "was_clipped"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
+    "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
     "percentile_rank": ["doc_id", "n_chars", "pct_rank", "source"],
     "user_event_sequences": ["n_events", "seq", "user_id"],
@@ -2163,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": _classifier_eval,
         "ngram_overlap": _ngram_overlap,
         "winsorize_apply": _winsorize_apply,
+        "dup_weighting": _dup_weighting,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -5978,6 +5988,19 @@ def oracle_sql() -> dict[str, str]:
         FROM hits
         ORDER BY doc_id, pos
         LIMIT 100
+    """
+    # composes the dedup_clusters recursive-CTE oracle verbatim,
+    # then one size count + join; weight = one rounded IEEE division
+    sql["dup_weighting"] = f"""
+        WITH comp AS ({sql["dedup_clusters"]}),
+        sz AS (
+          SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component_id
+        )
+        SELECT comp.doc_id, comp.component_id, sz.cluster_size,
+               ROUND(1.0 / sz.cluster_size, 6) AS weight
+        FROM comp JOIN sz USING (component_id)
+        ORDER BY comp.doc_id
     """
     # same type-1 bound selection as the winsorize_report oracle,
     # then a per-row clamp; NULL values pass through unclipped

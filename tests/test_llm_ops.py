@@ -2201,6 +2201,28 @@ def test_media_probe_decodes_real_payloads(spark):
         assert out[did]["sum_rgb"] == w * h * s
 
 
+def test_dup_weighting_soft_dedup(spark):
+    """A 3-doc near-dup family weighs 1/3 each; singletons weigh 1;
+    total expected mass = number of distinct contents."""
+    from whatdropsnow_etl_spark.operators import dup_weighting
+
+    fam = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, fam),
+        (2, fam + " x"),
+        (3, fam + " y"),
+        (4, "completely different text about sparkling mineral water"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_weighting(df, k=3, threshold=0.5).collect()}
+    assert {out[i]["cluster_size"] for i in (1, 2, 3)} == {3}
+    assert out[1]["component_id"] == out[2]["component_id"] == out[3]["component_id"]
+    assert out[4]["cluster_size"] == 1 and out[4]["weight"] == 1.0
+    # weights are rounded to 6 dp, so the mass check tolerates
+    # n_docs * 0.5e-6 of quantization
+    assert abs(sum(r["weight"] for r in out.values()) - 2.0) < 4e-6
+
+
 def test_mmr_diversify_matches_python_reference(spark):
     """MMR greedy selection == a pure-Python reference on hand
     vectors, and the diversification actually happens: two

@@ -1671,3 +1671,51 @@ def dup_degree_report(
     return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "rank", "doc_id", "degree"
     )
+
+
+def dup_weighting(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 15,
+) -> DataFrame:
+    """SOFT dedup: every doc kept, weighted 1/|near-dup cluster| —
+    the alternative to hard dropping that several pretraining
+    recipes prefer (a family of m near-copies contributes one doc's
+    worth of expected gradient mass without discarding the phrasing
+    variation cluster_keep_best would). Downstream, the weight
+    feeds importance_sample / temperature mixing as a per-doc
+    multiplier, or loss weighting directly.
+
+    Composition: :func:`dedup_clusters` components (exact-Jaccard
+    edges at ``threshold``, two-stars contraction) → one
+    component-keyed size count → join back. The size groupBy and
+    the join share the component_id exchange; singletons (their own
+    component) get weight 1 by construction. The weight is ONE
+    IEEE division of exact BIGINTs rounded to 6 decimals —
+    engine-deterministic (the source_temperature_sample rate
+    convention).
+
+    Emits (doc_id, component_id, cluster_size, weight).
+    """
+    comp = dedup_clusters(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        threshold=threshold,
+        max_iter=max_iter,
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return comp.join(sizes, "component_id").select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size").cast("double"), 6).alias(
+            "weight"
+        ),
+    )
