@@ -181,6 +181,7 @@ EAGER_OK = {
     # composes dedup_clusters, so inherits its contraction-loop jobs
     "cluster_keep_best",
     "leakage_safe_split",
+    "dup_weighting",
     # k-means training is a driver-looped fixpoint; each Lloyd's
     # round legitimately runs assign/update jobs at construction
     "ann_ivf_trained",
