@@ -6030,7 +6030,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN c.cents IS NOT NULL
                     THEN c.cents != LEAST(GREATEST(c.cents, b.lo), b.hi)
                     ELSE FALSE END AS was_clipped
-        FROM c LEFT JOIN b USING (event_type)
+        FROM c LEFT JOIN b
+          ON c.event_type IS NOT DISTINCT FROM b.event_type
         ORDER BY event_id
     """
     # mirror of the operator's union+conditional-count shape; grams
@@ -6072,8 +6073,8 @@ def oracle_sql() -> dict[str, str]:
         WITH nb AS ({sql["nb_classify"]}),
         t AS (
           SELECT source AS label, COUNT(*) AS n_true,
-                 SUM(CASE WHEN predicted = source THEN 1 ELSE 0 END)
-                   AS n_correct
+                 SUM(CASE WHEN predicted IS NOT DISTINCT FROM source
+                          THEN 1 ELSE 0 END) AS n_correct
           FROM nb GROUP BY source
         ), p AS (
           SELECT predicted AS plabel, COUNT(*) AS n_pred

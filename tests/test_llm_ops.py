@@ -2278,6 +2278,32 @@ def test_mmr_diversify_matches_python_reference(spark):
     assert got[0][1] == 10 and got[1][1] != 11
 
 
+def test_mmr_diversify_string_ids(spark):
+    """The output id fields take the INPUT id column's type — a
+    string id flows through (selection identical to the bigint run
+    under the same lexicographic tie order), instead of crashing on
+    a hardcoded bigint schema."""
+    from whatdropsnow_etl_spark.operators import mmr_diversify
+
+    vecs = {
+        "d10": [1.0, 0.05, 0.0],
+        "d11": [1.0, 0.06, 0.0],
+        "d12": [0.7, 0.0, 0.71],
+        "d13": [-0.2, 0.1, 1.0],
+    }
+    rows = [(i, list(v)) for i, v in vecs.items()] + [("a1", [1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    corpus = emb.where(F.col("vec_id").startswith("d"))
+    queries = emb.where(~F.col("vec_id").startswith("d"))
+    out = sorted(
+        mmr_diversify(corpus, queries, k=3, pool=4, lam=0.5).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [r["query_id"] for r in out] == ["a1"] * 3
+    assert out[0]["neighbor_id"] == "d10" and out[1]["neighbor_id"] != "d11"
+    assert {type(r["neighbor_id"]) for r in out} == {str}
+
+
 def test_winsorize_apply_hand_case(spark):
     """Values 1..100 with p01/p99: lo = rank floor(.01*99)+1 = 1 ->
     100 cents, hi = rank 99 -> 9900 cents; only the max clips; a
@@ -2300,6 +2326,33 @@ def test_winsorize_apply_hand_case(spark):
     assert (out[200]["cents"], out[200]["cents_clipped"], out[200]["was_clipped"]) == (
         None, None, False,
     )
+
+
+def test_winsorize_apply_null_group_clipped(spark):
+    """A NULL group key is a real group: exact_group_quantiles
+    computes bounds for it, and the null-safe bounds join clips its
+    rows — a plain using-join would leave them with NULL
+    cents_clipped (the ordering._join_nullsafe divergence)."""
+    from whatdropsnow_etl_spark.operators import winsorize_apply
+
+    rows = [(i, None, float(i)) for i in range(1, 101)] + [
+        (500, "t", 7.0)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in winsorize_apply(
+            df, ["event_type"], "value", "event_id"
+        ).collect()
+    }
+    # NULL group, values 1..100: same bounds as the non-NULL hand
+    # case — max clips to p99, min stays at p01
+    assert (out[100]["cents_clipped"], out[100]["was_clipped"]) == (9900, True)
+    assert (out[1]["cents_clipped"], out[1]["was_clipped"]) == (100, False)
+    # the singleton real group self-bounds and never clips
+    assert (out[500]["cents_clipped"], out[500]["was_clipped"]) == (700, False)
 
 
 def test_ngram_overlap_hand_case(spark):
@@ -2354,6 +2407,7 @@ def test_classifier_eval_hand_matrix(spark):
             ("a", "a"), ("a", "a"), ("a", "b"),
             ("b", "a"), ("b", "b"),
             (None, "c"),
+            (None, None),  # a CORRECT NULL prediction must count
         ],
         "source string, predicted string",
     )
@@ -2361,7 +2415,9 @@ def test_classifier_eval_hand_matrix(spark):
     assert (out["a"]["n_true"], out["a"]["n_pred"], out["a"]["n_correct"]) == (3, 3, 2)
     assert (out["b"]["n_true"], out["b"]["n_pred"], out["b"]["n_correct"]) == (2, 2, 1)
     assert (out["c"]["n_true"], out["c"]["n_pred"], out["c"]["n_correct"]) == (0, 1, 0)
-    assert (out[None]["n_true"], out[None]["n_pred"], out[None]["n_correct"]) == (1, 0, 0)
+    # NULL is a real class: eqNullSafe counts the (None, None) row as
+    # correct, so NULL precision/recall are 1/1 and 1/2 — not 0
+    assert (out[None]["n_true"], out[None]["n_pred"], out[None]["n_correct"]) == (2, 1, 1)
 
 
 def test_strip_markup_hand_cases(spark):

@@ -701,6 +701,29 @@ def test_streaming_line_dedup_matches_batch_prefixes(spark, tables, tmp_path):
         for r in load_line_index(spark, store).collect()
     }
     assert after == before
+    # replay-safety of the CLEAN path: redeliver the LAST batch by
+    # hand (its counts already landed in the store) — the replayed
+    # cleaned rows must be byte-identical to the first delivery's,
+    # because apply() excludes the current batch_id when loading the
+    # index (otherwise the batch's own lines double-count and
+    # text_clean/n_removed drift, making downstream doc_id-dedupe
+    # nondeterministic)
+    last = batches[-1]
+    first_delivery = {
+        (r["doc_id"], r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in cleaned.where(F.col("batch_id") == last).collect()
+    }
+    replay_df = docs.where(
+        F.col("doc_id").isin([d for d, bb in doc_batch.items() if bb == last])
+    )
+    fn(replay_df, last)
+    redelivered = {
+        (r["doc_id"], r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in spark.read.parquet(out)
+        .where(F.col("batch_id") == last)
+        .collect()
+    }
+    assert redelivered == first_delivery
 
 
 def test_broadcast_refresh_dim_staleness_contract(spark):

@@ -287,7 +287,11 @@ def classifier_eval(
     NULL labels are a real class (unlabeled docs get predicted too):
     the class join is null-safe, so a NULL-truth row counts toward
     its predicted class's n_pred and surfaces as a label=NULL row
-    rather than silently vanishing from the report.
+    rather than silently vanishing from the report. The correctness
+    predicate is null-safe too (``eqNullSafe`` / ``IS NOT DISTINCT
+    FROM`` in the oracle): a correct NULL prediction counts toward
+    the NULL class's n_correct, so its precision/recall are real
+    metrics rather than permanently 0.
 
     Scale shape: two map-side-combined aggregates over the
     predictions relation to #classes-sized partials, one null-safe
@@ -297,7 +301,9 @@ def classifier_eval(
     t = preds.groupBy(F.col(true_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_true"),
         F.sum(
-            F.when(F.col(pred_col) == F.col(true_col), 1).otherwise(0)
+            F.when(
+                F.col(pred_col).eqNullSafe(F.col(true_col)), 1
+            ).otherwise(0)
         )
         .cast("bigint")
         .alias("n_correct"),

@@ -1680,6 +1680,7 @@ def dup_weighting(
     k: int = 3,
     threshold: float = 0.5,
     max_iter: int = 15,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """SOFT dedup: every doc kept, weighted 1/|near-dup cluster| —
     the alternative to hard dropping that several pretraining
@@ -1699,14 +1700,25 @@ def dup_weighting(
     convention).
 
     Emits (doc_id, component_id, cluster_size, weight).
+
+    A pipeline that already ran :func:`dedup_clusters` passes the
+    (doc_id, component_id) relation via ``components`` instead of
+    re-deriving the pair relation — the same pass-through contract
+    as :func:`cluster_keep_best` and
+    :func:`~.sampling.leakage_safe_split`, and the reason the
+    composed ``dedup_pipeline`` pays the two-stars contraction once.
     """
-    comp = dedup_clusters(
-        df,
-        text_col=text_col,
-        id_col=id_col,
-        k=k,
-        threshold=threshold,
-        max_iter=max_iter,
+    comp = (
+        components
+        if components is not None
+        else dedup_clusters(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            threshold=threshold,
+            max_iter=max_iter,
+        )
     )
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")

@@ -360,6 +360,13 @@ def winsorize_apply(
     exact-integer eval contract). NULL values pass through unclipped
     and unflagged (no mass to clip; the report excludes them too).
 
+    The bounds join is NULL-SAFE on the group keys:
+    ``exact_group_quantiles``' groupBy computes bounds for a NULL
+    group, and a plain using-join would silently leave that group's
+    rows unclipped (the same divergence ``ordering._join_nullsafe``
+    fixes for the rank decompositions). The oracle twin mirrors with
+    ``IS NOT DISTINCT FROM``.
+
     Emits (id, group_cols..., cents, cents_clipped, was_clipped).
     """
     bounds = exact_group_quantiles(
@@ -368,15 +375,19 @@ def winsorize_apply(
     lo_label = f"p{str(p_low).replace('0.', '').ljust(2, '0')}_cents"
     hi_label = f"p{str(p_high).replace('0.', '').ljust(2, '0')}_cents"
     bounds = bounds.select(
-        *group_cols,
+        *[F.col(c).alias(f"__b_{c}") for c in group_cols],
         F.col(lo_label).alias("__lo"),
         F.col(hi_label).alias("__hi"),
     )
+    cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+        cond = eq if cond is None else cond & eq
     cents = F.round(F.col(value_col) * scale, 0).cast("long")
     clipped = F.least(F.greatest(F.col("__c"), F.col("__lo")), F.col("__hi"))
     return (
         df.select(F.col(id_col), *group_cols, cents.alias("__c"))
-        .join(F.broadcast(bounds), list(group_cols), "left")
+        .join(F.broadcast(bounds), cond, "left")
         .select(
             id_col,
             *group_cols,

@@ -1514,9 +1514,20 @@ def mmr_diversify(
         "neighbor_id",
     ).select("query_id", "neighbor_id", "cosine", "__cv")
 
-    schema = (
-        "query_id bigint, neighbor_id bigint, mmr_rank bigint,"
-        " relevance double, mmr_score double"
+    # id fields take the INPUT id column's type (the other kernels'
+    # convention) — a string/decimal id flows through untouched
+    # instead of crashing on a hardcoded bigint schema
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    id_type = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("mmr_rank", T.LongType()),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1551,8 +1562,8 @@ def mmr_diversify(
             selected.append(best_i)
             out.append(
                 {
-                    "query_id": int(pdf["query_id"].iloc[0]),
-                    "neighbor_id": int(ids[best_i]),
+                    "query_id": pdf["query_id"].iloc[0],
+                    "neighbor_id": ids[best_i],
                     "mmr_rank": rank,
                     "relevance": round(float(rel[best_i]), 6),
                     "mmr_score": round(float(best_score), 6),

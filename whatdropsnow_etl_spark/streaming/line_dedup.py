@@ -19,9 +19,13 @@ the minhash twin's (doc_id, band) bucket rows, so every stored
 count row carries its ``batch_id`` and the read path collapses
 replays with a per-(key, batch) MAX before summing across batches —
 a redelivered append is byte-identical per (key, batch), so the
-fold stays exact. The cleaned-docs output can still carry a
-replayed batch's rows twice (dedupe downstream on doc_id, or land
-in the manifest sink for exactly-once).
+fold stays exact. The clean path additionally EXCLUDES the current
+batch_id when loading the index, so a replay is judged against
+exactly the index the first delivery saw (not one polluted by its
+own landed counts) — the replayed cleaned rows are byte-identical
+to the originals, and "dedupe downstream on doc_id" picks a
+deterministic winner. Duplicated rows can still exist in out_dir
+(dedupe downstream, or land in the manifest sink for exactly-once).
 
 Prefix semantics, stated plainly: batch i is judged against counts
 from batches 1..i only. A line that crosses ``min_docs`` in a LATER
@@ -40,11 +44,20 @@ from pyspark.sql import functions as F
 from ..operators.dedup import line_dedup_incremental, line_freq_index
 
 
-def load_line_index(spark, store_dir: str) -> DataFrame:
+def load_line_index(
+    spark, store_dir: str, exclude_batch_id: int | None = None
+) -> DataFrame:
     """Replay-safe fold of the persisted per-batch count relations:
     MAX per (key, batch) collapses redelivered appends, SUM across
-    batches is the corpus-so-far frequency."""
+    batches is the corpus-so-far frequency. ``exclude_batch_id``
+    drops one batch's rows before the fold — the clean path passes
+    the CURRENT batch id so a redelivered batch is judged against
+    exactly the index the first delivery saw (its own landed counts
+    would otherwise double-count its lines and make the replayed
+    ``text_clean``/``n_removed`` diverge from the original)."""
     raw = spark.read.parquet(store_dir)
+    if exclude_batch_id is not None:
+        raw = raw.where(F.col("batch_id") != F.lit(exclude_batch_id))
     return (
         raw.groupBy("__k", "batch_id")
         .agg(F.max("n_docs").alias("n_docs"))
@@ -73,7 +86,9 @@ def clean_and_grow_line_index(
         batch_df = batch_df.persist()
         try:
             if os.path.isdir(store_dir):
-                index = load_line_index(spark, store_dir)
+                index = load_line_index(
+                    spark, store_dir, exclude_batch_id=batch_id
+                )
             else:
                 index = spark.createDataFrame(
                     [], "__k bigint, n_docs bigint"
