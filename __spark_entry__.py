@@ -478,6 +478,16 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(load_table(spark, sf_dir, "documents"))
 
 
+def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed near-dup decision spine: ONE two-stars clustering
+    feeds keeper selection, leakage-safe split and soft weights via
+    each consumer's components= pass-through (the plan audit's one
+    eager-composition allowance by design)."""
+    from whatdropsnow_etl_spark.plans.curation import dedup_pipeline
+
+    return dedup_pipeline(load_table(spark, sf_dir, "documents"))
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_topk(
@@ -1598,6 +1608,33 @@ def _dup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable, DECIMAL-exact half of embedding_pca (the
+    driver-side eigh stays rows-only): the (pos, t) sufficient-stats
+    relation in integer micro-units — np.rint is half-to-even, so
+    the oracle rounds with DuckDB's round_even. t rendered
+    DECIMAL-as-VARCHAR (the exact-fraction idiom)."""
+    from whatdropsnow_etl_spark.operators.pca import pca_sufficient_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # dim=64 pins the testdata embedding width (the oracle hardcodes
+    # the same) and keeps composition lazy — dim=None would run a
+    # 1-row .first() probe job at plan-construction time
+    return pca_sufficient_stats(emb, dim=64).select(
+        "pos", F.col("t").cast("string").alias("t")
+    )
+
+
+def _lr_gradient_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-exact kernel of quality_lr's training loop (the
+    30-iteration driver loop stays rows-only): first full-batch GD
+    gradient at weights=0 over decimal-standardized libm-free
+    features, gopher weak labels."""
+    from whatdropsnow_etl_spark.operators.classifier import lr_gradient_pass
+
+    return lr_gradient_pass(load_table(spark, sf_dir, "documents"))
+
+
 def _mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR re-ranking over the standard embeddings split; rows-only
     (iterative greedy argmax — no SQL twin), pinned in pytest
@@ -1838,6 +1875,9 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "classifier_eval": ["label", "n_correct", "n_pred", "n_true"],
     "ngram_overlap": ["id_a", "id_b", "n_grams_a", "n_grams_b", "n_overlap"],
     "winsorize_apply": ["cents", "cents_clipped", "event_id", "event_type", "was_clipped"],
+    "dedup_pipeline": ["cluster_size", "component_id", "doc_id", "keeper_doc_id", "kept", "split", "weight"],
+    "pca_sufficient_stats": ["pos", "t"],
+    "lr_gradient_pass": ["grad", "term"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2173,6 +2213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_overlap": _ngram_overlap,
         "winsorize_apply": _winsorize_apply,
         "dup_weighting": _dup_weighting,
+        # NEW in r7 — composed one-clustering spine (components=
+        # pass-throughs), oracle-twinned through the shared CTEs
+        "dedup_pipeline": _dedup_pipeline,
+        # NEW in r7 — the oracle-twinnable deterministic halves of
+        # the two remaining by-design rows-only trainers
+        "pca_sufficient_stats": _pca_sufficient_stats,
+        "lr_gradient_pass": _lr_gradient_pass,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2304,78 +2351,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # numpy-pinned + partitioning-invariance bit-identity pytest
         "embedding_pca": _embedding_pca,
     }
-    # ---- r6 gate window (slots 1-50; the driver checks these) ----
-    # Priority per the standing rotation contract: (b) FIRST-EVER
-    # signal — the 48 oracle-bearing queries that had never produced
-    # a driver row after r5 (the 7 r5-window spills + the 41 late-r5
-    # additions; the r5 verdict's ask #1, verbatim cohort); then (c)
-    # the two queries whose implementation changed in r6, so their
-    # old green rows no longer cover the shipped code:
-    # q15_top_supplier (global-window max -> Q11 broadcast-max
-    # crossJoin) and zipf_fit is already in the 48 (histogram-
-    # decomposed rank), so slot 50 goes to dedup_editdist (r6
-    # MinHash candidate prefilter inside each block). The 4
-    # never-driver-seen ROWS-ONLY entries (quality_lr,
-    # compression_ratio, pair_pagerank, embedding_pca) do not fit —
-    # oracle-bearing rows outrank rows-only exposure — and lead the
-    # r7 one-time-exposure trade. Spill keeps base-dict order
-    # (r5-gate block first = freshest signal nearest the window
-    # boundary for easy r7 editing; rows-only tail last).
+    # ---- r7 gate window (slots 1-50; the driver checks these) ----
+    # Priority per the standing rotation contract:
+    # (a) the 6 oracle-bearing queries that had never produced a
+    #     driver row after r6 (the r6 verdict's ask #1, verbatim:
+    #     judge-parity-verified only) — three of them ALSO changed
+    #     in r7 (winsorize_apply null-safe bounds join,
+    #     classifier_eval null-safe correctness predicate,
+    #     dup_weighting components= pass-through), so the fresh row
+    #     covers the shipped code;
+    # (b) the 3 queries NEW in r7 (dedup_pipeline composed spine,
+    #     pca_sufficient_stats / lr_gradient_pass — the
+    #     oracle-twinned deterministic halves of the two by-design
+    #     rows-only trainers, the r6 verdict's ask #2);
+    # (c) the 5 never-driver-seen ROWS-ONLY entries get their
+    #     one-time exposure (planned in the r6 window comment; the
+    #     r4-precedent trade — a weaker rows-only record still
+    #     proves they execute in the driver's environment), then
+    #     back to the tail for good;
+    # (d) 36 slots refresh the oldest-signal backlog — the queries
+    #     whose latest driver row is r3.
     window = [
-        # 41 late-r5 additions, never driver-seen
-        "trend_report",
-        "quantile_bucketize",
-        "k_anonymity_report",
-        "grid_diversity_sample",
-        "label_centroids",
-        "asof_nearest_purchase",
-        "feature_class_lift",
-        "top_event_paths",
-        "zipf_fit",
-        "bm25_search",
-        "sparse_cosine_join",
-        "bloom_decontaminate",
-        "zorder_layout_report",
-        "line_dedup",
-        "line_dedup_incremental",
-        "last_touch_attribution",
-        "hourly_acf",
-        "densify_hours",
-        "hard_negatives",
-        "share_of_parent",
-        "epoch_shuffle",
-        "interleave_sources",
-        "blocklist_filter",
-        "corr_matrix",
-        "cooccurrence_pairs",
-        "vocab_growth",
-        "kwic_search",
-        "market_basket",
-        "percentile_rank",
-        "user_event_sequences",
-        "triangle_count",
-        "distribution_shift_report",
-        "benford_check",
-        "hybrid_search",
-        "media_resample",
-        "media_silence_report",
-        "active_learning_batch",
-        "chi2_features",
-        "nb_classify",
-        "kmv_sketch_rollup",
-        "rank_correlation",
-        # 7 r5-window spills, never driver-seen
-        "source_overlap_matrix",
-        "event_transitions",
-        "sampled_quantiles",
-        "sliding_window_agg",
-        "value_histogram",
-        "vocab_coverage",
-        "freshness_report",
-        # implementation changed in r6 — old green rows don't cover
-        # the shipped code
-        "q15_top_supplier",
-        "dedup_editdist",
+        # (a) never driver-gated, oracle-bearing
+        "dup_weighting",
+        "strip_markup",
+        "retrieval_eval",
+        "classifier_eval",
+        "ngram_overlap",
+        "winsorize_apply",
+        # (b) new in r7, oracle-bearing
+        "dedup_pipeline",
+        "pca_sufficient_stats",
+        "lr_gradient_pass",
+        # (c) one-time rows-only exposure
+        "quality_lr",
+        "compression_ratio",
+        "pair_pagerank",
+        "embedding_pca",
+        "mmr_diversify",
+        # (d) oldest-signal (r3-green) refresh
+        "flagship_segmentation",
+        "incremental_antijoin",
+        "fk_integrity",
+        "json_normalize",
+        "ilike_search",
+        "resource_cascade",
+        "multi_currency",
+        "upsert_latest",
+        "paginate",
+        "asof_last_purchase",
+        "window_moving_avg",
+        "sessionize",
+        "q20_heavy_suppliers",
+        "repetition_stats",
+        "corpus_vocab",
+        "skew_salted_join",
+        "incremental_dedup",
+        "chunk_documents",
+        "source_mix_sample",
+        "token_count",
+        "doc_fingerprint",
+        "multimodal_decode",
+        "multimodal_resize",
+        "multimodal_frame_sample",
+        "ann_ivf_topk",
+        "curation_funnel",
+        "skew_salted_agg",
+        "pivot_qty_by_status",
+        "cube_qty_summary",
+        "exact_quantiles",
+        "interval_overlap",
+        "window_funcs_battery",
+        "customer_order_sets",
+        "calendar_rollup",
+        "grouping_sets_summary",
+        "tfidf_top_terms",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -5991,6 +6041,180 @@ def oracle_sql() -> dict[str, str]:
     """
     # composes the dedup_clusters recursive-CTE oracle verbatim,
     # then one size count + join; weight = one rounded IEEE division
+    # the DECIMAL-exact sufficient-stats half of embedding_pca:
+    # integer micro-unit Gram/sum/count rows. round_even mirrors
+    # np.rint (half-to-even); HUGEINT sums == the Spark side's
+    # DECIMAL(38,0) sums of exact int64 chunk partials; dim=64 is
+    # the testdata embedding width (the Spark side derives it)
+    sql["pca_sufficient_stats"] = """
+        WITH e AS (
+          SELECT list_transform(embedding,
+                   x -> CAST(round_even(CAST(x AS DOUBLE) * 1000000, 0)
+                             AS BIGINT)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ), gram AS (
+          SELECT CAST((i-1) * 64 + (j-1) AS BIGINT) AS pos,
+                 SUM(CAST(v[i] AS HUGEINT) * v[j]) AS t
+          FROM e,
+               UNNEST(range(1, len(v)+1)) AS a(i),
+               UNNEST(range(1, len(v)+1)) AS b(j)
+          GROUP BY 1
+        ), sums AS (
+          SELECT CAST(64*64 + (i-1) AS BIGINT) AS pos,
+                 SUM(CAST(v[i] AS HUGEINT)) AS t
+          FROM e, UNNEST(range(1, len(v)+1)) AS a(i)
+          GROUP BY 1
+        ), cnt AS (
+          SELECT CAST(64*64 + 64 AS BIGINT) AS pos,
+                 CAST(COUNT(*) AS HUGEINT) AS t
+          FROM e
+        )
+        SELECT pos, CAST(t AS VARCHAR) AS t FROM (
+          SELECT * FROM gram
+          UNION ALL SELECT * FROM sums
+          UNION ALL SELECT * FROM cnt
+        ) ORDER BY pos
+    """
+    # first-iteration GD gradient at w=0 (p=1/2): libm-free feature
+    # ratios quantized to DECIMAL(18,9) (products stay exact in both
+    # engines), exact-sum stats, VARCHAR-routed decimal->double
+    # casts (the corr_matrix double-rounding fix), one IEEE sqrt
+    sql["lr_gradient_pass"] = f"""
+        WITH gop AS ({sql["gopher_rules"]}),
+        base2 AS (
+          SELECT doc_id, lower(text) AS lt,
+                 string_split(lower(text), ' ') AS t
+          FROM documents
+        ), m2 AS (
+          SELECT doc_id,
+            CAST(len(t) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(t,
+                 x -> list_contains(['the', 'a', 'of', 'and', 'to'], x)))
+                 AS BIGINT) AS n_stop,
+            CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+            CAST(length(lt) AS BIGINT) AS n_chars,
+            CAST(list_sum(list_transform(t, x -> length(x)))
+                 AS BIGINT) AS tok_len,
+            CAST(len(list_distinct(t)) AS BIGINT) AS n_types
+          FROM base2
+        ), f2 AS (
+          SELECT m2.doc_id,
+            CAST(CAST(n_stop AS DOUBLE) / n_tokens
+                 AS DECIMAL(18,9)) AS q_stop_ratio,
+            CAST(CAST(n_punct AS DOUBLE) / n_chars
+                 AS DECIMAL(18,9)) AS q_punct_ratio,
+            CAST(CAST(tok_len AS DOUBLE) / n_tokens
+                 AS DECIMAL(18,9)) AS q_mean_word_len,
+            CAST(CAST(n_types AS DOUBLE) / n_tokens
+                 AS DECIMAL(18,9)) AS q_ttr,
+            CAST(gop.passes AS DOUBLE) AS y
+          FROM m2 JOIN gop ON m2.doc_id = gop.doc_id
+          WHERE CAST(n_stop AS DOUBLE) / n_tokens IS NOT NULL
+            AND CAST(n_punct AS DOUBLE) / n_chars IS NOT NULL
+            AND CAST(tok_len AS DOUBLE) / n_tokens IS NOT NULL
+            AND CAST(n_types AS DOUBLE) / n_tokens IS NOT NULL
+        ), st AS (
+          SELECT COUNT(*) AS n,
+            SUM(q_stop_ratio) AS s1, SUM(q_stop_ratio*q_stop_ratio) AS ss1,
+            SUM(q_punct_ratio) AS s2, SUM(q_punct_ratio*q_punct_ratio) AS ss2,
+            SUM(q_mean_word_len) AS s3,
+            SUM(q_mean_word_len*q_mean_word_len) AS ss3,
+            SUM(q_ttr) AS s4, SUM(q_ttr*q_ttr) AS ss4
+          FROM f2
+        ), ms AS (
+          SELECT n,
+            CAST(CAST(s1 AS VARCHAR) AS DOUBLE)/n AS m1,
+            CAST(CAST(ss1 AS VARCHAR) AS DOUBLE)/n AS v1,
+            CAST(CAST(s2 AS VARCHAR) AS DOUBLE)/n AS m2_,
+            CAST(CAST(ss2 AS VARCHAR) AS DOUBLE)/n AS v2,
+            CAST(CAST(s3 AS VARCHAR) AS DOUBLE)/n AS m3,
+            CAST(CAST(ss3 AS VARCHAR) AS DOUBLE)/n AS v3,
+            CAST(CAST(s4 AS VARCHAR) AS DOUBLE)/n AS m4,
+            CAST(CAST(ss4 AS VARCHAR) AS DOUBLE)/n AS v4
+          FROM st
+        ), msd AS (
+          SELECT n, m1, m2_, m3, m4,
+            CASE WHEN sqrt(GREATEST(v1 - m1*m1, 0.0)) = 0.0 THEN 1e-9
+                 ELSE sqrt(GREATEST(v1 - m1*m1, 0.0)) END AS d1,
+            CASE WHEN sqrt(GREATEST(v2 - m2_*m2_, 0.0)) = 0.0 THEN 1e-9
+                 ELSE sqrt(GREATEST(v2 - m2_*m2_, 0.0)) END AS d2,
+            CASE WHEN sqrt(GREATEST(v3 - m3*m3, 0.0)) = 0.0 THEN 1e-9
+                 ELSE sqrt(GREATEST(v3 - m3*m3, 0.0)) END AS d3,
+            CASE WHEN sqrt(GREATEST(v4 - m4*m4, 0.0)) = 0.0 THEN 1e-9
+                 ELSE sqrt(GREATEST(v4 - m4*m4, 0.0)) END AS d4
+          FROM ms
+        ), gr AS (
+          SELECT
+            SUM(CAST((0.5 - y) * ((CAST(q_stop_ratio AS DOUBLE) - m1)/d1)
+                AS DECIMAL(18,9))) AS g1,
+            SUM(CAST((0.5 - y) * ((CAST(q_punct_ratio AS DOUBLE) - m2_)/d2)
+                AS DECIMAL(18,9))) AS g2,
+            SUM(CAST((0.5 - y) * ((CAST(q_mean_word_len AS DOUBLE) - m3)/d3)
+                AS DECIMAL(18,9))) AS g3,
+            SUM(CAST((0.5 - y) * ((CAST(q_ttr AS DOUBLE) - m4)/d4)
+                AS DECIMAL(18,9))) AS g4,
+            SUM(CAST(0.5 - y AS DECIMAL(18,9))) AS gb
+          FROM f2, msd
+        )
+        SELECT 'stop_ratio' AS term, CAST(g1 AS VARCHAR) AS grad FROM gr
+        UNION ALL SELECT 'punct_ratio', CAST(g2 AS VARCHAR) FROM gr
+        UNION ALL SELECT 'mean_word_len', CAST(g3 AS VARCHAR) FROM gr
+        UNION ALL SELECT 'ttr', CAST(g4 AS VARCHAR) FROM gr
+        UNION ALL SELECT '__bias', CAST(gb AS VARCHAR) FROM gr
+        ORDER BY term
+    """
+    # the composed twin of dedup_clusters + dup_weighting +
+    # cluster_keep_best + leakage_safe_split over ONE clustering CTE —
+    # mirrors the Spark plan paying the two-stars contraction once
+    sql["dedup_pipeline"] = f"""
+        WITH comp AS ({sql["dedup_clusters"]}),
+        sz AS (
+          SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component_id
+        ), toks2 AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), qm AS (
+          SELECT doc_id,
+            CAST(len(list_filter(t,
+              x -> list_contains(['the', 'a', 'of', 'and', 'to'], x)))
+              AS DOUBLE) / len(t) AS stop_ratio_raw,
+            CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+              AS DOUBLE) / length(lower(text)) AS punct_ratio_raw,
+            CAST(list_sum(list_transform(t, x -> length(x)))
+              AS DOUBLE) / len(t) AS mwl_raw
+          FROM toks2 JOIN documents USING (doc_id)
+        ), qual AS (
+          SELECT doc_id,
+                 ROUND(0.3 * (1.0 - stop_ratio_raw)
+                       + 0.4 * LEAST(mwl_raw / 10.0, 1.0)
+                       + 0.3 * (1.0 - punct_ratio_raw), 6) AS quality
+          FROM qm
+        ), scored AS (
+          SELECT c.doc_id, c.component_id, q.quality
+          FROM comp c JOIN qual q USING (doc_id)
+        ), kb AS (
+          SELECT doc_id,
+                 FIRST_VALUE(doc_id) OVER (PARTITION BY component_id
+                     ORDER BY quality DESC, doc_id) AS keeper_doc_id,
+                 CAST(doc_id = FIRST_VALUE(doc_id) OVER (
+                     PARTITION BY component_id
+                     ORDER BY quality DESC, doc_id) AS INT) AS kept
+          FROM scored
+        )
+        SELECT comp.doc_id, comp.component_id, sz.cluster_size,
+               ROUND(1.0 / sz.cluster_size, 6) AS weight,
+               kb.keeper_doc_id, kb.kept,
+               CASE
+                 WHEN substring(md5(CAST(comp.component_id AS VARCHAR)), 1, 8)
+                      < '{_rate_hex(0.9)}' THEN 'train'
+                 WHEN substring(md5(CAST(comp.component_id AS VARCHAR)), 1, 8)
+                      < '{_rate_hex(0.95)}' THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM comp JOIN sz USING (component_id) JOIN kb USING (doc_id)
+        ORDER BY comp.doc_id
+    """
     sql["dup_weighting"] = f"""
         WITH comp AS ({sql["dedup_clusters"]}),
         sz AS (

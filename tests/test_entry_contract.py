@@ -55,52 +55,47 @@ def test_oracle_keys_subset_of_queries():
 GATE_WINDOW = 50  # the driver verifies only the first 50 queries() entries
 
 
-# After r5, exactly these oracle-bearing queries had NEVER produced a
-# driver CORRECTNESS row (the 7 r5-window spills + the 41 late-r5
-# additions); the r5 verdict's ask #1 is that all of them get a fresh
-# driver row in r6. They must fill the window ahead of any refresh.
-NEVER_DRIVER_SEEN_R6 = {
-    # 7 r5-window spills
-    "source_overlap_matrix", "event_transitions", "sampled_quantiles",
-    "sliding_window_agg", "value_histogram", "vocab_coverage",
-    "freshness_report",
-    # 41 late-r5 additions
-    "trend_report", "quantile_bucketize", "k_anonymity_report",
-    "grid_diversity_sample", "label_centroids", "asof_nearest_purchase",
-    "feature_class_lift", "top_event_paths", "zipf_fit", "bm25_search",
-    "sparse_cosine_join", "bloom_decontaminate", "zorder_layout_report",
-    "line_dedup", "line_dedup_incremental", "last_touch_attribution",
-    "hourly_acf", "densify_hours", "hard_negatives", "share_of_parent",
-    "epoch_shuffle", "interleave_sources", "blocklist_filter",
-    "corr_matrix", "cooccurrence_pairs", "vocab_growth", "kwic_search",
-    "market_basket", "percentile_rank", "user_event_sequences",
-    "triangle_count", "distribution_shift_report", "benford_check",
-    "hybrid_search", "media_resample", "media_silence_report",
-    "active_learning_batch", "chi2_features", "nb_classify",
-    "kmv_sketch_rollup", "rank_correlation",
+# After r6, exactly these oracle-bearing queries had never produced a
+# driver CORRECTNESS row (the r6 verdict's ask #1: judge-parity
+# verified only). Three of them also changed in r7, so the fresh row
+# covers the shipped code.
+NEVER_GATED_ORACLE_R7 = {
+    "dup_weighting", "strip_markup", "retrieval_eval",
+    "classifier_eval", "ngram_overlap", "winsorize_apply",
 }
 
-# implementation changed in r6 — old green rows no longer cover the
-# shipped code, so they take the remaining slots
-CHANGED_IN_R6 = ["q15_top_supplier", "dedup_editdist"]
+# New in r7, oracle-bearing: the composed dedup spine + the twinnable
+# deterministic halves of the two rows-only trainers (verdict ask #2/#3)
+NEW_ORACLE_R7 = ["dedup_pipeline", "pca_sufficient_stats", "lr_gradient_pass"]
+
+# The 5 rows-only entries that have NEVER produced a driver row get
+# their one-time exposure (the r4 precedent, planned in r6's window
+# comment) — a weaker rows-only record still proves they execute in
+# the driver's environment. Back to the tail for good afterward.
+ROWS_ONLY_EXPOSURE_R7 = [
+    "quality_lr", "compression_ratio", "pair_pagerank",
+    "embedding_pca", "mmr_diversify",
+]
 
 
 def test_gate_window_composition():
-    """Derived (not hand-counted) r6 gate-window contract: every
-    never-driver-seen oracle-bearing query fills the window first
-    (the r5 verdict's ask #1 — the whole cohort gets its first
-    driver row), the two r6-changed queries take the remaining
-    slots, and no rows-only query burns a slot."""
+    """Derived (not hand-counted) r7 gate-window contract: the 6
+    never-gated oracle queries and the 3 new r7 twins lead, the 5
+    never-seen rows-only entries take their one-time exposure slots,
+    and every remaining slot refreshes an oracle-bearing query from
+    the oldest-signal (r3) backlog."""
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
-    wasted = [q for q in gated if q not in oracles]
-    assert not wasted, f"rows-only queries inside gate window: {wasted}"
-    assert NEVER_DRIVER_SEEN_R6 <= set(gated), (
-        NEVER_DRIVER_SEEN_R6 - set(gated)
-    )
-    assert gated[-len(CHANGED_IN_R6):] == CHANGED_IN_R6
-    assert len(NEVER_DRIVER_SEEN_R6) + len(CHANGED_IN_R6) == GATE_WINDOW
+    assert NEVER_GATED_ORACLE_R7 == set(gated[:6]), gated[:6]
+    assert gated[6:9] == NEW_ORACLE_R7
+    assert gated[9:14] == ROWS_ONLY_EXPOSURE_R7
+    # only the planned one-time-exposure entries may be rows-only
+    wasted = [q for q in gated if q not in oracles
+              and q not in ROWS_ONLY_EXPOSURE_R7]
+    assert not wasted, f"unplanned rows-only queries in window: {wasted}"
+    # the refresh block is all oracle-bearing
+    assert all(q in oracles for q in gated[14:])
 
 
 def test_no_oracle_emits_hugeint():

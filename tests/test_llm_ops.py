@@ -2201,6 +2201,43 @@ def test_media_probe_decodes_real_payloads(spark):
         assert out[did]["sum_rgb"] == w * h * s
 
 
+def test_dedup_pipeline_matches_standalone_composition(spark):
+    """The composed one-clustering spine emits exactly what the
+    three standalone consumers (dup_weighting, cluster_keep_best,
+    leakage_safe_split) produce when run independently — the
+    components= pass-through changes the COST (one two-stars pass),
+    never the answer."""
+    from whatdropsnow_etl_spark.operators import (
+        cluster_keep_best,
+        dup_weighting,
+        leakage_safe_split,
+    )
+    from whatdropsnow_etl_spark.plans.curation import dedup_pipeline
+
+    fam = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, fam),
+        (2, fam + " x"),
+        (3, fam + " y"),
+        (4, "completely different text about sparkling mineral water"),
+        (5, "another unrelated document concerning volcanic geology"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_pipeline(docs).collect()}
+    w = {r["doc_id"]: r for r in dup_weighting(docs).collect()}
+    kb = {r["doc_id"]: r for r in cluster_keep_best(docs).collect()}
+    sp = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert set(got) == set(w) == set(kb) == set(sp)
+    for d, r in got.items():
+        assert (r["component_id"], r["cluster_size"], r["weight"]) == (
+            w[d]["component_id"], w[d]["cluster_size"], w[d]["weight"],
+        )
+        assert (r["keeper_doc_id"], r["kept"]) == (
+            kb[d]["keeper_doc_id"], kb[d]["kept"],
+        )
+        assert r["split"] == sp[d]["split"]
+
+
 def test_dup_weighting_soft_dedup(spark):
     """A 3-doc near-dup family weighs 1/3 each; singletons weigh 1;
     total expected mass = number of distinct contents."""
@@ -3150,6 +3187,54 @@ def test_lr_train_matches_numpy_reference(tables):
     assert abs(model["bias"] - b) < 1e-8
     # loss decreases over training
     assert model["loss"][-1] < model["loss"][0]
+
+
+def test_lr_gradient_pass_numpy_reference_and_invariance(spark, tables):
+    """The oracle-twinned GD kernel: (a) bit-identical grad strings
+    under 1 vs 17 partitions (exact decimal sums), (b) matches a
+    float numpy replica of the same pipeline to quantization noise,
+    (c) the bias gradient is exactly (n_fail - n_pass)/2 quantized
+    (err at w=0 is ±1/2)."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators import gopher_rules
+    from whatdropsnow_etl_spark.operators.classifier import lr_gradient_pass
+
+    docs = tables["documents"].limit(200)
+    g1 = {r["term"]: r["grad"] for r in lr_gradient_pass(docs.repartition(1)).collect()}
+    g17 = {r["term"]: r["grad"] for r in lr_gradient_pass(docs.repartition(17)).collect()}
+    assert g1 == g17
+    assert set(g1) == {"stop_ratio", "punct_ratio", "mean_word_len", "ttr", "__bias"}
+
+    rows = gopher_rules(docs, extra_cols=("text",)).select("text", "passes").collect()
+    texts = [r["text"] for r in rows]
+    y = np.array([float(r["passes"]) for r in rows])
+    feats = []
+    for t in texts:
+        lt = t.lower()
+        toks = lt.split(" ")
+        n_tok = len(toks)
+        n_stop = sum(1 for x in toks if x in ("the", "a", "of", "and", "to"))
+        import re
+        n_punct = len(re.sub(r"[a-z0-9 ]", "", lt))
+        feats.append([
+            n_stop / n_tok,
+            n_punct / len(lt),
+            sum(len(x) for x in toks) / n_tok,
+            len(set(toks)) / n_tok,
+        ])
+    X = np.array(feats)
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd[sd == 0] = 1e-9
+    Z = (X - mu) / sd
+    err = 0.5 - y
+    want = Z.T @ err
+    got = np.array([float(g1[c]) for c in
+                    ("stop_ratio", "punct_ratio", "mean_word_len", "ttr")])
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-5)
+    n_pass = int(y.sum())
+    assert float(g1["__bias"]) == (len(y) - n_pass) * 0.5 - n_pass * 0.5
 
 
 def test_quality_lr_separates_weak_labels(tables):

@@ -56,6 +56,9 @@ ALLPAIRS_OK = {
     "heldout_perplexity",
     # share denominator: 1-row broadcast corpus-total cross
     "dataset_card",
+    # standardization stats: crossJoin against the 1-row broadcast
+    # mean/variance aggregate (the Q11 scalar-subquery pattern)
+    "lr_gradient_pass",
     # PMI normalizer: 1-row broadcast token-total cross
     "pmi_collocations",
     # calendar spine: #types rows × 1-row broadcast bounds aggregate
@@ -164,6 +167,9 @@ PYTHON_OK = {
     # sufficient-statistics partials + fused (X-mean)@W projection
     # (numpy per Arrow batch — the OPQ encode convention)
     "embedding_pca",
+    # the same sufficient-stats mapInPandas kernel, surfaced as its
+    # own oracle-twinned registry query
+    "pca_sufficient_stats",
     # r6 q-gram prefilter: per-doc byte-trigram histogram (numpy
     # bincount per Arrow batch, once per doc below the pair shuffle)
     "dedup_editdist",
@@ -182,6 +188,11 @@ EAGER_OK = {
     "cluster_keep_best",
     "leakage_safe_split",
     "dup_weighting",
+    # the composed one-clustering spine: carries the allowance BY
+    # DESIGN so pipelines pay the contraction once (the standalone
+    # consumers above only re-derive it under the bench's
+    # queries-are-independent contract)
+    "dedup_pipeline",
     # k-means training is a driver-looped fixpoint; each Lloyd's
     # round legitimately runs assign/update jobs at construction
     "ann_ivf_trained",

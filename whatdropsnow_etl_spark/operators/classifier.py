@@ -234,6 +234,104 @@ def quality_lr(
     )
 
 
+#: the libm-free feature subset used by the oracle-twinned gradient
+#: kernel: pure ratios of small integer counts — every value is one
+#: IEEE division, bit-identical across engines. log_len (log1p) is
+#: deliberately absent: libm transcendentals are not guaranteed
+#: correctly rounded, so a cross-engine twin cannot include them.
+def _twin_feature_cols(text_col: str) -> "dict[str, Column]":
+    feats = _feature_cols(text_col)
+    return {
+        k: feats[k]
+        for k in ("stop_ratio", "punct_ratio", "mean_word_len", "ttr")
+    }
+
+
+#: quantization grid of the twinned kernel: DECIMAL(18,9) products
+#: are DECIMAL(37,18) — inside the 38-digit cap in BOTH engines, so
+#: q*q and its sum are exact with no precision-loss rescaling
+#: (Spark's (30,15)×(30,15) product would silently round; DuckDB
+#: would refuse it).
+_TWIN_DEC = "decimal(18,9)"
+
+
+def lr_gradient_pass(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The engine-exact kernel of :func:`lr_train` as ONE
+    declarative relation — the deterministic half of quality_lr that
+    a SQL oracle CAN verify (the 30-iteration driver loop on top
+    stays rows-only by design): the first full-batch GD gradient at
+    weights = 0 (p = 1/2, err = 1/2 − y) over decimal-standardized
+    libm-free features with gopher_rules weak labels.
+
+    Everything is exact or IEEE-deterministic: features are integer
+    ratios (one division), quantized to the DECIMAL(18,9) grid;
+    means/variances come from exact decimal sums (one double
+    division + one IEEE sqrt at the end); each row's err·z term is
+    re-quantized before the final exact sum, so the gradient is
+    BIT-IDENTICAL under any partitioning — the property lr_train's
+    pytest pins, here made oracle-checkable. Rows with undefined
+    features are excluded (lr_train's NULL-filter contract).
+
+    Scale shape: two corpus scans (stats, then gradient), both
+    map-side-combined to 1-row aggregates; the stats row joins back
+    as a broadcast crossJoin (the Q11 pattern — fully lazy, no
+    driver collect). Emits 5 rows (term, grad) with grad rendered
+    DECIMAL-as-VARCHAR (the trend_report/hourly_acf exact-fraction
+    idiom).
+    """
+    from .textops import gopher_rules
+
+    feats = _twin_feature_cols(text_col)
+    names = list(feats)
+    labeled = gopher_rules(docs, text_col=text_col, id_col=id_col,
+                           extra_cols=(text_col,))
+    feat = labeled.select(
+        *[expr.cast(_TWIN_DEC).alias(c) for c, expr in feats.items()],
+        F.col("passes").cast("double").alias("__y"),
+    )
+    cond = F.col("__y").isNotNull()
+    for c in names:
+        cond = cond & F.col(c).isNotNull()
+    feat = feat.where(cond)
+
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.col(c)).alias(f"__s_{c}") for c in names],
+        *[F.sum(F.col(c) * F.col(c)).alias(f"__ss_{c}") for c in names],
+    )
+    joined = feat.crossJoin(F.broadcast(stats))
+    std_cols = []
+    for c in names:
+        m = F.col(f"__s_{c}").cast("double") / F.col("__n")
+        var = F.col(f"__ss_{c}").cast("double") / F.col("__n") - m * m
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        std = F.when(std == 0.0, F.lit(1e-9)).otherwise(std)
+        std_cols.append(
+            ((F.col(c).cast("double") - m) / std).alias(f"__z_{c}")
+        )
+    err = (F.lit(0.5) - F.col("__y")).alias("__e")
+    z = joined.select(*std_cols, err)
+    grad = z.agg(
+        *[
+            F.sum((F.col("__e") * F.col(f"__z_{c}")).cast(_TWIN_DEC))
+            .alias(f"g_{c}")
+            for c in names
+        ],
+        F.sum(F.col("__e").cast(_TWIN_DEC)).alias("g_bias"),
+    )
+    stack_args = ", ".join(
+        [f"'{c}', cast(g_{c} as string)" for c in names]
+        + ["'__bias', cast(g_bias as string)"]
+    )
+    return grad.selectExpr(
+        f"stack({len(names) + 1}, {stack_args}) AS (term, grad)"
+    )
+
+
 def active_learning_batch(
     scored: DataFrame,
     k_per_group: int = 10,

@@ -122,3 +122,72 @@ def pretraining_mix(
     return source_temperature_sample(
         dedup, alpha=alpha, source_col=lang_col, id_col=id_col
     )
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 15,
+    ratios: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full near-dup decision pipeline over ONE clustering pass:
+    two-stars connected components feed keeper selection
+    (:func:`~.operators.dedup.cluster_keep_best`), the leakage-safe
+    train/val/test split (:func:`~.operators.sampling.
+    leakage_safe_split`) and the soft 1/|cluster| weights
+    (:func:`~.operators.dedup.dup_weighting`) — every downstream
+    consumer takes the (doc_id, component_id) relation via its
+    ``components=`` pass-through, so the expensive half (exact
+    Jaccard pairs + O(log n) contraction rounds) is paid exactly
+    once. Run standalone, each of the three queries re-derives the
+    same pair relation; composed, the bench saves ~3 clusterings.
+
+    The two-stars rounds run eagerly at composition time
+    (localCheckpoint per round — the standard iterative-graph
+    trade); this plan is the ONE registry query carrying that
+    allowance by design, so pipelines inherit it here instead of
+    paying it per-consumer.
+
+    Emits one row per doc: (doc_id, component_id, cluster_size,
+    weight, keeper_doc_id, kept, split).
+    """
+    from ..operators.dedup import (
+        cluster_keep_best,
+        dedup_clusters,
+        dup_weighting,
+    )
+    from ..operators.sampling import leakage_safe_split
+
+    comp = dedup_clusters(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        threshold=threshold,
+        max_iter=max_iter,
+    )
+    weights = dup_weighting(
+        docs, text_col=text_col, id_col=id_col, components=comp
+    )
+    keepers = cluster_keep_best(
+        docs, text_col=text_col, id_col=id_col, components=comp
+    ).select("doc_id", "keeper_doc_id", "kept")
+    split = leakage_safe_split(
+        docs,
+        ratios=ratios,
+        components=comp,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("doc_id", "split")
+    return weights.join(keepers, "doc_id").join(split, "doc_id").select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        "weight",
+        "keeper_doc_id",
+        "kept",
+        "split",
+    )
