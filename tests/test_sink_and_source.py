@@ -311,6 +311,109 @@ def test_jdbc_option_building():
     )
 
 
+def test_upsert_sql_roundtrip_real_postgres(tmp_path):
+    """The emitted ON CONFLICT statement executes against a REAL
+    PostgreSQL — the reference's actual dialect and semantics
+    (db.py:51-67, on_conflict_do_update latest-wins), which the
+    embedded-Derby round-trip can't prove. A throwaway cluster is
+    initdb'd per-run (trust auth, unix socket only, no TCP) as the
+    postgres user; skipped where the runtime lacks the binaries.
+    The quoted reserved-word column ('user') exercises the
+    identifier-quoting path for real."""
+    import os
+    import pwd
+    import shutil
+    import subprocess
+
+    bindir = "/usr/lib/postgresql/15/bin"
+    if not os.path.exists(f"{bindir}/initdb") or not shutil.which("su"):
+        pytest.skip("no PostgreSQL 15 runtime")
+    try:
+        pwd.getpwnam("postgres")
+    except KeyError:
+        pytest.skip("no postgres user")
+
+    from whatdropsnow_etl_spark.sources.jdbc import upsert_sql
+
+    # NOT under tmp_path: pytest's /tmp/pytest-of-root ancestors are
+    # 0700, untraversable by the postgres user
+    import pathlib
+    import tempfile
+
+    base = pathlib.Path(tempfile.mkdtemp(prefix="pg_upsert_"))
+    data = base / "data"
+    sock = base / "sock"
+    sock.mkdir()
+    subprocess.run(
+        ["chown", "-R", "postgres:postgres", str(base)], check=True
+    )
+
+    def as_pg(cmd: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            ["su", "postgres", "-c", f"cd / && {cmd}"],
+            capture_output=True,
+            text=True,
+        )
+
+    r = as_pg(f"{bindir}/initdb -D {data} -A trust")
+    if r.returncode:
+        pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+    started = as_pg(
+        f'{bindir}/pg_ctl -D {data} -w -l {base}/log start '
+        f"-o \"-k {sock} -p 54329 -c listen_addresses=''\""
+    )
+    if started.returncode:
+        pytest.skip(f"pg_ctl start failed: {started.stderr[-200:]}")
+    try:
+        psql = f"{bindir}/psql -h {sock} -p 54329 -d postgres -v ON_ERROR_STOP=1"
+        setup = base / "setup.sql"
+        setup.write_text(
+            'CREATE TABLE offers (id bigint PRIMARY KEY, "user" text,'
+            " price numeric, updated_at timestamp);\n"
+            "INSERT INTO offers VALUES (1, 'a', 10.0, '2026-01-01');\n"
+            'CREATE TABLE offers_stage (id bigint, "user" text,'
+            " price numeric, updated_at timestamp);\n"
+            "INSERT INTO offers_stage VALUES"
+            " (1, 'b', 20.0, '2026-02-01'), (2, 'c', 30.0, '2026-02-02');\n"
+            + upsert_sql(
+                "offers", "offers_stage", ["id"], ["user", "price", "updated_at"]
+            )
+            + ";\n"
+        )
+        subprocess.run(
+            ["chown", "postgres:postgres", str(setup)], check=True
+        )
+        ran = as_pg(f"{psql} -q -f {setup}")
+        assert ran.returncode == 0, ran.stderr
+        out = as_pg(
+            f"{psql} -At -c "
+            "'SELECT id, \"user\", price FROM offers ORDER BY id'"
+        )
+        assert ran.returncode == 0, out.stderr
+        # latest-wins: the conflicting row took the stage values, the
+        # new row inserted — exactly db.py:51-67's semantics
+        assert out.stdout.strip().splitlines() == ["1|b|20.0", "2|c|30.0"]
+        # idempotent re-run (the reference re-runs the same upsert on
+        # restart): same statement again, same final state
+        rerun = as_pg(
+            f"{psql} -q -c "
+            + '"'
+            + upsert_sql(
+                "offers", "offers_stage", ["id"], ["user", "price", "updated_at"]
+            ).replace('"', '\\"')
+            + '"'
+        )
+        assert rerun.returncode == 0, rerun.stderr
+        out2 = as_pg(
+            f"{psql} -At -c "
+            "'SELECT id, \"user\", price FROM offers ORDER BY id'"
+        )
+        assert out2.stdout == out.stdout
+    finally:
+        as_pg(f"{bindir}/pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_register_views_sql_join(spark):
     from whatdropsnow_etl_spark.sources.catalog import register_views
     from tests.conftest import SF_SMALL
