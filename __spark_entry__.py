@@ -1208,6 +1208,16 @@ def _pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pretraining_mix(load_table(spark, sf_dir, "documents"), alpha=0.5)
 
 
+def _training_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> deterministic training order in one composed plan:
+    pretraining_mix -> chunk -> pack -> balanced shards -> seed-keyed
+    intra-shard epoch order. No stage re-derives an upstream
+    relation."""
+    from whatdropsnow_etl_spark.plans.curation import training_order_spine
+
+    return training_order_spine(load_table(spark, sf_dir, "documents"))
+
+
 def _priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import priority_sample
 
@@ -1878,6 +1888,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "dedup_pipeline": ["cluster_size", "component_id", "doc_id", "keeper_doc_id", "kept", "split", "weight"],
     "pca_sufficient_stats": ["pos", "t"],
     "lr_gradient_pass": ["grad", "term"],
+    "training_order_spine": ["pack_id", "pack_tokens", "pos", "shard"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2220,6 +2231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the two remaining by-design rows-only trainers
         "pca_sufficient_stats": _pca_sufficient_stats,
         "lr_gradient_pass": _lr_gradient_pass,
+        # NEW in r7 — corpus -> deterministic training order spine
+        "training_order_spine": _training_order_spine,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2383,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline",
         "pca_sufficient_stats",
         "lr_gradient_pass",
+        "training_order_spine",
         # (c) one-time rows-only exposure
         "quality_lr",
         "compression_ratio",
@@ -2425,7 +2439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_sets",
         "calendar_rollup",
         "grouping_sets_summary",
-        "tfidf_top_terms",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -4969,6 +4982,70 @@ def oracle_sql() -> dict[str, str]:
         FROM dedup d JOIN t ON d.lang = t.lang
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
     """.replace("{GOPHER}", sql["gopher_rules"])
+    # the composed training-order spine: mix survivors -> chunk ->
+    # greedy pack (recursive CTE twin of the applyInPandas kernel) ->
+    # snake-balanced shards -> seed-keyed intra-shard order. Each CTE
+    # consumes the previous one — the no-re-derivation contract.
+    sql["training_order_spine"] = f"""
+        WITH RECURSIVE mix AS ({{MIX}}),
+        surv AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN mix ON mix.doc_id = d.doc_id
+        ), toks3 AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM surv
+        ), chunks3 AS (
+          SELECT doc_id,
+                 CAST(s // 56 AS BIGINT) AS chunk_idx,
+                 CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
+          FROM toks3,
+               UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 56)) AS u(s)
+        ), grp3 AS (
+          SELECT doc_id, chunk_idx, n_tokens,
+                 CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 16 AS g
+          FROM chunks3
+        ), seq3 AS (
+          SELECT doc_id, chunk_idx, n_tokens, g,
+                 ROW_NUMBER() OVER (PARTITION BY g
+                                    ORDER BY doc_id, chunk_idx) AS r
+          FROM grp3
+        ), packed3 AS (
+          SELECT g, r, doc_id, chunk_idx, n_tokens,
+                 CAST(0 AS BIGINT) AS pack_no, n_tokens AS acc
+          FROM seq3 WHERE r = 1
+          UNION ALL
+          SELECT n.g, n.r, n.doc_id, n.chunk_idx, n.n_tokens,
+                 CASE WHEN p.acc + n.n_tokens > 256
+                      THEN p.pack_no + 1 ELSE p.pack_no END,
+                 CASE WHEN p.acc + n.n_tokens > 256
+                      THEN n.n_tokens ELSE p.acc + n.n_tokens END
+          FROM packed3 p JOIN seq3 n ON n.g = p.g AND n.r = p.r + 1
+        ), packs AS (
+          SELECT CAST(g AS VARCHAR) || '-' || CAST(pack_no AS VARCHAR)
+                   AS pack_id,
+                 CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+          FROM packed3 GROUP BY 1
+        ), rnk AS (
+          SELECT pack_id, pack_tokens,
+                 ROW_NUMBER() OVER (
+                   ORDER BY pack_tokens DESC,
+                            substr(md5(pack_id), 1, 2), pack_id
+                 ) - 1 AS r
+          FROM packs
+        ), sh AS (
+          SELECT pack_id, pack_tokens,
+                 CAST(CASE WHEN r % 16 < 8 THEN r % 16
+                           ELSE 15 - (r % 16) END AS BIGINT) AS shard
+          FROM rnk
+        )
+        SELECT pack_id, pack_tokens, shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY shard
+                 ORDER BY md5('1:' || pack_id), pack_id
+               ) AS BIGINT) AS pos
+        FROM sh
+        ORDER BY shard, pos
+    """.replace("{MIX}", sql["pretraining_mix"])
     sql["priority_sample"] = """
         WITH p AS (
           SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,

@@ -66,7 +66,10 @@ NEVER_GATED_ORACLE_R7 = {
 
 # New in r7, oracle-bearing: the composed dedup spine + the twinnable
 # deterministic halves of the two rows-only trainers (verdict ask #2/#3)
-NEW_ORACLE_R7 = ["dedup_pipeline", "pca_sufficient_stats", "lr_gradient_pass"]
+NEW_ORACLE_R7 = [
+    "dedup_pipeline", "pca_sufficient_stats", "lr_gradient_pass",
+    "training_order_spine",
+]
 
 # The 5 rows-only entries that have NEVER produced a driver row get
 # their one-time exposure (the r4 precedent, planned in r6's window
@@ -88,14 +91,14 @@ def test_gate_window_composition():
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
     assert NEVER_GATED_ORACLE_R7 == set(gated[:6]), gated[:6]
-    assert gated[6:9] == NEW_ORACLE_R7
-    assert gated[9:14] == ROWS_ONLY_EXPOSURE_R7
+    assert gated[6:10] == NEW_ORACLE_R7
+    assert gated[10:15] == ROWS_ONLY_EXPOSURE_R7
     # only the planned one-time-exposure entries may be rows-only
     wasted = [q for q in gated if q not in oracles
               and q not in ROWS_ONLY_EXPOSURE_R7]
     assert not wasted, f"unplanned rows-only queries in window: {wasted}"
     # the refresh block is all oracle-bearing
-    assert all(q in oracles for q in gated[14:])
+    assert all(q in oracles for q in gated[15:])
 
 
 def test_no_oracle_emits_hugeint():

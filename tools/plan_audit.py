@@ -162,6 +162,7 @@ PYTHON_OK = {
     "bpe_encode",  # same per-word merge scan, all ranks in one pass
     "bpe_fertility",  # encode kernel + per-source aggregate
     "pack_chunks",  # per-group greedy packing (inherently sequential)
+    "training_order_spine",  # composes the pack_chunks kernel
     "normalize_text",  # Arrow NFC kernel (unicodedata; map-only)
     "compression_ratio",  # Arrow zlib kernel (C-speed; map-only)
     # sufficient-statistics partials + fused (X-mean)@W projection

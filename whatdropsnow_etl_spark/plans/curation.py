@@ -191,3 +191,81 @@ def dedup_pipeline(
         "kept",
         "split",
     )
+
+
+def training_order_spine(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    budget_tokens: int = 256,
+    n_groups: int = 16,
+    n_shards: int = 8,
+    seed: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Corpus → deterministic training order, as ONE composed plan:
+    :func:`pretraining_mix` (filter → exact dedup → temperature mix)
+    picks the epoch membership, survivors chunk
+    (:func:`~.operators.textops.chunk_documents`) and pack
+    (:func:`~.operators.textops.pack_chunks`) into budget-sized
+    training sequences, packs land in token-balanced shards
+    (:func:`~.operators.sampling.balanced_shards` — no straggler
+    data-loader workers), and the intra-shard read order is the
+    seed-keyed epoch permutation (the
+    :func:`~.operators.ordering.epoch_shuffle` hash-order machinery
+    over the BALANCED shard, via the same prefix-bucket histogram
+    rank — no per-shard single-task sort).
+
+    Every stage composes downstream of the previous one — no stage
+    re-derives an upstream relation (the dedup_pipeline contract;
+    n_chunks is deliberately not emitted so the pack aggregate is
+    referenced exactly once). The whole spine is lazy: shuffles are
+    the mix dedup window, the pack group, the pack aggregate and the
+    two histogram ranks; everything else is map-side.
+
+    A training reader consumes this as: for epoch e, re-run with
+    ``seed=e``; read shard s in pos order; resume mid-epoch at
+    (shard, pos). Emits (pack_id, pack_tokens, shard, pos).
+    """
+    from ..operators.ordering import _bucketed_rank
+    from ..operators.sampling import balanced_shards
+    from ..operators.textops import chunk_documents, pack_chunks
+
+    mix = pretraining_mix(
+        docs, alpha=alpha, text_col=text_col, id_col=id_col,
+        lang_col=lang_col,
+    )
+    survivors = docs.join(mix.select(id_col), id_col, "left_semi")
+    chunks = chunk_documents(
+        survivors, chunk_tokens=chunk_tokens, overlap=overlap,
+        id_col=id_col, text_col=text_col,
+    )
+    packed = pack_chunks(
+        chunks, budget_tokens=budget_tokens, n_groups=n_groups,
+        doc_col=id_col,
+    )
+    packs = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens")
+    )
+    sharded = balanced_shards(
+        packs, n_shards=n_shards, weight_col="pack_tokens",
+        id_col="pack_id",
+    )
+    keyed = sharded.select(
+        "pack_id",
+        F.col("weight").alias("pack_tokens"),
+        "shard",
+        F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col("pack_id"))
+        ).alias("__key"),
+    )
+    ranked = _bucketed_rank(keyed, ["shard"], "__key", "pack_id")
+    return ranked.select(
+        "pack_id",
+        "pack_tokens",
+        "shard",
+        F.col("__rank").cast("bigint").alias("pos"),
+    )
