@@ -889,29 +889,40 @@ def editdist_pairs(
     bucket collisions only shrink the L1. The filter is therefore
     LOSSLESS at every scale (identical pairs pytest-pinned, and no
     oracle twin needed — implied by ``dist <= max_dist`` exactly
-    like the char-histogram gate), while killing the
-    similar-length similar-char-mix pairs natural language feeds
-    past the a-z histogram (which all English text nearly shares)
-    BEFORE they pay the O(max_dist·prefix) DP. Measured at
-    cap=2000, identical 165 277 pairs, same-session back-to-back:
-    sf10 340.5 -> 245.1 s (-28%; hot blocks are replicated
-    near-identical docs, so most pairs pass the char histogram and
-    previously paid the prefix DP); sf1 21.9 -> 19.8 s (few hot
-    blocks, char histogram already carries the filtering).
+    like the char-histogram gate). Measured funnel at sf10
+    (cap=2000): ~628M length-qualified candidates -> 43.6M past the
+    char histogram -> 6.8M past the q-gram bound -> 165 277 pairs.
+
+    **r7 execution shape — blocked numpy pair kernel.** The pair
+    generation + histogram gates run in ONE ``applyInPandas`` per
+    (lang, band, salt) group (the embedding_dedup/sparse_cosine
+    blocked-tile pattern), NOT as a replicated self-join: measured
+    at sf10, the bare pair join costs 6.9 s but ANY histogram-gate
+    expression attached to it (zip_with fold, unrolled GetArrayItem
+    sums, in the condition or a filter above) drops the stage out
+    of effective codegen and pays interpreted µs/pair across ~10^9
+    candidates — the r6 join shape cost 256.6 s, unrolled-sum
+    variants >580 s, while the kernel runs the identical gates
+    vectorized for the whole operator in 32.3 s (same 165 277
+    pairs, same session, back-to-back). Only per-doc rows (~250 B)
+    cross the Arrow boundary; surviving id pairs come back; texts
+    join back for survivors only, and the prefix/full DP run after
+    the (lo, hi) relation is pair-unique — own-own pairs emit once
+    (i < j), own-guest (cross-band) once, so no global DISTINCT.
+    A MinHash band pre-gate (the other candidate design) was
+    REFUTED by measurement: in-block non-match pairs have median
+    char-trigram Jaccard 0.54 vs ~0.72 at the distance threshold —
+    any banding selective enough to cut pair mass also drops
+    borderline true pairs, while the kernel is exact.
 
     ``shuffle_parallelism`` (default 4× the cluster's default
-    parallelism) is the partition count BOTH pair-join inputs are
+    parallelism) is the partition count the member relation is
     explicitly hash-partitioned to on the full (lang, band, salt)
-    key. Without it the doc side's (lang, band) partitioning — a
-    SUBSET of the join keys — satisfies the join's clustering
-    requirement, so Spark reuses it and a hot block's sub-blocks
-    all land in ONE task: salting then bounds candidate VOLUME but
-    not task spread (the measured sf10 tail: last ~7 of 32 tasks
-    run long). Pinning the exchange to the salted key at an
-    explicit count spreads sub-blocks across tasks; AQE never
+    key, so a hot block's sub-block groups spread across tasks
+    instead of landing in one (lang, band) partition. AQE never
     coalesces a user-specified repartition, so the count survives
-    to runtime. Partition-count/assignment changes never change
-    results — the pair predicate is per-row.
+    to runtime. Partition/assignment changes never change results —
+    the kernel is a pure function of its group.
     """
     if band_width is None:
         band_width = max_dist
@@ -960,9 +971,11 @@ def editdist_pairs(
         ]
     base = docs.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("txt"),
         F.col(lang_col).alias("lg"),
         F.col(len_col).alias("ln"),
+        # true length, computed once per doc below the shuffle (the
+        # len_col metadata could be stale; lev >= |true len diff|)
+        F.length(F.col(text_col)).alias("tln"),
         F.floor(F.col(len_col) / band_width).alias("band"),
         hist.alias("h"),
         *extra,
@@ -1004,101 +1017,165 @@ def editdist_pairs(
     # block in one task (the sf10 tail) — and AQE never coalesces a
     # user-specified repartition, so nparts survives to runtime
     d = d.repartition(nparts, "lg", "band", "salt")
-    right = base.select(
-        F.col("id").alias("rid"),
-        F.col("txt").alias("rtxt"),
-        F.col("lg").alias("rlg"),
-        F.col("ln").alias("rln"),
-        F.col("h").alias("rh"),
-        *(
-            [F.col("h3").alias("rh3"), F.col("ba").alias("rba")]
-            if qgram_prefilter
-            else []
-        ),
-        F.explode(F.array(F.col("band"), F.col("band") - 1)).alias("band"),
+    # ---- r7 pair stage: blocked numpy kernel, not a pair join ----
+    # Measured at sf10 (500k docs, ~10^9 salted candidate pairs):
+    # the bare pair JOIN costs 6.9 s, but ANY histogram-gate
+    # expression attached to it — zip_with fold, unrolled
+    # GetArrayItem sums, in the join condition or a filter above —
+    # drops the stage out of effective codegen and pays ~µs/pair
+    # interpreted evaluation (the r6 shape: 256 s; unrolled-sum
+    # variants: >580 s). The only fast per-pair evaluator at this
+    # volume is vectorized numpy, so the pair generation + histogram
+    # gates move into ONE applyInPandas kernel per (lang, band,
+    # salt) group — the sanctioned embedding_dedup/sparse_cosine
+    # blocked-tile pattern. Only per-DOC rows cross the Arrow
+    # boundary (~250 B each); surviving id pairs come back. The
+    # gates are the same lossless bounds as before, so output is
+    # identical at every scale (pytest-pinned).
+    #
+    # Group membership reproduces the old replicated join exactly:
+    # a group (lg, b, s) holds the block's OWN docs (salted by its
+    # own s) plus GUEST rows — band b+1 docs salted by THIS block's
+    # sub-block count (the old "replica into the previous band").
+    # Own-own pairs emit once (i < j), own-guest once (cross-band
+    # pairs meet only here), so no global DISTINCT is needed.
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    qcols = ["h3", "ba"] if qgram_prefilter else []
+    own = d.select(
+        "lg", "band", "salt", F.lit(0).alias("side"),
+        "id", "ln", "tln", "h", *qcols,
     )
+    guest = base.withColumn("band", F.col("band") - 1)
     if pops is not None:
-        # a replica landing in the previous band salts by THAT
-        # block's sub-block count, so both sides of any candidate
-        # pair derive their salt from the same block's s
-        right = right.join(
-            F.broadcast(pops.select(F.col("lg").alias("rlg"), "band", "__s")),
-            ["rlg", "band"],
-        ).withColumn("rsalt", F.pmod(F.xxhash64("rid"), F.col("__s")).cast("int"))
+        guest = guest.join(F.broadcast(pops), ["lg", "band"]).withColumn(
+            "salt", F.pmod(F.xxhash64("id"), F.col("__s")).cast("int")
+        )
     else:
-        right = right.withColumn("rsalt", F.lit(0))
-    right = right.repartition(nparts, "rlg", "band", "rsalt")
-    hist_l1 = F.aggregate(
-        F.zip_with(d["h"], F.col("rh"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+        guest = guest.withColumn("salt", F.lit(0))
+    guest = guest.select(
+        "lg", "band", "salt", F.lit(1).alias("side"),
+        "id", "ln", "tln", "h", *qcols,
     )
-    # Separate .where() filters between a join and a projection get
-    # pushed INTO the join condition as one conjunction whose
-    # evaluation order Catalyst does not cost-sort — the full-text DP
-    # can end up running before the O(1)/O(26) gates, per candidate
-    # pair. A single CASE chain pins cheap-to-expensive short-circuit
-    # order no matter where the optimizer places the predicate.
-    # 3-arg levenshtein runs the banded O(threshold*len) DP and
-    # early-exits distant pairs (returns -1 past the threshold) —
-    # same predicate as `lev <= max_dist`, ~len/threshold cheaper.
-    gate = F.when(hist_l1 > 2 * max_dist, F.lit(False))
-    if qgram_prefilter:
-        # q-gram filter: lossless L1 bound on the byte-trigram
-        # histograms (see docstring) — O(64) per pair, placed after
-        # the O(26) char gate and before the O(max_dist*prefix) DP
-        hist3_l1 = F.aggregate(
-            F.zip_with(d["h3"], F.col("rh3"), lambda x, y: F.abs(x - y)),
-            F.lit(0),
-            lambda acc, x: acc + x,
+    members = own.unionByName(guest).repartition(
+        nparts, "lg", "band", "salt"
+    )
+    id_type = docs.schema[id_col].dataType
+    pair_schema = T.StructType(
+        [T.StructField("lo", id_type), T.StructField("hi", id_type)]
+    )
+    qgram = qgram_prefilter
+    char_bound = 2 * max_dist
+    q_ascii, q_any = 6 * max_dist, 12 * max_dist
+
+    def pair_gate(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415
+
+        own_m = pdf["side"].to_numpy() == 0
+        n0 = int(own_m.sum())
+        empty = pd.DataFrame({"lo": pd.Series(dtype=pdf["id"].dtype),
+                              "hi": pd.Series(dtype=pdf["id"].dtype)})
+        if n0 == 0 or len(pdf) < 2:
+            return empty
+        pdf = pd.concat([pdf[own_m], pdf[~own_m]])
+        ids = pdf["id"].to_numpy()
+        ln = pdf["ln"].to_numpy(np.int64)
+        tln = pdf["tln"].to_numpy(np.int64)
+        H = np.stack(
+            [np.asarray(v, dtype=np.int16) for v in pdf["h"]]
         )
-        q_bound = F.when(
-            d["ba"] & F.col("rba"), F.lit(6 * max_dist)
-        ).otherwise(F.lit(12 * max_dist))
-        gate = gate.when(hist3_l1 > q_bound, F.lit(False))
-    gate = gate.when(
-        F.levenshtein(
-            F.substring("txt", 1, prefix),
-            F.substring("rtxt", 1, prefix),
-            threshold=max_dist,
+        if qgram:
+            H3 = np.stack(
+                [np.asarray(v, dtype=np.int16) for v in pdf["h3"]]
+            )
+            ba = pdf["ba"].to_numpy(bool)
+        n = len(pdf)
+        jidx = np.arange(n)[None, :]
+        lo_parts, hi_parts = [], []
+        tile = 512
+        for s0 in range(0, n0, tile):
+            s1 = min(s0 + tile, n0)
+            rows = slice(s0, s1)
+            iidx = np.arange(s0, s1)[:, None]
+            # candidate mask: own-own strictly upper-triangular,
+            # own-guest always; both length lower bounds
+            mask = (jidx > iidx) | (jidx >= n0)
+            mask &= np.abs(ln[rows, None] - ln[None, :]) <= max_dist
+            mask &= np.abs(tln[rows, None] - tln[None, :]) <= max_dist
+            # char-histogram L1 (lev >= L1/2), densely vectorized:
+            # 26 (tile x n) passes beat per-pair gathers on memory
+            l1 = np.zeros((s1 - s0, n), dtype=np.int32)
+            for k in range(H.shape[1]):
+                l1 += np.abs(
+                    H[rows, k].astype(np.int32)[:, None]
+                    - H[None, :, k].astype(np.int32)
+                )
+            mask &= l1 <= char_bound
+            ii, jj = np.nonzero(mask)
+            if ii.size == 0:
+                continue
+            ii = ii + s0
+            if qgram:
+                # byte-trigram L1 on char survivors only (sparse
+                # gather is cheap at this point)
+                l1q = np.abs(
+                    H3[ii].astype(np.int32) - H3[jj].astype(np.int32)
+                ).sum(axis=1)
+                bound = np.where(ba[ii] & ba[jj], q_ascii, q_any)
+                keep = l1q <= bound
+                ii, jj = ii[keep], jj[keep]
+                if ii.size == 0:
+                    continue
+            a_ids, b_ids = ids[ii], ids[jj]
+            lo_parts.append(np.minimum(a_ids, b_ids))
+            hi_parts.append(np.maximum(a_ids, b_ids))
+        if not lo_parts:
+            return empty
+        return pd.DataFrame(
+            {
+                "lo": np.concatenate(lo_parts),
+                "hi": np.concatenate(hi_parts),
+            }
         )
-        < 0,
-        F.lit(False),
-    ).otherwise(F.levenshtein("txt", "rtxt", threshold=max_dist) >= 0)
-    cand = (
-        d.join(
-            right,
-            (d["lg"] == right["rlg"])
-            & (d["band"] == right["band"])
-            & (d["salt"] == right["rsalt"])
-            & (d["id"] != right["rid"])
-            & (F.abs(d["ln"] - right["rln"]) <= max_dist)
-            # true-length lower bound (lev >= |len diff|): O(1), and
-            # independent of the len_col metadata being stale
-            & (F.abs(F.length(d["txt"]) - F.length(right["rtxt"])) <= max_dist),
+
+    cand_ids = members.groupBy("lg", "band", "salt").applyInPandas(
+        pair_gate, schema=pair_schema
+    )
+    # Texts join back AFTER the histogram gates and the distinct:
+    # only survivors (output pairs + near-misses the histograms
+    # can't separate) pay the text shuffle and any DP. Both DP gates
+    # are pure functions of the pair's texts, so running them after
+    # the distinct yields exactly the same pair set as gating before
+    # it — a lossless restructure at every scale. 3-arg levenshtein
+    # runs the banded O(threshold*len) DP and early-exits distant
+    # pairs (returns -1 past the threshold).
+    texts = docs.select(
+        F.col(id_col).alias("__tid"), F.col(text_col).alias("__ttxt")
+    )
+    with_texts = (
+        cand_ids.join(texts, cand_ids["lo"] == texts["__tid"])
+        .select("lo", "hi", F.col("__ttxt").alias("tl"))
+        .join(texts, F.col("hi") == texts["__tid"])
+        .select("lo", "hi", "tl", F.col("__ttxt").alias("th"))
+    )
+    return (
+        with_texts.where(
+            F.levenshtein(
+                F.substring("tl", 1, prefix),
+                F.substring("th", 1, prefix),
+                threshold=max_dist,
+            )
+            >= 0
         )
-        .where(gate)
-        .select(
-            F.least("id", "rid").alias("lo"),
-            F.greatest("id", "rid").alias("hi"),
-            F.when(d["id"] < right["rid"], d["txt"])
-            .otherwise(right["rtxt"])
-            .alias("tl"),
-            F.when(d["id"] < right["rid"], right["rtxt"])
-            .otherwise(d["txt"])
-            .alias("th"),
-        )
-        # same-band pairs meet twice (A->B and B->A), cross-band
-        # once; the DISTINCT collapses them AND acts as the barrier
-        # that keeps the final scoring off the pre-dedup pair stream
-        .distinct()
         .select(
             "lo",
             "hi",
             F.levenshtein("tl", "th", threshold=max_dist).alias("dist"),
         )
+        .where(F.col("dist") >= 0)
     )
-    return cand
 
 
 def containment_pairs(
