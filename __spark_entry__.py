@@ -2382,7 +2382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     r4-precedent trade — a weaker rows-only record still
     #     proves they execute in the driver's environment), then
     #     back to the tail for good;
-    # (d) 36 slots refresh the oldest-signal backlog — the queries
+    # (e) the 3 queries whose implementation or output changed in
+    #     r7 beyond (a): dedup_editdist (blocked numpy pair kernel),
+    #     media_probe (JPEG payload class + decoder), media_resize
+    #     (JPEG exclusion contract);
+    # (d) 33 slots refresh the oldest-signal backlog — the queries
     #     whose latest driver row is r3.
     window = [
         # (a) never driver-gated, oracle-bearing
@@ -2403,6 +2407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_pagerank",
         "embedding_pca",
         "mmr_diversify",
+        # (e) implementation/output changed in r7
+        "dedup_editdist",
+        "media_probe",
+        "media_resize",
         # (d) oldest-signal (r3-green) refresh
         "flagship_segmentation",
         "incremental_antijoin",
@@ -2436,9 +2444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles",
         "interval_overlap",
         "window_funcs_battery",
-        "customer_order_sets",
-        "calendar_rollup",
-        "grouping_sets_summary",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -5153,30 +5158,71 @@ def oracle_sql() -> dict[str, str]:
     """
     # the decoder must RECOVER these numbers from real BMP/WAV bytes;
     # the oracle predicts them from the id-derived generation formula
+    # r7: id % 8 == 4 payloads are baseline JPEGs; their expected
+    # color is the closed-form YCbCr round-trip of the id color.
+    # Every rounding in the codec is half-to-even (Python round /
+    # np.rint), so the twin uses round_even, with the same clamps.
     sql["media_probe"] = """
-        SELECT doc_id,
-               CASE WHEN doc_id % 4 = 0 THEN 'bmp'
-                    WHEN doc_id % 2 = 0 THEN 'png'
+        WITH ids AS (
+          SELECT doc_id,
+                 CAST(doc_id % 256 AS DOUBLE) AS r,
+                 CAST((doc_id * 3) % 256 AS DOUBLE) AS g,
+                 CAST((doc_id * 7) % 256 AS DOUBLE) AS b
+          FROM documents
+        ), ycc AS (
+          SELECT doc_id,
+            LEAST(255, GREATEST(0,
+              round_even(0.299*r + 0.587*g + 0.114*b, 0))) AS y,
+            LEAST(255, GREATEST(0,
+              round_even(128 - 0.168735892*r - 0.331264108*g + 0.5*b, 0)))
+              AS cb,
+            LEAST(255, GREATEST(0,
+              round_even(128 + 0.5*r - 0.418687589*g - 0.081312411*b, 0)))
+              AS cr
+          FROM ids
+        ), jrgb AS (
+          SELECT doc_id,
+            LEAST(255, GREATEST(0,
+              round_even(y + 1.402*(cr - 128), 0)))
+            + LEAST(255, GREATEST(0,
+              round_even(y - 0.344136286*(cb - 128)
+                           - 0.714136286*(cr - 128), 0)))
+            + LEAST(255, GREATEST(0,
+              round_even(y + 1.772*(cb - 128), 0))) AS jsum
+          FROM ycc
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 8 = 0 THEN 'bmp'
+                    WHEN d.doc_id % 8 = 4 THEN 'jpeg'
+                    WHEN d.doc_id % 2 = 0 THEN 'png'
                     ELSE 'wav' END AS format,
-               CASE WHEN doc_id % 2 = 0
-                    THEN CAST(4 + doc_id % 13 AS BIGINT) END AS width,
-               CASE WHEN doc_id % 2 = 0
-                    THEN CAST(3 + doc_id % 7 AS BIGINT) END AS height,
-               CASE WHEN doc_id % 2 = 0
-                    THEN CAST((4 + doc_id % 13) * (3 + doc_id % 7)
-                         * ((doc_id % 256) + (doc_id * 3) % 256
-                            + (doc_id * 7) % 256) AS BIGINT) END AS sum_rgb,
-               CASE WHEN doc_id % 2 = 1
-                    THEN CAST(8000 + (doc_id % 3) * 4000 AS BIGINT)
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN CAST(4 + d.doc_id % 13 AS BIGINT) END AS width,
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN CAST(3 + d.doc_id % 7 AS BIGINT) END AS height,
+               CASE WHEN d.doc_id % 8 = 4
+                    THEN CAST((4 + d.doc_id % 13) * (3 + d.doc_id % 7)
+                         * j.jsum AS BIGINT)
+                    WHEN d.doc_id % 2 = 0
+                    THEN CAST((4 + d.doc_id % 13) * (3 + d.doc_id % 7)
+                         * ((d.doc_id % 256) + (d.doc_id * 3) % 256
+                            + (d.doc_id * 7) % 256) AS BIGINT)
+                    END AS sum_rgb,
+               CASE WHEN d.doc_id % 2 = 1
+                    THEN CAST(8000 + (d.doc_id % 3) * 4000 AS BIGINT)
                     END AS sample_rate,
-               CASE WHEN doc_id % 2 = 1
-                    THEN CAST(50 + doc_id % 100 AS BIGINT) END AS n_samples,
-               CASE WHEN doc_id % 2 = 1
-                    THEN CAST((50 + doc_id % 100)
-                         * (100 + doc_id % 1000)
-                         * (100 + doc_id % 1000) AS BIGINT) END AS energy
-        FROM documents
+               CASE WHEN d.doc_id % 2 = 1
+                    THEN CAST(50 + d.doc_id % 100 AS BIGINT) END AS n_samples,
+               CASE WHEN d.doc_id % 2 = 1
+                    THEN CAST((50 + d.doc_id % 100)
+                         * (100 + d.doc_id % 1000)
+                         * (100 + d.doc_id % 1000) AS BIGINT) END AS energy
+        FROM documents d JOIN jrgb j ON d.doc_id = j.doc_id
     """
+    # r7: the id % 8 == 4 rows are JPEG payloads, which the resize
+    # excludes JVM-side (re-encoding a LOSSY format after resize is
+    # a design decision, not an oversight — see media_resize's
+    # docstring); the twin mirrors the exclusion
     sql["media_resize"] = """
         SELECT doc_id,
                CAST(4 + doc_id % 13 AS BIGINT) AS src_width,
@@ -5185,7 +5231,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 AS BIGINT) AS out_height,
                CAST(64 * ((doc_id % 256) + (doc_id * 3) % 256
                           + (doc_id * 7) % 256) AS BIGINT) AS out_sum_rgb
-        FROM documents WHERE doc_id % 2 = 0
+        FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 != 4
     """
     sql["freshness_report"] = """
         WITH per AS (

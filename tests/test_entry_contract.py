@@ -80,6 +80,12 @@ ROWS_ONLY_EXPOSURE_R7 = [
     "embedding_pca", "mmr_diversify",
 ]
 
+# Implementation or output changed in r7 beyond the never-gated set:
+# dedup_editdist (blocked numpy pair kernel), media_probe (JPEG
+# payload class + real baseline decoder), media_resize (JPEG
+# exclusion contract) — old green rows no longer cover shipped code.
+CHANGED_IN_R7 = ["dedup_editdist", "media_probe", "media_resize"]
+
 
 def test_gate_window_composition():
     """Derived (not hand-counted) r7 gate-window contract: the 6
@@ -93,12 +99,13 @@ def test_gate_window_composition():
     assert NEVER_GATED_ORACLE_R7 == set(gated[:6]), gated[:6]
     assert gated[6:10] == NEW_ORACLE_R7
     assert gated[10:15] == ROWS_ONLY_EXPOSURE_R7
+    assert gated[15:18] == CHANGED_IN_R7
     # only the planned one-time-exposure entries may be rows-only
     wasted = [q for q in gated if q not in oracles
               and q not in ROWS_ONLY_EXPOSURE_R7]
     assert not wasted, f"unplanned rows-only queries in window: {wasted}"
     # the refresh block is all oracle-bearing
-    assert all(q in oracles for q in gated[15:])
+    assert all(q in oracles for q in gated[18:])
 
 
 def test_no_oracle_emits_hugeint():

@@ -2183,10 +2183,10 @@ def test_media_probe_decodes_real_payloads(spark):
     parameters from the BYTES (not from the id)."""
     from whatdropsnow_etl_spark.operators import attach_media_payload, media_probe
 
-    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    docs = spark.range(24).select(F.col("id").alias("doc_id"))
     out = {r["doc_id"]: r for r in media_probe(attach_media_payload(docs)).collect()}
-    assert out[4]["format"] == "bmp"
-    assert out[4]["width"] == 4 + 4 % 13 and out[4]["height"] == 3 + 4 % 7
+    assert out[8]["format"] == "bmp"
+    assert out[8]["width"] == 4 + 8 % 13 and out[8]["height"] == 3 + 8 % 7
     assert out[7]["format"] == "wav"
     amp = 100 + 7 % 1000
     assert out[7]["energy"] == (50 + 7 % 100) * amp * amp
@@ -2199,6 +2199,21 @@ def test_media_probe_decodes_real_payloads(spark):
         assert out[did]["format"] == "png"
         assert (out[did]["width"], out[did]["height"]) == (w, h)
         assert out[did]["sum_rgb"] == w * h * s
+    # id % 8 == 4 -> baseline JPEG through the real Huffman+IDCT
+    # decoder (id 4 carries a restart interval); the expected color
+    # is the closed-form YCbCr round-trip of the id color
+    from whatdropsnow_etl_spark.functions.jpeg import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+    )
+
+    for did in (4, 12, 20):
+        w, h = 4 + did % 13, 3 + did % 7
+        rgb = (did % 256, (did * 3) % 256, (did * 7) % 256)
+        er, eg, eb = _ycbcr_to_rgb(*_rgb_to_ycbcr(*rgb))
+        assert out[did]["format"] == "jpeg"
+        assert (out[did]["width"], out[did]["height"]) == (w, h)
+        assert out[did]["sum_rgb"] == w * h * (er + eg + eb)
 
 
 def test_dedup_pipeline_matches_standalone_composition(spark):
@@ -2521,6 +2536,135 @@ def test_pil_decode_unavailable_is_honest_gate():
 
     with _pytest.raises(NotImplementedError, match="Pillow"):
         _pil_decode(b"\x89PNG....")
+
+
+def test_jpeg_codec_round_trip_and_restarts():
+    """The baseline JPEG codec: encode->decode recovers the exact
+    YCbCr-round-tripped color for flat images (all-ones quant makes
+    DC-only blocks lossless), across odd dimensions, multi-MCU DC
+    prediction chains, and restart intervals (RSTn markers reset the
+    predictors mid-stream)."""
+    from whatdropsnow_etl_spark.functions.jpeg import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    cases = [
+        (8, 8, (200, 100, 50), 0),
+        (17, 9, (0, 0, 0), 0),
+        (33, 25, (255, 255, 255), 0),
+        (1, 1, (10, 250, 77), 0),
+        (40, 24, (90, 180, 30), 3),   # 15 MCUs, RST every 3
+        (16, 16, (123, 4, 200), 1),   # RST after every MCU
+    ]
+    for w, h, rgb, ri in cases:
+        payload = encode_jpeg_baseline(w, h, rgb, restart_interval=ri)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        d = decode_jpeg_baseline(payload)
+        er, eg, eb = _ycbcr_to_rgb(*_rgb_to_ycbcr(*rgb))
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (
+            er * w * h, eg * w * h, eb * w * h,
+        ), (w, h, rgb, ri)
+
+
+def test_jpeg_decoder_ac_coefficients_match_cosine_reference():
+    """Hand-built single-block grayscale JPEG with a real AC
+    coefficient: the decoder's Huffman AC path + IDCT must match a
+    direct per-pixel cosine-sum reference (independent arithmetic,
+    no shared code)."""
+    import math
+    import struct
+
+    from whatdropsnow_etl_spark.functions.jpeg import decode_jpeg_baseline
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + b"\x01" * 64
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    # DC table: symbol 0 at 1 bit (code '0'); AC table: EOB and
+    # (run 0, size 1) at 2 bits (codes '00', '01')
+    dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0])
+    out += b"\xff\xc4" + struct.pack(">H", len(dc) + 2) + dc
+    ac = bytes([0x10]) + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x01])
+    out += b"\xff\xc4" + struct.pack(">H", len(ac) + 2) + ac
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    # entropy bits: DC cat 0 -> '0'; AC sym 0x01 -> '01' + value '1'
+    # (coef +1 at zigzag index 1 = (u=0, v=1)); EOB -> '00'; pad 1s
+    out += bytes([0b00110011])
+    out += b"\xff\xd9"
+    d = decode_jpeg_baseline(bytes(out))
+    c0 = math.sqrt(0.125)
+
+    def cos_ref(x: int, y: int) -> int:
+        # S[0][1] = 1: s(x,y) = C[0][x] * C[1][y]
+        s = (c0) * (0.5 * math.cos((2 * y + 1) * math.pi / 16.0))
+        v = round(s + 128.0)
+        return max(0, min(255, v))
+
+    want = sum(cos_ref(x, y) for x in range(8) for y in range(8))
+    assert (d["width"], d["height"]) == (8, 8)
+    assert d["sum_r"] == d["sum_g"] == d["sum_b"] == want
+
+
+def test_jpeg_decoder_rejects_unsupported_modes():
+    """Progressive/arithmetic/lossless SOFs raise NotImplementedError
+    naming the mode; garbage raises ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_baseline(b"nonsense bytes")
+    # flip SOF0 (0xC0) to SOF2 (0xC2, progressive) in a real file
+    payload = bytearray(encode_jpeg_baseline(8, 8, (1, 2, 3)))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_baseline(bytes(payload))
+
+
+def test_jpeg_decode_matches_pillow_where_available():
+    """Where Pillow exists, decode a PIL-ENCODED (non-flat, 4:4:4)
+    JPEG with our decoder and compare pixel sums against PIL's own
+    decode of the same bytes — a third-party cross-check of the
+    Huffman+IDCT path on real AC-heavy data."""
+    import io
+
+    import pytest as _pytest
+
+    try:
+        from PIL import Image
+    except ImportError:
+        _pytest.skip("Pillow not installed in this runtime")
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.jpeg import decode_jpeg_baseline
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px, "RGB").save(
+        buf, format="JPEG", quality=90, subsampling=0  # 4:4:4
+    )
+    payload = buf.getvalue()
+    ours = decode_jpeg_baseline(payload)
+    theirs = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    t = theirs.astype(np.int64).sum(axis=(0, 1))
+    # IDCT/color rounding conventions differ by +-1/pixel between
+    # implementations; sums must agree within that envelope
+    n = 24 * 32
+    assert abs(ours["sum_r"] - int(t[0])) <= n
+    assert abs(ours["sum_g"] - int(t[1])) <= n
+    assert abs(ours["sum_b"] - int(t[2])) <= n
 
 
 def test_png_codec_all_filters_round_trip():

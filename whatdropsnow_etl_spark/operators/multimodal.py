@@ -222,22 +222,29 @@ MEDIA_SCHEMA = (
 
 def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL media bytes per doc — a solid-color image for
-    even ids (24-bit BMP when id % 4 == 0, 8-bit RGB PNG when
-    id % 4 == 2, cycling through all five PNG scanline filters so
-    the inflate+un-filter decoder is exercised end to end), a
+    even ids (24-bit BMP when id % 8 == 0, baseline-sequential JPEG
+    when id % 8 == 4 (r7; a restart interval every 16th id exercises
+    the decoder's RSTn path), 8-bit RGB PNG when id % 4 == 2,
+    cycling through all five PNG scanline filters so the
+    inflate+un-filter decoder is exercised end to end), a
     constant-amplitude 16-bit PCM WAV for odd ids — with every
     generation parameter a pure function of the id. The payloads are
-    genuine format-conformant binaries (any external BMP/PNG/WAV
-    reader opens them); because the parameters are id-derived, a SQL
-    oracle can predict what a CORRECT decoder must recover, making
-    the binary decode itself oracle-checkable (image w/h/pixel-sum
-    formulas are format-independent by construction).
+    genuine format-conformant binaries (any external BMP/PNG/JPEG/
+    WAV reader opens them); because the parameters are id-derived, a
+    SQL oracle can predict what a CORRECT decoder must recover,
+    making the binary decode itself oracle-checkable (image
+    w/h/pixel-sum formulas are format-independent by construction;
+    the JPEG branch's expected color is the closed-form
+    YCbCr round-trip of the id color, mirrored with ``round_even``
+    in the oracle since every rounding in the codec is
+    half-to-even).
     """
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
+        from ..functions.jpeg import encode_jpeg_baseline
         from ..functions.media import (
             encode_bmp24,
             encode_png_rgb8,
@@ -251,8 +258,17 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if did % 2 == 0:
                     w, h = 4 + did % 13, 3 + did % 7
                     rgb = (did % 256, (did * 3) % 256, (did * 7) % 256)
-                    if did % 4 == 0:
+                    if did % 8 == 0:
                         payloads.append(encode_bmp24(w, h, rgb))
+                    elif did % 8 == 4:
+                        payloads.append(
+                            encode_jpeg_baseline(
+                                w, h, rgb,
+                                restart_interval=(
+                                    1 if did % 16 == 4 else 0
+                                ),
+                            )
+                        )
                     else:
                         payloads.append(
                             encode_png_rgb8(
@@ -275,11 +291,13 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def media_probe(media: DataFrame) -> DataFrame:
     """REAL byte-level media probe: sniff the magic bytes and decode
-    BMP or PNG (dimensions + exact per-channel pixel sums, reported
-    as one combined ``sum_rgb``; the PNG path is a full
-    inflate + un-filter + CRC-check decode) or WAV (rate, sample
-    count, exact integer PCM energy) with the pure-stdlib codecs in
-    ``functions.media``.
+    BMP, PNG or JPEG (dimensions + exact per-channel pixel sums,
+    reported as one combined ``sum_rgb``; the PNG path is a full
+    inflate + un-filter + CRC-check decode, the JPEG path a full
+    baseline-sequential entropy decode — DQT/DHT parse, canonical
+    Huffman, dequant, IDCT, YCbCr→RGB — in ``functions.jpeg``) or
+    WAV (rate, sample count, exact integer PCM energy) with the
+    pure-stdlib codecs in ``functions.media``.
     One Arrow-batched narrow map — payload bytes never shuffle, only
     the small metadata rows move on. Unknown formats raise (a
     corrupt blob in a media table is a data bug, not a row to drop
@@ -290,6 +308,7 @@ def media_probe(media: DataFrame) -> DataFrame:
     def probe(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd  # noqa: PLC0415
 
+        from ..functions.jpeg import decode_jpeg_baseline
         from ..functions.media import (
             decode_bmp24,
             decode_png_rgb8,
@@ -300,17 +319,23 @@ def media_probe(media: DataFrame) -> DataFrame:
             rows = []
             for did, payload in zip(batch["doc_id"], batch["payload"]):
                 payload = bytes(payload)
-                if payload[:2] == b"BM" or payload[:4] == b"\x89PNG":
-                    is_png = payload[:4] == b"\x89PNG"
-                    d = (
-                        decode_png_rgb8(payload)
-                        if is_png
-                        else decode_bmp24(payload)
-                    )
+                if (
+                    payload[:2] == b"BM"
+                    or payload[:4] == b"\x89PNG"
+                    or payload[:2] == b"\xff\xd8"
+                ):
+                    if payload[:4] == b"\x89PNG":
+                        fmt, d = "png", decode_png_rgb8(payload)
+                    elif payload[:2] == b"\xff\xd8":
+                        # r7: real baseline-sequential JPEG decode
+                        # (functions/jpeg.py — Huffman + IDCT)
+                        fmt, d = "jpeg", decode_jpeg_baseline(payload)
+                    else:
+                        fmt, d = "bmp", decode_bmp24(payload)
                     rows.append(
                         {
                             "doc_id": did,
-                            "format": "png" if is_png else "bmp",
+                            "format": fmt,
                             "width": d["width"],
                             "height": d["height"],
                             "sum_rgb": d["sum_r"] + d["sum_g"] + d["sum_b"],
@@ -354,8 +379,12 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     — the round-trip proves the resampled bytes are themselves a
     valid image, not just that a resize function ran. Non-image
     payloads (the WAV half of the media table) are filtered out
-    JVM-side before the Python boundary. Narrow Arrow map; only
-    metadata rows move on.
+    JVM-side before the Python boundary, and so are JPEGs (r7):
+    re-encoding a LOSSY format after a resize silently degrades
+    pixels, so the lossless-format round-trip contract deliberately
+    excludes it — decode JPEG once (media_probe's decoder), resize
+    the pixels, and land a lossless format instead. Narrow Arrow
+    map; only metadata rows move on.
     """
 
     def go(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
