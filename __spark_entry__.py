@@ -547,6 +547,20 @@ def _editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _editdist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-pairs-only editdist maintenance: the batch partition
+    (doc_id % 5 == 0, the minhash-incremental convention) against
+    the corpus partition — batch x batch and batch x corpus pairs,
+    never corpus x corpus."""
+    from whatdropsnow_etl_spark.operators import editdist_pairs_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    return editdist_pairs_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+    )
+
+
 def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hll_count_distinct
 
@@ -1889,6 +1903,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "pca_sufficient_stats": ["pos", "t"],
     "lr_gradient_pass": ["grad", "term"],
     "training_order_spine": ["pack_id", "pack_tokens", "pos", "shard"],
+    "dedup_editdist_incremental": ["dist", "hi", "lo"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2233,6 +2248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr_gradient_pass": _lr_gradient_pass,
         # NEW in r7 — corpus -> deterministic training order spine
         "training_order_spine": _training_order_spine,
+        # NEW in r7 — new-pairs-only editdist maintenance (the
+        # line_dedup_incremental contract applied to edit distance)
+        "dedup_editdist_incremental": _editdist_incremental,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2401,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_sufficient_stats",
         "lr_gradient_pass",
         "training_order_spine",
+        "dedup_editdist_incremental",
         # (c) one-time rows-only exposure
         "quality_lr",
         "compression_ratio",
@@ -2443,7 +2462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_qty_summary",
         "exact_quantiles",
         "interval_overlap",
-        "window_funcs_battery",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -3597,6 +3615,32 @@ def oracle_sql() -> dict[str, str]:
                      AND abs(length(d.text) - length(r.rtxt)) <= 16
         WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
           AND levenshtein(text, rtxt) <= 16
+    """
+    # the full editdist relation restricted to pairs with >= 1 batch
+    # doc — exactly what the incremental operator must emit at
+    # parity scales (salt count 1 everywhere)
+    sql["dedup_editdist_incremental"] = """
+        WITH d AS (
+          SELECT doc_id, text, lang, n_chars,
+                 CAST(FLOOR(n_chars / 64) AS BIGINT) AS band
+          FROM documents
+        ), r AS (
+          SELECT doc_id AS rid, text AS rtxt, lang AS rlg,
+                 n_chars AS rln, unnest([band, band - 1]) AS band
+          FROM d
+        )
+        SELECT DISTINCT
+               LEAST(doc_id, rid) AS lo,
+               GREATEST(doc_id, rid) AS hi,
+               levenshtein(text, rtxt) AS dist
+        FROM d JOIN r ON d.lang = r.rlg AND d.band = r.band
+                     AND d.doc_id <> r.rid
+                     AND abs(d.n_chars - r.rln) <= 16
+                     AND abs(length(d.text) - length(r.rtxt)) <= 16
+        WHERE levenshtein(substr(text, 1, 80), substr(rtxt, 1, 80)) <= 16
+          AND levenshtein(text, rtxt) <= 16
+          AND (LEAST(doc_id, rid) % 5 = 0 OR GREATEST(doc_id, rid) % 5 = 0)
+        ORDER BY lo, hi
     """
     sql["session_window_native"] = """
         WITH marks AS (

@@ -68,7 +68,7 @@ NEVER_GATED_ORACLE_R7 = {
 # deterministic halves of the two rows-only trainers (verdict ask #2/#3)
 NEW_ORACLE_R7 = [
     "dedup_pipeline", "pca_sufficient_stats", "lr_gradient_pass",
-    "training_order_spine",
+    "training_order_spine", "dedup_editdist_incremental",
 ]
 
 # The 5 rows-only entries that have NEVER produced a driver row get
@@ -97,15 +97,15 @@ def test_gate_window_composition():
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
     assert NEVER_GATED_ORACLE_R7 == set(gated[:6]), gated[:6]
-    assert gated[6:10] == NEW_ORACLE_R7
-    assert gated[10:15] == ROWS_ONLY_EXPOSURE_R7
-    assert gated[15:18] == CHANGED_IN_R7
+    assert gated[6:11] == NEW_ORACLE_R7
+    assert gated[11:16] == ROWS_ONLY_EXPOSURE_R7
+    assert gated[16:19] == CHANGED_IN_R7
     # only the planned one-time-exposure entries may be rows-only
     wasted = [q for q in gated if q not in oracles
               and q not in ROWS_ONLY_EXPOSURE_R7]
     assert not wasted, f"unplanned rows-only queries in window: {wasted}"
     # the refresh block is all oracle-bearing
-    assert all(q in oracles for q in gated[18:])
+    assert all(q in oracles for q in gated[19:])
 
 
 def test_no_oracle_emits_hugeint():

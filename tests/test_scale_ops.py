@@ -163,6 +163,52 @@ def test_editdist_same_band_pair_emitted_once(spark):
     assert len(out) == 1 and out[0]["dist"] == 1
 
 
+def test_editdist_incremental_equals_full_restriction(spark, tables):
+    """Incremental new-pairs maintenance == the full operator's
+    pairs restricted to >= 1 batch doc, across every pair class
+    (batch-batch same/adjacent band, batch-corpus same/adjacent band
+    in BOTH directions), exercised on the real corpus AND a
+    hand-built band-boundary set."""
+    from whatdropsnow_etl_spark.operators import (
+        editdist_pairs,
+        editdist_pairs_incremental,
+    )
+
+    docs = tables["documents"]
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc = {
+        (r["lo"], r["hi"], r["dist"])
+        for r in editdist_pairs_incremental(batch, corpus).collect()
+    }
+    full = {
+        (r["lo"], r["hi"], r["dist"])
+        for r in editdist_pairs(docs).collect()
+        if r["lo"] % 5 == 0 or r["hi"] % 5 == 0
+    }
+    assert inc == full
+    # hand-built: batch doc in band 1 pairs DOWN to a corpus doc in
+    # band 0 (the direction the full operator covers by symmetry
+    # but the incremental must pull in explicitly), and UP to one
+    # in band 2
+    base = "x" * 63
+    b = spark.createDataFrame(
+        [Row(doc_id=100, text=base + "yy", lang="en", n_chars=65)]
+    )
+    c = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base, lang="en", n_chars=63),  # band 0
+            Row(doc_id=2, text=base + "yyy!", lang="en", n_chars=67),
+            Row(doc_id=3, text="z" * 65, lang="en", n_chars=65),  # far
+        ]
+    )
+    got = sorted(
+        (r["lo"], r["hi"], r["dist"])
+        for r in editdist_pairs_incremental(b, c, max_dist=16).collect()
+    )
+    assert got == [(1, 100, 2), (2, 100, 2)]
+
+
 # --- pivot / cube ----------------------------------------------------------
 
 

@@ -173,7 +173,9 @@ PYTHON_OK = {
     "pca_sufficient_stats",
     # r6 q-gram prefilter: per-doc byte-trigram histogram (numpy
     # bincount per Arrow batch, once per doc below the pair shuffle)
+    # + the r7 blocked pair-gate kernel
     "dedup_editdist",
+    "dedup_editdist_incremental",
     # composes the ann_cosine_topk Arrow kernel
     "retrieval_eval",
     # ann kernel pool + pool-bounded applyInPandas greedy argmax

@@ -825,6 +825,175 @@ def _trigram_kernel(pandas_udf, PandasUDFType, pd):
     return kernel
 
 
+def _editdist_base(
+    docs: DataFrame,
+    band_width: int,
+    qgram: bool,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    len_col: str,
+) -> DataFrame:
+    """Per-doc feature projection shared by the full and incremental
+    editdist operators: id, lang, metadata + true lengths, length
+    band, a-z char histogram (O(26) pair filter: every edit changes
+    the char multiset by <= 2, so lev >= L1/2), and with ``qgram``
+    the 64-bucket byte-trigram histogram + pure-ASCII flag. Computed
+    ONCE per doc below the group shuffle."""
+    hist = F.array(
+        *[
+            (
+                F.length(F.col(text_col))
+                - F.length(F.expr(f"replace({text_col}, '{c}', '')"))
+            ).cast("int")
+            for c in "abcdefghijklmnopqrstuvwxyz"
+        ]
+    )
+    extra = []
+    if qgram:
+        extra = [
+            _trigram_hist64()(F.col(text_col)).alias("h3"),
+            # pure-ASCII flag: tightens the lossless L1 bound from
+            # 12*max_dist to 6*max_dist when BOTH sides are ASCII
+            # (a char edit then rewrites exactly one byte)
+            (
+                F.octet_length(F.col(text_col))
+                == F.length(F.col(text_col))
+            ).alias("ba"),
+        ]
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lg"),
+        F.col(len_col).alias("ln"),
+        # true length, computed once per doc below the shuffle (the
+        # len_col metadata could be stale; lev >= |true len diff|)
+        F.length(F.col(text_col)).alias("tln"),
+        F.floor(F.col(len_col) / band_width).alias("band"),
+        hist.alias("h"),
+        *extra,
+    )
+
+
+def _editdist_pair_kernel(max_dist: int, qgram: bool):
+    """Factory for the blocked numpy pair-gate kernel shared by the
+    full and incremental operators (see editdist_pairs' docstring
+    for the measurement story): rows with side==0 are the group's
+    OWN docs, side==1 its GUESTS; emits (lo, hi) for own-own (i<j)
+    and own-guest pairs passing the lossless length/char/q-gram
+    bounds."""
+    char_bound = 2 * max_dist
+    q_ascii, q_any = 6 * max_dist, 12 * max_dist
+
+    def pair_gate(pdf):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        own_m = pdf["side"].to_numpy() == 0
+        n0 = int(own_m.sum())
+        empty = pd.DataFrame({"lo": pd.Series(dtype=pdf["id"].dtype),
+                              "hi": pd.Series(dtype=pdf["id"].dtype)})
+        if n0 == 0 or len(pdf) < 2:
+            return empty
+        pdf = pd.concat([pdf[own_m], pdf[~own_m]])
+        ids = pdf["id"].to_numpy()
+        ln = pdf["ln"].to_numpy(np.int64)
+        tln = pdf["tln"].to_numpy(np.int64)
+        H = np.stack([np.asarray(v, dtype=np.int16) for v in pdf["h"]])
+        if qgram:
+            H3 = np.stack(
+                [np.asarray(v, dtype=np.int16) for v in pdf["h3"]]
+            )
+            ba = pdf["ba"].to_numpy(bool)
+        n = len(pdf)
+        jidx = np.arange(n)[None, :]
+        lo_parts, hi_parts = [], []
+        tile = 512
+        for s0 in range(0, n0, tile):
+            s1 = min(s0 + tile, n0)
+            rows = slice(s0, s1)
+            iidx = np.arange(s0, s1)[:, None]
+            # candidate mask: own-own strictly upper-triangular,
+            # own-guest always; both length lower bounds
+            mask = (jidx > iidx) | (jidx >= n0)
+            mask &= np.abs(ln[rows, None] - ln[None, :]) <= max_dist
+            mask &= np.abs(tln[rows, None] - tln[None, :]) <= max_dist
+            # char-histogram L1 (lev >= L1/2), densely vectorized:
+            # 26 (tile x n) passes beat per-pair gathers on memory
+            l1 = np.zeros((s1 - s0, n), dtype=np.int32)
+            for k in range(H.shape[1]):
+                l1 += np.abs(
+                    H[rows, k].astype(np.int32)[:, None]
+                    - H[None, :, k].astype(np.int32)
+                )
+            mask &= l1 <= char_bound
+            ii, jj = np.nonzero(mask)
+            if ii.size == 0:
+                continue
+            ii = ii + s0
+            if qgram:
+                # byte-trigram L1 on char survivors only (sparse
+                # gather is cheap at this point)
+                l1q = np.abs(
+                    H3[ii].astype(np.int32) - H3[jj].astype(np.int32)
+                ).sum(axis=1)
+                bound = np.where(ba[ii] & ba[jj], q_ascii, q_any)
+                keep = l1q <= bound
+                ii, jj = ii[keep], jj[keep]
+                if ii.size == 0:
+                    continue
+            a_ids, b_ids = ids[ii], ids[jj]
+            lo_parts.append(np.minimum(a_ids, b_ids))
+            hi_parts.append(np.maximum(a_ids, b_ids))
+        if not lo_parts:
+            return empty
+        return pd.DataFrame(
+            {
+                "lo": np.concatenate(lo_parts),
+                "hi": np.concatenate(hi_parts),
+            }
+        )
+
+    return pair_gate
+
+
+def _editdist_score(
+    cand_ids: DataFrame,
+    texts: DataFrame,
+    max_dist: int,
+    prefix: int,
+) -> DataFrame:
+    """Texts join back AFTER the histogram gates: only survivors
+    (output pairs + near-misses the histograms can't separate) pay
+    the text shuffle and any DP. Both DP gates are pure functions of
+    the pair's texts, so running them after the pair relation is
+    formed yields exactly the gate-before-distinct pair set — a
+    lossless restructure at every scale. 3-arg levenshtein runs the
+    banded O(threshold*len) DP and early-exits distant pairs
+    (returns -1 past the threshold)."""
+    with_texts = (
+        cand_ids.join(texts, cand_ids["lo"] == texts["__tid"])
+        .select("lo", "hi", F.col("__ttxt").alias("tl"))
+        .join(texts, F.col("hi") == texts["__tid"])
+        .select("lo", "hi", "tl", F.col("__ttxt").alias("th"))
+    )
+    return (
+        with_texts.where(
+            F.levenshtein(
+                F.substring("tl", 1, prefix),
+                F.substring("th", 1, prefix),
+                threshold=max_dist,
+            )
+            >= 0
+        )
+        .select(
+            "lo",
+            "hi",
+            F.levenshtein("tl", "th", threshold=max_dist).alias("dist"),
+        )
+        .where(F.col("dist") >= 0)
+    )
+
+
 def editdist_pairs(
     docs: DataFrame,
     max_dist: int = 16,
@@ -932,53 +1101,12 @@ def editdist_pairs(
             " a qualifying pair could otherwise straddle 2+ bands and"
             " be missed"
         )
-    # per-doc a-z char histogram, computed once per side (not per
-    # pair): every edit changes the char multiset by at most 2, so
-    # lev >= L1(hist)/2 — an O(26) pair filter that kills the
-    # same-length-different-content pairs banding can't, before any
-    # O(threshold*len) DP runs. Implied by `dist <= max_dist`, so
-    # it needs no oracle-side twin.
-    hist = F.array(
-        *[
-            (
-                F.length(F.col(text_col))
-                - F.length(F.expr(f"replace({text_col}, '{c}', '')"))
-            ).cast("int")
-            for c in "abcdefghijklmnopqrstuvwxyz"
-        ]
-    )
-    # both pair-join inputs get ONE explicit exchange below (see
-    # repartition calls): it spreads a hot block's salted sub-blocks
-    # across `nparts` tasks AND sits above this histogram project, so
-    # CollapseProject can't inline `h` into the pair filter (the
-    # 26-replace histogram would otherwise be recomputed per PAIR,
-    # ~30x more evaluations, instead of once per doc below the
-    # shuffle)
     nparts = shuffle_parallelism or (
         docs.sparkSession.sparkContext.defaultParallelism * 4
     )
-    extra = []
-    if qgram_prefilter:
-        extra = [
-            _trigram_hist64()(F.col(text_col)).alias("h3"),
-            # pure-ASCII flag: tightens the lossless L1 bound from
-            # 12*max_dist to 6*max_dist when BOTH sides are ASCII
-            # (a char edit then rewrites exactly one byte)
-            (
-                F.octet_length(F.col(text_col))
-                == F.length(F.col(text_col))
-            ).alias("ba"),
-        ]
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(lang_col).alias("lg"),
-        F.col(len_col).alias("ln"),
-        # true length, computed once per doc below the shuffle (the
-        # len_col metadata could be stale; lev >= |true len diff|)
-        F.length(F.col(text_col)).alias("tln"),
-        F.floor(F.col(len_col) / band_width).alias("band"),
-        hist.alias("h"),
-        *extra,
+    base = _editdist_base(
+        docs, band_width, qgram_prefilter,
+        id_col, text_col, lang_col, len_col,
     )
     d = base
     if max_band_docs is not None:
@@ -1066,116 +1194,147 @@ def editdist_pairs(
     pair_schema = T.StructType(
         [T.StructField("lo", id_type), T.StructField("hi", id_type)]
     )
-    qgram = qgram_prefilter
-    char_bound = 2 * max_dist
-    q_ascii, q_any = 6 * max_dist, 12 * max_dist
-
-    def pair_gate(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np  # noqa: PLC0415
-
-        own_m = pdf["side"].to_numpy() == 0
-        n0 = int(own_m.sum())
-        empty = pd.DataFrame({"lo": pd.Series(dtype=pdf["id"].dtype),
-                              "hi": pd.Series(dtype=pdf["id"].dtype)})
-        if n0 == 0 or len(pdf) < 2:
-            return empty
-        pdf = pd.concat([pdf[own_m], pdf[~own_m]])
-        ids = pdf["id"].to_numpy()
-        ln = pdf["ln"].to_numpy(np.int64)
-        tln = pdf["tln"].to_numpy(np.int64)
-        H = np.stack(
-            [np.asarray(v, dtype=np.int16) for v in pdf["h"]]
-        )
-        if qgram:
-            H3 = np.stack(
-                [np.asarray(v, dtype=np.int16) for v in pdf["h3"]]
-            )
-            ba = pdf["ba"].to_numpy(bool)
-        n = len(pdf)
-        jidx = np.arange(n)[None, :]
-        lo_parts, hi_parts = [], []
-        tile = 512
-        for s0 in range(0, n0, tile):
-            s1 = min(s0 + tile, n0)
-            rows = slice(s0, s1)
-            iidx = np.arange(s0, s1)[:, None]
-            # candidate mask: own-own strictly upper-triangular,
-            # own-guest always; both length lower bounds
-            mask = (jidx > iidx) | (jidx >= n0)
-            mask &= np.abs(ln[rows, None] - ln[None, :]) <= max_dist
-            mask &= np.abs(tln[rows, None] - tln[None, :]) <= max_dist
-            # char-histogram L1 (lev >= L1/2), densely vectorized:
-            # 26 (tile x n) passes beat per-pair gathers on memory
-            l1 = np.zeros((s1 - s0, n), dtype=np.int32)
-            for k in range(H.shape[1]):
-                l1 += np.abs(
-                    H[rows, k].astype(np.int32)[:, None]
-                    - H[None, :, k].astype(np.int32)
-                )
-            mask &= l1 <= char_bound
-            ii, jj = np.nonzero(mask)
-            if ii.size == 0:
-                continue
-            ii = ii + s0
-            if qgram:
-                # byte-trigram L1 on char survivors only (sparse
-                # gather is cheap at this point)
-                l1q = np.abs(
-                    H3[ii].astype(np.int32) - H3[jj].astype(np.int32)
-                ).sum(axis=1)
-                bound = np.where(ba[ii] & ba[jj], q_ascii, q_any)
-                keep = l1q <= bound
-                ii, jj = ii[keep], jj[keep]
-                if ii.size == 0:
-                    continue
-            a_ids, b_ids = ids[ii], ids[jj]
-            lo_parts.append(np.minimum(a_ids, b_ids))
-            hi_parts.append(np.maximum(a_ids, b_ids))
-        if not lo_parts:
-            return empty
-        return pd.DataFrame(
-            {
-                "lo": np.concatenate(lo_parts),
-                "hi": np.concatenate(hi_parts),
-            }
-        )
-
+    pair_gate = _editdist_pair_kernel(max_dist, qgram_prefilter)
     cand_ids = members.groupBy("lg", "band", "salt").applyInPandas(
         pair_gate, schema=pair_schema
     )
-    # Texts join back AFTER the histogram gates and the distinct:
-    # only survivors (output pairs + near-misses the histograms
-    # can't separate) pay the text shuffle and any DP. Both DP gates
-    # are pure functions of the pair's texts, so running them after
-    # the distinct yields exactly the same pair set as gating before
-    # it — a lossless restructure at every scale. 3-arg levenshtein
-    # runs the banded O(threshold*len) DP and early-exits distant
-    # pairs (returns -1 past the threshold).
     texts = docs.select(
         F.col(id_col).alias("__tid"), F.col(text_col).alias("__ttxt")
     )
-    with_texts = (
-        cand_ids.join(texts, cand_ids["lo"] == texts["__tid"])
-        .select("lo", "hi", F.col("__ttxt").alias("tl"))
-        .join(texts, F.col("hi") == texts["__tid"])
-        .select("lo", "hi", "tl", F.col("__ttxt").alias("th"))
+    return _editdist_score(cand_ids, texts, max_dist, prefix)
+
+
+def editdist_pairs_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    max_dist: int = 16,
+    prefix: int = 80,
+    band_width: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    max_band_docs: int | None = 2000,
+    shuffle_parallelism: int | None = None,
+    qgram_prefilter: bool = True,
+) -> DataFrame:
+    """The NEW near-dup pairs an ingestion batch introduces: every
+    Levenshtein pair (dist <= ``max_dist``) with AT LEAST ONE batch
+    doc — batch×batch and batch×corpus — WITHOUT re-pairing the
+    existing corpus against itself. The
+    :func:`line_dedup_incremental` contract applied to edit
+    distance: at 100 TB the corpus self-pairs were already found
+    when those docs arrived; each daily crawl only needs its own
+    new pairs, so per-batch cost is batch-size × block-population,
+    never corpus².
+
+    Same blocking/gates/DP as :func:`editdist_pairs` (identical
+    lossless bounds, the same blocked numpy kernel): groups are
+    (lang, band, salt); a group's OWN rows are the batch docs of
+    that block; its GUESTS are batch docs of band+1 (each
+    cross-band batch pair meets exactly once) plus corpus docs of
+    bands {band-1, band, band+1} (the corpus is never "own", so
+    BOTH adjacent bands must be pulled in — the full operator
+    covers the other direction by symmetry, this one cannot).
+    Exactness: at parity scales (every block under
+    ``max_band_docs`` ⇒ salt count 1) the result is EXACTLY the
+    full operator's pairs restricted to lo∈batch ∨ hi∈batch
+    (pytest-pinned, oracle-twinned); in the salted regime the
+    sub-block partition differs from the full operator's for
+    up-pulled corpus guests — the same ~1/s-survival approximation
+    contract, drawn independently.
+
+    Block populations (and therefore salts) come from the CURRENT
+    corpus — batch ∪ index — so a hot block stays bounded as it
+    grows. ``batch`` and ``corpus`` must be id-disjoint (dedupe a
+    redelivered batch upstream; an id on both sides would pair with
+    itself). Emits (lo, hi, dist), lo < hi, dist <= max_dist.
+    """
+    if band_width is None:
+        band_width = max_dist
+    if band_width < max_dist:
+        raise ValueError(
+            f"band_width ({band_width}) must be >= max_dist ({max_dist}):"
+            " a qualifying pair could otherwise straddle 2+ bands and"
+            " be missed"
+        )
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    nparts = shuffle_parallelism or (
+        batch.sparkSession.sparkContext.defaultParallelism * 4
     )
-    return (
-        with_texts.where(
-            F.levenshtein(
-                F.substring("tl", 1, prefix),
-                F.substring("th", 1, prefix),
-                threshold=max_dist,
+    b_base = _editdist_base(
+        batch, band_width, qgram_prefilter,
+        id_col, text_col, lang_col, len_col,
+    )
+    c_base = _editdist_base(
+        corpus, band_width, qgram_prefilter,
+        id_col, text_col, lang_col, len_col,
+    )
+    if max_band_docs is not None and max_band_docs < 1:
+        raise ValueError(
+            f"max_band_docs ({max_band_docs}) must be >= 1 (or None"
+            " for the exact uncapped path)"
+        )
+    qcols = ["h3", "ba"] if qgram_prefilter else []
+    cols = ["id", "ln", "tln", "h", *qcols]
+    if max_band_docs is not None:
+        pops = (
+            b_base.select("lg", "band")
+            .unionByName(c_base.select("lg", "band"))
+            .groupBy("lg", "band")
+            .agg(
+                F.ceil(F.count(F.lit(1)) / max_band_docs)
+                .cast("int")
+                .alias("__s")
             )
-            >= 0
         )
-        .select(
-            "lo",
-            "hi",
-            F.levenshtein("tl", "th", threshold=max_dist).alias("dist"),
-        )
-        .where(F.col("dist") >= 0)
+
+        def salted(df: DataFrame, band_expr) -> DataFrame:
+            out = df.withColumn("band", band_expr)
+            return out.join(F.broadcast(pops), ["lg", "band"]).withColumn(
+                "salt", F.pmod(F.xxhash64("id"), F.col("__s")).cast("int")
+            )
+    else:
+
+        def salted(df: DataFrame, band_expr) -> DataFrame:
+            return df.withColumn("band", band_expr).withColumn(
+                "salt", F.lit(0)
+            )
+
+    own = salted(b_base, F.col("band")).select(
+        "lg", "band", "salt", F.lit(0).alias("side"), *cols
     )
+    guests = [salted(b_base, F.col("band") - 1)]
+    for shift in (-1, 0, 1):
+        guests.append(salted(c_base, F.col("band") + F.lit(shift)))
+    guest = None
+    for g in guests:
+        g = g.select("lg", "band", "salt", F.lit(1).alias("side"), *cols)
+        guest = g if guest is None else guest.unionByName(g)
+    members = own.unionByName(guest).repartition(
+        nparts, "lg", "band", "salt"
+    )
+    id_type = batch.schema[id_col].dataType
+    pair_schema = T.StructType(
+        [T.StructField("lo", id_type), T.StructField("hi", id_type)]
+    )
+    pair_gate = _editdist_pair_kernel(max_dist, qgram_prefilter)
+    cand_ids = members.groupBy("lg", "band", "salt").applyInPandas(
+        pair_gate, schema=pair_schema
+    )
+    texts = (
+        batch.select(
+            F.col(id_col).alias("__tid"), F.col(text_col).alias("__ttxt")
+        )
+        .unionByName(
+            corpus.select(
+                F.col(id_col).alias("__tid"),
+                F.col(text_col).alias("__ttxt"),
+            )
+        )
+    )
+    return _editdist_score(cand_ids, texts, max_dist, prefix)
 
 
 def containment_pairs(
