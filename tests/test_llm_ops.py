@@ -2552,22 +2552,30 @@ def test_jpeg_codec_round_trip_and_restarts():
     )
 
     cases = [
-        (8, 8, (200, 100, 50), 0),
-        (17, 9, (0, 0, 0), 0),
-        (33, 25, (255, 255, 255), 0),
-        (1, 1, (10, 250, 77), 0),
-        (40, 24, (90, 180, 30), 3),   # 15 MCUs, RST every 3
-        (16, 16, (123, 4, 200), 1),   # RST after every MCU
+        (8, 8, (200, 100, 50), 0, "444"),
+        (17, 9, (0, 0, 0), 0, "444"),
+        (33, 25, (255, 255, 255), 0, "444"),
+        (1, 1, (10, 250, 77), 0, "444"),
+        (40, 24, (90, 180, 30), 3, "444"),   # 15 MCUs, RST every 3
+        (16, 16, (123, 4, 200), 1, "444"),   # RST after every MCU
+        # 4:2:0 (the common crawl layout): 16x16 MCUs, 4 luma + 2
+        # chroma blocks each; replication upsampling of a constant
+        # plane is exact, so the same closed form must hold
+        (16, 16, (200, 100, 50), 0, "420"),
+        (17, 23, (12, 233, 190), 0, "420"),  # non-MCU-aligned dims
+        (40, 18, (90, 180, 30), 2, "420"),   # + restart interval
     ]
-    for w, h, rgb, ri in cases:
-        payload = encode_jpeg_baseline(w, h, rgb, restart_interval=ri)
+    for w, h, rgb, ri, sub in cases:
+        payload = encode_jpeg_baseline(
+            w, h, rgb, restart_interval=ri, subsampling=sub
+        )
         assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
         d = decode_jpeg_baseline(payload)
         er, eg, eb = _ycbcr_to_rgb(*_rgb_to_ycbcr(*rgb))
         assert (d["width"], d["height"]) == (w, h)
         assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (
             er * w * h, eg * w * h, eb * w * h,
-        ), (w, h, rgb, ri)
+        ), (w, h, rgb, ri, sub)
 
 
 def test_jpeg_decoder_ac_coefficients_match_cosine_reference():

@@ -726,6 +726,87 @@ def test_streaming_line_dedup_matches_batch_prefixes(spark, tables, tmp_path):
     assert redelivered == first_delivery
 
 
+def test_streaming_editdist_union_equals_full_relation(spark, tables, tmp_path):
+    """The streaming editdist twin: the UNION of per-batch new-pair
+    outputs over a 3-way micro-batch split equals the full batch
+    twin ``editdist_pairs`` over all docs, each pair exactly once
+    (a pair is discovered at its LATER doc's batch). Also pins
+    replay-safety: a hand-redelivered batch emits byte-identical
+    pairs (the store load excludes the current batch_id)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from whatdropsnow_etl_spark.operators import editdist_pairs
+    from whatdropsnow_etl_spark.streaming import pair_and_grow_doc_store
+
+    docs = tables["documents"].select("doc_id", "text", "lang", "n_chars")
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", IntegerType()),
+        ]
+    )
+    src = str(tmp_path / "ed_docs")
+    for part in range(3):
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    store = str(tmp_path / "ed_store")
+    out = str(tmp_path / "ed_pairs")
+    fn = pair_and_grow_doc_store(store, out)
+    q = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_rows = spark.read.parquet(out).collect()
+    got = {(r["lo"], r["hi"], r["dist"]) for r in got_rows}
+    # each pair exactly once across batches
+    assert len(got_rows) == len(got)
+    want = {
+        (r["lo"], r["hi"], r["dist"])
+        for r in editdist_pairs(docs).collect()
+    }
+    assert got == want
+    # hand-redeliver the last batch: pairs byte-identical (set
+    # unchanged after the duplicate append)
+    batches = sorted({r["batch_id"] for r in spark.read.parquet(out).collect()})
+    last = batches[-1]
+    first_delivery = {
+        (r["lo"], r["hi"], r["dist"])
+        for r in spark.read.parquet(out)
+        .where(F.col("batch_id") == last)
+        .collect()
+    }
+    last_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(store)
+        .where(F.col("batch_id") == last)
+        .collect()
+    }
+    fn(docs.where(F.col("doc_id").isin(list(last_ids))), last)
+    redelivered = {
+        (r["lo"], r["hi"], r["dist"])
+        for r in spark.read.parquet(out)
+        .where(F.col("batch_id") == last)
+        .collect()
+    }
+    assert redelivered == first_delivery
+
+
 def test_broadcast_refresh_dim_staleness_contract(spark):
     """The refreshing dim re-runs its loader only at refresh
     boundaries: versions become visible exactly every N get() calls,

@@ -118,16 +118,22 @@ def encode_jpeg_baseline(
     height: int,
     rgb: tuple[int, int, int],
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """A real baseline JFIF file of one flat color: 3-component
-    4:4:4, all-ones quantization (ids 0/1), custom minimal Huffman
-    tables. Flat blocks carry a DC coefficient only, which the
-    all-ones tables quantize losslessly — the decoder recovers the
-    exact (Y, Cb, Cr) and therefore the exact converted RGB.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs
-    (exercises the decoder's restart/predictor-reset path)."""
+    4:4:4 (or 4:2:0 with ``subsampling="420"`` — luma 2x2 per MCU,
+    the common crawl-JPEG layout), all-ones quantization (ids 0/1),
+    custom minimal Huffman tables. Flat blocks carry a DC
+    coefficient only, which the all-ones tables quantize losslessly
+    — the decoder recovers the exact (Y, Cb, Cr) and therefore the
+    exact converted RGB at either sampling (replication upsampling
+    of a constant plane is exact). ``restart_interval`` > 0 emits
+    DRI + RSTn markers every N MCUs (exercises the decoder's
+    restart/predictor-reset path)."""
     if width < 1 or height < 1:
         raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     y, cb, cr = _rgb_to_ycbcr(*rgb)
 
     out = bytearray()
@@ -138,10 +144,11 @@ def encode_jpeg_baseline(
     )
     for tq in (0, 1):  # DQT, all ones, 8-bit precision
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + b"\x01" * 64
-    # SOF0: 8-bit, 3 components, 1x1 sampling, quant 0/1/1
+    # SOF0: 8-bit, 3 components, quant 0/1/1; luma 2x2 when 4:2:0
+    luma_hv = 0x22 if subsampling == "420" else 0x11
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([3])
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for cid, hv, tq in ((1, luma_hv, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, hv, tq])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
     out += _dht_segment(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
@@ -153,8 +160,11 @@ def encode_jpeg_baseline(
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     w = _BitWriter()
-    n_mcux = (width + 7) // 8
-    n_mcuy = (height + 7) // 8
+    mcu_px = 16 if subsampling == "420" else 8
+    n_mcux = (width + mcu_px - 1) // mcu_px
+    n_mcuy = (height + mcu_px - 1) // mcu_px
+    # blocks per MCU per component: 4 luma + 1 + 1 when 4:2:0
+    blocks_per = [4, 1, 1] if subsampling == "420" else [1, 1, 1]
     # DC Huffman: category t at 4 bits (code == t), then t value bits
     pred = [0, 0, 0]
     vals = [y, cb, cr]
@@ -168,16 +178,21 @@ def encode_jpeg_baseline(
             w = _BitWriter()
             pred = [0, 0, 0]
         for c in range(3):
-            dc = 8 * (vals[c] - 128)
-            diff = dc - pred[c]
-            pred[c] = dc
-            if diff == 0:
-                w.put(0, 4)
-            else:
-                t = diff.bit_length() if diff > 0 else (-diff).bit_length()
-                w.put(t, 4)
-                w.put(diff if diff > 0 else diff - 1, t)
-            w.put(0, 1)  # AC: EOB (1-bit code 0)
+            for _ in range(blocks_per[c]):
+                dc = 8 * (vals[c] - 128)
+                diff = dc - pred[c]
+                pred[c] = dc
+                if diff == 0:
+                    w.put(0, 4)
+                else:
+                    t = (
+                        diff.bit_length()
+                        if diff > 0
+                        else (-diff).bit_length()
+                    )
+                    w.put(t, 4)
+                    w.put(diff if diff > 0 else diff - 1, t)
+                w.put(0, 1)  # AC: EOB (1-bit code 0)
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI

@@ -11,6 +11,7 @@ from .sink import write_stream_parquet
 from .topk import heavy_hitters, mg_merge
 from .manifest_sink import ManifestMergeStreamSink, ManifestStreamSink
 from .history import history_stream
+from .editdist import load_doc_store, pair_and_grow_doc_store
 from .line_dedup import clean_and_grow_line_index, load_line_index
 from .paths import path_stream
 from .attribution import attribution_stream
@@ -37,6 +38,8 @@ __all__ = [
     "heavy_hitters",
     "history_stream",
     "clean_and_grow_line_index",
+    "pair_and_grow_doc_store",
+    "load_doc_store",
     "load_line_index",
     "path_stream",
     "attribution_stream",
