@@ -2430,6 +2430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist",
         "media_probe",
         "media_resize",
+        "tfidf_top_terms",
+        "source_overlap_matrix",
         # (d) oldest-signal (r3-green) refresh
         "flagship_segmentation",
         "incremental_antijoin",
@@ -2460,8 +2462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg",
         "pivot_qty_by_status",
         "cube_qty_summary",
-        "exact_quantiles",
-        "interval_overlap",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}

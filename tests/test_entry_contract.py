@@ -84,7 +84,13 @@ ROWS_ONLY_EXPOSURE_R7 = [
 # dedup_editdist (blocked numpy pair kernel), media_probe (JPEG
 # payload class + real baseline decoder), media_resize (JPEG
 # exclusion contract) — old green rows no longer cover shipped code.
-CHANGED_IN_R7 = ["dedup_editdist", "media_probe", "media_resize"]
+CHANGED_IN_R7 = [
+    "dedup_editdist", "media_probe", "media_resize",
+    # broadcast-df tfidf reformulation (map-side distinct df side)
+    "tfidf_top_terms",
+    # one-derivation overlap matrix (sizes ride the pair aggregate)
+    "source_overlap_matrix",
+]
 
 
 def test_gate_window_composition():
@@ -99,13 +105,13 @@ def test_gate_window_composition():
     assert NEVER_GATED_ORACLE_R7 == set(gated[:6]), gated[:6]
     assert gated[6:11] == NEW_ORACLE_R7
     assert gated[11:16] == ROWS_ONLY_EXPOSURE_R7
-    assert gated[16:19] == CHANGED_IN_R7
+    assert gated[16:21] == CHANGED_IN_R7
     # only the planned one-time-exposure entries may be rows-only
     wasted = [q for q in gated if q not in oracles
               and q not in ROWS_ONLY_EXPOSURE_R7]
     assert not wasted, f"unplanned rows-only queries in window: {wasted}"
     # the refresh block is all oracle-bearing
-    assert all(q in oracles for q in gated[19:])
+    assert all(q in oracles for q in gated[21:])
 
 
 def test_no_oracle_emits_hugeint():

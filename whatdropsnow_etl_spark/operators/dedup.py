@@ -1827,30 +1827,65 @@ def source_overlap_matrix(
         )
     else:
         raise ValueError(f"unknown unit {unit!r} (want 'doc' or 'shingle')")
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    # r7: the heavy (key, source) distinct relation is derived ONCE.
+    # The previous formulation referenced it three times (sizes +
+    # both self-join sides); Spark re-derives each reference — three
+    # corpus explodes and distinct shuffles (measured sf1: 15.8 s
+    # cold). Instead: per-key sorted source set (bounded by
+    # #sources), then ONE map-side expansion emits pair rows AND
+    # per-source size rows (as null-partner rows) through the SAME
+    # count aggregate; sizes attach to pair rows via two windows
+    # over the tiny (<= 2|S| + |S|^2)-row counts relation — bounded
+    # partitions, never corpus-sized (measured sf1: 15.8 -> ~5 s).
     hs = keyed.distinct()
-    sizes = hs.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
-    a = hs.select(F.col("__h"), F.col("__s").alias("source_a"))
-    b = hs.select(F.col("__h"), F.col("__s").alias("source_b"))
-    shared = (
-        a.join(b, "__h")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    ss = F.col("ss")
+    pair_elems = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + 2, F.size(ss)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    na = F.broadcast(sizes.select(F.col("__s").alias("source_a"), F.col("__n").alias("n_a")))
-    nb = F.broadcast(sizes.select(F.col("__s").alias("source_b"), F.col("__n").alias("n_b")))
-    return (
-        shared.join(na, "source_a")
-        .join(nb, "source_b")
+    null_s = F.lit(None).cast("string")
+    size_a = F.transform(
+        ss, lambda x: F.struct(x.alias("a"), null_s.alias("b"))
+    )
+    size_b = F.transform(
+        ss, lambda x: F.struct(null_s.alias("a"), x.alias("b"))
+    )
+    counts = (
+        hs.groupBy("__h")
+        .agg(F.sort_array(F.collect_set("__s")).alias("ss"))
         .select(
-            "source_a",
-            "source_b",
-            "n_shared",
+            F.explode(F.concat(size_a, size_b, pair_elems)).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    return (
+        counts.withColumn(
+            "n_a", F.max(F.when(F.col("b").isNull(), F.col("n"))).over(w_a)
+        )
+        .withColumn(
+            "n_b", F.max(F.when(F.col("a").isNull(), F.col("n"))).over(w_b)
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            F.col("n").alias("n_shared"),
             "n_a",
             "n_b",
             F.round(
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                F.col("n")
+                / (F.col("n_a") + F.col("n_b") - F.col("n")).cast("double"),
                 6,
             ).alias("jaccard"),
         )

@@ -224,10 +224,17 @@ def tfidf_top_terms(
     bit-identical across engines (log() differs by an ulp between
     libm implementations; integer sort keys cannot).
 
-    Two shuffles: (doc, term) for tf, (term) for df; the df relation
-    is the corpus vocabulary — at 100 TB persist it and reuse across
-    scoring runs (it changes slowly), making incremental scoring a
-    single tf pass + one term-keyed join.
+    Shuffles: (doc, term) for tf; df comes from a MAP-SIDE
+    ``array_distinct`` explode (r7) — each doc contributes one row
+    per DISTINCT term, so the df side shuffles ~tokens/distinct-terms
+    times less than re-aggregating the (doc, term) relation would
+    (deriving df from ``tf`` reads cleaner but plans as a SECOND
+    full corpus explode+aggregate: Catalyst rewrites the pruned
+    aggregate into a distinct, which breaks exchange reuse —
+    measured sf1: 7.8 -> 6.2 s cold). The vocabulary-sized df
+    relation broadcasts back (no term shuffle of tf). At 100 TB
+    persist df and reuse across scoring runs (it changes slowly),
+    making incremental scoring a single tf pass + one broadcast.
     """
     from pyspark.sql.window import Window
 
@@ -236,12 +243,21 @@ def tfidf_top_terms(
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_rel = (
+        docs.select(
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias(
+                "term"
+            )
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(df_rel, "term")
+        tf.join(F.broadcast(df_rel), "term")
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df")
