@@ -2538,6 +2538,34 @@ def test_pil_decode_unavailable_is_honest_gate():
         _pil_decode(b"\x89PNG....")
 
 
+def test_tfidf_top_terms_hand_ranking(spark):
+    """(tf DESC, df ASC, term ASC) integer ranking: rarity breaks tf
+    ties; df counts DISTINCT docs (repetition inside one doc must
+    not inflate it — the property the r7 map-side array_distinct df
+    derivation must preserve)."""
+    from whatdropsnow_etl_spark.operators.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c"),
+            (2, "a b b b c"),
+            (3, "c d d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in tfidf_top_terms(docs, k=3).collect()
+    }
+    # doc 1: a(tf2) first; tf-1 tie broken by df: b(df 2) before c(df 3)
+    assert out[(1, 1)] == ("a", 2, 2)
+    assert out[(1, 2)] == ("b", 1, 2)
+    assert out[(1, 3)] == ("c", 1, 3)
+    # doc 3: d repeats IN-DOC but df stays 1 (distinct docs)
+    assert out[(3, 1)] == ("d", 2, 1)
+    assert out[(3, 2)] == ("c", 1, 3)
+
+
 def test_jpeg_codec_round_trip_and_restarts():
     """The baseline JPEG codec: encode->decode recovers the exact
     YCbCr-round-tripped color for flat images (all-ones quant makes
