@@ -1649,6 +1649,16 @@ def _pca_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_update_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's round's mergeable sufficient stats from the
+    deterministic stand-in codebook — the oracle-twinnable half of
+    train_kmeans_codebook (iterations + hash seeding stay
+    rows-only)."""
+    from whatdropsnow_etl_spark.operators.kmeans import kmeans_update_pass
+
+    return kmeans_update_pass(load_table(spark, sf_dir, "embeddings"))
+
+
 def _lr_gradient_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine-exact kernel of quality_lr's training loop (the
     30-iteration driver loop stays rows-only): first full-batch GD
@@ -1904,6 +1914,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "lr_gradient_pass": ["grad", "term"],
     "training_order_spine": ["pack_id", "pack_tokens", "pos", "shard"],
     "dedup_editdist_incremental": ["dist", "hi", "lo"],
+    "kmeans_update_pass": ["cid", "n", "pos", "s"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2251,6 +2262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r7 — new-pairs-only editdist maintenance (the
         # line_dedup_incremental contract applied to edit distance)
         "dedup_editdist_incremental": _editdist_incremental,
+        # NEW in r7 — one Lloyd's round as mergeable exact stats
+        "kmeans_update_pass": _kmeans_update_pass,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2420,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr_gradient_pass",
         "training_order_spine",
         "dedup_editdist_incremental",
+        "kmeans_update_pass",
         # (c) one-time rows-only exposure
         "quality_lr",
         "compression_ratio",
@@ -2461,7 +2475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel",
         "skew_salted_agg",
         "pivot_qty_by_status",
-        "cube_qty_summary",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6241,6 +6254,32 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM sums
           UNION ALL SELECT * FROM cnt
         ) ORDER BY pos
+    """
+    # one Lloyd's update round from the deterministic stand-in
+    # codebook: the assign argmax is ann_ivf_topk's proven-green SQL
+    # shape; the update emits exact micro-unit sums (round_even ==
+    # bround half-to-even) as DECIMAL-as-VARCHAR
+    sql["kmeans_update_pass"] = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cent AS (
+          SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16
+        ), sc AS (
+          SELECT e.vec_id, e.v, cent.cid,
+                 {_COS.format(a="cv", b="e.v")} AS s
+          FROM e CROSS JOIN cent
+        ), best AS (
+          SELECT vec_id, v, cid FROM sc
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) = 1
+        ), ex AS (
+          SELECT cid, CAST(i - 1 AS INT) AS pos,
+                 CAST(round_even(v[i] * 1000000, 0) AS BIGINT) AS m
+          FROM best, UNNEST(range(1, len(v)+1)) AS u(i)
+        )
+        SELECT cid, pos, CAST(SUM(CAST(m AS HUGEINT)) AS VARCHAR) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY cid, pos ORDER BY cid, pos
     """
     # first-iteration GD gradient at w=0 (p=1/2): libm-free feature
     # ratios quantized to DECIMAL(18,9) (products stay exact in both

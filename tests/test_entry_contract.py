@@ -69,6 +69,7 @@ NEVER_GATED_ORACLE_R7 = {
 NEW_ORACLE_R7 = [
     "dedup_pipeline", "pca_sufficient_stats", "lr_gradient_pass",
     "training_order_spine", "dedup_editdist_incremental",
+    "kmeans_update_pass",
 ]
 
 # The 5 rows-only entries that have NEVER produced a driver row get
@@ -103,15 +104,15 @@ def test_gate_window_composition():
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
     assert NEVER_GATED_ORACLE_R7 == set(gated[:6]), gated[:6]
-    assert gated[6:11] == NEW_ORACLE_R7
-    assert gated[11:16] == ROWS_ONLY_EXPOSURE_R7
-    assert gated[16:21] == CHANGED_IN_R7
+    assert gated[6:12] == NEW_ORACLE_R7
+    assert gated[12:17] == ROWS_ONLY_EXPOSURE_R7
+    assert gated[17:22] == CHANGED_IN_R7
     # only the planned one-time-exposure entries may be rows-only
     wasted = [q for q in gated if q not in oracles
               and q not in ROWS_ONLY_EXPOSURE_R7]
     assert not wasted, f"unplanned rows-only queries in window: {wasted}"
     # the refresh block is all oracle-bearing
-    assert all(q in oracles for q in gated[21:])
+    assert all(q in oracles for q in gated[22:])
 
 
 def test_no_oracle_emits_hugeint():

@@ -2538,6 +2538,48 @@ def test_pil_decode_unavailable_is_honest_gate():
         _pil_decode(b"\x89PNG....")
 
 
+def test_kmeans_update_pass_merge_and_mean_recovery(spark):
+    """The Lloyd's-round sufficient stats are (a) mergeable:
+    stats(even ids) ⊕ stats(odd ids) == stats(all) bit-identically
+    when the SEEDS are held fixed (the pca_sufficient_stats
+    contract — slice stats must come from the same codebook, so the
+    test pins the seed source), and (b) correct: s/(n·1e6) recovers
+    the numpy mean of each cell's assigned vectors."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators.kmeans import kmeans_update_pass
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = {
+        (r["cid"], r["pos"]): (int(r["s"]), r["n"])
+        for r in kmeans_update_pass(emb, n_centroids=8).collect()
+    }
+    # numpy replica: same seeds (8 lowest ids), same assign, same
+    # micro-unit sums
+    rows = sorted(
+        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+         for r in emb.select("vec_id", "embedding").collect()),
+        key=lambda t: t[0],
+    )
+    seeds = rows[:8]
+    want: dict = {}
+    for vid, v in rows:
+        best = max(
+            seeds,
+            key=lambda s: (
+                float(v @ s[1] / (np.linalg.norm(v) * np.linalg.norm(s[1]))),
+                -s[0],
+            ),
+        )
+        m = np.rint(v * 1e6).astype(np.int64)
+        for pos, val in enumerate(m):
+            key = (best[0], pos)
+            s0, n0 = want.get(key, (0, 0))
+            want[key] = (s0 + int(val), n0 + 1)
+    assert full == want
+
+
 def test_tfidf_top_terms_hand_ranking(spark):
     """(tf DESC, df ASC, term ASC) integer ranking: rarity breaks tf
     ties; df counts DISTINCT docs (repetition inside one doc must

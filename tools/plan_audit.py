@@ -42,6 +42,8 @@ ALLPAIRS_OK = {
     "q11_important_stock",
     # corpus × k-row broadcast codebook (k constant), IVF shape
     "ann_ivf_trained",
+    # same IVF assign shape: corpus × n_centroids-row broadcast
+    "kmeans_update_pass",
     # PQ: corpus × 1-row packed codebook (encode) and codes ×
     # Q-row broadcast LUT (ADC scoring) — both bounded broadcasts,
     # not data×data crosses
@@ -152,6 +154,7 @@ PYTHON_OK = {
     "ann_recall_report",  # exact + IVF Arrow kernels (truth vs candidate)
     "ann_lsh_bucketed",  # Arrow bucket keys + rerank cosine
     "ann_ivf_topk",  # Arrow cosine for assign/probe/rerank
+    "kmeans_update_pass",  # Arrow cosine for the assign argmax
     "semantic_dedup",  # Arrow cosine for assign + within-cell pairs
     "semantic_dedup_trained",  # same kernels, kmeans codebook
     "ann_pq_topk",  # Arrow dot for encode + LUT (bit-exact sequential)

@@ -96,3 +96,68 @@ def train_kmeans_codebook(
         [(i, v) for i, v in enumerate(centroids)],
         f"cid bigint, {vec_col} array<double>",
     ).select(F.col("cid").alias(id_col), vec_col)
+
+
+def kmeans_update_pass(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The engine-exact relation of ONE Lloyd's round — the
+    deterministic half of :func:`train_kmeans_codebook` a SQL oracle
+    CAN verify (the iterative fixpoint and the xxhash-seeded init
+    stay rows-only), completing the r7 twin-the-deterministic-half
+    set (pca_sufficient_stats, lr_gradient_pass): seeds are the
+    ``n_centroids`` lowest-id corpus vectors (the ann_ivf_topk
+    stand-in codebook — oracle-expressible, unlike the trained
+    path's seeded hash sample), ASSIGN is the argmax-cosine
+    broadcast with the (cos DESC, cid ASC) tiebreak ann_ivf's green
+    oracle already proves engine-exact, and the UPDATE step is
+    emitted as its mergeable sufficient statistics: per (cell, dim)
+    exact micro-unit coordinate sums + member counts
+    (``bround`` half-to-even mirrors ``round_even``;
+    DECIMAL-as-VARCHAR rendering). stats(slice A) ⊕ stats(slice B)
+    == stats(A ∪ B) bit-identically (the pca_sufficient_stats
+    incremental contract), and centroid_next = s / (n·1e6)
+    normalized — the caller's display-time division.
+
+    Fully lazy: the seed relation is a sort-limit broadcast, nothing
+    collects. Emits (cid, pos, s, n).
+    """
+    cos = cosine_sim_arrow()
+    c = corpus.select(
+        F.col(id_col).alias("vid"), to_double_array(vec_col).alias("v")
+    )
+    cent = (
+        c.orderBy("vid")
+        .limit(n_centroids)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("cent"))
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "vid",
+            F.struct(
+                cos(F.col("cent"), F.col("v")).alias("s"),
+                (-F.col("cid")).cast("bigint").alias("negcid"),
+                F.col("v").alias("v"),
+            ).alias("m"),
+        )
+        .groupBy("vid")
+        .agg(F.max("m").alias("m"))
+        .select((-F.col("m.negcid")).alias("cid"), F.col("m.v").alias("v"))
+    )
+    micro = F.transform(
+        F.col("v"), lambda x: F.bround(x * F.lit(1_000_000.0)).cast("long")
+    )
+    return (
+        assigned.select("cid", F.posexplode(micro).alias("pos", "m"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum(F.col("m").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
