@@ -163,6 +163,24 @@ def test_editdist_same_band_pair_emitted_once(spark):
     assert len(out) == 1 and out[0]["dist"] == 1
 
 
+def test_editdist_kernel_string_ids(spark):
+    """The r7 pair kernel derives its output id types from the input
+    schema (np.minimum orders object arrays lexicographically), so
+    string doc ids flow through the full operator."""
+    from whatdropsnow_etl_spark.operators import editdist_pairs
+
+    base = "hello world " * 8
+    rows = [
+        Row(doc_id="doc-a", text=base, lang="en", n_chars=len(base)),
+        Row(doc_id="doc-b", text=base + "!", lang="en", n_chars=len(base) + 1),
+        Row(doc_id="doc-c", text="z" * len(base), lang="en", n_chars=len(base)),
+    ]
+    out = editdist_pairs(spark.createDataFrame(rows), max_dist=16).collect()
+    assert [(r["lo"], r["hi"], r["dist"]) for r in out] == [
+        ("doc-a", "doc-b", 1)
+    ]
+
+
 def test_editdist_incremental_equals_full_restriction(spark, tables):
     """Incremental new-pairs maintenance == the full operator's
     pairs restricted to >= 1 batch doc, across every pair class
