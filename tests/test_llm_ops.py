@@ -2688,6 +2688,26 @@ def test_jpeg_decoder_ac_coefficients_match_cosine_reference():
     assert d["sum_r"] == d["sum_g"] == d["sum_b"] == want
 
 
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker; a padded crawl JPEG must decode identically, not desync
+    on a garbage length (r7 ADVICE)."""
+    from whatdropsnow_etl_spark.functions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    clean = encode_jpeg_baseline(16, 16, (200, 100, 50))
+    want = decode_jpeg_baseline(clean)
+    # inject fill bytes before the DQT, SOF0, and SOS markers
+    padded = bytearray(clean)
+    for marker in (b"\xff\xda", b"\xff\xc0", b"\xff\xdb"):
+        idx = padded.find(marker)
+        padded[idx:idx] = b"\xff" * 3
+    got = decode_jpeg_baseline(bytes(padded))
+    assert got == want
+
+
 def test_jpeg_decoder_rejects_unsupported_modes():
     """Progressive/arithmetic/lossless SOFs raise NotImplementedError
     naming the mode; garbage raises ValueError."""

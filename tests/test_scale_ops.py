@@ -181,6 +181,37 @@ def test_editdist_kernel_string_ids(spark):
     ]
 
 
+def test_editdist_huge_char_counts_no_int16_wrap(spark):
+    """A single char count past 32767 (~250 KB of English text) must
+    not wrap negative in the kernel's histograms: a wrapped vs
+    non-wrapped near-duplicate would blow the L1 bound and silently
+    drop a TRUE pair (r7 ADVICE — the int16 downcast). 32760 vs
+    32770 'a's straddles the int16 boundary on both the char AND
+    trigram histograms; distance 10 <= 16 must survive."""
+    rows = [
+        Row(doc_id=1, text="a" * 32760, lang="en", n_chars=32760),
+        Row(doc_id=2, text="a" * 32770, lang="en", n_chars=32770),
+    ]
+    out = editdist_pairs(spark.createDataFrame(rows), max_dist=16).collect()
+    assert [(r["lo"], r["hi"], r["dist"]) for r in out] == [(1, 2, 10)]
+
+
+def test_editdist_null_rows_excluded_not_crash(spark):
+    """NULL text / NULL length rows are dropped before the numpy
+    kernel (matching the r6 join shape's null-comparison semantics)
+    instead of reaching it as NaN and crashing the task (r7 ADVICE)."""
+    t = "hello world " * 5
+    rows = [
+        Row(doc_id=1, text=t, lang="en", n_chars=len(t)),
+        Row(doc_id=2, text=t + "!", lang="en", n_chars=len(t) + 1),
+        Row(doc_id=3, text=None, lang="en", n_chars=None),
+        Row(doc_id=4, text=None, lang="en", n_chars=60),
+        Row(doc_id=5, text=t, lang="en", n_chars=None),
+    ]
+    out = editdist_pairs(spark.createDataFrame(rows), max_dist=16).collect()
+    assert [(r["lo"], r["hi"], r["dist"]) for r in out] == [(1, 2, 1)]
+
+
 def test_editdist_incremental_equals_full_restriction(spark, tables):
     """Incremental new-pairs maintenance == the full operator's
     pairs restricted to >= 1 batch doc, across every pair class

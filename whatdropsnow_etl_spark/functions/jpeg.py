@@ -319,6 +319,11 @@ def decode_jpeg_baseline(payload: bytes) -> dict:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("segment desync (expected marker)")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; skip them or a padded crawl JPEG misreads 0xFF as
+        # the marker id and desyncs on a garbage length (r7 ADVICE)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -839,7 +839,15 @@ def _editdist_base(
     band, a-z char histogram (O(26) pair filter: every edit changes
     the char multiset by <= 2, so lev >= L1/2), and with ``qgram``
     the 64-bucket byte-trigram histogram + pure-ASCII flag. Computed
-    ONCE per doc below the group shuffle."""
+    ONCE per doc below the group shuffle.
+
+    NULL text or NULL length rows are dropped here — matching the r6
+    join shape, where null-comparison semantics excluded them silently.
+    Without the filter they reach the numpy kernel as NaN and crash
+    the whole task with an opaque TypeError (r7 ADVICE)."""
+    docs = docs.where(
+        F.col(text_col).isNotNull() & F.col(len_col).isNotNull()
+    )
     hist = F.array(
         *[
             (
@@ -898,10 +906,15 @@ def _editdist_pair_kernel(max_dist: int, qgram: bool):
         ids = pdf["id"].to_numpy()
         ln = pdf["ln"].to_numpy(np.int64)
         tln = pdf["tln"].to_numpy(np.int64)
-        H = np.stack([np.asarray(v, dtype=np.int16) for v in pdf["h"]])
+        # int32, NOT int16: a single char count past 32767 (~250 KB
+        # of English text — reachable on real crawl docs) would wrap
+        # negative and silently DROP a true pair, breaking the
+        # lossless contract (r7 ADVICE). The tiled l1 accumulator
+        # below is int32 already, so peak memory stays tile-bounded.
+        H = np.stack([np.asarray(v, dtype=np.int32) for v in pdf["h"]])
         if qgram:
             H3 = np.stack(
-                [np.asarray(v, dtype=np.int16) for v in pdf["h3"]]
+                [np.asarray(v, dtype=np.int32) for v in pdf["h3"]]
             )
             ba = pdf["ba"].to_numpy(bool)
         n = len(pdf)
@@ -1139,12 +1152,6 @@ def editdist_pairs(
     else:
         pops = None
         d = d.withColumn("salt", F.lit(0))
-    # explicit co-partitioning on the FULL salted join key: a plain
-    # (lg, band) partitioning would satisfy the join's clustering
-    # requirement as a key subset and keep every sub-block of a hot
-    # block in one task (the sf10 tail) — and AQE never coalesces a
-    # user-specified repartition, so nparts survives to runtime
-    d = d.repartition(nparts, "lg", "band", "salt")
     # ---- r7 pair stage: blocked numpy kernel, not a pair join ----
     # Measured at sf10 (500k docs, ~10^9 salted candidate pairs):
     # the bare pair JOIN costs 6.9 s, but ANY histogram-gate
@@ -1187,6 +1194,15 @@ def editdist_pairs(
         "lg", "band", "salt", F.lit(1).alias("side"),
         "id", "ln", "tln", "h", *qcols,
     )
+    # the ONE explicit co-partitioning, on the FULL salted key, at
+    # the members level (an earlier revision also repartitioned d
+    # pre-union — Catalyst can't collapse the two exchanges across
+    # the union/select, so the own side paid a redundant full
+    # shuffle; r7 ADVICE). A plain (lg, band) partitioning would
+    # satisfy the groupBy's clustering requirement as a key subset
+    # and keep every sub-block of a hot block in one task (the sf10
+    # tail) — and AQE never coalesces a user-specified repartition,
+    # so nparts survives to runtime.
     members = own.unionByName(guest).repartition(
         nparts, "lg", "band", "salt"
     )

@@ -231,10 +231,15 @@ def tfidf_top_terms(
     (deriving df from ``tf`` reads cleaner but plans as a SECOND
     full corpus explode+aggregate: Catalyst rewrites the pruned
     aggregate into a distinct, which breaks exchange reuse —
-    measured sf1: 7.8 -> 6.2 s cold). The vocabulary-sized df
-    relation broadcasts back (no term shuffle of tf). At 100 TB
-    persist df and reuse across scoring runs (it changes slowly),
-    making incremental scoring a single tf pass + one broadcast.
+    measured sf1: 7.8 -> 6.2 s cold). The join back to tf is left
+    to AQE rather than force-broadcast: a web-corpus vocabulary
+    (hundreds of millions of terms) exceeds Spark's 8 GB broadcast
+    hard limit and the driver's heap, so a hint that helps at test
+    scale becomes a hard job failure at the 100 TB scale this
+    targets (r7 ADVICE) — AQE broadcasts small df relations at
+    runtime anyway and falls back to a shuffle join for huge ones.
+    At 100 TB persist df and reuse across scoring runs (it changes
+    slowly), making incremental scoring a single tf pass + one join.
     """
     from pyspark.sql.window import Window
 
@@ -257,7 +262,7 @@ def tfidf_top_terms(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(df_rel), "term")
+        tf.join(df_rel, "term")
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df")
