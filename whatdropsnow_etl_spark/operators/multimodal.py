@@ -222,9 +222,10 @@ MEDIA_SCHEMA = (
 
 def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL media bytes per doc — a solid-color image for
-    even ids (24-bit BMP when id % 8 == 0, baseline-sequential JPEG
-    when id % 8 == 4 (r7; a restart interval every 16th id exercises
-    the decoder's RSTn path), 8-bit RGB PNG when id % 4 == 2,
+    even ids (24-bit BMP when id % 8 == 0, JPEG when id % 8 == 4 —
+    baseline-sequential with a restart interval when id % 16 == 4,
+    PROGRESSIVE (SOF2, the r8 decoder's multi-scan annex-G path)
+    when id % 16 == 12 — 8-bit RGB PNG when id % 4 == 2,
     cycling through all five PNG scanline filters so the
     inflate+un-filter decoder is exercised end to end), a
     constant-amplitude 16-bit PCM WAV for odd ids — with every
@@ -244,7 +245,10 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        from ..functions.jpeg import encode_jpeg_baseline
+        from ..functions.jpeg import (
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
         from ..functions.media import (
             encode_bmp24,
             encode_png_rgb8,
@@ -261,14 +265,21 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     if did % 8 == 0:
                         payloads.append(encode_bmp24(w, h, rgb))
                     elif did % 8 == 4:
-                        payloads.append(
-                            encode_jpeg_baseline(
-                                w, h, rgb,
-                                restart_interval=(
-                                    1 if did % 16 == 4 else 0
-                                ),
+                        # both decode to the same closed-form color,
+                        # so the oracle is mode-independent — but the
+                        # decoder walks entirely different entropy
+                        # paths (single sequential scan vs 5-scan
+                        # successive approximation)
+                        if did % 16 == 4:
+                            payloads.append(
+                                encode_jpeg_baseline(
+                                    w, h, rgb, restart_interval=1
+                                )
                             )
-                        )
+                        else:
+                            payloads.append(
+                                encode_jpeg_progressive(w, h, rgb)
+                            )
                     else:
                         payloads.append(
                             encode_png_rgb8(
@@ -294,8 +305,9 @@ def media_probe(media: DataFrame) -> DataFrame:
     BMP, PNG or JPEG (dimensions + exact per-channel pixel sums,
     reported as one combined ``sum_rgb``; the PNG path is a full
     inflate + un-filter + CRC-check decode, the JPEG path a full
-    baseline-sequential entropy decode — DQT/DHT parse, canonical
-    Huffman, dequant, IDCT, YCbCr→RGB — in ``functions.jpeg``) or
+    sequential OR progressive entropy decode — DQT/DHT parse,
+    canonical Huffman, multi-scan successive-approximation assembly,
+    dequant, IDCT, YCbCr→RGB — in ``functions.jpeg``) or
     WAV (rate, sample count, exact integer PCM energy) with the
     pure-stdlib codecs in ``functions.media``.
     One Arrow-batched narrow map — payload bytes never shuffle, only
@@ -327,8 +339,9 @@ def media_probe(media: DataFrame) -> DataFrame:
                     if payload[:4] == b"\x89PNG":
                         fmt, d = "png", decode_png_rgb8(payload)
                     elif payload[:2] == b"\xff\xd8":
-                        # r7: real baseline-sequential JPEG decode
-                        # (functions/jpeg.py — Huffman + IDCT)
+                        # r7/r8: real JPEG decode, sequential AND
+                        # progressive (functions/jpeg.py — Huffman +
+                        # annex-G multi-scan + IDCT)
                         fmt, d = "jpeg", decode_jpeg_baseline(payload)
                     else:
                         fmt, d = "bmp", decode_bmp24(payload)
