@@ -466,10 +466,18 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whatdropsnow_etl_spark.operators import attach_binary_payload, sample_frames
+    # r8: REAL frame sampling — MJPEG clips (concatenated JFIF
+    # frames, alternating baseline/progressive) split at frame
+    # boundaries and fully decoded per sampled frame; the oracle
+    # predicts dims + exact pixel sums from the id-derived
+    # generation formula (the last "codec stubbed" row made real)
+    from whatdropsnow_etl_spark.operators import (
+        attach_mjpeg_payload,
+        sample_frames_mjpeg,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_binary_payload(docs))
+    return sample_frames_mjpeg(attach_mjpeg_payload(docs))
 
 
 def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1998,7 +2006,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
     "multimodal_resize": ["doc_id", "out_height", "out_width", "resized_md5", "src_height", "src_width"],
-    "multimodal_frame_sample": ["doc_id", "frame_idx", "frame_md5", "n_frames"],
+    "multimodal_frame_sample": ["doc_id", "frame_idx", "n_frames", "width", "height", "sum_rgb"],
     "ann_ivf_topk": ["cosine", "neighbor_id", "query_id", "rnk"],
     "curation_funnel": ["n_docs", "stage"],
     "skew_salted_agg": ["event_type", "n_events", "sum_value"],
@@ -3315,17 +3323,47 @@ def oracle_sql() -> dict[str, str]:
                    md5(md5(text) || '@224x224') AS resized_md5
             FROM documents
         """,
+        # r8: real MJPEG decode — the twin predicts per-frame dims
+        # and exact pixel sums from the generation formula via the
+        # same round_even YCbCr closed form as media_probe (every
+        # rounding in the codec is half-to-even)
         "multimodal_frame_sample": """
             WITH f AS (
               SELECT doc_id,
-                     octet_length(encode(text)) // 100 + 1 AS n_frames,
-                     md5(text) AS pmd5
+                     CAST(2 + doc_id % 6 AS BIGINT) AS n_frames,
+                     CAST(4 + doc_id % 13 AS BIGINT) AS w,
+                     CAST(3 + doc_id % 7 AS BIGINT) AS h
               FROM documents
+            ), fr AS (
+              SELECT doc_id, n_frames, w, h, CAST(i AS BIGINT) AS frame_idx,
+                     CAST((doc_id + 11*i) % 256 AS DOUBLE) AS r,
+                     CAST((doc_id*3 + 17*i) % 256 AS DOUBLE) AS g,
+                     CAST((doc_id*7 + 23*i) % 256 AS DOUBLE) AS b
+              FROM f, UNNEST(range(0, n_frames, 2)) AS u(i)
+            ), ycc AS (
+              SELECT doc_id, n_frames, w, h, frame_idx,
+                LEAST(255, GREATEST(0,
+                  round_even(0.299*r + 0.587*g + 0.114*b, 0))) AS y,
+                LEAST(255, GREATEST(0,
+                  round_even(128 - 0.168735892*r - 0.331264108*g
+                               + 0.5*b, 0))) AS cb,
+                LEAST(255, GREATEST(0,
+                  round_even(128 + 0.5*r - 0.418687589*g
+                               - 0.081312411*b, 0))) AS cr
+              FROM fr
             )
-            SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-                   CAST(n_frames AS BIGINT) AS n_frames,
-                   md5(pmd5 || ':' || CAST(i AS VARCHAR)) AS frame_md5
-            FROM f, UNNEST(range(0, n_frames, 5)) AS u(i)
+            SELECT doc_id, frame_idx, n_frames,
+                   w AS width, h AS height,
+                   CAST(w * h * (
+                     LEAST(255, GREATEST(0,
+                       round_even(y + 1.402*(cr - 128), 0)))
+                     + LEAST(255, GREATEST(0,
+                       round_even(y - 0.344136286*(cb - 128)
+                                    - 0.714136286*(cr - 128), 0)))
+                     + LEAST(255, GREATEST(0,
+                       round_even(y + 1.772*(cb - 128), 0)))
+                   ) AS BIGINT) AS sum_rgb
+            FROM ycc
         """,
         "ann_ivf_topk": f"""
             WITH c AS (

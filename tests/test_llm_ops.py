@@ -294,6 +294,45 @@ def test_multimodal_frame_sample_expansion(tables):
         assert all(r.n_frames == n_frames for r in rows)
 
 
+def test_mjpeg_frame_sample_real_decode(spark):
+    """The r8 real frame sampler: clips of alternating baseline/
+    progressive JFIF frames split at EOI boundaries; every sampled
+    frame decodes to the exact closed-form color sums, skipped
+    frames are absent, n_frames counts ALL frames."""
+    from pyspark.sql import Row
+
+    from whatdropsnow_etl_spark.functions.jpeg import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+    )
+    from whatdropsnow_etl_spark.operators import (
+        attach_mjpeg_payload,
+        sample_frames_mjpeg,
+    )
+
+    ids = [0, 1, 5, 11, 42, 99]
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    out = sample_frames_mjpeg(attach_mjpeg_payload(df), every_n=2).collect()
+    by_doc: dict[int, dict[int, object]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = r
+    assert set(by_doc) == set(ids)
+    for did in ids:
+        n_frames = 2 + did % 6
+        w, h = 4 + did % 13, 3 + did % 7
+        rows = by_doc[did]
+        assert sorted(rows) == list(range(0, n_frames, 2))
+        for i, r in rows.items():
+            assert (r.n_frames, r.width, r.height) == (n_frames, w, h)
+            rgb = (
+                (did + 11 * i) % 256,
+                (did * 3 + 17 * i) % 256,
+                (did * 7 + 23 * i) % 256,
+            )
+            er, eg, eb = _ycbcr_to_rgb(*_rgb_to_ycbcr(*rgb))
+            assert r.sum_rgb == (er + eg + eb) * w * h, (did, i)
+
+
 def test_dedup_clusters_twostars_matches_minlabel(spark, tables):
     from whatdropsnow_etl_spark.operators import dedup_clusters
 

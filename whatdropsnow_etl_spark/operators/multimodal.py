@@ -214,6 +214,121 @@ def sample_frames(
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+def attach_mjpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL motion-JPEG clip per doc: ``2 + id % 6``
+    complete JFIF frames concatenated back-to-back (the classic
+    MJPEG container shape — each frame an independent SOI..EOI
+    stream). Frame dimensions are per-clip (``4 + id % 13`` ×
+    ``3 + id % 7``), the flat color varies per frame
+    (``(id + 11i, 3id + 17i, 7id + 23i) % 256``), and frames
+    alternate between baseline-sequential and progressive encoding
+    on ``(id + i) % 2`` — so a frame-sampling pass must hit BOTH
+    decode paths across the corpus. Every generation parameter is a
+    pure function of (id, frame index), so a SQL oracle predicts
+    exactly what a CORRECT per-frame decoder must recover."""
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.jpeg import (
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
+
+        for batch in it:
+            payloads = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                clip = bytearray()
+                for i in range(2 + did % 6):
+                    rgb = (
+                        (did + 11 * i) % 256,
+                        (did * 3 + 17 * i) % 256,
+                        (did * 7 + 23 * i) % 256,
+                    )
+                    enc = (
+                        encode_jpeg_baseline
+                        if (did + i) % 2 == 0
+                        else encode_jpeg_progressive
+                    )
+                    clip += enc(w, h, rgb)
+                payloads.append(bytes(clip))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+MJPEG_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, n_frames bigint,"
+    " width bigint, height bigint, sum_rgb bigint"
+)
+
+
+def sample_frames_mjpeg(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: split an MJPEG clip at its JFIF
+    frame boundaries and fully DECODE every ``every_n``-th frame
+    (sequential or progressive — ``functions.jpeg`` handles both),
+    emitting per-frame dimensions and exact per-pixel RGB sums.
+    Replaces the r7 stub (``sample_frames``): the Spark plumbing is
+    the same 1-row→N-rows ``mapInPandas``, but the codec is now the
+    in-tree JPEG decoder, not a hash.
+
+    Skipped frames are never entropy-decoded — the boundary scan is
+    a byte search for the EOI marker, so sampling cost scales with
+    frames SAMPLED plus a linear scan, not frames present. (EOI
+    cannot occur inside entropy data — byte stuffing reserves
+    0xFF00/RSTn — so the scan is exact for JFIF streams without
+    opaque segment payloads embedding it, which all our encoders
+    guarantee.) Payload bytes never shuffle; only the small metadata
+    rows move on."""
+
+    def go(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.jpeg import decode_jpeg
+
+        for batch in it:
+            rows = []
+            for did, payload in zip(batch["doc_id"], batch["payload"]):
+                payload = bytes(payload)
+                bounds = []
+                start = 0
+                while start < len(payload):
+                    idx = payload.index(b"\xff\xd9", start)
+                    bounds.append((start, idx + 2))
+                    start = idx + 2
+                n_frames = len(bounds)
+                for i in range(0, n_frames, every_n):
+                    lo, hi = bounds[i]
+                    d = decode_jpeg(payload[lo:hi])
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame_idx": i,
+                            "n_frames": n_frames,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "sum_rgb": d["sum_r"]
+                            + d["sum_g"]
+                            + d["sum_b"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames",
+                    "width", "height", "sum_rgb",
+                ],
+            )
+
+    return media.mapInPandas(go, schema=MJPEG_FRAME_SCHEMA)
+
+
 MEDIA_SCHEMA = (
     "doc_id bigint, format string, width bigint, height bigint,"
     " sum_rgb bigint, sample_rate bigint, n_samples bigint, energy bigint"
