@@ -917,6 +917,18 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
 
 
+def _bpe_pair_counts_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8 (r7 verdict ask #5): the oracle-twinned deterministic half
+    # of the BPE trainer — one weighted pair-count round + the exact
+    # argmax tiebreak, pure integer arithmetic; rank 1 IS the first
+    # merge bpe_merges learns
+    from whatdropsnow_etl_spark.operators.bpe import bpe_pair_counts_pass
+
+    return bpe_pair_counts_pass(
+        load_table(spark, sf_dir, "documents"), top_k=20
+    )
+
+
 def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.functions.money import money
     from whatdropsnow_etl_spark.operators.skew import salted_join_hotkeys
@@ -1523,8 +1535,25 @@ def _nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import embedding_pca
 
-    return embedding_pca(
+    out = embedding_pca(
         load_table(spark, sf_dir, "embeddings"), n_components=8
+    )
+    # r8 (r7 verdict ask #3): render the projected vector as ONE
+    # string column — the driver's rows/schema checker hashes cell
+    # values and an array column crashed it (unhashable list), so
+    # even the honest rows-only exposure never produced a row. The
+    # projection is partitioning-invariant to the bit (pytest-
+    # pinned), so a fixed-precision render is deterministic.
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            # format_string, not format_number: the latter inserts
+            # grouping commas past 1000, colliding with the join
+            F.transform(
+                F.col("pca"), lambda x: F.format_string("%.9f", x)
+            ),
+        ).alias("pca"),
     )
 
 
@@ -1923,6 +1952,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "training_order_spine": ["pack_id", "pack_tokens", "pos", "shard"],
     "dedup_editdist_incremental": ["dist", "hi", "lo"],
     "kmeans_update_pass": ["cid", "n", "pos", "s"],
+    "bpe_pair_counts_pass": ["rank", "left", "right", "pair_count"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2272,6 +2302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist_incremental": _editdist_incremental,
         # NEW in r7 — one Lloyd's round as mergeable exact stats
         "kmeans_update_pass": _kmeans_update_pass,
+        # NEW in r8 — one BPE pair-count round + argmax tiebreak as
+        # an integer relation (the same pattern applied to the last
+        # big rows-only trainer; rank 1 == bpe_merges' first merge)
+        "bpe_pair_counts_pass": _bpe_pair_counts_pass,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -6292,6 +6326,35 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM sums
           UNION ALL SELECT * FROM cnt
         ) ORDER BY pos
+    """
+    # r8: one BPE pair-count round — the word histogram's adjacent
+    # char pairs (chars + '</w>' sentinel), weighted by word
+    # frequency, ranked by the trainer's exact argmax tiebreak.
+    # Pure integer arithmetic; position i of a length-n word pairs
+    # char i with char i+1 (i < n) or the sentinel (i = n)
+    sql["bpe_pair_counts_pass"] = """
+        WITH wf AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+          )
+          WHERE w <> ''
+          GROUP BY w
+        ), pc AS (
+          SELECT substr(w, i, 1) AS lft,
+                 CASE WHEN i < length(w) THEN substr(w, i + 1, 1)
+                      ELSE '</w>' END AS rgt,
+                 CAST(SUM(freq) AS BIGINT) AS pair_count
+          FROM wf, UNNEST(range(1, length(w) + 1)) AS u(i)
+          GROUP BY 1, 2
+        )
+        SELECT CAST(row_number() OVER
+                 (ORDER BY pair_count DESC, lft, rgt) AS BIGINT) AS rank,
+               lft AS "left", rgt AS "right", pair_count
+        FROM pc
+        ORDER BY pair_count DESC, lft, rgt
+        LIMIT 20
     """
     # one Lloyd's update round from the deterministic stand-in
     # codebook: the assign argmax is ann_ivf_topk's proven-green SQL

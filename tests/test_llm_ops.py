@@ -574,6 +574,30 @@ def test_bpe_merges_match_reference(spark, tables):
     assert got == want
 
 
+def test_bpe_pair_counts_pass_rank1_is_first_merge(spark, tables):
+    """The r8 oracle-twinned pass: its rank-1 row must be EXACTLY
+    the first merge bpe_merges learns (same counts, same argmax
+    tiebreak), and ranks must be strictly ordered by
+    (count DESC, left ASC, right ASC)."""
+    from whatdropsnow_etl_spark.operators.bpe import (
+        bpe_merges,
+        bpe_pair_counts_pass,
+    )
+
+    docs = tables["documents"].where(F.col("doc_id") < 60)
+    out = (
+        bpe_pair_counts_pass(docs, top_k=10).orderBy("rank").collect()
+    )
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    keys = [(-r["pair_count"], r["left"], r["right"]) for r in out]
+    assert keys == sorted(keys)
+    first = bpe_merges(docs, n_merges=1).collect()[0]
+    top = out[0]
+    assert (top["left"], top["right"], top["pair_count"]) == (
+        first["left"], first["right"], first["pair_count"],
+    )
+
+
 def test_bpe_merges_batched_equals_sequential_when_disjoint(spark):
     """merge_batch > 1: on rounds whose top pairs are symbol-disjoint
     and well-separated in count (no derived-pair interleaving), the

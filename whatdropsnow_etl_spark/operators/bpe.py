@@ -94,6 +94,84 @@ def _merge_batch_udf(merges: list):
     return pandas_udf(_apply, "array<string>")
 
 
+def _char_word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
+    """The corpus's word-frequency histogram, words split to chars
+    plus the ``</w>`` end sentinel — the ONLY corpus-sized pass in
+    BPE training (statistics are a function of the histogram)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""),  # chars
+                F.array(F.lit(END)),
+            ).alias("syms"),
+            "freq",
+        )
+    )
+
+
+def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs of the histogram, weighted by word
+    frequency: explode → groupBy(pair) → sum, map-side combined —
+    one vocab-sized shuffle, never a corpus-sized one."""
+    return (
+        words.select(
+            F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                "i", "a"
+            ),
+            F.col("syms"),
+            F.col("freq"),
+        )
+        .select(
+            F.col("a"),
+            F.element_at("syms", F.col("i") + 2).alias("b"),
+            "freq",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def bpe_pair_counts_pass(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The deterministic half of ONE BPE training round, as a
+    relation (the kmeans_update_pass / lr_gradient_pass pattern
+    applied to the last big rows-only trainer): weighted adjacent
+    pair counts over the char-split word histogram, ranked by the
+    trainer's exact argmax order (count DESC, left ASC, right ASC).
+    Rank 1 is precisely the first merge ``bpe_merges`` learns, so
+    the pair-count + tiebreak machinery is oracle-checkable even
+    though the iterative fixpoint is not SQL-expressible.
+
+    Pure integer arithmetic end to end (counts and sums of counts) —
+    bit-identical across engines by construction. The top-k is a
+    sort-limit on the pair-count relation (per-partition heaps);
+    the ranking window then covers only k rows, so its single
+    partition is k-bounded at any corpus scale.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = _adjacent_pair_counts(_char_word_histogram(docs, text_col))
+    order = [F.col("c").desc(), F.col("a").asc(), F.col("b").asc()]
+    top = pairs.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "rank",
+            F.col("a").alias("left"),
+            F.col("b").alias("right"),
+            F.col("c").cast("bigint").alias("pair_count"),
+        )
+    )
+
+
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 16,
@@ -145,19 +223,8 @@ def bpe_merges(
     if merge_batch < 1:
         raise ValueError("merge_batch must be >= 1")
     spark = docs.sparkSession
-    words = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            F.concat(
-                F.split(F.col("w"), ""),  # chars
-                F.array(F.lit(END)),
-            ).alias("syms"),
-            "freq",
-        )
-        .localCheckpoint(eager=True)
+    words = _char_word_histogram(docs, text_col).localCheckpoint(
+        eager=True
     )
     base_rank = 0
     if init_merges is not None:
@@ -180,22 +247,7 @@ def bpe_merges(
     learned: list[tuple[int, str, str, int]] = []
     rounds = 0
     while len(learned) < n_merges:
-        pairs = (
-            words.select(
-                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
-                    "i", "a"
-                ),
-                F.col("syms"),
-                F.col("freq"),
-            )
-            .select(
-                F.col("a"),
-                F.element_at("syms", F.col("i") + 2).alias("b"),
-                "freq",
-            )
-            .groupBy("a", "b")
-            .agg(F.sum("freq").alias("c"))
-        )
+        pairs = _adjacent_pair_counts(words)
         want = min(merge_batch, n_merges - len(learned))
         # over-collect so disjointness rejections still fill the batch;
         # the relation is vocab-sized, the collect is want*4-row-sized
