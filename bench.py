@@ -66,6 +66,16 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # Heavy-path warmup (r7 verdict ask #6): the generic JVM/Arrow
+    # warmups above don't touch the applyInPandas/groupState/
+    # localCheckpoint machinery the heaviest queries lean on, so the
+    # FIRST heavy query of the sweep absorbed ~2 s of first-use cost
+    # (dup_weighting 6.83 s cold vs 4.8-5.4 s warm in r7). Run the
+    # first registry query once, untimed, so the timed loop starts
+    # warm; round-over-round deltas then compare like with like.
+    _first = next(iter(entrymod.queries().values()))
+    _first(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Drift sentinel: one fixed query timed immediately before AND
     # after the sweep. Round-over-round comparisons divide by the
     # sentinel ratio to separate environment drift (contended box,

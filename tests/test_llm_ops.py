@@ -2393,6 +2393,35 @@ def test_mmr_diversify_matches_python_reference(spark):
     assert got[0][1] == 10 and got[1][1] != 11
 
 
+def test_mmr_diversify_negative_similarity_is_a_bonus(spark):
+    """An anti-correlated candidate's NEGATIVE max-similarity
+    penalty raises its MMR score above a mildly-novel rival — the
+    exact semantics a zero-floored running max would silently break
+    (caught while vectorizing the r8 kernel): C (rel 0.1, sim to the
+    top pick ≈ -0.34, score ≈ 0.22) must beat D (rel 0.3, sim 0.05,
+    score 0.125) for slot 2."""
+    from whatdropsnow_etl_spark.operators import mmr_diversify
+
+    rows = [
+        (10, [0.9, 0.435889894, 0.0]),            # rel 0.9 -> slot 1
+        (11, [0.8, 0.6, 0.0]),                     # redundant rival
+        (12, [0.1, -0.99498744, 0.0]),             # anti-correlated
+        (13, [0.3, -0.5047, 0.8095]),              # mildly novel
+        (1, [1.0, 0.0, 0.0]),                      # query
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        mmr_diversify(
+            emb.where(F.col("vec_id") >= 10),
+            emb.where(F.col("vec_id") < 10),
+            k=2, pool=4, lam=0.5,
+        ).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [r["neighbor_id"] for r in out] == [10, 12]
+    assert out[1]["mmr_score"] > 0.2  # the bonus, not a zero floor
+
+
 def test_mmr_diversify_string_ids(spark):
     """The output id fields take the INPUT id column's type — a
     string id flows through (selection identical to the bigint run
