@@ -5342,10 +5342,32 @@ def oracle_sql() -> dict[str, str]:
                     END AS sample_rate,
                CASE WHEN d.doc_id % 2 = 1
                     THEN CAST(50 + d.doc_id % 100 AS BIGINT) END AS n_samples,
-               CASE WHEN d.doc_id % 2 = 1
+               -- r8 WAV classes on id % 8: 1 mono16 (amp), 3
+               -- stereo16 (amp, amp+7), 5 mono8 (1 + id%120),
+               -- 7 stereo24 (250*amp, 250*amp + 1000); energy is
+               -- frames * sum of per-channel amp^2
+               CASE WHEN d.doc_id % 8 = 1
                     THEN CAST((50 + d.doc_id % 100)
                          * (100 + d.doc_id % 1000)
-                         * (100 + d.doc_id % 1000) AS BIGINT) END AS energy
+                         * (100 + d.doc_id % 1000) AS BIGINT)
+                    WHEN d.doc_id % 8 = 3
+                    THEN CAST((50 + d.doc_id % 100)
+                         * ((100 + d.doc_id % 1000)
+                              * (100 + d.doc_id % 1000)
+                            + (107 + d.doc_id % 1000)
+                              * (107 + d.doc_id % 1000)) AS BIGINT)
+                    WHEN d.doc_id % 8 = 5
+                    THEN CAST((50 + d.doc_id % 100)
+                         * (1 + d.doc_id % 120)
+                         * (1 + d.doc_id % 120) AS BIGINT)
+                    WHEN d.doc_id % 8 = 7
+                    THEN CAST((50 + d.doc_id % 100)
+                         * (250 * (100 + d.doc_id % 1000)
+                              * (250 * (100 + d.doc_id % 1000))
+                            + (250 * (100 + d.doc_id % 1000) + 1000)
+                              * (250 * (100 + d.doc_id % 1000) + 1000))
+                         AS BIGINT)
+                    END AS energy
         FROM documents d JOIN jrgb j ON d.doc_id = j.doc_id
     """
     # r7: the id % 8 == 4 rows are JPEG payloads, which the resize
@@ -6818,28 +6840,56 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(60 + vec_rank AS DOUBLE), 0.0) AS rrf
         FROM lexr FULL JOIN vr ON ldoc = vdoc
     """.replace("{BM25}", sql["bm25_search"])
+    # r8: linear interpolation of a constant signal is the constant
+    # (per channel), so resampled energy = n_out * sum of channel
+    # amp^2 — same per-class closed forms as media_probe
     sql["media_resample"] = """
-        SELECT doc_id,
-               CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS src_rate,
-               CAST(50 + doc_id % 100 AS BIGINT) AS n_src,
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS src_rate,
+                 CAST(50 + doc_id % 100 AS BIGINT) AS n_src,
+                 CASE WHEN doc_id % 8 = 1
+                      THEN (100 + doc_id % 1000) * (100 + doc_id % 1000)
+                      WHEN doc_id % 8 = 3
+                      THEN (100 + doc_id % 1000) * (100 + doc_id % 1000)
+                           + (107 + doc_id % 1000) * (107 + doc_id % 1000)
+                      WHEN doc_id % 8 = 5
+                      THEN (1 + doc_id % 120) * (1 + doc_id % 120)
+                      ELSE 250 * (100 + doc_id % 1000)
+                             * (250 * (100 + doc_id % 1000))
+                           + (250 * (100 + doc_id % 1000) + 1000)
+                             * (250 * (100 + doc_id % 1000) + 1000)
+                      END AS ampsq
+          FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT doc_id, src_rate, n_src,
                CAST(16000 AS BIGINT) AS out_rate,
-               CAST(((50 + doc_id % 100) - 1) * 16000
-                    // (8000 + (doc_id % 3) * 4000) + 1 AS BIGINT) AS n_out,
-               CAST((((50 + doc_id % 100) - 1) * 16000
-                     // (8000 + (doc_id % 3) * 4000) + 1)
-                    * (100 + doc_id % 1000)
-                    * (100 + doc_id % 1000) AS BIGINT) AS energy_out
-        FROM documents WHERE doc_id % 2 = 1
+               CAST((n_src - 1) * 16000 // src_rate + 1 AS BIGINT) AS n_out,
+               CAST(((n_src - 1) * 16000 // src_rate + 1) * ampsq
+                    AS BIGINT) AS energy_out
+        FROM base
     """
+    # r8: every frame of a constant clip has the same energy, so
+    # activity is all-or-nothing per clip: frame_len * ampsq >
+    # 50^2 * frame_len  <=>  ampsq > 2500. Classes 1/3/7 always
+    # pass (amp >= 100); the 8-bit class (amp 1..120) straddles the
+    # threshold, exercising BOTH branches
     sql["media_silence_report"] = """
-        SELECT doc_id,
-               CAST(((50 + doc_id % 100) - 32) // 16 + 1 AS BIGINT)
-                 AS n_frames,
-               CAST(((50 + doc_id % 100) - 32) // 16 + 1 AS BIGINT)
-                 AS n_active,
-               CAST(((50 + doc_id % 100) - 32) // 16 + 1 AS BIGINT)
-                 AS max_run
-        FROM documents WHERE doc_id % 2 = 1
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(((50 + doc_id % 100) - 32) // 16 + 1 AS BIGINT)
+                   AS n_frames,
+                 CASE WHEN doc_id % 8 = 5
+                      THEN CASE WHEN (1 + doc_id % 120)
+                                     * (1 + doc_id % 120) > 2500
+                                THEN 1 ELSE 0 END
+                      ELSE 1 END AS is_active
+          FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT doc_id, n_frames,
+               CAST(n_frames * is_active AS BIGINT) AS n_active,
+               CAST(n_frames * is_active AS BIGINT) AS max_run
+        FROM base
     """
     sql["active_learning_batch"] = """
         WITH q AS (

@@ -2230,7 +2230,10 @@ def test_media_codecs_roundtrip_and_layout(spark):
     d2 = decode_bmp24(raw)
     assert (d2["sum_r"], d2["sum_g"], d2["sum_b"]) == (255, 0, 255)
     w = decode_wav16(encode_wav16(16000, np.array([3, -4, 5])))
-    assert w == {"sample_rate": 16000, "n_samples": 3, "energy": 9 + 16 + 25}
+    assert w == {
+        "sample_rate": 16000, "n_samples": 3, "energy": 9 + 16 + 25,
+        "n_channels": 1, "bits": 16,  # r8: widened decoder metadata
+    }
     # corrupt magic raises
     import pytest as _pytest
 
@@ -2238,6 +2241,57 @@ def test_media_codecs_roundtrip_and_layout(spark):
         decode_bmp24(b"XX garbage")
     with _pytest.raises(ValueError):
         decode_wav16(b"not riff data here")
+
+
+def test_wav_pcm_depths_and_channels_round_trip():
+    """The r8 widened WAV codec: 8/16/24-bit, mono and stereo,
+    encode->decode recovers exact centered samples (energy, frame
+    count, channel count), resample-to-same-rate is an identity on
+    the signal, and cross-rate resample of a constant keeps the
+    constant at every depth. Unsupported depths/format tags raise
+    NotImplementedError naming them."""
+    import numpy as np
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_wav16,
+        decode_wav_samples,
+        encode_wav_pcm,
+        resample_wav16,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (8, 1, (-128, 127)),
+        (8, 2, (-128, 127)),
+        (16, 1, (-32768, 32767)),
+        (16, 2, (-32768, 32767)),
+        (24, 1, (-8388608, 8388607)),
+        (24, 2, (-8388608, 8388607)),
+    ]
+    for bits, ch, (lo, hi) in cases:
+        sig = rng.integers(lo, hi + 1, size=(101, ch), dtype=np.int64)
+        wav = encode_wav_pcm(12000, sig, bits=bits)
+        rate, b2, frames = decode_wav_samples(wav)
+        assert (rate, b2) == (12000, bits)
+        assert frames.shape == (101, ch)
+        assert (frames == sig).all(), (bits, ch)
+        d = decode_wav16(wav)
+        assert (d["n_samples"], d["n_channels"], d["bits"]) == (101, ch, bits)
+        assert d["energy"] == int((sig * sig).sum())
+        # same-rate resample: identical signal bytes-for-bytes
+        _, _, same = decode_wav_samples(resample_wav16(wav, 12000))
+        assert (same == sig).all()
+        # cross-rate resample of a constant stays the constant
+        const = np.full((60, ch), (hi // 3) * np.arange(1, ch + 1),
+                        dtype=np.int64)
+        up = decode_wav16(resample_wav16(encode_wav_pcm(8000, const,
+                                                        bits=bits), 16000))
+        n_out = 59 * 2 + 1
+        assert up["n_samples"] == n_out
+        assert up["energy"] == int((const[0] ** 2).sum()) * n_out
+    with _pytest.raises(NotImplementedError, match="32"):
+        encode_wav_pcm(8000, np.zeros(4, dtype=np.int64), bits=32)
 
 
 def test_media_probe_decodes_real_payloads(spark):
@@ -2250,10 +2304,24 @@ def test_media_probe_decodes_real_payloads(spark):
     out = {r["doc_id"]: r for r in media_probe(attach_media_payload(docs)).collect()}
     assert out[8]["format"] == "bmp"
     assert out[8]["width"] == 4 + 8 % 13 and out[8]["height"] == 3 + 8 % 7
-    assert out[7]["format"] == "wav"
-    amp = 100 + 7 % 1000
-    assert out[7]["energy"] == (50 + 7 % 100) * amp * amp
-    assert out[7]["sample_rate"] == 8000 + (7 % 3) * 4000
+    # r8 WAV classes on id % 8: 1 mono16, 3 stereo16, 5 mono8,
+    # 7 stereo24 — the probe recovers per-class energy from bytes
+    for did in (1, 3, 5, 7, 9, 11, 13, 15):
+        n, amp = 50 + did % 100, 100 + did % 1000
+        if did % 8 == 1:
+            ampsq = amp * amp
+        elif did % 8 == 3:
+            ampsq = amp * amp + (amp + 7) * (amp + 7)
+        elif did % 8 == 5:
+            a8 = 1 + did % 120
+            ampsq = a8 * a8
+        else:
+            a24 = amp * 250
+            ampsq = a24 * a24 + (a24 + 1000) * (a24 + 1000)
+        assert out[did]["format"] == "wav"
+        assert out[did]["energy"] == n * ampsq, did
+        assert out[did]["sample_rate"] == 8000 + (did % 3) * 4000
+        assert out[did]["n_samples"] == n
     # id % 4 == 2 -> PNG, decoded through the real inflate+un-filter
     # path; the image formulas are format-independent by construction
     for did in (2, 6):

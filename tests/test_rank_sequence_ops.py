@@ -249,10 +249,20 @@ def test_media_resample_operator_formula(spark):
         rate = 8000 + (did % 3) * 4000
         n = 50 + did % 100
         amp = 100 + did % 1000
+        # r8 WAV classes: per-class sum of channel amp^2
+        if did % 8 == 1:
+            ampsq = amp * amp
+        elif did % 8 == 3:
+            ampsq = amp * amp + (amp + 7) * (amp + 7)
+        elif did % 8 == 5:
+            ampsq = (1 + did % 120) ** 2
+        else:
+            a24 = amp * 250
+            ampsq = a24 * a24 + (a24 + 1000) * (a24 + 1000)
         n_out = (n - 1) * 16000 // rate + 1
         assert (r.src_rate, r.n_src) == (rate, n)
         assert (r.out_rate, r.n_out) == (16000, n_out)
-        assert r.energy_out == n_out * amp * amp
+        assert r.energy_out == n_out * ampsq, did
 
 
 def test_media_silence_vad_runs(spark):

@@ -1,5 +1,5 @@
 """Real byte-level media codecs: 24-bit BMP, 8-bit RGB PNG, and
-16-bit PCM WAV.
+integer PCM WAV (8/16/24-bit, any channel count).
 
 The multimodal operators' decode step was honestly stubbed while no
 media library ships in the runtime — but three production formats
@@ -244,25 +244,67 @@ def resize_png_rgb8_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
     return encode_png_rgb8(out_w, out_h, pixels=px[ys][:, xs])
 
 
-def encode_wav16(sample_rate: int, samples: "np.ndarray") -> bytes:
-    """Minimal RIFF/WAVE, mono 16-bit PCM."""
-    data = np.asarray(samples, dtype="<i2").tobytes()
+def encode_wav_pcm(
+    sample_rate: int, samples: "np.ndarray", bits: int = 16
+) -> bytes:
+    """Minimal RIFF/WAVE, integer PCM at 8/16/24 bits, mono or
+    multi-channel. ``samples`` is CENTERED signed int of shape
+    (n,) or (n, channels) — 8-bit payloads store the WAV-standard
+    unsigned offset-128 form on disk, but this API (like the
+    decoder) always speaks centered values so energy math is
+    depth-independent."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    if bits == 16:
+        data = s.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (s + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        flat = s.reshape(-1)
+        b = np.empty((flat.size, 3), dtype=np.uint8)
+        b[:, 0] = flat & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = (flat >> 16) & 0xFF
+        data = b.tobytes()
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM encode")
+    block = channels * bits // 8
     fmt = struct.pack(
-        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block, block, bits,
     )
     data_chunk = struct.pack("<4sI", b"data", len(data)) + data
-    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data_chunk), b"WAVE")
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        data_chunk += b"\x00"
+    riff = struct.pack(
+        "<4sI4s", b"RIFF", 4 + len(fmt) + len(data_chunk), b"WAVE"
+    )
     return riff + fmt + data_chunk
 
 
-def decode_wav16(payload: bytes) -> dict:
-    """Parse mono 16-bit PCM WAV: rate, sample count, exact integer
-    energy (sum of squared samples)."""
+def encode_wav16(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Minimal RIFF/WAVE, mono 16-bit PCM (thin wrapper kept for
+    the original callers)."""
+    return encode_wav_pcm(sample_rate, samples, bits=16)
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Chunk-walk a PCM WAV and return (rate, bits, frames) where
+    ``frames`` is (n_frames, channels) int64 of CENTERED samples —
+    8-bit's unsigned offset-128 storage is re-centered here, so
+    energy arithmetic downstream is depth-independent. Real corpora
+    aren't all mono 16-bit (r7 verdict ask #8): stereo and 8/24-bit
+    PCM decode; float/ADPCM/etc. raise NotImplementedError naming
+    the format tag. Never string-search for b"data" — raw PCM bytes
+    can contain it."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
-    rate = None
-    samples = None
+    rate = channels = bits = None
+    frames = None
+    data_raw = None
     while pos + 8 <= len(payload):
         cid, clen = struct.unpack_from("<4sI", payload, pos)
         pos += 8
@@ -270,18 +312,54 @@ def decode_wav16(payload: bytes) -> dict:
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos
             )
-            if audio_fmt != 1 or channels != 1 or bits != 16:
-                raise NotImplementedError("only mono 16-bit PCM WAV")
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"non-PCM WAV (format tag {audio_fmt})"
+                )
+            if bits not in (8, 16, 24):
+                raise NotImplementedError(f"{bits}-bit PCM decode")
         elif cid == b"data":
-            samples = np.frombuffer(payload, dtype="<i2", count=clen // 2, offset=pos)
+            data_raw = (pos, clen)
         pos += clen + (clen % 2)
-    if rate is None or samples is None:
+    if rate is None or data_raw is None:
         raise ValueError("missing fmt/data chunk")
-    s = samples.astype(np.int64)
+    off, clen = data_raw
+    block = channels * bits // 8
+    n = clen // block
+    if bits == 16:
+        flat = np.frombuffer(
+            payload, dtype="<i2", count=n * channels, offset=off
+        ).astype(np.int64)
+    elif bits == 8:
+        flat = (
+            np.frombuffer(
+                payload, dtype=np.uint8, count=n * channels, offset=off
+            ).astype(np.int64)
+            - 128
+        )
+    else:  # 24
+        b = np.frombuffer(
+            payload, dtype=np.uint8, count=n * channels * 3, offset=off
+        ).reshape(-1, 3).astype(np.int64)
+        flat = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        flat = (flat ^ 0x800000) - 0x800000  # sign-extend
+    frames = flat.reshape(n, channels)
+    return int(rate), int(bits), frames
+
+
+def decode_wav16(payload: bytes) -> dict:
+    """Parse a PCM WAV: rate, frame count, exact integer energy
+    (sum of squared centered samples over ALL channels). The name
+    is historical — since r8 this decodes 8/16/24-bit PCM at any
+    channel count; ``n_samples`` counts FRAMES (per-channel
+    samples), the convention every audio tool reports length in."""
+    rate, bits, frames = decode_wav_samples(payload)
     return {
-        "sample_rate": int(rate),
-        "n_samples": int(s.size),
-        "energy": int((s * s).sum()),
+        "sample_rate": rate,
+        "n_samples": int(frames.shape[0]),
+        "n_channels": int(frames.shape[1]),
+        "bits": bits,
+        "energy": int((frames * frames).sum()),
     }
 
 
@@ -328,49 +406,36 @@ def resize_bmp24_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
 
 
 def resample_wav16(payload: bytes, out_rate: int) -> bytes:
-    """Linear-interpolation resample of a mono 16-bit PCM WAV to
-    ``out_rate`` — real DSP on real bytes, numpy-vectorized.
+    """Linear-interpolation resample of a PCM WAV to ``out_rate`` —
+    real DSP on real bytes, numpy-vectorized. The name is historical;
+    since r8 this handles 8/16/24-bit PCM at any channel count
+    (channels resample independently on the same exact-integer
+    sample grid) and re-encodes at the SOURCE depth/channel layout.
 
-    Output sample j sits at source position j * in_rate / out_rate,
+    Output frame j sits at source position j * in_rate / out_rate,
     tracked as an EXACT integer rational (num = j * in_rate;
     k = num // out_rate; frac = (num % out_rate) / out_rate), so
     sample alignment is bit-reproducible — only the interpolated
-    VALUE touches float64, and it rounds half-to-even back to int16.
-    n_out = (n_in - 1) * out_rate // in_rate + 1: the last output
-    sample never reads past the final source sample.
+    VALUE touches float64, and it rounds half-to-even back to the
+    integer depth. n_out = (n_in - 1) * out_rate // in_rate + 1: the
+    last output frame never reads past the final source frame.
     """
     import numpy as np
 
-    # chunk-walk like decode_wav16 — never string-search for b"data"
-    # (raw PCM bytes can contain it)
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV payload")
-    pos, rate, samples = 12, None, None
-    while pos + 8 <= len(payload):
-        cid, clen = struct.unpack_from("<4sI", payload, pos)
-        pos += 8
-        if cid == b"fmt ":
-            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", payload, pos
-            )
-            if audio_fmt != 1 or channels != 1 or bits != 16:
-                raise NotImplementedError("only mono 16-bit PCM WAV")
-        elif cid == b"data":
-            samples = np.frombuffer(
-                payload, dtype="<i2", count=clen // 2, offset=pos
-            ).astype(np.float64)
-        pos += clen + (clen % 2)
-    if rate is None or samples is None:
-        raise ValueError("missing fmt/data chunk")
-    n_in = samples.size
+    rate, bits, frames = decode_wav_samples(payload)
+    lo, hi = {8: (-128, 127), 16: (-32768, 32767), 24: (-8388608, 8388607)}[
+        bits
+    ]
+    n_in = frames.shape[0]
     if n_in == 0 or rate == out_rate:
-        return encode_wav16(out_rate, samples.astype(np.int64))
+        return encode_wav_pcm(out_rate, frames, bits=bits)
+    samples = frames.astype(np.float64)
     n_out = (n_in - 1) * out_rate // rate + 1
     j = np.arange(n_out, dtype=np.int64)
     num = j * rate
     k = num // out_rate
     frac = (num % out_rate).astype(np.float64) / float(out_rate)
     k2 = np.minimum(k + 1, n_in - 1)
-    vals = samples[k] * (1.0 - frac) + samples[k2] * frac
-    out = np.clip(np.rint(vals), -32768, 32767).astype(np.int64)
-    return encode_wav16(out_rate, out)
+    vals = samples[k] * (1.0 - frac)[:, None] + samples[k2] * frac[:, None]
+    out = np.clip(np.rint(vals), lo, hi).astype(np.int64)
+    return encode_wav_pcm(out_rate, out, bits=bits)

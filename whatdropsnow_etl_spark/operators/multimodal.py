@@ -343,7 +343,9 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     when id % 16 == 12 — 8-bit RGB PNG when id % 4 == 2,
     cycling through all five PNG scanline filters so the
     inflate+un-filter decoder is exercised end to end), a
-    constant-amplitude 16-bit PCM WAV for odd ids — with every
+    constant-amplitude PCM WAV for odd ids — mono 16-bit, stereo
+    16-bit, mono 8-bit or stereo 24-bit cycling on id % 8 (r8:
+    real corpora aren't all mono 16-bit) — with every
     generation parameter a pure function of the id. The payloads are
     genuine format-conformant binaries (any external BMP/PNG/JPEG/
     WAV reader opens them); because the parameters are id-derived, a
@@ -367,7 +369,7 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         from ..functions.media import (
             encode_bmp24,
             encode_png_rgb8,
-            encode_wav16,
+            encode_wav_pcm,
         )
 
         for batch in it:
@@ -402,12 +404,40 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             )
                         )
                 else:
+                    # real audio corpora aren't all mono 16-bit
+                    # (r8): cycle mono16 / stereo16 / mono8 /
+                    # stereo24 on id % 8 with closed-form amplitudes
                     rate = 8000 + (did % 3) * 4000
                     n = 50 + did % 100
                     amp = 100 + did % 1000
-                    payloads.append(
-                        encode_wav16(rate, np.full(n, amp, dtype=np.int64))
-                    )
+                    if did % 8 == 1:
+                        sig = np.full(n, amp, dtype=np.int64)
+                        bits = 16
+                    elif did % 8 == 3:
+                        sig = np.stack(
+                            [
+                                np.full(n, amp, dtype=np.int64),
+                                np.full(n, amp + 7, dtype=np.int64),
+                            ],
+                            axis=1,
+                        )
+                        bits = 16
+                    elif did % 8 == 5:
+                        # 1..120: straddles the VAD threshold (50),
+                        # so BOTH active and silent clips exist
+                        sig = np.full(n, 1 + did % 120, dtype=np.int64)
+                        bits = 8
+                    else:
+                        a24 = amp * 250
+                        sig = np.stack(
+                            [
+                                np.full(n, a24, dtype=np.int64),
+                                np.full(n, a24 + 1000, dtype=np.int64),
+                            ],
+                            axis=1,
+                        )
+                        bits = 24
+                    payloads.append(encode_wav_pcm(rate, sig, bits=bits))
             yield pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
@@ -624,8 +654,10 @@ def media_silence_report(
     usable utterances).
 
     A frame is ACTIVE when its exact integer energy exceeds the
-    mean-square threshold: sum(s^2) > threshold^2 * frame — all
-    int64 arithmetic on decoded PCM, no float anywhere, so the
+    mean-square threshold: sum(s^2) > threshold^2 * frame_len — all
+    int64 arithmetic on decoded PCM (energy summed over ALL
+    channels; frames index TIME, so a window is frame_len PCM
+    frames regardless of channel count), no float anywhere, so the
     report is bit-deterministic and (for the id-derived synthetic
     payloads) closed-form predictable. Frames start at multiples of
     ``hop``; the last partial frame is dropped (the standard
@@ -638,31 +670,19 @@ def media_silence_report(
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        from ..functions.media import decode_wav16
+        from ..functions.media import decode_wav_samples
 
         thr = threshold * threshold * frame
         for batch in it:
             rows = []
             for did, payload in zip(batch["doc_id"], batch["payload"]):
                 payload = bytes(payload)
-                d = decode_wav16(payload)
-                n = d["n_samples"]
-                # re-extract samples via the same chunk walk
-                import struct as _struct  # noqa: PLC0415
-
-                pos, samples = 12, None
-                while pos + 8 <= len(payload):
-                    cid, clen = _struct.unpack_from("<4sI", payload, pos)
-                    pos += 8
-                    if cid == b"data":
-                        samples = np.frombuffer(
-                            payload, dtype="<i2", count=clen // 2, offset=pos
-                        ).astype(np.int64)
-                    pos += clen + (clen % 2)
+                _, _, frames_arr = decode_wav_samples(payload)
+                n = frames_arr.shape[0]
                 n_frames = max((n - frame) // hop + 1, 0) if n >= frame else 0
                 active = np.zeros(n_frames, dtype=bool)
                 for i in range(n_frames):
-                    seg = samples[i * hop : i * hop + frame]
+                    seg = frames_arr[i * hop : i * hop + frame]
                     active[i] = int((seg * seg).sum()) > thr
                 max_run = run = 0
                 for a in active:
