@@ -451,6 +451,75 @@ def test_editdist_band_cap(spark, tables):
     assert sub <= base
 
 
+def test_editdist_hub_band_guests_bound_group_memory(spark):
+    """r7 verdict ask #9: max_band_docs bounds the applyInPandas
+    group (one group == one in-memory pandas frame) by ARRIVALS —
+    own docs AND adjacent-band guests. A hub-shaped neighbor band
+    (2000 docs in band 1 guesting into a 4-doc band 0) previously
+    rode into ONE group; now every group stays ~cap-sized, the
+    planted co-salted near-dup pair still surfaces, and output
+    remains a subset of the exact uncapped pairs."""
+    import pandas as pd
+
+    from whatdropsnow_etl_spark.operators import editdist_pairs
+    from whatdropsnow_etl_spark.operators.dedup import _editdist_members
+
+    cap = 100
+    # band 0: short docs (len < 16 at band_width=16); band 1 hub:
+    # len-20 docs, mutually far apart (distinct char content)
+    hub_n = 2000
+    rows = []
+    for i in range(hub_n):
+        # 20 chars from a rotating alphabet: consecutive docs differ
+        # in (almost) every char histogram bucket
+        txt = "".join(
+            chr(ord("a") + ((i * 7 + j * 11) % 26)) for j in range(20)
+        )
+        rows.append(Row(doc_id=1000 + i, text=txt, lang="en",
+                        n_chars=20))
+    # the planted near-dup pair in band 0 — ids chosen CO-SALTED
+    # below so the pair survives sub-blocking deterministically
+    s_expected = (4 + hub_n + cap - 1) // cap  # arrivals-based
+    probe = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(1, 400)]
+    ).select(
+        "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(s_expected)).alias("m")
+    ).collect()
+    by_salt: dict[int, list[int]] = {}
+    for r in probe:
+        by_salt.setdefault(int(r["m"]), []).append(int(r["doc_id"]))
+    pair_ids = next(v for v in by_salt.values() if len(v) >= 2)[:2]
+    far_ids = [i for i in range(1, 400) if i not in pair_ids][:2]
+    rows += [
+        Row(doc_id=pair_ids[0], text="hello brave new", lang="en", n_chars=15),
+        Row(doc_id=pair_ids[1], text="hello brave new", lang="en", n_chars=15),
+        Row(doc_id=far_ids[0], text="zzzzzzzzzzzzzzz", lang="en", n_chars=15),
+        Row(doc_id=far_ids[1], text="qqqqqqqqqqqqqqq", lang="en", n_chars=15),
+    ]
+    docs = spark.createDataFrame(rows)
+    # (1) peak group size is cap-bounded (hash variance slack): the
+    # OLD own-only count gave s=1 for band 0 and ONE 2004-row group
+    members = _editdist_members(
+        docs, 16, True, "doc_id", "text", "lang", "n_chars", cap, 8
+    )
+    sizes = (
+        members.groupBy("lg", "band", "salt").count().agg(
+            F.max("count").alias("m")
+        ).collect()[0]["m"]
+    )
+    assert sizes <= 2 * cap, sizes
+    # (2) the co-salted planted pair survives sub-blocking
+    got = editdist_pairs(docs, max_dist=8, max_band_docs=cap).collect()
+    pairs = {(r["lo"], r["hi"]) for r in got}
+    assert (min(pair_ids), max(pair_ids)) in pairs
+    # (3) never invents pairs: subset of the exact uncapped run
+    exact = {
+        (r["lo"], r["hi"])
+        for r in editdist_pairs(docs, max_dist=8, max_band_docs=None).collect()
+    }
+    assert pairs <= exact
+
+
 def test_editdist_qgram_prefilter_is_lossless(spark, tables):
     """The r6 byte-trigram histogram prefilter is an EXACT bound
     (lev <= d implies bucketed trigram L1 <= 12d, 6d both-ASCII),

@@ -1046,15 +1046,19 @@ def editdist_pairs(
     the band roughly halves the candidates (measured sf1: 51.4 s at
     width 32 -> 27.8 s at width 16, identical 13 822 output pairs).
 
-    ``max_band_docs`` bounds per-(lang, band) block quadratic cost by
-    SALTED SUB-BLOCKING: a block of n docs splits into
-    s = ceil(n / max_band_docs) deterministic hash sub-blocks and
-    pairs meet only within a sub-block — candidate mass per block
-    drops from n² to ~n·max_band_docs while EVERY doc keeps
-    ~max_band_docs comparison partners (an earlier revision dropped
-    oversized blocks outright, which at sf10 excluded 87% of the
-    corpus from dedup entirely). Within an oversized block ~1/s of
-    true pairs survive — the standard salting recall trade; pair
+    ``max_band_docs`` bounds per-(lang, band) GROUP cost — quadratic
+    candidate mass AND the one-group-in-memory applyInPandas peak —
+    by SALTED SUB-BLOCKING: a block receiving n ARRIVALS (its own
+    docs plus the adjacent band's guest replicas — counting only own
+    docs let a hub-shaped neighbor band ride unbounded guest rows
+    into one group, r8) splits into s = ceil(n / max_band_docs)
+    deterministic hash sub-blocks and pairs meet only within a
+    sub-block — candidate mass per block drops from n² to
+    ~n·max_band_docs while EVERY doc keeps ~max_band_docs comparison
+    partners (an earlier revision dropped oversized blocks outright,
+    which at sf10 excluded 87% of the corpus from dedup entirely).
+    Within an oversized destination band ~1/s of true pairs survive
+    — the standard salting recall trade; pair
     MinHash-LSH alongside to recover cross-sub-block duplicates. The
     default (2000) is far above every parity-scale block population
     (max 23 at sf0.01, 153 at sf0.1), so s == 1 everywhere there and
@@ -1117,6 +1121,42 @@ def editdist_pairs(
     nparts = shuffle_parallelism or (
         docs.sparkSession.sparkContext.defaultParallelism * 4
     )
+    members = _editdist_members(
+        docs, band_width, qgram_prefilter,
+        id_col, text_col, lang_col, len_col, max_band_docs, nparts,
+    )
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    id_type = docs.schema[id_col].dataType
+    pair_schema = T.StructType(
+        [T.StructField("lo", id_type), T.StructField("hi", id_type)]
+    )
+    pair_gate = _editdist_pair_kernel(max_dist, qgram_prefilter)
+    cand_ids = members.groupBy("lg", "band", "salt").applyInPandas(
+        pair_gate, schema=pair_schema
+    )
+    texts = docs.select(
+        F.col(id_col).alias("__tid"), F.col(text_col).alias("__ttxt")
+    )
+    return _editdist_score(cand_ids, texts, max_dist, prefix)
+
+
+def _editdist_members(
+    docs: DataFrame,
+    band_width: int,
+    qgram_prefilter: bool,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    len_col: str,
+    max_band_docs: int | None,
+    nparts: int,
+) -> DataFrame:
+    """The (lang, band, salt)-keyed member relation the pair kernel
+    groups over: own docs (side 0) plus the adjacent band's guest
+    replicas (side 1), salted by the destination band's ARRIVAL
+    count. Factored out so the peak-group-size contract (one group
+    == one in-memory pandas frame) is directly testable."""
     base = _editdist_base(
         docs, band_width, qgram_prefilter,
         id_col, text_col, lang_col, len_col,
@@ -1131,20 +1171,40 @@ def editdist_pairs(
         # candidate volume grows quadratically with band population —
         # at corpus scale, oversized (lang, band) blocks must be
         # bounded or the join explodes no matter how cheap the
-        # per-pair gate is. SALTED SUB-BLOCKING: a block of n docs
-        # splits into s = ceil(n / max_band_docs) hash-assigned
+        # per-pair gate is. SALTED SUB-BLOCKING: a block splits into
+        # s = ceil(arrivals / max_band_docs) hash-assigned
         # sub-blocks and pairs only meet within a sub-block —
         # every doc keeps ~max_band_docs comparison partners and
         # quadratic mass per block drops from n² to ~n·max_band_docs.
-        # (An earlier revision DROPPED oversized blocks outright; at
-        # sf10 that silently excluded 87% of the corpus — a recall
-        # cliff, not a dial.) Approximation contract: within an
-        # oversized block ~1/s of true pairs survive (cross-sub-block
-        # pairs are lost — run MinHash alongside for those); at
-        # parity scales every s == 1 and the path is EXACT, so the
-        # oracle twin needs no salting (pytest-asserted).
-        pops = d.groupBy("lg", "band").agg(
-            F.ceil(F.count(F.lit(1)) / max_band_docs).cast("int").alias("__s")
+        # ``arrivals`` counts EVERYTHING landing in the group — own
+        # docs AND the adjacent band's guests (r8, r7 verdict ask
+        # #9: an own-only count let a hub-shaped adjacent band ride
+        # 100k+ guest rows into one applyInPandas group, unbounded
+        # peak memory). (An earlier revision DROPPED oversized
+        # blocks outright; at sf10 that silently excluded 87% of
+        # the corpus — a recall cliff, not a dial.) Approximation
+        # contract: within an oversized destination band ~1/s of
+        # true pairs survive (cross-sub-block pairs are lost — run
+        # MinHash alongside for those); at parity scales every
+        # s == 1 and the path is EXACT, so the oracle twin needs no
+        # salting (pytest-asserted).
+        own_pop = d.groupBy("lg", "band").agg(
+            F.count(F.lit(1)).alias("__no")
+        )
+        guest_pop = (
+            d.select("lg", (F.col("band") - 1).alias("band"))
+            .groupBy("lg", "band")
+            .agg(F.count(F.lit(1)).alias("__ng"))
+        )
+        pops = own_pop.join(guest_pop, ["lg", "band"], "left").select(
+            "lg",
+            "band",
+            F.ceil(
+                (F.col("__no") + F.coalesce(F.col("__ng"), F.lit(0)))
+                / max_band_docs
+            )
+            .cast("int")
+            .alias("__s"),
         )
         d = d.join(F.broadcast(pops), ["lg", "band"]).withColumn(
             "salt", F.pmod(F.xxhash64("id"), F.col("__s")).cast("int")
@@ -1174,10 +1234,6 @@ def editdist_pairs(
     # sub-block count (the old "replica into the previous band").
     # Own-own pairs emit once (i < j), own-guest once (cross-band
     # pairs meet only here), so no global DISTINCT is needed.
-    import pandas as pd  # noqa: PLC0415
-
-    from pyspark.sql import types as T  # noqa: PLC0415
-
     qcols = ["h3", "ba"] if qgram_prefilter else []
     own = d.select(
         "lg", "band", "salt", F.lit(0).alias("side"),
@@ -1203,21 +1259,9 @@ def editdist_pairs(
     # and keep every sub-block of a hot block in one task (the sf10
     # tail) — and AQE never coalesces a user-specified repartition,
     # so nparts survives to runtime.
-    members = own.unionByName(guest).repartition(
+    return own.unionByName(guest).repartition(
         nparts, "lg", "band", "salt"
     )
-    id_type = docs.schema[id_col].dataType
-    pair_schema = T.StructType(
-        [T.StructField("lo", id_type), T.StructField("hi", id_type)]
-    )
-    pair_gate = _editdist_pair_kernel(max_dist, qgram_prefilter)
-    cand_ids = members.groupBy("lg", "band", "salt").applyInPandas(
-        pair_gate, schema=pair_schema
-    )
-    texts = docs.select(
-        F.col(id_col).alias("__tid"), F.col(text_col).alias("__ttxt")
-    )
-    return _editdist_score(cand_ids, texts, max_dist, prefix)
 
 
 def editdist_pairs_incremental(
@@ -1295,15 +1339,31 @@ def editdist_pairs_incremental(
     qcols = ["h3", "ba"] if qgram_prefilter else []
     cols = ["id", "ln", "tln", "h", *qcols]
     if max_band_docs is not None:
-        pops = (
-            b_base.select("lg", "band")
-            .unionByName(c_base.select("lg", "band"))
-            .groupBy("lg", "band")
-            .agg(
-                F.ceil(F.count(F.lit(1)) / max_band_docs)
-                .cast("int")
-                .alias("__s")
+        # arrivals count, like the full operator (r8): a group at
+        # destination band B holds batch docs of band B (own) plus
+        # batch docs of band B+1 and corpus docs of bands B-1/B/B+1
+        # (guests) — counting them all keeps hub-shaped neighbor
+        # bands from riding unbounded guest rows into one group
+        own_pop = b_base.groupBy("lg", "band").agg(
+            F.count(F.lit(1)).alias("__no")
+        )
+        garr = b_base.select("lg", (F.col("band") - 1).alias("band"))
+        for shift in (-1, 0, 1):
+            garr = garr.unionByName(
+                c_base.select("lg", (F.col("band") + shift).alias("band"))
             )
+        guest_pop = garr.groupBy("lg", "band").agg(
+            F.count(F.lit(1)).alias("__ng")
+        )
+        pops = own_pop.join(guest_pop, ["lg", "band"], "left").select(
+            "lg",
+            "band",
+            F.ceil(
+                (F.col("__no") + F.coalesce(F.col("__ng"), F.lit(0)))
+                / max_band_docs
+            )
+            .cast("int")
+            .alias("__s"),
         )
 
         def salted(df: DataFrame, band_expr) -> DataFrame:
