@@ -1952,7 +1952,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "training_order_spine": ["pack_id", "pack_tokens", "pos", "shard"],
     "dedup_editdist_incremental": ["dist", "hi", "lo"],
     "kmeans_update_pass": ["cid", "n", "pos", "s"],
-    "bpe_pair_counts_pass": ["rank", "left", "right", "pair_count"],
+    "bpe_pair_counts_pass": ["left", "pair_count", "rank", "right"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2036,7 +2036,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "doc_fingerprint": ["doc_id", "fp_digest", "n_fingerprints"],
     "multimodal_decode": ["doc_id", "fake_height", "fake_width", "n_bytes", "payload_md5"],
     "multimodal_resize": ["doc_id", "out_height", "out_width", "resized_md5", "src_height", "src_width"],
-    "multimodal_frame_sample": ["doc_id", "frame_idx", "n_frames", "width", "height", "sum_rgb"],
+    "multimodal_frame_sample": ["doc_id", "frame_idx", "height", "n_frames", "sum_rgb", "width"],
     "ann_ivf_topk": ["cosine", "neighbor_id", "query_id", "rnk"],
     "curation_funnel": ["n_docs", "stage"],
     "skew_salted_agg": ["event_type", "n_events", "sum_value"],
@@ -2437,86 +2437,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # numpy-pinned + partitioning-invariance bit-identity pytest
         "embedding_pca": _embedding_pca,
     }
-    # ---- r7 gate window (slots 1-50; the driver checks these) ----
-    # Priority per the standing rotation contract:
-    # (a) the 6 oracle-bearing queries that had never produced a
-    #     driver row after r6 (the r6 verdict's ask #1, verbatim:
-    #     judge-parity-verified only) — three of them ALSO changed
-    #     in r7 (winsorize_apply null-safe bounds join,
-    #     classifier_eval null-safe correctness predicate,
-    #     dup_weighting components= pass-through), so the fresh row
-    #     covers the shipped code;
-    # (b) the 3 queries NEW in r7 (dedup_pipeline composed spine,
-    #     pca_sufficient_stats / lr_gradient_pass — the
-    #     oracle-twinned deterministic halves of the two by-design
-    #     rows-only trainers, the r6 verdict's ask #2);
-    # (c) the 5 never-driver-seen ROWS-ONLY entries get their
-    #     one-time exposure (planned in the r6 window comment; the
-    #     r4-precedent trade — a weaker rows-only record still
-    #     proves they execute in the driver's environment), then
-    #     back to the tail for good;
-    # (e) the 3 queries whose implementation or output changed in
-    #     r7 beyond (a): dedup_editdist (blocked numpy pair kernel),
-    #     media_probe (JPEG payload class + decoder), media_resize
-    #     (JPEG exclusion contract);
-    # (d) 33 slots refresh the oldest-signal backlog — the queries
-    #     whose latest driver row is r3.
+    # ---- r8 gate window (slots 1-50; the driver checks these) ----
+    # Priority per the standing rotation contract (r7 verdict ask
+    # #4: 50 oracle-bearing slots refreshing the oldest signal, with
+    # the one sanctioned exception below):
+    # (a) the 8 oracle-bearing queries whose implementation or
+    #     output CHANGED in r8 — old green rows no longer cover the
+    #     shipped code: multimodal_frame_sample (real MJPEG decode,
+    #     new schema + oracle), media_probe (progressive-JPEG payload
+    #     class + multi-scan decoder, widened WAV family),
+    #     media_resample / media_silence_report (8/16/24-bit,
+    #     mono/stereo payloads + per-class oracles), dedup_editdist /
+    #     dedup_editdist_incremental (int32 kernel histograms,
+    #     null-row filter, arrivals-based salting), tfidf_top_terms
+    #     (AQE-decided df join, broadcast hint dropped);
+    # (b) the 1 query NEW in r8 (bpe_pair_counts_pass — the
+    #     oracle-twinned deterministic half of the BPE trainer,
+    #     verdict ask #5);
+    # (c) embedding_pca's SANCTIONED rows-only retry (verdict ask
+    #     #3 verbatim: its r7 exposure crashed the driver's hash
+    #     stage on an array cell; the projection now renders as a
+    #     string so the rows/schema checks can finally run);
+    # (d) the 13 queries whose latest driver row is r3 — after this
+    #     window, min(latest-green) >= r4 across the whole surface;
+    # (e) 28 slots against the 44-query r4 backlog (the remaining
+    #     16 r4 rows lead the r9 window).
     window = [
-        # (a) never driver-gated, oracle-bearing
-        "dup_weighting",
-        "strip_markup",
-        "retrieval_eval",
-        "classifier_eval",
-        "ngram_overlap",
-        "winsorize_apply",
-        # (b) new in r7, oracle-bearing
-        "dedup_pipeline",
-        "pca_sufficient_stats",
-        "lr_gradient_pass",
-        "training_order_spine",
-        "dedup_editdist_incremental",
-        "kmeans_update_pass",
-        # (c) one-time rows-only exposure
-        "quality_lr",
-        "compression_ratio",
-        "pair_pagerank",
-        "embedding_pca",
-        "mmr_diversify",
-        # (e) implementation/output changed in r7
-        "dedup_editdist",
-        "media_probe",
-        "media_resize",
-        "tfidf_top_terms",
-        "source_overlap_matrix",
-        # (d) oldest-signal (r3-green) refresh
-        "flagship_segmentation",
-        "incremental_antijoin",
-        "fk_integrity",
-        "json_normalize",
-        "ilike_search",
-        "resource_cascade",
-        "multi_currency",
-        "upsert_latest",
-        "paginate",
-        "asof_last_purchase",
-        "window_moving_avg",
-        "sessionize",
-        "q20_heavy_suppliers",
-        "repetition_stats",
-        "corpus_vocab",
-        "skew_salted_join",
-        "incremental_dedup",
-        "chunk_documents",
-        "source_mix_sample",
-        "token_count",
-        "doc_fingerprint",
-        "multimodal_decode",
-        "multimodal_resize",
+        # (a) implementation/output changed in r8
         "multimodal_frame_sample",
-        "ann_ivf_topk",
-        "curation_funnel",
-        "skew_salted_agg",
-        "pivot_qty_by_status",
+        "media_probe",
+        "media_resample",
+        "media_silence_report",
+        "dedup_editdist",
+        "dedup_editdist_incremental",
+        "tfidf_top_terms",
+        # (b) new in r8, oracle-bearing
+        "bpe_pair_counts_pass",
+        # (c) sanctioned rows-only retry (r7 verdict ask #3)
+        "embedding_pca",
+        # (d) oldest-signal (r3-green) refresh — all 13
+        "session_window_native",
+        "cube_qty_summary",
+        "exact_quantiles",
+        "interval_overlap",
+        "window_funcs_battery",
+        "customer_order_sets",
+        "calendar_rollup",
+        "grouping_sets_summary",
+        "kmv_distinct_users",
+        "cdc_apply",
+        "scd2_history",
+        "decontaminate_ngrams",
+        "bigram_surprisal",
+        # (e) r4-green refresh, first 28 of the backlog
+        "q1_pricing_summary",
+        "q3_topk_revenue",
+        "q5_region_volume",
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q12_shipping_delay",
+        "event_funnel",
+        "retention_cohorts",
+        "numeric_outliers",
+        "dedup_clusters",
+        "dedup_clusters_twostars",
+        "embedding_dedup",
+        "profile_events",
+        "dup_rate_by_source",
+        "length_histogram",
+        "pack_chunks",
+        "tokenize_to_ids",
+        "gopher_rules",
+        "containment_pairs",
+        "cluster_keep_best",
+        "ann_int8_topk",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
