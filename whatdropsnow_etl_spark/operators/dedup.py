@@ -1048,12 +1048,16 @@ def editdist_pairs(
 
     ``max_band_docs`` bounds per-(lang, band) GROUP cost — quadratic
     candidate mass AND the one-group-in-memory applyInPandas peak —
-    by SALTED SUB-BLOCKING: a block receiving n ARRIVALS (its own
-    docs plus the adjacent band's guest replicas — counting only own
+    by SALTED SUB-BLOCKING into
+    s = max(ceil(own / cap), ceil(arrivals / (2·cap)))
+    deterministic hash sub-blocks; ``arrivals`` is the group's own
+    docs PLUS the adjacent band's guest replicas (counting only own
     docs let a hub-shaped neighbor band ride unbounded guest rows
-    into one group, r8) splits into s = ceil(n / max_band_docs)
-    deterministic hash sub-blocks and pairs meet only within a
-    sub-block — candidate mass per block drops from n² to
+    into one group, r8), and the 2·cap divisor keeps the uniform
+    steady state (guests ≈ own, group peak already ~2·cap) at the
+    exact same s — identical output — while pathological bands now
+    split until a group holds ≤ ~2·cap rows. Pairs meet only within
+    a sub-block — candidate mass per block drops from n² to
     ~n·max_band_docs while EVERY doc keeps ~max_band_docs comparison
     partners (an earlier revision dropped oversized blocks outright,
     which at sf10 excluded 87% of the corpus from dedup entirely).
@@ -1172,22 +1176,27 @@ def _editdist_members(
         # at corpus scale, oversized (lang, band) blocks must be
         # bounded or the join explodes no matter how cheap the
         # per-pair gate is. SALTED SUB-BLOCKING: a block splits into
-        # s = ceil(arrivals / max_band_docs) hash-assigned
-        # sub-blocks and pairs only meet within a sub-block —
-        # every doc keeps ~max_band_docs comparison partners and
-        # quadratic mass per block drops from n² to ~n·max_band_docs.
+        # s = max(ceil(own / cap), ceil(arrivals / (2·cap)))
+        # hash-assigned sub-blocks and pairs only meet within a
+        # sub-block — every doc keeps ~cap comparison partners and
+        # quadratic mass per block drops from n² to ~n·cap.
         # ``arrivals`` counts EVERYTHING landing in the group — own
         # docs AND the adjacent band's guests (r8, r7 verdict ask
         # #9: an own-only count let a hub-shaped adjacent band ride
         # 100k+ guest rows into one applyInPandas group, unbounded
-        # peak memory). (An earlier revision DROPPED oversized
-        # blocks outright; at sf10 that silently excluded 87% of
-        # the corpus — a recall cliff, not a dial.) Approximation
-        # contract: within an oversized destination band ~1/s of
-        # true pairs survive (cross-sub-block pairs are lost — run
-        # MinHash alongside for those); at parity scales every
-        # s == 1 and the path is EXACT, so the oracle twin needs no
-        # salting (pytest-asserted).
+        # peak memory). The 2·cap arrivals divisor makes the
+        # UNIFORM case (guests ≈ own, the r7 steady state whose
+        # group peak was already ~2·cap) keep the exact same s —
+        # and therefore identical output — while hub-shaped bands
+        # now split until a group holds ≤ ~2·cap rows. (An earlier
+        # revision DROPPED oversized blocks outright; at sf10 that
+        # silently excluded 87% of the corpus — a recall cliff, not
+        # a dial.) Approximation contract: within an oversized
+        # destination band ~1/s of true pairs survive
+        # (cross-sub-block pairs are lost — run MinHash alongside
+        # for those); at parity scales every s == 1 and the path is
+        # EXACT, so the oracle twin needs no salting
+        # (pytest-asserted).
         own_pop = d.groupBy("lg", "band").agg(
             F.count(F.lit(1)).alias("__no")
         )
@@ -1199,9 +1208,12 @@ def _editdist_members(
         pops = own_pop.join(guest_pop, ["lg", "band"], "left").select(
             "lg",
             "band",
-            F.ceil(
-                (F.col("__no") + F.coalesce(F.col("__ng"), F.lit(0)))
-                / max_band_docs
+            F.greatest(
+                F.ceil(F.col("__no") / max_band_docs),
+                F.ceil(
+                    (F.col("__no") + F.coalesce(F.col("__ng"), F.lit(0)))
+                    / (2 * max_band_docs)
+                ),
             )
             .cast("int")
             .alias("__s"),
@@ -1343,7 +1355,9 @@ def editdist_pairs_incremental(
         # destination band B holds batch docs of band B (own) plus
         # batch docs of band B+1 and corpus docs of bands B-1/B/B+1
         # (guests) — counting them all keeps hub-shaped neighbor
-        # bands from riding unbounded guest rows into one group
+        # bands from riding unbounded guest rows into one group;
+        # same s formula as the full operator (the 2·cap arrivals
+        # divisor keeps the steady-state group peak at ~2·cap)
         own_pop = b_base.groupBy("lg", "band").agg(
             F.count(F.lit(1)).alias("__no")
         )
@@ -1358,9 +1372,12 @@ def editdist_pairs_incremental(
         pops = own_pop.join(guest_pop, ["lg", "band"], "left").select(
             "lg",
             "band",
-            F.ceil(
-                (F.col("__no") + F.coalesce(F.col("__ng"), F.lit(0)))
-                / max_band_docs
+            F.greatest(
+                F.ceil(F.col("__no") / max_band_docs),
+                F.ceil(
+                    (F.col("__no") + F.coalesce(F.col("__ng"), F.lit(0)))
+                    / (2 * max_band_docs)
+                ),
             )
             .cast("int")
             .alias("__s"),

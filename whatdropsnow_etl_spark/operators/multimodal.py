@@ -258,8 +258,18 @@ def attach_mjpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": batch["doc_id"], "payload": payloads}
             )
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        gen, schema="doc_id bigint, payload binary"
+    # the id relation arrives as however few partitions the source
+    # parquet had (ONE at bench scale) — spread it first or clip
+    # synthesis AND every downstream per-frame decode run serially
+    # in a single task (measured sf0.1: 8.0 -> ~2 s wall for
+    # sample_frames_mjpeg). A real media table is already split
+    # across blob files; the repartition models that read
+    # parallelism for the synthesized family.
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(gen, schema="doc_id bigint, payload binary")
     )
 
 
