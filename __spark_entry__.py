@@ -1837,6 +1837,14 @@ def _benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import ks_two_sample
+
+    return ks_two_sample(
+        load_table(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
 def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hybrid_search
 
@@ -1953,6 +1961,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "dedup_editdist_incremental": ["dist", "hi", "lo"],
     "kmeans_update_pass": ["cid", "n", "pos", "s"],
     "bpe_pair_counts_pass": ["left", "pair_count", "rank", "right"],
+    "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2306,6 +2315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an integer relation (the same pattern applied to the last
         # big rows-only trainer; rank 1 == bpe_merges' first merge)
         "bpe_pair_counts_pass": _bpe_pair_counts_pass,
+        # NEW in r8 continuation — per-source exact two-sample KS
+        # drift statistic (integer numerator argmax, one division)
+        "ks_two_sample": _ks_two_sample,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2471,8 +2483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist",
         "dedup_editdist_incremental",
         "tfidf_top_terms",
-        # (b) new in r8, oracle-bearing
+        # (b) new in r8, oracle-bearing (first-ever signal beats any
+        # refresh — the continuation additions displace the tail of
+        # the r4 refresh block below)
         "bpe_pair_counts_pass",
+        "ks_two_sample",
         # (c) sanctioned rows-only retry (r7 verdict ask #3)
         "embedding_pca",
         # (d) oldest-signal (r3-green) refresh — all 13
@@ -2517,7 +2532,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules",
         "containment_pairs",
         "cluster_keep_best",
-        "ann_int8_topk",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6378,6 +6392,51 @@ def oracle_sql() -> dict[str, str]:
         FROM pc
         ORDER BY pair_count DESC, lft, rgt
         LIMIT 20
+    """
+    # r8 continuation: per-source exact two-sample KS vs the rest —
+    # the vertical-gap numerator |cum_g*n_rest - cum_rest*n_g| is
+    # exact integer arithmetic over the (source, value) histogram
+    # (HUGEINT here, DECIMAL(38,0) in Spark, VARCHAR-rendered), the
+    # argmax ties break to the smallest value, and the statistic is
+    # the one final double division rounded like the cosine family
+    sql["ks_two_sample"] = """
+        WITH h AS (
+          SELECT source AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM h GROUP BY v
+        ), grid AS (
+          SELECT gs.g, tot.v, COALESCE(h.c, 0) AS c, tot.cv
+          FROM (SELECT DISTINCT g FROM h) gs
+          CROSS JOIN tot
+          LEFT JOIN h ON h.g = gs.g AND h.v = tot.v
+        ), cum AS (
+          SELECT g, v,
+                 CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS HUGEINT)
+                   AS cg,
+                 CAST(SUM(cv) OVER (PARTITION BY g ORDER BY v) AS HUGEINT)
+                   AS ct,
+                 CAST(SUM(c) OVER (PARTITION BY g) AS HUGEINT) AS ng,
+                 CAST(SUM(cv) OVER (PARTITION BY g) AS HUGEINT) AS n
+          FROM grid
+        ), diff AS (
+          SELECT g, v, ng, n - ng AS nr,
+                 ABS(cg * (n - ng) - (ct - cg) * ng) AS dnum
+          FROM cum
+        )
+        SELECT g AS source,
+               CAST(ng AS BIGINT) AS n_group,
+               CAST(nr AS BIGINT) AS n_rest,
+               CAST(dnum AS VARCHAR) AS d_num,
+               CAST(v AS BIGINT) AS at_value,
+               ROUND(CAST(dnum AS DOUBLE)
+                     / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)), 6) AS d
+        FROM diff
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY g
+                                   ORDER BY dnum DESC, v) = 1
+        ORDER BY source
     """
     # one Lloyd's update round from the deterministic stand-in
     # codebook: the assign argmax is ann_ivf_topk's proven-green SQL

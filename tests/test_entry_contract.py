@@ -65,9 +65,11 @@ CHANGED_IN_R8 = [
     "dedup_editdist_incremental", "tfidf_top_terms",
 ]
 
-# New in r8, oracle-bearing (verdict ask #5): one BPE pair-count
-# round + argmax tiebreak as an integer relation.
-NEW_ORACLE_R8 = ["bpe_pair_counts_pass"]
+# New in r8, oracle-bearing: one BPE pair-count round + argmax
+# tiebreak as an integer relation (verdict ask #5), then the r8
+# continuation additions — each displaces one r4-refresh tail slot
+# per the standing first-ever-signal-beats-refresh contract.
+NEW_ORACLE_R8 = ["bpe_pair_counts_pass", "ks_two_sample"]
 
 # The one SANCTIONED rows-only slot (r7 verdict ask #3): its r7
 # exposure crashed the driver's hash stage on an array cell; the
@@ -95,16 +97,17 @@ def test_gate_window_composition():
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
+    n_new = len(NEW_ORACLE_R8)
     assert gated[:7] == CHANGED_IN_R8
-    assert gated[7:8] == NEW_ORACLE_R8
-    assert gated[8:9] == ROWS_ONLY_RETRY_R8
-    assert gated[9:22] == R3_REFRESH_R8
+    assert gated[7 : 7 + n_new] == NEW_ORACLE_R8
+    assert gated[7 + n_new : 8 + n_new] == ROWS_ONLY_RETRY_R8
+    assert gated[8 + n_new : 21 + n_new] == R3_REFRESH_R8
     # only the one sanctioned retry may be rows-only
     wasted = [q for q in gated if q not in oracles
               and q not in ROWS_ONLY_RETRY_R8]
     assert not wasted, f"unplanned rows-only queries in window: {wasted}"
     # the refresh blocks are all oracle-bearing
-    assert all(q in oracles for q in gated[9:])
+    assert all(q in oracles for q in gated[8 + n_new:])
 
 
 def test_no_oracle_emits_hugeint():

@@ -355,3 +355,76 @@ def test_active_learning_picks_boundary_scores(spark):
     assert out[("b", 1)] == 6
     assert out[("b", 2)] == 5
     assert len(out) == 4
+
+
+def _ks_reference(pairs):
+    """Pure-python per-group two-sample KS vs rest: returns
+    {group: (n_g, n_r, d_num, at_value)} from (group, value) pairs."""
+    from collections import Counter
+
+    by_g = Counter(pairs)
+    groups = sorted({g for g, _ in pairs})
+    values = sorted({v for _, v in pairs})
+    out = {}
+    for g in groups:
+        n_g = sum(c for (gg, _), c in by_g.items() if gg == g)
+        n_r = len(pairs) - n_g
+        cum_g = cum_r = 0
+        best = (-1, None)
+        for v in values:
+            cum_g += by_g.get((g, v), 0)
+            cum_r += sum(
+                c for (gg, vv), c in by_g.items() if gg != g and vv == v
+            )
+            gap = abs(cum_g * n_r - cum_r * n_g)
+            if gap > best[0]:
+                best = (gap, v)
+        out[g] = (n_g, n_r, best[0], best[1])
+    return out
+
+
+def test_ks_two_sample_matches_reference(spark):
+    from whatdropsnow_etl_spark.operators import ks_two_sample
+
+    # deterministic skewed data: src2's values shifted up
+    pairs = []
+    for i in range(300):
+        g = f"src{i % 3}"
+        v = (i * 13) % 40 + (25 if g == "src2" else 0)
+        pairs.append((g, v))
+    df = spark.createDataFrame(pairs, "source string, n_chars long")
+    ref = _ks_reference(pairs)
+    got = ks_two_sample(df, "source", "n_chars").collect()
+    assert len(got) == 3
+    for r in got:
+        n_g, n_r, d_num, at_v = ref[r.source]
+        assert (r.n_group, r.n_rest) == (n_g, n_r)
+        assert r.d_num == str(d_num)
+        assert r.at_value == at_v
+        assert r.d == round(d_num / (n_g * n_r), 6)
+    # the shifted group must dominate the statistic
+    d_by_g = {r.source: float(r.d) for r in got}
+    assert d_by_g["src2"] > d_by_g["src0"]
+    assert d_by_g["src2"] > d_by_g["src1"]
+
+
+def test_ks_two_sample_identical_and_disjoint(spark):
+    from whatdropsnow_etl_spark.operators import ks_two_sample
+
+    # identical distributions: D == 0 at the smallest value
+    same = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(same, "source string, n_chars long")
+    for r in ks_two_sample(df, "source", "n_chars").collect():
+        assert r.d_num == "0" and r.d == 0.0 and r.at_value == 1
+    # disjoint supports: D == 1, attained at the low group's max
+    dis = [("a", 1), ("a", 2), ("b", 10), ("b", 11)]
+    df2 = spark.createDataFrame(dis, "source string, n_chars long")
+    got = {r.source: r for r in ks_two_sample(df2, "source", "n_chars").collect()}
+    assert got["a"].d == 1.0 and got["a"].at_value == 2
+    assert got["b"].d == 1.0 and got["b"].at_value == 2
+    # null group / null value rows are excluded, not crashed on
+    withnull = dis + [(None, 5), ("a", None)]
+    df3 = spark.createDataFrame(withnull, "source string, n_chars long")
+    got3 = {r.source: r for r in ks_two_sample(df3, "source", "n_chars").collect()}
+    assert set(got3) == {"a", "b"}
+    assert got3["a"].n_group == 2 and got3["a"].n_rest == 2

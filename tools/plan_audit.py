@@ -132,6 +132,11 @@ ALLPAIRS_OK = {
     # relevance pool IS ann_cosine_topk (corpus × bounded broadcast
     # queries); the greedy stage is (queries × pool)-bounded
     "mmr_diversify",
+    # value-spine × distinct-groups grid: the group side is a
+    # bounded categorical broadcast, the spine is the compacted
+    # value histogram — never a data×data cross (the raw relation
+    # collapses in one map-combined groupBy first)
+    "ks_two_sample",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel

@@ -528,3 +528,107 @@ def benford_check(
             F.col("n").cast("double") / w_tot.cast("double") - expected
         ).alias("delta"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov statistic of an
+    integer-valued column against the REST of the relation — the
+    nonparametric drift screen that catches any distributional
+    difference (location, spread, shape) without binning choices:
+    D = max_x |F_group(x) − F_rest(x)|. distribution_shift_report
+    compares two snapshots through sampled bins; this compares each
+    slice to its complement exactly, the "is this source's length
+    profile unlike everything else?" question a corpus curator asks
+    before weighting sources.
+
+    No reference twin — the reference (397 LoC ETL) has no
+    statistics; extends SURVEY §2.3's integrity family.
+
+    Exactness: with c_g(x) = group count at value x, n_g the group
+    total, the vertical gap at x is |cum_g·n_rest − cum_rest·n_g| /
+    (n_g·n_rest) — the NUMERATOR is exact integer arithmetic, so the
+    argmax (and the statistic as one final double division) is
+    bit-deterministic across engines and partitionings; products are
+    DECIMAL(38,0) so 10^12-row inputs stay inside the 38-digit cap.
+    ``at_value`` is the smallest value attaining the max (ties break
+    low, pinned).
+
+    Scale shape: the corpus collapses in ONE map-side-combined
+    groupBy to the (group, value) histogram; every later stage —
+    the per-value total, the group×value spine (distinct groups
+    crossJoin'd onto the value spine, group side broadcast:
+    categorical cardinality), the cumulative windows — runs over
+    histogram-sized relations partitioned by group. No window ever
+    sees raw rows; a 100 TB input with bounded value range pays the
+    one aggregate plus bounded-size joins.
+
+    Output: (group_col, n_group, n_rest, d_num VARCHAR-rendered
+    exact numerator, at_value, d) — d is the one double division,
+    rounded to 6 places like the cosine family.
+    """
+    from pyspark.sql.window import Window
+
+    h = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("bigint").alias("__v"),
+        )
+        .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    tot = h.groupBy("__v").agg(F.sum("__c").cast("bigint").alias("__cv"))
+    groups = h.select("__g").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(groups))
+        .join(h, ["__g", "__v"], "left")
+        .select(
+            "__g",
+            "__v",
+            F.coalesce("__c", F.lit(0)).cast("bigint").alias("__c"),
+            "__cv",
+        )
+    )
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__g")
+    dec = "decimal(38,0)"
+    cum_g = F.sum("__c").over(w_cum).cast(dec)
+    cum_t = F.sum("__cv").over(w_cum).cast(dec)
+    n_g = F.sum("__c").over(w_all).cast(dec)
+    n_all = F.sum("__cv").over(w_all).cast(dec)
+    scored = grid.select(
+        "__g",
+        "__v",
+        n_g.alias("__ng"),
+        (n_all - n_g).alias("__nr"),
+        F.abs(
+            cum_g * (n_all - n_g) - (cum_t - cum_g) * n_g
+        ).alias("__dnum"),
+    )
+    w_pick = Window.partitionBy("__g").orderBy(
+        F.col("__dnum").desc(), F.col("__v").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__ng").cast("bigint").alias("n_group"),
+            F.col("__nr").cast("bigint").alias("n_rest"),
+            F.col("__dnum").cast("string").alias("d_num"),
+            F.col("__v").alias("at_value"),
+            F.round(
+                F.col("__dnum").cast("double")
+                / (F.col("__ng").cast("double") * F.col("__nr").cast("double")),
+                6,
+            ).alias("d"),
+        )
+    )
