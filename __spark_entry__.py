@@ -1845,6 +1845,18 @@ def _ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nn_descent_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import (
+        nn_descent_pass,
+        ring_seed_graph,
+    )
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    return nn_descent_pass(
+        vectors, ring_seed_graph(vectors, k=5), k=5
+    )
+
+
 def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hybrid_search
 
@@ -1962,6 +1974,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "kmeans_update_pass": ["cid", "n", "pos", "s"],
     "bpe_pair_counts_pass": ["left", "pair_count", "rank", "right"],
     "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
+    "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2318,6 +2331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r8 continuation — per-source exact two-sample KS
         # drift statistic (integer numerator argmax, one division)
         "ks_two_sample": _ks_two_sample,
+        # NEW in r8 continuation — one NN-descent kNN-graph
+        # refinement round as a relation (ring seed; same output
+        # shape as ann_cosine_topk so passes chain)
+        "nn_descent_pass": _nn_descent_pass,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2488,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r4 refresh block below)
         "bpe_pair_counts_pass",
         "ks_two_sample",
+        "nn_descent_pass",
         # (c) sanctioned rows-only retry (r7 verdict ask #3)
         "embedding_pca",
         # (d) oldest-signal (r3-green) refresh — all 13
@@ -2531,7 +2549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_to_ids",
         "gopher_rules",
         "containment_pairs",
-        "cluster_keep_best",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6437,6 +6454,45 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY g
                                    ORDER BY dnum DESC, v) = 1
         ORDER BY source
+    """
+    # r8 continuation: one NN-descent round from the deterministic
+    # modular-ring seed — candidates are the seed edges, their
+    # reversal, and the neighbor-of-neighbor join; scoring is the
+    # proven-green list_dot_product cosine, top-k the ann window
+    sql["nn_descent_pass"] = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cnt AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+        ), seed AS (
+          SELECT vec_id AS query_id, (vec_id + j) % cnt.n AS neighbor_id
+          FROM e CROSS JOIN cnt, UNNEST(range(1, 6)) AS u(j)
+        ), rev AS (
+          SELECT neighbor_id AS query_id, query_id AS neighbor_id FROM seed
+        ), hop AS (
+          SELECT a.query_id, b.neighbor_id
+          FROM seed a JOIN seed b ON a.neighbor_id = b.query_id
+        ), cand AS (
+          SELECT DISTINCT query_id, neighbor_id FROM (
+            SELECT * FROM seed
+            UNION ALL SELECT * FROM rev
+            UNION ALL SELECT * FROM hop
+          ) WHERE query_id <> neighbor_id
+        ), s AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 {_COS.format(a="q.v", b="c.v")} AS cos_raw
+          FROM cand
+          JOIN e q ON q.vec_id = cand.query_id
+          JOIN e c ON c.vec_id = cand.neighbor_id
+        ), r AS (
+          SELECT query_id, neighbor_id, cos_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM s
+        )
+        SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cosine
+        FROM r WHERE rnk <= 5
+        ORDER BY query_id, rnk
     """
     # one Lloyd's update round from the deterministic stand-in
     # codebook: the assign argmax is ann_ivf_topk's proven-green SQL

@@ -428,3 +428,82 @@ def test_ks_two_sample_identical_and_disjoint(spark):
     got3 = {r.source: r for r in ks_two_sample(df3, "source", "n_chars").collect()}
     assert set(got3) == {"a", "b"}
     assert got3["a"].n_group == 2 and got3["a"].n_rest == 2
+
+
+def _exact_knn(vecs, k):
+    """Brute-force cosine kNN: {i: [ids ranked by (cos desc, id)]}."""
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    out = {}
+    for i, vi in vecs.items():
+        scored = sorted(
+            ((cos(vi, vj), -j) for j, vj in vecs.items() if j != i),
+            reverse=True,
+        )
+        out[i] = [-nj for _, nj in scored[:k]]
+    return out
+
+
+def test_nn_descent_converges_to_exact_knn(spark):
+    from whatdropsnow_etl_spark.operators import (
+        nn_descent_pass,
+        ring_seed_graph,
+    )
+
+    # 40 unit vectors at golden-angle spacing: well-spread, and the
+    # ring seed (adjacent IDS) starts far from the angular truth
+    ga = math.pi * (3 - math.sqrt(5))
+    vecs = {
+        i: [math.cos(i * ga % (2 * math.pi)), math.sin(i * ga % (2 * math.pi))]
+        for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: recompute the truth on the rounded values
+    stored = {r.vec_id: list(r.embedding) for r in df.collect()}
+    truth = _exact_knn(stored, 3)
+
+    def neighbors(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id))
+        return {q: [n for _, n in sorted(v)] for q, v in got.items()}
+
+    def recall(nbrs):
+        hit = sum(
+            len(set(nbrs.get(q, [])) & set(t)) for q, t in truth.items()
+        )
+        return hit / sum(len(t) for t in truth.values())
+
+    g = ring_seed_graph(df, k=3)
+    seed_nbrs = {}
+    for r in g.collect():
+        seed_nbrs.setdefault(r.query_id, []).append(r.neighbor_id)
+    r_prev = recall(seed_nbrs)
+    assert r_prev < 0.2  # the ring seed must start badly wrong
+    rows = None
+    for _ in range(6):
+        rows = nn_descent_pass(df, g, k=3).collect()
+        r_now = recall(neighbors(rows))
+        assert r_now >= r_prev  # a pass never loses recall here
+        r_prev = r_now
+        if r_now == 1.0:
+            break
+        # materialize per round (the iteration contract: the pass
+        # embeds three copies of the input plan, so lineage grows
+        # 4^p when chained lazily — checkpoint between rounds)
+        g = spark.createDataFrame(
+            [(r.query_id, r.neighbor_id) for r in rows],
+            "query_id long, neighbor_id long",
+        )
+    assert r_prev == 1.0, f"did not converge: recall={r_prev}"
+    assert neighbors(rows) == truth  # exact ranked sets, not just recall
+    # shape contract: no self loops, rnk dense from 1
+    for r in rows:
+        assert r.query_id != r.neighbor_id and 1 <= r.rnk <= 3

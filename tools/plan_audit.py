@@ -137,6 +137,10 @@ ALLPAIRS_OK = {
     # value histogram — never a data×data cross (the raw relation
     # collapses in one map-combined groupBy first)
     "ks_two_sample",
+    # ring seed: crossJoin against the 1-row broadcast count
+    # aggregate (the Q11 scalar-subquery pattern); the pass itself
+    # is edge-list joins, k²N not N²
+    "nn_descent_pass",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -188,6 +192,9 @@ PYTHON_OK = {
     "retrieval_eval",
     # ann kernel pool + pool-bounded applyInPandas greedy argmax
     "mmr_diversify",
+    # one NN-descent round scores candidates with the shared Arrow
+    # cosine kernel (bit-exact vs list_dot_product)
+    "nn_descent_pass",
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must

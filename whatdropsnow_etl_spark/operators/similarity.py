@@ -1587,3 +1587,133 @@ def mmr_diversify(
         return pd.DataFrame(out)
 
     return cand.groupBy("query_id").applyInPandas(pick, schema=schema)
+
+
+def nn_descent_pass(
+    vectors: DataFrame,
+    graph: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """One NN-descent refinement round (Dong, Moses & Li, WWW'11) —
+    the workhorse for building kNN graphs offline at corpus scale
+    (the construction phase behind HNSW/NN-graph ANN indexes, and
+    the graph kNN-graph dedup/clustering pipelines consume): given a
+    CURRENT approximate kNN graph, "a neighbor of my neighbor is
+    probably my neighbor" — score each query against its neighbors,
+    its reverse neighbors, and its neighbors' neighbors, and keep
+    the k best. Iterating converges from ANY seed graph (even an
+    arbitrary ring) to near-exact kNN in O(log n) passes; this
+    operator is ONE pass as a relation, the kmeans_update_pass /
+    lr_gradient_pass pattern applied to graph construction — each
+    round is driver-checkable, the fixpoint is honest iteration.
+
+    No reference twin — the reference (397 LoC ETL) has no vector
+    ops; extends SURVEY §2.3's similarity family.
+
+    Scale shape: candidates come from ONE self-join of the k·N-edge
+    graph on the shared endpoint (k²·N rows, never N²) plus the
+    edge list and its reversal; vectors attach through two shuffle
+    joins on id (no corpus broadcast — AQE picks the strategy), and
+    the per-query top-k is the ann window partitioned by query_id.
+    Scoring is the Arrow cosine kernel (left-to-right float64,
+    bitwise-equal to DuckDB's list_dot_product) shared with the
+    whole ANN family.
+
+    Output: (query_id, neighbor_id, rnk, cosine) — the improved
+    graph, same shape as ann_cosine_topk, so passes chain and
+    ann_recall_report measures per-round recall directly.
+
+    Iteration contract: the pass embeds THREE copies of the input
+    graph's plan (edges, reversal, self-join), so lazily chaining p
+    passes grows the logical plan 4^p — MATERIALIZE the graph
+    between rounds (write/read parquet or localCheckpoint, the
+    bpe_merges checkpoint-cadence lesson). The deterministic variant
+    can also stall at a local fixpoint on adversarial layouts (the
+    published algorithm adds random sampling); production use seeds
+    from ann_lsh_bucketed, where one pass is a cheap rerank-widen.
+    """
+    from ..functions.vectors import cosine_sim_arrow, to_double_array
+
+    cos = cosine_sim_arrow()
+    edges = graph.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+    )
+    rev = edges.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    hop = edges.alias("a").join(
+        edges.alias("b"), F.col("a.neighbor_id") == F.col("b.query_id")
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("b.neighbor_id").alias("neighbor_id"),
+    )
+    cand = (
+        edges.unionByName(rev)
+        .unionByName(hop)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    vq = vectors.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    vc = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("__cv"),
+    )
+    scored = (
+        cand.join(vq, "query_id")
+        .join(vc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("__cos", 6).alias("cosine"),
+        )
+    )
+
+
+def ring_seed_graph(
+    vectors: DataFrame, id_col: str = "vec_id", k: int = 5
+) -> DataFrame:
+    """Deterministic NN-descent seed: each id's neighbors are the
+    next ``k`` ids in the modular ring over the relation's count —
+    the arbitrary-but-valid start NN-descent's convergence proof
+    assumes (quality of the seed only changes the pass count). The
+    count attaches as a 1-row broadcast aggregate (the Q11
+    scalar-subquery pattern); ids are rank-compacted through a
+    zipWithIndex-free modulo only when contiguous — callers with
+    sparse ids should pass their own seed."""
+    n = vectors.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return (
+        vectors.select(F.col(id_col).cast("bigint").alias("query_id"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.lit(k).cast("bigint"))
+            ).alias("__j"),
+            "__n",
+        )
+        .select(
+            "query_id",
+            F.pmod(F.col("query_id") + F.col("__j"), F.col("__n")).alias(
+                "neighbor_id"
+            ),
+        )
+    )
