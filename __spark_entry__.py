@@ -1857,6 +1857,15 @@ def _nn_descent_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, docs.where(F.col("source") == "src0"), k=100
+    )
+
+
 def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hybrid_search
 
@@ -1975,6 +1984,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bpe_pair_counts_pass": ["left", "pair_count", "rank", "right"],
     "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
     "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
+    "dsir_weights": ["doc_id", "n_tokens", "rank", "score_bits"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2335,6 +2345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # refinement round as a relation (ring seed; same output
         # shape as ann_cosine_topk so passes chain)
         "nn_descent_pass": _nn_descent_pass,
+        # NEW in r8 continuation — DSIR-style whole-bit importance
+        # scores (target = src0 docs, raw = the full pool)
+        "dsir_weights": _dsir_weights,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2506,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts_pass",
         "ks_two_sample",
         "nn_descent_pass",
+        "dsir_weights",
         # (c) sanctioned rows-only retry (r7 verdict ask #3)
         "embedding_pca",
         # (d) oldest-signal (r3-green) refresh — all 13
@@ -2548,7 +2562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks",
         "tokenize_to_ids",
         "gopher_rules",
-        "containment_pairs",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6454,6 +6467,108 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY g
                                    ORDER BY dnum DESC, v) = 1
         ORDER BY source
+    """
+    # r8 continuation: DSIR whole-bit importance scores — hashed
+    # unigram buckets (the hashed_features md5 convention), per-
+    # feature floor(log2((c_t+1)/(c_r+1))) via integer bit-lengths
+    # with the signed extension staged across CTEs (DuckDB rejects
+    # negative shifts, so shifts are greatest-guarded; the branch
+    # that uses them guarantees non-negative), Laplace normalizer
+    # from the same stats, sort-limit top-k
+    sql["dsir_weights"] = """
+        WITH tk AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+          ) WHERE tok <> ''
+        ), b AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256
+                   AS bucket
+          FROM tk
+        ), tgt AS (
+          SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256
+                   AS bucket
+          FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents WHERE source = 'src0'
+          ) WHERE tok <> ''
+        ), tf AS (
+          SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM b GROUP BY 1, 2
+        ), cr AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1
+        ), ct AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM tgt GROUP BY 1
+        ), stats AS (
+          SELECT CAST(i AS BIGINT) AS bucket,
+                 COALESCE(ct.c, 0) + 1 AS a,
+                 COALESCE(cr.c, 0) + 1 AS r
+          FROM UNNEST(range(0, 256)) AS s(i)
+          LEFT JOIN ct ON ct.bucket = i
+          LEFT JOIN cr ON cr.bucket = i
+        ), st1 AS (
+          SELECT bucket, a, r,
+                 length(format('{:b}', a)) - length(format('{:b}', r))
+                   AS dp,
+                 length(format('{:b}', r)) - length(format('{:b}', a))
+                   AS dn
+          FROM stats
+        ), st2 AS (
+          SELECT bucket, a, r,
+                 CASE WHEN a >= r * (CAST(1 AS BIGINT)
+                                     << greatest(dp, 0))
+                      THEN dp ELSE dp - 1 END AS posb,
+                 CASE WHEN r >= a * (CAST(1 AS BIGINT)
+                                     << greatest(dn, 0))
+                      THEN dn ELSE dn - 1 END AS e
+          FROM st1
+        ), bits AS (
+          SELECT bucket,
+                 CAST(CASE WHEN a >= r THEN posb
+                      WHEN a * (CAST(1 AS BIGINT) << greatest(e, 0)) = r
+                      THEN -e ELSE -(e + 1) END AS BIGINT) AS bits
+          FROM st2
+        ), tots AS (
+          SELECT CAST(SUM(r) AS BIGINT) AS nr, CAST(SUM(a) AS BIGINT) AS na
+          FROM stats
+        ), nt1 AS (
+          SELECT nr, na,
+                 length(format('{:b}', nr)) - length(format('{:b}', na))
+                   AS dp,
+                 length(format('{:b}', na)) - length(format('{:b}', nr))
+                   AS dn
+          FROM tots
+        ), nt2 AS (
+          SELECT nr, na,
+                 CASE WHEN nr >= na * (CAST(1 AS BIGINT)
+                                       << greatest(dp, 0))
+                      THEN dp ELSE dp - 1 END AS posb,
+                 CASE WHEN na >= nr * (CAST(1 AS BIGINT)
+                                       << greatest(dn, 0))
+                      THEN dn ELSE dn - 1 END AS e
+          FROM nt1
+        ), norm AS (
+          SELECT CAST(CASE WHEN nr >= na THEN posb
+                      WHEN nr * (CAST(1 AS BIGINT) << greatest(e, 0)) = na
+                      THEN -e ELSE -(e + 1) END AS BIGINT) AS nb
+          FROM nt2
+        ), scored AS (
+          SELECT tf.doc_id,
+                 CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                 CAST(SUM(tf.tf * bits.bits)
+                      + SUM(tf.tf) * ANY_VALUE(norm.nb) AS BIGINT)
+                   AS score_bits
+          FROM tf JOIN bits ON tf.bucket = bits.bucket
+          CROSS JOIN norm
+          GROUP BY tf.doc_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER
+                 (ORDER BY score_bits DESC, doc_id) AS BIGINT) AS rank,
+               doc_id, n_tokens, score_bits
+        FROM scored
+        ORDER BY score_bits DESC, doc_id
+        LIMIT 100
     """
     # r8 continuation: one NN-descent round from the deterministic
     # modular-ring seed — candidates are the seed edges, their

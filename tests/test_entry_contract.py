@@ -69,7 +69,10 @@ CHANGED_IN_R8 = [
 # tiebreak as an integer relation (verdict ask #5), then the r8
 # continuation additions — each displaces one r4-refresh tail slot
 # per the standing first-ever-signal-beats-refresh contract.
-NEW_ORACLE_R8 = ["bpe_pair_counts_pass", "ks_two_sample", "nn_descent_pass"]
+NEW_ORACLE_R8 = [
+    "bpe_pair_counts_pass", "ks_two_sample", "nn_descent_pass",
+    "dsir_weights",
+]
 
 # The one SANCTIONED rows-only slot (r7 verdict ask #3): its r7
 # exposure crashed the driver's hash stage on an array cell; the

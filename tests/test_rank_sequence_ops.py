@@ -507,3 +507,84 @@ def test_nn_descent_converges_to_exact_knn(spark):
     # shape contract: no self loops, rnk dense from 1
     for r in rows:
         assert r.query_id != r.neighbor_id and 1 <= r.rnk <= 3
+
+
+def test_signed_floor_log2_ratio_exact(spark):
+    from whatdropsnow_etl_spark.operators.corpus import (
+        signed_floor_log2_ratio,
+    )
+    from fractions import Fraction
+
+    pairs = [
+        (a, b)
+        for a in [1, 2, 3, 4, 5, 7, 8, 9, 63, 64, 65, 10**12, 10**12 + 1]
+        for b in [1, 2, 3, 5, 8, 16, 63, 64, 127, 128, 10**12]
+    ]
+    df = spark.createDataFrame(pairs, "num long, den long")
+    out = df.select(
+        "num",
+        "den",
+        signed_floor_log2_ratio(F.col("num"), F.col("den")).alias("bits"),
+    ).collect()
+
+    def exact_floor_log2(fr):
+        # integer-only floor(log2(fraction)): compare against 2^e
+        e = fr.numerator.bit_length() - fr.denominator.bit_length()
+        if fr < Fraction(2) ** e:
+            e -= 1
+        assert Fraction(2) ** e <= fr < Fraction(2) ** (e + 1)
+        return e
+
+    for r in out:
+        assert r.bits == exact_floor_log2(Fraction(r.num, r.den)), (
+            r.num,
+            r.den,
+            r.bits,
+        )
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from whatdropsnow_etl_spark.operators import dsir_weights
+
+    # target vocabulary: medical-ish; pool: half target-like,
+    # half boilerplate-like, plus the target docs themselves
+    tgt_words = "dose trial cohort serum assay"
+    web_words = "click here buy now free"
+    rows = []
+    for i in range(20):
+        rows.append((i, tgt_words if i % 2 == 0 else web_words, "pool"))
+    pool = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = pool.where("doc_id % 2 = 0")
+    got = dsir_weights(pool, target, n_buckets=64, k=20).collect()
+    by_rank = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    # every target-like doc outranks every boilerplate doc
+    assert all(d % 2 == 0 for d in by_rank[:10])
+    assert all(d % 2 == 1 for d in by_rank[10:])
+    # scores constant within each class, ranks tie-broken by id
+    scores = {r.doc_id: r.score_bits for r in got}
+    assert len({scores[d] for d in by_rank[:10]}) == 1
+    assert len({scores[d] for d in by_rank[10:]}) == 1
+    assert scores[by_rank[0]] > scores[by_rank[-1]]
+    assert by_rank[:10] == sorted(by_rank[:10])
+    # reference recomputation of the whole-bit formula in python
+    import hashlib
+    from collections import Counter
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    def fl2(num, den):
+        e = num.bit_length() - den.bit_length()
+        if den << max(e, 0) > num << max(-e, 0):
+            e -= 1
+        return e
+
+    pool_toks = {i: (tgt_words if i % 2 == 0 else web_words).split() for i in range(20)}
+    c_r = Counter(bucket(t) for ts in pool_toks.values() for t in ts)
+    c_t = Counter(bucket(t) for i, ts in pool_toks.items() if i % 2 == 0 for t in ts)
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    norm = fl2(n_r + 64, n_t + 64)
+    for i, ts in pool_toks.items():
+        want = sum(fl2(c_t[bucket(t)] + 1, c_r[bucket(t)] + 1) for t in ts)
+        want += len(ts) * norm
+        assert scores[i] == want, (i, scores[i], want)

@@ -141,6 +141,9 @@ ALLPAIRS_OK = {
     # aggregate (the Q11 scalar-subquery pattern); the pass itself
     # is edge-list joins, k²N not N²
     "nn_descent_pass",
+    # Laplace normalizer: crossJoin against the 1-row broadcast
+    # token-total aggregate (the Q11 scalar-subquery pattern)
+    "dsir_weights",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel

@@ -1064,3 +1064,20 @@ def ngram_overlap(
             F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
         )
     )
+
+
+def signed_floor_log2_ratio(num: Column, den: Column) -> Column:
+    """floor(log2(num/den)) for positive BIGINTs, EITHER side larger.
+
+    Extends :func:`_floor_log2_ratio` (which requires num >= den) to
+    ratios below one: with e = floor(log2(den/num)), den/num lies in
+    [2^e, 2^(e+1)), so num/den lies in (2^-(e+1), 2^-e] and the floor
+    is -e exactly when num·2^e == den, else -(e+1). Pure integer
+    shifts and compares — no float, no libm, bit-identical across
+    engines (the bigram_surprisal determinism argument).
+    """
+    pos = _floor_log2_ratio(num, den)
+    e = _floor_log2_ratio(den, num)
+    exact = F.call_function("shiftleft", num, e.cast("int")) == den
+    neg = F.when(exact, -e).otherwise(-(e + F.lit(1)))
+    return F.when(num >= den, pos).otherwise(neg).cast("bigint")

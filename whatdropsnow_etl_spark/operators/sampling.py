@@ -609,3 +609,126 @@ def priority_sample(
         .limit(k)
         .select(id_col, "weight", F.round("__p", 6).alias("priority"))
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR-style importance scores in whole bits (Xie et al.,
+    NeurIPS'23 "Data Selection for Language Models via Importance
+    Resampling"): score every raw-pool document by how much more
+    likely its hashed-unigram bag is under the TARGET domain's
+    unigram distribution than under the raw pool's, and keep the k
+    best — the standard recipe for carving a Wikipedia-like (or
+    code-like, or medical-like) slice out of a web crawl before
+    training.
+
+    No reference twin — the reference (397 LoC ETL) has no corpus
+    statistics; extends SURVEY §2.3's sampling/selection family.
+
+    The paper's score is Σ_f c_doc[f]·(log θ_target[f] − log
+    θ_raw[f]) with add-one smoothing. Here each per-feature
+    log-ratio is quantized to WHOLE BITS via exact integer shifts
+    (floor(log2((c_t[f]+1)/(c_r[f]+1))) and the Laplace normalizer
+    floor(log2((n_r+B)/(n_t+B))), the bigram_surprisal /
+    heldout_perplexity determinism argument: libm log differs by
+    ulps across engines, integer bit-lengths don't), so the score
+    is a BIGINT and the ranking is bit-deterministic. Per-feature
+    flooring is the documented quantization — it is NOT the floor
+    of the paper's float sum, it is reproducible everywhere.
+
+    Scale shape: one explode+groupBy(doc, bucket) term-frequency
+    pass (map-side combined), the two feature-count relations
+    collapse to ≤n_buckets rows each and JOIN AS BROADCASTS onto
+    the bucket spine, the normalizer is a 1-row broadcast cross
+    (the Q11 scalar-subquery pattern), and the global top-k is a
+    sort-limit (TakeOrdered — never a global window) with the rank
+    assigned by a window over the k-row result. The target relation
+    is a domain SAMPLE by construction (the paper uses ~1e5 target
+    docs); the raw pool streams through two aggregates.
+
+    Output: (rank 1..k, doc_id, n_tokens, score_bits) ranked by
+    (score_bits DESC, doc_id).
+    """
+    from ..functions.text import tokens
+    from .corpus import signed_floor_log2_ratio
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        ).where(F.col("__tok") != "")
+        h = F.md5(F.col("__tok"))
+        return toks.select(
+            "__id",
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+
+    raw_b = bucketed(docs)
+    tgt_b = bucketed(target)
+    tf = raw_b.groupBy("__id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    c_raw = raw_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r")
+    )
+    c_tgt = tgt_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_t")
+    )
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    stats = (
+        spine.join(F.broadcast(c_tgt), "bucket", "left")
+        .join(F.broadcast(c_raw), "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce("c_t", F.lit(0)) + 1).alias("__a"),
+            (F.coalesce("c_r", F.lit(0)) + 1).alias("__r"),
+        )
+    )
+    bits = stats.select(
+        "bucket",
+        signed_floor_log2_ratio(F.col("__a"), F.col("__r")).alias("__bits"),
+    )
+    # Laplace normalizer from the SAME stats relation (totals are
+    # Σ(c+1) − B == Σc, so n_r + B == Σ__r): one 1-row broadcast
+    norm = stats.agg(
+        signed_floor_log2_ratio(
+            F.sum("__r").cast("bigint"), F.sum("__a").cast("bigint")
+        ).alias("__norm")
+    )
+    scored = (
+        tf.join(F.broadcast(bits), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.col("tf") * F.col("__bits")).cast("bigint").alias("__fb"),
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(norm))
+        .select(
+            F.col("__id"),
+            "n_tokens",
+            (F.col("__fb") + F.col("n_tokens") * F.col("__norm"))
+            .cast("bigint")
+            .alias("score_bits"),
+        )
+    )
+    top = scored.orderBy(F.col("score_bits").desc(), F.col("__id")).limit(k)
+    w = Window.partitionBy().orderBy(
+        F.col("score_bits").desc(), F.col("__id")
+    )
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "score_bits",
+    )
