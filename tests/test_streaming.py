@@ -1775,3 +1775,85 @@ def test_csv_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
     # a second call with the same object must behave identically
     good2, _ = read_csv_quarantine(spark, p, schema, header=True)
     assert len(schema.fields) == 2 and good2.count() == 1
+
+
+def test_streaming_ks_drift_equals_batch_operator(spark, tables, tmp_path):
+    """The KS drift twin: folding per-batch value histograms (an
+    exact monoid) and reporting over the final state must equal the
+    batch ks_two_sample over the full static relation EXACTLY —
+    shared post-histogram code path, so any drift would be a fold
+    bug. Also pins state boundedness: the state row count never
+    exceeds |groups| x |distinct values seen|."""
+    import os
+    import shutil
+
+    from whatdropsnow_etl_spark.operators import ks_two_sample
+    from whatdropsnow_etl_spark.streaming import (
+        fold_value_histogram,
+        ks_drift_report,
+    )
+
+    docs = tables["documents"].select("doc_id", "source", "n_chars")
+    src = str(tmp_path / "ks_docs")
+    for part in range(3):
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    store = str(tmp_path / "ks_store")
+    sizes = []
+
+    def fold(batch_df, batch_id):
+        prev = (
+            batch_df.sparkSession.read.parquet(store)
+            if os.path.isdir(store)
+            else None
+        )
+        state = fold_value_histogram(prev, batch_df, "source", "n_chars")
+        state.write.mode("overwrite").format("parquet").save(store + "_next")
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+        sizes.append(batch_df.sparkSession.read.parquet(store).count())
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sizes) >= 3  # really ran as micro-batches
+
+    state = spark.read.parquet(store)
+    got = sorted(
+        [tuple(r) for r in ks_drift_report(state, "source", "n_chars").collect()],
+        key=repr,
+    )
+    want = sorted(
+        [tuple(r) for r in ks_two_sample(docs, "source", "n_chars").collect()],
+        key=repr,
+    )
+    assert got == want
+    # state boundedness: <= |groups| x |distinct values|
+    bound = (
+        docs.select("source").distinct().count()
+        * docs.select("n_chars").distinct().count()
+    )
+    assert max(sizes) <= bound

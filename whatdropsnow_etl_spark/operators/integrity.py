@@ -569,9 +569,12 @@ def ks_two_sample(
     Output: (group_col, n_group, n_rest, d_num VARCHAR-rendered
     exact numerator, at_value, d) — d is the one double division,
     rounded to 6 places like the cosine family.
-    """
-    from pyspark.sql.window import Window
 
+    The post-histogram math is :func:`ks_from_histogram` — the
+    streaming twin folds batch histograms (union + sum, an exact
+    monoid) and reuses the SAME code path, so batch-folded and
+    full-relation reports are identical by construction.
+    """
     h = (
         df.select(
             F.col(group_col).alias("__g"),
@@ -580,6 +583,36 @@ def ks_two_sample(
         .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
         .groupBy("__g", "__v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    return ks_from_histogram(
+        h.select(
+            F.col("__g").alias(group_col),
+            F.col("__v").alias(value_col),
+            F.col("__c").alias("n"),
+        ),
+        group_col,
+        value_col,
+    )
+
+
+def ks_from_histogram(
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """The post-histogram half of :func:`ks_two_sample`: per-group KS
+    vs rest from an exact (group, value, count) histogram. The
+    histogram is a MONOID under union + groupBy-sum, so a streaming
+    maintainer folds batch histograms and calls this per trigger —
+    identical output to the full-relation operator by construction
+    (shared code path, pytest-pinned by the streaming twin)."""
+    from pyspark.sql.window import Window
+
+    h = hist.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.col(count_col).cast("bigint").alias("__c"),
     )
     tot = h.groupBy("__v").agg(F.sum("__c").cast("bigint").alias("__cv"))
     groups = h.select("__g").distinct()
