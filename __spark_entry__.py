@@ -1866,6 +1866,14 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import exact_substring_spans
+
+    return exact_substring_spans(
+        load_table(spark, sf_dir, "documents"), k=5
+    )
+
+
 def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hybrid_search
 
@@ -1985,6 +1993,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
     "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
     "dsir_weights": ["doc_id", "n_tokens", "rank", "score_bits"],
+    "exact_substring_spans": ["doc_id", "span_end", "span_start", "span_tokens"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2348,6 +2357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r8 continuation — DSIR-style whole-bit importance
         # scores (target = src0 docs, raw = the full pool)
         "dsir_weights": _dsir_weights,
+        # NEW in r8 continuation — Lee et al. exact-substring
+        # duplicate spans (overlapping k-grams + islands merge)
+        "exact_substring_spans": _exact_substring_spans,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2520,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_two_sample",
         "nn_descent_pass",
         "dsir_weights",
+        "exact_substring_spans",
         # (c) sanctioned rows-only retry (r7 verdict ask #3)
         "embedding_pca",
         # (d) oldest-signal (r3-green) refresh — all 13
@@ -2561,7 +2574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram",
         "pack_chunks",
         "tokenize_to_ids",
-        "gopher_rules",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6467,6 +6479,45 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY g
                                    ORDER BY dnum DESC, v) = 1
         ORDER BY source
+    """
+    # r8 continuation: Lee et al. exact-substring duplicate spans —
+    # overlapping 5-gram windows occurring >= 2 times corpus-wide,
+    # merged per doc into maximal contiguous ranges via the
+    # gaps-and-islands running-max window (positions 0-based, end
+    # exclusive; merge while next start <= running coverage end)
+    sql["exact_substring_spans"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 array_to_string(t[i:i+4], ' ') AS gram
+          FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+        ), dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+        ), d AS (
+          SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+        ), w AS (
+          SELECT doc_id, pos,
+                 MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevmax
+          FROM d
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prevmax IS NULL OR pos > prevmax + 5
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM w
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
     """
     # r8 continuation: DSIR whole-bit importance scores — hashed
     # unigram buckets (the hashed_features md5 convention), per-

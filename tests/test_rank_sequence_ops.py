@@ -588,3 +588,87 @@ def test_dsir_weights_prefers_target_like_docs(spark):
         want = sum(fl2(c_t[bucket(t)] + 1, c_r[bucket(t)] + 1) for t in ts)
         want += len(ts) * norm
         assert scores[i] == want, (i, scores[i], want)
+
+
+def _substring_spans_ref(texts, k, min_count=2):
+    """Pure-python reference: maximal merged duplicated k-gram
+    ranges per doc, {doc_id: [(start, end)]}."""
+    from collections import Counter
+
+    toks = {i: t.lower().split(" ") for i, t in texts.items()}
+    grams = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            grams[" ".join(ts[i : i + k])] += 1
+    out = {}
+    for d, ts in toks.items():
+        pos = [
+            i
+            for i in range(len(ts) - k + 1)
+            if grams[" ".join(ts[i : i + k])] >= min_count
+        ]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        if spans:
+            out[d] = [tuple(s) for s in spans]
+    return out
+
+
+def test_exact_substring_spans_shifted_copy_and_self_repeat(spark):
+    from whatdropsnow_etl_spark.operators import exact_substring_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    texts = {
+        # doc 0 carries the passage at offset 3, doc 1 at offset 0 —
+        # a SHIFTED copy the non-overlapping C4 grid misses
+        0: "alpha beta gamma " + shared + " epsilon zeta",
+        1: shared + " eta theta iota kappa",
+        # doc 2 repeats its own phrase (within-doc duplication)
+        2: "pad one fee fie foe fum fee fie foe fum pad two end here",
+        # doc 3 shares nothing
+        3: "completely unrelated tokens without any duplication at all",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    k = 4
+    got = {}
+    for r in exact_substring_spans(df, k=k).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end)
+        )
+        assert r.span_tokens == r.span_end - r.span_start
+    got = {d: sorted(v) for d, v in got.items()}
+    want = _substring_spans_ref(texts, k)
+    assert got == want
+    # the shifted copy is found in both docs and covers the passage
+    assert 0 in got and 1 in got and 3 not in got
+    assert got[1][0][0] == 0  # doc 1's span starts at the passage
+    # self-repetition found in doc 2: both occurrences covered
+    assert 2 in got
+    # hashed-key path identical at test scale
+    hashed = {}
+    for r in exact_substring_spans(df, k=k, hash_grams=True).collect():
+        hashed.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert {d: sorted(v) for d, v in hashed.items()} == want
+
+
+def test_exact_substring_spans_merges_overlaps(spark):
+    from whatdropsnow_etl_spark.operators import exact_substring_spans
+
+    # two docs share a 6-token run: with k=4 the three overlapping
+    # duplicated windows (pos 1,2,3 in doc 0) must merge to ONE span
+    a = "x1 c1 c2 c3 c4 c5 c6 y1 y2"
+    b = "z1 z2 c1 c2 c3 c4 c5 c6"
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substring_spans(df, k=4).collect()
+    )
+    assert got == [(0, 1, 7), (1, 2, 8)]
