@@ -1874,6 +1874,28 @@ def _exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import auc_exact
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_purchase",
+        (F.col("event_type") == "purchase").cast("bigint"),
+    )
+    return auc_exact(ev, "value", "is_purchase")
+
+
+def _pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import pareto_frontier
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.element_at("embedding", 2).cast("double").alias("e1"),
+    )
+    return pareto_frontier(e, "e0", "e1", "vec_id", group_col="label")
+
+
 def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hybrid_search
 
@@ -1994,6 +2016,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
     "dsir_weights": ["doc_id", "n_tokens", "rank", "score_bits"],
     "exact_substring_spans": ["doc_id", "span_end", "span_start", "span_tokens"],
+    "auc_exact": ["auc", "group", "n_neg", "n_pos", "u2"],
+    "pareto_frontier": ["label", "vec_id", "x", "y"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2360,6 +2384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r8 continuation — Lee et al. exact-substring
         # duplicate spans (overlapping k-grams + islands merge)
         "exact_substring_spans": _exact_substring_spans,
+        # NEW in r8 continuation — exact ROC-AUC from the score
+        # histogram (Mann-Whitney rank-sum, no global sort)
+        "auc_exact": _auc_exact,
+        # NEW in r8 continuation — two-objective Pareto frontier
+        # from the per-x max-y histogram (skyline, no O(n²) join)
+        "pareto_frontier": _pareto_frontier,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2533,6 +2563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_descent_pass",
         "dsir_weights",
         "exact_substring_spans",
+        "auc_exact",
+        "pareto_frontier",
         # (c) sanctioned rows-only retry (r7 verdict ask #3)
         "embedding_pca",
         # (d) oldest-signal (r3-green) refresh — all 13
@@ -2572,8 +2604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events",
         "dup_rate_by_source",
         "length_histogram",
-        "pack_chunks",
-        "tokenize_to_ids",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6479,6 +6509,72 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY g
                                    ORDER BY dnum DESC, v) = 1
         ORDER BY source
+    """
+    # r8 continuation: exact ROC-AUC — Mann-Whitney rank-sum from
+    # the integer-scaled score histogram; 2U = Σ p(s)·(2·cum_n(<s)
+    # + n(s)) keeps the tie half-credit in whole integers (HUGEINT
+    # here, DECIMAL(38,0) in Spark, VARCHAR-rendered)
+    sql["auc_exact"] = """
+        WITH b AS (
+          SELECT CAST(ROUND(value * 1000000, 0) AS BIGINT) AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL
+        ), h AS (
+          SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+                 CAST(SUM(1 - y) AS BIGINT) AS n
+          FROM b GROUP BY s
+        ), c AS (
+          SELECT s, p, n,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS HUGEINT) AS cnb,
+                 CAST(SUM(p) OVER () AS HUGEINT) AS np,
+                 CAST(SUM(n) OVER () AS HUGEINT) AS nn
+          FROM h
+        )
+        SELECT 'all' AS "group",
+               CAST(ANY_VALUE(np) AS BIGINT) AS n_pos,
+               CAST(ANY_VALUE(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(CAST(p AS HUGEINT) * (cnb * 2 + n))
+                    AS VARCHAR) AS u2,
+               CASE WHEN ANY_VALUE(np) > 0 AND ANY_VALUE(nn) > 0
+                    THEN ROUND(
+                      CAST(SUM(CAST(p AS HUGEINT) * (cnb * 2 + n))
+                           AS DOUBLE)
+                      / (2.0 * CAST(ANY_VALUE(np) AS DOUBLE)
+                         * CAST(ANY_VALUE(nn) AS DOUBLE)), 6)
+               END AS auc
+        FROM c
+    """
+    # r8 continuation: two-objective Pareto frontier (skyline) per
+    # label over the first two embedding coordinates — survive iff
+    # y == max{y | same x} and y > max{y | larger x}, both from the
+    # per-x max-y histogram (window over x-distinct rows only)
+    sql["pareto_frontier"] = """
+        WITH q AS (
+          SELECT label, vec_id,
+                 CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000, 0)
+                      AS BIGINT) AS x,
+                 CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000, 0)
+                      AS BIGINT) AS y
+          FROM embeddings
+        ), qq AS (
+          SELECT * FROM q WHERE x IS NOT NULL AND y IS NOT NULL
+        ), hx AS (
+          SELECT label, x, MAX(y) AS my FROM qq GROUP BY label, x
+        ), k AS (
+          SELECT label, x, my,
+                 MAX(my) OVER (PARTITION BY label ORDER BY x DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS bg
+          FROM hx
+        ), f AS (
+          SELECT label, x, my AS y FROM k
+          WHERE bg IS NULL OR my > bg
+        )
+        SELECT qq.label, qq.vec_id, qq.x, qq.y
+        FROM qq JOIN f USING (label, x, y)
+        ORDER BY label, vec_id
     """
     # r8 continuation: Lee et al. exact-substring duplicate spans —
     # overlapping 5-gram windows occurring >= 2 times corpus-wide,

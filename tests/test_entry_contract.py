@@ -71,7 +71,8 @@ CHANGED_IN_R8 = [
 # per the standing first-ever-signal-beats-refresh contract.
 NEW_ORACLE_R8 = [
     "bpe_pair_counts_pass", "ks_two_sample", "nn_descent_pass",
-    "dsir_weights", "exact_substring_spans",
+    "dsir_weights", "exact_substring_spans", "auc_exact",
+    "pareto_frontier",
 ]
 
 # The one SANCTIONED rows-only slot (r7 verdict ask #3): its r7

@@ -672,3 +672,92 @@ def test_exact_substring_spans_merges_overlaps(spark):
         for r in exact_substring_spans(df, k=4).collect()
     )
     assert got == [(0, 1, 7), (1, 2, 8)]
+
+
+def test_auc_exact_matches_rank_reference(spark):
+    from whatdropsnow_etl_spark.operators import auc_exact
+
+    # deterministic scores with heavy ties across both classes
+    rows = [(i, float((i * 7) % 10) / 10.0, (i * 3) % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = auc_exact(df, "score", "label").collect()
+    assert len(got) == 1
+    r = got[0]
+
+    def ref_auc(pairs):
+        # P(s_pos > s_neg) + 0.5 P(tie), brute force
+        pos = [s for s, y in pairs if y == 1]
+        neg = [s for s, y in pairs if y == 0]
+        u2 = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        return u2, len(pos), len(neg)
+
+    u2, np_, nn_ = ref_auc([(s, y) for _, s, y in rows])
+    assert (r.n_pos, r.n_neg) == (np_, nn_)
+    assert r.u2 == str(u2)
+    assert r.auc == round(u2 / (2 * np_ * nn_), 6)
+    # perfect separation -> 1.0, reversed -> 0.0
+    sep = spark.createDataFrame(
+        [(i, float(i), 1 if i >= 5 else 0) for i in range(10)],
+        "id long, score double, label int",
+    )
+    assert auc_exact(sep, "score", "label").collect()[0].auc == 1.0
+    rev = spark.createDataFrame(
+        [(i, float(-i), 1 if i >= 5 else 0) for i in range(10)],
+        "id long, score double, label int",
+    )
+    assert auc_exact(rev, "score", "label").collect()[0].auc == 0.0
+    # single-class group emits NULL auc, not a crash
+    one = spark.createDataFrame(
+        [(1, 0.5, 1), (2, 0.7, 1)], "id long, score double, label int"
+    )
+    assert auc_exact(one, "score", "label").collect()[0].auc is None
+
+
+def test_auc_exact_grouped(spark):
+    from whatdropsnow_etl_spark.operators import auc_exact
+
+    rows = []
+    for i in range(60):
+        g = "g%d" % (i % 2)
+        # g0: score == label (AUC 1.0); g1: score independent
+        y = (i // 2) % 2
+        s = float(y) if g == "g0" else float((i * 13) % 7)
+        rows.append((g, s, y))
+    df = spark.createDataFrame(rows, "grp string, score double, label int")
+    got = {r.grp: r for r in auc_exact(df, "score", "label", group_col="grp").collect()}
+    assert got["g0"].auc == 1.0
+    assert 0.0 <= got["g1"].auc <= 1.0
+
+
+def test_pareto_frontier_matches_dominance_reference(spark):
+    from whatdropsnow_etl_spark.operators import pareto_frontier
+
+    pts = [
+        (i, "s%d" % (i % 2), float((i * 17) % 23), float((i * 11) % 19))
+        for i in range(120)
+    ]
+    # add exact co-located frontier duplicates
+    pts += [(1000, "s0", 22.0, 18.0), (1001, "s0", 22.0, 18.0)]
+    df = spark.createDataFrame(pts, "id long, grp string, x double, y double")
+    got = {
+        (r.grp, r.id) for r in pareto_frontier(
+            df, "x", "y", "id", group_col="grp"
+        ).collect()
+    }
+
+    want = set()
+    for g in {"s0", "s1"}:
+        gp = [(i, x, y) for i, gg, x, y in pts if gg == g]
+        for i, x, y in gp:
+            dominated = any(
+                (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+                for j, x2, y2 in gp
+                if j != i
+            )
+            if not dominated:
+                want.add((g, i))
+    assert got == want
+    # both co-located duplicates survive
+    assert ("s0", 1000) in got and ("s0", 1001) in got

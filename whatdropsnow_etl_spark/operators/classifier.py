@@ -422,3 +422,110 @@ def classifier_eval(
             .alias("n_correct"),
         )
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Exact ROC-AUC as an integer fraction — the Mann-Whitney U
+    rank statistic computed from a (group, score, label) histogram,
+    never a global sort: AUC = P(score_pos > score_neg) + ½·P(tie).
+    The standard quality-classifier / reranker eval (classifier_eval
+    gives thresholded confusion counts; AUC is the
+    threshold-free ranking quality those cuts are chosen from).
+
+    No reference twin — the reference (397 LoC ETL) has no
+    evaluation; extends SURVEY §2.3's classifier family.
+
+    Exactness at scale: scores quantize to integer ``scale``-ths
+    (the distribution_shift_report convention — both engines bucket
+    identically), the input collapses in ONE map-combined groupBy to
+    per-(group, score) positive/negative counts, and the rank-sum
+    unrolls as a cumulative window over that histogram:
+    2·U = Σ_s pos(s)·(2·cum_neg(<s) + neg(s)) — whole integers
+    (the ×2 absorbs the half-credit tie term), so
+    AUC = u2 / (2·P·N) is exact and bit-deterministic; u2 is
+    DECIMAL(38,0) (u2 ≤ 2·P·N overflows int64 past ~2×10⁹ rows a
+    side), VARCHAR-rendered like the KS numerator. Groups with an
+    empty class emit NULL auc rather than a division blow-up.
+
+    Output: (group, n_pos, n_neg, u2 VARCHAR, auc) — auc is the one
+    double division, rounded to 6 like the cosine family.
+    """
+    from pyspark.sql.window import Window
+
+    g = (
+        F.col(group_col)
+        if group_col is not None
+        else F.lit("all")
+    )
+    h = (
+        df.select(
+            g.alias("__g"),
+            F.round(F.col(score_col) * scale, 0)
+            .cast("long")
+            .alias("__s"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        )
+        .where(
+            F.col("__g").isNotNull()
+            & F.col("__s").isNotNull()
+            & F.col("__y").isin(0, 1)
+        )
+        .groupBy("__g", "__s")
+        .agg(
+            F.sum("__y").cast("bigint").alias("__p"),
+            F.sum(1 - F.col("__y")).cast("bigint").alias("__n"),
+        )
+    )
+    w_below = (
+        Window.partitionBy("__g")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("__g")
+    dec = "decimal(38,0)"
+    cum_n_below = F.coalesce(
+        F.sum("__n").over(w_below), F.lit(0)
+    ).cast(dec)
+    n_pos = F.sum("__p").over(w_all).cast(dec)
+    n_neg = F.sum("__n").over(w_all).cast(dec)
+    contrib = F.col("__p").cast(dec) * (
+        cum_n_below * 2 + F.col("__n").cast(dec)
+    )
+    scored = h.select(
+        "__g",
+        n_pos.alias("__np"),
+        n_neg.alias("__nn"),
+        contrib.alias("__c2"),
+    )
+    return (
+        scored.groupBy("__g")
+        .agg(
+            F.first("__np").alias("__np"),
+            F.first("__nn").alias("__nn"),
+            F.sum("__c2").cast(dec).alias("__u2"),
+        )
+        .select(
+            F.col("__g").alias(group_col if group_col else "group"),
+            F.col("__np").cast("bigint").alias("n_pos"),
+            F.col("__nn").cast("bigint").alias("n_neg"),
+            F.col("__u2").cast("string").alias("u2"),
+            F.when(
+                (F.col("__np") > 0) & (F.col("__nn") > 0),
+                F.round(
+                    F.col("__u2").cast("double")
+                    / (
+                        F.lit(2.0)
+                        * F.col("__np").cast("double")
+                        * F.col("__nn").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("auc"),
+        )
+    )

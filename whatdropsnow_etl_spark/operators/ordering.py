@@ -476,3 +476,62 @@ def rank_correlation(
             (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
         ).alias("rho"),
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Two-objective Pareto frontier (skyline) per group: keep every
+    row NOT dominated by another row on (x, y) — j dominates i when
+    x_j >= x_i AND y_j >= y_i with at least one strict. The
+    multi-objective curation primitive ("quality vs novelty",
+    "quality vs length") behind any keep-the-efficient-set policy:
+    a scalar weighted score forces one trade-off, the frontier
+    keeps every non-dominated trade-off for downstream mixing.
+
+    No reference twin — the reference (397 LoC ETL) has no
+    selection logic; extends SURVEY §2.3's ordering family.
+
+    Never the O(n²) dominance join: both objectives quantize to
+    integer ``scale``-ths (the distribution_shift_report convention,
+    engine-identical), the input collapses to the per-(group, x)
+    max-y histogram in ONE map-combined aggregate, and a row
+    survives iff y == max{y | same x} AND y > max{y | strictly
+    larger x} — the second max is a cumulative window over the
+    x-DISTINCT histogram ordered descending, so window input is
+    histogram-sized, never raw rows. Equal (x, y) points do not
+    dominate each other (no strict coordinate): all co-located
+    frontier copies survive, deterministically.
+
+    Output: (group?, id_col, x, y) — the surviving rows with their
+    quantized objectives.
+    """
+    gcols = [group_col] if group_col is not None else []
+    q = df.select(
+        *gcols,
+        F.col(id_col),
+        F.round(F.col(x_col) * scale, 0).cast("long").alias("x"),
+        F.round(F.col(y_col) * scale, 0).cast("long").alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    hx = q.groupBy(*gcols, "x").agg(F.max("y").alias("__my"))
+    w_gt = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep_x = (
+        hx.withColumn("__best_gt", F.max("__my").over(w_gt))
+        .where(
+            F.col("__best_gt").isNull()
+            | (F.col("__my") > F.col("__best_gt"))
+        )
+        .select(*gcols, "x", F.col("__my").alias("y"))
+    )
+    return q.join(keep_x, [*gcols, "x", "y"]).select(
+        *gcols, id_col, "x", "y"
+    )
