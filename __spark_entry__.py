@@ -1896,6 +1896,65 @@ def _pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier(e, "e0", "e1", "vec_id", group_col="label")
 
 
+def _user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import user_lifecycle
+
+    return user_lifecycle(load_table(spark, sf_dir, "events"))
+
+
+def _entry_exit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import entry_exit_report
+
+    return entry_exit_report(load_table(spark, sf_dir, "events"))
+
+
+def _token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import token_gini
+
+    return token_gini(load_table(spark, sf_dir, "documents"))
+
+
+def _kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import kn_continuation_counts
+
+    return kn_continuation_counts(
+        load_table(spark, sf_dir, "documents"), k=100
+    )
+
+
+def _label_propagation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous LPA round over the MinHash candidate-pair
+    graph (the pair_pagerank graph), seeded with each doc's source:
+    a doc whose near-duplicate neighborhood out-votes its own source
+    is cross-source contamination (mirrors/syndication)."""
+    from whatdropsnow_etl_spark.operators import (
+        label_propagation_pass,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    return label_propagation_pass(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        docs.select(
+            F.col("doc_id").alias("node"), F.col("source").alias("label")
+        ),
+    )
+
+
+def _semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") % 19 != 7),
+        emb.where(F.col("vec_id") % 19 == 7),
+        threshold=0.35,
+    )
+
+
 def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hybrid_search
 
@@ -2018,6 +2077,12 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "exact_substring_spans": ["doc_id", "span_end", "span_start", "span_tokens"],
     "auc_exact": ["auc", "group", "n_neg", "n_pos", "u2"],
     "pareto_frontier": ["label", "vec_id", "x", "y"],
+    "user_lifecycle": ["churned_users", "dau", "day", "new_users", "resurrected_users", "retained_users"],
+    "entry_exit_report": ["bounce_rate", "bounces", "entries", "entry_share", "event_type", "exits", "sessions"],
+    "token_gini": ["gini", "gini_num", "n_tokens", "n_types", "source"],
+    "kn_continuation_counts": ["c", "n_bigram_types", "n_left_ctx", "n_right_ctx", "p_cont", "rank", "word"],
+    "label_propagation_pass": ["n_neighbors", "new_label", "node", "old_label", "top_count"],
+    "semantic_decontaminate": ["bench_id", "cosine", "vec_id"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2390,6 +2455,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r8 continuation — two-objective Pareto frontier
         # from the per-x max-y histogram (skyline, no O(n²) join)
         "pareto_frontier": _pareto_frontier,
+        # NEW in r8 continuation — daily growth accounting (DAU =
+        # new + retained + resurrected; churn the lead-gap complement)
+        "user_lifecycle": _user_lifecycle,
+        # NEW in r8 continuation — session entry/exit/bounce report
+        # over the sessionize boundary rule
+        "entry_exit_report": _entry_exit_report,
+        # NEW in r8 continuation — exact per-source token-frequency
+        # Gini (closed-form tie runs over the cf histogram)
+        "token_gini": _token_gini,
+        # NEW in r8 continuation — Kneser–Ney continuation counting
+        # (the deterministic half of KN smoothing)
+        "kn_continuation_counts": _kn_continuation_counts,
+        # NEW in r8 continuation — one synchronous LPA round over
+        # the MinHash pair graph (integer votes, deterministic argmax)
+        "label_propagation_pass": _label_propagation_pass,
+        # NEW in r8 continuation — embedding-level eval-set
+        # decontamination (broadcast benchmark, rounded-cos threshold)
+        "semantic_decontaminate": _semantic_decontaminate,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2535,17 +2618,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     dedup_editdist_incremental (int32 kernel histograms,
     #     null-row filter, arrivals-based salting), tfidf_top_terms
     #     (AQE-decided df join, broadcast hint dropped);
-    # (b) the 1 query NEW in r8 (bpe_pair_counts_pass — the
-    #     oracle-twinned deterministic half of the BPE trainer,
-    #     verdict ask #5);
+    # (b) the queries NEW in r8 (bpe_pair_counts_pass — verdict ask
+    #     #5 — plus the twelve continuation additions, each
+    #     oracle-twinned);
     # (c) embedding_pca's SANCTIONED rows-only retry (verdict ask
     #     #3 verbatim: its r7 exposure crashed the driver's hash
     #     stage on an array cell; the projection now renders as a
     #     string so the rows/schema checks can finally run);
     # (d) the 13 queries whose latest driver row is r3 — after this
     #     window, min(latest-green) >= r4 across the whole surface;
-    # (e) 28 slots against the 44-query r4 backlog (the remaining
-    #     16 r4 rows lead the r9 window).
+    # (e) 16 slots against the 44-query r4 backlog (the remaining
+    #     28 r4 rows lead the r9 window; each late continuation
+    #     query displaced one refresh slot — first-ever signal
+    #     beats refresh per the standing contract).
     window = [
         # (a) implementation/output changed in r8
         "multimodal_frame_sample",
@@ -2565,6 +2650,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_spans",
         "auc_exact",
         "pareto_frontier",
+        "user_lifecycle",
+        "entry_exit_report",
+        "token_gini",
+        "kn_continuation_counts",
+        "label_propagation_pass",
+        "semantic_decontaminate",
         # (c) sanctioned rows-only retry (r7 verdict ask #3)
         "embedding_pca",
         # (d) oldest-signal (r3-green) refresh — all 13
@@ -2598,12 +2689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel",
         "retention_cohorts",
         "numeric_outliers",
-        "dedup_clusters",
-        "dedup_clusters_twostars",
-        "embedding_dedup",
-        "profile_events",
-        "dup_rate_by_source",
-        "length_histogram",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6575,6 +6660,249 @@ def oracle_sql() -> dict[str, str]:
         SELECT qq.label, qq.vec_id, qq.x, qq.y
         FROM qq JOIN f USING (label, x, y)
         ORDER BY label, vec_id
+    """
+    # r8 continuation: daily growth accounting — per-user lag/lead
+    # over the distinct (user, day) activity relation; churn is the
+    # lead-gap complement attributed to day+1, suppressed past the
+    # last observed day (the future is unknown)
+    sql["user_lifecycle"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), cl AS (
+          SELECT u, d, lag(d) OVER w AS pd, lead(d) OVER w AS nd
+          FROM act WINDOW w AS (PARTITION BY u ORDER BY d)
+        ), per_day AS (
+          SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau,
+                 CAST(SUM(CASE WHEN pd IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS new_users,
+                 CAST(SUM(CASE WHEN pd = d - 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS retained_users,
+                 CAST(SUM(CASE WHEN pd IS NOT NULL AND pd < d - 1
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS resurrected_users
+          FROM cl GROUP BY 1
+        ), churn AS (
+          SELECT d + 1 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS churned_users
+          FROM cl
+          WHERE (nd IS NULL OR nd > d + 1)
+            AND d + 1 <= (SELECT MAX(d) FROM act)
+          GROUP BY 1
+        )
+        SELECT COALESCE(p.day, c.day) AS day,
+               CAST(COALESCE(p.dau, 0) AS BIGINT) AS dau,
+               CAST(COALESCE(p.new_users, 0) AS BIGINT) AS new_users,
+               CAST(COALESCE(p.retained_users, 0) AS BIGINT)
+                 AS retained_users,
+               CAST(COALESCE(p.resurrected_users, 0) AS BIGINT)
+                 AS resurrected_users,
+               CAST(COALESCE(c.churned_users, 0) AS BIGINT)
+                 AS churned_users
+        FROM per_day p FULL JOIN churn c ON p.day = c.day
+    """
+    # r8 continuation: session entry/exit/bounce report — the
+    # sessionize boundary rule (30-min gap, (ts, id) order), first/
+    # last event types per session, per-type counts + two divisions
+    sql["entry_exit_report"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM flagged
+        ), ranked AS (
+          SELECT user_id, sess, event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                               ORDER BY ts, event_id) AS rf,
+            ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                               ORDER BY ts DESC, event_id DESC) AS rl,
+            COUNT(*) OVER (PARTITION BY user_id, sess) AS n
+          FROM numbered
+        ), s AS (
+          SELECT user_id, sess,
+                 MAX(CASE WHEN rf = 1 THEN event_type END) AS entry,
+                 MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_t,
+                 MAX(n) AS n
+          FROM ranked GROUP BY 1, 2
+        ), e AS (
+          SELECT entry AS event_type,
+                 CAST(COUNT(*) AS BIGINT) AS entries,
+                 CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS bounces
+          FROM s GROUP BY 1
+        ), x AS (
+          SELECT exit_t AS event_type,
+                 CAST(COUNT(*) AS BIGINT) AS exits
+          FROM s GROUP BY 1
+        ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s)
+        SELECT COALESCE(e.event_type, x.event_type) AS event_type,
+               CAST(COALESCE(entries, 0) AS BIGINT) AS entries,
+               CAST(COALESCE(exits, 0) AS BIGINT) AS exits,
+               CAST(COALESCE(bounces, 0) AS BIGINT) AS bounces,
+               t.total AS sessions,
+               ROUND(CAST(COALESCE(entries, 0) AS DOUBLE) / t.total,
+                     6) AS entry_share,
+               CASE WHEN COALESCE(entries, 0) > 0
+                    THEN ROUND(CAST(COALESCE(bounces, 0) AS DOUBLE)
+                               / entries, 6)
+               END AS bounce_rate
+        FROM e FULL JOIN x ON e.event_type = x.event_type
+        CROSS JOIN t
+    """
+    # r8 continuation: exact per-source token-frequency Gini — a tie
+    # run of m types at frequency c over ascending ranks (s, s+m]
+    # contributes c*m*(2s + m - k) in closed form over the cf
+    # histogram (never a per-term rank window); HUGEINT numerator
+    # VARCHAR-rendered, one rounded division
+    sql["token_gini"] = """
+        WITH tok AS (
+          SELECT source AS g,
+                 unnest(string_split(lower(text), ' ')) AS t
+          FROM documents WHERE source IS NOT NULL
+        ), f AS (
+          SELECT g, t, CAST(COUNT(*) AS BIGINT) AS cf
+          FROM tok WHERE t <> '' GROUP BY 1, 2
+        ), h AS (
+          SELECT g, cf, CAST(COUNT(*) AS BIGINT) AS m
+          FROM f GROUP BY 1, 2
+        ), c AS (
+          SELECT g, cf, m,
+            CAST(COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY cf
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS HUGEINT) AS s,
+            CAST(SUM(m) OVER (PARTITION BY g) AS HUGEINT) AS k,
+            CAST(SUM(cf * m) OVER (PARTITION BY g) AS HUGEINT) AS n
+          FROM h
+        )
+        SELECT g AS source,
+               CAST(ANY_VALUE(k) AS BIGINT) AS n_types,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(cf AS HUGEINT) * m * (2 * s + m - k))
+                    AS VARCHAR) AS gini_num,
+               CASE WHEN ANY_VALUE(k) > 0 AND ANY_VALUE(n) > 0
+                    THEN ROUND(
+                      CAST(SUM(CAST(cf AS HUGEINT) * m
+                               * (2 * s + m - k)) AS DOUBLE)
+                      / (CAST(ANY_VALUE(k) AS DOUBLE)
+                         * CAST(ANY_VALUE(n) AS DOUBLE)), 6)
+               END AS gini
+        FROM c GROUP BY g
+    """
+    # r8 continuation: Kneser-Ney continuation counting — distinct
+    # left/right context counts per word from ONE bigram-type
+    # distinct, unigram counts, the global type total as the p_cont
+    # denominator; top-k by (n_left_ctx DESC, word)
+    sql["kn_continuation_counts"] = """
+        WITH toks AS (
+          SELECT string_split(lower(text), ' ') AS t FROM documents
+        ), bg AS (
+          SELECT t[i] AS l, t[i+1] AS r
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)
+          WHERE t[i] <> '' AND t[i+1] <> ''
+        ), ty AS (
+          SELECT DISTINCT l, r FROM bg
+        ), lc AS (
+          SELECT r AS word, CAST(COUNT(*) AS BIGINT) AS n_left_ctx
+          FROM ty GROUP BY 1
+        ), rc AS (
+          SELECT l AS word, CAST(COUNT(*) AS BIGINT) AS n_right_ctx
+          FROM ty GROUP BY 1
+        ), uni AS (
+          SELECT tt AS word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS tt
+                FROM documents) q
+          WHERE tt <> '' GROUP BY 1
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM ty
+        ), j AS (
+          SELECT uni.word, uni.c,
+                 CAST(COALESCE(lc.n_left_ctx, 0) AS BIGINT)
+                   AS n_left_ctx,
+                 CAST(COALESCE(rc.n_right_ctx, 0) AS BIGINT)
+                   AS n_right_ctx
+          FROM uni LEFT JOIN lc USING (word)
+                   LEFT JOIN rc USING (word)
+        ), top AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_left_ctx DESC, word) AS BIGINT) AS rn
+          FROM j
+        )
+        SELECT word, c, n_left_ctx, n_right_ctx,
+               tot.n_bigram_types,
+               ROUND(CAST(n_left_ctx AS DOUBLE)
+                     / tot.n_bigram_types, 6) AS p_cont,
+               rn AS "rank"
+        FROM top CROSS JOIN tot WHERE rn <= 100
+    """
+    # r8 continuation: one synchronous label-propagation round over
+    # the MinHash pair graph seeded with doc sources — symmetrized
+    # distinct edges, neighbor-label votes, (count DESC, label ASC)
+    # argmax, keep-own for vote-less nodes
+    sql["label_propagation_pass"] = f"""
+        WITH p AS ({_minhash_oracle()}),
+        e AS (
+          SELECT doc_a AS n, doc_b AS m FROM p
+          UNION
+          SELECT doc_b AS n, doc_a AS m FROM p
+        ), lab AS (
+          SELECT doc_id AS node, source AS lb FROM documents
+        ), votes AS (
+          SELECT e.n, lab.lb AS nl, CAST(COUNT(*) AS BIGINT) AS v
+          FROM e JOIN lab ON lab.node = e.m
+          WHERE lab.lb IS NOT NULL
+          GROUP BY 1, 2
+        ), pk AS (
+          SELECT n, nl, v,
+                 ROW_NUMBER() OVER (PARTITION BY n
+                                    ORDER BY v DESC, nl) AS rn,
+                 SUM(v) OVER (PARTITION BY n) AS tot
+          FROM votes
+        ), w AS (
+          SELECT n, MAX(CASE WHEN rn = 1 THEN nl END) AS win,
+                 CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT)
+                   AS top_count,
+                 CAST(MAX(tot) AS BIGINT) AS n_neighbors
+          FROM pk GROUP BY n
+        )
+        SELECT COALESCE(lab.node, w.n) AS node,
+               lab.lb AS old_label,
+               COALESCE(w.win, lab.lb) AS new_label,
+               CAST(COALESCE(w.n_neighbors, 0) AS BIGINT)
+                 AS n_neighbors,
+               CAST(COALESCE(w.top_count, 0) AS BIGINT) AS top_count
+        FROM lab FULL JOIN w ON lab.node = w.n
+    """
+    # r8 continuation: embedding-level eval-set decontamination —
+    # benchmark slice vec_id % 19 == 7, threshold on the 6-dp
+    # ROUNDED cosine (so keep/flag never straddles a 1-ulp engine
+    # divergence), nearest benchmark hit per contaminated candidate
+    sql["semantic_decontaminate"] = """
+        WITH c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 19 <> 7
+        ), b AS (
+          SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 19 = 7
+        ), s AS (
+          SELECT c.vec_id, b.bench_id,
+                 ROUND(list_dot_product(c.e, b.e)
+                       / (sqrt(list_dot_product(c.e, c.e))
+                          * sqrt(list_dot_product(b.e, b.e))),
+                       6) AS cosine
+          FROM c CROSS JOIN b
+        ), f AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cosine DESC, bench_id) AS rn
+          FROM s WHERE cosine >= 0.35
+        )
+        SELECT vec_id, bench_id, cosine FROM f WHERE rn = 1
     """
     # r8 continuation: Lee et al. exact-substring duplicate spans —
     # overlapping 5-gram windows occurring >= 2 times corpus-wide,

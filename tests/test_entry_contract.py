@@ -72,7 +72,9 @@ CHANGED_IN_R8 = [
 NEW_ORACLE_R8 = [
     "bpe_pair_counts_pass", "ks_two_sample", "nn_descent_pass",
     "dsir_weights", "exact_substring_spans", "auc_exact",
-    "pareto_frontier",
+    "pareto_frontier", "user_lifecycle", "entry_exit_report",
+    "token_gini", "kn_continuation_counts", "label_propagation_pass",
+    "semantic_decontaminate",
 ]
 
 # The one SANCTIONED rows-only slot (r7 verdict ask #3): its r7

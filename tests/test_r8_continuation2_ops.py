@@ -1,0 +1,288 @@
+"""Pins for the second r8 continuation batch: growth accounting,
+session entry/exit, exact token Gini, Kneser-Ney continuation
+counts, one LPA round, and embedding decontamination.
+
+Each operator is checked against a hand-built case or an
+independent pure-Python reference (never against its own oracle
+SQL — the driver gate does that comparison separately).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from whatdropsnow_etl_spark.operators import (
+    entry_exit_report,
+    kn_continuation_counts,
+    label_propagation_pass,
+    semantic_decontaminate,
+    token_gini,
+    user_lifecycle,
+)
+
+
+def _ts(day: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, 12, 0) + dt.timedelta(minutes=minute)
+
+
+def _ev_schema():
+    return "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def test_user_lifecycle_classes_and_churn(spark):
+    # u1 active d1,d2,d3; u2 active d1,d3 (gap); u3 active d2 only
+    rows = [
+        (1, _ts(1), 1, "x"), (2, _ts(2), 1, "x"), (3, _ts(3), 1, "x"),
+        (4, _ts(1), 2, "x"), (5, _ts(3), 2, "x"),
+        (6, _ts(2), 3, "x"),
+        # a second same-day event must not double-count activity
+        (7, _ts(2, 30), 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, _ev_schema())
+    got = {r.day.isoformat(): r for r in user_lifecycle(df).collect()}
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    d1, d2, d3 = (got["2024-01-0" + str(i)] for i in (1, 2, 3))
+    assert (d1.dau, d1.new_users, d1.retained_users,
+            d1.resurrected_users, d1.churned_users) == (2, 2, 0, 0, 0)
+    # d2: u1 retained, u3 new; u2 churned (active d1, not d2)
+    assert (d2.dau, d2.new_users, d2.retained_users,
+            d2.resurrected_users, d2.churned_users) == (2, 1, 1, 0, 1)
+    # d3: u1 retained, u2 resurrected; u3 churned
+    assert (d3.dau, d3.new_users, d3.retained_users,
+            d3.resurrected_users, d3.churned_users) == (2, 0, 1, 1, 1)
+    # growth-accounting identities on every day
+    for d in (d1, d2, d3):
+        assert d.dau == d.new_users + d.retained_users + d.resurrected_users
+    assert d2.churned_users == d1.dau - d2.retained_users
+    assert d3.churned_users == d2.dau - d3.retained_users
+    # NO churn row for d4 — the last observed day emits no future
+
+
+def test_user_lifecycle_churn_only_day(spark):
+    # one user, active d1 and d4: d2 is a churn-only row (dau 0),
+    # d4 a resurrection; d3 has no row at all
+    rows = [(1, _ts(1), 1, "x"), (2, _ts(4), 1, "x")]
+    df = spark.createDataFrame(rows, _ev_schema())
+    got = {r.day.isoformat(): r for r in user_lifecycle(df).collect()}
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-04"}
+    d2 = got["2024-01-02"]
+    assert (d2.dau, d2.churned_users) == (0, 1)
+    d4 = got["2024-01-04"]
+    assert (d4.dau, d4.resurrected_users, d4.churned_users) == (1, 1, 0)
+
+
+def test_entry_exit_report_sessions_and_bounces(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, session 1: click -> view (entry click, exit view)
+        (1, t0, 1, "click"), (2, t0 + 5 * m, 1, "view"),
+        # user 1, session 2 (2h later): lone purchase (bounce)
+        (3, t0 + 120 * m, 1, "purchase"),
+        # user 2: lone click (bounce)
+        (4, t0, 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, _ev_schema())
+    got = {r.event_type: r for r in entry_exit_report(df).collect()}
+    assert set(got) == {"click", "view", "purchase"}
+    c, v, p = got["click"], got["view"], got["purchase"]
+    assert (c.entries, c.exits, c.bounces) == (2, 1, 1)
+    assert (v.entries, v.exits, v.bounces) == (0, 1, 0)
+    assert (p.entries, p.exits, p.bounces) == (1, 1, 1)
+    assert {r.sessions for r in got.values()} == {3}
+    assert c.entry_share == round(2 / 3, 6)
+    assert c.bounce_rate == 0.5 and p.bounce_rate == 1.0
+    assert v.bounce_rate is None  # never opens a session
+
+
+def test_entry_exit_report_tie_determinism(spark):
+    # two events at the SAME timestamp: (ts, id) order decides
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [(2, t0, 1, "b"), (1, t0, 1, "a")]
+    df = spark.createDataFrame(rows, _ev_schema())
+    got = {r.event_type: r for r in entry_exit_report(df).collect()}
+    assert got["a"].entries == 1 and got["b"].entries == 0
+    assert got["b"].exits == 1 and got["a"].exits == 0
+
+
+def _gini_reference(counts: list[int]) -> tuple[int, float]:
+    xs = sorted(counts)
+    k, n = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - k - 1) * x for i, x in enumerate(xs))
+    return num, round(num / (k * n), 6)
+
+
+def test_token_gini_matches_reference(spark):
+    # src a: skewed (one dominant token); src b: perfectly uniform
+    docs = [
+        (0, "x x x x x x y z", "a"),
+        (1, "x x y z", "a"),
+        (2, "p q r s", "b"),
+        (3, "s r q p", "b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {r.source: r for r in token_gini(df).collect()}
+    # a: x=8, y=2, z=2  b: p=q=r=s=2
+    num_a, g_a = _gini_reference([8, 2, 2])
+    assert got["a"].gini_num == str(num_a) and got["a"].gini == g_a
+    assert (got["a"].n_types, got["a"].n_tokens) == (3, 12)
+    assert got["b"].gini_num == "0" and got["b"].gini == 0.0
+    assert got["a"].gini > got["b"].gini
+
+
+def test_token_gini_tie_run_closed_form(spark):
+    # many tie runs — the closed-form run contribution must equal
+    # the per-term ranked formula exactly
+    counts = [1, 1, 1, 2, 2, 5, 5, 5, 9]
+    words = [f"w{i} " * c for i, c in enumerate(counts)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words), "s")], "doc_id long, text string, source string"
+    )
+    num, g = _gini_reference(counts)
+    r = token_gini(df).collect()[0]
+    assert r.gini_num == str(num) and r.gini == g
+
+
+def _kn_reference(texts: list[str]):
+    uni: dict[str, int] = {}
+    types = set()
+    for t in texts:
+        toks = [w for w in t.lower().split(" ")]
+        for w in toks:
+            if w != "":
+                uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            if a != "" and b != "":
+                types.add((a, b))
+    lc = {w: len({a for a, b in types if b == w}) for w in uni}
+    rc = {w: len({b for a, b in types if a == w}) for w in uni}
+    return uni, lc, rc, len(types)
+
+
+def test_kn_continuation_counts_matches_reference(spark):
+    texts = [
+        "san francisco is foggy",
+        "san diego is sunny",
+        "san francisco bay",
+        "the bay is cold",
+        "is is is",  # self-bigram: one (is, is) type
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uni, lc, rc, total = _kn_reference(texts)
+    got = kn_continuation_counts(df, k=100).collect()
+    assert len(got) == len(uni)
+    for r in got:
+        assert r.c == uni[r.word]
+        assert r.n_left_ctx == lc[r.word], r.word
+        assert r.n_right_ctx == rc[r.word], r.word
+        assert r.n_bigram_types == total
+        assert r.p_cont == round(lc[r.word] / total, 6)
+    # "francisco" follows only "san": continuation count 1 despite
+    # 2 raw occurrences — THE Kneser-Ney discrimination
+    by_w = {r.word: r for r in got}
+    assert by_w["francisco"].c == 2 and by_w["francisco"].n_left_ctx == 1
+    # ranks follow (n_left_ctx DESC, word ASC) with no gaps
+    ranked = sorted(got, key=lambda r: r.rank)
+    assert [r.rank for r in ranked] == list(range(1, len(got) + 1))
+    assert ranked == sorted(ranked, key=lambda r: (-r.n_left_ctx, r.word))
+
+
+def test_kn_continuation_counts_topk_cut(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "c b"), (2, "a d")], "doc_id long, text string"
+    )
+    got = kn_continuation_counts(df, k=2).collect()
+    assert len(got) == 2
+    # b has 2 left contexts {a, c} — rank 1
+    assert got[0].word == "b" or got[1].word == "b"
+    assert {r.rank for r in got} == {1, 2}
+
+
+def test_label_propagation_pass_votes_and_tiebreak(spark):
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4),  # node 1: neighbors labeled B,B,A
+            (5, 6),                   # 5 <-> 6
+            (7, 8),                   # 8 is unlabeled, 7 labeled A
+            (9, 9),                   # self-loop: dropped
+        ],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [
+            (1, "A"), (2, "B"), (3, "B"), (4, "A"),
+            (5, "A"), (6, "B"),
+            (7, "A"),
+            (9, "C"), (10, "D"),  # 10 is isolated
+        ],
+        "node long, label string",
+    )
+    got = {r.node: r for r in label_propagation_pass(edges, labels).collect()}
+    # node 1: B wins 2-1
+    assert got[1].new_label == "B" and got[1].old_label == "A"
+    assert got[1].n_neighbors == 3 and got[1].top_count == 2
+    # 1-1 tie at node 5 (neighbor B) — single vote, adopts B;
+    # node 2's neighbors: only node 1 (A) -> A... and the A/B tie
+    # on node 4's side: neighbors = {1: A} -> keeps A trivially.
+    # Tiebreak proper: node 6 sees {5: A}, node 5 sees {6: B}.
+    assert got[5].new_label == "B" and got[6].new_label == "A"
+    # unlabeled node 8 adopts its neighbor's label
+    assert got[8].old_label is None and got[8].new_label == "A"
+    # labeled node 7's only neighbor (8) is unlabeled: keeps own
+    assert got[7].new_label == "A" and got[7].n_neighbors == 0
+    # self-loop contributes nothing
+    assert got[9].new_label == "C" and got[9].n_neighbors == 0
+    # isolated labeled node keeps its label
+    assert got[10].new_label == "D" and got[10].top_count == 0
+
+
+def test_label_propagation_pass_count_desc_label_asc_tie(spark):
+    # 2-2 vote: the ASCENDING label wins
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, "Z"), (2, "B"), (3, "B"), (4, "A"), (5, "A")],
+        "node long, label string",
+    )
+    got = {r.node: r for r in label_propagation_pass(edges, labels).collect()}
+    assert got[1].new_label == "A" and got[1].top_count == 2
+
+
+def test_semantic_decontaminate_threshold_and_nearest(spark):
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),    # cos 1.0 vs bench 100 -> flagged
+            (2, [0.9, 0.9]),    # cos .7071 vs BOTH -> tie, lower id
+            (3, [-1.0, 0.0]),   # cos -1 / 0 -> clean at 0.5
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r
+        for r in semantic_decontaminate(cands, bench, threshold=0.5).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1].bench_id == 100 and got[1].cosine == 1.0
+    # rounded-cosine tie -> benchmark id ascending
+    assert got[2].bench_id == 100 and got[2].cosine == round(
+        0.9 / (2 * 0.81) ** 0.5, 6
+    )
+
+
+def test_semantic_decontaminate_empty_when_clean(spark):
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cands = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    assert semantic_decontaminate(cands, bench, threshold=0.5).count() == 0

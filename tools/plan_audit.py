@@ -144,6 +144,17 @@ ALLPAIRS_OK = {
     # Laplace normalizer: crossJoin against the 1-row broadcast
     # token-total aggregate (the Q11 scalar-subquery pattern)
     "dsir_weights",
+    # last-observed-day churn suppression: crossJoin against the
+    # 1-row broadcast max-day aggregate (the Q11 pattern)
+    "user_lifecycle",
+    # session-total denominator: 1-row broadcast cross (Q11 pattern)
+    "entry_exit_report",
+    # bigram-type total (p_cont denominator): 1-row broadcast cross
+    "kn_continuation_counts",
+    # decontamination contract: corpus × eval-suite-sized BROADCAST
+    # benchmark (the ann_cosine_topk shape; LSH pre-gate is the
+    # documented path when even map-side N·B is too hot)
+    "semantic_decontaminate",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -198,6 +209,8 @@ PYTHON_OK = {
     # one NN-descent round scores candidates with the shared Arrow
     # cosine kernel (bit-exact vs list_dot_product)
     "nn_descent_pass",
+    # decontamination scores with the same shared Arrow cosine kernel
+    "semantic_decontaminate",
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must

@@ -1081,3 +1081,191 @@ def signed_floor_log2_ratio(num: Column, den: Column) -> Column:
     exact = F.call_function("shiftleft", num, e.cast("int")) == den
     neg = F.when(exact, -e).otherwise(-(e + F.lit(1)))
     return F.when(num >= den, pos).otherwise(neg).cast("bigint")
+
+
+def token_gini(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Gini coefficient of the token-type frequency
+    distribution — the vocabulary-concentration screen next to
+    zipf_fit (slope says HOW the head decays; Gini says how much of
+    the mass the head owns): boilerplate-heavy sources concentrate
+    token mass in few types (Gini → 1), diverse natural text spreads
+    it (lower Gini). The "is this source one template repeated?"
+    question before source weighting.
+
+    No reference twin — extends SURVEY §2.3's corpus-health family.
+
+    Exactness: with type frequencies x_(1) <= ... <= x_(k) (k types,
+    n total tokens), Gini = Σ_i (2i − k − 1)·x_(i) / (k·n). The
+    numerator is EXACT integer arithmetic and — because coefficients
+    of a tie run are a permutation-invariant set — independent of
+    tie order, so it is bit-deterministic across engines without
+    fixing a term order. Emitted DECIMAL(38,0)-as-VARCHAR (the KS/AUC
+    numerator convention); the statistic is one rounded double
+    division.
+
+    Scale shape (the zipf_fit trick): NO per-term rank window. A run
+    of m types with frequency c occupying ascending ranks
+    (s, s+m] contributes c·m·(2s + m − k) in closed form, so the
+    corpus collapses in one explode + map-combined (group, term)
+    count, then to the (group, cf) histogram (#distinct frequencies
+    ~ O(sqrt(n)) per group), and every window runs over that
+    histogram partitioned by group. One corpus-sized shuffle total.
+
+    Output: (group_col, n_types, n_tokens, gini_num VARCHAR, gini),
+    one row per group; gini NULL when the group has no tokens.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .where(F.col("__g").isNotNull() & (F.col("__t") != ""))
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cf"))
+    )
+    hist = freq.groupBy("__g", "__cf").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m")
+    )
+    w_run = (
+        Window.partitionBy("__g")
+        .orderBy("__cf")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("__g")
+    dec = "decimal(38,0)"
+    s = F.coalesce(F.sum("__m").over(w_run), F.lit(0)).cast(dec)
+    k = F.sum("__m").over(w_all).cast(dec)
+    n = F.sum(F.col("__cf") * F.col("__m")).over(w_all).cast(dec)
+    contrib = hist.select(
+        "__g",
+        k.alias("__k"),
+        n.alias("__n"),
+        (
+            F.col("__cf").cast(dec)
+            * F.col("__m").cast(dec)
+            * (F.lit(2).cast(dec) * s + F.col("__m").cast(dec) - k)
+        ).alias("__c"),
+    )
+    return contrib.groupBy(F.col("__g").alias(group_col)).agg(
+        F.first("__k").cast("bigint").alias("n_types"),
+        F.first("__n").cast("bigint").alias("n_tokens"),
+        F.sum("__c").cast(dec).cast("string").alias("gini_num"),
+        F.when(
+            (F.first("__k") > 0) & (F.first("__n") > 0),
+            F.round(
+                F.sum("__c").cast("double")
+                / (
+                    F.first("__k").cast("double")
+                    * F.first("__n").cast("double")
+                ),
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+def kn_continuation_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """The deterministic counting half of Kneser–Ney smoothing — the
+    LM-quality statistics pass (Chen & Goodman 1999): for each word,
+    its unigram count, the number of DISTINCT left contexts
+    (N1+(·w) — KN's continuation count: "san" precedes "francisco"
+    constantly, but "francisco" follows almost nothing else, so its
+    continuation probability is tiny despite a high raw count) and
+    distinct right contexts (N1+(w·), the normalizer side). The
+    iterative/discounted smoothing that consumes these is a model
+    fit; the counts relation itself is pure integer arithmetic and
+    oracle-twinned — the kmeans_update_pass / lr_gradient_pass
+    pattern applied to LM estimation.
+
+    No reference twin — extends SURVEY §2.3's corpus/LM family.
+
+    p_cont = N1+(·w) / |distinct bigram types| is KN's unigram
+    backoff; emitted as the exact integer pair plus one rounded
+    double division (6 dp, the cosine-family convention).
+
+    Scale shape: ONE positional-bigram explode feeds a map-combined
+    distinct to (left, right) TYPES (the only corpus-sized shuffle;
+    16-byte rows after the select), two word-keyed counts over it,
+    and a token explode for unigram counts; the global type total is
+    a 1-row broadcast cross (the Q11 pattern). Top-k by
+    (n_left_ctx DESC, word ASC) is a sort-limit (TakeOrdered — never
+    a global window); the rank window runs over k rows.
+
+    Output: (word, c, n_left_ctx, n_right_ctx, n_bigram_types,
+    p_cont, rank) — k rows.
+    """
+    toks = docs.select(tokens(text_col).alias("__ts")).where(
+        F.size("__ts") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("__ts", 1, F.size("__ts") - 1).alias("l"),
+                F.slice("__ts", 2, F.size("__ts") - 1).alias("r"),
+            )
+        ).alias("__p")
+    ).select(
+        F.col("__p.l").alias("__l"), F.col("__p.r").alias("__r")
+    ).where((F.col("__l") != "") & (F.col("__r") != ""))
+    types = pairs.distinct()
+    left_ctx = types.groupBy(F.col("__r").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left_ctx")
+    )
+    right_ctx = types.groupBy(F.col("__l").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right_ctx")
+    )
+    uni = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    total = types.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigram_types")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        uni.join(left_ctx, "word", "left")
+        .join(right_ctx, "word", "left")
+        .select(
+            "word",
+            "c",
+            F.coalesce("n_left_ctx", F.lit(0))
+            .cast("bigint")
+            .alias("n_left_ctx"),
+            F.coalesce("n_right_ctx", F.lit(0))
+            .cast("bigint")
+            .alias("n_right_ctx"),
+        )
+        .orderBy(F.col("n_left_ctx").desc(), F.col("word"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_left_ctx").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "c",
+            "n_left_ctx",
+            "n_right_ctx",
+            "n_bigram_types",
+            F.round(
+                F.col("n_left_ctx").cast("double")
+                / F.col("n_bigram_types").cast("double"),
+                6,
+            ).alias("p_cont"),
+            "rank",
+        )
+    )

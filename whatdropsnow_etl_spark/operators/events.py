@@ -947,3 +947,369 @@ def user_event_sequences(
             " ",
         ).alias("seq"),
     )
+
+
+def user_lifecycle(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily growth accounting — every DAU decomposed into
+    new / retained / resurrected, plus the churn complement (the
+    "where did yesterday's users go" table every activity dashboard
+    opens with; Reforge/a16z growth-accounting identity:
+    DAU(d) = new(d) + retained(d) + resurrected(d), and
+    churned(d) = DAU(d-1) − retained(d)).
+
+    No reference twin — the reference (397 LoC ETL) lands events and
+    stops; extends SURVEY §2.2's events family.
+
+    Semantics: a user is ACTIVE on a day if they have >=1 event that
+    day. On each active day the user is NEW (no prior active day),
+    RETAINED (active yesterday too) or RESURRECTED (prior activity,
+    but a gap >= 2 days). A user CHURNS on day d+1 when active on d
+    and not on d+1; the last observed day in the relation emits no
+    churn (the future is unknown — standard growth-accounting
+    convention, pinned in pytest). The identity churned(d) =
+    dau(d-1) − retained(d) therefore holds on every interior day and
+    is asserted by the test.
+
+    Scale shape: the raw event log collapses FIRST in one
+    map-side-combined distinct to the (user, day) activity relation
+    (bounded by users × active-days — orders of magnitude below the
+    event count); the lag/lead windows partition by user (high
+    cardinality, no hot partition) over that collapsed relation; the
+    final aggregate is day-sized. The one global scalar (the max
+    observed day, needed to suppress last-day churn) is a 1-row
+    broadcast cross join — the Q11 pattern, never a collect.
+
+    Output: (day date, dau, new_users, retained_users,
+    resurrected_users, churned_users — all bigint), one row per
+    active day, plus churn-only rows when a day's activity is empty
+    but yesterday's users all left (dau=0 days appear only then).
+    """
+    act = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+        )
+        .where(F.col("__u").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("__u").orderBy("__d")
+    prev_d = F.lag("__d").over(w)
+    next_d = F.lead("__d").over(w)
+    classed = act.select(
+        "__u",
+        "__d",
+        F.when(prev_d.isNull(), F.lit("new"))
+        .when(F.datediff(F.col("__d"), prev_d) == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("__cls"),
+        next_d.alias("__next"),
+    )
+    per_day = classed.groupBy(F.col("__d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau"),
+        F.sum((F.col("__cls") == "new").cast("bigint"))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum((F.col("__cls") == "retained").cast("bigint"))
+        .cast("bigint")
+        .alias("retained_users"),
+        F.sum((F.col("__cls") == "resurrected").cast("bigint"))
+        .cast("bigint")
+        .alias("resurrected_users"),
+    )
+    max_day = act.agg(F.max("__d").alias("__maxd"))
+    churn = (
+        classed.where(
+            F.col("__next").isNull()
+            | (F.datediff(F.col("__next"), F.col("__d")) > 1)
+        )
+        .select(F.date_add(F.col("__d"), 1).alias("day"))
+        .crossJoin(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("__maxd"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned_users"))
+    )
+    return (
+        per_day.join(churn, "day", "full")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            F.coalesce("new_users", F.lit(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.coalesce("retained_users", F.lit(0))
+            .cast("bigint")
+            .alias("retained_users"),
+            F.coalesce("resurrected_users", F.lit(0))
+            .cast("bigint")
+            .alias("resurrected_users"),
+            F.coalesce("churned_users", F.lit(0))
+            .cast("bigint")
+            .alias("churned_users"),
+        )
+    )
+
+
+def entry_exit_report(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap: str = "30 MINUTES",
+) -> DataFrame:
+    """Per-event-type session entry/exit/bounce report — the landing
+    page / exit page / bounce-rate table of web analytics, over the
+    same gap-based sessions :func:`~..operators.windows.sessionize`
+    emits (identical boundary rule: new session when the gap from the
+    previous event exceeds ``gap``; (ts, id) total order inside a
+    user, so first/last are deterministic under ties).
+
+    No reference twin; extends SURVEY §2.2's events family.
+
+    A session ENTERS at its first event's type, EXITS at its last,
+    and BOUNCES when it has exactly one event (that event is both
+    entry and exit — counted in all three columns, the GA
+    convention). Rates are the two final double divisions (6 dp,
+    the cosine-family rounding); all counts are exact bigints.
+
+    Scale shape: one user-partitioned window pass assigns session
+    ids (high-cardinality key), a second picks each session's first
+    and last rows via min/max over (epoch-micros, id) packed structs
+    inside ONE groupBy — never a re-sort of raw events; the final
+    aggregate is event-type-sized. No collects, no UDFs.
+
+    Output: (event_type, entries, exits, bounces, sessions,
+    entry_share, bounce_rate) — entry_share = entries / total
+    sessions; bounce_rate = bounces / entries for that type (NULL
+    when the type never opens a session).
+    """
+    from ..functions.timeutil import ts_micros
+
+    w = Window.partitionBy("__u").orderBy(F.col("__ts"), F.col("__id"))
+    prev = F.lag("__ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("__ts") - prev > F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            F.col(id_col).alias("__id"),
+            F.col(type_col).alias("__t"),
+        )
+        .withColumn("__new", is_new)
+        .withColumn("__sess", F.sum("__new").over(wcum).cast("bigint"))
+    )
+    sessions = numbered.groupBy("__u", "__sess").agg(
+        F.min(
+            F.struct(
+                ts_micros(F.col("__ts")).alias("us"),
+                F.col("__id").alias("id"),
+                F.col("__t").alias("t"),
+            )
+        )["t"].alias("__entry"),
+        F.max(
+            F.struct(
+                ts_micros(F.col("__ts")).alias("us"),
+                F.col("__id").alias("id"),
+                F.col("__t").alias("t"),
+            )
+        )["t"].alias("__exit"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    total = sessions.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__total")
+    )
+    entries = sessions.groupBy(F.col("__entry").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("entries"),
+        F.sum((F.col("__n") == 1).cast("bigint"))
+        .cast("bigint")
+        .alias("bounces"),
+    )
+    exits = sessions.groupBy(F.col("__exit").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exits")
+    )
+    return (
+        entries.join(exits, "event_type", "full")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            F.coalesce("entries", F.lit(0)).cast("bigint").alias("entries"),
+            F.coalesce("exits", F.lit(0)).cast("bigint").alias("exits"),
+            F.coalesce("bounces", F.lit(0)).cast("bigint").alias("bounces"),
+            F.col("__total").alias("sessions"),
+            F.round(
+                F.coalesce("entries", F.lit(0)).cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("entry_share"),
+            F.when(
+                F.coalesce("entries", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("bounces", F.lit(0)).cast("double")
+                    / F.coalesce("entries", F.lit(1)).cast("double"),
+                    6,
+                ),
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid (Hughes
+    1994; every CRM/retention playbook): score each user 1..n_tiles
+    on Recency (1 = most recent), Frequency and Monetary (1 =
+    highest), then report the segment grid. "Champions" are (1,1,1);
+    (5,1,1)-ish cells are the at-risk high-value users a win-back
+    campaign targets.
+
+    No reference twin — extends SURVEY §2.2's events family.
+
+    Determinism: recency is whole DAYS from the max observed event
+    date (a 1-row broadcast, the Q11 pattern — never a wall clock,
+    so reruns reproduce); monetary sums VALUE as exact integer
+    cents; every ntile orders by a TOTAL order ((metric, user_id)),
+    so tile assignment is bit-deterministic and both engines agree
+    on NTILE's early-tiles-get-the-remainder split.
+
+    Scale shape: the event log collapses FIRST in one map-combined
+    groupBy to the per-user (recency, frequency, cents) relation;
+    the three ntile windows run over THAT relation. They are
+    deliberately unpartitioned (tiles are defined over the whole
+    user population) — at 1e9 users swap the exact ntile for
+    percentile_rank's sample-sort global ranks (sort-free, same
+    module family) and derive tiles from the rank; at report scale
+    (<= ~1e8 users) the single sort of a 3-column relation is
+    cheap. The output is at most n_tiles³ rows.
+
+    Output: (r_score, f_score, m_score, n_users, sum_cents) — one
+    row per non-empty RFM cell.
+    """
+    from ..functions.money import dec
+    from ..functions.timeutil import ts_micros
+
+    per_user = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+            F.col(value_col).alias("__v"),
+        )
+        .where(F.col("__u").isNotNull() & F.col("__d").isNotNull())
+        .groupBy("__u")
+        .agg(
+            F.max("__d").alias("__last"),
+            F.count(F.lit(1)).cast("bigint").alias("__freq"),
+            (F.sum(dec("__v")) * 100).cast("bigint").alias("__cents"),
+        )
+    )
+    ref = per_user.agg(F.max("__last").alias("__ref"))
+    scored = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "__rec", F.datediff(F.col("__ref"), F.col("__last")).cast("bigint")
+    )
+    w_r = Window.orderBy(F.col("__rec").asc(), F.col("__u").asc())
+    w_f = Window.orderBy(F.col("__freq").desc(), F.col("__u").asc())
+    w_m = Window.orderBy(F.col("__cents").desc(), F.col("__u").asc())
+    tiled = scored.select(
+        "__u",
+        "__cents",
+        F.ntile(n_tiles).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(n_tiles).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(n_tiles).over(w_m).cast("bigint").alias("m_score"),
+    )
+    return tiled.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("__cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+def fano_burstiness(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event-type burstiness as the exact Fano factor
+    (variance-to-mean ratio of hourly counts): 1 for a Poisson
+    arrival process, > 1 for bursty types (incident storms,
+    crawler waves, batch jobs), < 1 for regular/throttled ones.
+    The binning-free spike screen next to event_rate_spikes (which
+    flags WHICH hours spiked; this scores HOW bursty a type is
+    overall) and hourly_acf (periodicity, not dispersion).
+
+    No reference twin — extends SURVEY §2.2's events family.
+
+    Exactness: over the inclusive global hour span [min_h, max_h]
+    (n hours — a 1-row broadcast bounds aggregate, the Q11
+    pattern), with hourly counts x_i (missing hours are real zeros:
+    they contribute to n but not to Σx, so no spine densification
+    is ever materialized), Fano = s²/mean with the population
+    variance — as the exact integer fraction
+    (n·Σx² − (Σx)²) / (n·Σx). Both sides are DECIMAL(38,0),
+    VARCHAR-rendered (the KS/AUC/Gini numerator convention); the
+    statistic is ONE rounded double division. Bit-deterministic
+    across engines and partitionings.
+
+    Scale shape: one map-combined (type, hour) count is the only
+    corpus-sized shuffle; the per-type moment aggregate runs over
+    the hour histogram (types × active hours); the bounds cross is
+    1-row broadcast. No windows, no collects, no UDFs.
+
+    Output: (event_type, n_hours, n_events, fano_num VARCHAR,
+    fano_den VARCHAR, fano DOUBLE) — fano NULL for a type with
+    zero events in span (cannot occur by construction: types come
+    from the events themselves).
+    """
+    hourly = (
+        events.select(
+            F.col(type_col).alias("__t"),
+            F.date_trunc("hour", F.col(ts_col)).alias("__h"),
+        )
+        .where(F.col("__t").isNotNull() & F.col("__h").isNotNull())
+        .groupBy("__t", "__h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__x"))
+    )
+    bounds = hourly.agg(
+        (
+            (
+                F.unix_timestamp(F.max("__h"))
+                - F.unix_timestamp(F.min("__h"))
+            )
+            / 3600
+            + 1
+        )
+        .cast("bigint")
+        .alias("__n")
+    )
+    dec38 = "decimal(38,0)"
+    moments = hourly.groupBy(F.col("__t").alias(type_col)).agg(
+        F.sum("__x").cast(dec38).alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast(dec38).alias("__sxx"),
+    )
+    num = (
+        F.col("__n").cast(dec38) * F.col("__sxx")
+        - F.col("__sx") * F.col("__sx")
+    )
+    den = F.col("__n").cast(dec38) * F.col("__sx")
+    return moments.crossJoin(F.broadcast(bounds)).select(
+        type_col,
+        F.col("__n").alias("n_hours"),
+        F.col("__sx").cast("bigint").alias("n_events"),
+        num.cast(dec38).cast("string").alias("fano_num"),
+        den.cast(dec38).cast("string").alias("fano_den"),
+        F.when(
+            F.col("__sx") > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("fano"),
+    )

@@ -198,3 +198,100 @@ def triangle_count(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
     )
+
+
+def label_propagation_pass(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+    a_col: str = "src",
+    b_col: str = "dst",
+) -> DataFrame:
+    """One SYNCHRONOUS label-propagation round (Raghavan et al. 2007)
+    over an undirected edge list — the kmeans_update_pass /
+    lr_gradient_pass / nn_descent_pass pattern applied to community
+    detection: each round is a driver-checkable integer relation
+    (neighbor-label vote counts + a deterministic argmax), the
+    fixpoint loop honest iteration the caller owns. On the
+    duplicate-pair graph this answers "which source-community does
+    this doc's near-duplicate neighborhood belong to" — a doc whose
+    neighbors vote for ANOTHER source is cross-source contamination
+    (mirrors, syndication) that dup_degree_report's raw degree and
+    dedup_clusters' components both miss.
+
+    No reference twin — extends SURVEY §2.3's graph family.
+
+    Semantics: edges are symmetrized and distinct'd (self-loops
+    dropped); each labeled neighbor votes its CURRENT label;
+    new_label = argmax votes with the deterministic (count DESC,
+    label ASC) tiebreak — bit-identical across engines and
+    partitionings, no float anywhere. Nodes with no labeled
+    neighbor keep their own label; unlabeled nodes that receive
+    votes adopt the winner (old_label NULL).
+
+    Scale shape: one distinct over the symmetrized edges, one
+    node-keyed join to attach neighbor labels (label side is a plain
+    shuffle join — corpus-sized, never broadcast), one map-combined
+    (node, label) vote count, and a node-partitioned argmax window
+    over the vote relation (bounded by distinct neighbor labels per
+    node, not degree). No collects, no UDFs.
+
+    Output: (node, old_label, new_label, n_neighbors, top_count) —
+    n_neighbors counts LABELED neighbors; top_count the winning
+    vote; both 0 for vote-less nodes.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(a_col).alias("__n"), F.col(b_col).alias("__m"))
+        .unionByName(
+            edges.select(
+                F.col(b_col).alias("__n"), F.col(a_col).alias("__m")
+            )
+        )
+        .where(F.col("__n") != F.col("__m"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("__node"), F.col(label_col).alias("__lab")
+    )
+    votes = (
+        sym.join(
+            lab.select(
+                F.col("__node").alias("__m"), F.col("__lab").alias("__nl")
+            ),
+            "__m",
+        )
+        .where(F.col("__nl").isNotNull())
+        .groupBy("__n", "__nl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__votes"))
+    )
+    w = Window.partitionBy("__n").orderBy(
+        F.col("__votes").desc(), F.col("__nl").asc()
+    )
+    picked = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .groupBy("__n")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("__nl"))).alias("__win"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__votes")))
+            .cast("bigint")
+            .alias("top_count"),
+            F.sum("__votes").cast("bigint").alias("n_neighbors"),
+        )
+    )
+    return (
+        lab.join(picked, F.col("__node") == F.col("__n"), "full")
+        .select(
+            F.coalesce("__node", "__n").alias("node"),
+            F.col("__lab").alias("old_label"),
+            F.coalesce("__win", "__lab").alias("new_label"),
+            F.coalesce("n_neighbors", F.lit(0))
+            .cast("bigint")
+            .alias("n_neighbors"),
+            F.coalesce("top_count", F.lit(0))
+            .cast("bigint")
+            .alias("top_count"),
+        )
+    )

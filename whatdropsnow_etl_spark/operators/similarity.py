@@ -1717,3 +1717,151 @@ def ring_seed_graph(
             ),
         )
     )
+
+
+def semantic_decontaminate(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination — the semantic twin
+    of decontaminate_ngrams / bloom_decontaminate: an eval item
+    paraphrased into the training set shares no 8-gram but sits at
+    high cosine, and leaderboard hygiene demands BOTH screens
+    (the SemDeDup/FineWeb decontamination stage). Flags every
+    candidate whose nearest benchmark vector reaches ``threshold``
+    cosine; the caller anti-joins the flags to decontaminate.
+
+    No reference twin — extends SURVEY §2.3's decontamination
+    family.
+
+    Determinism: scoring is the shared left-to-right float64 Arrow
+    kernel (bitwise-equal to DuckDB's list_dot_product); the
+    threshold compares the 6-dp ROUNDED cosine so the keep/flag
+    decision cannot straddle a 1-ulp engine divergence, and the
+    per-candidate nearest pick breaks ties (cosine DESC,
+    benchmark id ASC).
+
+    Scale shape: the benchmark side is eval-suite-sized by contract
+    (~1e3–1e6 rows) and BROADCAST, so the training corpus streams
+    map-side through one nested-loop score+filter — zero shuffle of
+    the corpus; only the contaminated survivors (threshold-bounded,
+    tiny by hypothesis) reach the per-candidate argmax window. The
+    window partitions by candidate id — high cardinality, no hot
+    key. For corpora where even the map-side N·B scoring is too
+    hot, gate candidates through ann_lsh_bucketed buckets first
+    (the standard LSH recall trade, same as embedding_dedup_pairs).
+
+    Output: (vec_id, bench_id, cosine) — one row per CONTAMINATED
+    candidate with its nearest benchmark hit.
+    """
+    cos = cosine_sim_arrow()
+    cand = candidates.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__cv")
+    )
+    bench = benchmark.select(
+        F.col(id_col).alias("bench_id"), to_double_array(vec_col).alias("__bv")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "bench_id",
+            F.round(cos(F.col("__cv"), F.col("__bv")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("bench_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", "bench_id", "cosine")
+    )
+
+
+def mnn_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining — the alignment primitive
+    behind bitext mining (LASER/CCMatrix: a sentence pair is a
+    translation candidate iff each side is the OTHER's nearest
+    neighbor) and high-precision near-dup seeding: one-directional
+    top-1 hits are asymmetric (hubs attract everything); mutuality
+    is the cheap filter that kills hub noise without a threshold.
+
+    No reference twin — extends SURVEY §2.3's similarity family.
+
+    Semantics: within each ``group_col`` shard (pass None for one
+    global shard — oracle scale only), every vector's top-1 neighbor
+    is picked by (rounded cosine DESC, id ASC) — the rounded compare
+    keeps the pick off 1-ulp engine divergence, the semantic_
+    decontaminate convention — and a pair (a < b) is emitted iff
+    nn(a) = b AND nn(b) = a, with its cosine.
+
+    Scale shape: the pair candidate space is the group-keyed
+    self-join — group-bounded quadratic, the embedding_dedup
+    contract (LSH/IVF buckets swap in as the grouping at 100 TB,
+    trading recall exactly as documented there); scoring is the
+    shared bit-exact Arrow cosine kernel; the per-vector top-1 is a
+    window over (group, id) — high cardinality, no hot key; the
+    mutuality check is one self-join of the id-keyed top-1 relation
+    (2 narrow rows per vector).
+
+    Output: (group?, id_a, id_b, cosine) with id_a < id_b, one row
+    per mutual pair.
+    """
+    cos = cosine_sim_arrow()
+    g = group_col if group_col is not None else None
+    base = vectors.select(
+        *([F.col(g).alias("__g")] if g else [F.lit(0).alias("__g")]),
+        F.col(id_col).alias("__id"),
+        to_double_array(vec_col).alias("__v"),
+    )
+    a = base.select(
+        "__g", F.col("__id").alias("__ia"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        "__g", F.col("__id").alias("__ib"), F.col("__v").alias("__vb")
+    )
+    scored = (
+        a.join(b, "__g")
+        .where(F.col("__ia") != F.col("__ib"))
+        .select(
+            "__g",
+            "__ia",
+            "__ib",
+            F.round(cos(F.col("__va"), F.col("__vb")), 6).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("__g", "__ia").orderBy(
+        F.col("__cos").desc(), F.col("__ib").asc()
+    )
+    top1 = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__g", "__ia", "__ib", "__cos")
+    )
+    # mutuality: (a, b) survives iff (b, a) is also a top-1 row
+    rev = top1.select(
+        F.col("__g").alias("__g2"),
+        F.col("__ib").alias("__ka"),
+        F.col("__ia").alias("__kb"),
+    )
+    mutual = top1.join(
+        rev,
+        (F.col("__g") == F.col("__g2"))
+        & (F.col("__ia") == F.col("__ka"))
+        & (F.col("__ib") == F.col("__kb")),
+    ).where(F.col("__ia") < F.col("__ib"))
+    out = [F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"),
+           F.col("__cos").alias("cosine")]
+    if g:
+        out = [F.col("__g").alias(g)] + out
+    return mutual.select(*out)
