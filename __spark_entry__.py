@@ -1955,6 +1955,26 @@ def _semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+def _fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import fano_burstiness
+
+    return fano_burstiness(load_table(spark, sf_dir, "events"))
+
+
+def _mnn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import mnn_pairs
+
+    return mnn_pairs(
+        load_table(spark, sf_dir, "embeddings"), group_col="label"
+    )
+
+
 def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import hybrid_search
 
@@ -2083,6 +2103,9 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "kn_continuation_counts": ["c", "n_bigram_types", "n_left_ctx", "n_right_ctx", "p_cont", "rank", "word"],
     "label_propagation_pass": ["n_neighbors", "new_label", "node", "old_label", "top_count"],
     "semantic_decontaminate": ["bench_id", "cosine", "vec_id"],
+    "rfm_segments": ["f_score", "m_score", "n_users", "r_score", "sum_cents"],
+    "fano_burstiness": ["event_type", "fano", "fano_den", "fano_num", "n_events", "n_hours"],
+    "mnn_pairs": ["cosine", "id_a", "id_b", "label"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2473,6 +2496,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r8 continuation — embedding-level eval-set
         # decontamination (broadcast benchmark, rounded-cos threshold)
         "semantic_decontaminate": _semantic_decontaminate,
+        # NEW in r8 continuation — RFM segment grid (deterministic
+        # ntile scores over the per-user aggregate)
+        "rfm_segments": _rfm_segments,
+        # NEW in r8 continuation — exact Fano factor of hourly
+        # counts per type (integer fraction, zero-hours counted)
+        "fano_burstiness": _fano_burstiness,
+        # NEW in r8 continuation — mutual-nearest-neighbor pairs
+        # within label shards (the bitext-mining primitive)
+        "mnn_pairs": _mnn_pairs,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2656,6 +2688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_continuation_counts",
         "label_propagation_pass",
         "semantic_decontaminate",
+        "rfm_segments",
+        "fano_burstiness",
+        "mnn_pairs",
         # (c) sanctioned rows-only retry (r7 verdict ask #3)
         "embedding_pca",
         # (d) oldest-signal (r3-green) refresh — all 13
@@ -2686,9 +2721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution",
         "q14_promo_revenue",
         "q12_shipping_delay",
-        "event_funnel",
-        "retention_cohorts",
-        "numeric_outliers",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6903,6 +6935,95 @@ def oracle_sql() -> dict[str, str]:
           FROM s WHERE cosine >= 0.35
         )
         SELECT vec_id, bench_id, cosine FROM f WHERE rn = 1
+    """
+    # r8 continuation: RFM segment grid — per-user (recency from the
+    # max observed date, frequency, exact cents), three NTILE scores
+    # over (metric, user) total orders, cell counts
+    sql["rfm_segments"] = """
+        WITH per AS (
+          SELECT user_id AS u, MAX(CAST(ts AS DATE)) AS last_d,
+                 CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100
+                      AS BIGINT) AS cents
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1
+        ), r AS (SELECT MAX(last_d) AS ref FROM per),
+        t AS (
+          SELECT u, cents,
+            CAST(NTILE(5) OVER (ORDER BY (ref - last_d), u)
+                 AS BIGINT) AS r_score,
+            CAST(NTILE(5) OVER (ORDER BY freq DESC, u)
+                 AS BIGINT) AS f_score,
+            CAST(NTILE(5) OVER (ORDER BY cents DESC, u)
+                 AS BIGINT) AS m_score
+          FROM per CROSS JOIN r
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM t GROUP BY 1, 2, 3
+    """
+    # r8 continuation: exact Fano factor of hourly counts per type —
+    # (n·Σx² − (Σx)²) / (n·Σx) over the inclusive global hour span,
+    # missing hours real zeros (contribute to n, not Σx); HUGEINT
+    # fraction VARCHAR-rendered, one rounded division
+    sql["fano_burstiness"] = """
+        WITH h AS (
+          SELECT event_type AS t, date_trunc('hour', ts) AS hh,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ), b AS (
+          SELECT CAST(date_diff('hour', MIN(hh), MAX(hh)) + 1
+                      AS BIGINT) AS n
+          FROM h
+        ), m AS (
+          SELECT t AS event_type,
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(x * x) AS HUGEINT) AS sxx
+          FROM h GROUP BY 1
+        )
+        SELECT event_type,
+               b.n AS n_hours,
+               CAST(sx AS BIGINT) AS n_events,
+               CAST(CAST(b.n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+                 AS fano_num,
+               CAST(CAST(b.n AS HUGEINT) * sx AS VARCHAR) AS fano_den,
+               CASE WHEN sx > 0 THEN ROUND(
+                 CAST(CAST(b.n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                 / CAST(CAST(b.n AS HUGEINT) * sx AS DOUBLE), 6)
+               END AS fano
+        FROM m CROSS JOIN b
+    """
+    # r8 continuation: mutual-nearest-neighbor pairs within label
+    # shards — per-vector top-1 by (6-dp rounded cosine DESC, id),
+    # pair survives iff each side picked the other; id_a < id_b
+    sql["mnn_pairs"] = """
+        WITH v AS (
+          SELECT label, vec_id AS id,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ), s AS (
+          SELECT a.label, a.id AS ia, b.id AS ib,
+                 ROUND(list_dot_product(a.e, b.e)
+                       / (sqrt(list_dot_product(a.e, a.e))
+                          * sqrt(list_dot_product(b.e, b.e))),
+                       6) AS c
+          FROM v a JOIN v b ON a.label = b.label AND a.id <> b.id
+        ), t AS (
+          SELECT label, ia, ib, c,
+                 ROW_NUMBER() OVER (PARTITION BY label, ia
+                                    ORDER BY c DESC, ib) AS rn
+          FROM s
+        ), top1 AS (
+          SELECT label, ia, ib, c FROM t WHERE rn = 1
+        )
+        SELECT p.label, p.ia AS id_a, p.ib AS id_b, p.c AS cosine
+        FROM top1 p
+        JOIN top1 q ON q.label = p.label AND q.ia = p.ib
+                   AND q.ib = p.ia
+        WHERE p.ia < p.ib
     """
     # r8 continuation: Lee et al. exact-substring duplicate spans —
     # overlapping 5-gram windows occurring >= 2 times corpus-wide,

@@ -74,7 +74,8 @@ NEW_ORACLE_R8 = [
     "dsir_weights", "exact_substring_spans", "auc_exact",
     "pareto_frontier", "user_lifecycle", "entry_exit_report",
     "token_gini", "kn_continuation_counts", "label_propagation_pass",
-    "semantic_decontaminate",
+    "semantic_decontaminate", "rfm_segments", "fano_burstiness",
+    "mnn_pairs",
 ]
 
 # The one SANCTIONED rows-only slot (r7 verdict ask #3): its r7

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from whatdropsnow_etl_spark.operators import (
     entry_exit_report,
+    fano_burstiness,
+    mnn_pairs,
+    rfm_segments,
     kn_continuation_counts,
     label_propagation_pass,
     semantic_decontaminate,
@@ -286,3 +289,97 @@ def test_semantic_decontaminate_empty_when_clean(spark):
         [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
     )
     assert semantic_decontaminate(cands, bench, threshold=0.5).count() == 0
+
+
+def test_rfm_segments_ranks_and_remainder(spark):
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+    day = dt.timedelta(days=1)
+    rows = []
+    eid = 0
+    # user u: last day 10-u  => recency rank == u order;
+    # frequency u+1 events; monetary 100*(u+1) total
+    for u in range(5):
+        for k in range(u + 1):
+            rows.append(
+                (eid, t0 - u * day, u, "x", 100.0 * (u + 1) / (u + 1))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = rfm_segments(df, n_tiles=5).collect()
+    # 5 users, 5 tiles: every cell is a singleton; user 0 is most
+    # recent (r=1) but least frequent (f=5) and lowest spend (m=5)
+    assert sum(r.n_users for r in out) == 5
+    cells = {(r.r_score, r.f_score, r.m_score) for r in out}
+    assert (1, 5, 5) in cells and (5, 1, 1) in cells
+    # ntile remainder: 5 users into 2 tiles -> 3 then 2 (early
+    # tiles take the remainder, pinned so both engines must agree)
+    out2 = rfm_segments(df, n_tiles=2).collect()
+    r_counts: dict[int, int] = {}
+    for r in out2:
+        r_counts[r.r_score] = r_counts.get(r.r_score, 0) + r.n_users
+    assert r_counts == {1: 3, 2: 2}
+
+
+def test_rfm_segments_exact_cents(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    df = spark.createDataFrame(
+        [(1, t0, 1, "x", 0.1), (2, t0, 1, "x", 0.2)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = rfm_segments(df).collect()
+    assert len(out) == 1 and out[0].sum_cents == 30  # never 29.999...
+
+
+def test_fano_burstiness_constant_and_bursty(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    h = dt.timedelta(hours=1)
+    rows = []
+    eid = 0
+    # type A: exactly one event per hour for 4 hours -> variance 0
+    for i in range(4):
+        rows.append((eid, t0 + i * h, 1, "A", 0.0)); eid += 1
+    # type B: all 4 events inside hour 0 of the same global span
+    for _ in range(4):
+        rows.append((eid, t0, 2, "B", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {r.event_type: r for r in fano_burstiness(df).collect()}
+    a, b = got["A"], got["B"]
+    assert a.n_hours == 4 and b.n_hours == 4  # global span, both types
+    assert (a.n_events, b.n_events) == (4, 4)
+    # A: x=[1,1,1,1]: num = 4*4 - 16 = 0
+    assert a.fano_num == "0" and a.fano == 0.0
+    # B: x=[4,0,0,0] (zero hours are real): num = 4*16 - 16 = 48,
+    # den = 16 -> fano 3.0
+    assert b.fano_num == "48" and b.fano_den == "16" and b.fano == 3.0
+
+
+def test_mnn_pairs_mutuality_and_groups(spark):
+    vecs = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [2.0, 0.1]),    # mutual with 1
+        (3, 0, [0.0, 1.0]),
+        (4, 0, [0.1, 2.0]),    # mutual with 3
+        (5, 0, [-1.0, -1.0]),  # nobody reciprocates
+        (6, 1, [1.0, 0.0]),    # identical to 1 but another group
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, label int, embedding array<double>"
+    )
+    got = {(r.id_a, r.id_b): r for r in mnn_pairs(df, group_col="label").collect()}
+    assert set(got) == {(1, 2), (3, 4)}
+    assert all(r.label == 0 for r in got.values())
+    # ungrouped: one global shard, same two pairs plus none for 5/6
+    solo = {
+        (r.id_a, r.id_b)
+        for r in mnn_pairs(df.where("vec_id <= 5")).collect()
+    }
+    assert solo == {(1, 2), (3, 4)}

@@ -155,6 +155,11 @@ ALLPAIRS_OK = {
     # benchmark (the ann_cosine_topk shape; LSH pre-gate is the
     # documented path when even map-side N·B is too hot)
     "semantic_decontaminate",
+    # recency reference date: crossJoin against the 1-row broadcast
+    # max-date aggregate (the Q11 pattern)
+    "rfm_segments",
+    # hour-span denominator: 1-row broadcast bounds cross (Q11)
+    "fano_burstiness",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel
@@ -211,6 +216,8 @@ PYTHON_OK = {
     "nn_descent_pass",
     # decontamination scores with the same shared Arrow cosine kernel
     "semantic_decontaminate",
+    # MNN mining scores with the same shared Arrow cosine kernel
+    "mnn_pairs",
 }
 # Iterative algorithms whose composition must run jobs (label
 # propagation converges via a driver-side loop); everything else must
