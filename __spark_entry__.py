@@ -6943,8 +6943,8 @@ def oracle_sql() -> dict[str, str]:
         WITH per AS (
           SELECT user_id AS u, MAX(CAST(ts AS DATE)) AS last_d,
                  CAST(COUNT(*) AS BIGINT) AS freq,
-                 CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100
-                      AS BIGINT) AS cents
+                 CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+                               * 100, 0) AS BIGINT) AS cents
           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
           GROUP BY 1
         ), r AS (SELECT MAX(last_d) AS ref FROM per),

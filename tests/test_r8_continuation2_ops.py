@@ -383,3 +383,17 @@ def test_mnn_pairs_mutuality_and_groups(spark):
         for r in mnn_pairs(df.where("vec_id <= 5")).collect()
     }
     assert solo == {(1, 2), (3, 4)}
+
+
+def test_rfm_segments_null_spend_is_zero_cents(spark):
+    t0 = dt.datetime(2024, 1, 5, 12, 0)
+    df = spark.createDataFrame(
+        [(1, t0, 1, "x", None), (2, t0, 2, "x", 3.5)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = rfm_segments(df, n_tiles=2).collect()
+    # the all-NULL-spend user lands at 0 cents (m_score 2), never a
+    # NULL whose sort order the two engines would pick differently
+    by_m = {r.m_score: r for r in out}
+    assert by_m[1].sum_cents == 350 and by_m[2].sum_cents == 0

@@ -1857,3 +1857,83 @@ def test_streaming_ks_drift_equals_batch_operator(spark, tables, tmp_path):
         * docs.select("n_chars").distinct().count()
     )
     assert max(sizes) <= bound
+
+
+def test_streaming_fano_equals_batch_operator(spark, tables, tmp_path):
+    """The burstiness twin: folding per-batch (type, hour) histograms
+    (an exact monoid) and reporting over the final state must equal
+    the batch fano_burstiness over the full static relation EXACTLY
+    — shared post-histogram code path (fano_from_histogram), so any
+    drift would be a fold bug. Also pins state boundedness: the
+    state never exceeds |types| x |active hours|."""
+    import os
+    import shutil
+
+    from whatdropsnow_etl_spark.operators import fano_burstiness
+    from whatdropsnow_etl_spark.streaming import (
+        fano_report,
+        fold_hour_histogram,
+    )
+
+    ev = tables["events"].select("event_id", "ts", "event_type")
+    src = str(tmp_path / "fano_events")
+    for part in range(3):
+        ev.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    store = str(tmp_path / "fano_store")
+    sizes = []
+
+    def fold(batch_df, batch_id):
+        b = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        prev = (
+            b.sparkSession.read.parquet(store)
+            if os.path.isdir(store)
+            else None
+        )
+        state = fold_hour_histogram(prev, b)
+        state.write.mode("overwrite").format("parquet").save(store + "_next")
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+        sizes.append(b.sparkSession.read.parquet(store).count())
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", StringType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fano"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sizes) >= 3  # really ran as micro-batches
+
+    state = spark.read.parquet(store)
+    got = sorted(
+        [tuple(r) for r in fano_report(state).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(r) for r in fano_burstiness(ev).collect()], key=repr
+    )
+    assert got == want
+    bound = (
+        ev.select("event_type").distinct().count()
+        * ev.select(F.date_trunc("hour", "ts")).distinct().count()
+    )
+    assert max(sizes) <= bound

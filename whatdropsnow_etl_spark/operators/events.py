@@ -1212,7 +1212,13 @@ def rfm_segments(
         .agg(
             F.max("__d").alias("__last"),
             F.count(F.lit(1)).cast("bigint").alias("__freq"),
-            (F.sum(dec("__v")) * 100).cast("bigint").alias("__cents"),
+            # all-NULL spend coalesces to 0 cents: a NULL here would
+            # sort under engine-DEFAULT null order inside the ntile
+            # (Spark DESC=last, ASC=first vs DuckDB's last/last) —
+            # the one place the twins could silently diverge
+            F.coalesce(F.sum(dec("__v")) * 100, F.lit(0))
+            .cast("bigint")
+            .alias("__cents"),
         )
     )
     ref = per_user.agg(F.max("__last").alias("__ref"))
@@ -1279,6 +1285,33 @@ def fano_burstiness(
         .where(F.col("__t").isNotNull() & F.col("__h").isNotNull())
         .groupBy("__t", "__h")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__x"))
+    )
+    return fano_from_histogram(
+        hourly.select(
+            F.col("__t").alias(type_col),
+            F.col("__h").alias("hour"),
+            F.col("__x").alias("n"),
+        ),
+        type_col,
+    )
+
+
+def fano_from_histogram(
+    hist: DataFrame,
+    type_col: str = "event_type",
+    hour_col: str = "hour",
+    count_col: str = "n",
+) -> DataFrame:
+    """The post-histogram half of :func:`fano_burstiness`: the exact
+    Fano fraction from a (type, hour, count) histogram. The
+    histogram is a MONOID under union + groupBy-sum, so a streaming
+    maintainer (streaming/fano.py) folds batch histograms and calls
+    this per trigger — identical to the full-relation operator by
+    construction (shared code path, pinned by the streaming twin)."""
+    hourly = hist.select(
+        F.col(type_col).alias("__t"),
+        F.col(hour_col).alias("__h"),
+        F.col(count_col).cast("bigint").alias("__x"),
     )
     bounds = hourly.agg(
         (

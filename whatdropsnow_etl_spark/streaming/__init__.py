@@ -12,6 +12,7 @@ from .topk import heavy_hitters, mg_merge
 from .manifest_sink import ManifestMergeStreamSink, ManifestStreamSink
 from .history import history_stream
 from .editdist import load_doc_store, pair_and_grow_doc_store
+from .fano import fano_report, fold_hour_histogram
 from .ks_drift import fold_value_histogram, ks_drift_report
 from .line_dedup import clean_and_grow_line_index, load_line_index
 from .paths import path_stream
@@ -39,6 +40,8 @@ __all__ = [
     "heavy_hitters",
     "history_stream",
     "clean_and_grow_line_index",
+    "fano_report",
+    "fold_hour_histogram",
     "fold_value_histogram",
     "ks_drift_report",
     "pair_and_grow_doc_store",
