@@ -1937,3 +1937,86 @@ def test_streaming_fano_equals_batch_operator(spark, tables, tmp_path):
         * ev.select(F.date_trunc("hour", "ts")).distinct().count()
     )
     assert max(sizes) <= bound
+
+
+def test_streaming_lifecycle_equals_batch_operator(spark, tables, tmp_path):
+    """The growth-accounting twin: folding per-batch DISTINCT
+    (user, day) activity (an exact monoid under union+distinct) and
+    reporting over the final state must equal the batch
+    user_lifecycle over the full static relation EXACTLY — shared
+    post-activity code path. Replayed batches fold idempotently
+    (at-least-once safety), and state stays <= |users x active
+    days|."""
+    import os
+    import shutil
+
+    from whatdropsnow_etl_spark.operators import user_lifecycle
+    from whatdropsnow_etl_spark.streaming import (
+        fold_activity,
+        lifecycle_report,
+    )
+
+    ev = tables["events"].select("event_id", "ts", "user_id")
+    src = str(tmp_path / "lc_events")
+    for part in range(3):
+        ev.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    store = str(tmp_path / "lc_store")
+    sizes = []
+
+    def fold(batch_df, batch_id):
+        b = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        prev = (
+            b.sparkSession.read.parquet(store)
+            if os.path.isdir(store)
+            else None
+        )
+        state = fold_activity(prev, b)
+        # replay the same batch: the distinct must absorb it
+        state = fold_activity(state, b)
+        state.write.mode("overwrite").format("parquet").save(store + "_next")
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+        sizes.append(b.sparkSession.read.parquet(store).count())
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", StringType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sizes) >= 3
+
+    state = spark.read.parquet(store)
+    got = sorted(
+        [tuple(r) for r in lifecycle_report(state).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(r) for r in user_lifecycle(ev).collect()], key=repr
+    )
+    assert got == want
+    bound = (
+        ev.select("user_id").distinct().count()
+        * ev.select(F.to_date("ts")).distinct().count()
+    )
+    assert max(sizes) <= bound

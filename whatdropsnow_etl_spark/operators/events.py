@@ -996,6 +996,22 @@ def user_lifecycle(
         .where(F.col("__u").isNotNull() & F.col("__d").isNotNull())
         .distinct()
     )
+    return lifecycle_from_activity(
+        act.select(F.col("__u").alias("user_id"), F.col("__d").alias("day"))
+    )
+
+
+def lifecycle_from_activity(activity: DataFrame) -> DataFrame:
+    """The post-activity half of :func:`user_lifecycle`: growth
+    accounting from a DISTINCT (user_id, day) activity relation.
+    The activity set is a MONOID under union + distinct, so a
+    streaming maintainer (streaming/lifecycle.py) folds per-batch
+    activity into persisted state and calls this per trigger —
+    identical to the full-relation operator by construction (shared
+    code path, pinned by the streaming twin)."""
+    act = activity.select(
+        F.col("user_id").alias("__u"), F.col("day").alias("__d")
+    )
     w = Window.partitionBy("__u").orderBy("__d")
     prev_d = F.lag("__d").over(w)
     next_d = F.lead("__d").over(w)

@@ -14,6 +14,7 @@ from .history import history_stream
 from .editdist import load_doc_store, pair_and_grow_doc_store
 from .fano import fano_report, fold_hour_histogram
 from .ks_drift import fold_value_histogram, ks_drift_report
+from .lifecycle import fold_activity, lifecycle_report
 from .line_dedup import clean_and_grow_line_index, load_line_index
 from .paths import path_stream
 from .attribution import attribution_stream
@@ -42,7 +43,9 @@ __all__ = [
     "clean_and_grow_line_index",
     "fano_report",
     "fold_hour_histogram",
+    "fold_activity",
     "fold_value_histogram",
+    "lifecycle_report",
     "ks_drift_report",
     "pair_and_grow_doc_store",
     "load_doc_store",
