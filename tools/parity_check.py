@@ -122,6 +122,12 @@ def main():
             only.add(arg)
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     qs = entrymod.queries()
+    # an unknown name in `only` would otherwise run ZERO queries and
+    # still print ALL OK — a vacuous pass that reads as a real one
+    unknown = (only | skip) - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
