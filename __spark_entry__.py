@@ -1955,6 +1955,14 @@ def _semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import histogram_overlap
+
+    return histogram_overlap(
+        load_table(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
 def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import rfm_segments
 
@@ -2106,6 +2114,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "rfm_segments": ["f_score", "m_score", "n_users", "r_score", "sum_cents"],
     "fano_burstiness": ["event_type", "fano", "fano_den", "fano_num", "n_events", "n_hours"],
     "mnn_pairs": ["cosine", "id_a", "id_b", "label"],
+    "histogram_overlap": ["n_group", "n_rest", "overlap", "overlap_num", "source"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
@@ -2505,6 +2514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r8 continuation — mutual-nearest-neighbor pairs
         # within label shards (the bitext-mining primitive)
         "mnn_pairs": _mnn_pairs,
+        # NEW in r8 continuation — per-source distribution overlap
+        # coefficient vs rest (KS's integral sibling, windowless)
+        "histogram_overlap": _histogram_overlap,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2691,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments",
         "fano_burstiness",
         "mnn_pairs",
+        "histogram_overlap",
         # (c) sanctioned rows-only retry (r7 verdict ask #3)
         "embedding_pca",
         # (d) oldest-signal (r3-green) refresh — all 13
@@ -2720,7 +2733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items",
         "q13_customer_distribution",
         "q14_promo_revenue",
-        "q12_shipping_delay",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6935,6 +6947,42 @@ def oracle_sql() -> dict[str, str]:
           FROM s WHERE cosine >= 0.35
         )
         SELECT vec_id, bench_id, cosine FROM f WHERE rn = 1
+    """
+    # r8 continuation: per-source distribution overlap coefficient —
+    # Σ_v min(c_g·n_rest, c_r·n_g) / (n_g·n_rest) over OBSERVED
+    # histogram rows only (absent values contribute min(0,·)=0 — no
+    # group×value spine, no cumulative window); HUGEINT numerator
+    # VARCHAR-rendered, one rounded division
+    sql["histogram_overlap"] = """
+        WITH h AS (
+          SELECT source AS g, n_chars AS v,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+          GROUP BY 1, 2
+        ), tv AS (
+          SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM h GROUP BY v
+        ), tg AS (
+          SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM h GROUP BY g
+        ), gr AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n FROM h
+        ), s AS (
+          SELECT h.g, tg.ng, gr.n - tg.ng AS nr,
+                 LEAST(CAST(h.c AS HUGEINT) * (gr.n - tg.ng),
+                       CAST(tv.cv - h.c AS HUGEINT) * tg.ng) AS m
+          FROM h JOIN tv USING (v) JOIN tg USING (g) CROSS JOIN gr
+        )
+        SELECT g AS source,
+               CAST(ANY_VALUE(ng) AS BIGINT) AS n_group,
+               CAST(ANY_VALUE(nr) AS BIGINT) AS n_rest,
+               CAST(SUM(m) AS VARCHAR) AS overlap_num,
+               CASE WHEN ANY_VALUE(ng) > 0 AND ANY_VALUE(nr) > 0
+                    THEN ROUND(CAST(SUM(m) AS DOUBLE)
+                               / (CAST(ANY_VALUE(ng) AS DOUBLE)
+                                  * CAST(ANY_VALUE(nr) AS DOUBLE)),
+                               6)
+               END AS overlap
+        FROM s GROUP BY g
     """
     # r8 continuation: RFM segment grid — per-user (recency from the
     # max observed date, frequency, exact cents), three NTILE scores

@@ -75,7 +75,7 @@ NEW_ORACLE_R8 = [
     "pareto_frontier", "user_lifecycle", "entry_exit_report",
     "token_gini", "kn_continuation_counts", "label_propagation_pass",
     "semantic_decontaminate", "rfm_segments", "fano_burstiness",
-    "mnn_pairs",
+    "mnn_pairs", "histogram_overlap",
 ]
 
 # The one SANCTIONED rows-only slot (r7 verdict ask #3): its r7

@@ -397,3 +397,89 @@ def test_rfm_segments_null_spend_is_zero_cents(spark):
     # NULL whose sort order the two engines would pick differently
     by_m = {r.m_score: r for r in out}
     assert by_m[1].sum_cents == 350 and by_m[2].sum_cents == 0
+
+
+def _overlap_reference(pairs):
+    from collections import Counter
+
+    by_g: dict[str, Counter] = {}
+    for g, v in pairs:
+        by_g.setdefault(g, Counter())[v] += 1
+    out = {}
+    for g, cg in by_g.items():
+        ng = sum(cg.values())
+        rest = Counter()
+        for g2, c2 in by_g.items():
+            if g2 != g:
+                rest.update(c2)
+        nr = sum(rest.values())
+        num = sum(
+            min(cg[v] * nr, rest.get(v, 0) * ng) for v in cg
+        )
+        out[g] = (ng, nr, num, round(num / (ng * nr), 6) if ng and nr else None)
+    return out
+
+
+def test_histogram_overlap_matches_reference(spark):
+    from whatdropsnow_etl_spark.operators import histogram_overlap
+
+    pairs = []
+    for i in range(300):
+        g = f"src{i % 3}"
+        v = (i * 13) % 40 + (25 if g == "src2" else 0)
+        pairs.append((g, v))
+    df = spark.createDataFrame(pairs, "source string, n_chars long")
+    ref = _overlap_reference(pairs)
+    got = histogram_overlap(df, "source", "n_chars").collect()
+    assert len(got) == 3
+    for r in got:
+        ng, nr, num, ov = ref[r.source]
+        assert (r.n_group, r.n_rest) == (ng, nr)
+        assert r.overlap_num == str(num)
+        assert r.overlap == ov
+    # the shifted group shares the least mass with the rest
+    by_g = {r.source: r.overlap for r in got}
+    assert by_g["src2"] < by_g["src0"] and by_g["src2"] < by_g["src1"]
+
+
+def test_histogram_overlap_identical_and_disjoint(spark):
+    from whatdropsnow_etl_spark.operators import histogram_overlap
+
+    # identical distributions: overlap == 1 exactly (num == ng*nr)
+    same = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(same, "source string, n_chars long")
+    for r in histogram_overlap(df, "source", "n_chars").collect():
+        assert r.overlap == 1.0 and r.overlap_num == "9"
+    # disjoint supports: overlap == 0
+    dis = [("a", 1), ("a", 2), ("b", 10), ("b", 11)]
+    df2 = spark.createDataFrame(dis, "source string, n_chars long")
+    for r in histogram_overlap(df2, "source", "n_chars").collect():
+        assert r.overlap == 0.0 and r.overlap_num == "0"
+    # single group: rest empty -> overlap NULL, never a divide crash
+    one = spark.createDataFrame([("a", 1)], "source string, n_chars long")
+    r = histogram_overlap(one, "source", "n_chars").collect()[0]
+    assert r.overlap is None and r.n_rest == 0
+
+
+def test_overlap_from_histogram_shares_ks_state(spark):
+    # the ks_drift fold state feeds the overlap report directly
+    from whatdropsnow_etl_spark.operators import (
+        histogram_overlap,
+        overlap_from_histogram,
+    )
+    from whatdropsnow_etl_spark.streaming import fold_value_histogram
+
+    pairs = [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 3)]
+    df = spark.createDataFrame(pairs, "source string, n_chars long")
+    state = fold_value_histogram(None, df, "source", "n_chars")
+    got = sorted(
+        [tuple(r) for r in overlap_from_histogram(
+            state, "source", "n_chars").collect()],
+        key=repr,
+    )
+    want = sorted(
+        [tuple(r) for r in histogram_overlap(
+            df, "source", "n_chars").collect()],
+        key=repr,
+    )
+    assert got == want

@@ -160,6 +160,8 @@ ALLPAIRS_OK = {
     "rfm_segments",
     # hour-span denominator: 1-row broadcast bounds cross (Q11)
     "fano_burstiness",
+    # grand-total denominator: 1-row broadcast cross (Q11 pattern)
+    "histogram_overlap",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel

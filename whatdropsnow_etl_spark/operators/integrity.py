@@ -665,3 +665,118 @@ def ks_from_histogram(
             ).alias("d"),
         )
     )
+
+
+def histogram_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group distribution OVERLAP coefficient vs the rest of the
+    relation — Σ_v min(p_group(v), p_rest(v)) ∈ [0, 1]: 1 means the
+    two distributions coincide, 0 disjoint support. The integral
+    companion to :func:`ks_two_sample` (KS reports the WORST vertical
+    gap — sensitive to one sharp local difference; overlap reports
+    how much total mass the distributions share — the "how much of
+    this source looks like everything else" number a mix planner
+    weights by).
+
+    No reference twin — extends SURVEY §2.3's integrity family.
+
+    Exactness: with c_g(v) the group count at v, c_r(v) = total(v) −
+    c_g(v), the shared mass is Σ min(c_g(v)·n_rest, c_r(v)·n_g) /
+    (n_g·n_rest) — the numerator is exact DECIMAL(38,0) integer
+    arithmetic (VARCHAR-rendered, the KS/AUC/Gini convention), the
+    statistic one rounded double division. Values the group never
+    hits contribute min(0, ·) = 0, so only OBSERVED histogram rows
+    are ever touched — no group×value spine, and unlike KS **no
+    cumulative window at all**: two joins and two map-combined
+    aggregates end-to-end.
+
+    Scale shape: the corpus collapses in ONE map-combined groupBy to
+    the (group, value) histogram; per-value totals join back on the
+    value key, per-group totals are a categorical broadcast, the
+    grand total a 1-row broadcast cross (the Q11 pattern). The
+    histogram is the same monoid streaming/ks_drift.py folds — call
+    :func:`overlap_from_histogram` on that state for a streaming
+    overlap report.
+
+    Output: (group_col, n_group, n_rest, overlap_num VARCHAR,
+    overlap DOUBLE), one row per group; overlap NULL when the rest
+    is empty (single-group relation).
+    """
+    h = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("bigint").alias("__v"),
+        )
+        .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    return overlap_from_histogram(
+        h.select(
+            F.col("__g").alias(group_col),
+            F.col("__v").alias(value_col),
+            F.col("__c").alias("n"),
+        ),
+        group_col,
+        value_col,
+    )
+
+
+def overlap_from_histogram(
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """The post-histogram half of :func:`histogram_overlap` — runs
+    over the same (group, value, count) monoid streaming/ks_drift.py
+    maintains, so a KS drift stream gets the overlap report from the
+    SAME folded state for free."""
+    h = hist.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.col(count_col).cast("bigint").alias("__c"),
+    )
+    tot_v = h.groupBy("__v").agg(
+        F.sum("__c").cast("bigint").alias("__cv")
+    )
+    tot_g = h.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("__ng")
+    )
+    grand = h.agg(F.sum("__c").cast("bigint").alias("__n"))
+    dec = "decimal(38,0)"
+    ng = F.col("__ng").cast(dec)
+    nr = (F.col("__n") - F.col("__ng")).cast(dec)
+    cg = F.col("__c").cast(dec)
+    cr = (F.col("__cv") - F.col("__c")).cast(dec)
+    scored = (
+        h.join(tot_v, "__v")
+        .join(F.broadcast(tot_g), "__g")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "__g",
+            F.col("__ng"),
+            nr.cast("bigint").alias("__nr"),
+            F.least(cg * nr, cr * ng).alias("__m"),
+        )
+    )
+    num = F.sum("__m").cast(dec)
+    return scored.groupBy(F.col("__g").alias(group_col)).agg(
+        F.first("__ng").cast("bigint").alias("n_group"),
+        F.first("__nr").cast("bigint").alias("n_rest"),
+        num.cast("string").alias("overlap_num"),
+        F.when(
+            (F.first("__ng") > 0) & (F.first("__nr") > 0),
+            F.round(
+                num.cast("double")
+                / (
+                    F.first("__ng").cast("double")
+                    * F.first("__nr").cast("double")
+                ),
+                6,
+            ),
+        ).alias("overlap"),
+    )
