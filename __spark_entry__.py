@@ -2663,7 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     null-row filter, arrivals-based salting), tfidf_top_terms
     #     (AQE-decided df join, broadcast hint dropped);
     # (b) the queries NEW in r8 (bpe_pair_counts_pass — verdict ask
-    #     #5 — plus the twelve continuation additions, each
+    #     #5 — plus the sixteen continuation additions, each
     #     oracle-twinned);
     # (c) embedding_pca's SANCTIONED rows-only retry (verdict ask
     #     #3 verbatim: its r7 exposure crashed the driver's hash
@@ -6887,14 +6887,18 @@ def oracle_sql() -> dict[str, str]:
     """
     # r8 continuation: one synchronous label-propagation round over
     # the MinHash pair graph seeded with doc sources — symmetrized
-    # distinct edges, neighbor-label votes, (count DESC, label ASC)
-    # argmax, keep-own for vote-less nodes
+    # distinct edges WITH self-loops dropped (n <> m, matching the
+    # Spark side's __n != __m so the twins pin the same rule even on
+    # seed graphs that carry self-edges), neighbor-label votes,
+    # (count DESC, label ASC) argmax, keep-own for vote-less nodes
     sql["label_propagation_pass"] = f"""
         WITH p AS ({_minhash_oracle()}),
         e AS (
-          SELECT doc_a AS n, doc_b AS m FROM p
-          UNION
-          SELECT doc_b AS n, doc_a AS m FROM p
+          SELECT n, m FROM (
+            SELECT doc_a AS n, doc_b AS m FROM p
+            UNION
+            SELECT doc_b AS n, doc_a AS m FROM p
+          ) WHERE n <> m
         ), lab AS (
           SELECT doc_id AS node, source AS lb FROM documents
         ), votes AS (

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from whatdropsnow_etl_spark.operators import (
@@ -291,6 +293,67 @@ def test_semantic_decontaminate_empty_when_clean(spark):
     assert semantic_decontaminate(cands, bench, threshold=0.5).count() == 0
 
 
+def test_semantic_decontaminate_lsh_matches_exact_on_separable(spark):
+    # r9 (r8 verdict ask #3): the LSH pre-gate's flag set equals the
+    # exact method's on separable data — contaminated candidates are
+    # POSITIVE SCALINGS of bench vectors (sign-LSH keys are
+    # scale-invariant, so they co-bucket in every table and score
+    # cos=1.0), clean candidates sit far below the threshold, so the
+    # recall trade cannot bite and the two methods must agree row
+    # for row.
+    bench = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 2.0, -1.0]),
+            (101, [0.0, 3.0, -1.0, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 4.0, -2.0]),    # 2.0 * bench 100
+            (2, [0.0, 1.5, -0.5, 0.25]),   # 0.5 * bench 101
+            (3, [0.1, -0.2, -0.3, -1.0]),  # clean vs both at 0.9
+            (4, [-1.0, 0.0, -2.0, 1.0]),   # anti-parallel: cos -1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    exact = sorted(
+        semantic_decontaminate(cands, bench, threshold=0.9).collect()
+    )
+    lsh = sorted(
+        semantic_decontaminate(
+            cands, bench, threshold=0.9, method="lsh"
+        ).collect()
+    )
+    assert [r.vec_id for r in exact] == [1, 2]
+    assert exact == lsh
+
+
+def test_semantic_decontaminate_lsh_zero_corpus_shuffle_plan(spark):
+    # the candidate side must reach the scorer through a broadcast
+    # join only — no Exchange of the corpus relation in the pre-
+    # window plan (the window's shuffle sees threshold survivors)
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cands = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    df = semantic_decontaminate(cands, bench, threshold=0.5, method="lsh")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_decontaminate_bad_method(spark):
+    bench = spark.createDataFrame(
+        [(100, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="method"):
+        semantic_decontaminate(bench, bench, method="ivf")
+
+
 def test_rfm_segments_ranks_and_remainder(spark):
     t0 = dt.datetime(2024, 1, 10, 12, 0)
     day = dt.timedelta(days=1)
@@ -333,6 +396,60 @@ def test_rfm_segments_exact_cents(spark):
     )
     out = rfm_segments(df).collect()
     assert len(out) == 1 and out[0].sum_cents == 30  # never 29.999...
+
+
+def test_rfm_segments_scale_ranks_bit_identity(spark):
+    # r9 (r8 verdict ask #4): the sample-sort ntile path must be
+    # BIT-IDENTICAL to the window form — remainder tiles, metric
+    # ties broken by user id, and the N < n_tiles degenerate case
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+    day = dt.timedelta(days=1)
+    rows = []
+    eid = 0
+    # 23 users with deliberately tie-heavy metrics: frequency cycles
+    # 1..3, spend cycles over 4 values, recency over 6 days
+    for u in range(23):
+        for k in range((u % 3) + 1):
+            rows.append((eid, t0 - (u % 6) * day, u, "x", float(u % 4)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    for n_tiles in (2, 5, 7, 50):  # 50 > 23 users: degenerate NTILE
+        window_form = sorted(
+            map(tuple, rfm_segments(df, n_tiles=n_tiles).collect())
+        )
+        scaled = sorted(
+            map(
+                tuple,
+                rfm_segments(df, n_tiles=n_tiles, scale_ranks=True).collect(),
+            )
+        )
+        assert window_form == scaled, n_tiles
+
+
+def test_rfm_segments_scale_ranks_no_single_partition_window(spark):
+    # every row_number window in the scaled plan partitions by the
+    # sample-sort bucket — no corpus-wide single-task window
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+    df = spark.createDataFrame(
+        [(i, t0, i % 7, "x", float(i)) for i in range(40)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    plan = (
+        rfm_segments(df, scale_ranks=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [
+        l for l in plan.splitlines() if "Window" in l and "row_number" in l
+    ]
+    assert windows and all("__bkt" in l for l in windows), plan
+    assert "ntile" not in plan
 
 
 def test_fano_burstiness_constant_and_bursty(spark):

@@ -1178,12 +1178,84 @@ def entry_exit_report(
     )
 
 
+def _sampled_ntile(
+    scored: DataFrame,
+    key_cols: list,
+    n_tiles: int,
+    out_name: str,
+    n_buckets: int = 64,
+    sample_k: int = 1024,
+) -> DataFrame:
+    """One exact NTILE assignment over the STRICT composite order
+    ``key_cols`` (which must end in the unique user id) without a
+    single-partition corpus window — percentile_rank's sample-sort
+    decomposition (ordering.py) applied to NTILE semantics.
+
+    Because the composite key is UNIQUE, sample boundaries cut the
+    key space into ~n/n_buckets balanced buckets with NO tie
+    collapse (the documented heavy-tie caveat of value-keyed
+    percentile_rank cannot bite: the id component breaks every tie).
+    rank = (running count of earlier buckets — a window over the
+    n_buckets-row histogram) + (row_number within own bucket), and
+    the tile applies SQL NTILE's exact remainder rule in integer
+    arithmetic: with q = N div n and rem = N mod n, the first rem
+    tiles take q+1 rows — bit-identical to the window form, pinned
+    in pytest including the N < n_tiles degenerate case.
+
+    Emits (__u, <out_name>)."""
+    from .ordering import _boundary_expr, _bucket_of
+
+    rows = scored.select("__u", F.struct(*key_cols).alias("__k"))
+    samp = (
+        rows.select("__k", F.md5(F.col("__u").cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_k)
+    )
+    arr = samp.agg(
+        F.array_sort(F.collect_list("__k")).alias("__arr"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    bounds = arr.select(
+        _boundary_expr(n_buckets, "__arr", "__n").alias("__bnds")
+    )
+    bucketed = rows.crossJoin(F.broadcast(bounds)).select(
+        "__u", "__k", _bucket_of("__bnds", "__k").alias("__bkt")
+    )
+    hist = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.partitionBy()
+    offsets = hist.select(
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_tot).alias("__n_all"),
+    )
+    w_local = Window.partitionBy("__bkt").orderBy("__k")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "__rank",
+            (F.col("__off") + F.row_number().over(w_local)).cast("bigint"),
+        )
+        .withColumn("__q", F.expr(f"__n_all div {n_tiles}"))
+        .withColumn("__rem", F.col("__n_all") % n_tiles)
+    )
+    tile = F.expr(
+        "CASE WHEN __rank <= __rem * (__q + 1) "
+        "THEN (__rank + __q) div (__q + 1) "
+        "ELSE __rem + (__rank - __rem * (__q + 1) + __q - 1) div __q END"
+    )
+    return ranked.select("__u", tile.cast("bigint").alias(out_name))
+
+
 def rfm_segments(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
     n_tiles: int = 5,
+    scale_ranks: bool = False,
 ) -> DataFrame:
     """RFM segmentation — the classic customer-value grid (Hughes
     1994; every CRM/retention playbook): score each user 1..n_tiles
@@ -1203,13 +1275,18 @@ def rfm_segments(
 
     Scale shape: the event log collapses FIRST in one map-combined
     groupBy to the per-user (recency, frequency, cents) relation;
-    the three ntile windows run over THAT relation. They are
-    deliberately unpartitioned (tiles are defined over the whole
-    user population) — at 1e9 users swap the exact ntile for
-    percentile_rank's sample-sort global ranks (sort-free, same
-    module family) and derive tiles from the rank; at report scale
-    (<= ~1e8 users) the single sort of a 3-column relation is
-    cheap. The output is at most n_tiles³ rows.
+    the three ntile windows run over THAT relation. By default they
+    are unpartitioned (tiles are defined over the whole user
+    population) — fine at report scale (<= ~1e8 users, a single
+    sort of a 3-column relation). ``scale_ranks=True`` is the 1e9-
+    user path: each ntile routes through percentile_rank's
+    sample-sort decomposition over the strict (metric, user) order
+    (_sampled_ntile — balanced buckets, histogram offsets,
+    per-bucket row_number), so no single-partition corpus window
+    exists and the three tile relations hash-join back on the
+    high-cardinality user id. Bit-identical to the window form by
+    construction (exact NTILE remainder rule in integer arithmetic)
+    — pinned in pytest. The output is at most n_tiles³ rows.
 
     Output: (r_score, f_score, m_score, n_users, sum_cents) — one
     row per non-empty RFM cell.
@@ -1241,16 +1318,37 @@ def rfm_segments(
     scored = per_user.crossJoin(F.broadcast(ref)).withColumn(
         "__rec", F.datediff(F.col("__ref"), F.col("__last")).cast("bigint")
     )
-    w_r = Window.orderBy(F.col("__rec").asc(), F.col("__u").asc())
-    w_f = Window.orderBy(F.col("__freq").desc(), F.col("__u").asc())
-    w_m = Window.orderBy(F.col("__cents").desc(), F.col("__u").asc())
-    tiled = scored.select(
-        "__u",
-        "__cents",
-        F.ntile(n_tiles).over(w_r).cast("bigint").alias("r_score"),
-        F.ntile(n_tiles).over(w_f).cast("bigint").alias("f_score"),
-        F.ntile(n_tiles).over(w_m).cast("bigint").alias("m_score"),
-    )
+    if scale_ranks:
+        # (metric, user) composite keys; DESC metrics negate (counts
+        # and cents are non-negative bigints — no overflow edge)
+        r_t = _sampled_ntile(
+            scored, [F.col("__rec"), F.col("__u")], n_tiles, "r_score"
+        )
+        f_t = _sampled_ntile(
+            scored, [(-F.col("__freq")).alias("__m"), F.col("__u")],
+            n_tiles, "f_score",
+        )
+        m_t = _sampled_ntile(
+            scored, [(-F.col("__cents")).alias("__m"), F.col("__u")],
+            n_tiles, "m_score",
+        )
+        tiled = (
+            scored.select("__u", "__cents")
+            .join(r_t, "__u")
+            .join(f_t, "__u")
+            .join(m_t, "__u")
+        )
+    else:
+        w_r = Window.orderBy(F.col("__rec").asc(), F.col("__u").asc())
+        w_f = Window.orderBy(F.col("__freq").desc(), F.col("__u").asc())
+        w_m = Window.orderBy(F.col("__cents").desc(), F.col("__u").asc())
+        tiled = scored.select(
+            "__u",
+            "__cents",
+            F.ntile(n_tiles).over(w_r).cast("bigint").alias("r_score"),
+            F.ntile(n_tiles).over(w_f).cast("bigint").alias("f_score"),
+            F.ntile(n_tiles).over(w_m).cast("bigint").alias("m_score"),
+        )
     return tiled.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("__cents").cast("bigint").alias("sum_cents"),
@@ -1323,19 +1421,35 @@ def fano_from_histogram(
     histogram is a MONOID under union + groupBy-sum, so a streaming
     maintainer (streaming/fano.py) folds batch histograms and calls
     this per trigger — identical to the full-relation operator by
-    construction (shared code path, pinned by the streaming twin)."""
+    construction (shared code path, pinned by the streaming twin).
+
+    Timezone contract: the inclusive hour span is computed in
+    WALL-CLOCK terms (datediff·24 + hour-of-day delta), matching the
+    oracle's ``date_diff('hour', ...)``. For a TIMESTAMP_NTZ hour
+    column that is timezone-independent by construction; for a
+    TIMESTAMP (instant) column the wall-clock rendering depends on
+    the session timezone, so a UTC session is REQUIRED and asserted
+    here — a DST gap/overlap in any other zone would silently
+    disagree with the oracle's naive arithmetic."""
     hourly = hist.select(
         F.col(type_col).alias("__t"),
         F.col(hour_col).alias("__h"),
         F.col(count_col).cast("bigint").alias("__x"),
     )
+    if dict(hourly.dtypes)["__h"] == "timestamp":
+        tz = hist.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                "fano_from_histogram requires a UTC session timezone "
+                f"for TIMESTAMP hour columns (got {tz!r}); cast the "
+                "hour column to TIMESTAMP_NTZ for timezone-"
+                "independent wall-clock spans"
+            )
     bounds = hourly.agg(
         (
-            (
-                F.unix_timestamp(F.max("__h"))
-                - F.unix_timestamp(F.min("__h"))
-            )
-            / 3600
+            F.datediff(F.to_date(F.max("__h")), F.to_date(F.min("__h")))
+            * F.lit(24)
+            + (F.hour(F.max("__h")) - F.hour(F.min("__h")))
             + 1
         )
         .cast("bigint")

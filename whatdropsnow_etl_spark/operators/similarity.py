@@ -1725,6 +1725,10 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.2,
+    method: str = "exact",
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-level eval-set decontamination — the semantic twin
     of decontaminate_ngrams / bloom_decontaminate: an eval item
@@ -1750,13 +1754,30 @@ def semantic_decontaminate(
     the corpus; only the contaminated survivors (threshold-bounded,
     tiny by hypothesis) reach the per-candidate argmax window. The
     window partitions by candidate id — high cardinality, no hot
-    key. For corpora where even the map-side N·B scoring is too
-    hot, gate candidates through ann_lsh_bucketed buckets first
-    (the standard LSH recall trade, same as embedding_dedup_pairs).
+    key.
+
+    ``method="lsh"`` is the 100 TB path for corpora where even the
+    map-side N·B scoring is too hot (a 100 TB corpus × a 100k-item
+    suite is ~1e16 cosines): both sides land in ``n_tables`` sign-LSH
+    buckets of a 2^bits_per_table keyspace (the ann_lsh_bucketed
+    planes — deterministic Rademacher, positive-scale invariant, so
+    exact duplicates ALWAYS co-bucket), the bench bucket keys are
+    broadcast, and only co-bucketed (candidate, bench) pairs are
+    scored — still zero corpus shuffle; the join is map-side against
+    the broadcast, and a pair hit in several tables scores
+    redundantly rather than paying a wide dedup shuffle (the argmax
+    window output is invariant to duplicate identical rows). The
+    standard LSH recall trade applies: a contaminated pair whose
+    cosine sits near the threshold can miss every shared bucket, so
+    flags are a SUBSET of the exact method's (equality on separable
+    data is pytest-pinned; raise ``n_tables`` to buy recall). The
+    exact path stays the oracle twin.
 
     Output: (vec_id, bench_id, cosine) — one row per CONTAMINATED
     candidate with its nearest benchmark hit.
     """
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
     cos = cosine_sim_arrow()
     cand = candidates.select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__cv")
@@ -1764,15 +1785,22 @@ def semantic_decontaminate(
     bench = benchmark.select(
         F.col(id_col).alias("bench_id"), to_double_array(vec_col).alias("__bv")
     )
-    scored = (
-        cand.crossJoin(F.broadcast(bench))
-        .select(
-            "vec_id",
-            "bench_id",
-            F.round(cos(F.col("__cv"), F.col("__bv")), 6).alias("cosine"),
+    if method == "lsh":
+        cb = _bucket_keys(cand, "vec_id", "__cv", n_tables, bits_per_table, dim)
+        bb = _bucket_keys(
+            bench, "bench_id", "__bv", n_tables, bits_per_table, dim
         )
-        .where(F.col("cosine") >= F.lit(threshold))
-    )
+        pairs = cb.join(
+            F.broadcast(bb.select("bench_id", "__bv", "t", "key")),
+            ["t", "key"],
+        ).select("vec_id", "__cv", "bench_id", "__bv")
+    else:
+        pairs = cand.crossJoin(F.broadcast(bench))
+    scored = pairs.select(
+        "vec_id",
+        "bench_id",
+        F.round(cos(F.col("__cv"), F.col("__bv")), 6).alias("cosine"),
+    ).where(F.col("cosine") >= F.lit(threshold))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("bench_id").asc()
     )
