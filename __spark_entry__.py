@@ -1686,6 +1686,37 @@ def _pca_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_project_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (r8 verdict ask #5): the oracle-twinnable PROJECTION half
+    of embedding_pca — X·Wᵀ against the deterministic lowest-id
+    stand-in basis in exact micro-unit DECIMAL integer products
+    (bround half-to-even == round_even; DECIMAL-as-VARCHAR). With
+    pca_sufficient_stats this driver-checks both halves of the PCA
+    pipeline; the eigh itself stays honestly rows-only."""
+    from whatdropsnow_etl_spark.operators.pca import pca_project_pass
+
+    return pca_project_pass(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pagerank_update_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (r8 verdict ask #6): one synchronous PageRank mass-
+    diffusion step over the DIRECTED (doc_a -> doc_b) MinHash pair
+    graph in integer fixed-point — docs appearing only as doc_b are
+    dangling, so the uniform redistribution term is exercised under
+    the driver gate too. The float fixpoint stays rows-only in
+    pair_pagerank; this is its twin-the-half relation."""
+    from whatdropsnow_etl_spark.operators import (
+        minhash_lsh_pairs,
+        pagerank_update_pass,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    return pagerank_update_pass(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
 def _kmeans_update_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd's round's mergeable sufficient stats from the
     deterministic stand-in codebook — the oracle-twinnable half of
@@ -2098,6 +2129,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "training_order_spine": ["pack_id", "pack_tokens", "pos", "shard"],
     "dedup_editdist_incremental": ["dist", "hi", "lo"],
     "kmeans_update_pass": ["cid", "n", "pos", "s"],
+    "pca_project_pass": ["component", "dot", "vec_id"],
+    "pagerank_update_pass": ["node", "out_deg", "rank", "rank_fp"],
     "bpe_pair_counts_pass": ["left", "pair_count", "rank", "right"],
     "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
     "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
@@ -2517,6 +2550,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r8 continuation — per-source distribution overlap
         # coefficient vs rest (KS's integral sibling, windowless)
         "histogram_overlap": _histogram_overlap,
+        # NEW in r9 — the oracle-twinnable projection half of
+        # embedding_pca (fixed lowest-id basis, exact micro-unit
+        # DECIMAL dot products; the eigh stays rows-only)
+        "pca_project_pass": _pca_project_pass,
+        # NEW in r9 — one synchronous PageRank step in integer
+        # fixed-point over the directed pair graph (the float
+        # fixpoint stays rows-only in pair_pagerank)
+        "pagerank_update_pass": _pagerank_update_pass,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2648,91 +2689,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # numpy-pinned + partitioning-invariance bit-identity pytest
         "embedding_pca": _embedding_pca,
     }
-    # ---- r8 gate window (slots 1-50; the driver checks these) ----
-    # Priority per the standing rotation contract (r7 verdict ask
-    # #4: 50 oracle-bearing slots refreshing the oldest signal, with
-    # the one sanctioned exception below):
-    # (a) the 8 oracle-bearing queries whose implementation or
-    #     output CHANGED in r8 — old green rows no longer cover the
-    #     shipped code: multimodal_frame_sample (real MJPEG decode,
-    #     new schema + oracle), media_probe (progressive-JPEG payload
-    #     class + multi-scan decoder, widened WAV family),
-    #     media_resample / media_silence_report (8/16/24-bit,
-    #     mono/stereo payloads + per-class oracles), dedup_editdist /
-    #     dedup_editdist_incremental (int32 kernel histograms,
-    #     null-row filter, arrivals-based salting), tfidf_top_terms
-    #     (AQE-decided df join, broadcast hint dropped);
-    # (b) the queries NEW in r8 (bpe_pair_counts_pass — verdict ask
-    #     #5 — plus the sixteen continuation additions, each
-    #     oracle-twinned);
-    # (c) embedding_pca's SANCTIONED rows-only retry (verdict ask
-    #     #3 verbatim: its r7 exposure crashed the driver's hash
-    #     stage on an array cell; the projection now renders as a
-    #     string so the rows/schema checks can finally run);
-    # (d) the 13 queries whose latest driver row is r3 — after this
-    #     window, min(latest-green) >= r4 across the whole surface;
-    # (e) 16 slots against the 44-query r4 backlog (the remaining
-    #     28 r4 rows lead the r9 window; each late continuation
-    #     query displaced one refresh slot — first-ever signal
-    #     beats refresh per the standing contract).
+    # ---- r9 gate window (slots 1-50; the driver checks these) ----
+    # Priority per the standing rotation contract (r8 verdict ask
+    # #1: refresh the r4-stale backlog in full — several of those
+    # rows sit on dedup/sampling machinery r7/r8 rewrote around
+    # them — plus any r9-changed or r9-new query):
+    # (a) the 4 oracle-bearing queries whose implementation or
+    #     oracle CHANGED in r9: label_propagation_pass (oracle edge
+    #     CTE now drops self-loops like the Spark side),
+    #     fano_burstiness (wall-clock hour span + UTC assertion),
+    #     semantic_decontaminate (scoring restructured around the
+    #     new LSH pre-gate; the registry still runs the exact twin),
+    #     rfm_segments (ntile routing restructured around the new
+    #     scale_ranks mode; the registry runs the window form);
+    # (b) the queries NEW in r9, oracle-bearing (first-ever signal
+    #     beats any refresh): pca_project_pass / pagerank_update_pass
+    #     (verdict asks #5/#6 — the twin-the-deterministic-half
+    #     pattern applied to the last two big rows-only iteratives);
+    # (c) the FULL 33-query r4-stale backlog (verdict ask #1) —
+    #     after this window min(latest-green) >= r5 across the
+    #     211-query oracle surface;
+    # (d) 11 slots of oldest-r5 refresh (the remaining r5 rows lead
+    #     the r10 rotation).
     window = [
-        # (a) implementation/output changed in r8
-        "multimodal_frame_sample",
-        "media_probe",
-        "media_resample",
-        "media_silence_report",
-        "dedup_editdist",
-        "dedup_editdist_incremental",
-        "tfidf_top_terms",
-        # (b) new in r8, oracle-bearing (first-ever signal beats any
-        # refresh — the continuation additions displace the tail of
-        # the r4 refresh block below)
-        "bpe_pair_counts_pass",
-        "ks_two_sample",
-        "nn_descent_pass",
-        "dsir_weights",
-        "exact_substring_spans",
-        "auc_exact",
-        "pareto_frontier",
-        "user_lifecycle",
-        "entry_exit_report",
-        "token_gini",
-        "kn_continuation_counts",
+        # (a) implementation/oracle changed in r9
         "label_propagation_pass",
+        "fano_burstiness",
         "semantic_decontaminate",
         "rfm_segments",
-        "fano_burstiness",
-        "mnn_pairs",
-        "histogram_overlap",
-        # (c) sanctioned rows-only retry (r7 verdict ask #3)
-        "embedding_pca",
-        # (d) oldest-signal (r3-green) refresh — all 13
-        "session_window_native",
-        "cube_qty_summary",
-        "exact_quantiles",
-        "interval_overlap",
-        "window_funcs_battery",
-        "customer_order_sets",
-        "calendar_rollup",
-        "grouping_sets_summary",
-        "kmv_distinct_users",
-        "cdc_apply",
-        "scd2_history",
-        "decontaminate_ngrams",
-        "bigram_surprisal",
-        # (e) r4-green refresh, first 28 of the backlog
-        "q1_pricing_summary",
-        "q3_topk_revenue",
-        "q5_region_volume",
-        "q4_order_priority",
-        "q6_forecast_revenue",
-        "q2_min_cost_supplier",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
+        # (b) new in r9, oracle-bearing
+        "pca_project_pass",
+        "pagerank_update_pass",
+        # (c) the full r4-stale backlog, all 33
+        "q12_shipping_delay",
+        "profile_events",
+        "pack_chunks",
+        "event_funnel",
+        "retention_cohorts",
+        "numeric_outliers",
+        "dup_rate_by_source",
+        "length_histogram",
+        "tokenize_to_ids",
+        "gopher_rules",
+        "containment_pairs",
+        "cluster_keep_best",
+        "ann_int8_topk",
+        "fixed_size_sample",
+        "incremental_rollup",
+        "key_skew_report",
+        "lsh_tuning_report",
+        "schema_drift_report",
+        "span_dedup",
+        "ann_pq_topk",
+        "leakage_safe_split",
+        "semantic_dedup",
+        "heldout_perplexity",
+        "hashed_features",
+        "normalize_text",
+        "dataset_card",
+        "vector_qc",
+        "join_cardinality",
+        "pmi_collocations",
+        "dedup_clusters",
+        "dedup_clusters_twostars",
+        "embedding_dedup",
+        "partition_fingerprints",
+        # (d) oldest-r5 refresh fill
+        "q16_supplier_variety",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q22_sales_opportunity",
+        "q11_important_stock",
+        "q21_waiting_suppliers",
+        "window_topn_per_group",
+        "rollup_flag_status",
+        "tumbling_window_agg",
+        "dedup_exact",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -7282,6 +7315,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT cid, pos, CAST(SUM(CAST(m AS HUGEINT)) AS VARCHAR) AS s,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM ex GROUP BY cid, pos ORDER BY cid, pos
+    """
+    # r9: the projection half of embedding_pca against the
+    # deterministic lowest-id stand-in basis — micro-unit integer
+    # dot products (round_even == bround half-to-even), exact
+    # HUGEINT sums, DECIMAL-as-VARCHAR
+    sql["pca_project_pass"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), w AS (
+          SELECT vec_id AS component, v AS wv FROM e
+          ORDER BY vec_id LIMIT 8
+        ), pr AS (
+          SELECT e.vec_id, w.component,
+                 SUM(CAST(round_even(e.v[i] * 1000000, 0) AS HUGEINT)
+                     * CAST(round_even(wv[i] * 1000000, 0) AS HUGEINT))
+                   AS d
+          FROM e CROSS JOIN w, UNNEST(range(1, len(e.v) + 1)) AS u(i)
+          GROUP BY 1, 2
+        )
+        SELECT vec_id, CAST(component AS BIGINT) AS component,
+               CAST(d AS VARCHAR) AS dot
+        FROM pr ORDER BY component, dot, vec_id
+    """
+    # r9: one synchronous PageRank mass-diffusion step in integer
+    # fixed-point over the DIRECTED (doc_a -> doc_b) MinHash pair
+    # graph: per-edge contributions and the teleport/dangling terms
+    # quantize via round_even on identically-shaped IEEE expressions
+    # (850000000000.0 = 0.85 * 1e12 as an exact integer-valued
+    # literal, never a float residue), then everything is integer
+    # addition — partition-order free on both engines
+    sql["pagerank_update_pass"] = f"""
+        WITH p AS ({_minhash_oracle()}),
+        e AS (
+          SELECT doc_a AS s, doc_b AS d FROM p
+        ), nodes AS (
+          SELECT DISTINCT n FROM (
+            SELECT s AS n FROM e UNION ALL SELECT d AS n FROM e
+          )
+        ), od AS (
+          SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS o FROM e GROUP BY 1
+        ), base AS (
+          SELECT nodes.n, CAST(COALESCE(od.o, 0) AS BIGINT) AS o
+          FROM nodes LEFT JOIN od USING (n)
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ndang
+          FROM base
+        ), contrib AS (
+          SELECT e.d AS n,
+                 CAST(round_even(850000000000.0
+                      / (CAST(tot.nn AS DOUBLE) * CAST(od.o AS DOUBLE)),
+                      0) AS HUGEINT) AS c
+          FROM e JOIN od ON od.n = e.s CROSS JOIN tot
+        ), im AS (
+          SELECT n, SUM(c) AS m FROM contrib GROUP BY 1
+        ), fp AS (
+          SELECT base.n AS node, base.o AS out_deg,
+                 CAST(round_even(150000000000.0
+                      / CAST(tot.nn AS DOUBLE), 0) AS HUGEINT)
+                 + COALESCE(im.m, 0)
+                 + CAST(round_even(850000000000.0
+                        * CAST(tot.ndang AS DOUBLE)
+                        / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE)),
+                        0) AS HUGEINT) AS f
+          FROM base CROSS JOIN tot LEFT JOIN im ON im.n = base.n
+        )
+        SELECT node, out_deg, CAST(f AS VARCHAR) AS rank_fp,
+               ROUND(CAST(f AS DOUBLE) / 1000000000000.0, 9) AS rank
+        FROM fp ORDER BY node
     """
     # first-iteration GD gradient at w=0 (p=1/2): libm-free feature
     # ratios quantized to DECIMAL(18,9) (products stay exact in both

@@ -55,66 +55,60 @@ def test_oracle_keys_subset_of_queries():
 GATE_WINDOW = 50  # the driver verifies only the first 50 queries() entries
 
 
-# Implementation or output changed in r8 — old green rows no longer
-# cover the shipped code: real MJPEG frame sampling, progressive-JPEG
-# + widened-WAV payload families and their decoders/oracles, the
-# editdist kernel dtype/null/salting fixes, tfidf's AQE-decided join.
-CHANGED_IN_R8 = [
-    "multimodal_frame_sample", "media_probe", "media_resample",
-    "media_silence_report", "dedup_editdist",
-    "dedup_editdist_incremental", "tfidf_top_terms",
+# Implementation or oracle changed in r9 — old green rows no longer
+# cover the shipped code: the LPA oracle's self-loop filter, fano's
+# wall-clock span, and the code restructures around the new
+# semantic_decontaminate LSH pre-gate / rfm_segments scale_ranks mode.
+CHANGED_IN_R9 = [
+    "label_propagation_pass", "fano_burstiness",
+    "semantic_decontaminate", "rfm_segments",
 ]
 
-# New in r8, oracle-bearing: one BPE pair-count round + argmax
-# tiebreak as an integer relation (verdict ask #5), then the r8
-# continuation additions — each displaces one r4-refresh tail slot
-# per the standing first-ever-signal-beats-refresh contract.
-NEW_ORACLE_R8 = [
-    "bpe_pair_counts_pass", "ks_two_sample", "nn_descent_pass",
-    "dsir_weights", "exact_substring_spans", "auc_exact",
-    "pareto_frontier", "user_lifecycle", "entry_exit_report",
-    "token_gini", "kn_continuation_counts", "label_propagation_pass",
-    "semantic_decontaminate", "rfm_segments", "fano_burstiness",
-    "mnn_pairs", "histogram_overlap",
+# New in r9, oracle-bearing (r8 verdict asks #5/#6): the
+# twin-the-deterministic-half pattern applied to the PCA projection
+# and one PageRank mass-diffusion step. Each displaces one r5-refresh
+# tail slot per the standing first-ever-signal-beats-refresh contract.
+NEW_ORACLE_R9 = [
+    "pca_project_pass", "pagerank_update_pass",
 ]
 
-# The one SANCTIONED rows-only slot (r7 verdict ask #3): its r7
-# exposure crashed the driver's hash stage on an array cell; the
-# string-rendered projection finally gets rows/schema checks.
-ROWS_ONLY_RETRY_R8 = ["embedding_pca"]
-
-# The oldest-signal backlog: after r8 these 13 r3-green rows refresh,
-# making min(latest-green) >= r4 across the oracle-bearing surface.
-R3_REFRESH_R8 = [
-    "session_window_native", "cube_qty_summary", "exact_quantiles",
-    "interval_overlap", "window_funcs_battery", "customer_order_sets",
-    "calendar_rollup", "grouping_sets_summary", "kmv_distinct_users",
-    "cdc_apply", "scd2_history", "decontaminate_ngrams",
-    "bigram_surprisal",
+# The FULL r4-stale backlog (r8 verdict ask #1) — several rows sit on
+# dedup/sampling machinery r7/r8 rewrote around them; after this
+# window min(latest-green) >= r5 across the oracle-bearing surface.
+R4_REFRESH_R9 = [
+    "q12_shipping_delay", "profile_events", "pack_chunks",
+    "event_funnel", "retention_cohorts", "numeric_outliers",
+    "dup_rate_by_source", "length_histogram", "tokenize_to_ids",
+    "gopher_rules", "containment_pairs", "cluster_keep_best",
+    "ann_int8_topk", "fixed_size_sample", "incremental_rollup",
+    "key_skew_report", "lsh_tuning_report", "schema_drift_report",
+    "span_dedup", "ann_pq_topk", "leakage_safe_split",
+    "semantic_dedup", "heldout_perplexity", "hashed_features",
+    "normalize_text", "dataset_card", "vector_qc",
+    "join_cardinality", "pmi_collocations", "dedup_clusters",
+    "dedup_clusters_twostars", "embedding_dedup",
+    "partition_fingerprints",
 ]
 
 
 def test_gate_window_composition():
-    """Derived (not hand-counted) r8 gate-window contract: the 7
-    r8-changed oracle queries lead, the new BPE twin and the one
-    sanctioned embedding_pca retry follow, the full r3 backlog
-    refreshes, and every remaining slot is an oracle-bearing r4
-    refresh — no unplanned rows-only slot anywhere (r7 verdict ask
-    #4)."""
+    """Derived (not hand-counted) r9 gate-window contract: the 4
+    r9-changed oracle queries lead, the two new twin-the-half
+    queries follow, the FULL 33-row r4-stale backlog refreshes, and
+    every remaining slot is an oracle-bearing oldest-r5 refresh — no
+    rows-only slot anywhere this round."""
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
-    n_new = len(NEW_ORACLE_R8)
-    assert gated[:7] == CHANGED_IN_R8
-    assert gated[7 : 7 + n_new] == NEW_ORACLE_R8
-    assert gated[7 + n_new : 8 + n_new] == ROWS_ONLY_RETRY_R8
-    assert gated[8 + n_new : 21 + n_new] == R3_REFRESH_R8
-    # only the one sanctioned retry may be rows-only
-    wasted = [q for q in gated if q not in oracles
-              and q not in ROWS_ONLY_RETRY_R8]
-    assert not wasted, f"unplanned rows-only queries in window: {wasted}"
-    # the refresh blocks are all oracle-bearing
-    assert all(q in oracles for q in gated[8 + n_new:])
+    n_chg = len(CHANGED_IN_R9)
+    n_new = len(NEW_ORACLE_R9)
+    assert gated[:n_chg] == CHANGED_IN_R9
+    assert gated[n_chg : n_chg + n_new] == NEW_ORACLE_R9
+    n_r4 = len(R4_REFRESH_R9)
+    assert gated[n_chg + n_new : n_chg + n_new + n_r4] == R4_REFRESH_R9
+    # every slot is oracle-bearing — no rows-only exposure this round
+    wasted = [q for q in gated if q not in oracles]
+    assert not wasted, f"rows-only queries in window: {wasted}"
 
 
 def test_no_oracle_emits_hugeint():

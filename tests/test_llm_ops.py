@@ -2740,6 +2740,100 @@ def test_kmeans_update_pass_merge_and_mean_recovery(spark):
     assert full == want
 
 
+def test_pca_project_pass_numpy_reference_and_weights(spark):
+    """r9 (r8 verdict ask #5): the exact micro-unit projection dots
+    match an independent numpy replica (same half-to-even rounding,
+    integer products) against (a) the lowest-id stand-in basis and
+    (b) an explicit ``weights=`` relation; partitioning never moves
+    a bit (integer sums)."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators.pca import pca_project_pass
+    from whatdropsnow_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(
+        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+         for r in emb.select("vec_id", "embedding").collect()),
+        key=lambda t: t[0],
+    )
+
+    def replica(basis):
+        want = {}
+        for vid, v in rows:
+            mv = np.rint(v * 1e6).astype(np.int64)
+            for cid, w in basis:
+                mw = np.rint(w * 1e6).astype(np.int64)
+                want[(vid, cid)] = int(mv.astype(object) @ mw.astype(object))
+        return want
+
+    got = {
+        (r["vec_id"], r["component"]): int(r["dot"])
+        for r in pca_project_pass(emb, n_components=4).collect()
+    }
+    assert got == replica(rows[:4])
+    # explicit basis relation (e.g. pca_train components)
+    wdf = spark.createDataFrame(
+        [(100, [1.0, 0.0] + [0.0] * 62), (200, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    basis = [(100, np.array([1.0, 0.0] + [0.0] * 62)),
+             (200, np.array([0.5] * 64))]
+    got_w = {
+        (r["vec_id"], r["component"]): int(r["dot"])
+        for r in pca_project_pass(emb, weights=wdf).collect()
+    }
+    assert got_w == replica(basis)
+    # partitioning invariance: bit-identical dots
+    again = {
+        (r["vec_id"], r["component"]): int(r["dot"])
+        for r in pca_project_pass(emb.repartition(13), n_components=4).collect()
+    }
+    assert again == got
+
+
+def test_pagerank_update_pass_python_reference(spark):
+    """r9 (r8 verdict ask #6): one fixed-point diffusion step equals
+    an independent pure-Python replica on a directed graph WITH a
+    dangling node, and the quantized masses stay within E/2 units of
+    exact conservation."""
+    from whatdropsnow_etl_spark.operators.graph import pagerank_update_pass
+
+    # 1->2, 1->3, 2->3, 4->1; node 3 dangles
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["out_deg"], int(r["rank_fp"]), r["rank"])
+        for r in pagerank_update_pass(df).collect()
+    }
+
+    def re_even(x):
+        import decimal
+
+        return int(
+            decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_EVEN)
+        )
+
+    nodes = {1, 2, 3, 4}
+    out = {1: 2, 2: 1, 3: 0, 4: 1}
+    n = len(nodes)
+    tele = re_even(150000000000.0 / n)
+    dang = re_even(850000000000.0 * 1 / (float(n) * float(n)))
+    want = {}
+    for v in nodes:
+        inm = sum(
+            re_even(850000000000.0 / (float(n) * float(out[u])))
+            for (u, d) in edges
+            if d == v
+        )
+        f = tele + inm + dang
+        want[v] = (out[v], f, round(f / 1e12, 9))
+    assert got == want
+    # quantized total mass within E/2 + (N+1)/2 rounding half-ulps
+    total = sum(f for (_, f, _) in got.values())
+    assert abs(total - 10**12) <= (len(edges) + len(nodes) + 1)
+
+
 def test_tfidf_top_terms_hand_ranking(spark):
     """(tf DESC, df ASC, term ASC) integer ranking: rarity breaks tf
     ties; df counts DISTINCT docs (repetition inside one doc must

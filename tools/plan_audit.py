@@ -158,6 +158,13 @@ ALLPAIRS_OK = {
     # recency reference date: crossJoin against the 1-row broadcast
     # max-date aggregate (the Q11 pattern)
     "rfm_segments",
+    # projection basis: corpus × n_components-row broadcast basis
+    # (the kmeans_update_pass codebook shape) — not a data×data cross
+    "pca_project_pass",
+    # N / dangling-count scalars: crossJoins against the 1-row
+    # broadcast totals aggregate (the Q11 pattern); the edge join is
+    # src-keyed, never a cross
+    "pagerank_update_pass",
     # hour-span denominator: 1-row broadcast bounds cross (Q11)
     "fano_burstiness",
     # grand-total denominator: 1-row broadcast cross (Q11 pattern)

@@ -125,6 +125,119 @@ def pagerank(
     return ranks.select("node", "rank", "out_deg")
 
 
+def pagerank_update_pass(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """One synchronous PageRank mass-diffusion step in exact
+    fixed-point — the kmeans_update_pass / lr_gradient_pass /
+    bpe_pair_counts_pass twin-the-deterministic-half pattern applied
+    to the last big rows-only iterative operator (:func:`pagerank`):
+    the float fixpoint has no SQL twin (double sums are
+    partition-order sensitive), but ONE step from the uniform init
+    with every per-edge contribution quantized to integer mass units
+    IS an integer relation a DuckDB oracle can hash bit-identically.
+
+    Semantics (SCALE = 1e12 mass units; damping as integer PPM so
+    every literal both engines see is an exactly-representable
+    integer-valued double, never a 0.15*1e12 float residue):
+
+    - out(u) counts u's out-edges; N counts distinct endpoint nodes;
+    - per-edge contribution c(u) = round_even(d_fp / (N·out(u)))
+      where d_fp = damping_ppm · SCALE/1e6 — one IEEE divide + one
+      half-to-even round per DISTINCT (N, out) pair, bit-equal
+      across engines (the kmeans_update_pass round_even contract);
+    - rank_fp(v) = round_even(t_fp / N) + Σ_{u→v} c(u)
+      + round_even(d_fp · n_dangling / N²) with t_fp the teleport
+      numerator (1e6 − damping_ppm) · SCALE/1e6 — integer additions
+      from there on, so the sum is partition-order free.
+
+    Quantization parks O(E) half-ulps of mass (≤ E/2 units of 1e-12)
+    — documented, not hidden: the fixpoint loop belongs to
+    :func:`pagerank`; this pass is the driver-checkable single round.
+
+    Scale shape: one distinct over endpoints, one out-degree
+    aggregate, one src-keyed join of the edge list against the
+    out-degree relation (corpus-sized, plain shuffle), one
+    map-combined per-dst integer sum; N and the dangling count ride
+    a 1-row broadcast (the Q11 pattern). Fully lazy — no collect.
+
+    Output: (node, out_deg BIGINT, rank_fp VARCHAR — exact integer
+    mass in 1e-12 units, rank DOUBLE — display division rounded 9dp).
+    """
+    scale_over_ppm = 10**12 // 10**6
+    d_fp = float(damping_ppm * scale_over_ppm)
+    t_fp = float((10**6 - damping_ppm) * scale_over_ppm)
+    dec = "decimal(38,0)"
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("__src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg")
+    )
+    base = nodes.join(out_deg, "node", "left").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__N"),
+        F.sum((F.col("out_deg") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("__ndang"),
+    )
+    contrib = (
+        e.join(
+            out_deg.select(
+                F.col("node").alias("__src"), F.col("out_deg").alias("__o")
+            ),
+            "__src",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__dst").alias("node"),
+            F.bround(
+                F.lit(d_fp)
+                / (F.col("__N").cast("double") * F.col("__o").cast("double")),
+                0,
+            )
+            .cast(dec)
+            .alias("__c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("__c").alias("__in"))
+    )
+    fp = (
+        F.bround(F.lit(t_fp) / F.col("__N").cast("double"), 0).cast(dec)
+        + F.coalesce(F.col("__in"), F.lit(0).cast(dec))
+        + F.bround(
+            F.lit(d_fp)
+            * F.col("__ndang").cast("double")
+            / (F.col("__N").cast("double") * F.col("__N").cast("double")),
+            0,
+        ).cast(dec)
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .join(contrib, "node", "left")
+        .select("node", "out_deg", fp.cast(dec).alias("__fp"))
+        .select(
+            "node",
+            "out_deg",
+            F.col("__fp").cast("string").alias("rank_fp"),
+            F.round(
+                F.col("__fp").cast("double") / F.lit(1_000_000_000_000.0), 9
+            ).alias("rank"),
+        )
+    )
+
+
 def triangle_count(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -224,6 +224,77 @@ def pca_project(
     )
 
 
+def pca_project_pass(
+    emb: DataFrame,
+    weights: DataFrame | None = None,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The oracle-twinnable deterministic half of
+    :func:`embedding_pca`'s PROJECTION step: X·Wᵀ against a FIXED
+    basis in exact micro-unit integer arithmetic — the
+    kmeans_update_pass pattern (the eigendecomposition itself stays
+    honestly rows-only in :func:`pca_train`; what the driver gate can
+    check bit-identically is that the engine projects a corpus onto
+    given axes correctly).
+
+    ``weights`` is the basis relation (component id, vector). When
+    None, the stand-in basis is the ``n_components`` LOWEST-ID corpus
+    vectors (the kmeans_update_pass seed convention — deterministic
+    and oracle-expressible as a sort-limit, unlike a trained basis).
+    Production callers pass ``pca_train``'s components relation.
+
+    Exactness: both vectors quantize to micro-unit integers
+    (bround half-to-even == round_even), each (row, component) dot
+    is a sum of int·int products in DECIMAL(38,0) — integer
+    addition, so partition- and engine-order free; the result is the
+    UNCENTERED dot in 1e-12 units, VARCHAR-rendered. Centering is
+    the caller's display-time subtraction (dot − mean·w, one
+    model-sized correction), the kmeans_update_pass division
+    convention.
+
+    Scale shape: the basis is model-sized and BROADCAST; projection
+    is one map-side zip_with/aggregate per (vector, component) —
+    zero corpus shuffle, no UDF, no collect. Emits
+    (vec_id, component, dot VARCHAR) — k rows per corpus vector.
+    """
+    dec = "decimal(38,0)"
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+    if weights is None:
+        w = (
+            v.orderBy("vec_id")
+            .limit(n_components)
+            .select(
+                F.col("vec_id").alias("component"), F.col("__v").alias("__w")
+            )
+        )
+    else:
+        w = weights.select(
+            F.col(id_col).alias("component"), F.col(vec_col).alias("__w")
+        )
+
+    def micro(c):
+        return F.transform(
+            c, lambda x: F.bround(x * F.lit(1_000_000.0), 0).cast(dec)
+        )
+
+    dot = F.aggregate(
+        F.zip_with(
+            micro(F.col("__v")), micro(F.col("__w")), lambda a, b: a * b
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + x).cast(dec),
+    )
+    return v.crossJoin(F.broadcast(w)).select(
+        "vec_id",
+        F.col("component").cast("bigint").alias("component"),
+        dot.cast(dec).cast("string").alias("dot"),
+    )
+
+
 def embedding_pca(
     emb: DataFrame,
     n_components: int = 8,
