@@ -76,6 +76,17 @@ def main() -> None:
     _first = next(iter(entrymod.queries().values()))
     _first(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # LSH/banding warmup (r8 verdict ask #8): the warmups above never
+    # touched the shingle→minhash→band machinery, so the sweep's
+    # FIRST LSH query absorbed its first-touch cost — the judge
+    # re-measured curation_funnel at 3.91 s warm vs the committed
+    # 10.68 s. Warm the code path (not the data) at the smallest SF.
+    _small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(_small) and "dedup_minhash_lsh" in registry:
+        registry["dedup_minhash_lsh"](spark, _small).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     # Drift sentinel: one fixed query timed immediately before AND
     # after the sweep. Round-over-round comparisons divide by the
     # sentinel ratio to separate environment drift (contended box,
@@ -93,11 +104,20 @@ def main() -> None:
 
     sentinel_post = run_one(registry[sentinel_name])
     total = round(sum(times.values()), 3)
+    # Sentinel-normalized walls (r8 verdict ask #9): wall/sentinel_pre
+    # per query, so round-over-round comparison across drifting VMs is
+    # mechanical (divide two rounds' normalized columns) instead of a
+    # narrative correction in PERF.md.
+    norm = {
+        k: round(v / sentinel_pre, 2) if sentinel_pre > 0 else None
+        for k, v in times.items()
+    }
     payload = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_norm": norm,
         "sentinel": {
             "query": sentinel_name,
             "pre": sentinel_pre,
@@ -125,6 +145,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": slowest,
+        "queries_norm": {k: norm[k] for k in slowest},
         "n_queries": len(times),
         "queries_note": "25 slowest shown; all %d in bench_full.json" % len(times),
         "sentinel": payload["sentinel"],
@@ -133,6 +154,7 @@ def main() -> None:
     line = json.dumps(compact)
     if len(line) > 1800:  # never outgrow the driver's tail again
         compact["queries"] = dict(list(slowest.items())[:10])
+        compact["queries_norm"] = {k: norm[k] for k in compact["queries"]}
         line = json.dumps(compact)
     print(line)
 

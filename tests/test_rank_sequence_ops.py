@@ -509,6 +509,80 @@ def test_nn_descent_converges_to_exact_knn(spark):
         assert r.query_id != r.neighbor_id and 1 <= r.rnk <= 3
 
 
+def test_nn_descent_sampling_escapes_local_fixpoint(spark):
+    """r9 (r8 verdict ask #7): on an adversarial layout — two tight
+    clusters seeded with two DISJOINT parity rings, so the pure
+    neighborhood expansion never crosses the component boundary —
+    the deterministic variant stalls at a local fixpoint with
+    recall < 1, while deterministic ρ-sampling (id-hash exploration
+    candidates, fresh salt per round) converges to exact kNN."""
+    from whatdropsnow_etl_spark.operators import nn_descent_pass
+
+    # ids 0..9; cluster A = ids 0..4 near (1, 0), cluster B = ids
+    # 5..9 near (0, 1): each id's true 2-NN live in its own cluster
+    vecs = {}
+    for i in range(5):
+        vecs[i] = [1.0, 0.01 * i]
+        vecs[5 + i] = [0.01 * i, 1.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    truth = _exact_knn(vecs, 2)
+
+    def neighbors(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id))
+        return {q: [n for _, n in sorted(v)] for q, v in got.items()}
+
+    def recall(nbrs):
+        hit = sum(
+            len(set(nbrs.get(q, [])) & set(t)) for q, t in truth.items()
+        )
+        return hit / sum(len(t) for t in truth.values())
+
+    # adversarial seed: two disjoint rings over the id PARITIES —
+    # every even id's neighborhood (edges, reversal, 2-hop) stays
+    # even forever, but almost every true neighbor differs in parity
+    # only by coincidence of the layout above (clusters are id
+    # ranges, rings are parities, so each ring spans both clusters
+    # yet the candidate pool of node 0 never includes odd ids 1/3)
+    evens, odds = [0, 2, 4, 6, 8], [1, 3, 5, 7, 9]
+    seed = [
+        (ring[i], ring[(i + d) % 5])
+        for ring in (evens, odds)
+        for i in range(5)
+        for d in (1, 2)
+    ]
+    g0 = spark.createDataFrame(seed, "query_id long, neighbor_id long")
+
+    def run(rounds, rho):
+        g, rows = g0, None
+        for rnd in range(rounds):
+            rows = nn_descent_pass(
+                df, g, k=2, sample_rho=rho, sample_salt=rnd
+            ).collect()
+            g = spark.createDataFrame(
+                [(r.query_id, r.neighbor_id) for r in rows],
+                "query_id long, neighbor_id long",
+            )
+        return rows
+
+    det = neighbors(run(4, rho=0.0))
+    assert recall(det) < 1.0  # stalled: parity components never mix
+    # and it IS a fixpoint: one more deterministic round changes nothing
+    g_det = spark.createDataFrame(
+        [(q, n) for q, ns in det.items() for n in ns],
+        "query_id long, neighbor_id long",
+    )
+    again = neighbors(nn_descent_pass(df, g_det, k=2).collect())
+    assert again == det
+    sampled = neighbors(run(4, rho=2.0))
+    assert recall(sampled) == 1.0
+    assert sampled == truth
+
+
 def test_signed_floor_log2_ratio_exact(spark):
     from whatdropsnow_etl_spark.operators.corpus import (
         signed_floor_log2_ratio,

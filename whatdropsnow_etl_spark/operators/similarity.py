@@ -1595,6 +1595,8 @@ def nn_descent_pass(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    sample_rho: float = 0.0,
+    sample_salt: int = 0,
 ) -> DataFrame:
     """One NN-descent refinement round (Dong, Moses & Li, WWW'11) —
     the workhorse for building kNN graphs offline at corpus scale
@@ -1629,11 +1631,27 @@ def nn_descent_pass(
     graph's plan (edges, reversal, self-join), so lazily chaining p
     passes grows the logical plan 4^p — MATERIALIZE the graph
     between rounds (write/read parquet or localCheckpoint, the
-    bpe_merges checkpoint-cadence lesson). The deterministic variant
-    can also stall at a local fixpoint on adversarial layouts (the
-    published algorithm adds random sampling); production use seeds
-    from ann_lsh_bucketed, where one pass is a cheap rerank-widen.
+    bpe_merges checkpoint-cadence lesson).
+
+    Local-fixpoint escape (``sample_rho > 0``): the pure
+    neighborhood expansion can stall on adversarial layouts — a seed
+    graph whose components never touch (e.g. two disjoint rings over
+    an id-parity split) confines every candidate to its component
+    forever, so the pass converges to exact-kNN-restricted-to-the-
+    component, not exact kNN. Dong et al. §2.3's fix is sampling;
+    here it is DETERMINISTIC ρ-sampling (the repo's determinism
+    contract): each node additionally scores ceil(ρ·k) exploration
+    candidates drawn by id-hash, pmod(xxhash64(query, j, salt), N) —
+    a pseudo-random but pure-function-of-the-data draw that crosses
+    any component boundary; vary ``sample_salt`` per round to
+    explore fresh candidates each pass. Like ring_seed_graph this
+    draw assumes CONTIGUOUS 0..N-1 ids (N from a 1-row broadcast
+    count); callers with sparse ids should rank-compact first.
+    Production use seeds from ann_lsh_bucketed, where one pass is a
+    cheap rerank-widen.
     """
+    import math
+
     from ..functions.vectors import cosine_sim_arrow, to_double_array
 
     cos = cosine_sim_arrow()
@@ -1651,12 +1669,32 @@ def nn_descent_pass(
         F.col("a.query_id").alias("query_id"),
         F.col("b.neighbor_id").alias("neighbor_id"),
     )
-    cand = (
-        edges.unionByName(rev)
-        .unionByName(hop)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .distinct()
-    )
+    cand = edges.unionByName(rev).unionByName(hop)
+    if sample_rho > 0:
+        n_samp = max(1, int(math.ceil(sample_rho * k)))
+        n_rel = vectors.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        sampled = (
+            vectors.select(F.col(id_col).cast("bigint").alias("query_id"))
+            .crossJoin(F.broadcast(n_rel))
+            .select(
+                "query_id",
+                F.explode(
+                    F.sequence(
+                        F.lit(1).cast("bigint"), F.lit(n_samp).cast("bigint")
+                    )
+                ).alias("__j"),
+                "__n",
+            )
+            .select(
+                "query_id",
+                F.pmod(
+                    F.xxhash64("query_id", "__j", F.lit(sample_salt)),
+                    F.col("__n"),
+                ).alias("neighbor_id"),
+            )
+        )
+        cand = cand.unionByName(sampled)
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
     vq = vectors.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
     )
