@@ -1915,6 +1915,52 @@ def _auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_exact(ev, "value", "is_purchase")
 
 
+def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: reliability diagram + ECE of the quality score against
+    the gopher gate — "does quality=0.9 actually pass the rules 90%
+    of the time" (AUC checks the ranking; this checks the
+    probabilities). Exact integer gap numerators, the single-number
+    ECE on every row."""
+    from whatdropsnow_etl_spark.operators import (
+        calibration_bins,
+        gopher_rules,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    g = gopher_rules(docs).select(
+        "doc_id", F.col("passes").cast("bigint").alias("__y")
+    )
+    return calibration_bins(q.join(g, "doc_id"), "quality", "__y")
+
+
+def _cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: chance-corrected agreement between the actual document
+    language label and the lang_id marker heuristic — the exact
+    integer-fraction kappa over the same per-doc prediction the
+    lang_id confusion matrix aggregates."""
+    from whatdropsnow_etl_spark.operators import cohens_kappa
+    from whatdropsnow_etl_spark.operators.textops import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cohens_kappa(lang_id(docs), "lang", "pred_lang")
+
+
+def _vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import vocab_jaccard
+
+    return vocab_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatdropsnow_etl_spark.operators import mad_outliers
+
+    return mad_outliers(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value", "event_id"
+    )
+
+
 def _pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import pareto_frontier
 
@@ -2131,6 +2177,10 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "kmeans_update_pass": ["cid", "n", "pos", "s"],
     "pca_project_pass": ["component", "dot", "vec_id"],
     "pagerank_update_pass": ["node", "out_deg", "rank", "rank_fp"],
+    "calibration_bins": ["bin", "ece", "ece_num", "gap", "mean_score", "n", "n_pos", "pos_rate", "sum_score_fp"],
+    "cohens_kappa": ["kappa", "kappa_den", "kappa_num", "n", "n_agree"],
+    "vocab_jaccard": ["jaccard", "n_a", "n_b", "n_inter", "n_union", "src_a", "src_b"],
+    "mad_outliers": ["dev_fp", "event_id", "event_type", "mad_fp", "med_fp", "value_fp"],
     "bpe_pair_counts_pass": ["left", "pair_count", "rank", "right"],
     "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
     "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
@@ -2558,6 +2608,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-point over the directed pair graph (the float
         # fixpoint stays rows-only in pair_pagerank)
         "pagerank_update_pass": _pagerank_update_pass,
+        # NEW in r9 continuation — reliability diagram + exact-ECE
+        # calibration of the quality score vs the gopher gate
+        "calibration_bins": _calibration_bins,
+        # NEW in r9 continuation — chance-corrected lang-label vs
+        # lang_id-heuristic agreement as an exact integer fraction
+        "cohens_kappa": _cohens_kappa,
+        # NEW in r9 continuation — pairwise source vocabulary
+        # Jaccard (shared token TYPES; source_overlap_matrix counts
+        # shared near-dup documents)
+        "vocab_jaccard": _vocab_jaccard,
+        # NEW in r9 continuation — robust median/MAD outlier flags
+        # (the breakdown-resistant sibling of numeric_outliers)
+        "mad_outliers": _mad_outliers,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2702,14 +2765,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     new LSH pre-gate; the registry still runs the exact twin),
     #     rfm_segments (ntile routing restructured around the new
     #     scale_ranks mode; the registry runs the window form);
+    #     plus auc_exact / token_gini, factored around the new
+    #     streaming-maintenance halves (auc_from_histogram /
+    #     gini_from_term_counts) — output unchanged by construction,
+    #     re-gated anyway;
     # (b) the queries NEW in r9, oracle-bearing (first-ever signal
     #     beats any refresh): pca_project_pass / pagerank_update_pass
     #     (verdict asks #5/#6 — the twin-the-deterministic-half
-    #     pattern applied to the last two big rows-only iteratives);
+    #     pattern applied to the last two big rows-only iteratives),
+    #     then the r9 continuation additions (calibration_bins,
+    #     cohens_kappa, vocab_jaccard, mad_outliers);
     # (c) the FULL 33-query r4-stale backlog (verdict ask #1) —
     #     after this window min(latest-green) >= r5 across the
-    #     211-query oracle surface;
-    # (d) 11 slots of oldest-r5 refresh (the remaining r5 rows lead
+    #     oracle surface;
+    # (d) 5 slots of oldest-r5 refresh (the remaining r5 rows lead
     #     the r10 rotation).
     window = [
         # (a) implementation/oracle changed in r9
@@ -2717,9 +2786,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fano_burstiness",
         "semantic_decontaminate",
         "rfm_segments",
+        # (a') factored around new streaming maintenance halves in
+        # r9 (auc_from_histogram / gini_from_term_counts) — output
+        # unchanged by construction, re-gated anyway
+        "auc_exact",
+        "token_gini",
         # (b) new in r9, oracle-bearing
         "pca_project_pass",
         "pagerank_update_pass",
+        "calibration_bins",
+        "cohens_kappa",
+        "vocab_jaccard",
+        "mad_outliers",
         # (c) the full r4-stale backlog, all 33
         "q12_shipping_delay",
         "profile_events",
@@ -2754,18 +2832,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_twostars",
         "embedding_dedup",
         "partition_fingerprints",
-        # (d) oldest-r5 refresh fill
+        # (d) oldest-r5 refresh fill (each r9-changed/new entry
+        # above displaced one slot per the standing contract)
         "q16_supplier_variety",
         "q17_small_quantity_revenue",
         "q18_large_orders",
         "q19_disjunctive_revenue",
         "q22_sales_opportunity",
-        "q11_important_stock",
-        "q21_waiting_suppliers",
-        "window_topn_per_group",
-        "rollup_flag_status",
-        "tumbling_window_agg",
-        "dedup_exact",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -6707,6 +6780,172 @@ def oracle_sql() -> dict[str, str]:
                          * CAST(ANY_VALUE(nn) AS DOUBLE)), 6)
                END AS auc
         FROM c
+    """
+    # r9 continuation: reliability diagram + exact ECE of the quality
+    # score vs the gopher gate — micro-quantized scores, integer bin
+    # assignment (negative-quotient trunc-vs-floor divergence is
+    # clamped away by GREATEST(.., 0)), exact gap numerators
+    # |n_pos*scale - sum_s|, the 1-row ECE total crossed back
+    sql["calibration_bins"] = f"""
+        WITH q AS ({sql["quality_score"]}), gop AS ({sql["gopher_rules"]}),
+        j AS (
+          SELECT CAST(ROUND(q.quality * 1000000, 0) AS BIGINT) AS s,
+                 CAST(gop.passes AS BIGINT) AS y
+          FROM q JOIN gop ON q.doc_id = gop.doc_id
+          WHERE q.quality IS NOT NULL AND gop.passes IN (0, 1)
+        ), b AS (
+          SELECT LEAST(GREATEST(s * 10 // 1000000, 0), 9) AS bin, s, y
+          FROM j
+        ), per AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 SUM(CAST(s AS HUGEINT)) AS ss
+          FROM b GROUP BY bin
+        ), g2 AS (
+          SELECT *, ABS(CAST(n_pos AS HUGEINT) * 1000000 - ss) AS gapnum
+          FROM per
+        ), tot AS (
+          SELECT CAST(SUM(n) AS HUGEINT) AS nn, SUM(gapnum) AS ece_num
+          FROM g2
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+               CAST(ss AS VARCHAR) AS sum_score_fp,
+               ROUND(CAST(ss AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean_score,
+               ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS pos_rate,
+               ROUND(CAST(gapnum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1000000.0), 6) AS gap,
+               CAST(tot.ece_num AS VARCHAR) AS ece_num,
+               ROUND(CAST(tot.ece_num AS DOUBLE)
+                     / (CAST(tot.nn AS DOUBLE) * 1000000.0), 6) AS ece
+        FROM g2 CROSS JOIN tot ORDER BY bin
+    """
+    # r9 continuation: Cohen's kappa between the actual lang label
+    # and the lang_id marker heuristic — the per-doc pred CTE is the
+    # lang_id oracle's, the statistic the exact integer fraction
+    # (N*A - sum r*c) / (N^2 - sum r*c) over HUGEINTs
+    sql["cohens_kappa"] = f"""
+        WITH scored AS (
+          SELECT lang,
+                 {s_en} AS s_en, {s_de} AS s_de, {s_fr} AS s_fr,
+                 {s_es} AS s_es, {s_zh} AS s_zh
+          FROM documents
+        ), pred AS (
+          SELECT lang,
+            CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                      AND s_en >= s_zh THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                 WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                 WHEN s_es >= s_zh THEN 'es'
+                 ELSE 'zh' END AS pred_lang
+          FROM scored
+        ), p AS (
+          SELECT lang AS a, pred_lang AS b FROM pred
+          WHERE lang IS NOT NULL AND pred_lang IS NOT NULL
+        ), base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+          FROM p
+        ), ra AS (
+          SELECT a AS k, CAST(COUNT(*) AS BIGINT) AS r FROM p GROUP BY 1
+        ), cb AS (
+          SELECT b AS k, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1
+        ), rc AS (
+          SELECT CAST(COALESCE(SUM(CAST(r AS HUGEINT) * CAST(c AS HUGEINT)),
+                               0) AS HUGEINT) AS rc
+          FROM ra JOIN cb USING (k)
+        )
+        SELECT n, n_agree,
+               CAST(CAST(n AS HUGEINT) * n_agree - rc AS VARCHAR)
+                 AS kappa_num,
+               CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - rc AS VARCHAR)
+                 AS kappa_den,
+               CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - rc <> 0
+                    THEN ROUND(
+                      CAST(CAST(n AS HUGEINT) * n_agree - rc AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - rc
+                             AS DOUBLE), 6)
+               END AS kappa
+        FROM base CROSS JOIN rc ORDER BY n
+    """
+    # r9 continuation: pairwise source vocabulary Jaccard — distinct
+    # (source, token) relation, token-keyed intersection self-join,
+    # the full a<b grid from the sizes relation so zero-overlap
+    # pairs emit real rows
+    sql["vocab_jaccard"] = """
+        WITH v AS (
+          SELECT DISTINCT g, tt AS t FROM (
+            SELECT source AS g,
+                   unnest(string_split(lower(text), ' ')) AS tt
+            FROM documents WHERE source IS NOT NULL
+          ) q WHERE tt <> ''
+        ), sz AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1
+        ), inter AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM v a JOIN v b ON a.t = b.t AND a.g < b.g
+          GROUP BY 1, 2
+        ), grid AS (
+          SELECT a.g AS src_a, b.g AS src_b, a.n AS n_a, b.n AS n_b
+          FROM sz a JOIN sz b ON a.g < b.g
+        )
+        SELECT grid.src_a, grid.src_b,
+               CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+               n_a, n_b,
+               CAST(n_a + n_b - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+               CASE WHEN n_a + n_b - COALESCE(i.n_inter, 0) > 0 THEN
+                 ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                       / CAST(n_a + n_b - COALESCE(i.n_inter, 0) AS DOUBLE),
+                       6) END AS jaccard
+        FROM grid LEFT JOIN inter i
+          ON grid.src_a = i.src_a AND grid.src_b = i.src_b
+        ORDER BY grid.src_a, grid.src_b
+    """
+    # r9 continuation: the per-row half of numeric_outliers' robust
+    # fences — both medians are the exact_quantiles type-1 rank pick
+    # (rank floor(0.5*(n-1))+1 over integer cents), group joins
+    # IS NOT DISTINCT FROM (the winsorize_apply null-safe
+    # convention), integer flag compare dev > 5*mad
+    sql["mad_outliers"] = """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ), r AS (
+          SELECT event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        ), med AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                          THEN v END) AS med
+          FROM r GROUP BY event_type
+        ), d AS (
+          SELECT c.event_id, c.event_type, c.v,
+                 ABS(c.v - med.med) AS dev, med.med
+          FROM c JOIN med ON c.event_type IS NOT DISTINCT FROM med.event_type
+        ), r2 AS (
+          SELECT event_type, dev,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d
+        ), mad AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                          THEN dev END) AS mad
+          FROM r2 GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.v AS value_fp, d.med AS med_fp,
+               mad.mad AS mad_fp, d.dev AS dev_fp
+        FROM d JOIN mad ON d.event_type IS NOT DISTINCT FROM mad.event_type
+        WHERE d.dev > 5 * mad.mad
+        ORDER BY d.event_id
     """
     # r8 continuation: two-objective Pareto frontier (skyline) per
     # label over the first two embedding coordinates — survive iff

@@ -62,14 +62,20 @@ GATE_WINDOW = 50  # the driver verifies only the first 50 queries() entries
 CHANGED_IN_R9 = [
     "label_propagation_pass", "fano_burstiness",
     "semantic_decontaminate", "rfm_segments",
+    # factored around the new streaming-maintenance halves
+    # (auc_from_histogram / gini_from_term_counts) — output unchanged
+    # by construction, re-gated anyway
+    "auc_exact", "token_gini",
 ]
 
-# New in r9, oracle-bearing (r8 verdict asks #5/#6): the
-# twin-the-deterministic-half pattern applied to the PCA projection
-# and one PageRank mass-diffusion step. Each displaces one r5-refresh
-# tail slot per the standing first-ever-signal-beats-refresh contract.
+# New in r9, oracle-bearing: the twin-the-deterministic-half pattern
+# applied to the PCA projection and one PageRank mass-diffusion step
+# (r8 verdict asks #5/#6), then the r9 continuation additions. Each
+# displaces one r5-refresh tail slot per the standing
+# first-ever-signal-beats-refresh contract.
 NEW_ORACLE_R9 = [
     "pca_project_pass", "pagerank_update_pass",
+    "calibration_bins", "cohens_kappa", "vocab_jaccard", "mad_outliers",
 ]
 
 # The FULL r4-stale backlog (r8 verdict ask #1) — several rows sit on

@@ -1939,6 +1939,164 @@ def test_streaming_fano_equals_batch_operator(spark, tables, tmp_path):
     assert max(sizes) <= bound
 
 
+def test_streaming_auc_equals_batch_operator(spark, tables, tmp_path):
+    """The ranking-quality twin: folding per-batch (group, score)
+    positive/negative histograms (an exact monoid) and reporting over
+    the final state must equal the batch auc_exact over the full
+    static relation EXACTLY — shared post-histogram code path
+    (auc_from_histogram). State stays <= |distinct quantized
+    scores|."""
+    import os
+    import shutil
+
+    from whatdropsnow_etl_spark.operators import auc_exact
+    from whatdropsnow_etl_spark.streaming import (
+        auc_report,
+        fold_score_histogram,
+    )
+
+    ev = tables["events"].select(
+        "event_id",
+        F.col("value"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    )
+    src = str(tmp_path / "auc_events")
+    for part in range(3):
+        ev.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    store = str(tmp_path / "auc_store")
+    sizes = []
+
+    def fold(batch_df, batch_id):
+        prev = (
+            batch_df.sparkSession.read.parquet(store)
+            if os.path.isdir(store)
+            else None
+        )
+        state = fold_score_histogram(prev, batch_df, "value", "y")
+        state.write.mode("overwrite").format("parquet").save(store + "_next")
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+        sizes.append(batch_df.sparkSession.read.parquet(store).count())
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("y", LongType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_auc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sizes) >= 3
+
+    state = spark.read.parquet(store)
+    got = sorted([tuple(r) for r in auc_report(state).collect()], key=repr)
+    want = sorted(
+        [tuple(r) for r in auc_exact(ev, "value", "y").collect()], key=repr
+    )
+    assert got == want
+    bound = ev.select(F.round(F.col("value") * 1000000, 0)).distinct().count()
+    assert max(sizes) <= bound
+
+
+def test_streaming_gini_equals_batch_operator(spark, tables, tmp_path):
+    """The vocabulary-concentration twin: folding per-batch
+    (source, term) counts (the exact monoid ONE level below the cf
+    histogram, which is counts-of-counts and does not merge) and
+    reporting over the final state must equal the batch token_gini
+    over the full static corpus EXACTLY — shared post-count code
+    path (gini_from_term_counts). State stays <= |per-source
+    vocabulary|."""
+    import os
+    import shutil
+
+    from whatdropsnow_etl_spark.operators import token_gini
+    from whatdropsnow_etl_spark.streaming import (
+        fold_term_counts,
+        gini_report,
+    )
+
+    docs = tables["documents"].select("doc_id", "source", "text")
+    src = str(tmp_path / "gini_docs")
+    for part in range(3):
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    store = str(tmp_path / "gini_store")
+    sizes = []
+
+    def fold(batch_df, batch_id):
+        prev = (
+            batch_df.sparkSession.read.parquet(store)
+            if os.path.isdir(store)
+            else None
+        )
+        state = fold_term_counts(prev, batch_df)
+        state.write.mode("overwrite").format("parquet").save(store + "_next")
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+        sizes.append(batch_df.sparkSession.read.parquet(store).count())
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gini"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sizes) >= 3
+
+    state = spark.read.parquet(store)
+    got = sorted([tuple(r) for r in gini_report(state).collect()], key=repr)
+    want = sorted([tuple(r) for r in token_gini(docs).collect()], key=repr)
+    assert got == want
+    from whatdropsnow_etl_spark.functions.text import tokens as _toks
+
+    vocab_bound = (
+        docs.select("source", F.explode(_toks("text")).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+        .count()
+    )
+    assert max(sizes) <= vocab_bound
+
+
 def test_streaming_lifecycle_equals_batch_operator(spark, tables, tmp_path):
     """The growth-accounting twin: folding per-batch DISTINCT
     (user, day) activity (an exact monoid under union+distinct) and

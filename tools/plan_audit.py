@@ -161,6 +161,16 @@ ALLPAIRS_OK = {
     # projection basis: corpus × n_components-row broadcast basis
     # (the kmeans_update_pass codebook shape) — not a data×data cross
     "pca_project_pass",
+    # ECE total: crossJoin against the 1-row broadcast (N, ece_num)
+    # aggregate (the Q11 scalar-subquery pattern)
+    "calibration_bins",
+    # N/A/sum(r*c) scalars: 1-row × 1-row broadcast cross
+    # (the Q11 pattern); marginal join is classes-bounded
+    "cohens_kappa",
+    # the a<b source grid: S-row × S-row bounded-categorical
+    # broadcast (S = #sources, bounded by contract) — the
+    # ks_two_sample grid shape, never a data×data cross
+    "vocab_jaccard",
     # N / dangling-count scalars: crossJoins against the 1-row
     # broadcast totals aggregate (the Q11 pattern); the edge join is
     # src-keyed, never a cross

@@ -482,6 +482,198 @@ def auc_exact(
             F.sum(1 - F.col("__y")).cast("bigint").alias("__n"),
         )
     )
+    return auc_from_histogram(h, group_col=group_col)
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) — the
+    calibration half of classifier eval next to :func:`auc_exact`
+    (AUC says the RANKING is right; calibration says the
+    probabilities MEAN what they claim — a quality classifier that
+    says 0.9 should be right 90% of the time before its scores gate
+    a corpus or weight a mixture). Scores are assumed in [0, 1];
+    out-of-range values clamp into the edge bins.
+
+    No reference twin — the reference (397 LoC ETL) has no
+    evaluation; extends SURVEY §2.3's classifier family.
+
+    Exactness: scores quantize to integer ``scale``-ths first (the
+    auc_exact convention — both engines bucket identically), bin =
+    clamp(s_fp·n_bins div scale) in pure integer arithmetic, and
+    every per-bin statistic is exact: n, n_pos BIGINT, Σs_fp as
+    DECIMAL(38,0)-as-VARCHAR. The calibration gap has an exact
+    integer numerator too — |n_pos·scale − Σs_fp| over n·scale —
+    so ECE = Σ_b gap_num_b / (N·scale) is ONE exact fraction
+    (DECIMAL-as-VARCHAR) + one rounded display division; no
+    float-vs-float subtraction ever crosses engines.
+
+    Scale shape: the corpus collapses in ONE map-combined groupBy to
+    <= n_bins rows; the ECE total rides a 1-row broadcast back onto
+    them (the Q11 pattern). No windows, no UDFs, no collects.
+
+    Output: (bin, n, n_pos, sum_score_fp VARCHAR, mean_score,
+    pos_rate, gap, ece_num VARCHAR, ece) — mean/rate/gap/ece are
+    display divisions rounded 6dp; ece repeats on every row (it is
+    the report's single number).
+    """
+    dec = "decimal(38,0)"
+    s_fp = F.round(F.col(score_col) * scale, 0).cast("long")
+    per_bin = (
+        df.select(
+            s_fp.alias("__s"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        )
+        .where(F.col("__s").isNotNull() & F.col("__y").isin(0, 1))
+        .select(
+            F.least(
+                F.greatest(
+                    F.expr(f"__s * {n_bins} div {scale}"),
+                    F.lit(0).cast("bigint"),
+                ),
+                F.lit(n_bins - 1).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias("bin"),
+            "__s",
+            "__y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+            F.sum(F.col("__s").cast(dec)).cast(dec).alias("__ss"),
+        )
+    )
+    gap_num = F.abs(
+        F.col("n_pos").cast(dec) * scale - F.col("__ss")
+    ).cast(dec)
+    binned = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.col("__ss").alias("__ss"),
+        gap_num.alias("__gap_num"),
+    )
+    tot = binned.agg(
+        F.sum(F.col("n").cast(dec)).cast(dec).alias("__N"),
+        F.sum("__gap_num").cast(dec).alias("__ece_num"),
+    )
+    return binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.col("__ss").cast("string").alias("sum_score_fp"),
+        F.round(
+            F.col("__ss").cast("double")
+            / (F.col("n").cast("double") * float(scale)),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pos_rate"),
+        F.round(
+            F.col("__gap_num").cast("double")
+            / (F.col("n").cast("double") * float(scale)),
+            6,
+        ).alias("gap"),
+        F.col("__ece_num").cast("string").alias("ece_num"),
+        F.round(
+            F.col("__ece_num").cast("double")
+            / (F.col("__N").cast("double") * float(scale)),
+            6,
+        ).alias("ece"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns — the
+    chance-corrected agreement score (Cohen 1960) behind
+    annotator-agreement checks, silver-vs-gold label audits, and
+    "does the cheap heuristic agree with the expensive model beyond
+    chance" gates (raw accuracy flatters any pair that both predict
+    the majority class; kappa does not).
+
+    No reference twin — extends SURVEY §2.3's classifier family.
+
+    Exactness: with N rows, A agreements, and marginal counts r_i /
+    c_i per class, kappa = (p_o − p_e)/(1 − p_e) rewrites over the
+    common denominator N² as the exact integer fraction
+    (N·A − Σ_i r_i·c_i) / (N² − Σ_i r_i·c_i) — numerator and
+    denominator DECIMAL(38,0)-as-VARCHAR (N² overflows int64 past
+    ~3e9 rows), the statistic one rounded display division; NULL
+    when the denominator is 0 (both raters constant — kappa is
+    undefined there by definition).
+
+    Scale shape: one map-combined (N, A) aggregate over the corpus,
+    two map-combined marginal counts, and a classes-sized join for
+    Σ r·c (class cardinality is bounded by contract); the scalars
+    meet in 1-row broadcasts. Rows where either side is NULL are
+    excluded (unlabeled ≠ a class — use classifier_eval's null-safe
+    matrix to audit those).
+
+    Output: one row (n, n_agree, kappa_num VARCHAR, kappa_den
+    VARCHAR, kappa).
+    """
+    dec = "decimal(38,0)"
+    pairs = df.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    base = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    ra = pairs.groupBy(F.col("__a").alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__r")
+    )
+    cb = pairs.groupBy(F.col("__b").alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    rc = ra.join(cb, "__k").agg(
+        F.coalesce(
+            F.sum(F.col("__r").cast(dec) * F.col("__c").cast(dec)),
+            F.lit(0).cast(dec),
+        )
+        .cast(dec)
+        .alias("__rc")
+    )
+    num = F.col("n").cast(dec) * F.col("n_agree").cast(dec) - F.col("__rc")
+    den = F.col("n").cast(dec) * F.col("n").cast(dec) - F.col("__rc")
+    return base.crossJoin(F.broadcast(rc)).select(
+        "n",
+        "n_agree",
+        num.cast(dec).cast("string").alias("kappa_num"),
+        den.cast(dec).cast("string").alias("kappa_den"),
+        F.when(
+            den != F.lit(0).cast(dec),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("kappa"),
+    )
+
+
+def auc_from_histogram(
+    h: DataFrame, group_col: str | None = None
+) -> DataFrame:
+    """The post-histogram half of :func:`auc_exact`: the exact
+    Mann-Whitney rank-sum from a (__g, __s, __p, __n) score
+    histogram. The histogram is a MONOID under union + groupBy-sum,
+    so a streaming maintainer (streaming/auc.py) folds batch
+    histograms and calls this per trigger — identical to the
+    full-relation operator by construction (shared code path, pinned
+    by the streaming twin, the fano/ks_drift contract)."""
+    from pyspark.sql.window import Window
+
     w_below = (
         Window.partitionBy("__g")
         .orderBy("__s")

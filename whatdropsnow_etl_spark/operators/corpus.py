@@ -1083,6 +1083,104 @@ def signed_floor_log2_ratio(num: Column, den: Column) -> Column:
     return F.when(num >= den, pos).otherwise(neg).cast("bigint")
 
 
+def vocab_jaccard(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the
+    corpus-composition screen next to source_overlap_matrix (which
+    counts shared near-duplicate DOCUMENTS; this measures shared
+    token TYPES): two crawls can share zero documents yet be the
+    same register of text (high vocab Jaccard → redundant mixture
+    weight), or a "multilingual" source pair can turn out
+    vocabulary-disjoint. The standard mixture-design diagnostic
+    before pretraining_mix assigns weights.
+
+    No reference twin — extends SURVEY §2.3's corpus-health family.
+
+    Exactness: pure set cardinalities — |Va ∩ Vb|, |Va|, |Vb| as
+    BIGINTs over the distinct (source, token) relation (lowercase
+    whitespace tokens, empties dropped — the corpus_vocab
+    convention); union and Jaccard are display arithmetic from
+    exact integers. Zero-overlap pairs emit a REAL row with 0 (the
+    full a<b grid comes from the sources relation, not from the
+    intersection join — absence of evidence rendered as evidence).
+
+    Scale shape: one explode + map-combined distinct to the
+    (source, token) vocabulary (the relation corpus_vocab already
+    materializes), per-source sizes in one aggregate, and the
+    intersection via ONE token-keyed self-join — each token
+    contributes at most S(S−1)/2 pair rows (S = #sources, bounded
+    by contract), aggregated map-side to the S²-row pair relation.
+    The size grid is a broadcast of two S-row relations. No windows,
+    no UDFs.
+
+    Output: (src_a, src_b, n_inter, n_a, n_b, n_union, jaccard) —
+    one row per unordered source pair (src_a < src_b).
+    """
+    vocab = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .where(F.col("__g").isNotNull() & (F.col("__t") != ""))
+        .distinct()
+    )
+    sizes = vocab.groupBy(F.col("__g").alias("__s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("src_a"), F.col("b.__g").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    grid = (
+        sizes.select(F.col("__s").alias("src_a"), F.col("__n").alias("n_a"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__s").alias("src_b"), F.col("__n").alias("n_b")
+                )
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        grid.join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            n_union.cast("bigint").alias("n_union"),
+            F.when(
+                n_union > 0,
+                F.round(
+                    F.col("n_inter").cast("double") / n_union.cast("double"),
+                    6,
+                ),
+            ).alias("jaccard"),
+        )
+    )
+
+
 def token_gini(
     docs: DataFrame,
     group_col: str = "source",
@@ -1129,6 +1227,22 @@ def token_gini(
         .groupBy("__g", "__t")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__cf"))
     )
+    return gini_from_term_counts(freq, group_col=group_col)
+
+
+def gini_from_term_counts(
+    freq: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """The post-count half of :func:`token_gini`: the exact Gini
+    fraction from a (__g, __t, __cf) term-frequency relation. THAT
+    relation (not the cf histogram, which is counts-of-counts and
+    does not merge) is the exact MONOID under union + groupBy-sum,
+    so a streaming maintainer (streaming/gini.py) folds batch term
+    counts and calls this per trigger — identical to the
+    full-relation operator by construction (shared code path, pinned
+    by the streaming twin, the fano/ks_drift contract)."""
+    from pyspark.sql import Window
+
     hist = freq.groupBy("__g", "__cf").agg(
         F.count(F.lit(1)).cast("bigint").alias("__m")
     )

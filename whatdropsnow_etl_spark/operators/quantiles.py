@@ -338,6 +338,94 @@ def quantile_bucketize(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """The per-ROW half of ``events.numeric_outliers``' median/MAD
+    fences — the report says HOW MANY rows fall outside each group's
+    robust fence; this emits WHICH rows, the relation a quarantine /
+    review queue actually consumes (the winsorize_report →
+    winsorize_apply pairing convention applied to outlier
+    screening). Defaults match the report's fences (k=5, integer
+    cents) so report.n_outliers == count(apply rows) per group.
+
+    No reference twin — extends SURVEY §2.2's integrity family.
+
+    Exactness: values quantize to integer ``scale``-ths; the group
+    median and the MAD (lo-median of |x − med|) are exact type-1
+    rank picks through :func:`exact_group_quantiles` — actual data
+    values, never interpolations — and the flag compares integers
+    (dev > k·mad, the two-sided fence |x−med| > k·mad in one
+    compare), so the decision is bit-deterministic across engines
+    and partitionings. ``k`` is a plain integer multiple of the RAW
+    MAD (no 1.4826 normal-consistency constant — that would put a
+    float product in the compare). Degeneracy is inherited from MAD
+    itself: a group where >= half the values equal the median has
+    MAD 0 and every deviating row flags — the correct robust answer
+    for a constant-heavy column, documented not hidden.
+
+    Scale shape: two exact_group_quantiles passes (each one
+    group-partitioned rank window — the module's documented
+    single-group-per-task caveat applies; swap the sample-sort
+    decomposition at extreme group sizes) and two #groups-sized
+    broadcast joins (null-safe on the group keys, the
+    winsorize_apply convention). Flag filter is map-only.
+
+    Output: flagged rows only — (id, group_cols..., value_fp,
+    med_fp, mad_fp, dev_fp), all BIGINT in scale-ths.
+    """
+    med = exact_group_quantiles(
+        df, group_cols, value_col, ps=(0.5,), scale=scale
+    ).select(
+        *[F.col(c).alias(f"__m_{c}") for c in group_cols],
+        F.col("p50_cents").alias("__med"),
+    )
+    cond_m = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__m_{c}"))
+        cond_m = eq if cond_m is None else cond_m & eq
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    devs = (
+        df.select(F.col(id_col), *group_cols, cents.alias("__c"))
+        .where(F.col("__c").isNotNull())
+        .join(F.broadcast(med), cond_m)
+        .select(
+            id_col,
+            *group_cols,
+            "__c",
+            F.abs(F.col("__c") - F.col("__med")).alias("__dev"),
+            "__med",
+        )
+    )
+    mad = exact_group_quantiles(
+        devs, group_cols, "__dev", ps=(0.5,), scale=1
+    ).select(
+        *[F.col(c).alias(f"__d_{c}") for c in group_cols],
+        F.col("p50_cents").alias("__mad"),
+    )
+    cond_d = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+        cond_d = eq if cond_d is None else cond_d & eq
+    return (
+        devs.join(F.broadcast(mad), cond_d)
+        .where(F.col("__dev") > F.lit(k) * F.col("__mad"))
+        .select(
+            id_col,
+            *group_cols,
+            F.col("__c").alias("value_fp"),
+            F.col("__med").alias("med_fp"),
+            F.col("__mad").alias("mad_fp"),
+            F.col("__dev").alias("dev_fp"),
+        )
+    )
+
+
 def winsorize_apply(
     df: DataFrame,
     group_cols: Sequence[str],

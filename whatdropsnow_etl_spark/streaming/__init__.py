@@ -12,7 +12,9 @@ from .topk import heavy_hitters, mg_merge
 from .manifest_sink import ManifestMergeStreamSink, ManifestStreamSink
 from .history import history_stream
 from .editdist import load_doc_store, pair_and_grow_doc_store
+from .auc import auc_report, fold_score_histogram
 from .fano import fano_report, fold_hour_histogram
+from .gini import fold_term_counts, gini_report
 from .ks_drift import fold_value_histogram, ks_drift_report
 from .lifecycle import fold_activity, lifecycle_report
 from .line_dedup import clean_and_grow_line_index, load_line_index
@@ -42,6 +44,10 @@ __all__ = [
     "history_stream",
     "clean_and_grow_line_index",
     "fano_report",
+    "auc_report",
+    "fold_score_histogram",
+    "gini_report",
+    "fold_term_counts",
     "fold_hour_histogram",
     "fold_activity",
     "fold_value_histogram",
