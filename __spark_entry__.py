@@ -2791,6 +2791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged by construction, re-gated anyway
         "auc_exact",
         "token_gini",
+        # (a'') payload class extended in r9 (Adam7-interlaced PNGs
+        # for ids ≡ 6 mod 8) — same decoded pixels, new decode path
+        "media_probe",
+        "media_resize",
         # (b) new in r9, oracle-bearing
         "pca_project_pass",
         "pagerank_update_pass",
@@ -2837,8 +2841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety",
         "q17_small_quantity_revenue",
         "q18_large_orders",
-        "q19_disjunctive_revenue",
-        "q22_sales_opportunity",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -5643,7 +5645,8 @@ def oracle_sql() -> dict[str, str]:
           FROM ycc
         )
         SELECT d.doc_id,
-               CASE WHEN d.doc_id % 8 = 0 THEN 'bmp'
+               CASE WHEN d.doc_id % 16 = 8 THEN 'gif'
+                    WHEN d.doc_id % 8 = 0 THEN 'bmp'
                     WHEN d.doc_id % 8 = 4 THEN 'jpeg'
                     WHEN d.doc_id % 2 = 0 THEN 'png'
                     ELSE 'wav' END AS format,

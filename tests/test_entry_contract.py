@@ -66,6 +66,9 @@ CHANGED_IN_R9 = [
     # (auc_from_histogram / gini_from_term_counts) — output unchanged
     # by construction, re-gated anyway
     "auc_exact", "token_gini",
+    # payload class extended (Adam7-interlaced PNGs for ids ≡ 6
+    # mod 8) — same decoded pixels, new decode path, re-gated
+    "media_probe", "media_resize",
 ]
 
 # New in r9, oracle-bearing: the twin-the-deterministic-half pattern

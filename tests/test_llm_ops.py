@@ -2300,10 +2300,19 @@ def test_media_probe_decodes_real_payloads(spark):
     parameters from the BYTES (not from the id)."""
     from whatdropsnow_etl_spark.operators import attach_media_payload, media_probe
 
-    docs = spark.range(24).select(F.col("id").alias("doc_id"))
+    docs = spark.range(32).select(F.col("id").alias("doc_id"))
     out = {r["doc_id"]: r for r in media_probe(attach_media_payload(docs)).collect()}
-    assert out[8]["format"] == "bmp"
-    assert out[8]["width"] == 4 + 8 % 13 and out[8]["height"] == 3 + 8 % 7
+    assert out[16]["format"] == "bmp"
+    assert out[16]["width"] == 4 + 16 % 13 and out[16]["height"] == 3 + 16 % 7
+    # r9: ids ≡ 8 (mod 16) are GIF87a through the real LZW decoder
+    # (id 24 is the row-INTERLACED class); image formulas are
+    # format-independent by construction
+    for did in (8, 24):
+        w, h = 4 + did % 13, 3 + did % 7
+        s = (did % 256) + (did * 3) % 256 + (did * 7) % 256
+        assert out[did]["format"] == "gif"
+        assert (out[did]["width"], out[did]["height"]) == (w, h)
+        assert out[did]["sum_rgb"] == w * h * s
     # r8 WAV classes on id % 8: 1 mono16, 3 stereo16, 5 mono8,
     # 7 stereo24 — the probe recovers per-class energy from bytes
     for did in (1, 3, 5, 7, 9, 11, 13, 15):
@@ -3148,6 +3157,103 @@ def test_png_codec_all_filters_round_trip():
         resize_png_rgb8_nearest(encode_png_rgb8(2, 1, (255, 0, 0)), 4, 2)
     )
     assert (r["width"], r["height"], r["sum_r"]) == (4, 2, 255 * 8)
+
+
+def test_png_adam7_interlace_round_trip():
+    """r9: Adam7 interlaced PNGs decode bit-exactly across every
+    filter type and the degenerate sizes where passes go EMPTY (a
+    1x1 image has content in pass 1 only; empty passes contribute
+    zero bytes, not even filter bytes — the spec edge a lazy
+    implementation trips on). Interlaced and sequential encodings of
+    the same pixels must decode identically."""
+    import numpy as np
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_png_rgb8,
+        encode_png_rgb8,
+    )
+
+    rng = np.random.RandomState(29)
+    for (w, h) in [(1, 1), (2, 3), (5, 7), (8, 8), (13, 9), (16, 17)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for ft in range(5):
+            seq = decode_png_rgb8(
+                encode_png_rgb8(w, h, pixels=px, filter_type=ft)
+            )
+            il = decode_png_rgb8(
+                encode_png_rgb8(w, h, pixels=px, filter_type=ft, interlace=1)
+            )
+            assert (il["px"] == px).all(), (w, h, ft)
+            assert (il["px"] == seq["px"]).all()
+            assert il["sum_r"] == seq["sum_r"]
+    # unsupported color types still raise the NAMED gate, interlaced
+    # or not
+    p = bytearray(encode_png_rgb8(4, 4, (9, 9, 9), interlace=1))
+    # IHDR data starts at offset 8 (sig) + 8 (len+type); color type
+    # byte is IHDR[9]
+    p[8 + 8 + 9] = 0  # grayscale
+    import struct as _struct
+    import zlib as _zlib
+
+    crc = _zlib.crc32(bytes(p[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    p[8 + 8 + 13 : 8 + 8 + 17] = _struct.pack(">I", crc)
+    with _pytest.raises(NotImplementedError, match="truecolor"):
+        decode_png_rgb8(bytes(p))
+
+
+def test_gif_codec_lzw_round_trip():
+    """r9: the GIF87a codec round-trips bit-exactly — real LZW with
+    growing code widths (incl. sequences long enough to force the
+    4096-entry table reset and the KwKwK self-reference), sequential
+    AND 4-pass row interlace, palette built from distinct colors;
+    >256 colors and animation raise named gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif87a,
+        resize_gif_nearest,
+    )
+
+    rng = np.random.RandomState(17)
+    # LZW fuzz across palette widths; run-heavy sequences force
+    # table growth through every code width and past the 4096 reset
+    for trial in range(60):
+        nsym = int(rng.choice([2, 4, 16, 64, 256]))
+        n = int(rng.randint(1, 9000))
+        if trial % 2 == 0:
+            seq = np.repeat(
+                rng.randint(0, nsym, 40), rng.randint(1, 400)
+            )[:n]
+        else:
+            seq = rng.randint(0, nsym, n)
+        seq = seq.astype(np.uint8)
+        mcs = max(2, (nsym - 1).bit_length())
+        assert (
+            _lzw_decode(_lzw_encode(seq, mcs), mcs, len(seq)) == seq
+        ).all(), trial
+    # image round-trips, sequential and interlaced, incl. degenerate
+    # sizes where interlace passes go empty
+    for (w, h) in [(1, 1), (2, 3), (7, 5), (13, 9), (16, 17)]:
+        px = (
+            rng.randint(0, 5, size=(h, w, 1)).repeat(3, axis=2) * 40
+        ).astype(np.uint8)
+        for il in (False, True):
+            d = decode_gif(encode_gif87a(w, h, pixels=px, interlace=il))
+            assert (d["px"] == px).all(), (w, h, il)
+            assert d["sum_g"] == int(px[:, :, 1].astype(np.int64).sum())
+    # resize round trip stays a valid GIF with exact gather sums
+    r = decode_gif(resize_gif_nearest(encode_gif87a(3, 2, (10, 20, 30)), 6, 4))
+    assert (r["width"], r["height"], r["sum_b"]) == (6, 4, 30 * 24)
+    # palette overflow is a named gate, not silent quantization
+    big = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    assert len(np.unique(big.reshape(-1, 3), axis=0)) > 256
+    with _pytest.raises(NotImplementedError, match="palette"):
+        encode_gif87a(32, 32, pixels=big)
 
 
 def test_media_resize_real_pixels(spark):

@@ -1,5 +1,6 @@
-"""Real byte-level media codecs: 24-bit BMP, 8-bit RGB PNG, and
-integer PCM WAV (8/16/24-bit, any channel count).
+"""Real byte-level media codecs: 24-bit BMP, 8-bit RGB PNG
+(sequential + Adam7), GIF87a (real LZW, sequential + row
+interlace), and integer PCM WAV (8/16/24-bit, any channel count).
 
 The multimodal operators' decode step was honestly stubbed while no
 media library ships in the runtime — but three production formats
@@ -86,26 +87,28 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png_rgb8(
-    width: int,
-    height: int,
-    rgb: tuple[int, int, int] | None = None,
-    pixels: "np.ndarray | None" = None,
-    filter_type: int = 0,
-) -> bytes:
-    """Minimal 8-bit truecolor (color type 2) PNG. Either a solid
-    ``rgb`` color or an explicit (height, width, 3) uint8 ``pixels``
-    array. ``filter_type`` applies that scanline filter to EVERY row
-    (0=None..4=Paeth) — any conformant decoder must invert it, which
-    is how the decoder's filter paths get test coverage."""
-    import zlib
+# Adam7 pass grid as (x0, y0, dx, dy) — PNG spec §8.2. Pass k of an
+# interlaced image is the sub-image px[y0::dy, x0::dx]; empty passes
+# (origin beyond the image) contribute NO bytes, not even filter
+# bytes — the classic small-image edge a lazy implementation trips on.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if pixels is None:
-        pixels = np.tile(
-            np.array(rgb, dtype=np.uint8), (height, width, 1)
-        )
-    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
-    raw = px.astype(np.int32)
+
+def _png_filter_rows(px: "np.ndarray", filter_type: int) -> bytes:
+    """Apply one scanline filter (0=None..4=Paeth) to EVERY row of a
+    (h, w, 3) uint8 sub-image and serialize filter-byte + row — the
+    shared encode kernel for sequential bodies and each Adam7 pass
+    (filters reference neighbors WITHIN the pass, per spec)."""
+    raw = np.asarray(px, dtype=np.uint8).astype(np.int32)
+    height = raw.shape[0]
     left = np.zeros_like(raw)
     left[:, 1:] = raw[:, :-1]
     up = np.zeros_like(raw)
@@ -129,61 +132,19 @@ def encode_png_rgb8(
         filt = raw - pred
     else:
         raise ValueError(f"bad filter_type {filter_type}")
-    body = b"".join(
+    return b"".join(
         bytes([filter_type]) + (filt[y] % 256).astype(np.uint8).tobytes()
         for y in range(height)
     )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(body))
-        + _png_chunk(b"IEND", b"")
-    )
 
 
-def decode_png_rgb8(payload: bytes) -> dict:
-    """Full decode of an 8-bit truecolor PNG: chunk walk with CRC
-    verification, zlib inflate, per-scanline un-filtering (all five
-    filter types), exact integer per-channel sums — the same output
-    contract as :func:`decode_bmp24`. Returns the pixel array too
-    (``px``) so resize can reuse the decode."""
-    import zlib
-
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos = len(_PNG_SIG)
-    width = height = None
-    idat = b""
-    while pos + 8 <= len(payload):
-        (clen,) = struct.unpack_from(">I", payload, pos)
-        if pos + 12 + clen > len(payload):
-            raise ValueError("truncated PNG chunk")
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + clen]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            width, height, depth, ctype_i, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG "
-                    f"(depth={depth} color={ctype_i} interlace={interlace})"
-                )
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    if width is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    body = zlib.decompress(idat)
+def _png_unfilter(body: bytes, width: int, height: int) -> "np.ndarray":
+    """Invert per-scanline filtering for a (filter byte + w*3 bytes)
+    × h body — the shared decode kernel for sequential images and
+    each Adam7 pass. Returns (h, w, 3) int32."""
     stride = width * 3
     if len(body) != height * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
+        raise ValueError("scanline body length does not match dimensions")
     rows = np.frombuffer(body, dtype=np.uint8).reshape(height, stride + 1)
     filters = rows[:, 0]
     out = np.zeros((height, width, 3), dtype=np.int32)
@@ -222,6 +183,114 @@ def decode_png_rgb8(payload: bytes) -> dict:
                 out[y, x] = (cur[x] + pred) % 256
         else:
             raise ValueError(f"bad PNG filter {ft} on row {y}")
+    return out
+
+
+def encode_png_rgb8(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    pixels: "np.ndarray | None" = None,
+    filter_type: int = 0,
+    interlace: int = 0,
+) -> bytes:
+    """Minimal 8-bit truecolor (color type 2) PNG. Either a solid
+    ``rgb`` color or an explicit (height, width, 3) uint8 ``pixels``
+    array. ``filter_type`` applies that scanline filter to EVERY row
+    (0=None..4=Paeth) — any conformant decoder must invert it, which
+    is how the decoder's filter paths get test coverage.
+    ``interlace=1`` emits the Adam7 seven-pass layout (r9): each
+    non-empty pass is filtered as its own sub-image, per spec."""
+    import zlib
+
+    if pixels is None:
+        pixels = np.tile(
+            np.array(rgb, dtype=np.uint8), (height, width, 1)
+        )
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    if interlace == 0:
+        body = _png_filter_rows(px, filter_type)
+    elif interlace == 1:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass: zero bytes, no filter bytes
+            parts.append(_png_filter_rows(sub, filter_type))
+        body = b"".join(parts)
+    else:
+        raise ValueError(f"bad interlace {interlace}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, interlace)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8(payload: bytes) -> dict:
+    """Full decode of an 8-bit truecolor PNG: chunk walk with CRC
+    verification, zlib inflate, per-scanline un-filtering (all five
+    filter types), exact integer per-channel sums — the same output
+    contract as :func:`decode_bmp24`. Returns the pixel array too
+    (``px``) so resize can reuse the decode. r9: Adam7 interlaced
+    images (interlace=1) decode too — each non-empty pass unfilters
+    as its own sub-image, then scatters into the output grid at the
+    pass's (origin, stride); other color types / depths still raise
+    the named NotImplementedError."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    interlace = 0
+    idat = b""
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_i, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (depth, ctype_i, comp, filt) != (8, 2, 0, 0) or (
+                interlace not in (0, 1)
+            ):
+                raise NotImplementedError(
+                    "only 8-bit truecolor PNG, sequential or Adam7 "
+                    f"(depth={depth} color={ctype_i} interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    body = zlib.decompress(idat)
+    if interlace == 0:
+        out = _png_unfilter(body, width, height)
+    else:
+        out = np.zeros((height, width, 3), dtype=np.int32)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            size = ph * (pw * 3 + 1)
+            sub = _png_unfilter(body[off : off + size], pw, ph)
+            out[y0::dy, x0::dx] = sub
+            off += size
+        if off != len(body):
+            raise ValueError("Adam7 body length does not match passes")
     px = out.astype(np.int64)
     return {
         "width": int(width),
@@ -439,3 +508,267 @@ def resample_wav16(payload: bytes, out_rate: int) -> bytes:
     vals = samples[k] * (1.0 - frac)[:, None] + samples[k2] * frac[:, None]
     out = np.clip(np.rint(vals), lo, hi).astype(np.int64)
     return encode_wav_pcm(out_rate, out, bits=bits)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (r9): the third image format, and the first with a REAL
+# dictionary coder — LZW with growing code widths (3..12 bits,
+# LSB-first packing), clear/EOI codes, table reset at 4096, and the
+# KwKwK self-reference case. PNG exercised inflate (stdlib); GIF's
+# entropy stage is implemented here from the spec, so the decode
+# path is genuinely ours end to end. Palette images only (that IS
+# the format); truecolor payloads raise at encode time when they
+# exceed 256 distinct colors. Both sequential and the GIF 4-pass
+# row interlace are supported (the PNG-Adam7 story applied to GIF's
+# simpler row permutation).
+# ---------------------------------------------------------------------------
+
+_GIF_SIG = b"GIF87a"
+# GIF interlace passes as (first row, row stride)
+_GIF_ILACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(height: int, interlace: bool) -> list[int]:
+    if not interlace:
+        return list(range(height))
+    order = []
+    for y0, dy in _GIF_ILACE:
+        order.extend(range(y0, height, dy))
+    return order
+
+
+def _lzw_encode(seq: "np.ndarray", min_code_size: int) -> bytes:
+    """GIF-variant LZW: codes start at min_code_size+1 bits, clear =
+    2^min, EOI = clear+1, width grows when the encoder's next free
+    code passes the current width's range (mirrored by the decoder
+    one entry behind — the (1<<w)+1 vs (1<<w) asymmetry below is THE
+    sync rule), table resets via an explicit CLEAR at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    bitbuf = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in map(int, seq):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+        # the decoder adds one more table entry after reading this
+        # final code and may grow its code width BEFORE reading EOI
+        # — mirror that growth or the EOI is emitted one bit short
+        # exactly when the table boundary lands on the last code
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> "np.ndarray":
+    """Inverse of :func:`_lzw_encode`, incl. the KwKwK case (code ==
+    next free: entry = prev + prev[0]) and deferred growth at the
+    4096 ceiling (stop adding until CLEAR)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"LZW pixel count {len(out)} != expected {n_expected}"
+        )
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def encode_gif87a(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    pixels: "np.ndarray | None" = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal GIF87a: global color table built from the image's
+    distinct colors (> 256 raises — palette is the format), one
+    image block, real LZW-compressed indices, optional 4-pass row
+    interlace. Solid ``rgb`` or explicit (h, w, 3) uint8 ``pixels``."""
+    if pixels is None:
+        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise NotImplementedError(
+            f"GIF palette overflow: {len(colors)} distinct colors > 256"
+        )
+    indices = inverse.reshape(height, width).astype(np.uint8)
+    # palette size must be a power of two >= 2
+    pal_bits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, pal_bits)
+    order = _gif_row_order(height, interlace)
+    stream = indices[order].reshape(-1)
+    lzw = _lzw_encode(stream, min_code)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        _GIF_SIG
+        + struct.pack("<HHBBB", width, height, 0x80 | (pal_bits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+        )
+        + bytes([min_code])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Full GIF87a/89a decode of the FIRST image block: header +
+    global color table, image descriptor (interlace honored, 89a
+    graphic-control extensions skipped), sub-block reassembly, LZW
+    decompression, palette lookup, exact integer per-channel sums —
+    the decode_bmp24/decode_png_rgb8 output contract (``px``
+    included so resize reuses the decode). Local color tables and
+    animation (multiple image blocks) raise the named gate."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpal = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        marker = payload[pos]
+        if marker == 0x21:  # 89a extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif marker == 0x2C:
+            break
+        elif marker == 0x3B:
+            raise ValueError("GIF trailer before any image block")
+        else:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+    left, top, width, height, ipacked = struct.unpack_from(
+        "<HHHHB", payload, pos + 1
+    )
+    pos += 10
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color tables")
+    if gpal is None:
+        raise ValueError("GIF image without any color table")
+    interlace = bool(ipacked & 0x40)
+    min_code = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos] != 0:
+        blen = payload[pos]
+        lzw += payload[pos + 1 : pos + 1 + blen]
+        pos += 1 + blen
+    pos += 1
+    if pos < len(payload) and payload[pos] == 0x2C:
+        raise NotImplementedError("animated GIF (multiple image blocks)")
+    idx = _lzw_decode(bytes(lzw), min_code, width * height)
+    rows = idx.reshape(height, width)
+    if interlace:
+        out_idx = np.zeros_like(rows)
+        out_idx[_gif_row_order(height, True)] = rows
+        rows = out_idx
+    px = gpal[rows].astype(np.int64)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sum_r": int(px[:, :, 0].sum()),
+        "sum_g": int(px[:, :, 1].sum()),
+        "sum_b": int(px[:, :, 2].sum()),
+        "px": gpal[rows],
+    }
+
+
+def resize_gif_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of a GIF: full LZW decode, index
+    gather, LZW re-encode. Same arithmetic as the BMP/PNG twins."""
+    d = decode_gif(payload)
+    px = d["px"]
+    ys = (np.arange(out_h) * d["height"]) // out_h
+    xs = (np.arange(out_w) * d["width"]) // out_w
+    return encode_gif87a(out_w, out_h, pixels=px[ys][:, xs])

@@ -347,12 +347,15 @@ MEDIA_SCHEMA = (
 
 def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL media bytes per doc — a solid-color image for
-    even ids (24-bit BMP when id % 8 == 0, JPEG when id % 8 == 4 —
+    even ids (24-bit BMP when id % 16 == 0, GIF87a with real LZW
+    when id % 16 == 8 — row-interlaced for id % 32 == 24 — JPEG
+    when id % 8 == 4 —
     baseline-sequential with a restart interval when id % 16 == 4,
     PROGRESSIVE (SOF2, the r8 decoder's multi-scan annex-G path)
     when id % 16 == 12 — 8-bit RGB PNG when id % 4 == 2,
-    cycling through all five PNG scanline filters so the
-    inflate+un-filter decoder is exercised end to end), a
+    cycling through all five PNG scanline filters, SEQUENTIAL when
+    id % 8 == 2 and Adam7 INTERLACED when id % 8 == 6 (r9: the
+    seven-pass un-filter+scatter path is exercised end to end), a
     constant-amplitude PCM WAV for odd ids — mono 16-bit, stereo
     16-bit, mono 8-bit or stereo 24-bit cycling on id % 8 (r8:
     real corpora aren't all mono 16-bit) — with every
@@ -378,6 +381,7 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         from ..functions.media import (
             encode_bmp24,
+            encode_gif87a,
             encode_png_rgb8,
             encode_wav_pcm,
         )
@@ -389,7 +393,16 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if did % 2 == 0:
                     w, h = 4 + did % 13, 3 + did % 7
                     rgb = (did % 256, (did * 3) % 256, (did * 7) % 256)
-                    if did % 8 == 0:
+                    if did % 16 == 8:
+                        # r9: GIF87a with REAL LZW (interlaced rows
+                        # for half the class) — same solid color, so
+                        # every oracle formula is format-independent
+                        payloads.append(
+                            encode_gif87a(
+                                w, h, rgb, interlace=(did % 32 == 24)
+                            )
+                        )
+                    elif did % 8 == 0:
                         payloads.append(encode_bmp24(w, h, rgb))
                     elif did % 8 == 4:
                         # both decode to the same closed-form color,
@@ -408,9 +421,18 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                                 encode_jpeg_progressive(w, h, rgb)
                             )
                     else:
+                        # r9: ids ≡ 2 (mod 8) stay sequential, ids
+                        # ≡ 6 (mod 8) are Adam7 INTERLACED — same
+                        # pixels either way (the oracle's w/h/sum
+                        # formulas are layout-independent), but the
+                        # decoder walks the seven-pass scatter path
                         payloads.append(
                             encode_png_rgb8(
-                                w, h, rgb, filter_type=(did // 2) % 5
+                                w,
+                                h,
+                                rgb,
+                                filter_type=(did // 2) % 5,
+                                interlace=1 if did % 8 == 6 else 0,
                             )
                         )
                 else:
@@ -457,7 +479,8 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def media_probe(media: DataFrame) -> DataFrame:
     """REAL byte-level media probe: sniff the magic bytes and decode
-    BMP, PNG or JPEG (dimensions + exact per-channel pixel sums,
+    BMP, PNG, GIF (r9: full LZW + palette lookup, interlace honored)
+    or JPEG (dimensions + exact per-channel pixel sums,
     reported as one combined ``sum_rgb``; the PNG path is a full
     inflate + un-filter + CRC-check decode, the JPEG path a full
     sequential OR progressive entropy decode — DQT/DHT parse,
@@ -478,6 +501,7 @@ def media_probe(media: DataFrame) -> DataFrame:
         from ..functions.jpeg import decode_jpeg_baseline
         from ..functions.media import (
             decode_bmp24,
+            decode_gif,
             decode_png_rgb8,
             decode_wav16,
         )
@@ -490,9 +514,14 @@ def media_probe(media: DataFrame) -> DataFrame:
                     payload[:2] == b"BM"
                     or payload[:4] == b"\x89PNG"
                     or payload[:2] == b"\xff\xd8"
+                    or payload[:4] == b"GIF8"
                 ):
                     if payload[:4] == b"\x89PNG":
                         fmt, d = "png", decode_png_rgb8(payload)
+                    elif payload[:4] == b"GIF8":
+                        # r9: real LZW decode, sequential AND
+                        # row-interlaced (functions/media.py)
+                        fmt, d = "gif", decode_gif(payload)
                     elif payload[:2] == b"\xff\xd8":
                         # r7/r8: real JPEG decode, sequential AND
                         # progressive (functions/jpeg.py — Huffman +
@@ -540,8 +569,9 @@ MEDIA_RESIZE_SCHEMA = (
 
 
 def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """REAL image resize over the BMP and PNG payloads: decode
-    pixels (for PNG: inflate + un-filter), nearest-neighbor gather
+    """REAL image resize over the BMP, PNG and GIF payloads: decode
+    pixels (PNG: inflate + un-filter; GIF: LZW + palette),
+    nearest-neighbor gather
     to (out_w, out_h), re-encode IN THE SOURCE FORMAT, then decode
     the RESULT to report its dimensions and exact pixel sums
     — the round-trip proves the resampled bytes are themselves a
@@ -560,8 +590,10 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
 
         from ..functions.media import (
             decode_bmp24,
+            decode_gif,
             decode_png_rgb8,
             resize_bmp24_nearest,
+            resize_gif_nearest,
             resize_png_rgb8_nearest,
         )
 
@@ -571,6 +603,8 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 payload = bytes(payload)
                 if payload[:4] == b"\x89PNG":
                     dec, rsz = decode_png_rgb8, resize_png_rgb8_nearest
+                elif payload[:4] == b"GIF8":
+                    dec, rsz = decode_gif, resize_gif_nearest
                 else:
                     dec, rsz = decode_bmp24, resize_bmp24_nearest
                 src = dec(payload)
@@ -591,6 +625,7 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     imgs = media.where(
         F.startswith(F.col("payload"), F.lit(b"BM"))
         | F.startswith(F.col("payload"), F.lit(b"\x89PNG"))
+        | F.startswith(F.col("payload"), F.lit(b"GIF8"))
     )
     return imgs.mapInPandas(go, schema=MEDIA_RESIZE_SCHEMA)
 
