@@ -67,8 +67,11 @@ CHANGED_IN_R9 = [
     # by construction, re-gated anyway
     "auc_exact", "token_gini",
     # payload class extended (Adam7-interlaced PNGs for ids ≡ 6
-    # mod 8) — same decoded pixels, new decode path, re-gated
+    # mod 8, GIF87a/LZW for ids ≡ 8 mod 16) — same decoded pixels,
+    # new decode paths, re-gated
     "media_probe", "media_resize",
+    # bucketed rank relation persisted (compute-once) — same bits
+    "rank_correlation",
 ]
 
 # New in r9, oracle-bearing: the twin-the-deterministic-half pattern

@@ -431,7 +431,15 @@ def rank_correlation(
         "__vy",
         _bucket_of("__bx", "__vx").alias("__bktx"),
         _bucket_of("__by", "__vy").alias("__bkty"),
-    )
+    ).persist()
+    # ^ r9 perf: the two rank decompositions below reference this
+    # relation ~8 times (vals/hist/offsets/join-back per side), and
+    # Catalyst does NOT dedupe common subplans — each reference
+    # re-ran the WHOLE upstream lineage (at sf1 the registry input
+    # re-tokenized 500k documents eight times: 28.1 s; cached it is
+    # computed once per execution — the classifier.py feature-matrix
+    # precedent, lazy persist so no job runs at plan-build time).
+    # The relation is narrow (id + 2 values + 2 bucket ints).
     rx = _rank_from_buckets(
         bucketed.select(
             *gcols,
