@@ -2243,6 +2243,53 @@ def test_media_codecs_roundtrip_and_layout(spark):
         decode_wav16(b"not riff data here")
 
 
+def test_wav_float32_decode_quantizes_half_to_even():
+    """r9: IEEE float WAV (format tag 3) decodes through the exact
+    int16-scale quantizer — amplitudes chosen as k/1024 give the
+    closed-form integer 32k, a sine round-trips within the
+    quantization envelope, and stereo channel order is preserved;
+    non-32-bit float still raises the named gate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_wav16,
+        decode_wav_samples,
+        encode_wav_float32,
+    )
+
+    # exactly-representable amplitudes: k/1024 -> centered int 32k
+    sig = np.full(40, 300 / 1024.0, dtype=np.float64)
+    d = decode_wav16(encode_wav_float32(8000, sig))
+    assert (d["sample_rate"], d["n_samples"], d["n_channels"]) == (8000, 40, 1)
+    assert d["bits"] == 32
+    assert d["energy"] == 40 * (300 * 32) ** 2
+    # stereo preserves channel order through the quantizer
+    st = np.stack(
+        [np.full(7, 100 / 1024.0), np.full(7, -200 / 1024.0)], axis=1
+    )
+    rate, bits, frames = decode_wav_samples(encode_wav_float32(16000, st))
+    assert (frames[:, 0] == 3200).all() and (frames[:, 1] == -6400).all()
+    # half-to-even: 0.5/32768 * 32768 = 0.5 rounds to 0, 1.5 to 2
+    tie = np.array([0.5 / 32768.0, 1.5 / 32768.0, 2.5 / 32768.0])
+    _, _, fr = decode_wav_samples(encode_wav_float32(8000, tie))
+    assert list(fr[:, 0]) == [0, 2, 2]
+    # a sine survives the round trip within the quantization step
+    t = np.arange(200) / 200.0
+    sine = 0.25 * np.sin(2 * np.pi * 5 * t)
+    _, _, fr = decode_wav_samples(encode_wav_float32(8000, sine))
+    back = fr[:, 0].astype(np.float64) / 32768.0
+    assert np.abs(back - sine).max() < 1.0 / 32768.0
+    # 64-bit float is a named gate
+    p = bytearray(encode_wav_float32(8000, sig))
+    # bits field is the last H of the fmt chunk at offset 12+8+14
+    import struct as _struct
+
+    _struct.pack_into("<H", p, 12 + 8 + 14, 64)
+    with _pytest.raises(NotImplementedError, match="64-bit IEEE"):
+        decode_wav_samples(bytes(p))
+
+
 def test_wav_pcm_depths_and_channels_round_trip():
     """The r8 widened WAV codec: 8/16/24-bit, mono and stereo,
     encode->decode recovers exact centered samples (energy, frame

@@ -359,15 +359,38 @@ def encode_wav16(sample_rate: int, samples: "np.ndarray") -> bytes:
     return encode_wav_pcm(sample_rate, samples, bits=16)
 
 
+def encode_wav_float32(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Minimal RIFF/WAVE, IEEE float PCM (format tag 3, 32-bit) —
+    the format DAWs and scientific tooling export. ``samples`` is
+    float in [-1, 1) of shape (n,) or (n, channels)."""
+    s = np.asarray(samples, dtype=np.float32)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    data = s.astype("<f4").tobytes()
+    block = channels * 4
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 3, channels, sample_rate,
+        sample_rate * block, block, 32,
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff = struct.pack(
+        "<4sI4s", b"RIFF", 4 + len(fmt) + len(data_chunk), b"WAVE"
+    )
+    return riff + fmt + data_chunk
+
+
 def decode_wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """Chunk-walk a PCM WAV and return (rate, bits, frames) where
     ``frames`` is (n_frames, channels) int64 of CENTERED samples —
     8-bit's unsigned offset-128 storage is re-centered here, so
     energy arithmetic downstream is depth-independent. Real corpora
     aren't all mono 16-bit (r7 verdict ask #8): stereo and 8/24-bit
-    PCM decode; float/ADPCM/etc. raise NotImplementedError naming
-    the format tag. Never string-search for b"data" — raw PCM bytes
-    can contain it."""
+    PCM decode, and (r9) IEEE float32 (format tag 3) decodes by
+    quantizing to the int16 scale half-to-even — see the inline
+    contract; ADPCM/other tags and non-32-bit float still raise
+    NotImplementedError naming the format. Never string-search for
+    b"data" — raw PCM bytes can contain it."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
@@ -381,11 +404,15 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos
             )
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 3):
                 raise NotImplementedError(
                     f"non-PCM WAV (format tag {audio_fmt})"
                 )
-            if bits not in (8, 16, 24):
+            if audio_fmt == 3 and bits != 32:
+                raise NotImplementedError(
+                    f"{bits}-bit IEEE-float WAV decode"
+                )
+            if audio_fmt == 1 and bits not in (8, 16, 24):
                 raise NotImplementedError(f"{bits}-bit PCM decode")
         elif cid == b"data":
             data_raw = (pos, clen)
@@ -395,6 +422,19 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     off, clen = data_raw
     block = channels * bits // 8
     n = clen // block
+    if audio_fmt == 3:
+        # r9: IEEE float32 (format tag 3) QUANTIZES to the int16
+        # scale on decode — round_even(x * 32768) — so every
+        # downstream consumer (integer energy, resample, VAD
+        # framing) keeps the exact-integer contract; the quantizer
+        # is bit-deterministic (IEEE multiply + half-to-even), and a
+        # synthesizer that picks amplitudes representable as k/1024
+        # gets EXACT closed-form integers (32768/1024 = 32·k)
+        f = np.frombuffer(
+            payload, dtype="<f4", count=n * channels, offset=off
+        ).astype(np.float64)
+        flat = np.rint(f * 32768.0).astype(np.int64)
+        return int(rate), int(bits), flat.reshape(n, channels)
     if bits == 16:
         flat = np.frombuffer(
             payload, dtype="<i2", count=n * channels, offset=off
