@@ -2778,8 +2778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the FULL 33-query r4-stale backlog (verdict ask #1) —
     #     after this window min(latest-green) >= r5 across the
     #     oracle surface;
-    # (d) 5 slots of oldest-r5 refresh (the remaining r5 rows lead
-    #     the r10 rotation).
+    # (d) the r5-refresh fill is fully displaced this round (the
+    #     oldest-r5 rows lead the r10 rotation).
     window = [
         # (a) implementation/oracle changed in r9
         "label_propagation_pass",
@@ -2800,6 +2800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (one compute instead of ~8 lineage re-runs) — same bits,
         # re-gated anyway
         "rank_correlation",
+        # (a'''') WAV payload class extended in r9 (IEEE float32 for
+        # ids ≡ 9 mod 16, decoded through the int16-scale quantizer;
+        # resample re-encodes float input as 16-bit PCM)
+        "media_resample",
+        "media_silence_report",
         # (b) new in r9, oracle-bearing
         "pca_project_pass",
         "pagerank_update_pass",
@@ -2841,10 +2846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_twostars",
         "embedding_dedup",
         "partition_fingerprints",
-        # (d) oldest-r5 refresh fill (each r9-changed/new entry
-        # above displaced one slot per the standing contract)
-        "q16_supplier_variety",
-        "q17_small_quantity_revenue",
+        # (d) r5-refresh fill fully displaced: every slot is an
+        # r9-changed, r9-new, or r4-stale entry this round
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -5671,11 +5674,18 @@ def oracle_sql() -> dict[str, str]:
                     END AS sample_rate,
                CASE WHEN d.doc_id % 2 = 1
                     THEN CAST(50 + d.doc_id % 100 AS BIGINT) END AS n_samples,
-               -- r8 WAV classes on id % 8: 1 mono16 (amp), 3
+               -- WAV classes on id % 8: 1 mono16 (amp), 3
                -- stereo16 (amp, amp+7), 5 mono8 (1 + id%120),
-               -- 7 stereo24 (250*amp, 250*amp + 1000); energy is
+               -- 7 stereo24 (250*amp, 250*amp + 1000); r9 carves
+               -- id % 16 = 9 out of class 1 as IEEE float32 with
+               -- amplitude (100 + id%900)/1024, which the decoder
+               -- quantizes to EXACTLY 32*(100 + id%900); energy is
                -- frames * sum of per-channel amp^2
-               CASE WHEN d.doc_id % 8 = 1
+               CASE WHEN d.doc_id % 16 = 9
+                    THEN CAST((50 + d.doc_id % 100)
+                         * (32 * (100 + d.doc_id % 900))
+                         * (32 * (100 + d.doc_id % 900)) AS BIGINT)
+                    WHEN d.doc_id % 8 = 1
                     THEN CAST((50 + d.doc_id % 100)
                          * (100 + d.doc_id % 1000)
                          * (100 + d.doc_id % 1000) AS BIGINT)
@@ -8076,7 +8086,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS src_rate,
                  CAST(50 + doc_id % 100 AS BIGINT) AS n_src,
-                 CASE WHEN doc_id % 8 = 1
+                 CASE WHEN doc_id % 16 = 9
+                      THEN (32 * (100 + doc_id % 900))
+                           * (32 * (100 + doc_id % 900))
+                      WHEN doc_id % 8 = 1
                       THEN (100 + doc_id % 1000) * (100 + doc_id % 1000)
                       WHEN doc_id % 8 = 3
                       THEN (100 + doc_id % 1000) * (100 + doc_id % 1000)

@@ -72,6 +72,9 @@ CHANGED_IN_R9 = [
     "media_probe", "media_resize",
     # bucketed rank relation persisted (compute-once) — same bits
     "rank_correlation",
+    # WAV payload class extended (IEEE float32 for ids ≡ 9 mod 16,
+    # int16-scale quantizer; resample re-encodes as 16-bit PCM)
+    "media_resample", "media_silence_report",
 ]
 
 # New in r9, oracle-bearing: the twin-the-deterministic-half pattern

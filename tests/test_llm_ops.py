@@ -2362,9 +2362,14 @@ def test_media_probe_decodes_real_payloads(spark):
         assert out[did]["sum_rgb"] == w * h * s
     # r8 WAV classes on id % 8: 1 mono16, 3 stereo16, 5 mono8,
     # 7 stereo24 — the probe recovers per-class energy from bytes
-    for did in (1, 3, 5, 7, 9, 11, 13, 15):
+    for did in (1, 3, 5, 7, 9, 11, 13, 15, 25):
         n, amp = 50 + did % 100, 100 + did % 1000
-        if did % 8 == 1:
+        if did % 16 == 9:
+            # r9 float32 class: the int16-scale quantizer recovers
+            # exactly 32 * (100 + id % 900) from the k/1024 amplitude
+            aq = 32 * (100 + did % 900)
+            ampsq = aq * aq
+        elif did % 8 == 1:
             ampsq = amp * amp
         elif did % 8 == 3:
             ampsq = amp * amp + (amp + 7) * (amp + 7)

@@ -249,8 +249,11 @@ def test_media_resample_operator_formula(spark):
         rate = 8000 + (did % 3) * 4000
         n = 50 + did % 100
         amp = 100 + did % 1000
-        # r8 WAV classes: per-class sum of channel amp^2
-        if did % 8 == 1:
+        # r8 WAV classes: per-class sum of channel amp^2; r9 carves
+        # id % 16 == 9 out as float32 (quantized to 32k exactly)
+        if did % 16 == 9:
+            ampsq = (32 * (100 + did % 900)) ** 2
+        elif did % 8 == 1:
             ampsq = amp * amp
         elif did % 8 == 3:
             ampsq = amp * amp + (amp + 7) * (amp + 7)

@@ -532,6 +532,12 @@ def resample_wav16(payload: bytes, out_rate: int) -> bytes:
     import numpy as np
 
     rate, bits, frames = decode_wav_samples(payload)
+    if bits == 32:
+        # r9: IEEE float input decodes at the int16 scale (the
+        # quantizer contract above), so the resampled output lands
+        # as 16-bit integer PCM — the float→int16 normalization
+        # every audio training pipeline applies anyway
+        bits = 16
     lo, hi = {8: (-128, 127), 16: (-32768, 32767), 24: (-8388608, 8388607)}[
         bits
     ]

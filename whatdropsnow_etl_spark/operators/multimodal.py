@@ -358,7 +358,10 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     seven-pass un-filter+scatter path is exercised end to end), a
     constant-amplitude PCM WAV for odd ids — mono 16-bit, stereo
     16-bit, mono 8-bit or stereo 24-bit cycling on id % 8 (r8:
-    real corpora aren't all mono 16-bit) — with every
+    real corpora aren't all mono 16-bit), with id % 16 == 9 carved
+    out as IEEE float32 (r9: format tag 3, amplitude k/1024 so the
+    decoder's half-to-even int16-scale quantizer recovers EXACTLY
+    32k) — with every
     generation parameter a pure function of the id. The payloads are
     genuine format-conformant binaries (any external BMP/PNG/JPEG/
     WAV reader opens them); because the parameters are id-derived, a
@@ -383,6 +386,7 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             encode_bmp24,
             encode_gif87a,
             encode_png_rgb8,
+            encode_wav_float32,
             encode_wav_pcm,
         )
 
@@ -442,6 +446,20 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     rate = 8000 + (did % 3) * 4000
                     n = 50 + did % 100
                     amp = 100 + did % 1000
+                    if did % 16 == 9:
+                        # r9: IEEE float32 WAV (format tag 3) —
+                        # amplitude k/1024 quantizes to the EXACT
+                        # int16-scale integer 32k on decode, so the
+                        # oracle's energy formula stays closed-form;
+                        # k <= 999 keeps 32k under int16 for the
+                        # resample re-encode
+                        payloads.append(
+                            encode_wav_float32(
+                                rate,
+                                np.full(n, (100 + did % 900) / 1024.0),
+                            )
+                        )
+                        continue
                     if did % 8 == 1:
                         sig = np.full(n, amp, dtype=np.int64)
                         bits = 16
