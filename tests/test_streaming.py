@@ -2097,6 +2097,117 @@ def test_streaming_gini_equals_batch_operator(spark, tables, tmp_path):
     assert max(sizes) <= vocab_bound
 
 
+def test_streaming_calibration_equals_batch_operator(spark, tables, tmp_path):
+    """The calibration twin: folding per-batch quantized-score
+    histograms (an exact monoid at SCORE grain, so n_bins can change
+    at report time without refolding) and reporting over the final
+    state must equal the batch calibration_bins over the full static
+    relation EXACTLY — same binning/gap/ECE arithmetic applied to
+    score-grain aggregates."""
+    import os
+    import shutil
+
+    from whatdropsnow_etl_spark.operators import calibration_bins
+    from whatdropsnow_etl_spark.streaming import (
+        calibration_report,
+        fold_calibration_histogram,
+    )
+
+    ev = tables["events"].select(
+        "event_id",
+        # a [0, 1]-ish score derived from value so several bins fill
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("score"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    )
+    src = str(tmp_path / "cal_events")
+    for part in range(3):
+        ev.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    store = str(tmp_path / "cal_store")
+    sizes = []
+
+    def fold(batch_df, batch_id):
+        prev = (
+            batch_df.sparkSession.read.parquet(store)
+            if os.path.isdir(store)
+            else None
+        )
+        state = fold_calibration_histogram(prev, batch_df, "score", "y")
+        state.write.mode("overwrite").format("parquet").save(store + "_next")
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+        sizes.append(batch_df.sparkSession.read.parquet(store).count())
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("score", DoubleType()),
+            StructField("y", LongType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sizes) >= 3
+
+    state = spark.read.parquet(store)
+    for n_bins in (10, 4):  # report-time re-binning without refold
+        got = sorted(
+            [tuple(r) for r in calibration_report(state, n_bins=n_bins).collect()],
+            key=repr,
+        )
+        want = sorted(
+            [
+                tuple(r)
+                for r in calibration_bins(ev, "score", "y", n_bins=n_bins).collect()
+            ],
+            key=repr,
+        )
+        assert got == want, n_bins
+    bound = ev.select(F.round(F.col("score") * 1000000, 0)).distinct().count()
+    assert max(sizes) <= bound
+
+
+def test_streaming_vocab_jaccard_over_gini_state(spark, tables):
+    """One persisted term-count state serves BOTH maintainers: the
+    vocab_jaccard report over folded gini state equals the batch
+    vocab_jaccard over the full corpus (keys are the distinct
+    vocabulary; counts are ignored and the fold never drops a key)."""
+    from whatdropsnow_etl_spark.operators import vocab_jaccard
+    from whatdropsnow_etl_spark.streaming import (
+        fold_term_counts,
+        vocab_jaccard_report,
+    )
+
+    docs = tables["documents"].select("doc_id", "source", "text")
+    state = None
+    for part in range(3):
+        state = fold_term_counts(
+            state, docs.where(F.col("doc_id") % 3 == part)
+        )
+    got = sorted(
+        [tuple(r) for r in vocab_jaccard_report(state).collect()], key=repr
+    )
+    want = sorted([tuple(r) for r in vocab_jaccard(docs).collect()], key=repr)
+    assert got == want
+
+
 def test_streaming_lifecycle_equals_batch_operator(spark, tables, tmp_path):
     """The growth-accounting twin: folding per-batch DISTINCT
     (user, day) activity (an exact monoid under union+distinct) and

@@ -13,8 +13,9 @@ from .manifest_sink import ManifestMergeStreamSink, ManifestStreamSink
 from .history import history_stream
 from .editdist import load_doc_store, pair_and_grow_doc_store
 from .auc import auc_report, fold_score_histogram
+from .calibration import calibration_report, fold_calibration_histogram
 from .fano import fano_report, fold_hour_histogram
-from .gini import fold_term_counts, gini_report
+from .gini import fold_term_counts, gini_report, vocab_jaccard_report
 from .ks_drift import fold_value_histogram, ks_drift_report
 from .lifecycle import fold_activity, lifecycle_report
 from .line_dedup import clean_and_grow_line_index, load_line_index
@@ -48,6 +49,9 @@ __all__ = [
     "fold_score_histogram",
     "gini_report",
     "fold_term_counts",
+    "vocab_jaccard_report",
+    "calibration_report",
+    "fold_calibration_histogram",
     "fold_hour_histogram",
     "fold_activity",
     "fold_value_histogram",

@@ -61,3 +61,25 @@ def gini_report(state: DataFrame, group_col: str = "source") -> DataFrame:
     """Exact per-group token Gini over the folded term-count state —
     delegates to the batch operator's post-count half."""
     return gini_from_term_counts(state, group_col=group_col)
+
+
+def vocab_jaccard_report(state: DataFrame) -> DataFrame:
+    """Pairwise source vocabulary Jaccard over the SAME folded
+    term-count state gini maintains (r9): the state's (__g, __t)
+    keys ARE the distinct per-source vocabulary, so one persisted
+    relation serves both the concentration gauge (gini_report) and
+    the cross-source composition screen — exactly equal to the batch
+    :func:`~whatdropsnow_etl_spark.operators.corpus.vocab_jaccard`
+    over the full corpus (pytest-pinned; counts are ignored, only
+    key membership matters, and the fold never drops a key)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.corpus import vocab_jaccard
+
+    # re-use the batch operator verbatim by presenting the state's
+    # keys as one-token "documents" — tokens() of a single token is
+    # itself, so the operator's explode+distinct is the identity here
+    docs = state.select(
+        F.col("__g").alias("source"), F.col("__t").alias("text")
+    )
+    return vocab_jaccard(docs)
