@@ -18,8 +18,11 @@ from .manifest import (
 )
 from .observed import qc_metric_exprs, write_observed
 from .upsert_parquet import UpsertParquetSink
+from .webdataset import read_webdataset_shards, write_webdataset_shards
 
 __all__ = [
+    "write_webdataset_shards",
+    "read_webdataset_shards",
     "diff_versions",
     "qc_metric_exprs",
     "write_observed",
