@@ -778,6 +778,14 @@ def decode_gif(payload: bytes) -> dict:
         "<HHHHB", payload, pos + 1
     )
     pos += 10
+    if (left, top) != (0, 0) or (width, height) != (sw, sh):
+        # a sub-rectangle image block composites onto the logical
+        # screen — animation machinery; decoding it as the whole
+        # image would be silently wrong, so gate it by name
+        raise NotImplementedError(
+            "GIF image block offset from the logical screen "
+            f"(block {width}x{height}@{left},{top} vs screen {sw}x{sh})"
+        )
     if ipacked & 0x80:
         raise NotImplementedError("GIF local color tables")
     if gpal is None:

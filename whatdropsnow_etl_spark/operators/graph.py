@@ -173,7 +173,12 @@ def pagerank_update_pass(
     dec = "decimal(38,0)"
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    )
+    ).persist()
+    # ^ the edge relation feeds nodes (twice, via the union),
+    # out-degrees and the contribution join — ~5 references, and an
+    # expensive upstream (the registry passes the MinHash pair
+    # pipeline) would re-run per reference since Catalyst does not
+    # dedupe subplans (the rank_correlation lesson, lazy persist)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
