@@ -609,3 +609,84 @@ def test_cooccurrence_matches_bruteforce(spark, texts, window):
             for j in range(i + 1, min(i + window, len(t) - 1) + 1):
                 ref[tuple(sorted((t[i], t[j])))] += 1
     assert got == dict(ref)
+
+
+# pure-python codec properties: no Spark job per example, so these
+# afford far more examples than the relation properties above
+CODEC = settings(max_examples=150, deadline=None, derandomize=True)
+
+
+@given(
+    data=st.lists(st.integers(0, 255), min_size=1, max_size=4000),
+    nsym=st.sampled_from([2, 4, 16, 64, 256]),
+)
+@CODEC
+def test_lzw_round_trip_property(data, nsym):
+    """GIF-variant LZW inverts itself for ANY symbol sequence at any
+    palette width — incl. the code-width growth boundaries, the
+    4096-entry table reset and the KwKwK case hypothesis shrinks to."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.media import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    seq = np.array([d % nsym for d in data], dtype=np.uint8)
+    mcs = max(2, (nsym - 1).bit_length())
+    dec = _lzw_decode(_lzw_encode(seq, mcs), mcs, len(seq))
+    assert (dec == seq).all()
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    ft=st.integers(0, 4),
+    interlace=st.integers(0, 1),
+    seed=st.integers(0, 10_000),
+)
+@CODEC
+def test_png_round_trip_property(w, h, ft, interlace, seed):
+    """The PNG codec inverts every (size, filter, interlace) combo —
+    Adam7's empty-pass edges included — bit-exactly."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_png_rgb8,
+        encode_png_rgb8,
+    )
+
+    px = (
+        np.random.RandomState(seed)
+        .randint(0, 256, (h, w, 3))
+        .astype(np.uint8)
+    )
+    d = decode_png_rgb8(
+        encode_png_rgb8(w, h, pixels=px, filter_type=ft, interlace=interlace)
+    )
+    assert (d["px"] == px).all()
+
+
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    ncolor=st.integers(1, 6),
+    interlace=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+@CODEC
+def test_gif_round_trip_property(w, h, ncolor, interlace, seed):
+    """The GIF codec inverts every (size, palette, interlace) combo."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_gif,
+        encode_gif87a,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolor, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncolor, (h, w))
+    px = pal[idx]
+    d = decode_gif(encode_gif87a(w, h, pixels=px, interlace=interlace))
+    assert (d["px"] == px).all()
