@@ -2289,3 +2289,49 @@ def test_streaming_lifecycle_equals_batch_operator(spark, tables, tmp_path):
         * ev.select(F.to_date("ts")).distinct().count()
     )
     assert max(sizes) <= bound
+
+
+def test_streaming_webdataset_exactly_once(spark, tmp_path):
+    """The streaming shard writer publishes one COMMITTED batch
+    directory per distinct batch id: a redelivered batch is a no-op
+    (at-least-once safety), a torn directory (shards written, no
+    marker) is invisible to the reader and heals identically on
+    redelivery (deterministic tar bytes), and the committed union
+    round-trips every payload exactly once."""
+    import json
+    import os
+
+    from whatdropsnow_etl_spark.operators import attach_media_payload
+    from whatdropsnow_etl_spark.streaming import (
+        StreamingWebDatasetSink,
+        read_webdataset_stream_output,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    media = attach_media_payload(docs)
+    out = str(tmp_path / "wds_stream")
+    os.makedirs(out)
+    sink = StreamingWebDatasetSink(out, n_shards=2)
+
+    batches = [media.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    # redelivery of batch 1: must not duplicate anything
+    before = json.load(open(sink.batch_dir(1) + "/manifest.json"))
+    sink(batches[1], 1)
+    assert json.load(open(sink.batch_dir(1) + "/manifest.json")) == before
+    # torn batch 2: shards land but the marker is missing
+    from whatdropsnow_etl_spark.sinks import write_webdataset_shards
+
+    write_webdataset_shards(batches[2], sink.batch_dir(2), n_shards=2)
+    got = read_webdataset_stream_output(spark, out)
+    assert got.where(F.col("batch_id") == 2).count() == 0  # invisible
+    # redelivery heals the torn directory and commits it
+    sink(batches[2], 2)
+    rows = read_webdataset_stream_output(spark, out).collect()
+    assert len(rows) == 30
+    want = {
+        r["doc_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    assert {r["doc_id"]: bytes(r["payload"]) for r in rows} == want
+    assert {r["batch_id"] for r in rows} == {0, 1, 2}

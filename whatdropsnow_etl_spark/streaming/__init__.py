@@ -14,6 +14,10 @@ from .history import history_stream
 from .editdist import load_doc_store, pair_and_grow_doc_store
 from .auc import auc_report, fold_score_histogram
 from .calibration import calibration_report, fold_calibration_histogram
+from .webdataset import (
+    StreamingWebDatasetSink,
+    read_webdataset_stream_output,
+)
 from .fano import fano_report, fold_hour_histogram
 from .gini import fold_term_counts, gini_report, vocab_jaccard_report
 from .ks_drift import fold_value_histogram, ks_drift_report
@@ -52,6 +56,8 @@ __all__ = [
     "vocab_jaccard_report",
     "calibration_report",
     "fold_calibration_histogram",
+    "StreamingWebDatasetSink",
+    "read_webdataset_stream_output",
     "fold_hour_histogram",
     "fold_activity",
     "fold_value_histogram",
