@@ -1915,6 +1915,30 @@ def _auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_exact(ev, "value", "is_purchase")
 
 
+def _interevent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late r9: per-user inter-event-gap moments + Goh–Barabási
+    burstiness — exact integer microsecond gaps, DECIMAL sumsq,
+    fixed IEEE sqrt sequence (the rank_correlation contract)."""
+    from whatdropsnow_etl_spark.operators import interevent_stats
+
+    return interevent_stats(load_table(spark, sf_dir, "events"))
+
+
+def _kcore_peel_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late r9: one synchronous k-core peel round over the MinHash
+    pair graph (the twin-the-half pattern applied to coreness) —
+    survivors with full-graph and survivor-subgraph degrees."""
+    from whatdropsnow_etl_spark.operators import (
+        kcore_peel_pass,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kcore_peel_pass(
+        minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4), k=2
+    )
+
+
 def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: reliability diagram + ECE of the quality score against
     the gopher gate — "does quality=0.9 actually pass the rules 90%
@@ -2178,6 +2202,8 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "pca_project_pass": ["component", "dot", "vec_id"],
     "pagerank_update_pass": ["node", "out_deg", "rank", "rank_fp"],
     "calibration_bins": ["bin", "ece", "ece_num", "gap", "mean_score", "n", "n_pos", "pos_rate", "sum_score_fp"],
+    "interevent_stats": ["burstiness", "cv", "n_gaps", "sum_dt_us", "sumsq_dt", "user_id"],
+    "kcore_peel_pass": ["deg0", "deg1", "node"],
     "cohens_kappa": ["kappa", "kappa_den", "kappa_num", "n", "n_agree"],
     "vocab_jaccard": ["jaccard", "n_a", "n_b", "n_inter", "n_union", "src_a", "src_b"],
     "mad_outliers": ["dev_fp", "event_id", "event_type", "mad_fp", "med_fp", "value_fp"],
@@ -2621,6 +2647,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r9 continuation — robust median/MAD outlier flags
         # (the breakdown-resistant sibling of numeric_outliers)
         "mad_outliers": _mad_outliers,
+        # NEW late-r9, oracle-bearing, never driver-seen — the r9
+        # window was already fully allocated (11 changed + 6 new +
+        # the entire 33-row r4 backlog), so per the standing
+        # first-ever-signal contract these LEAD the r10 window
+        "interevent_stats": _interevent_stats,
+        "kcore_peel_pass": _kcore_peel_pass,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -6797,6 +6829,71 @@ def oracle_sql() -> dict[str, str]:
                          * CAST(ANY_VALUE(nn) AS DOUBLE)), 6)
                END AS auc
         FROM c
+    """
+    # late r9: per-user inter-event-gap moments + Goh–Barabási
+    # burstiness — exact integer µs gaps from the (ts, event_id) lag
+    # order, HUGEINT sumsq, the fixed sqrt sequence on identical
+    # exact-integer inputs (the rank_correlation contract)
+    sql["interevent_stats"] = """
+        WITH g AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), d AS (
+          SELECT user_id,
+                 t - LAG(t) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS dt
+          FROM g
+        ), m AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(dt) AS BIGINT) AS sum_dt_us,
+                 SUM(CAST(dt AS HUGEINT) * CAST(dt AS HUGEINT)) AS ss
+          FROM d WHERE dt IS NOT NULL GROUP BY user_id
+        ), f AS (
+          SELECT user_id, n_gaps, sum_dt_us, ss,
+                 CAST(CAST(n_gaps AS HUGEINT) * ss
+                      - CAST(sum_dt_us AS HUGEINT)
+                        * CAST(sum_dt_us AS HUGEINT) AS DOUBLE) AS v,
+                 CAST(sum_dt_us AS DOUBLE) AS s
+          FROM m
+        )
+        SELECT user_id, n_gaps, sum_dt_us,
+               CAST(ss AS VARCHAR) AS sumsq_dt,
+               CASE WHEN sum_dt_us > 0
+                    THEN ROUND(SQRT(v) / s, 6) END AS cv,
+               CASE WHEN sum_dt_us > 0
+                    THEN ROUND((SQRT(v) - s) / (SQRT(v) + s), 6)
+               END AS burstiness
+        FROM f ORDER BY user_id
+    """
+    # late r9: one synchronous k-core peel round over the MinHash
+    # pair graph — full-graph degrees, k-survivors, survivor-induced
+    # subgraph degrees; pure integers
+    sql["kcore_peel_pass"] = f"""
+        WITH p AS ({_minhash_oracle()}),
+        e AS (
+          SELECT DISTINCT LEAST(doc_a, doc_b) AS a,
+                 GREATEST(doc_a, doc_b) AS b
+          FROM p WHERE doc_a <> doc_b
+        ), deg AS (
+          SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg0 FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+          ) GROUP BY 1
+        ), surv AS (
+          SELECT node, deg0 FROM deg WHERE deg0 >= 2
+        ), kept AS (
+          SELECT e.a, e.b FROM e
+          JOIN surv sa ON sa.node = e.a
+          JOIN surv sb ON sb.node = e.b
+        ), d1 AS (
+          SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg1 FROM (
+            SELECT a AS n FROM kept UNION ALL SELECT b AS n FROM kept
+          ) GROUP BY 1
+        )
+        SELECT surv.node, surv.deg0,
+               CAST(COALESCE(d1.deg1, 0) AS BIGINT) AS deg1
+        FROM surv LEFT JOIN d1 USING (node)
+        ORDER BY node
     """
     # r9 continuation: reliability diagram + exact ECE of the quality
     # score vs the gopher gate — micro-quantized scores, integer bin

@@ -193,3 +193,82 @@ def test_mad_outliers_agrees_with_numeric_outliers_report(spark, tables):
     for r in mad_outliers(ev, ["event_type"], "value", "event_id").collect():
         flagged[r.event_type] = flagged.get(r.event_type, 0) + 1
     assert {g: n for g, n in report.items() if n > 0} == flagged
+
+
+def test_interevent_stats_python_reference(spark):
+    import datetime as dt
+    import math
+
+    from whatdropsnow_etl_spark.operators import interevent_stats
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: metronomic gaps of 10s -> cv 0, burstiness -1
+        (1, t0, 1), (2, t0 + 10 * s, 1), (3, t0 + 20 * s, 1),
+        # user 2: bursty 1s,1s,28s
+        (4, t0, 2), (5, t0 + 1 * s, 2), (6, t0 + 2 * s, 2),
+        (7, t0 + 30 * s, 2),
+        # user 3: single event -> no row
+        (8, t0, 3),
+        # user 4: two simultaneous events -> gap 0, NULL cv/B
+        (9, t0, 4), (10, t0, 4),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {r.user_id: r for r in interevent_stats(df).collect()}
+    assert set(got) == {1, 2, 4}
+
+    def ref(gaps_us):
+        n = len(gaps_us)
+        sd = sum(gaps_us)
+        ss = sum(g * g for g in gaps_us)
+        v = n * ss - sd * sd
+        cv = math.sqrt(v) / sd
+        b = (math.sqrt(v) - sd) / (math.sqrt(v) + sd)
+        return n, sd, str(ss), round(cv, 6), round(b, 6)
+
+    u1 = got[1]
+    assert (u1.n_gaps, u1.sum_dt_us, u1.sumsq_dt, u1.cv, u1.burstiness) == ref(
+        [10_000_000, 10_000_000]
+    )
+    assert u1.cv == 0.0 and u1.burstiness == -1.0
+    u2 = got[2]
+    assert (u2.n_gaps, u2.sum_dt_us, u2.sumsq_dt, u2.cv, u2.burstiness) == ref(
+        [1_000_000, 1_000_000, 28_000_000]
+    )
+    assert u2.burstiness > 0  # bursty actor scores positive
+    u4 = got[4]
+    assert (u4.n_gaps, u4.sum_dt_us) == (1, 0)
+    assert u4.cv is None and u4.burstiness is None
+
+
+def test_kcore_peel_pass_hand_graph(spark):
+    from whatdropsnow_etl_spark.operators import kcore_peel_pass
+
+    # triangle 1-2-3, pendant 4 off node 1, isolated edge 5-6
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6), (6, 5), (7, 7)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r for r in kcore_peel_pass(pairs, k=2).collect()}
+    # k=2 survivors: the triangle only (4 has deg 1; 5/6 deg 1 after
+    # the duplicate/self-loop canonicalization)
+    assert set(got) == {1, 2, 3}
+    assert got[1].deg0 == 3  # triangle + pendant
+    assert got[2].deg0 == 2 and got[3].deg0 == 2
+    # survivor-induced degrees: the pendant edge is gone
+    assert got[1].deg1 == 2 and got[2].deg1 == 2 and got[3].deg1 == 2
+    # k=3: only node 1 has deg0 >= 3; its neighbors all peel -> deg1 0
+    got3 = {r.node: r for r in kcore_peel_pass(pairs, k=3).collect()}
+    assert set(got3) == {1} and got3[1].deg1 == 0
+    # iterating the pass to fixpoint yields the 2-core exactly
+    state = pairs
+    for _ in range(3):
+        keep = kcore_peel_pass(state, k=2).select(F.col("node"))
+        state = (
+            state.join(keep.withColumnRenamed("node", "doc_a"), "doc_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "doc_b"), "doc_b", "left_semi")
+        )
+    assert sorted(
+        (r.doc_a, r.doc_b) for r in state.collect()
+    ) == [(1, 2), (1, 3), (2, 3)]

@@ -1355,6 +1355,81 @@ def rfm_segments(
     )
 
 
+def interevent_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-event-time statistics and the Goh–Barabási
+    burstiness score B = (σ−μ)/(σ+μ) over the gap distribution
+    (Goh & Barabási 2008, EPL 81) — the USER-grain twin of
+    fano_burstiness's per-type hourly dispersion: B → 1 for bursty
+    actors (bots firing in spurts, incident storms), ≈ 0 for
+    Poisson-random arrivals, → −1 for metronomic schedulers. The
+    standard bot/automation screen next to event_rate_spikes.
+
+    No reference twin — extends SURVEY §2.2's events family.
+
+    Exactness: gaps are exact integer MICROSECONDS from a lag window
+    over the (ts, event_id) total order; the per-user moments
+    (n_gaps, Σd BIGINT, Σd² DECIMAL(38,0)-as-VARCHAR — a 3e11-µs gap
+    squares past int64) are exact integer sums, so cv =
+    √(n·Σd² − (Σd)²)/Σd and B = (√v − Σd)/(√v + Σd) with
+    v = n·Σd² − (Σd)² are a fixed sequence of correctly-rounded IEEE
+    ops on identical inputs — bit-equal across engines (the
+    rank_correlation sqrt contract). Users with one event have no
+    gaps and emit no row; a user whose gaps are ALL zero
+    (simultaneous bursts only) emits NULL cv/burstiness (μ = 0).
+
+    Scale shape: the lag window partitions by user — high
+    cardinality, no hot key — and everything after is one
+    map-combined per-user aggregate. No collects, no UDFs.
+
+    Output: (user_id, n_gaps, sum_dt_us, sumsq_dt VARCHAR, cv,
+    burstiness), cv/burstiness rounded 6dp.
+    """
+    from ..functions.timeutil import ts_micros
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("__u").orderBy("__t", "__id")
+    gaps = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            ts_micros(F.col(ts_col)).alias("__t"),
+            F.col(id_col).alias("__id"),
+        )
+        .where(F.col("__u").isNotNull() & F.col("__t").isNotNull())
+        .withColumn("__dt", F.col("__t") - F.lag("__t").over(w))
+        .where(F.col("__dt").isNotNull())
+    )
+    m = gaps.groupBy(F.col("__u").alias(user_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("__dt").cast("bigint").alias("sum_dt_us"),
+        F.sum(F.col("__dt").cast(dec) * F.col("__dt").cast(dec))
+        .cast(dec)
+        .alias("__ss"),
+    )
+    v = (
+        F.col("n_gaps").cast(dec) * F.col("__ss")
+        - F.col("sum_dt_us").cast(dec) * F.col("sum_dt_us").cast(dec)
+    ).cast("double")
+    s = F.col("sum_dt_us").cast("double")
+    return m.select(
+        user_col,
+        "n_gaps",
+        "sum_dt_us",
+        F.col("__ss").cast("string").alias("sumsq_dt"),
+        F.when(F.col("sum_dt_us") > 0, F.round(F.sqrt(v) / s, 6)).alias(
+            "cv"
+        ),
+        F.when(
+            F.col("sum_dt_us") > 0,
+            F.round((F.sqrt(v) - s) / (F.sqrt(v) + s), 6),
+        ).alias("burstiness"),
+    )
+
+
 def fano_burstiness(
     events: DataFrame,
     type_col: str = "event_type",

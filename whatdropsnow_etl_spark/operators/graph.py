@@ -318,6 +318,74 @@ def triangle_count(
     )
 
 
+def kcore_peel_pass(
+    pairs: DataFrame,
+    k: int = 2,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """One k-core peeling round (Matula & Beck 1983; Batagelj–
+    Zaveršnik's distributed variant peels synchronously) over the
+    undirected duplicate-pair graph — the kmeans/LPA/pagerank
+    twin-the-half pattern applied to coreness: drop every node whose
+    degree is below ``k``, then report the SURVIVOR-induced
+    subgraph's new degrees. Iterating to fixpoint yields the k-core
+    (the honest loop the caller owns — survivors whose new degree
+    fell below k are the next round's peel set, visible in the
+    output); one round is a driver-checkable relation. On the
+    near-dup graph the k-core separates genuinely cohesive template
+    clusters from the degree-k fringe that dup_degree_report's raw
+    counts and triangle_count's local closure both blur.
+
+    No reference twin — extends SURVEY §2.3's graph family.
+
+    Semantics: edges canonicalize (least/greatest, self-loops
+    dropped, distinct); deg0 = full-graph degree; survivors have
+    deg0 >= k; deg1 counts only survivor↔survivor edges. Pure
+    integer arithmetic — bit-deterministic everywhere.
+
+    Scale shape: one distinct over canonical edges (persisted — the
+    degree aggregate and two survivor semi-joins reference it, and
+    Catalyst does not dedupe subplans: the rank_correlation /
+    pagerank_update_pass lesson), one map-combined degree count, a
+    broadcast-eligible survivor join back to the edge list, one more
+    map-combined count. No windows, no collects.
+
+    Output: (node, deg0, deg1) for surviving nodes — deg1 = 0 for a
+    survivor whose neighbors all peeled.
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg0"))
+    )
+    surv = deg.where(F.col("deg0") >= k)
+    kept = (
+        edges.join(
+            surv.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(surv.select(F.col("node").alias("b")), "b", "left_semi")
+    )
+    deg1 = (
+        kept.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg1"))
+    )
+    return surv.join(deg1, "node", "left").select(
+        "node",
+        "deg0",
+        F.coalesce("deg1", F.lit(0)).cast("bigint").alias("deg1"),
+    )
+
+
 def label_propagation_pass(
     edges: DataFrame,
     labels: DataFrame,
