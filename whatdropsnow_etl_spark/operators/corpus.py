@@ -1126,7 +1126,12 @@ def vocab_jaccard(
         )
         .where(F.col("__g").isNotNull() & (F.col("__t") != ""))
         .distinct()
+        .persist()
     )
+    # ^ r10 (ADVICE r9): the vocab relation is referenced ~4 times
+    # (sizes + both sides of the intersection self-join); without
+    # the lazy persist each reference re-tokenized the corpus —
+    # exactly the subplan-reuse lesson rank_correlation fixed.
     sizes = vocab.groupBy(F.col("__g").alias("__s")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )

@@ -144,7 +144,14 @@ def numeric_outliers(
             "median_cents",
             F.abs(F.col("__c") - F.col("median_cents")).alias("__adev"),
         )
+        .persist()
     )
+    # ^ r10 perf (PERF.md r9 backlog): the deviation relation feeds
+    # the MAD quantile pass AND the fence join — Catalyst does not
+    # dedupe subplans, so each reference re-ran the events scan +
+    # median quantile pass (~3 lineage evaluations, 13.8 s at sf1).
+    # Lazy persist (the rank_correlation precedent): narrow relation
+    # (group, id, cents, median, |dev|), computed once per execution.
     mad = exact_group_quantiles(
         dev, [group_col], "__adev", ps=(0.5,), tiebreak_col=id_col, scale=1
     ).select(group_col, F.col("p50_cents").alias("mad_cents"))

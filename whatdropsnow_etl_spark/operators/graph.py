@@ -228,7 +228,7 @@ def pagerank_update_pass(
             0,
         ).cast(dec)
     )
-    return (
+    out = (
         base.crossJoin(F.broadcast(tot))
         .join(contrib, "node", "left")
         .select("node", "out_deg", fp.cast(dec).alias("__fp"))
@@ -241,6 +241,12 @@ def pagerank_update_pass(
             ).alias("rank"),
         )
     )
+    # r10 (ADVICE r9): expose the persisted edge relation so a
+    # caller iterating passes can release it once the round's output
+    # is materialized (result._cached_inputs[0].unpersist()) instead
+    # of pinning one cached relation per round until LRU eviction.
+    out._cached_inputs = [e]
+    return out
 
 
 def triangle_count(
@@ -379,11 +385,116 @@ def kcore_peel_pass(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg1"))
     )
-    return surv.join(deg1, "node", "left").select(
+    out = surv.join(deg1, "node", "left").select(
         "node",
         "deg0",
         F.coalesce("deg1", F.lit(0)).cast("bigint").alias("deg1"),
     )
+    # r10 (ADVICE r9): fixpoint callers should release the round's
+    # cached edge relation after materializing the output
+    # (result._cached_inputs[0].unpersist()) — kcore_decompose below
+    # does exactly this — so iterated rounds don't pin one cached
+    # relation each until LRU eviction.
+    out._cached_inputs = [edges]
+    return out
+
+
+def kcore_decompose(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Full coreness decomposition (Matula & Beck 1983) by iterated
+    synchronous peeling — the honest-fixpoint companion to
+    :func:`kcore_peel_pass` (which stays the driver-checkable oracle
+    twin; this owns the loop, the pagerank/two-stars convention).
+    coreness(v) = the largest k such that v survives in the k-core.
+
+    Algorithm: for k = 1, 2, ... repeatedly peel every ACTIVE node
+    whose degree in the surviving subgraph is < k; a node peeled
+    while testing level k has coreness k-1. Synchronous peeling is
+    order-free, so the result is bit-deterministic (pure integer
+    degree compares). The level advances only when a peel round
+    removes nothing, so total rounds are O(V) worst case but
+    O(max coreness + #peel-waves) in practice — degeneracy of the
+    near-dup pair graph is small (tens), not corpus-sized.
+
+    Iteration materialization contract (the pair_pagerank
+    convention): each round ``localCheckpoint(eager=True)``s the
+    surviving edge/node relations — lineage stays flat instead of
+    doubling per round — and the round's driver-side signal is ONE
+    1-row count (how many peeled), the kmeans/BPE model-sized
+    collect allowance. Superseded checkpoints unpersist as soon as
+    the next round materializes (the ADVICE-r9 scoped-release
+    pattern), so cache usage is two generations, not one per round.
+
+    Scale shape per round: one map-combined degree aggregate over
+    the surviving edges, one broadcast-eligible anti-join of the
+    peel set against nodes, two semi-joins filtering edges. No
+    windows, no UDFs.
+
+    Output: (node, coreness BIGINT) for every endpoint of the
+    canonical pair graph (isolated-by-peeling nodes included).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done: DataFrame | None = None
+    k = 1
+    for _ in range(max_rounds):
+        if active.isEmpty():
+            break
+        deg = (
+            edges.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__deg"))
+        )
+        peel = (
+            active.join(deg, "node", "left")
+            .where(F.coalesce(F.col("__deg"), F.lit(0)) < k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        if peel.isEmpty():
+            k += 1
+            continue
+        batch = peel.select(
+            "node", F.lit(k - 1).cast("bigint").alias("coreness")
+        )
+        done = batch if done is None else done.unionByName(batch)
+        new_active = active.join(peel, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        new_edges = (
+            edges.join(
+                new_active.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(
+                new_active.select(F.col("node").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        active.unpersist()
+        edges.unpersist()
+        active, edges = new_active, new_edges
+    out = done if done is not None else spark.createDataFrame(
+        [], "node string, coreness bigint"
+    )
+    return out
 
 
 def label_propagation_pass(

@@ -61,7 +61,13 @@ def _bucketed_rank(
     the full key's. Adds column ``__rank`` (1-based bigint).
     """
     bucket = F.substring(F.col(key), 1, 2).alias("__bkt")
-    rows = rows.withColumn("__bkt", bucket)
+    rows = rows.withColumn("__bkt", bucket).persist()
+    # ^ r10 perf (PERF.md r9 backlog): the bucketed relation feeds
+    # the histogram aggregate AND the join-back — Catalyst does not
+    # dedupe subplans, so every consumer (epoch_shuffle 10.7 s,
+    # interleave_sources 9.3 s at sf1, balanced_shards,
+    # training_order_spine) re-ran the whole upstream lineage twice.
+    # Lazy persist (the rank_correlation precedent, 28.1 -> 5.2 s).
     gcols = [F.col(c) for c in group_cols]
     hist = rows.groupBy(*gcols, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
     w_hist = (

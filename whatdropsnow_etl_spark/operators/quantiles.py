@@ -401,7 +401,12 @@ def mad_outliers(
             F.abs(F.col("__c") - F.col("__med")).alias("__dev"),
             "__med",
         )
+        .persist()
     )
+    # ^ r10 perf (PERF.md r9 backlog): the deviation relation feeds
+    # the MAD quantile pass AND the final flag join — without the
+    # lazy persist each reference re-ran the source scan + median
+    # pass (the numeric_outliers shape, rank_correlation precedent).
     mad = exact_group_quantiles(
         devs, group_cols, "__dev", ps=(0.5,), scale=1
     ).select(
