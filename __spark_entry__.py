@@ -1752,6 +1752,23 @@ def _mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_select_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-twinnable first TWO greedy MMR picks (r9 verdict
+    ask #4 — the twin-the-deterministic-half pattern applied to the
+    last big rows-only greedy op; the k-step loop stays rows-only in
+    mmr_diversify). Same embeddings split and pool as the rows-only
+    entry."""
+    from whatdropsnow_etl_spark.operators import mmr_select_pass
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select_pass(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10),
+        pool=20,
+        lam=0.5,
+    )
+
+
 def _winsorize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import winsorize_apply
 
@@ -1885,6 +1902,19 @@ def _nn_descent_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load_table(spark, sf_dir, "embeddings")
     return nn_descent_pass(
         vectors, ring_seed_graph(vectors, k=5), k=5
+    )
+
+
+def _nn_descent_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 after 0/1/2 materialized NN-descent rounds from the
+    ring seed, measured on the vec_id < 50 slice (r9 verdict ask
+    #8 — the honest-iteration pattern where the driver sees a round
+    improving)."""
+    from whatdropsnow_etl_spark.operators import nn_descent_recall_curve
+
+    return nn_descent_recall_curve(
+        load_table(spark, sf_dir, "embeddings"), k=5, rounds=2,
+        query_limit=50,
     )
 
 
@@ -2070,6 +2100,16 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(load_table(spark, sf_dir, "events"))
 
 
+def _rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-N sample-sort ntile path (scale_ranks=True) under the
+    driver gate (r9 verdict ask #6): pytest pins it bit-identical to
+    the window path, and this row makes the driver exercise it
+    directly against the same oracle SQL."""
+    from whatdropsnow_etl_spark.operators import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"), scale_ranks=True)
+
+
 def _fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import fano_burstiness
 
@@ -2210,6 +2250,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bpe_pair_counts_pass": ["left", "pair_count", "rank", "right"],
     "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
     "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
+    "nn_descent_recall_curve": ["round"],
     "dsir_weights": ["doc_id", "n_tokens", "rank", "score_bits"],
     "exact_substring_spans": ["doc_id", "span_end", "span_start", "span_tokens"],
     "auc_exact": ["auc", "group", "n_neg", "n_pos", "u2"],
@@ -2221,10 +2262,12 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "label_propagation_pass": ["n_neighbors", "new_label", "node", "old_label", "top_count"],
     "semantic_decontaminate": ["bench_id", "cosine", "vec_id"],
     "rfm_segments": ["f_score", "m_score", "n_users", "r_score", "sum_cents"],
+    "rfm_segments_scaled": ["f_score", "m_score", "n_users", "r_score", "sum_cents"],
     "fano_burstiness": ["event_type", "fano", "fano_den", "fano_num", "n_events", "n_hours"],
     "mnn_pairs": ["cosine", "id_a", "id_b", "label"],
     "histogram_overlap": ["n_group", "n_rest", "overlap", "overlap_num", "source"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
+    "mmr_select_pass": ["query_id", "mmr_rank"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
     "percentile_rank": ["doc_id", "n_chars", "pct_rank", "source"],
@@ -2653,6 +2696,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-ever-signal contract these LEAD the r10 window
         "interevent_stats": _interevent_stats,
         "kcore_peel_pass": _kcore_peel_pass,
+        # NEW in r10 — the oracle-twinnable first two greedy MMR
+        # picks (r9 verdict ask #4; the k-step loop stays rows-only
+        # in mmr_diversify). Rows-only count 14 -> 13.
+        "mmr_select_pass": _mmr_select_pass,
+        # NEW in r10 — the sample-sort ntile path of rfm_segments
+        # under its own driver row (r9 verdict ask #6); same oracle,
+        # pytest pins the two paths bit-identical
+        "rfm_segments_scaled": _rfm_segments_scaled,
+        # NEW in r10 — recall@k after 0/1/2 materialized NN-descent
+        # rounds (r9 verdict ask #8); monotone improvement pinned
+        "nn_descent_recall_curve": _nn_descent_recall_curve,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2982,6 +3036,71 @@ _COS = (
     " / (sqrt(list_dot_product({a}, {a}))"
     " * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+def _nn_recall_curve_oracle(k: int = 5, rounds: int = 2, qlim: int = 50) -> str:
+    """Recall@k after each of ``rounds`` NN-descent rounds from the
+    modular-ring seed — the nn_descent_pass round CTE repeated
+    (materialization is a Spark-plan concern; SQL CTEs are already
+    each-referenced-once here), truth the exact slice top-k."""
+    cos_round = _COS.format(a="q.v", b="c.v")
+    parts = [
+        """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cnt AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+        ), g0 AS (
+          SELECT vec_id AS query_id, (vec_id + j) % cnt.n AS neighbor_id
+          FROM e CROSS JOIN cnt, UNNEST(range(1, KP1)) AS u(j)
+        )""".replace("KP1", str(k + 1))
+    ]
+    for p in range(1, rounds + 1):
+        g = f"g{p - 1}"
+        parts.append(f""", cand{p} AS (
+          SELECT DISTINCT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id FROM {g}
+            UNION ALL
+            SELECT neighbor_id AS query_id, query_id AS neighbor_id FROM {g}
+            UNION ALL
+            SELECT a.query_id, b.neighbor_id
+            FROM {g} a JOIN {g} b ON a.neighbor_id = b.query_id
+          ) WHERE query_id <> neighbor_id
+        ), s{p} AS (
+          SELECT cand.query_id, cand.neighbor_id, {cos_round} AS cos_raw
+          FROM cand{p} cand
+          JOIN e q ON q.vec_id = cand.query_id
+          JOIN e c ON c.vec_id = cand.neighbor_id
+        ), g{p} AS (
+          SELECT query_id, neighbor_id FROM s{p}
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) <= {k}
+        )""")
+    parts.append(f""", sx AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cos_round} AS cos_raw
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {qlim}
+        ), ex AS (
+          SELECT query_id, neighbor_id FROM sx
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id) <= {k}
+        ), nq AS (
+          SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n FROM ex
+        )""")
+    hits = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS round,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_hits"
+        f" FROM g{p} JOIN ex USING (query_id, neighbor_id)"
+        for p in range(rounds + 1)
+    )
+    parts.append(f"""
+        SELECT round, nq.n AS n_queries, n_hits,
+               ROUND(CAST(n_hits AS DOUBLE)
+                     / CAST(nq.n * {k} AS DOUBLE), 6) AS recall
+        FROM ({hits}) CROSS JOIN nq
+    """)
+    return "".join(parts)
 
 
 def _ann_lsh_oracle(n_tables: int = 4, bits: int = 4, dim: int = 64, k: int = 5) -> str:
@@ -3558,6 +3677,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rnk, ROUND(cos_raw, 6) AS cosine
             FROM r WHERE rnk <= 5
+        """,
+        "mmr_select_pass": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 10
+            ), c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id >= 10
+            ), s AS (
+              SELECT query_id, neighbor_id, c.e AS ce,
+                     {_COS.format(a="c.e", b="q.e")} AS rel
+              FROM c CROSS JOIN q
+            ), p AS (
+              SELECT query_id, neighbor_id, ce, rel,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, neighbor_id) AS r
+              FROM s
+            ), pooled AS (
+              SELECT * FROM p WHERE r <= 20
+            ), p1 AS (
+              SELECT query_id, neighbor_id, ce, rel
+              FROM pooled WHERE r = 1
+            ), s2 AS (
+              SELECT t.query_id, t.neighbor_id, t.rel,
+                     0.5 * t.rel
+                     - 0.5 * ({_COS.format(a="t.ce", b="p1.ce")}) AS score
+              FROM pooled t JOIN p1 ON t.query_id = p1.query_id
+              WHERE t.r > 1
+            ), p2 AS (
+              SELECT query_id, neighbor_id, rel, score,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id) AS rr
+              FROM s2
+            )
+            SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank,
+                   ROUND(rel, 6) AS relevance,
+                   ROUND(0.5 * rel, 6) AS mmr_score
+            FROM p1
+            UNION ALL
+            SELECT query_id, neighbor_id, CAST(2 AS BIGINT) AS mmr_rank,
+                   ROUND(rel, 6) AS relevance,
+                   ROUND(score, 6) AS mmr_score
+            FROM p2 WHERE rr = 1
         """,
         "ann_lsh_bucketed": _ann_lsh_oracle(4, 4, 64, 5),
         "embedding_dedup": f"""
@@ -7402,6 +7564,10 @@ def oracle_sql() -> dict[str, str]:
         FROM t GROUP BY 1, 2, 3
     """
     # r8 continuation: exact Fano factor of hourly counts per type —
+    # r10: the scale_ranks=True sample-sort path is pinned
+    # bit-identical to the window path in pytest, so it shares the
+    # ntile oracle verbatim (r9 verdict ask #6)
+    sql["rfm_segments_scaled"] = sql["rfm_segments"]
     # (n·Σx² − (Σx)²) / (n·Σx) over the inclusive global hour span,
     # missing hours real zeros (contribute to n, not Σx); HUGEINT
     # fraction VARCHAR-rendered, one rounded division
@@ -7604,6 +7770,10 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score_bits DESC, doc_id
         LIMIT 100
     """
+    # r10: recall@k after 0/1/2 materialized NN-descent rounds —
+    # the nn_descent_pass round CTE applied twice, truth = exact
+    # slice top-k (self excluded), one row per round
+    sql["nn_descent_recall_curve"] = _nn_recall_curve_oracle(5, 2, 50)
     # r8 continuation: one NN-descent round from the deterministic
     # modular-ring seed — candidates are the seed edges, their
     # reversal, and the neighbor-of-neighbor join; scoring is the

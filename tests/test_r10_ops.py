@@ -82,6 +82,102 @@ def test_kcore_decompose_hand_graph(spark):
     assert surv == {n for n, c in want.items() if c >= 2}
 
 
+def test_mmr_select_pass_matches_mmr_diversify(spark):
+    """The relational first-two-picks twin must agree with the
+    rows-only greedy loop (same pool, same lam) on real embeddings:
+    same ids at each rank and same 6dp scores."""
+    from whatdropsnow_etl_spark.operators import (
+        mmr_diversify,
+        mmr_select_pass,
+    )
+    from whatdropsnow_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    full = {
+        (r.query_id, r.mmr_rank): r
+        for r in mmr_diversify(corpus, queries, k=2, pool=20).collect()
+    }
+    got = {
+        (r.query_id, r.mmr_rank): r
+        for r in mmr_select_pass(corpus, queries, pool=20).collect()
+    }
+    assert set(got) == set(full)
+    for key, r in got.items():
+        ref = full[key]
+        assert r.neighbor_id == ref.neighbor_id, key
+        # mmr_diversify scores from 6dp-pre-rounded relevance; the
+        # pass from raw — agreement within ~one ulp of the 6dp
+        # rounding (a boundary case lands at exactly 1.0000...e-6)
+        assert abs(r.relevance - ref.relevance) <= 1.5e-6, key
+        assert abs(r.mmr_score - ref.mmr_score) <= 1.5e-6, key
+
+
+def test_mmr_select_pass_hand_vectors(spark):
+    """Hand case where relevance order and MMR order differ: the
+    two most relevant candidates are near-duplicates, so pick #2
+    must skip to the diverse third candidate."""
+    from whatdropsnow_etl_spark.operators import mmr_select_pass
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),       # rel 1.0 -> pick 1
+            (11, [0.999, 0.01]),    # rel ~1.0 but sim(pick1) ~1.0
+            (12, [0.5, 0.5]),       # lower rel, diverse
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.mmr_rank: r
+        for r in mmr_select_pass(corpus, queries, pool=3, lam=0.5).collect()
+    }
+    assert got[1].neighbor_id == 10
+    # score(11) = .5*rel(11) - .5*sim(11,10) ~ .5*.99995 - .5*.99995 ~ 0
+    # score(12) = .5*cos(45deg) - .5*cos(45deg)... sim(12,10)=cos45
+    # rel(12)=cos45 -> 0 too; compute exactly instead of guessing:
+    import math
+
+    def cos(a, b):
+        d = a[0] * b[0] + a[1] * b[1]
+        return d / (math.sqrt(a[0] ** 2 + a[1] ** 2) * math.sqrt(b[0] ** 2 + b[1] ** 2))
+
+    v = {10: [1.0, 0.0], 11: [0.999, 0.01], 12: [0.5, 0.5]}
+    best = max(
+        (0.5 * cos(v[i], [1.0, 0.0]) - 0.5 * cos(v[i], v[10]), -i)
+        for i in (11, 12)
+    )
+    assert got[2].neighbor_id == -best[1]
+    assert got[2].mmr_score == round(best[0], 6)
+
+
+def test_nn_descent_recall_curve_monotone(spark):
+    """Recall can only improve round over round (g_{p-1} is a subset
+    of round p's candidates, so a truth hit is only ever displaced
+    by another truth hit), and the NN-descent rounds must actually
+    move the needle from the arbitrary ring seed."""
+    from whatdropsnow_etl_spark.operators import nn_descent_recall_curve
+    from whatdropsnow_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {
+        r.round: r
+        for r in nn_descent_recall_curve(
+            emb, k=5, rounds=2, query_limit=20
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    n_q = rows[0].n_queries
+    assert n_q == 20
+    assert rows[0].n_hits <= rows[1].n_hits <= rows[2].n_hits
+    assert rows[1].n_hits > rows[0].n_hits  # a round visibly improves
+    for r in rows.values():
+        assert r.recall == round(r.n_hits / (n_q * 5), 6)
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

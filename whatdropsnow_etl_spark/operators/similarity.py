@@ -1589,6 +1589,106 @@ def mmr_diversify(
     return cand.groupBy("query_id").applyInPandas(pick, schema=schema)
 
 
+def mmr_select_pass(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The first TWO greedy MMR picks as a relation — the
+    kmeans_update_pass / lr_gradient_pass / pagerank_update_pass
+    twin-the-deterministic-half pattern applied to
+    :func:`mmr_diversify` (whose k-step greedy loop stays rows-only):
+    pick #1 is the relevance argmax over the pool, pick #2 the
+    ``lam·rel − (1−lam)·sim(·, pick1)`` argmax over the remainder —
+    both single deterministic argmaxes against ONE fixed vector, so
+    a DuckDB oracle expresses them over the shared cosine CTE and
+    the driver hashes the result bit-identically.
+
+    Semantics: relevance = raw cosine (the ann_cosine_topk kernel —
+    left-to-right float64 accumulation matching DuckDB's
+    list_dot_product); pool = top-``pool`` per query by (rel DESC,
+    id ASC); argmax ties break by id ASC on the UNROUNDED score
+    (both engines compute the identical IEEE doubles: one multiply
+    per term, one subtract). Output scores display-rounded to 6dp.
+    Differs from mmr_diversify's internal loop only in using raw
+    rather than 6dp-pre-rounded relevance — the pick agreement is
+    pinned in pytest.
+
+    Scale shape: the pooled relation persists (pick1, the sim join
+    and pick2 all reference it — the rank_correlation subplan
+    lesson); pools are ≤``pool`` rows per query partitioned on the
+    high-cardinality query key, pick1 rides a broadcast back onto
+    the pool. No Python beyond the Arrow cosine kernel.
+
+    Output: (query_id, neighbor_id, mmr_rank 1|2, relevance,
+    mmr_score) — one rank-1 row per query, one rank-2 row per query
+    with >= 2 pooled candidates.
+    """
+    cos = cosine_sim_arrow()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("__cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        "__cv",
+        cos(F.col("__cv"), F.col("__qv")).alias("__rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__rel").desc(), F.col("neighbor_id")
+    )
+    pooled = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= pool)
+        .persist()
+    )
+    pick1 = pooled.where(F.col("__r") == 1)
+    p1 = pick1.select(
+        "query_id",
+        F.col("__cv").alias("__p1v"),
+    )
+    rest = pooled.where(F.col("__r") > 1).join(
+        F.broadcast(p1), "query_id"
+    )
+    scored2 = rest.select(
+        "query_id",
+        "neighbor_id",
+        "__rel",
+        (
+            F.lit(lam) * F.col("__rel")
+            - F.lit(1.0 - lam) * cos(F.col("__cv"), F.col("__p1v"))
+        ).alias("__score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id")
+    )
+    pick2 = scored2.withColumn("__rr", F.row_number().over(w2)).where(
+        F.col("__rr") == 1
+    )
+    out1 = pick1.select(
+        "query_id",
+        "neighbor_id",
+        F.lit(1).cast("bigint").alias("mmr_rank"),
+        F.round("__rel", 6).alias("relevance"),
+        F.round(F.lit(lam) * F.col("__rel"), 6).alias("mmr_score"),
+    )
+    out2 = pick2.select(
+        "query_id",
+        "neighbor_id",
+        F.lit(2).cast("bigint").alias("mmr_rank"),
+        F.round("__rel", 6).alias("relevance"),
+        F.round("__score", 6).alias("mmr_score"),
+    )
+    return out1.unionByName(out2)
+
+
 def nn_descent_pass(
     vectors: DataFrame,
     graph: DataFrame,
@@ -1755,6 +1855,102 @@ def ring_seed_graph(
             ),
         )
     )
+
+
+def nn_descent_recall_curve(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rounds: int = 2,
+    query_limit: int = 50,
+    materialize: bool = True,
+) -> DataFrame:
+    """Recall@k after each of ``rounds`` MATERIALIZED NN-descent
+    rounds from the ring seed — the honest-iteration pattern
+    (pair_pagerank / kcore_decompose) surfaced where the driver can
+    watch a round actually improving the graph (r9 verdict ask #8):
+    :func:`ring_seed_graph` → p × :func:`nn_descent_pass` →
+    :func:`ann_recall_report`-style truth join per round.
+
+    Truth is the exact cosine top-k (self excluded) for the
+    deterministic query slice ``id < query_limit`` — the
+    ann_recall_report "tune on a slice" contract: the graph builds
+    over ALL vectors; only recall measurement is slice-bounded, so
+    the exact side stays slice × N, never N².
+
+    Monotonicity is exact, not statistical: g_{p-1} ⊆ candidates of
+    round p, so a truth neighbor can only be displaced by a
+    higher-cosine candidate, which is itself in the truth top-k —
+    n_hits never decreases (pinned in pytest).
+
+    Iteration contract: each round ``localCheckpoint``s the graph
+    (``materialize=True``) — nn_descent_pass embeds 3 copies of its
+    input plan, so p lazy rounds grow the plan 4^p otherwise.
+
+    Output: one row per round 0..rounds — (round, n_queries,
+    n_hits, recall 6dp); round 0 is the unscored ring seed.
+    """
+    from ..functions.vectors import cosine_sim_arrow, to_double_array
+
+    cos = cosine_sim_arrow()
+    q = vectors.where(F.col(id_col) < query_limit).select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        to_double_array(vec_col).alias("__qv"),
+    )
+    c = vectors.select(
+        F.col(id_col).cast("bigint").alias("neighbor_id"),
+        to_double_array(vec_col).alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    # ^ referenced once per round (+ the n_queries aggregate) — the
+    # rank_correlation subplan-reuse lesson, lazy persist
+    nq = exact.agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries")
+    )
+
+    def _recall_row(g: DataFrame, p: int) -> DataFrame:
+        hits = g.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        return hits.crossJoin(F.broadcast(nq)).select(
+            F.lit(p).cast("bigint").alias("round"),
+            "n_queries",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / (F.col("n_queries") * k).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+
+    g = ring_seed_graph(vectors, id_col=id_col, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    out = _recall_row(g, 0)
+    for p in range(1, rounds + 1):
+        g = nn_descent_pass(
+            vectors, g, id_col=id_col, vec_col=vec_col, k=k
+        ).select("query_id", "neighbor_id")
+        if materialize:
+            g = g.localCheckpoint(eager=False)
+        out = out.unionByName(_recall_row(g, p))
+    return out
 
 
 def semantic_decontaminate(
