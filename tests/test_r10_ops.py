@@ -178,6 +178,91 @@ def test_nn_descent_recall_curve_monotone(spark):
         assert r.recall == round(r.n_hits / (n_q * 5), 6)
 
 
+def test_streaming_interevent_equals_batch_operator(spark):
+    """Folding per-batch gap moments (segment monoid with one
+    bridging gap per user per fold) over a 3-way TIME split and
+    reporting through interevent_from_moments must equal the batch
+    interevent_stats over the full relation EXACTLY — shared
+    post-moments code path (the fano/auc/gini contract). The fold
+    is applied in time order explicitly: unlike the histogram
+    gauges, batch arrival order is part of this operator's
+    streaming contract (per-user in-order delivery across batches)."""
+    from whatdropsnow_etl_spark.operators import interevent_stats
+    from whatdropsnow_etl_spark.sources import load_table
+    from whatdropsnow_etl_spark.streaming import (
+        batch_gap_moments,
+        fold_gap_moments,
+    )
+    from whatdropsnow_etl_spark.streaming.interevent import (
+        interevent_report,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    # tercile boundaries on ts: every event lands in exactly one
+    # time-ordered batch, so per-user cross-batch order holds
+    tl = ev.select(F.col("ts").cast("long").alias("t"))
+    q1, q2 = tl.approxQuantile("t", [0.33, 0.66], 0.0)
+    t = F.col("ts").cast("long")
+    lo, mid, hi = (
+        ev.where(t < q1),
+        ev.where((t >= q1) & (t < q2)),
+        ev.where(t >= q2),
+    )
+    assert lo.count() > 0 and mid.count() > 0 and hi.count() > 0
+    state = None
+    for batch in (lo, mid, hi):
+        state = fold_gap_moments(state, batch_gap_moments(batch))
+    got = sorted(
+        [tuple(r) for r in interevent_report(state).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(r) for r in interevent_stats(ev).collect()], key=repr
+    )
+    assert got == want
+    # state boundedness: one row per ever-seen user
+    assert state.count() == ev.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id").distinct().count()
+
+
+def test_streaming_interevent_bridge_hand_case(spark):
+    """The bridging gap is exact: user 1's only gaps straddle the
+    batch boundary; a single-event user carries zero moments until
+    their second event arrives in a later batch."""
+    from whatdropsnow_etl_spark.streaming import (
+        batch_gap_moments,
+        fold_gap_moments,
+    )
+    from whatdropsnow_etl_spark.streaming.interevent import (
+        interevent_report,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    b1 = mk([(1, 1, at(0)), (2, 1, at(10)), (3, 2, at(5))])
+    b2 = mk([(4, 1, at(40)), (5, 2, at(5))])
+    state = fold_gap_moments(None, batch_gap_moments(b1))
+    state = fold_gap_moments(state, batch_gap_moments(b2))
+    got = {r.user_id: r for r in interevent_report(state).collect()}
+    # user 1: gaps 10s (in-batch) and 30s (bridge) in micros
+    assert got[1].n_gaps == 2
+    assert got[1].sum_dt_us == 40_000_000
+    assert got[1].sumsq_dt == str(10_000_000**2 + 30_000_000**2)
+    # user 2: two simultaneous events -> one zero gap, NULL cv/B
+    assert got[2].n_gaps == 1 and got[2].sum_dt_us == 0
+    assert got[2].cv is None and got[2].burstiness is None
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

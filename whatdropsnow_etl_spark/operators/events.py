@@ -1417,16 +1417,31 @@ def interevent_stats(
         .cast(dec)
         .alias("__ss"),
     )
+    return interevent_from_moments(m, user_col=user_col)
+
+
+def interevent_from_moments(
+    m: DataFrame, user_col: str = "user_id", ss_col: str = "__ss"
+) -> DataFrame:
+    """The post-moments half of :func:`interevent_stats` — cv and
+    Goh–Barabási burstiness from the exact per-user gap moments
+    (n_gaps BIGINT, sum_dt_us BIGINT, Σd² DECIMAL(38,0)). Split out
+    (the fano_from_histogram convention) so streaming maintenance
+    (streaming/interevent.py) reports through the SAME arithmetic
+    the batch operator runs — batch-folded == full-relation exactly.
+    Users with zero gaps (single event so far) emit no row, matching
+    the batch operator's lag-window construction."""
+    dec = "decimal(38,0)"
     v = (
-        F.col("n_gaps").cast(dec) * F.col("__ss")
+        F.col("n_gaps").cast(dec) * F.col(ss_col)
         - F.col("sum_dt_us").cast(dec) * F.col("sum_dt_us").cast(dec)
     ).cast("double")
     s = F.col("sum_dt_us").cast("double")
-    return m.select(
+    return m.where(F.col("n_gaps") > 0).select(
         user_col,
         "n_gaps",
         "sum_dt_us",
-        F.col("__ss").cast("string").alias("sumsq_dt"),
+        F.col(ss_col).cast(dec).cast("string").alias("sumsq_dt"),
         F.when(F.col("sum_dt_us") > 0, F.round(F.sqrt(v) / s, 6)).alias(
             "cv"
         ),

@@ -19,6 +19,11 @@ from .webdataset import (
     read_webdataset_stream_output,
 )
 from .fano import fano_report, fold_hour_histogram
+from .interevent import (
+    batch_gap_moments,
+    fold_gap_moments,
+    interevent_report,
+)
 from .gini import fold_term_counts, gini_report, vocab_jaccard_report
 from .ks_drift import fold_value_histogram, ks_drift_report
 from .lifecycle import fold_activity, lifecycle_report
@@ -49,6 +54,9 @@ __all__ = [
     "history_stream",
     "clean_and_grow_line_index",
     "fano_report",
+    "batch_gap_moments",
+    "fold_gap_moments",
+    "interevent_report",
     "auc_report",
     "fold_score_histogram",
     "gini_report",
