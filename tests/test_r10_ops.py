@@ -263,6 +263,45 @@ def test_streaming_interevent_bridge_hand_case(spark):
     assert got[2].cv is None and got[2].burstiness is None
 
 
+def test_decode_gif_animation_and_truncation_gates():
+    """ADVICE r9: a second frame preceded by a 0x21 graphic-control
+    extension (the normal GIF89a animation layout) must hit the
+    named animation gate instead of silently decoding frame 1, and
+    a payload that ends without any image descriptor must raise a
+    named ValueError instead of a raw struct.error."""
+    import struct
+
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_gif,
+        encode_gif87a,
+    )
+
+    base = encode_gif87a(3, 2, (10, 20, 30))
+    packed = base[10]
+    pal_len = (2 << (packed & 0x07)) * 3
+    img = base[13 + pal_len : -1]  # 0x2C ... data ... 0x00
+    assert img[0] == 0x2C and img[-1] == 0x00
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    animated = base[:-1] + gce + img + b"\x3b"
+    with _pytest.raises(NotImplementedError, match="animated"):
+        decode_gif(animated)
+    # immediate second frame (no extension) still gates
+    with _pytest.raises(NotImplementedError, match="animated"):
+        decode_gif(base[:-1] + img + b"\x3b")
+    # a trailing extension after the only frame is fine
+    d = decode_gif(base[:-1] + gce + b"\x3b")
+    assert (d["width"], d["height"]) == (3, 2)
+    # header + screen descriptor, then nothing: named error
+    headless = b"GIF87a" + struct.pack("<HHBBB", 3, 2, 0, 0, 0)
+    with _pytest.raises(ValueError, match="without an image block"):
+        decode_gif(headless)
+    # trailer with no image: the pre-existing named error holds
+    with _pytest.raises(ValueError, match="trailer before"):
+        decode_gif(headless + b"\x3b")
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

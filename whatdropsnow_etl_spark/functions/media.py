@@ -774,6 +774,11 @@ def decode_gif(payload: bytes) -> dict:
             raise ValueError("GIF trailer before any image block")
         else:
             raise ValueError(f"unknown GIF block 0x{marker:02x}")
+    else:
+        # the block walk ran off the payload without a 0x2C image
+        # descriptor — raise the named error instead of letting the
+        # struct.unpack below die on a truncated read (ADVICE r9)
+        raise ValueError("GIF ended without an image block")
     left, top, width, height, ipacked = struct.unpack_from(
         "<HHHHB", payload, pos + 1
     )
@@ -799,8 +804,24 @@ def decode_gif(payload: bytes) -> dict:
         lzw += payload[pos + 1 : pos + 1 + blen]
         pos += 1 + blen
     pos += 1
-    if pos < len(payload) and payload[pos] == 0x2C:
-        raise NotImplementedError("animated GIF (multiple image blocks)")
+    # resume the block walk after the first image: in a typical 89a
+    # animation the NEXT frame is preceded by a 0x21 graphic-control
+    # extension, so the gate must skip extensions before looking for
+    # a second 0x2C (ADVICE r9 — the immediate-0x2C check silently
+    # decoded multi-frame payloads as their first frame)
+    while pos < len(payload):
+        marker = payload[pos]
+        if marker == 0x21:
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif marker == 0x2C:
+            raise NotImplementedError(
+                "animated GIF (multiple image blocks)"
+            )
+        else:  # 0x3B trailer or padding — first frame is the image
+            break
     idx = _lzw_decode(bytes(lzw), min_code, width * height)
     rows = idx.reshape(height, width)
     if interlace:
