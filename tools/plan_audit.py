@@ -132,6 +132,14 @@ ALLPAIRS_OK = {
     # relevance pool IS ann_cosine_topk (corpus × bounded broadcast
     # queries); the greedy stage is (queries × pool)-bounded
     "mmr_diversify",
+    # same relevance-pool shape; pick-2 scoring joins the pooled
+    # relation against the queries-sized broadcast pick-1 vectors
+    "mmr_select_pass",
+    # ring seed + recall truth: crossJoins against the 1-row
+    # broadcast count (Q11 pattern) and the slice-bounded broadcast
+    # query vectors (the ann_cosine_topk shape); rounds are edge
+    # joins, k²N not N²
+    "nn_descent_recall_curve",
     # value-spine × distinct-groups grid: the group side is a
     # bounded categorical broadcast, the spine is the compacted
     # value histogram — never a data×data cross (the raw relation
@@ -158,6 +166,9 @@ ALLPAIRS_OK = {
     # recency reference date: crossJoin against the 1-row broadcast
     # max-date aggregate (the Q11 pattern)
     "rfm_segments",
+    # same reference-date cross; adds the sample-sort boundary
+    # 1-row broadcast (the percentile_rank primitive)
+    "rfm_segments_scaled",
     # projection basis: corpus × n_components-row broadcast basis
     # (the kmeans_update_pass codebook shape) — not a data×data cross
     "pca_project_pass",
@@ -230,6 +241,10 @@ PYTHON_OK = {
     "retrieval_eval",
     # ann kernel pool + pool-bounded applyInPandas greedy argmax
     "mmr_diversify",
+    # pool + pick-2 scoring through the shared Arrow cosine kernel
+    "mmr_select_pass",
+    # per-round scoring through the shared Arrow cosine kernel
+    "nn_descent_recall_curve",
     # one NN-descent round scores candidates with the shared Arrow
     # cosine kernel (bit-exact vs list_dot_product)
     "nn_descent_pass",
@@ -290,6 +305,11 @@ EAGER_OK = {
     # sufficient-statistics collect (d²+d+1 values) at composition;
     # projection itself is a lazy map-only Arrow matmul
     "embedding_pca",
+    # honest iteration: each NN-descent round localCheckpoints the
+    # graph (the pair_pagerank convention — nn_descent_pass embeds 3
+    # copies of its input plan, so lazy chaining grows 4^p);
+    # PySpark's localCheckpoint runs RDD jobs even with eager=False
+    "nn_descent_recall_curve",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
