@@ -1969,6 +1969,42 @@ def _kcore_peel_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: neighborhood-Jaccard link prediction over the MinHash
+    pair graph — the transitivity QC screen (high-score non-edges
+    are pairs the banding probably missed)."""
+    from whatdropsnow_etl_spark.operators import (
+        minhash_lsh_pairs,
+        neighborhood_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neighborhood_jaccard(
+        minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    )
+
+
+def _weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: per-type (dow x hour) seasonality cells from pure
+    integer epoch arithmetic — shares and lift vs uniform."""
+    from whatdropsnow_etl_spark.operators import weekly_seasonality
+
+    return weekly_seasonality(load_table(spark, sf_dir, "events"))
+
+
+def _quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: token-budget-vs-quality-threshold sweep — cumulative
+    docs/tokens per quality bin from the top down (the
+    calibration_bins bucketing over quality_score's own output)."""
+    from whatdropsnow_etl_spark.operators import (
+        quality_score,
+        token_budget_curve,
+    )
+
+    q = quality_score(load_table(spark, sf_dir, "documents"))
+    return token_budget_curve(q, "quality", "n_tokens")
+
+
 def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: reliability diagram + ECE of the quality score against
     the gopher gate — "does quality=0.9 actually pass the rules 90%
@@ -2251,6 +2287,9 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
     "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
     "nn_descent_recall_curve": ["round"],
+    "neighborhood_jaccard": ["node_a", "node_b"],
+    "weekly_seasonality": ["event_type", "dow", "hour"],
+    "quality_budget_curve": ["bin"],
     "dsir_weights": ["doc_id", "n_tokens", "rank", "score_bits"],
     "exact_substring_spans": ["doc_id", "span_end", "span_start", "span_tokens"],
     "auc_exact": ["auc", "group", "n_neg", "n_pos", "u2"],
@@ -2707,6 +2746,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r10 — recall@k after 0/1/2 materialized NN-descent
         # rounds (r9 verdict ask #8); monotone improvement pinned
         "nn_descent_recall_curve": _nn_descent_recall_curve,
+        # NEW in r10 continuation — link-prediction QC over the
+        # MinHash pair graph (common neighbors + Jaccard, integer
+        # counts, one rounded division)
+        "neighborhood_jaccard": _neighborhood_jaccard,
+        # NEW in r10 continuation — per-type dow x hour seasonality
+        # from pure integer epoch arithmetic (UTC)
+        "weekly_seasonality": _weekly_seasonality,
+        # NEW in r10 continuation — cumulative token budget vs
+        # quality threshold (calibration_bins bucketing)
+        "quality_budget_curve": _quality_budget_curve,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -7056,6 +7105,97 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(d1.deg1, 0) AS BIGINT) AS deg1
         FROM surv LEFT JOIN d1 USING (node)
         ORDER BY node
+    """
+    # r10: neighborhood-Jaccard link prediction over the MinHash
+    # pair graph — wedge self-join on the shared endpoint, integer
+    # common-neighbor counts, one rounded division per pair
+    sql["neighborhood_jaccard"] = f"""
+        WITH p AS ({_minhash_oracle()}),
+        e AS (
+          SELECT DISTINCT LEAST(doc_a, doc_b) AS a,
+                 GREATEST(doc_a, doc_b) AS b
+          FROM p WHERE doc_a <> doc_b
+        ), sym AS (
+          SELECT a AS node, b AS nbr FROM e
+          UNION ALL SELECT b AS node, a AS nbr FROM e
+        ), deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM sym GROUP BY 1
+        ), cn AS (
+          SELECT l.node AS node_a, r.node AS node_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sym l JOIN sym r
+            ON l.nbr = r.nbr AND l.node < r.node
+          GROUP BY 1, 2
+        )
+        SELECT node_a, node_b, n_common,
+               da.deg AS deg_a, db.deg AS deg_b,
+               CAST(CASE WHEN e2.a IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS is_edge,
+               ROUND(CAST(n_common AS DOUBLE)
+                     / CAST(da.deg + db.deg - n_common AS DOUBLE), 6)
+                 AS jaccard
+        FROM cn
+        JOIN deg da ON da.node = cn.node_a
+        JOIN deg db ON db.node = cn.node_b
+        LEFT JOIN e e2 ON e2.a = cn.node_a AND e2.b = cn.node_b
+        WHERE n_common >= 1
+    """
+    # r10: per-type dow x hour seasonality — cell assignment is pure
+    # integer epoch arithmetic in UTC (day 0 = Thursday), totals
+    # aggregate from the cells
+    sql["weekly_seasonality"] = """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(((epoch_us(ts) // 86400000000) + 4) % 7
+                      AS BIGINT) AS dow,
+                 CAST((epoch_us(ts) % 86400000000) // 3600000000
+                      AS BIGINT) AS hour
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), per AS (
+          SELECT event_type, dow, hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM c GROUP BY 1, 2, 3
+        ), t AS (
+          SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_type
+          FROM per GROUP BY 1
+        )
+        SELECT per.event_type, dow, hour, n_events, n_type,
+               ROUND(CAST(n_events AS DOUBLE)
+                     / CAST(n_type AS DOUBLE), 6) AS share,
+               ROUND(CAST(n_events * 168 AS DOUBLE)
+                     / CAST(n_type AS DOUBLE), 6) AS lift
+        FROM per JOIN t USING (event_type)
+    """
+    # r10: token budget vs quality threshold — quality_score's own
+    # CTE, calibration_bins' integer bucketing, cumulative via the
+    # bounded bin self-join (b.bin >= a.bin), one rounded share
+    sql["quality_budget_curve"] = f"""
+        WITH q AS ({sql["quality_score"]}),
+        j AS (
+          SELECT CAST(ROUND(quality * 1000000, 0) AS BIGINT) AS s,
+                 CAST(n_tokens AS BIGINT) AS w
+          FROM q WHERE quality IS NOT NULL AND n_tokens IS NOT NULL
+        ), per AS (
+          SELECT LEAST(GREATEST(s * 10 // 1000000, 0), 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(w) AS BIGINT) AS sum_w
+          FROM j GROUP BY 1
+        ), cum AS (
+          SELECT a.bin, a.n_rows, a.sum_w,
+                 CAST(SUM(b.n_rows) AS BIGINT) AS cum_rows,
+                 CAST(SUM(b.sum_w) AS BIGINT) AS cum_w
+          FROM per a JOIN per b ON b.bin >= a.bin
+          GROUP BY 1, 2, 3
+        ), tot AS (
+          SELECT CAST(SUM(sum_w) AS BIGINT) AS tw FROM per
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n_rows, sum_w, cum_rows,
+               cum_w,
+               ROUND(CAST(cum_w AS DOUBLE) / CAST(tot.tw AS DOUBLE), 6)
+                 AS cum_w_share
+        FROM cum CROSS JOIN tot
     """
     # r9 continuation: reliability diagram + exact ECE of the quality
     # score vs the gopher gate — micro-quantized scores, integer bin

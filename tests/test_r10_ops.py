@@ -302,6 +302,116 @@ def test_decode_gif_animation_and_truncation_gates():
         decode_gif(headless + b"\x3b")
 
 
+def test_neighborhood_jaccard_hand_graph(spark):
+    """Triangle 1-2-3 plus pendant 4 on 1: known common-neighbor
+    counts, degrees and Jaccard scores; the (2,3) edge and the
+    (2,4)/(3,4) non-edges are both candidates."""
+    from whatdropsnow_etl_spark.operators import neighborhood_jaccard
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.node_a, r.node_b): r
+        for r in neighborhood_jaccard(pairs).collect()
+    }
+    # N(1)={2,3,4} N(2)={1,3} N(3)={1,2} N(4)={1}
+    # pairs sharing a neighbor: (2,3) via 1 [edge], (2,4) via 1,
+    # (3,4) via 1, (1,2) via 3, (1,3) via 2
+    assert set(got) == {(2, 3), (2, 4), (3, 4), (1, 2), (1, 3)}
+    e23 = got[(2, 3)]
+    assert (e23.n_common, e23.deg_a, e23.deg_b, e23.is_edge) == (1, 2, 2, 1)
+    assert e23.jaccard == round(1 / 3, 6)  # {1} over {1,2,3}
+    e24 = got[(2, 4)]
+    assert (e24.n_common, e24.is_edge) == (1, 0)
+    assert e24.jaccard == 0.5  # {1} over {1,3}
+    e12 = got[(1, 2)]
+    assert (e12.n_common, e12.deg_a, e12.deg_b, e12.is_edge) == (1, 3, 2, 1)
+    assert e12.jaccard == 0.25  # {3} over {2,3,4,1}
+
+
+def test_weekly_seasonality_hand_timestamps(spark):
+    """2024-01-01 was a MONDAY (dow 1 in the 0=Sunday convention);
+    cells, shares and lifts are exact."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import weekly_seasonality
+
+    rows = [
+        # three clicks Monday 08:xx UTC, one click Sunday 23:59
+        (1, "click", dt.datetime(2024, 1, 1, 8, 0, 0)),
+        (2, "click", dt.datetime(2024, 1, 1, 8, 30, 0)),
+        (3, "click", dt.datetime(2024, 1, 8, 8, 59, 59)),
+        (4, "click", dt.datetime(2024, 1, 7, 23, 59, 59)),
+        (5, "view", dt.datetime(2024, 1, 3, 0, 0, 0)),  # Wednesday
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r.event_type, r.dow, r.hour): r
+        for r in weekly_seasonality(df).collect()
+    }
+    assert set(got) == {("click", 1, 8), ("click", 0, 23), ("view", 3, 0)}
+    mon = got[("click", 1, 8)]
+    assert (mon.n_events, mon.n_type) == (3, 4)
+    assert mon.share == 0.75 and mon.lift == round(3 * 168 / 4, 6)
+    assert got[("view", 3, 0)].share == 1.0
+
+
+def test_token_budget_curve_hand_case(spark):
+    """Cumulative counts/weights accumulate from the TOP bin down;
+    out-of-range scores clamp into the edge bins."""
+    from whatdropsnow_etl_spark.operators import token_budget_curve
+
+    rows = [
+        (0.95, 100), (0.92, 50),   # bin 9
+        (0.55, 30),                # bin 5
+        (0.05, 20), (-0.1, 10),    # bin 0 (clamped)
+        (1.2, 40),                 # bin 9 (clamped)
+    ]
+    df = spark.createDataFrame(rows, "score double, w long")
+    got = {r.bin: r for r in token_budget_curve(df, "score", "w").collect()}
+    assert set(got) == {0, 5, 9}
+    assert (got[9].n_rows, got[9].sum_w) == (3, 190)
+    assert (got[9].cum_rows, got[9].cum_w) == (3, 190)
+    assert (got[5].cum_rows, got[5].cum_w) == (4, 220)
+    assert (got[0].cum_rows, got[0].cum_w) == (6, 250)
+    assert got[5].cum_w_share == round(220 / 250, 6)
+
+
+def test_streaming_overlap_report_equals_batch(spark):
+    """The overlap gauge reads the SAME folded histogram state as
+    the KS gauge: a 3-way fold reported through overlap_report must
+    equal histogram_overlap over the full static relation exactly."""
+    from whatdropsnow_etl_spark.operators import histogram_overlap
+    from whatdropsnow_etl_spark.sources import load_table
+    from whatdropsnow_etl_spark.streaming import (
+        fold_value_histogram,
+        overlap_report,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    state = None
+    for part in range(3):
+        b = docs.where(F.col("doc_id") % 3 == part)
+        state = fold_value_histogram(state, b, "source", "n_chars")
+    got = sorted(
+        [tuple(r) for r in overlap_report(state, "source", "n_chars").collect()],
+        key=repr,
+    )
+    want = sorted(
+        [
+            tuple(r)
+            for r in histogram_overlap(docs, "source", "n_chars").collect()
+        ],
+        key=repr,
+    )
+    assert got == want
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

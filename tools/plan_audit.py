@@ -145,6 +145,10 @@ ALLPAIRS_OK = {
     # value histogram — never a data×data cross (the raw relation
     # collapses in one map-combined groupBy first)
     "ks_two_sample",
+    # cumulative step is the <= n_bins² bin-histogram self-join
+    # (b.bin >= a.bin) + the 1-row total cross — the corpus
+    # collapses in one map-combined groupBy first
+    "quality_budget_curve",
     # ring seed: crossJoin against the 1-row broadcast count
     # aggregate (the Q11 scalar-subquery pattern); the pass itself
     # is edge-list joins, k²N not N²

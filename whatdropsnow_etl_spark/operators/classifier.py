@@ -591,6 +591,89 @@ def calibration_bins(
     )
 
 
+def token_budget_curve(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    n_bins: int = 10,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Score-threshold sweep vs a weight budget — the question a
+    curation pipeline answers before fixing a quality cutoff: "if I
+    keep everything scoring above bin b, how many documents and how
+    many TOKENS survive?" (the FineWeb/DCLM budget-vs-threshold
+    trade). One row per occupied score bin with the cumulative
+    count/weight of that bin AND EVERYTHING ABOVE it; read the curve
+    from the top until the token budget is hit.
+
+    No reference twin — extends SURVEY §2.3's curation family.
+
+    Exactness: scores quantize to integer ``scale``-ths and bins are
+    the :func:`calibration_bins` integer clamp — identical bucketing
+    in both engines; counts and weights are exact BIGINT sums and
+    the cumulative step is a BOUNDED self-join over the <= n_bins
+    histogram rows (b.bin >= a.bin), never a corpus window. The only
+    float is the display share, one rounded division.
+
+    Scale shape: ONE map-combined groupBy collapses the corpus to
+    <= n_bins rows; everything after is n_bins²-bounded. No windows,
+    no UDFs, no collects.
+
+    Output: (bin, n_rows, sum_w, cum_rows, cum_w, cum_w_share) —
+    cum_* accumulate from the TOP bin down; cum_w_share = cum_w over
+    the relation's total weight, rounded 6dp.
+    """
+    s_fp = F.round(F.col(score_col) * scale, 0).cast("long")
+    per = (
+        df.select(
+            s_fp.alias("__s"),
+            F.col(weight_col).cast("bigint").alias("__w"),
+        )
+        .where(F.col("__s").isNotNull() & F.col("__w").isNotNull())
+        .select(
+            F.least(
+                F.greatest(
+                    F.expr(f"__s * {n_bins} div {scale}"),
+                    F.lit(0).cast("bigint"),
+                ),
+                F.lit(n_bins - 1).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias("bin"),
+            "__w",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("__w").cast("bigint").alias("sum_w"),
+        )
+    )
+    hi = per.select(
+        F.col("bin").alias("__hb"),
+        F.col("n_rows").alias("__hn"),
+        F.col("sum_w").alias("__hw"),
+    )
+    cum = (
+        per.join(F.broadcast(hi), F.col("__hb") >= F.col("bin"))
+        .groupBy("bin", "n_rows", "sum_w")
+        .agg(
+            F.sum("__hn").cast("bigint").alias("cum_rows"),
+            F.sum("__hw").cast("bigint").alias("cum_w"),
+        )
+    )
+    tot = per.agg(F.sum("sum_w").cast("bigint").alias("__tw"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_rows",
+        "sum_w",
+        "cum_rows",
+        "cum_w",
+        F.round(
+            F.col("cum_w").cast("double") / F.col("__tw").cast("double"), 6
+        ).alias("cum_w_share"),
+    )
+
+
 def cohens_kappa(
     df: DataFrame,
     a_col: str,

@@ -1452,6 +1452,77 @@ def interevent_from_moments(
     )
 
 
+def weekly_seasonality(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-type (day-of-week × hour-of-day) seasonality profile —
+    the periodicity screen next to hourly_acf (which detects THAT a
+    cycle exists; this reports its SHAPE): each cell's share of the
+    type's events and its lift vs the uniform 1/168 baseline. The
+    standard traffic-shaping/anomaly-baseline input — an alert
+    should compare an hour against its weekly cell, not the global
+    mean — and the weekday/weekend split a crawl scheduler reads.
+
+    No reference twin — extends SURVEY §2.2's events family.
+
+    Exactness: day-of-week and hour come from pure INTEGER epoch
+    arithmetic in UTC — day = us div 86 400e6, dow = (day + 4) mod 7
+    (epoch day 0 was a Thursday; 0 = Sunday), hour = (us mod
+    86 400e6) div 3 600e6 — no calendar/timezone library in either
+    engine, so cell assignment is bit-identical. Counts are exact
+    BIGINTs; share = n/n_type and lift = n·168/n_type are rounded
+    display divisions.
+
+    Scale shape: ONE map-combined groupBy to the <= types×168 cell
+    histogram; per-type totals aggregate from the CELLS (not a
+    second corpus pass) and join back categorically. No windows, no
+    UDFs, no collects.
+
+    Output: (event_type, dow, hour, n_events, n_type, share, lift).
+    """
+    from ..functions.timeutil import ts_micros
+
+    us = ts_micros(F.col(ts_col))
+    cells = (
+        events.select(
+            F.col(type_col).alias("event_type"), us.alias("__us")
+        )
+        .where(F.col("event_type").isNotNull() & F.col("__us").isNotNull())
+        .select(
+            "event_type",
+            F.pmod(F.expr("__us div 86400000000") + 4, F.lit(7))
+            .cast("bigint")
+            .alias("dow"),
+            F.expr("(__us % 86400000000) div 3600000000")
+            .cast("bigint")
+            .alias("hour"),
+        )
+        .groupBy("event_type", "dow", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_type")
+    )
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        "n_type",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_type").cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            (F.col("n_events") * 168).cast("double")
+            / F.col("n_type").cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
 def fano_burstiness(
     events: DataFrame,
     type_col: str = "event_type",

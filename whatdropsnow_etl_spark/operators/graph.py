@@ -497,6 +497,103 @@ def kcore_decompose(
     return out
 
 
+def neighborhood_jaccard(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the undirected
+    duplicate-pair graph (Liben-Nowell & Kleinberg 2003's
+    common-neighbors/Jaccard scores): for every two-hop node pair —
+    the pairs that share at least ``min_common`` neighbors — report
+    |N(a)∩N(b)| / |N(a)∪N(b)|. On the near-dup graph this is the
+    transitivity QC screen: a high-score NON-edge is a pair the LSH
+    banding probably missed (dedup_clusters will merge them anyway
+    via the shared neighbor, but a verify pass should rescore them);
+    a low-score edge is a suspicious bridge between clusters.
+
+    No reference twin — extends SURVEY §2.3's graph family.
+
+    Semantics: edges canonicalize (least/greatest, self-loops
+    dropped, distinct); neighborhoods exclude the node itself;
+    candidates are UNORDERED two-hop pairs (a < b). ``is_edge``
+    flags candidates already connected directly. Pure integer
+    counts; jaccard = cn / (deg_a + deg_b − cn) is one rounded
+    double division — bit-deterministic everywhere.
+
+    Scale shape: one distinct over canonical edges (persisted — the
+    wedge self-join and the is_edge join reference it), degrees via
+    one map-combined count, the wedge self-join on the shared
+    endpoint (Σ deg² rows — the triangle_count bound, never N²),
+    one map-combined pair count, two node-keyed degree joins. No
+    windows, no UDFs, no collects.
+
+    Output: (node_a, node_b, n_common, deg_a, deg_b, is_edge,
+    jaccard 6dp), one row per two-hop pair with n_common >=
+    ``min_common``.
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionByName(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    wedge = (
+        sym.alias("l")
+        .join(sym.alias("r"), F.col("l.nbr") == F.col("r.nbr"))
+        .where(F.col("l.node") < F.col("r.node"))
+        .select(
+            F.col("l.node").alias("node_a"), F.col("r.node").alias("node_b")
+        )
+    )
+    cn = wedge.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    flagged = cn.join(
+        edges.select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.lit(1).cast("bigint").alias("__e"),
+        ),
+        ["node_a", "node_b"],
+        "left",
+    )
+    out = (
+        flagged.where(F.col("n_common") >= min_common)
+        .join(deg.select(F.col("node").alias("node_a"),
+                         F.col("deg").alias("deg_a")), "node_a")
+        .join(deg.select(F.col("node").alias("node_b"),
+                         F.col("deg").alias("deg_b")), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.coalesce("__e", F.lit(0)).cast("bigint").alias("is_edge"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    out._cached_inputs = [edges]
+    return out
+
+
 def label_propagation_pass(
     edges: DataFrame,
     labels: DataFrame,

@@ -25,7 +25,7 @@ from .interevent import (
     interevent_report,
 )
 from .gini import fold_term_counts, gini_report, vocab_jaccard_report
-from .ks_drift import fold_value_histogram, ks_drift_report
+from .ks_drift import fold_value_histogram, ks_drift_report, overlap_report
 from .lifecycle import fold_activity, lifecycle_report
 from .line_dedup import clean_and_grow_line_index, load_line_index
 from .paths import path_stream
@@ -71,6 +71,7 @@ __all__ = [
     "fold_value_histogram",
     "lifecycle_report",
     "ks_drift_report",
+    "overlap_report",
     "pair_and_grow_doc_store",
     "load_doc_store",
     "load_line_index",

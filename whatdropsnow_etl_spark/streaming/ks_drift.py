@@ -63,3 +63,20 @@ def ks_drift_report(
     """Per-group KS-vs-rest over the folded histogram state —
     delegates to the batch operator's post-histogram half."""
     return ks_from_histogram(state, group_col, value_col, count_col)
+
+
+def overlap_report(
+    state: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """Per-group overlap-coefficient-vs-rest over the SAME folded
+    histogram state the KS report reads (r10) — the two gauges share
+    one monoid, so a drift stream gets both for one fold. Delegates
+    to the batch operator's post-histogram half
+    (operators.integrity.overlap_from_histogram), keeping the
+    batch-folded == full-relation contract."""
+    from ..operators.integrity import overlap_from_histogram
+
+    return overlap_from_histogram(state, group_col, value_col, count_col)
