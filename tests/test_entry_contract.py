@@ -55,72 +55,75 @@ def test_oracle_keys_subset_of_queries():
 GATE_WINDOW = 50  # the driver verifies only the first 50 queries() entries
 
 
-# Implementation or oracle changed in r9 — old green rows no longer
-# cover the shipped code: the LPA oracle's self-loop filter, fano's
-# wall-clock span, and the code restructures around the new
-# semantic_decontaminate LSH pre-gate / rfm_segments scale_ranks mode.
-CHANGED_IN_R9 = [
-    "label_propagation_pass", "fano_burstiness",
-    "semantic_decontaminate", "rfm_segments",
-    # factored around the new streaming-maintenance halves
-    # (auc_from_histogram / gini_from_term_counts) — output unchanged
-    # by construction, re-gated anyway
-    "auc_exact", "token_gini",
-    # payload class extended (Adam7-interlaced PNGs for ids ≡ 6
-    # mod 8, GIF87a/LZW for ids ≡ 8 mod 16) — same decoded pixels,
-    # new decode paths, re-gated
+# Late-r9 oracle-bearing queries that have NEVER produced a driver
+# CORRECTNESS row (judge-verified parity-green in r9; the driver gate
+# is the hard signal) — they lead per the first-ever-signal contract.
+NEVER_GATED_R10 = [
+    "interevent_stats", "kcore_peel_pass",
+]
+
+# New in r10, oracle-bearing: the r9 verdict asks #4/#6/#8 (the MMR
+# first-two-picks twin, the rfm sample-sort path under its own row,
+# the NN-descent recall curve) plus the r10 continuation additions.
+NEW_ORACLE_R10 = [
+    "mmr_select_pass", "rfm_segments_scaled", "nn_descent_recall_curve",
+    "neighborhood_jaccard", "weekly_seasonality", "quality_budget_curve",
+]
+
+# Implementation changed in r10 — old green rows no longer cover the
+# shipped code: the subplan-reuse lazy persists (r9 verdict ask #2:
+# the outlier deviation relations, the _bucketed_rank ranked relation
+# feeding four consumers, vocab_jaccard's vocab relation) and the GIF
+# block-walk hardening (media_probe/media_resize decode the GIF
+# payload class for ids ≡ 8 mod 16).
+CHANGED_IN_R10 = [
+    "numeric_outliers", "mad_outliers",
+    "epoch_shuffle", "interleave_sources", "balanced_shards",
+    "training_order_spine",
+    "vocab_jaccard",
     "media_probe", "media_resize",
-    # bucketed rank relation persisted (compute-once) — same bits
-    "rank_correlation",
-    # WAV payload class extended (IEEE float32 for ids ≡ 9 mod 16,
-    # int16-scale quantizer; resample re-encodes as 16-bit PCM)
-    "media_resample", "media_silence_report",
 ]
 
-# New in r9, oracle-bearing: the twin-the-deterministic-half pattern
-# applied to the PCA projection and one PageRank mass-diffusion step
-# (r8 verdict asks #5/#6), then the r9 continuation additions. Each
-# displaces one r5-refresh tail slot per the standing
-# first-ever-signal-beats-refresh contract.
-NEW_ORACLE_R9 = [
-    "pca_project_pass", "pagerank_update_pass",
-    "calibration_bins", "cohens_kappa", "vocab_jaccard", "mad_outliers",
-]
-
-# The FULL r4-stale backlog (r8 verdict ask #1) — several rows sit on
-# dedup/sampling machinery r7/r8 rewrote around them; after this
-# window min(latest-green) >= r5 across the oracle-bearing surface.
-R4_REFRESH_R9 = [
-    "q12_shipping_delay", "profile_events", "pack_chunks",
-    "event_funnel", "retention_cohorts", "numeric_outliers",
-    "dup_rate_by_source", "length_histogram", "tokenize_to_ids",
-    "gopher_rules", "containment_pairs", "cluster_keep_best",
-    "ann_int8_topk", "fixed_size_sample", "incremental_rollup",
-    "key_skew_report", "lsh_tuning_report", "schema_drift_report",
-    "span_dedup", "ann_pq_topk", "leakage_safe_split",
-    "semantic_dedup", "heldout_perplexity", "hashed_features",
-    "normalize_text", "dataset_card", "vector_qc",
-    "join_cardinality", "pmi_collocations", "dedup_clusters",
-    "dedup_clusters_twostars", "embedding_dedup",
-    "partition_fingerprints",
+# Oldest-first refresh: 33 of the 42 remaining rows whose freshest
+# driver green is r5 (balanced_shards, also r5-stale, re-gates in the
+# changed block above). The 9 spilled rows — q11/q16/q17/q18/q19/q21/
+# q22/rollup_flag_status/tumbling_window_agg, static OLAP plans whose
+# own code is unchanged since their last gate — lead the r11 rotation.
+R5_REFRESH_R10 = [
+    "ann_cosine_topk", "ann_lsh_bucketed", "ann_recall_report",
+    "daily_active_users", "dataset_fingerprint", "dedup_bow",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dup_degree_report", "event_rate_spikes",
+    "funnel_latency", "funnel_within", "importance_sample",
+    "incremental_join", "knn_label_vote", "lang_diversity", "lang_id",
+    "ngram_novelty", "pretraining_mix", "priority_sample",
+    "quality_calibration", "quality_score", "quota_sample",
+    "redact_pii", "snapshot_diff", "source_temperature_sample",
+    "stratified_sample", "temperature_upsample", "weighted_quantiles",
+    "window_topn_per_group", "winsorize_report",
 ]
 
 
 def test_gate_window_composition():
-    """Derived (not hand-counted) r9 gate-window contract: the 4
-    r9-changed oracle queries lead, the two new twin-the-half
-    queries follow, the FULL 33-row r4-stale backlog refreshes, and
-    every remaining slot is an oracle-bearing oldest-r5 refresh — no
-    rows-only slot anywhere this round."""
+    """Derived (not hand-counted) r10 gate-window contract, in
+    order: the 2 never-gated late-r9 queries lead, the 6 r10-new
+    oracle queries follow, then the 9 r10-changed re-gates (6 persist
+    fixes + 1 vocab persist + 2 GIF-decode payload rows), and every
+    remaining slot is an oracle-bearing oldest-r5 refresh — no
+    rows-only slot anywhere this round. The block lengths are derived
+    from the lists, never hand-counted (the r9 ADVICE docstring
+    lesson)."""
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
-    n_chg = len(CHANGED_IN_R9)
-    n_new = len(NEW_ORACLE_R9)
-    assert gated[:n_chg] == CHANGED_IN_R9
-    assert gated[n_chg : n_chg + n_new] == NEW_ORACLE_R9
-    n_r4 = len(R4_REFRESH_R9)
-    assert gated[n_chg + n_new : n_chg + n_new + n_r4] == R4_REFRESH_R9
+    blocks = (
+        NEVER_GATED_R10, NEW_ORACLE_R10, CHANGED_IN_R10, R5_REFRESH_R10
+    )
+    pos = 0
+    for block in blocks:
+        assert gated[pos : pos + len(block)] == block
+        pos += len(block)
+    assert pos == GATE_WINDOW
     # every slot is oracle-bearing — no rows-only exposure this round
     wasted = [q for q in gated if q not in oracles]
     assert not wasted, f"rows-only queries in window: {wasted}"
