@@ -1330,6 +1330,20 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_resize(attach_media_payload(docs), out_w=8, out_h=8)
 
 
+def _media_animation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: REAL multi-frame animated-GIF decode — id-derived frame
+    colors through the shared-palette GIF89a encoder, recovered by
+    the extension-aware LZW frame decoder; the oracle predicts frame
+    count, dimensions and the cross-frame pixel sum in closed form."""
+    from whatdropsnow_etl_spark.operators import (
+        attach_animation_assets,
+        media_animation_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_animation_probe(attach_animation_assets(docs))
+
+
 def _dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatdropsnow_etl_spark.operators import dedup_bow
 
@@ -2290,6 +2304,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "neighborhood_jaccard": ["deg_a", "deg_b", "is_edge", "jaccard", "n_common", "node_a", "node_b"],
     "weekly_seasonality": ["dow", "event_type", "hour", "lift", "n_events", "n_type", "share"],
     "quality_budget_curve": ["bin", "cum_rows", "cum_w", "cum_w_share", "n_rows", "sum_w"],
+    "media_animation_probe": ["doc_id", "height", "n_frames", "sum_rgb", "width"],
     "dsir_weights": ["doc_id", "n_tokens", "rank", "score_bits"],
     "exact_substring_spans": ["doc_id", "span_end", "span_start", "span_tokens"],
     "auc_exact": ["auc", "group", "n_neg", "n_pos", "u2"],
@@ -2756,6 +2771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r10 continuation — cumulative token budget vs
         # quality threshold (calibration_bins bucketing)
         "quality_budget_curve": _quality_budget_curve,
+        # NEW in r10 continuation — REAL animated-GIF multi-frame
+        # decode (shared-palette GIF89a encode, extension-aware LZW
+        # frame walk), closed-form oracle
+        "media_animation_probe": _media_animation_probe,
         # rows-only (iterative greedy) — no oracle_sql entry
         "mmr_diversify": _mmr_diversify,
         "market_basket": _market_basket,
@@ -2927,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_jaccard",
         "weekly_seasonality",
         "quality_budget_curve",
+        "media_animation_probe",
         # (c) implementation changed in r10
         "numeric_outliers",
         "mad_outliers",
@@ -2970,7 +2990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_upsample",
         "weighted_quantiles",
         "window_topn_per_group",
-        "winsorize_report",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -7095,6 +7114,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(d1.deg1, 0) AS BIGINT) AS deg1
         FROM surv LEFT JOIN d1 USING (node)
         ORDER BY node
+    """
+    # r10: animated-GIF multi-frame decode — the media_probe
+    # closed-form contract extended to animation: n_frames, screen
+    # dims and every frame's solid color are pure integer functions
+    # of (doc_id, frame), so the oracle predicts the cross-frame
+    # pixel sum the LZW frame decoder must recover
+    sql["media_animation_probe"] = """
+        WITH f AS (
+          SELECT doc_id,
+                 2 + doc_id % 3 AS n_frames,
+                 3 + doc_id % 5 AS w,
+                 2 + doc_id % 4 AS h
+          FROM documents
+        ), s AS (
+          SELECT doc_id, n_frames, w, h,
+                 SUM((doc_id * 5 + fi * 11) % 256
+                     + (doc_id * 7 + fi * 13) % 256
+                     + (doc_id * 11 + fi * 17) % 256) AS per_px
+          FROM f, UNNEST(range(0, n_frames)) AS u(fi)
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(w * h * per_px AS BIGINT) AS sum_rgb
+        FROM s
     """
     # r10: neighborhood-Jaccard link prediction over the MinHash
     # pair graph — wedge self-join on the shared endpoint, integer

@@ -68,6 +68,7 @@ NEVER_GATED_R10 = [
 NEW_ORACLE_R10 = [
     "mmr_select_pass", "rfm_segments_scaled", "nn_descent_recall_curve",
     "neighborhood_jaccard", "weekly_seasonality", "quality_budget_curve",
+    "media_animation_probe",
 ]
 
 # Implementation changed in r10 — old green rows no longer cover the
@@ -84,11 +85,12 @@ CHANGED_IN_R10 = [
     "media_probe", "media_resize",
 ]
 
-# Oldest-first refresh: 33 of the 42 remaining rows whose freshest
+# Oldest-first refresh: 32 of the 42 remaining rows whose freshest
 # driver green is r5 (balanced_shards, also r5-stale, re-gates in the
 # changed block above). The 9 spilled rows — q11/q16/q17/q18/q19/q21/
-# q22/rollup_flag_status/tumbling_window_agg, static OLAP plans whose
-# own code is unchanged since their last gate — lead the r11 rotation.
+# q22/rollup_flag_status/tumbling_window_agg plus winsorize_report,
+# static plans whose own code is unchanged since their last gate —
+# lead the r11 rotation.
 R5_REFRESH_R10 = [
     "ann_cosine_topk", "ann_lsh_bucketed", "ann_recall_report",
     "daily_active_users", "dataset_fingerprint", "dedup_bow",
@@ -100,13 +102,13 @@ R5_REFRESH_R10 = [
     "quality_calibration", "quality_score", "quota_sample",
     "redact_pii", "snapshot_diff", "source_temperature_sample",
     "stratified_sample", "temperature_upsample", "weighted_quantiles",
-    "window_topn_per_group", "winsorize_report",
+    "window_topn_per_group",
 ]
 
 
 def test_gate_window_composition():
     """Derived (not hand-counted) r10 gate-window contract, in
-    order: the 2 never-gated late-r9 queries lead, the 6 r10-new
+    order: the 2 never-gated late-r9 queries lead, the 7 r10-new
     oracle queries follow, then the 9 r10-changed re-gates (6 persist
     fixes + 1 vocab persist + 2 GIF-decode payload rows), and every
     remaining slot is an oracle-bearing oldest-r5 refresh — no

@@ -412,6 +412,57 @@ def test_streaming_overlap_report_equals_batch(spark):
     assert got == want
 
 
+def test_animated_gif_codec_round_trip():
+    """encode_gif89a_frames -> decode_gif_frames is bit-exact per
+    frame (shared global palette, real LZW, GCE per frame); the
+    single-image decode_gif gates on the same payload; the frame
+    decoder reads plain GIF87a single images too and raises the
+    named gates on transparency and missing frames."""
+    import numpy as np
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif87a,
+        encode_gif89a_frames,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [
+        (rng.randint(0, 4, size=(5, 7, 1)).repeat(3, axis=2) * 60).astype(
+            np.uint8
+        )
+        for _ in range(3)
+    ]
+    p = encode_gif89a_frames(7, 5, frames)
+    d = decode_gif_frames(p)
+    assert (d["n_frames"], d["width"], d["height"]) == (3, 7, 5)
+    for f, g in zip(frames, d["frames"]):
+        assert (f == g).all()
+    assert d["sum_g"] == sum(
+        int(f[:, :, 1].astype(np.int64).sum()) for f in frames
+    )
+    with _pytest.raises(NotImplementedError, match="animated"):
+        decode_gif(p)
+    # solid-tuple frames; single-frame 87a reads through the same path
+    d2 = decode_gif_frames(encode_gif89a_frames(3, 2, [(10, 0, 0), (40, 0, 0)]))
+    assert d2["n_frames"] == 2 and d2["sum_r"] == 6 * 10 + 6 * 40
+    d3 = decode_gif_frames(encode_gif87a(4, 3, (1, 2, 3)))
+    assert d3["n_frames"] == 1 and d3["sum_b"] == 12 * 3
+    # transparency flag is a named gate: set bit 0 of the GCE packed
+    # byte in the first frame's extension
+    gce_at = p.index(b"\x21\xf9\x04")
+    tampered = bytearray(p)
+    tampered[gce_at + 3] |= 0x01
+    with _pytest.raises(NotImplementedError, match="transparency"):
+        decode_gif_frames(bytes(tampered))
+    # >256 distinct colors across frames gates at encode
+    big = rng.randint(0, 256, (20, 20, 3)).astype(np.uint8)
+    with _pytest.raises(NotImplementedError, match="palette"):
+        encode_gif89a_frames(20, 20, [big, 255 - big])
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

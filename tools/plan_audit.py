@@ -204,6 +204,7 @@ PYTHON_OK = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "media_probe",  # real BMP/WAV byte decode (numpy per batch)
+    "media_animation_probe",  # real multi-frame GIF decode (r10)
     "media_resize",  # real BMP pixel gather + re-encode
     "media_resample",  # real WAV linear-interp resample (numpy per batch)
     "media_silence_report",  # exact-integer frame-energy VAD

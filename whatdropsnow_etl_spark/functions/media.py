@@ -742,6 +742,156 @@ def encode_gif87a(
     )
 
 
+def encode_gif89a_frames(
+    width: int,
+    height: int,
+    frames: "list",
+    delay_cs: int = 10,
+) -> bytes:
+    """Minimal ANIMATED GIF89a (r10): one shared global color table
+    built from the union of all frames' distinct colors (> 256
+    raises — palette is the format), one full-frame image block per
+    frame preceded by a graphic-control extension (no transparency,
+    disposal 0 — full-frame replacement), real LZW per frame.
+    ``frames`` is a list of (h, w, 3) uint8 arrays or RGB tuples."""
+    fr = [
+        np.asarray(f, dtype=np.uint8).reshape(height, width, 3)
+        if not isinstance(f, tuple)
+        else np.tile(np.array(f, dtype=np.uint8), (height, width, 1))
+        for f in frames
+    ]
+    if not fr:
+        raise ValueError("animated GIF needs at least one frame")
+    flat = np.concatenate([f.reshape(-1, 3) for f in fr])
+    colors = np.unique(flat, axis=0)
+    if len(colors) > 256:
+        raise NotImplementedError(
+            f"GIF palette overflow: {len(colors)} distinct colors > 256"
+        )
+    pal_bits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, pal_bits)
+    # map every frame's pixels to palette indices via a dict lookup
+    # keyed on packed 24-bit color (frames are palette-bounded)
+    key = (
+        colors[:, 0].astype(np.int64) << 16
+    ) | (colors[:, 1].astype(np.int64) << 8) | colors[:, 2].astype(np.int64)
+    lut = {int(k): i for i, k in enumerate(key)}
+    out = [
+        b"GIF89a",
+        struct.pack("<HHBBB", width, height, 0x80 | (pal_bits - 1), 0, 0),
+        pal.tobytes(),
+    ]
+    gce = b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+    for f in fr:
+        pk = (
+            (f[:, :, 0].astype(np.int64) << 16)
+            | (f[:, :, 1].astype(np.int64) << 8)
+            | f[:, :, 2].astype(np.int64)
+        ).reshape(-1)
+        idx = np.fromiter(
+            (lut[int(v)] for v in pk), dtype=np.uint8, count=len(pk)
+        )
+        lzw = _lzw_encode(idx, min_code)
+        blocks = b"".join(
+            bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        out += [
+            gce,
+            b"\x2c",
+            struct.pack("<HHHHB", 0, 0, width, height, 0),
+            bytes([min_code]),
+            blocks,
+            b"\x00",
+        ]
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def decode_gif_frames(payload: bytes) -> dict:
+    """Animation-aware GIF decode (r10): every full-frame image
+    block decodes through the same LZW + palette machinery as
+    :func:`decode_gif` (which stays the deliberate single-image
+    gate); extensions are skipped, a set transparency flag, a
+    sub-rectangle frame or a local color table raise named gates
+    (compositing machinery — decoding them as full frames would be
+    silently wrong). Returns width, height, n_frames, exact integer
+    per-channel sums ACROSS frames, and the per-frame pixel arrays."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpal = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    if gpal is None:
+        raise ValueError("GIF image without any color table")
+    frames = []
+    while pos < len(payload):
+        marker = payload[pos]
+        if marker == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            first = True
+            while pos < len(payload) and payload[pos] != 0:
+                if label == 0xF9 and first and (payload[pos + 1] & 0x01):
+                    raise NotImplementedError(
+                        "GIF transparency (compositing machinery)"
+                    )
+                first = False
+                pos += 1 + payload[pos]
+            pos += 1
+        elif marker == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if (left, top) != (0, 0) or (w, h) != (sw, sh):
+                raise NotImplementedError(
+                    "GIF sub-rectangle frame (compositing machinery)"
+                )
+            if ipacked & 0x80:
+                raise NotImplementedError("GIF local color tables")
+            interlace = bool(ipacked & 0x40)
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                blen = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + blen]
+                pos += 1 + blen
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            rows = idx.reshape(h, w)
+            if interlace:
+                out_idx = np.zeros_like(rows)
+                out_idx[_gif_row_order(h, True)] = rows
+                rows = out_idx
+            frames.append(gpal[rows])
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+    if not frames:
+        raise ValueError("GIF ended without an image block")
+    stack = np.stack(frames).astype(np.int64)
+    return {
+        "width": int(sw),
+        "height": int(sh),
+        "n_frames": len(frames),
+        "sum_r": int(stack[:, :, :, 0].sum()),
+        "sum_g": int(stack[:, :, :, 1].sum()),
+        "sum_b": int(stack[:, :, :, 2].sum()),
+        "frames": frames,
+    }
+
+
 def decode_gif(payload: bytes) -> dict:
     """Full GIF87a/89a decode of the FIRST image block: header +
     global color table, image descriptor (interlace honored, 89a

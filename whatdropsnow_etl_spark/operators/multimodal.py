@@ -763,3 +763,83 @@ def media_silence_report(
 
     wavs = media.where(F.startswith(F.col("payload"), F.lit(b"RIFF")))
     return wavs.mapInPandas(go, schema=MEDIA_VAD_SCHEMA)
+
+
+ANIMATION_SCHEMA = (
+    "doc_id bigint, n_frames bigint, width bigint, height bigint,"
+    " sum_rgb bigint"
+)
+
+
+def attach_animation_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL animated-GIF payload per row (r10): the
+    attach_media_assets convention extended to multi-frame video-ish
+    assets — n_frames = 2 + id%3 full-frame solid-color frames,
+    dimensions and every frame's color pure functions of (id, frame)
+    so the DuckDB oracle predicts in closed form what the LZW
+    decoder must recover. Frames share one global palette; the
+    encoder is functions.media.encode_gif89a_frames (graphic-control
+    extension per frame — exactly the layout decode_gif's animation
+    gate rejects, so the frame decoder is the only honest path)."""
+
+    def gen(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.media import encode_gif89a_frames
+
+        for batch in it:
+            payloads = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                n_frames = 2 + did % 3
+                w, h = 3 + did % 5, 2 + did % 4
+                frames = [
+                    (
+                        (did * 5 + f * 11) % 256,
+                        (did * 7 + f * 13) % 256,
+                        (did * 11 + f * 17) % 256,
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_gif89a_frames(w, h, frames))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+def media_animation_probe(media: DataFrame) -> DataFrame:
+    """REAL multi-frame decode over animated GIF payloads (r10):
+    every frame goes through the full LZW + palette machinery
+    (functions.media.decode_gif_frames — extension-aware block walk,
+    named gates on transparency / sub-rectangle frames / local
+    palettes), reporting frame count, logical-screen dimensions and
+    the exact integer pixel sum ACROSS frames. One Arrow-batched
+    narrow map — payload bytes never shuffle."""
+
+    def probe(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd  # noqa: PLC0415
+
+        from ..functions.media import decode_gif_frames
+
+        for batch in it:
+            rows = []
+            for did, payload in zip(batch["doc_id"], batch["payload"]):
+                d = decode_gif_frames(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": d["n_frames"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "sum_rgb": d["sum_r"] + d["sum_g"] + d["sum_b"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(probe, schema=ANIMATION_SCHEMA)
