@@ -463,6 +463,39 @@ def test_animated_gif_codec_round_trip():
         encode_gif89a_frames(20, 20, [big, 255 - big])
 
 
+def test_streaming_seasonality_equals_batch(spark):
+    """Folding per-batch (type, dow, hour) cells (a true commutative
+    monoid — cell assignment is batch-independent integer epoch
+    arithmetic) and reporting through seasonality_from_cells must
+    equal weekly_seasonality over the full relation exactly."""
+    from whatdropsnow_etl_spark.operators import weekly_seasonality
+    from whatdropsnow_etl_spark.sources import load_table
+    from whatdropsnow_etl_spark.streaming import (
+        fold_seasonality_cells,
+        seasonality_report,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "ts"
+    )
+    state = None
+    # arbitrary (non-time) split order — the fold must not care
+    for part in (2, 0, 1):
+        state = fold_seasonality_cells(
+            state, ev.where(F.col("event_id") % 3 == part)
+        )
+    got = sorted(
+        [tuple(r) for r in seasonality_report(state).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(r) for r in weekly_seasonality(ev).collect()], key=repr
+    )
+    assert got == want
+    # state is bounded by types x 168
+    n_types = ev.select("event_type").distinct().count()
+    assert state.count() <= n_types * 168
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

@@ -1227,7 +1227,9 @@ def _sampled_ntile(
     )
     bucketed = rows.crossJoin(F.broadcast(bounds)).select(
         "__u", "__k", _bucket_of("__bnds", "__k").alias("__bkt")
-    )
+    ).persist()
+    # ^ r10: referenced by the histogram AND the rank join-back —
+    # the _bucketed_rank lesson applied here (lazy, narrow relation)
     hist = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
@@ -1326,6 +1328,14 @@ def rfm_segments(
         "__rec", F.datediff(F.col("__ref"), F.col("__last")).cast("bigint")
     )
     if scale_ranks:
+        scored = scored.persist()
+        # ^ r10: the three _sampled_ntile decompositions (each a
+        # sample pass + bucket histogram + rank join) plus the final
+        # select reference this relation ~10x — without the lazy
+        # persist the events scan + per-user aggregate re-ran per
+        # reference (18.2 s at sf1; the rank_correlation lesson).
+        # Scoped to the scale path so the default window path's plan
+        # is untouched.
         # (metric, user) composite keys; DESC metrics negate (counts
         # and cents are non-negative bigints — no overflow edge)
         r_t = _sampled_ntile(
@@ -1501,6 +1511,23 @@ def weekly_seasonality(
         )
         .groupBy("event_type", "dow", "hour")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    return seasonality_from_cells(cells)
+
+
+def seasonality_from_cells(
+    cells: DataFrame, count_col: str = "n_events"
+) -> DataFrame:
+    """The post-histogram half of :func:`weekly_seasonality` — shares
+    and lift from the (event_type, dow, hour, count) cell relation.
+    Split out (the fano_from_histogram convention) so streaming
+    maintenance (streaming/seasonality.py) reports through the SAME
+    arithmetic the batch operator runs."""
+    cells = cells.select(
+        "event_type",
+        "dow",
+        "hour",
+        F.col(count_col).cast("bigint").alias("n_events"),
     )
     totals = cells.groupBy("event_type").agg(
         F.sum("n_events").cast("bigint").alias("n_type")
