@@ -496,6 +496,43 @@ def test_streaming_seasonality_equals_batch(spark):
     assert state.count() <= n_types * 168
 
 
+def test_streaming_budget_curve_equals_batch(spark):
+    """Folding per-batch (bin, n_rows, sum_w) histograms (a true
+    commutative monoid) and reporting through budget_curve_from_bins
+    must equal token_budget_curve over the full static relation
+    exactly — shared post-histogram code path."""
+    from whatdropsnow_etl_spark.operators import (
+        quality_score,
+        token_budget_curve,
+    )
+    from whatdropsnow_etl_spark.sources import load_table
+    from whatdropsnow_etl_spark.streaming import (
+        budget_report,
+        fold_score_bins,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    q = quality_score(docs).select("doc_id", "quality", "n_tokens")
+    state = None
+    for part in (1, 2, 0):
+        state = fold_score_bins(
+            state, q.where(F.col("doc_id") % 3 == part), "quality",
+            "n_tokens",
+        )
+    got = sorted(
+        [tuple(r) for r in budget_report(state).collect()], key=repr
+    )
+    want = sorted(
+        [
+            tuple(r)
+            for r in token_budget_curve(q, "quality", "n_tokens").collect()
+        ],
+        key=repr,
+    )
+    assert got == want
+    assert state.count() <= 10
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

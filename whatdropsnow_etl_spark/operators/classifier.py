@@ -648,6 +648,20 @@ def token_budget_curve(
             F.sum("__w").cast("bigint").alias("sum_w"),
         )
     )
+    return budget_curve_from_bins(per)
+
+
+def budget_curve_from_bins(per: DataFrame) -> DataFrame:
+    """The post-histogram half of :func:`token_budget_curve` — the
+    cumulative sweep from the (bin, n_rows, sum_w) histogram. Split
+    out (the fano_from_histogram convention) so streaming
+    maintenance (streaming/budget.py) reports through the SAME
+    arithmetic the batch operator runs."""
+    per = per.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_w").cast("bigint").alias("sum_w"),
+    )
     hi = per.select(
         F.col("bin").alias("__hb"),
         F.col("n_rows").alias("__hn"),
