@@ -62,6 +62,16 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t_spark = time.perf_counter() - t0
+        # r10: release persisted blocks between queries (bench.py
+        # run_one has the same release and the rationale)
+        spark.catalog.clearCache()
+        try:
+            rdds = spark.sparkContext._jsc.sc().getPersistentRDDs()
+            it = rdds.iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:  # noqa: BLE001
+            pass
         t0 = time.perf_counter()
         con.execute(oracles[name]).fetchall()
         t_duck = time.perf_counter() - t0

@@ -143,6 +143,19 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
+        finally:
+            # r10: release the lazily-persisted mid-relations and
+            # localCheckpoint blocks between queries — a 240-query
+            # single-session sweep otherwise accumulates them
+            # (bench.py run_one has the same release)
+            spark.catalog.clearCache()
+            try:
+                rdds = spark.sparkContext._jsc.sc().getPersistentRDDs()
+                it = rdds.iterator()
+                while it.hasNext():
+                    it.next()._2().unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
         if name not in oracles:
             print(f"rows-only {name}: {len(srows)} rows")
             continue
