@@ -1275,6 +1275,20 @@ def _event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_rate_spikes(load_table(spark, sf_dir, "events"), threshold_x=2.0)
 
 
+def _kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness decomposition over the MinHash pair graph (r10
+    — the honest-fixpoint companion of the kcore_peel_pass oracle
+    twin; rows-only like pair_pagerank: the driver-looped peel has
+    no SQL twin, pinned in pytest vs a brute-force reference)."""
+    from whatdropsnow_etl_spark.operators import (
+        kcore_decompose,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kcore_decompose(minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4))
+
+
 def _pair_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected MinHash candidate-pair graph
     (each pair contributes both directions): the hub refinement of
@@ -2305,6 +2319,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "weekly_seasonality": ["dow", "event_type", "hour", "lift", "n_events", "n_type", "share"],
     "quality_budget_curve": ["bin", "cum_rows", "cum_w", "cum_w_share", "n_rows", "sum_w"],
     "media_animation_probe": ["doc_id", "height", "n_frames", "sum_rgb", "width"],
+    "kcore_decomposition": ["coreness", "node"],
     "dsir_weights": ["doc_id", "n_tokens", "rank", "score_bits"],
     "exact_substring_spans": ["doc_id", "span_end", "span_start", "span_tokens"],
     "auc_exact": ["auc", "group", "n_neg", "n_pos", "u2"],
@@ -2902,6 +2917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _ann_ivf_trained,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "pair_pagerank": _pair_pagerank,
+        # rows-only (driver-looped peel fixpoint; the single pass is
+        # the oracle twin) — r10, the pair_pagerank convention
+        "kcore_decomposition": _kcore_decomposition,
         # rows-only by design: eigendecomposition has no SQL twin;
         # numpy-pinned + partitioning-invariance bit-identity pytest
         "embedding_pca": _embedding_pca,

@@ -690,3 +690,35 @@ def test_gif_round_trip_property(w, h, ncolor, interlace, seed):
     px = pal[idx]
     d = decode_gif(encode_gif87a(w, h, pixels=px, interlace=interlace))
     assert (d["px"] == px).all()
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    n_frames=st.integers(1, 5),
+    ncolor=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+@CODEC
+def test_animated_gif_round_trip_property(w, h, n_frames, ncolor, seed):
+    """The r10 animated codec inverts every (size, frames, palette)
+    combo: per-frame pixels recover bit-exactly through the shared
+    global palette and per-frame LZW, and the cross-frame sums are
+    the sums of the parts."""
+    import numpy as np
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_gif_frames,
+        encode_gif89a_frames,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolor, 3)).astype(np.uint8)
+    frames = [pal[rng.randint(0, ncolor, (h, w))] for _ in range(n_frames)]
+    d = decode_gif_frames(encode_gif89a_frames(w, h, frames))
+    assert d["n_frames"] == n_frames
+    for f, g in zip(frames, d["frames"]):
+        assert (f == g).all()
+    assert d["sum_r"] == sum(
+        int(f[:, :, 0].astype(np.int64).sum()) for f in frames
+    )
