@@ -5923,6 +5923,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id,
                CASE WHEN d.doc_id % 16 = 8 THEN 'gif'
+                    WHEN d.doc_id % 32 = 16 THEN 'ppm'
                     WHEN d.doc_id % 8 = 0 THEN 'bmp'
                     WHEN d.doc_id % 8 = 4 THEN 'jpeg'
                     WHEN d.doc_id % 2 = 0 THEN 'png'

@@ -533,6 +533,40 @@ def test_streaming_budget_curve_equals_batch(spark):
     assert state.count() <= 10
 
 
+def test_ppm_codec_round_trip():
+    """r10 P6 PPM: encode -> decode is bit-exact, header comments
+    skip per the netpbm spec, resize round-trips as a valid PPM, and
+    P3 / non-255 maxval / truncation raise named gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import (
+        decode_ppm,
+        encode_ppm,
+        resize_ppm_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    d = decode_ppm(encode_ppm(7, 5, pixels=px))
+    assert (d["px"] == px).all()
+    assert d["sum_g"] == int(px[:, :, 1].astype(np.int64).sum())
+    # comment lines anywhere in the header token stream
+    raw = encode_ppm(3, 2, (10, 20, 30))
+    commented = raw[:3] + b"# a comment\n# another\n" + raw[3:]
+    d2 = decode_ppm(commented)
+    assert (d2["width"], d2["height"], d2["sum_b"]) == (3, 2, 6 * 30)
+    # resize round-trip stays a valid PPM with exact gather sums
+    r = decode_ppm(resize_ppm_nearest(raw, 6, 4))
+    assert (r["width"], r["height"], r["sum_r"]) == (6, 4, 24 * 10)
+    with _pytest.raises(NotImplementedError, match="P3"):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")
+    with _pytest.raises(NotImplementedError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x00")
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

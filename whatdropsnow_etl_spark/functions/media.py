@@ -45,6 +45,79 @@ def encode_bmp24(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     return header + info + pixel_data
 
 
+def encode_ppm(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    pixels: "np.ndarray | None" = None,
+) -> bytes:
+    """Binary netpbm P6 PPM (r10): ASCII header (magic, dims,
+    maxval 255) + raw interleaved RGB rows — the simplest REAL image
+    container in the wild, and a distinct header-parse path (ASCII
+    tokens with comment lines) next to the struct-packed formats."""
+    if pixels is None:
+        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Full P6 PPM decode: tokenized ASCII header (comments `#...`
+    skipped per the netpbm spec), raw RGB rows, exact integer
+    per-channel sums — the decode_bmp24 output contract (``px``
+    included so resize reuses the decode). P3 (ASCII pixels) and
+    maxval != 255 raise named gates."""
+    if payload[:2] == b"P3":
+        raise NotImplementedError("ASCII (P3) PPM")
+    if payload[:2] != b"P6":
+        raise ValueError("not a PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly ONE whitespace byte after maxval, per spec
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} (only 8-bit)")
+    n = width * height * 3
+    if len(payload) - pos < n:
+        raise ValueError("truncated PPM pixel data")
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+        .reshape(height, width, 3)
+        .astype(np.int64)
+    )
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sum_r": int(px[:, :, 0].sum()),
+        "sum_g": int(px[:, :, 1].sum()),
+        "sum_b": int(px[:, :, 2].sum()),
+        "px": px.astype(np.uint8),
+    }
+
+
+def resize_ppm_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of a PPM — same gather arithmetic
+    as the BMP/PNG/GIF twins, re-encoded as P6."""
+    d = decode_ppm(payload)
+    px = d["px"]
+    ys = (np.arange(out_h) * d["height"]) // out_h
+    xs = (np.arange(out_w) * d["width"]) // out_w
+    return encode_ppm(out_w, out_h, pixels=px[ys][:, xs])
+
+
 def decode_bmp24(payload: bytes) -> dict:
     """Parse a 24-bit uncompressed BMP: dimensions + exact per-channel
     pixel sums (integers — no float averaging in the codec)."""

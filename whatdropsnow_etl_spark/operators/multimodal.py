@@ -386,6 +386,7 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             encode_bmp24,
             encode_gif87a,
             encode_png_rgb8,
+            encode_ppm,
             encode_wav_float32,
             encode_wav_pcm,
         )
@@ -407,7 +408,21 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             )
                         )
                     elif did % 8 == 0:
-                        payloads.append(encode_bmp24(w, h, rgb))
+                        # r10: ids ≡ 16 (mod 32) are binary netpbm
+                        # P6 PPM — same solid color, so every oracle
+                        # formula stays format-independent, but the
+                        # decoder walks the tokenized-ASCII-header
+                        # path (with a comment line to exercise the
+                        # spec's `#` skip)
+                        if did % 32 == 16:
+                            hdr_px = encode_ppm(w, h, rgb)
+                            payloads.append(
+                                hdr_px[:3]
+                                + b"# synthetic asset\n"
+                                + hdr_px[3:]
+                            )
+                        else:
+                            payloads.append(encode_bmp24(w, h, rgb))
                     elif did % 8 == 4:
                         # both decode to the same closed-form color,
                         # so the oracle is mode-independent — but the
@@ -521,6 +536,7 @@ def media_probe(media: DataFrame) -> DataFrame:
             decode_bmp24,
             decode_gif,
             decode_png_rgb8,
+            decode_ppm,
             decode_wav16,
         )
 
@@ -533,6 +549,7 @@ def media_probe(media: DataFrame) -> DataFrame:
                     or payload[:4] == b"\x89PNG"
                     or payload[:2] == b"\xff\xd8"
                     or payload[:4] == b"GIF8"
+                    or payload[:2] == b"P6"
                 ):
                     if payload[:4] == b"\x89PNG":
                         fmt, d = "png", decode_png_rgb8(payload)
@@ -545,6 +562,9 @@ def media_probe(media: DataFrame) -> DataFrame:
                         # progressive (functions/jpeg.py — Huffman +
                         # annex-G multi-scan + IDCT)
                         fmt, d = "jpeg", decode_jpeg_baseline(payload)
+                    elif payload[:2] == b"P6":
+                        # r10: binary netpbm — tokenized ASCII header
+                        fmt, d = "ppm", decode_ppm(payload)
                     else:
                         fmt, d = "bmp", decode_bmp24(payload)
                     rows.append(
@@ -610,9 +630,11 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             decode_bmp24,
             decode_gif,
             decode_png_rgb8,
+            decode_ppm,
             resize_bmp24_nearest,
             resize_gif_nearest,
             resize_png_rgb8_nearest,
+            resize_ppm_nearest,
         )
 
         for batch in it:
@@ -623,6 +645,8 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                     dec, rsz = decode_png_rgb8, resize_png_rgb8_nearest
                 elif payload[:4] == b"GIF8":
                     dec, rsz = decode_gif, resize_gif_nearest
+                elif payload[:2] == b"P6":
+                    dec, rsz = decode_ppm, resize_ppm_nearest
                 else:
                     dec, rsz = decode_bmp24, resize_bmp24_nearest
                 src = dec(payload)
@@ -644,6 +668,7 @@ def media_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
         F.startswith(F.col("payload"), F.lit(b"BM"))
         | F.startswith(F.col("payload"), F.lit(b"\x89PNG"))
         | F.startswith(F.col("payload"), F.lit(b"GIF8"))
+        | F.startswith(F.col("payload"), F.lit(b"P6"))
     )
     return imgs.mapInPandas(go, schema=MEDIA_RESIZE_SCHEMA)
 
