@@ -315,6 +315,10 @@ EAGER_OK = {
     # copies of its input plan, so lazy chaining grows 4^p);
     # PySpark's localCheckpoint runs RDD jobs even with eager=False
     "nn_descent_recall_curve",
+    # the coreness peel is a driver-looped fixpoint: one 1-row count
+    # per round + localCheckpoint lineage flattening (r10, the
+    # pair_pagerank convention)
+    "kcore_decomposition",
 }
 # Queries expected to broadcast at least one join side.
 EXPECT_BROADCAST = {
