@@ -2349,8 +2349,14 @@ def test_media_probe_decodes_real_payloads(spark):
 
     docs = spark.range(32).select(F.col("id").alias("doc_id"))
     out = {r["doc_id"]: r for r in media_probe(attach_media_payload(docs)).collect()}
-    assert out[16]["format"] == "bmp"
+    assert out[0]["format"] == "bmp"
+    # r10: ids ≡ 16 (mod 32) are binary netpbm P6 PPM — same
+    # id-derived parameters recovered through the tokenized-ASCII
+    # header path (image formulas are format-independent)
+    assert out[16]["format"] == "ppm"
     assert out[16]["width"] == 4 + 16 % 13 and out[16]["height"] == 3 + 16 % 7
+    s16 = (16 % 256) + (16 * 3) % 256 + (16 * 7) % 256
+    assert out[16]["sum_rgb"] == (4 + 16 % 13) * (3 + 16 % 7) * s16
     # r9: ids ≡ 8 (mod 16) are GIF87a through the real LZW decoder
     # (id 24 is the row-INTERLACED class); image formulas are
     # format-independent by construction
