@@ -567,6 +567,36 @@ def test_ppm_codec_round_trip():
         decode_ppm(b"P6\n4 4\n255\n\x00\x00")
 
 
+def test_media_probe_quarantine_mode(spark):
+    """on_error='quarantine': corrupt blobs become rows with NULL
+    metrics and a rendered error instead of killing the job; clean
+    rows match the strict mode exactly; default mode still raises."""
+    import pytest as _pytest
+
+    from whatdropsnow_etl_spark.functions.media import encode_bmp24
+    from whatdropsnow_etl_spark.operators import media_probe
+
+    good = encode_bmp24(3, 2, (10, 20, 30))
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"\x00\x01garbage")),        # unknown magic
+        (3, bytearray(b"P6\n4 4\n255\n\x00")),     # truncated PPM
+        (4, bytearray(b"P6\n1 1\n65535\n" + b"\x00" * 6)),  # gated maxval
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in media_probe(media, on_error="quarantine").collect()}
+    assert got[1].error is None and got[1].format == "bmp"
+    assert got[1].sum_rgb == 6 * (10 + 20 + 30)
+    assert got[2].format is None and "unknown media magic" in got[2].error
+    assert "truncated" in got[3].error
+    assert got[4].error.startswith("NotImplementedError")
+    # strict mode still raises on the same relation
+    with _pytest.raises(Exception):
+        media_probe(media).collect()
+    with _pytest.raises(ValueError, match="on_error"):
+        media_probe(media, on_error="skip")
+
+
 def test_kcore_decompose_empty_and_selfloops(spark):
     from whatdropsnow_etl_spark.operators import kcore_decompose
 

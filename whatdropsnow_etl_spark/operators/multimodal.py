@@ -510,7 +510,10 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def media_probe(media: DataFrame) -> DataFrame:
+MEDIA_QUARANTINE_SCHEMA = MEDIA_SCHEMA + ", error string"
+
+
+def media_probe(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL byte-level media probe: sniff the magic bytes and decode
     BMP, PNG, GIF (r9: full LZW + palette lookup, interlace honored)
     or JPEG (dimensions + exact per-channel pixel sums,
@@ -526,7 +529,21 @@ def media_probe(media: DataFrame) -> DataFrame:
     corrupt blob in a media table is a data bug, not a row to drop
     silently). Emits MEDIA_SCHEMA with NULLs in the
     other modality's columns.
+
+    ``on_error="quarantine"`` (r10) is the 100 TB operational mode:
+    one corrupt blob must not kill a week-long job, and SILENTLY
+    dropping it hides data bugs — so every per-payload decode error
+    (truncation, bad magic, a gated mode like an animated GIF or a
+    non-255-maxval PPM) becomes a ROW with NULL metrics and the
+    exception rendered in an ``error`` column (schema
+    MEDIA_QUARANTINE_SCHEMA; clean rows carry error NULL). The
+    caller splits on ``error IS NULL`` — metrics one way, the
+    quarantine relation to triage the other (the CSV corrupt-row
+    quarantine convention from sources/files.py applied to blobs).
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine: {on_error}")
+    quarantine = on_error == "quarantine"
 
     def probe(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd  # noqa: PLC0415
@@ -540,10 +557,7 @@ def media_probe(media: DataFrame) -> DataFrame:
             decode_wav16,
         )
 
-        for batch in it:
-            rows = []
-            for did, payload in zip(batch["doc_id"], batch["payload"]):
-                payload = bytes(payload)
+        def decode_one(did, payload):
                 if (
                     payload[:2] == b"BM"
                     or payload[:4] == b"\x89PNG"
@@ -567,37 +581,58 @@ def media_probe(media: DataFrame) -> DataFrame:
                         fmt, d = "ppm", decode_ppm(payload)
                     else:
                         fmt, d = "bmp", decode_bmp24(payload)
-                    rows.append(
-                        {
-                            "doc_id": did,
-                            "format": fmt,
-                            "width": d["width"],
-                            "height": d["height"],
-                            "sum_rgb": d["sum_r"] + d["sum_g"] + d["sum_b"],
-                            "sample_rate": None,
-                            "n_samples": None,
-                            "energy": None,
-                        }
-                    )
+                    return {
+                        "doc_id": did,
+                        "format": fmt,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "sum_rgb": d["sum_r"] + d["sum_g"] + d["sum_b"],
+                        "sample_rate": None,
+                        "n_samples": None,
+                        "energy": None,
+                    }
                 elif payload[:4] == b"RIFF":
                     d = decode_wav16(payload)
-                    rows.append(
-                        {
-                            "doc_id": did,
-                            "format": "wav",
-                            "width": None,
-                            "height": None,
-                            "sum_rgb": None,
-                            "sample_rate": d["sample_rate"],
-                            "n_samples": d["n_samples"],
-                            "energy": d["energy"],
-                        }
-                    )
+                    return {
+                        "doc_id": did,
+                        "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "sum_rgb": None,
+                        "sample_rate": d["sample_rate"],
+                        "n_samples": d["n_samples"],
+                        "energy": d["energy"],
+                    }
                 else:
                     raise ValueError(f"unknown media magic for doc {did}")
+
+        for batch in it:
+            rows = []
+            for did, payload in zip(batch["doc_id"], batch["payload"]):
+                payload = bytes(payload)
+                if not quarantine:
+                    rows.append(decode_one(did, payload))
+                    continue
+                try:
+                    row = decode_one(did, payload)
+                    row["error"] = None
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    row = {
+                        "doc_id": did,
+                        "format": None,
+                        "width": None,
+                        "height": None,
+                        "sum_rgb": None,
+                        "sample_rate": None,
+                        "n_samples": None,
+                        "energy": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+                rows.append(row)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(probe, schema=MEDIA_SCHEMA)
+    schema = MEDIA_QUARANTINE_SCHEMA if quarantine else MEDIA_SCHEMA
+    return media.mapInPandas(probe, schema=schema)
 
 
 MEDIA_RESIZE_SCHEMA = (
