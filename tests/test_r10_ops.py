@@ -330,6 +330,42 @@ def test_neighborhood_jaccard_hand_graph(spark):
     assert e12.jaccard == 0.25  # {3} over {2,3,4,1}
 
 
+def test_neighborhood_jaccard_hub_cap(spark):
+    """max_center_degree excludes hot hubs from acting as wedge
+    CENTERS (their edges still count toward degrees/is_edge): the
+    star's leaf pairs vanish, pairs through low-degree centers
+    survive with identical scores."""
+    from whatdropsnow_etl_spark.operators import neighborhood_jaccard
+
+    # star around hub 1 (deg 4) + a path 2-10-3 (center 10 deg 2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 10), (10, 3)],
+        "doc_a long, doc_b long",
+    )
+    full = {
+        (r.node_a, r.node_b): r
+        for r in neighborhood_jaccard(pairs).collect()
+    }
+    capped = {
+        (r.node_a, r.node_b): r
+        for r in neighborhood_jaccard(
+            pairs, max_center_degree=3
+        ).collect()
+    }
+    # (2,3) reachable via BOTH hub 1 and center 10: survives the cap
+    # with n_common reduced from 2 to 1
+    assert full[(2, 3)].n_common == 2
+    assert capped[(2, 3)].n_common == 1
+    # degrees and is_edge are cap-independent: deg(2) = |{1, 10}|
+    assert capped[(2, 3)].deg_a == full[(2, 3)].deg_a == 2
+    # hub-only pairs (4,5), (2,4)... drop entirely under the cap
+    assert (4, 5) in full and (4, 5) not in capped
+    # pairs through the surviving center keep exact arithmetic:
+    # (2,3) jaccard under cap = 1 / (2 + 2 - 1)
+    assert capped[(2, 3)].jaccard == round(1 / 3, 6)
+    assert full[(2, 3)].jaccard == 1.0  # {1,10} over {1,10}
+
+
 def test_weekly_seasonality_hand_timestamps(spark):
     """2024-01-01 was a MONDAY (dow 1 in the 0=Sunday convention);
     cells, shares and lifts are exact."""

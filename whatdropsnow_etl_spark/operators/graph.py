@@ -502,6 +502,7 @@ def neighborhood_jaccard(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     min_common: int = 1,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction over the undirected
     duplicate-pair graph (Liben-Nowell & Kleinberg 2003's
@@ -529,6 +530,18 @@ def neighborhood_jaccard(
     one map-combined pair count, two node-keyed degree joins. No
     windows, no UDFs, no collects.
 
+    100 TB hub cap: Σ deg² is dominated by hot hubs (a boilerplate
+    template with 10⁶ near-dups contributes 10¹² wedges), and unlike
+    triangle counting the wedge CENTER cannot be degree-oriented
+    away — both neighbors legitimately flow through it. Pass
+    ``max_center_degree`` to exclude hubs above the cap from acting
+    as wedge centers (their edges still count toward deg_a/deg_b and
+    is_edge): the standard bounded-wedge approximation — scores
+    through surviving centers are exact, pairs ONLY connected
+    through capped hubs are missed, and a hub's own neighborhood
+    is precisely the cluster dedup_clusters already merges wholesale.
+    Default None stays exact (the DuckDB-twin-checkable flavor).
+
     Output: (node_a, node_b, n_common, deg_a, deg_b, is_edge,
     jaccard 6dp), one row per two-hop pair with n_common >=
     ``min_common``.
@@ -548,9 +561,15 @@ def neighborhood_jaccard(
     deg = sym.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
+    centers = sym
+    if max_center_degree is not None:
+        keep = deg.where(F.col("deg") <= max_center_degree).select(
+            F.col("node").alias("nbr")
+        )
+        centers = sym.join(keep, "nbr", "left_semi")
     wedge = (
-        sym.alias("l")
-        .join(sym.alias("r"), F.col("l.nbr") == F.col("r.nbr"))
+        centers.alias("l")
+        .join(centers.alias("r"), F.col("l.nbr") == F.col("r.nbr"))
         .where(F.col("l.node") < F.col("r.node"))
         .select(
             F.col("l.node").alias("node_a"), F.col("r.node").alias("node_b")
