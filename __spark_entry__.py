@@ -2946,11 +2946,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     mad_outliers, the four _bucketed_rank consumers,
     #     vocab_jaccard) and the GIF block-walk hardening
     #     (media_probe/media_resize decode GIF payload classes);
-    # (d) oldest-first refresh: 33 of the 42 remaining rows whose
-    #     freshest green is r5. The 9 spilled (q11/q16/q17/q18/q19/
-    #     q21/q22/rollup_flag_status/tumbling_window_agg — static
-    #     OLAP plans whose own code is unchanged since their last
-    #     gate) lead the r11 rotation.
+    # (d) oldest-first refresh: 32 of the 42 remaining rows whose
+    #     freshest green is r5. The 10 spilled (q11/q16/q17/q18/q19/
+    #     q21/q22/rollup_flag_status/tumbling_window_agg/
+    #     winsorize_report — static plans whose own code is
+    #     unchanged since their last gate) lead the r11 rotation.
     # Composition asserted, not hand-counted:
     # tests/test_entry_contract.py::test_gate_window_composition.
     window = [
@@ -2975,7 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_jaccard",
         "media_probe",
         "media_resize",
-        # (d) r5-stale refresh (33 of 42)
+        # (d) r5-stale refresh (32 of 42)
         "ann_cosine_topk",
         "ann_lsh_bucketed",
         "ann_recall_report",
@@ -7197,12 +7197,18 @@ def oracle_sql() -> dict[str, str]:
     # r10: per-type dow x hour seasonality — cell assignment is pure
     # integer epoch arithmetic in UTC (day 0 = Thursday), totals
     # aggregate from the cells
+    # Floor/pmod cell arithmetic (functions/timeutil.epoch_day_cell):
+    # DuckDB's // and % truncate toward zero like Spark's div/%, so
+    # both sides use the explicit nonnegative-remainder construction
+    # — dow/hour stay in range for pre-1970 epochs too (ADVICE r10).
     sql["weekly_seasonality"] = """
         WITH c AS (
           SELECT event_type,
-                 CAST(((epoch_us(ts) // 86400000000) + 4) % 7
+                 CAST(((((epoch_us(ts) % 604800000000) + 604800000000)
+                        % 604800000000) // 86400000000 + 4) % 7
                       AS BIGINT) AS dow,
-                 CAST((epoch_us(ts) % 86400000000) // 3600000000
+                 CAST((((epoch_us(ts) % 86400000000) + 86400000000)
+                       % 86400000000) // 3600000000
                       AS BIGINT) AS hour
           FROM events
           WHERE event_type IS NOT NULL AND ts IS NOT NULL

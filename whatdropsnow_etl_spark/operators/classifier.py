@@ -657,11 +657,16 @@ def budget_curve_from_bins(per: DataFrame) -> DataFrame:
     out (the fano_from_histogram convention) so streaming
     maintenance (streaming/budget.py) reports through the SAME
     arithmetic the batch operator runs."""
+    # The histogram relation feeds both sides of the cumulative
+    # self-join AND the total aggregate (3 references) — without the
+    # lazy persist Catalyst re-runs the full-corpus groupBy behind it
+    # each time (the rank_correlation subplan-reuse lesson). n_bins
+    # rows, so the pin is trivially cheap.
     per = per.select(
         F.col("bin").cast("bigint").alias("bin"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("sum_w").cast("bigint").alias("sum_w"),
-    )
+    ).persist()
     hi = per.select(
         F.col("bin").alias("__hb"),
         F.col("n_rows").alias("__hn"),
@@ -676,7 +681,7 @@ def budget_curve_from_bins(per: DataFrame) -> DataFrame:
         )
     )
     tot = per.agg(F.sum("sum_w").cast("bigint").alias("__tw"))
-    return cum.crossJoin(F.broadcast(tot)).select(
+    out = cum.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_rows",
         "sum_w",
@@ -686,6 +691,8 @@ def budget_curve_from_bins(per: DataFrame) -> DataFrame:
             F.col("cum_w").cast("double") / F.col("__tw").cast("double"), 6
         ).alias("cum_w_share"),
     )
+    out._cached_inputs = [per]
+    return out
 
 
 def cohens_kappa(

@@ -1477,13 +1477,16 @@ def weekly_seasonality(
 
     No reference twin — extends SURVEY §2.2's events family.
 
-    Exactness: day-of-week and hour come from pure INTEGER epoch
-    arithmetic in UTC — day = us div 86 400e6, dow = (day + 4) mod 7
-    (epoch day 0 was a Thursday; 0 = Sunday), hour = (us mod
-    86 400e6) div 3 600e6 — no calendar/timezone library in either
-    engine, so cell assignment is bit-identical. Counts are exact
-    BIGINTs; share = n/n_type and lift = n·168/n_type are rounded
-    display divisions.
+    Exactness: day-of-week and hour come from pure integer epoch
+    arithmetic in UTC with FLOOR semantics (functions.timeutil.
+    epoch_day_cell) — dow = floor(us / 86 400e6 + 4) mod 7 (epoch
+    day 0 was a Thursday; 0 = Sunday), hour = pmod(us, 86 400e6)
+    div 3 600e6 — no calendar/timezone library in either engine, and
+    the oracle mirrors the same pmod construction, so cell
+    assignment is bit-identical for ALL epochs including pre-1970
+    (truncating div/% would shift dow and go negative on hour there
+    — the ADVICE-r10 divergence). Counts are exact BIGINTs; share =
+    n/n_type and lift = n·168/n_type are rounded display divisions.
 
     Scale shape: ONE map-combined groupBy to the <= types×168 cell
     histogram; per-type totals aggregate from the CELLS (not a
@@ -1492,23 +1495,16 @@ def weekly_seasonality(
 
     Output: (event_type, dow, hour, n_events, n_type, share, lift).
     """
-    from ..functions.timeutil import ts_micros
+    from ..functions.timeutil import epoch_day_cell, ts_micros
 
     us = ts_micros(F.col(ts_col))
+    dow, hour = epoch_day_cell(F.col("__us"))
     cells = (
         events.select(
             F.col(type_col).alias("event_type"), us.alias("__us")
         )
         .where(F.col("event_type").isNotNull() & F.col("__us").isNotNull())
-        .select(
-            "event_type",
-            F.pmod(F.expr("__us div 86400000000") + 4, F.lit(7))
-            .cast("bigint")
-            .alias("dow"),
-            F.expr("(__us % 86400000000) div 3600000000")
-            .cast("bigint")
-            .alias("hour"),
-        )
+        .select("event_type", dow.alias("dow"), hour.alias("hour"))
         .groupBy("event_type", "dow", "hour")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )

@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class KCoreRoundsExhausted(RuntimeError):
+    """kcore_decompose ran out of rounds with nodes still active —
+    the decomposition would be partial, so it refuses to return."""
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -491,6 +496,19 @@ def kcore_decompose(
         active.unpersist()
         edges.unpersist()
         active, edges = new_active, new_edges
+    else:
+        # max_rounds exhausted with nodes still active — a silent
+        # return here would hand back a PARTIAL decomposition (the
+        # still-active nodes simply get no coreness row), which reads
+        # as complete downstream. Fail loudly instead (ADVICE r10).
+        if not active.isEmpty():
+            n_left = active.count()
+            raise KCoreRoundsExhausted(
+                f"kcore_decompose: max_rounds={max_rounds} exhausted with "
+                f"{n_left} node(s) still active at level k={k}; raise "
+                "max_rounds (the loop needs O(max coreness + peel waves) "
+                "rounds) or peel with kcore_peel_pass manually"
+            )
     out = done if done is not None else spark.createDataFrame(
         [], "node string, coreness bigint"
     )

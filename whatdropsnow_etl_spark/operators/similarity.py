@@ -1686,7 +1686,12 @@ def mmr_select_pass(
         F.round("__rel", 6).alias("relevance"),
         F.round("__score", 6).alias("mmr_score"),
     )
-    return out1.unionByName(out2)
+    out = out1.unionByName(out2)
+    # Expose the persisted pool so callers can release it once the
+    # output is materialized (the pagerank_update_pass convention) —
+    # otherwise each call pins one cached relation for the session.
+    out._cached_inputs = [pooled]
+    return out
 
 
 def nn_descent_pass(
@@ -1950,6 +1955,9 @@ def nn_descent_recall_curve(
         if materialize:
             g = g.localCheckpoint(eager=False)
         out = out.unionByName(_recall_row(g, p))
+    # Expose the persisted exact-top-k relation for caller release
+    # (the pagerank_update_pass convention).
+    out._cached_inputs = [exact]
     return out
 
 

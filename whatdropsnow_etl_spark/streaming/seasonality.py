@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.timeutil import ts_micros
+from ..functions.timeutil import epoch_day_cell, ts_micros
 from ..operators.events import seasonality_from_cells
 
 
@@ -41,18 +41,11 @@ def fold_seasonality_cells(
     type or timestamp rows are excluded (the batch operator's
     contract)."""
     us = ts_micros(F.col(ts_col))
+    dow, hour = epoch_day_cell(F.col("__us"))
     cells = (
         batch.select(F.col(type_col).alias("event_type"), us.alias("__us"))
         .where(F.col("event_type").isNotNull() & F.col("__us").isNotNull())
-        .select(
-            "event_type",
-            F.pmod(F.expr("__us div 86400000000") + 4, F.lit(7))
-            .cast("bigint")
-            .alias("dow"),
-            F.expr("(__us % 86400000000) div 3600000000")
-            .cast("bigint")
-            .alias("hour"),
-        )
+        .select("event_type", dow.alias("dow"), hour.alias("hour"))
         .groupBy("event_type", "dow", "hour")
         .agg(F.count(F.lit(1)).cast("bigint").alias(count_col))
     )
