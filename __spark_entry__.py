@@ -2033,6 +2033,42 @@ def _quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_curve(q, "quality", "n_tokens")
 
 
+def _seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: hour buckets >= 2 sigma from their own (dow, hour)
+    weekly-cell baseline — the anomaly screen weekly_seasonality's
+    profile feeds (exact integer moments, one rounded z)."""
+    from whatdropsnow_etl_spark.operators import seasonal_anomalies
+
+    return seasonal_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def _event_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: lagged Pearson cross-correlation between per-type hourly
+    count series (lead/lag funnel screen; corr_matrix's decimal
+    moment discipline over the hour histogram)."""
+    from whatdropsnow_etl_spark.operators import event_xcorr
+
+    return event_xcorr(load_table(spark, sf_dir, "events"), max_lag=2)
+
+
+def _survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: Kaplan-Meier risk table for user time-to-churn (7-day
+    churn gate vs the global max timestamp; exact integer risk sets,
+    one rounded hazard division)."""
+    from whatdropsnow_etl_spark.operators import survival_hazard
+
+    return survival_hazard(load_table(spark, sf_dir, "events"))
+
+
+def _kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: per-source unigram KL divergence from the rest of the
+    corpus in whole bits (_floor_log2_ratio_signed — the
+    bigram_surprisal libm-free discipline, extended to ratios < 1)."""
+    from whatdropsnow_etl_spark.operators import kl_source_divergence
+
+    return kl_source_divergence(load_table(spark, sf_dir, "documents"))
+
+
 def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: reliability diagram + ECE of the quality score against
     the gopher gate — "does quality=0.9 actually pass the rules 90%
@@ -2317,6 +2353,10 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "nn_descent_recall_curve": ["n_hits", "n_queries", "recall", "round"],
     "neighborhood_jaccard": ["deg_a", "deg_b", "is_edge", "jaccard", "n_common", "node_a", "node_b"],
     "weekly_seasonality": ["dow", "event_type", "hour", "lift", "n_events", "n_type", "share"],
+    "seasonal_anomalies": ["cell_total", "day", "dow", "event_type", "hour", "n_events", "n_weeks", "z"],
+    "event_xcorr": ["corr", "lag", "n_hours", "sum_xy", "type_a", "type_b"],
+    "survival_hazard": ["hazard", "n_censored", "n_churned", "n_risk", "t_days"],
+    "kl_source_divergence": ["kl_bits", "n_tokens", "source", "sum_bits", "vocab"],
     "quality_budget_curve": ["bin", "cum_rows", "cum_w", "cum_w_share", "n_rows", "sum_w"],
     "media_animation_probe": ["doc_id", "height", "n_frames", "sum_rgb", "width"],
     "kcore_decomposition": ["coreness", "node"],
@@ -2786,6 +2826,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r10 continuation — cumulative token budget vs
         # quality threshold (calibration_bins bucketing)
         "quality_budget_curve": _quality_budget_curve,
+        # NEW in r11 — weekly-cell z-score anomaly screen over the
+        # (type, day, hour) bucket histogram
+        "seasonal_anomalies": _seasonal_anomalies,
+        # NEW in r11 — lagged per-type-pair hourly cross-correlation
+        # (corr_matrix decimal moments over the hour histogram)
+        "event_xcorr": _event_xcorr,
+        # NEW in r11 — Kaplan-Meier time-to-churn risk table
+        "survival_hazard": _survival_hazard,
+        # NEW in r11 — per-source whole-bit unigram KL vs rest
+        "kl_source_divergence": _kl_source_divergence,
         # NEW in r10 continuation — REAL animated-GIF multi-frame
         # decode (shared-palette GIF89a encode, extension-aware LZW
         # frame walk), closed-form oracle
@@ -7255,6 +7305,225 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(cum_w AS DOUBLE) / CAST(tot.tw AS DOUBLE), 6)
                  AS cum_w_share
         FROM cum CROSS JOIN tot
+    """
+    # r11: weekly-cell z-score anomalies — the floor/pmod day/hour
+    # construction (timeutil.epoch_floor_index semantics), exact
+    # integer cell moments S1/S2, z = (W·n − S1)/sqrt(W·S2 − S1²)
+    # with the threshold comparing the 6-dp ROUNDED |z|
+    sql["seasonal_anomalies"] = """
+        WITH raw AS (
+          SELECT event_type,
+                 (epoch_us(ts)
+                  - ((epoch_us(ts) % 86400000000 + 86400000000)
+                     % 86400000000)) // 86400000000 AS day,
+                 ((epoch_us(ts) % 86400000000 + 86400000000)
+                  % 86400000000) // 3600000000 AS hour
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), b AS (
+          SELECT event_type, CAST(day AS BIGINT) AS day,
+                 CAST(hour AS BIGINT) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM raw GROUP BY 1, 2, 3
+        ), wk AS (
+          SELECT CAST(COUNT(DISTINCT
+                   (day - ((day % 7 + 7) % 7)) // 7) AS BIGINT)
+                 AS n_weeks
+          FROM b
+        ), cells AS (
+          SELECT event_type,
+                 CAST(((day + 4) % 7 + 7) % 7 AS BIGINT) AS dow, hour,
+                 CAST(SUM(n_events) AS BIGINT) AS s1,
+                 CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+          FROM b GROUP BY 1, 2, 3
+        )
+        SELECT b.event_type, b.day,
+               CAST(((b.day + 4) % 7 + 7) % 7 AS BIGINT) AS dow,
+               b.hour, b.n_events, n_weeks, s1 AS cell_total,
+               ROUND(CAST(n_weeks * b.n_events - s1 AS DOUBLE)
+                     / SQRT(CAST(n_weeks * s2 - s1 * s1 AS DOUBLE)),
+                     6) AS z
+        FROM b
+        JOIN cells ON b.event_type = cells.event_type
+          AND ((b.day + 4) % 7 + 7) % 7 = cells.dow
+          AND b.hour = cells.hour
+        CROSS JOIN wk
+        WHERE n_weeks * s2 - s1 * s1 > 0
+          AND ABS(ROUND(CAST(n_weeks * b.n_events - s1 AS DOUBLE)
+                  / SQRT(CAST(n_weeks * s2 - s1 * s1 AS DOUBLE)), 6))
+              >= 2.0
+    """
+    # r11: lagged hourly cross-correlation — exact DECIMAL(38,0)
+    # moments (window sums = totals minus lag-bounded edge tails),
+    # VARCHAR-routed decimal->double casts (the corr_matrix r2
+    # convention), corr in doubles with the identical op order
+    sql["event_xcorr"] = """
+        WITH h AS (
+          SELECT event_type AS t,
+                 CAST((epoch_us(ts)
+                       - ((epoch_us(ts) % 3600000000 + 3600000000)
+                          % 3600000000)) // 3600000000 AS BIGINT)
+                   AS hh,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ), bounds AS (
+          SELECT MIN(hh) AS m, MAX(hh) AS mx FROM h
+        ), lags AS (
+          SELECT CAST(u.l AS BIGINT) AS lag
+          FROM UNNEST(range(0, 3)) AS u(l)
+        ), tot AS (
+          SELECT t, CAST(SUM(c) AS DECIMAL(38,0)) AS tt,
+                 CAST(SUM(c * c) AS DECIMAL(38,0)) AS ttsq
+          FROM h GROUP BY 1
+        ), tl AS (
+          SELECT t, lag, CAST(SUM(c) AS DECIMAL(38,0)) AS es,
+                 CAST(SUM(c * c) AS DECIMAL(38,0)) AS ess
+          FROM h CROSS JOIN bounds CROSS JOIN lags
+          WHERE hh > mx - lag GROUP BY 1, 2
+        ), hd AS (
+          SELECT t, lag, CAST(SUM(c) AS DECIMAL(38,0)) AS es,
+                 CAST(SUM(c * c) AS DECIMAL(38,0)) AS ess
+          FROM h CROSS JOIN bounds CROSS JOIN lags
+          WHERE hh < m + lag GROUP BY 1, 2
+        ), x AS (
+          SELECT tot.t AS type_a, lags.lag,
+                 tt - COALESCE(es, 0) AS sx,
+                 ttsq - COALESCE(ess, 0) AS sxx
+          FROM tot CROSS JOIN lags
+          LEFT JOIN tl ON tl.t = tot.t AND tl.lag = lags.lag
+        ), y AS (
+          SELECT tot.t AS type_b, lags.lag,
+                 tt - COALESCE(es, 0) AS sy,
+                 ttsq - COALESCE(ess, 0) AS syy
+          FROM tot CROSS JOIN lags
+          LEFT JOIN hd ON hd.t = tot.t AND hd.lag = lags.lag
+        ), sxy AS (
+          SELECT a.t AS type_a, b.t AS type_b, lags.lag,
+                 CAST(SUM(CAST(a.c AS DECIMAL(38,0)) * b.c)
+                      AS DECIMAL(38,0)) AS pxy
+          FROM h a CROSS JOIN lags
+          JOIN h b ON b.hh = a.hh + lags.lag AND b.t <> a.t
+          GROUP BY 1, 2, 3
+        ), j AS (
+          SELECT x.type_a, y.type_b, x.lag,
+                 CAST(mx - m + 1 - x.lag AS DOUBLE) AS n,
+                 CAST(mx - m + 1 - x.lag AS BIGINT) AS n_hours,
+                 CAST(CAST(x.sx AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(x.sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                 CAST(CAST(y.sy AS VARCHAR) AS DOUBLE) AS sy,
+                 CAST(CAST(y.syy AS VARCHAR) AS DOUBLE) AS syy,
+                 CAST(COALESCE(pxy, 0) AS BIGINT) AS sum_xy,
+                 CAST(CAST(COALESCE(pxy, 0) AS VARCHAR) AS DOUBLE)
+                   AS pxy
+          FROM x
+          JOIN y ON y.lag = x.lag AND y.type_b <> x.type_a
+          LEFT JOIN sxy ON sxy.type_a = x.type_a
+            AND sxy.type_b = y.type_b AND sxy.lag = x.lag
+          CROSS JOIN bounds
+        )
+        SELECT type_a, type_b, lag, n_hours, sum_xy,
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                    THEN ROUND((n * pxy - sx * sy)
+                         / SQRT((n * sxx - sx * sx)
+                                * (n * syy - sy * sy)), 6)
+               END AS corr
+        FROM j
+    """
+    # r11: Kaplan-Meier time-to-churn risk table — exact integer
+    # durations (truncating // on the nonnegative last-first diff IS
+    # floor), strict 7-day churn gate vs the global max, n_risk via
+    # the bounded histogram self-join (b.t >= a.t)
+    sql["survival_hazard"] = """
+        WITH pu AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS f,
+                 MAX(epoch_us(ts)) AS l
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1
+        ), mx AS (SELECT MAX(l) AS mxl FROM pu),
+        m AS (
+          SELECT CAST((l - f) // 86400000000 AS BIGINT) AS t_days,
+                 CASE WHEN mxl - l > 604800000000
+                      THEN 1 ELSE 0 END AS ch
+          FROM pu CROSS JOIN mx
+        ), hist AS (
+          SELECT t_days, CAST(SUM(ch) AS BIGINT) AS n_churned,
+                 CAST(SUM(1 - ch) AS BIGINT) AS n_censored
+          FROM m GROUP BY 1
+        )
+        SELECT a.t_days,
+               CAST(SUM(b.n_churned + b.n_censored) AS BIGINT)
+                 AS n_risk,
+               a.n_churned, a.n_censored,
+               ROUND(CAST(a.n_churned AS DOUBLE)
+                     / CAST(SUM(b.n_churned + b.n_censored) AS DOUBLE),
+                     6) AS hazard
+        FROM hist a JOIN hist b ON b.t_days >= a.t_days
+        GROUP BY a.t_days, a.n_churned, a.n_censored
+    """
+    # r11: per-source whole-bit unigram KL vs rest — the signed
+    # floor-log2 (corpus._floor_log2_ratio_signed): bitlen deltas,
+    # one shift compare per side, clamped shifts so vectorized CASE
+    # arms stay defined; Σ c·bits exact BIGINT, one rounded division
+    sql["kl_source_divergence"] = """
+        WITH tok AS (
+          SELECT source, u.w
+          FROM (SELECT source, string_split(lower(text), ' ') AS t
+                FROM documents WHERE source IS NOT NULL) d,
+               UNNEST(t) AS u(w)
+          WHERE u.w <> ''
+        ), sw AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ), tots AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM sw GROUP BY 1
+        ), wt AS (
+          SELECT w, CAST(SUM(c) AS BIGINT) AS tw FROM sw GROUP BY 1
+        ), g AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_all,
+                 CAST(COUNT(DISTINCT w) AS BIGINT) AS v_all
+          FROM sw
+        ), sc AS (
+          SELECT source, c,
+                 c * (n_all - n_s + v_all) AS num,
+                 (tw - c + 1) * n_s AS den
+          FROM sw JOIN wt USING (w) JOIN tots USING (source)
+          CROSS JOIN g
+        ), dd AS (
+          SELECT source, c, num, den,
+                 GREATEST(length(format('{:b}', num))
+                          - length(format('{:b}', den)), 0) AS d,
+                 GREATEST(length(format('{:b}', den))
+                          - length(format('{:b}', num)), 0) AS d2
+          FROM sc
+        ), ee AS (
+          SELECT source, c, num, den, d,
+                 CASE WHEN den >= num * (CAST(1 AS BIGINT) << d2)
+                      THEN d2 ELSE d2 - 1 END AS e
+          FROM dd
+        ), bits AS (
+          SELECT source, c,
+                 CASE WHEN num >= den THEN
+                   CASE WHEN num >= den * (CAST(1 AS BIGINT) << d)
+                        THEN d ELSE d - 1 END
+                 ELSE
+                   CASE WHEN num * (CAST(1 AS BIGINT)
+                                    << GREATEST(e, 0)) = den
+                        THEN -e ELSE -e - 1 END
+                 END AS b
+          FROM ee
+        ), per AS (
+          SELECT source, CAST(SUM(c * b) AS BIGINT) AS sum_bits
+          FROM bits GROUP BY 1
+        )
+        SELECT per.source, n_s AS n_tokens, vocab, sum_bits,
+               ROUND(CAST(sum_bits AS DOUBLE) / CAST(n_s AS DOUBLE),
+                     6) AS kl_bits
+        FROM per JOIN tots ON per.source = tots.source
     """
     # r9 continuation: reliability diagram + exact ECE of the quality
     # score vs the gopher gate — micro-quantized scores, integer bin

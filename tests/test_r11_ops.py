@@ -140,3 +140,242 @@ def test_cached_inputs_release_convention(spark):
     assert len(rows) > 0
     for c in out._cached_inputs:
         c.unpersist()
+
+
+def test_floor_log2_ratio_signed_exact(spark):
+    """The signed whole-bit log2 matches exact integer math on both
+    sides of ratio 1 (independent reference: Fraction bit-walk)."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from whatdropsnow_etl_spark.operators.corpus import (
+        _floor_log2_ratio_signed,
+    )
+
+    def py_floor_log2(num, den):
+        f = Fraction(num, den)
+        e = 0
+        while f >= 2:
+            f /= 2
+            e += 1
+        while f < 1:
+            f *= 2
+            e -= 1
+        return e
+
+    cases = [
+        (1, 1), (1, 2), (1, 3), (2, 3), (3, 2), (5, 7), (7, 5),
+        (4, 8), (8, 4), (1, 1024), (1023, 1024), (1025, 1024),
+        (999999937, 7), (7, 999999937), (3 ** 20, 2 ** 30),
+        (2 ** 30, 3 ** 20), (6, 48), (48, 6),
+    ]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = {
+        (r.num, r.den): r.bits
+        for r in df.select(
+            "num",
+            "den",
+            _floor_log2_ratio_signed(F.col("num"), F.col("den")).alias(
+                "bits"
+            ),
+        ).collect()
+    }
+    for num, den in cases:
+        assert got[(num, den)] == py_floor_log2(num, den), (num, den)
+
+
+def test_kl_source_divergence_hand_corpus(spark):
+    """Two-source corpus checked against a pure-Python whole-bit KL
+    reference (same add-1-smoothed rest distribution)."""
+    from collections import Counter
+
+    from whatdropsnow_etl_spark.operators import kl_source_divergence
+
+    docs = [
+        (1, "a a a b", "s1"),
+        (2, "a b b c", "s1"),
+        (3, "c c c d d", "s2"),
+        (4, "a d", "s2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.sum_bits, r.kl_bits)
+        for r in kl_source_divergence(df).collect()
+    }
+
+    toks = {}
+    for _, text, src in docs:
+        toks.setdefault(src, []).extend(t for t in text.split(" ") if t)
+    all_counts = Counter(c for v in toks.values() for c in v)
+    n_all = sum(all_counts.values())
+    v_all = len(all_counts)
+
+    def py_floor_log2(num, den):
+        e = num.bit_length() - den.bit_length()
+        if e >= 0:
+            return e if num >= (den << e) else e - 1
+        e = -e
+        return -e if (num << e) == den else -(e + 1) if (num << e) < den else -e
+    for src, words in toks.items():
+        c = Counter(words)
+        n_s = sum(c.values())
+        sum_bits = 0
+        for w, cw in c.items():
+            d = all_counts[w] - cw
+            num = cw * (n_all - n_s + v_all)
+            den = (d + 1) * n_s
+            sum_bits += cw * py_floor_log2(num, den)
+        assert got[src][0] == n_s
+        assert got[src][1] == len(c)
+        assert got[src][2] == sum_bits, src
+        assert got[src][3] == round(sum_bits / n_s, 6)
+
+
+def test_survival_hazard_hand_case(spark):
+    """Risk sets and hazards over a constructed cohort: users churn
+    at known day offsets; censoring = last event within 7 days of
+    the global max."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import survival_hazard
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # u1: duration 0d, last event day 1 -> churned (max - last > 7d)
+    # u2: duration 2d, last day 12 -> churned
+    # u3: duration 10d, last day 20 -> censored (within 7d of max=day 21)
+    # u4: duration 0d, last day 21 (the max) -> censored
+    spec = [(1, 1, 1), (2, 10, 12), (3, 10, 20), (4, 21, 21)]
+    for u, d0, d1 in spec:
+        for d in (d0, d1):
+            rows.append((eid, u, base + dt.timedelta(days=d)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.t_days: (r.n_risk, r.n_churned, r.n_censored, r.hazard)
+        for r in survival_hazard(df).collect()
+    }
+    assert got == {
+        0: (4, 1, 1, 0.25),   # u1 churned, u4 censored; all 4 at risk
+        2: (2, 1, 0, 0.5),    # u2 churned at 2; u2,u3 still at risk
+        10: (1, 0, 1, 0.0),   # u3 censored at 10
+    }
+
+
+def test_event_xcorr_hand_series(spark):
+    """Lag-1 cross-correlation of two constructed hourly series
+    checked against numpy's corrcoef on the shifted windows."""
+    import datetime as dt
+
+    import numpy as np
+
+    from whatdropsnow_etl_spark.operators import event_xcorr
+
+    base = dt.datetime(2024, 1, 1)
+    # type A counts per hour 0..5: [3,1,4,1,5,9]
+    # type B counts per hour 0..5: [2,7,1,8,2,8]
+    xa = [3, 1, 4, 1, 5, 9]
+    xb = [2, 7, 1, 8, 2, 8]
+    rows = []
+    eid = 0
+    for h, n in enumerate(xa):
+        for _ in range(n):
+            rows.append((eid, "A", base + dt.timedelta(hours=h))); eid += 1
+    for h, n in enumerate(xb):
+        for _ in range(n):
+            rows.append((eid, "B", base + dt.timedelta(hours=h))); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = {
+        (r.type_a, r.type_b, r.lag): (r.n_hours, r.sum_xy, r.corr)
+        for r in event_xcorr(df, max_lag=2).collect()
+    }
+    assert len(got) == 6  # 2 ordered pairs x 3 lags
+    for lag in (0, 1, 2):
+        a = np.array(xa[: 6 - lag], dtype=float)
+        b = np.array(xb[lag:], dtype=float)
+        expect = float(np.corrcoef(a, b)[0, 1])
+        n_hours, sum_xy, corr = got[("A", "B", lag)]
+        assert n_hours == 6 - lag
+        assert sum_xy == int((a * b).sum())
+        assert abs(corr - expect) < 1e-6, (lag, corr, expect)
+
+
+def test_seasonal_anomalies_hand_spike(spark):
+    """A flat 5-week Monday-09:00 baseline with one spiked week:
+    only the spiked bucket crosses the 2-sigma gate, with the exact
+    integer z."""
+    import datetime as dt
+    import math
+
+    from whatdropsnow_etl_spark.operators import seasonal_anomalies
+
+    rows = []
+    eid = 0
+    # 2024-01-01 is a Monday; 5 consecutive Mondays at 09:00
+    counts = [2, 2, 2, 2, 12]
+    for wk, n in enumerate(counts):
+        t = dt.datetime(2024, 1, 1, 9, 30) + dt.timedelta(weeks=wk)
+        for _ in range(n):
+            rows.append((eid, "click", t)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = {(r.day, r.hour): r for r in seasonal_anomalies(df).collect()}
+    w, s1 = 5, sum(counts)
+    s2 = sum(c * c for c in counts)
+    spike_day = (dt.datetime(2024, 1, 29) - dt.datetime(1970, 1, 1)).days
+    z = round((w * 12 - s1) / math.sqrt(w * s2 - s1 * s1), 6)
+    assert set(got) == {(spike_day, 9)}
+    r = got[(spike_day, 9)]
+    assert (r.n_events, r.n_weeks, r.cell_total, r.dow, r.z) == (12, 5, s1, 1, z)
+
+
+def test_streaming_anomaly_equals_batch(spark):
+    """The anomaly bucket fold is a commutative monoid sharing
+    anomalies_from_buckets, so batch-folded == seasonal_anomalies
+    over the full relation exactly (3-way split)."""
+    from whatdropsnow_etl_spark.operators import seasonal_anomalies
+    from whatdropsnow_etl_spark.sources import load_table
+    from whatdropsnow_etl_spark.streaming import (
+        anomaly_report,
+        fold_anomaly_buckets,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    splits = [
+        ev.where(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    state = None
+    for part in splits:
+        state = fold_anomaly_buckets(state, part)
+    folded = sorted(
+        [tuple(r) for r in anomaly_report(state).collect()], key=repr
+    )
+    full = sorted(
+        [tuple(r) for r in seasonal_anomalies(ev).collect()], key=repr
+    )
+    assert folded == full and len(full) > 0
+
+
+def test_streaming_survival_equals_batch(spark):
+    """The per-user bounds fold is a min/max monoid sharing
+    hazard_from_user_bounds, so batch-folded == survival_hazard over
+    the full relation exactly (3-way split)."""
+    from whatdropsnow_etl_spark.operators import survival_hazard
+    from whatdropsnow_etl_spark.sources import load_table
+    from whatdropsnow_etl_spark.streaming import (
+        fold_user_bounds,
+        survival_report,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    state = None
+    for i in range(3):
+        state = fold_user_bounds(state, ev.where(F.col("event_id") % 3 == i))
+    folded = sorted(
+        [tuple(r) for r in survival_report(state).collect()], key=repr
+    )
+    full = sorted(
+        [tuple(r) for r in survival_hazard(ev).collect()], key=repr
+    )
+    assert folded == full and len(full) > 0

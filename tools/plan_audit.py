@@ -194,6 +194,20 @@ ALLPAIRS_OK = {
     "fano_burstiness",
     # grand-total denominator: 1-row broadcast cross (Q11 pattern)
     "histogram_overlap",
+    # week-count denominator: 1-row broadcast cross (Q11 pattern);
+    # the corpus collapses in one map-combined bucket groupBy first
+    "seasonal_anomalies",
+    # bounds (1-row) and lag-spine (max_lag+1 rows) broadcast
+    # crosses over the types×hours HISTOGRAM; the shifted-hour join
+    # is an equi-join — never a data×data cross
+    "event_xcorr",
+    # global-max churn gate: 1-row broadcast cross (Q11 pattern);
+    # n_risk is the bounded duration-histogram self-join
+    # (b.t >= a.t — the quality_budget_curve shape)
+    "survival_hazard",
+    # corpus-total/vocab scalars: 1-row broadcast cross (Q11
+    # pattern); word joins run at vocab grain, source join broadcast
+    "kl_source_divergence",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel

@@ -52,6 +52,35 @@ def _floor_log2_ratio(num: Column, den: Column) -> Column:
     return F.when(num >= shifted, d).otherwise(d - 1).cast("bigint")
 
 
+def _floor_log2_ratio_signed(num: Column, den: Column) -> Column:
+    """floor(log2(num/den)) for positive BIGINTs with the ratio on
+    EITHER side of 1, exactly — the extension _floor_log2_ratio
+    (which requires num >= den) needs for KL terms, where a word
+    rarer in the source than in the rest has negative bits.
+
+    num >= den delegates to the unsigned helper. num < den: with
+    e = floor(log2(den/num)) >= 0 from the same construction,
+    floor(log2(num/den)) = -e when den == num·2^e exactly, else
+    -(e+1). Shift amounts are clamped nonnegative so the untaken
+    branch stays well-defined under vectorized evaluation (Spark
+    codegen and DuckDB both evaluate CASE arms eagerly).
+    """
+    fl_num = F.length(F.bin(num)) - 1
+    fl_den = F.length(F.bin(den)) - 1
+    d = F.greatest((fl_num - fl_den).cast("int"), F.lit(0))
+    pos = F.when(
+        num >= F.call_function("shiftleft", den, d), d
+    ).otherwise(d - 1)
+    d2 = F.greatest((fl_den - fl_num).cast("int"), F.lit(0))
+    e = F.when(
+        den >= F.call_function("shiftleft", num, d2), d2
+    ).otherwise(d2 - 1)
+    neg = F.when(
+        F.call_function("shiftleft", num, e) == den, -e
+    ).otherwise(-e - 1)
+    return F.when(num >= den, pos).otherwise(neg).cast("bigint")
+
+
 def decontaminate_ngrams(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -1388,3 +1417,102 @@ def kn_continuation_counts(
             "rank",
         )
     )
+
+
+def kl_source_divergence(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unigram KL divergence from the rest of the corpus,
+    in WHOLE BITS — the distribution-shift screen at the vocabulary
+    level: a source whose token distribution diverges hard from the
+    remainder (boilerplate farms, code dumps in a prose corpus,
+    wrong-language shards) shows up as high KL(source ‖ rest) long
+    before a classifier is trained. The lexical companion to
+    distribution_shift_report (which compares numeric feature
+    histograms) and dsir_weights (importance ratios per DOCUMENT;
+    this scores the SOURCE).
+
+    No reference twin — extends SURVEY §2.3's corpus-statistics
+    family.
+
+    Exactness: KL(p‖q) = Σ_w p_w·log2(p_w/q_w) with p_w = c_w/N_s
+    (source unigram) and add-1-smoothed rest q_w = (d_w+1)/(N_r+V)
+    — so log2(p_w/q_w) = log2(c_w·(N_r+V) / ((d_w+1)·N_s)), a ratio
+    of exact BIGINT products measured in whole bits via
+    _floor_log2_ratio_signed (libm-free, the bigram_surprisal
+    discipline; negative bits when the word is relatively rarer in
+    the source). Σ c_w·bits is an exact BIGINT; kl_bits = that sum
+    / N_s is the ONE rounded division. Bit-deterministic across
+    engines and partitionings. Integer bound: the products need
+    c_w·(N_r+V) and (d_w+1)·N_s < 2^63 — about 3·10⁹ corpus tokens;
+    beyond that, run per-shard (documented limit, the
+    calibration_bins convention).
+
+    Scale shape: one corpus-sized tokenize → (source, word) count
+    (map-combined); the per-word rest-count join runs at VOCAB grain
+    (word-keyed hash join of two histograms), the totals join at
+    SOURCE grain (broadcast). No windows, no UDFs, no collects.
+
+    Output: (source, n_tokens, vocab, sum_bits, kl_bits) — vocab =
+    distinct source words, sum_bits = Σ c_w·bits exact BIGINT,
+    kl_bits rounded 6dp. Floor-quantized bits make this a LOWER
+    estimate within 1 bit/token of true KL.
+    """
+    from ..functions.text import tokens
+
+    sw = (
+        documents.select(
+            F.col(group_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("source").isNotNull() & (F.col("w") != ""))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    totals = sw.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    word_tot = sw.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("tw")
+    )
+    glob = sw.agg(
+        F.sum("c").cast("bigint").alias("n_all"),
+        F.count_distinct("w").cast("bigint").alias("v_all"),
+    )
+    scored = (
+        sw.join(word_tot, "w")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "c",
+            _floor_log2_ratio_signed(
+                F.col("c")
+                * (F.col("n_all") - F.col("n_s") + F.col("v_all")),
+                (F.col("tw") - F.col("c") + 1) * F.col("n_s"),
+            ).alias("bits"),
+        )
+    )
+    out = (
+        scored.groupBy("source")
+        .agg(F.sum(F.col("c") * F.col("bits")).cast("bigint").alias("sum_bits"))
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "vocab",
+            "sum_bits",
+            F.round(
+                F.col("sum_bits").cast("double") / F.col("n_s").cast("double"),
+                6,
+            ).alias("kl_bits"),
+        )
+    )
+    # sw feeds the per-source, per-word and global aggregates plus
+    # the scored join — expose the lazy pin for caller release.
+    out._cached_inputs = [sw]
+    return out

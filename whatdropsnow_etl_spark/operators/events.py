@@ -1546,6 +1546,321 @@ def seasonality_from_cells(
     )
 
 
+def seasonal_anomalies(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Hour buckets that deviate from their own weekly-seasonal
+    baseline — the anomaly screen weekly_seasonality's profile
+    exists to feed: an alert should compare Monday-09:00 against
+    OTHER Monday-09:00s, not the global mean (event_rate_spikes'
+    blind spot: a normal Monday peak looks like a spike vs the
+    week-long average). One row per (type, calendar day, hour)
+    bucket whose count sits >= ``threshold`` standard deviations
+    from its (dow, hour) cell's per-week mean.
+
+    No reference twin — extends SURVEY §2.2's events family.
+
+    Exactness: buckets and cells come from the floor/pmod epoch
+    arithmetic every seasonality op shares (timeutil.epoch_day_cell
+    / epoch_floor_index — correct pre-1970 too). With W = distinct
+    observed epoch-weeks (global), a cell's W weekly observations
+    are its observed bucket counts plus implied zeros, so mean and
+    population variance need only S1 = Σn, S2 = Σn² over OBSERVED
+    buckets: z = (W·n − S1) / sqrt(W·S2 − S1²) — integer numerator,
+    sqrt of an exact BIGINT, one rounded division (IEEE sqrt/div are
+    correctly rounded, so bit-identical across engines). The
+    threshold compares the 6-dp ROUNDED |z| so keep/flag cannot
+    straddle a 1-ulp divergence (the semantic_decontaminate gate
+    discipline). Partial weeks at the span edges dilute cell means
+    toward zero — documented, shared with the oracle by identical
+    construction.
+
+    Scale shape: ONE map-combined groupBy to the (type, day, hour)
+    bucket histogram (the only corpus-sized shuffle); cell stats and
+    the week count aggregate from the histogram (types × 168 and
+    1-row broadcast); the z filter is a categorical join back onto
+    the histogram. No windows, no UDFs, no collects.
+
+    Output: (event_type, day, dow, hour, n_events, n_weeks,
+    cell_total, z) for buckets with positive cell variance and
+    |z| >= threshold, z rounded 6dp.
+    """
+    from ..functions.timeutil import epoch_floor_index, ts_micros
+
+    us = ts_micros(F.col(ts_col))
+    base = (
+        events.select(
+            F.col(type_col).alias("event_type"), us.alias("__us")
+        )
+        .where(F.col("event_type").isNotNull() & F.col("__us").isNotNull())
+        .select(
+            "event_type",
+            epoch_floor_index(F.col("__us"), 86_400_000_000).alias("day"),
+            (
+                F.pmod(F.col("__us"), F.lit(86_400_000_000))
+                / F.lit(3_600_000_000)
+            )
+            .cast("bigint")
+            .alias("hour"),
+        )
+    )
+    buckets = base.groupBy("event_type", "day", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return anomalies_from_buckets(buckets, threshold=threshold)
+
+
+def anomalies_from_buckets(
+    buckets: DataFrame,
+    threshold: float = 2.0,
+    count_col: str = "n_events",
+) -> DataFrame:
+    """The post-histogram half of :func:`seasonal_anomalies` — the
+    cell-baseline z-score sweep from the (event_type, day, hour,
+    count) bucket histogram, which is a MONOID under union +
+    groupBy-sum (rows land in the same bucket regardless of which
+    micro-batch carries them). Split out (the fano_from_histogram
+    convention) so streaming maintenance (streaming/anomaly.py)
+    reports through the SAME arithmetic the batch operator runs.
+
+    Week membership and dow derive from the day index alone (pure
+    integer pmod), so the half needs no timestamps."""
+    b = buckets.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("hour").cast("bigint").alias("hour"),
+        F.col(count_col).cast("bigint").alias("n_events"),
+    ).persist()
+    weeks = b.select(
+        ((F.col("day") - F.pmod(F.col("day"), F.lit(7))) / F.lit(7))
+        .cast("bigint")
+        .alias("__wk")
+    ).agg(F.count_distinct("__wk").cast("bigint").alias("n_weeks"))
+    cells = b.groupBy(
+        "event_type",
+        F.pmod(F.col("day") + 4, F.lit(7)).cast("bigint").alias("__dow"),
+        "hour",
+    ).agg(
+        F.sum("n_events").cast("bigint").alias("__s1"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .cast("bigint")
+        .alias("__s2"),
+    )
+    num = (
+        F.col("n_weeks") * F.col("n_events") - F.col("__s1")
+    ).cast("double")
+    den = F.sqrt(
+        (
+            F.col("n_weeks") * F.col("__s2")
+            - F.col("__s1") * F.col("__s1")
+        ).cast("double")
+    )
+    z = F.round(num / den, 6)
+    out = (
+        b.withColumn(
+            "__dow",
+            F.pmod(F.col("day") + 4, F.lit(7)).cast("bigint"),
+        )
+        .join(cells, ["event_type", "__dow", "hour"])
+        .crossJoin(F.broadcast(weeks))
+        .where(
+            (
+                F.col("n_weeks") * F.col("__s2")
+                - F.col("__s1") * F.col("__s1")
+                > 0
+            )
+            & (F.abs(z) >= F.lit(threshold))
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("__dow").alias("dow"),
+            "hour",
+            "n_events",
+            "n_weeks",
+            F.col("__s1").alias("cell_total"),
+            z.alias("z"),
+        )
+    )
+    # b feeds buckets, cells AND weeks — expose the lazy pin for
+    # caller release (the pagerank_update_pass convention).
+    out._cached_inputs = [b]
+    return out
+
+
+def event_xcorr(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag: int = 2,
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between the hourly count
+    series of every ordered event-type pair — the lead/lag screen
+    hourly_acf (self-lag) and fano_burstiness (dispersion) don't
+    cover: does `view` at hour t predict `purchase` at t+l? A
+    pipeline reads the lag of the correlation peak as the funnel's
+    time constant.
+
+    No reference twin — extends SURVEY §2.2's events family.
+
+    Semantics: with the global inclusive hour span [m, M] (H hours,
+    missing hours are real zeros — never densified), for lag l the
+    x-series is type_a's counts over hours [m, M-l] and the
+    y-series type_b's counts over [m+l, M], n = H - l matched
+    points. Moments over a restricted window come from per-type
+    totals minus l-bounded edge tails (at most max_lag rows per
+    type), so nothing corpus-sized is ever re-scanned.
+
+    Exactness: counts and all moment sums are exact integers carried
+    as DECIMAL(38,0); the correlation is computed in doubles off the
+    decimal moments exactly like corr_matrix (one sqrt of the
+    variance product, correctly-rounded IEEE ops, identical
+    operation order in the oracle), rounded 6dp.
+
+    Scale shape: ONE map-combined (type, hour) groupBy is the only
+    corpus-sized shuffle; everything downstream runs on the
+    types × active-hours histogram (broadcast-joined lag spine and
+    bounds, histogram equi-self-join on the shifted hour). No
+    windows, no UDFs, no collects.
+
+    Output: (type_a, type_b, lag, n_hours, sum_xy, corr) for every
+    ordered pair of distinct types and lag 0..max_lag; corr NULL
+    when either window's variance is zero.
+    """
+    from ..functions.timeutil import epoch_floor_index, ts_micros
+
+    dec = "decimal(38,0)"
+    us = ts_micros(F.col(ts_col))
+    spark = events.sparkSession
+    hourly = (
+        events.select(
+            F.col(type_col).alias("__t"), us.alias("__us")
+        )
+        .where(F.col("__t").isNotNull() & F.col("__us").isNotNull())
+        .select(
+            "__t",
+            epoch_floor_index(F.col("__us"), 3_600_000_000).alias("__h"),
+        )
+        .groupBy("__t", "__h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .persist()
+    )
+    bounds = hourly.agg(
+        F.min("__h").alias("__m"), F.max("__h").alias("__mx")
+    )
+    lags = spark.range(0, int(max_lag) + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    totals = hourly.groupBy("__t").agg(
+        F.sum("__c").cast(dec).alias("__tot"),
+        F.sum(F.col("__c") * F.col("__c")).cast(dec).alias("__totsq"),
+    )
+    # edge tails: per (type, lag) the mass OUTSIDE the lag-l window
+    edges = hourly.crossJoin(F.broadcast(bounds)).crossJoin(
+        F.broadcast(lags)
+    )
+    tail = (
+        edges.where(F.col("__h") > F.col("__mx") - F.col("lag"))
+        .groupBy("__t", "lag")
+        .agg(
+            F.sum("__c").cast(dec).alias("__ts"),
+            F.sum(F.col("__c") * F.col("__c")).cast(dec).alias("__tss"),
+        )
+    )
+    head = (
+        edges.where(F.col("__h") < F.col("__m") + F.col("lag"))
+        .groupBy("__t", "lag")
+        .agg(
+            F.sum("__c").cast(dec).alias("__hs"),
+            F.sum(F.col("__c") * F.col("__c")).cast(dec).alias("__hss"),
+        )
+    )
+    zero = F.lit(0).cast(dec)
+    x_side = (
+        totals.crossJoin(F.broadcast(lags))
+        .join(tail, ["__t", "lag"], "left")
+        .select(
+            F.col("__t").alias("type_a"),
+            "lag",
+            (F.col("__tot") - F.coalesce(F.col("__ts"), zero)).alias("__sx"),
+            (F.col("__totsq") - F.coalesce(F.col("__tss"), zero)).alias(
+                "__sxx"
+            ),
+        )
+    )
+    y_side = (
+        totals.crossJoin(F.broadcast(lags))
+        .join(head, ["__t", "lag"], "left")
+        .select(
+            F.col("__t").alias("type_b"),
+            "lag",
+            (F.col("__tot") - F.coalesce(F.col("__hs"), zero)).alias("__sy"),
+            (F.col("__totsq") - F.coalesce(F.col("__hss"), zero)).alias(
+                "__syy"
+            ),
+        )
+    )
+    a = hourly.select(
+        F.col("__t").alias("type_a"),
+        F.col("__h").alias("__ha"),
+        F.col("__c").alias("__ca"),
+    )
+    bqs = hourly.select(
+        F.col("__t").alias("type_b"),
+        F.col("__h").alias("__hb"),
+        F.col("__c").alias("__cb"),
+    )
+    sxy = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            bqs,
+            (F.col("__hb") == F.col("__ha") + F.col("lag"))
+            & (F.col("type_b") != F.col("type_a")),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.sum(F.col("__ca").cast(dec) * F.col("__cb").cast(dec))
+            .cast(dec)
+            .alias("__sxy")
+        )
+    )
+    pairs = (
+        x_side.join(
+            y_side.withColumnRenamed("lag", "__lg"),
+            (F.col("__lg") == F.col("lag"))
+            & (F.col("type_b") != F.col("type_a")),
+        )
+        .drop("__lg")
+        .join(sxy, ["type_a", "type_b", "lag"], "left")
+        .crossJoin(F.broadcast(bounds))
+    )
+    n = (F.col("__mx") - F.col("__m") + 1 - F.col("lag")).cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    pxy = F.coalesce(F.col("__sxy"), zero)
+    num = n * pxy.cast("double") - sx * sy
+    dd = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    out = pairs.select(
+        "type_a",
+        "type_b",
+        "lag",
+        (F.col("__mx") - F.col("__m") + 1 - F.col("lag"))
+        .cast("bigint")
+        .alias("n_hours"),
+        pxy.cast("bigint").alias("sum_xy"),
+        F.when(dd > 0, F.round(num / F.sqrt(dd), 6)).alias("corr"),
+    )
+    # hourly feeds bounds/totals/edges and both self-join sides —
+    # expose the lazy pin for caller release.
+    out._cached_inputs = [hourly]
+    return out
+
+
 def fano_burstiness(
     events: DataFrame,
     type_col: str = "event_type",

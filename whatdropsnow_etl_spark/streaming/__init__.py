@@ -27,6 +27,8 @@ from .interevent import (
 from .gini import fold_term_counts, gini_report, vocab_jaccard_report
 from .ks_drift import fold_value_histogram, ks_drift_report, overlap_report
 from .budget import budget_report, fold_score_bins
+from .anomaly import anomaly_report, fold_anomaly_buckets
+from .survival import fold_user_bounds, survival_report
 from .seasonality import fold_seasonality_cells, seasonality_report
 from .lifecycle import fold_activity, lifecycle_report
 from .line_dedup import clean_and_grow_line_index, load_line_index
@@ -76,6 +78,10 @@ __all__ = [
     "overlap_report",
     "fold_seasonality_cells",
     "seasonality_report",
+    "fold_anomaly_buckets",
+    "anomaly_report",
+    "fold_user_bounds",
+    "survival_report",
     "fold_score_bins",
     "budget_report",
     "pair_and_grow_doc_store",
