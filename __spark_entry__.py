@@ -2069,6 +2069,48 @@ def _kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kl_source_divergence(load_table(spark, sf_dir, "documents"))
 
 
+def _kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: pairwise user-set overlap between event types from ONE
+    KMV sketch pass — union via merged re-truncated registers,
+    intersection by inclusion-exclusion. k=16384 keeps every parity
+    SF in the exact-below-k regime (the kmv_distinct_users
+    convention), so the COUNT(DISTINCT) set-algebra oracle is a true
+    twin; past k the same code degrades to the (k-1)/u_k estimator."""
+    from whatdropsnow_etl_spark.operators import kmv_set_ops
+
+    return kmv_set_ops(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id",
+        k=16384,
+    )
+
+
+def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: l-diversity audit over the k_anonymity quasi-classes
+    (lang, len_band) with source as the sensitive attribute — the
+    homogeneity-attack screen k-anonymity misses."""
+    from whatdropsnow_etl_spark.operators import l_diversity_report
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    return l_diversity_report(docs, ["lang", "len_band"], "source", l_min=2)
+
+
+def _degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: Newman degree assortativity of the MinHash pair graph —
+    star (hub-to-leaf) vs mesh (hub-to-hub) duplication structure in
+    one exact-fraction number."""
+    from whatdropsnow_etl_spark.operators import (
+        degree_assortativity,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return degree_assortativity(
+        minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    )
+
+
 def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: reliability diagram + ECE of the quality score against
     the gopher gate — "does quality=0.9 actually pass the rules 90%
@@ -2357,6 +2399,9 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "event_xcorr": ["corr", "lag", "n_hours", "sum_xy", "type_a", "type_b"],
     "survival_hazard": ["hazard", "n_censored", "n_churned", "n_risk", "t_days"],
     "kl_source_divergence": ["kl_bits", "n_tokens", "source", "sum_bits", "vocab"],
+    "kmv_set_ops": ["est_a", "est_b", "est_intersection", "est_union", "group_a", "group_b", "jaccard"],
+    "l_diversity": ["diverse", "lang", "len_band", "n_rows", "n_sensitive", "top_share"],
+    "degree_assortativity": ["assortativity", "n_edges", "n_nodes", "r_den", "r_num"],
     "quality_budget_curve": ["bin", "cum_rows", "cum_w", "cum_w_share", "n_rows", "sum_w"],
     "media_animation_probe": ["doc_id", "height", "n_frames", "sum_rgb", "width"],
     "kcore_decomposition": ["coreness", "node"],
@@ -2836,6 +2881,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_hazard": _survival_hazard,
         # NEW in r11 — per-source whole-bit unigram KL vs rest
         "kl_source_divergence": _kl_source_divergence,
+        # NEW in r11 — KMV set algebra: pairwise user overlap
+        # between event types (exact-regime twin, estimator at scale)
+        "kmv_set_ops": _kmv_set_ops,
+        # NEW in r11 — l-diversity homogeneity-attack audit
+        "l_diversity": _l_diversity,
+        # NEW in r11 — pair-graph degree assortativity (star vs mesh)
+        "degree_assortativity": _degree_assortativity,
         # NEW in r10 continuation — REAL animated-GIF multi-frame
         # decode (shared-palette GIF89a encode, extension-aware LZW
         # frame walk), closed-form oracle
@@ -7525,6 +7577,97 @@ def oracle_sql() -> dict[str, str]:
                      6) AS kl_bits
         FROM per JOIN tots ON per.source = tots.source
     """
+    # r11: KMV set algebra in the exact-below-k regime (k=16384 vs
+    # ~1.5e4 distinct users at sf1) — the oracle is plain exact set
+    # arithmetic (the kmv_distinct_users convention)
+    sql["kmv_set_ops"] = """
+        WITH d AS (
+          SELECT DISTINCT event_type AS g, user_id AS v
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ), s AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+        ), p AS (
+          SELECT a.g AS group_a, b.g AS group_b
+          FROM s a JOIN s b ON a.g < b.g
+        ), i AS (
+          SELECT da.g AS group_a, db.g AS group_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM d da JOIN d db ON da.v = db.v AND da.g < db.g
+          GROUP BY 1, 2
+        )
+        SELECT p.group_a, p.group_b, sa.n AS est_a, sb.n AS est_b,
+               sa.n + sb.n - COALESCE(n_inter, 0) AS est_union,
+               COALESCE(n_inter, 0) AS est_intersection,
+               ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE)
+                     / CAST(sa.n + sb.n - COALESCE(n_inter, 0)
+                            AS DOUBLE), 6) AS jaccard
+        FROM p
+        JOIN s sa ON p.group_a = sa.g
+        JOIN s sb ON p.group_b = sb.g
+        LEFT JOIN i ON i.group_a = p.group_a AND i.group_b = p.group_b
+    """
+    # r11: l-diversity over the k_anonymity quasi-classes — two
+    # grouped counts, MAX per-value count, one rounded division
+    sql["l_diversity"] = """
+        WITH cs AS (
+          SELECT CAST(lang AS VARCHAR) AS lang,
+                 CAST(CAST(FLOOR(n_chars / 100) AS BIGINT) AS VARCHAR)
+                   AS len_band,
+                 CAST(source AS VARCHAR) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT lang, len_band,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+               ROUND(CAST(MAX(n) AS DOUBLE)
+                     / CAST(SUM(n) AS DOUBLE), 6) AS top_share,
+               COUNT(*) >= 2 AS diverse
+        FROM cs GROUP BY 1, 2
+    """
+    # r11: Newman assortativity over the MinHash pair graph — exact
+    # integer degree moments over the 2m directed orientations,
+    # DECIMAL(38,0) VARCHAR-rendered fraction, one rounded division
+    sql["degree_assortativity"] = """
+        WITH p AS ({MINHASH}),
+        e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM p),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY 1
+        ), j AS (
+          SELECT da.d AS dda, db.d AS ddb
+          FROM e JOIN deg da ON e.a = da.node
+                 JOIN deg db ON e.b = db.node
+        ), m AS (
+          SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS mm,
+                 CAST(SUM(dda + ddb) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(dda * dda + ddb * ddb) AS DECIMAL(38,0))
+                   AS sxx,
+                 CAST(SUM(CAST(2 AS DECIMAL(38,0)) * dda * ddb)
+                      AS DECIMAL(38,0)) AS sxy
+          FROM j
+        ), nn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+        )
+        SELECT n_nodes, CAST(mm AS BIGINT) AS n_edges,
+               CAST(CAST(CAST(2 AS DECIMAL(38,0)) * mm * sxy - sx * sx
+                    AS DECIMAL(38,0)) AS VARCHAR) AS r_num,
+               CAST(CAST(CAST(2 AS DECIMAL(38,0)) * mm * sxx - sx * sx
+                    AS DECIMAL(38,0)) AS VARCHAR) AS r_den,
+               CASE WHEN CAST(2 AS DECIMAL(38,0)) * mm * sxx - sx * sx
+                         <> 0
+                    THEN ROUND(
+                      CAST(CAST(CAST(2 AS DECIMAL(38,0)) * mm * sxy
+                           - sx * sx AS DECIMAL(38,0)) AS VARCHAR)
+                        ::DOUBLE
+                      / CAST(CAST(CAST(2 AS DECIMAL(38,0)) * mm * sxx
+                             - sx * sx AS DECIMAL(38,0)) AS VARCHAR)
+                          ::DOUBLE, 6)
+               END AS assortativity
+        FROM m CROSS JOIN nn
+    """.replace("{MINHASH}", sql["dedup_minhash_lsh"])
     # r9 continuation: reliability diagram + exact ECE of the quality
     # score vs the gopher gate — micro-quantized scores, integer bin
     # assignment (negative-quotient trunc-vs-floor divergence is

@@ -379,3 +379,86 @@ def test_streaming_survival_equals_batch(spark):
         [tuple(r) for r in survival_hazard(ev).collect()], key=repr
     )
     assert folded == full and len(full) > 0
+
+
+def test_kmv_set_ops_hand_overlap(spark):
+    """Exact-regime set algebra on constructed overlapping groups:
+    estimates equal true set sizes when k exceeds every union."""
+    from whatdropsnow_etl_spark.operators import kmv_set_ops
+
+    rows = (
+        [(i, "a") for i in range(10)]
+        + [(i, "b") for i in range(5, 20)]
+        + [(i, "c") for i in range(100, 103)]
+    )
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = {
+        (r.group_a, r.group_b): (
+            r.est_a, r.est_b, r.est_union, r.est_intersection, r.jaccard
+        )
+        for r in kmv_set_ops(df, "g", "v", k=64).collect()
+    }
+    assert got[("a", "b")] == (10, 15, 20, 5, 0.25)
+    assert got[("a", "c")] == (10, 3, 13, 0, 0.0)
+    assert got[("b", "c")] == (15, 3, 18, 0, 0.0)
+
+
+def test_kmv_set_ops_estimator_regime(spark):
+    """Past k the union estimate comes from (k-1)/u_k — still within
+    the ~1/sqrt(k) band, and the intersection stays clamped >= 0."""
+    from whatdropsnow_etl_spark.operators import kmv_set_ops
+
+    rows = [(i, "a") for i in range(2000)] + [
+        (i, "b") for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "v long, g string")
+    r = kmv_set_ops(df, "g", "v", k=256).collect()[0]
+    assert abs(r.est_union - 3000) / 3000 < 0.25
+    assert r.est_intersection >= 0
+
+
+def test_l_diversity_hand_classes(spark):
+    """A homogeneous class (k rows, one sensitive value) must flag
+    diverse=false while a same-sized diverse class passes."""
+    from whatdropsnow_etl_spark.operators import l_diversity_report
+
+    rows = (
+        [("q1", "s1")] * 5
+        + [("q2", "s1"), ("q2", "s2"), ("q2", "s2"), ("q2", "s3")]
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {
+        r.q: (r.n_rows, r.n_sensitive, r.top_share, r.diverse)
+        for r in l_diversity_report(df, ["q"], "s", l_min=2).collect()
+    }
+    assert got["q1"] == (5, 1, 1.0, False)
+    assert got["q2"] == (4, 3, 0.5, True)
+
+
+def test_degree_assortativity_hand_graphs(spark):
+    """Star (r = -1), 4-clique (r undefined: regular), and path P4
+    (known r) against networkx-free closed forms."""
+    from whatdropsnow_etl_spark.operators import degree_assortativity
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+        return degree_assortativity(df).collect()[0]
+
+    # star K1,3: every edge joins deg-3 hub to deg-1 leaf -> r = -1
+    r = run([("h", "a"), ("h", "b"), ("h", "c")])
+    assert (r.n_nodes, r.n_edges, r.assortativity) == (4, 3, -1.0)
+
+    # 4-clique: degree-regular -> zero variance -> NULL r
+    clique = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+    r = run(clique)
+    assert r.assortativity is None and r.r_den == "0"
+
+    # path a-b-c-d: degrees 1,2,2,1; directed pairs
+    # (1,2),(2,1),(2,2),(2,2),(2,1),(1,2): exact r = -1/2... compute:
+    # M=6 sx=10 sxx=18 sxy=2*(2+4+2)=16 -> num=96-100=-4 den=108-100=8
+    r = run([("a", "b"), ("b", "c"), ("c", "d")])
+    assert (r.r_num, r.r_den) == ("-4", "8")
+    assert r.assortativity == -0.5

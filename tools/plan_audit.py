@@ -208,6 +208,12 @@ ALLPAIRS_OK = {
     # corpus-total/vocab scalars: 1-row broadcast cross (Q11
     # pattern); word joins run at vocab grain, source join broadcast
     "kl_source_divergence",
+    # the a<b group grid: G-row × G-row bounded-categorical
+    # broadcast (the vocab_jaccard shape); register relations are
+    # sketch-sized (≤ groups × k rows) by construction
+    "kmv_set_ops",
+    # 1-row moment × 1-row node-count broadcast cross (Q11 pattern)
+    "degree_assortativity",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel

@@ -726,3 +726,88 @@ def label_propagation_pass(
             .alias("top_count"),
         )
     )
+
+
+def degree_assortativity(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Newman degree assortativity of the undirected duplicate-pair
+    graph (Newman 2002): the Pearson correlation of the degree pair
+    at the two ends of every edge — positive when high-degree nodes
+    link to each other (a template MESH: near-dup hubs citing hubs),
+    negative when hubs link to leaves (a boilerplate STAR: one
+    template radiating copies). The one-number structural summary
+    between dup_degree_report (per-node degrees) and triangle_count
+    (local closure); star vs mesh decides whether cluster_keep_best
+    keeps one exemplar or a spread.
+
+    No reference twin — extends SURVEY §2.3's dedup-graph family.
+
+    Exactness: over the M = 2m directed orientations of the m
+    canonical distinct edges, Σx = Σy and Σx² = Σy² by symmetry, so
+    r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) with Σxy = Σ 2·da·db,
+    Σx = Σ (da+db), Σx² = Σ (da²+db²) — all exact BIGINT degree
+    sums carried as DECIMAL(38,0), VARCHAR-rendered (the fano/KS
+    numerator convention); the statistic is ONE rounded double
+    division. NULL r for a degree-regular graph (zero variance).
+
+    Scale shape: canonical edges persist (degree aggregate + the
+    two degree joins re-reference them — the kcore_peel_pass
+    lesson); degrees are one map-combined explode-groupBy; the two
+    joins are node-keyed (high cardinality, no hot key unless the
+    graph itself is a single star, where the hub row is one key of
+    #neighbors rows — bounded by the LSH band contract upstream).
+    The moment aggregate is one 1-row reduce. No windows, no UDFs.
+
+    Output: one row (n_nodes, n_edges, r_num VARCHAR, r_den VARCHAR,
+    assortativity DOUBLE rounded 6dp).
+    """
+    dec = "decimal(38,0)"
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    joined = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("__da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("__db")), "b")
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).cast(dec).alias("__m"),
+        F.sum(F.col("__da") + F.col("__db")).cast(dec).alias("__sx"),
+        F.sum(
+            F.col("__da") * F.col("__da") + F.col("__db") * F.col("__db")
+        )
+        .cast(dec)
+        .alias("__sxx"),
+        F.sum(F.lit(2).cast(dec) * F.col("__da") * F.col("__db"))
+        .cast(dec)
+        .alias("__sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    big_m = F.lit(2).cast(dec) * F.col("__m")
+    num = big_m * F.col("__sxy") - F.col("__sx") * F.col("__sx")
+    den = big_m * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    out = m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("__m").cast("bigint").alias("n_edges"),
+        num.cast(dec).cast("string").alias("r_num"),
+        den.cast(dec).cast("string").alias("r_den"),
+        F.when(
+            den.cast(dec) != F.lit(0).cast(dec),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("assortativity"),
+    )
+    out._cached_inputs = [e]
+    return out

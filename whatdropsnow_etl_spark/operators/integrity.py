@@ -295,6 +295,55 @@ def k_anonymity_report(
     return safe.unionByName(residual)
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l_min: int = 2,
+) -> DataFrame:
+    """l-diversity audit over quasi-identifier classes — the screen
+    k-anonymity misses (Machanavajjhala et al. 2007): a class can
+    hold k rows and STILL leak if every row shares one sensitive
+    value (the homogeneity attack — "all 12 people in this
+    (zip, age) cell have the same diagnosis"). Reports, per
+    equivalence class: row count, distinct sensitive values l, the
+    top sensitive value's share (the skewness the strict entropy
+    variant guards), and whether the class meets ``l_min``.
+
+    No reference twin — extends SURVEY §2.3's privacy family
+    (k_anonymity_report's companion audit; run both before release).
+
+    Exactness: counts are exact BIGINTs from two map-combined
+    groupBys (class × sensitive, then class); top-share is ONE
+    rounded division off MAX(per-value count). The (class,
+    sensitive) relation is the only corpus-sized shuffle; the class
+    rollup aggregates from it (never a second corpus pass, never a
+    window).
+
+    Output: (quasi_cols..., n_rows, n_sensitive, top_share, diverse)
+    — diverse = n_sensitive >= l_min.
+    """
+    cs = df.groupBy(
+        *[F.col(c).cast("string").alias(c) for c in quasi_cols],
+        F.col(sensitive_col).cast("string").alias("__s"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    cls = cs.groupBy(*quasi_cols).agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+        F.max("__n").cast("bigint").alias("__top"),
+    )
+    return cls.select(
+        *quasi_cols,
+        "n_rows",
+        "n_sensitive",
+        F.round(
+            F.col("__top").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("top_share"),
+        (F.col("n_sensitive") >= F.lit(int(l_min))).alias("diverse"),
+    )
+
+
 def corr_matrix(
     df: DataFrame,
     cols: Sequence[str],

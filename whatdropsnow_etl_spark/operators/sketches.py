@@ -328,3 +328,109 @@ def kmv_merge_rollup(
         .where(F.col("__rn") <= k)
     )
     return _kmv_estimate(regs, group_cols, k)
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from ONE pass of
+    KMV sketches — the crawl-overlap question ("how many users does
+    `view` share with `purchase`? how much of crawl B is already in
+    crawl A?") answered at sketch size instead of a value-keyed
+    self-join of the corpus: |A ∪ B| from the merged re-truncated
+    registers (the kmv_merge_rollup merge — bit-identical to
+    sketching the union), |A ∩ B| by inclusion-exclusion, Jaccard as
+    the display ratio. THE capability KMV has over HLL-style
+    position sketches (registers are hash VALUES, so set algebra
+    composes; see kmv_registers).
+
+    No reference twin — extends SURVEY §2.3's sketch family.
+
+    Exactness contract (the kmv_distinct_users convention): below k
+    distinct values the sketch IS the distinct hash set, every
+    estimate is an exact BIGINT, and the COUNT(DISTINCT) oracle is a
+    true twin; past k the same code degrades to the (k-1)/u_k
+    estimator (error ~1/sqrt(k-2)) — the gate pins the exact regime,
+    the estimator is the documented 100-TB path. Inclusion-exclusion
+    intersections clamp at 0 (estimator noise can push them
+    negative past k).
+
+    Scale shape: ONE corpus pass builds the per-group registers
+    (persisted — singles, the pair spine and both union sides
+    re-reference them); everything downstream is sketch-sized
+    (pairs × k rows), the pair spine a bounded-categorical broadcast
+    grid (the vocab_jaccard shape). Register windows partition on
+    the group/pair key with ≤ slices×k rows per task by
+    construction.
+
+    Output: (group_a, group_b, est_a, est_b, est_union,
+    est_intersection, jaccard) for every group_a < group_b pair,
+    jaccard rounded 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    regs = kmv_registers(df, [group_col], col, k).persist()
+    singles = _kmv_estimate(regs, [group_col], k)
+    groups = regs.select(F.col(group_col).alias("__g")).distinct()
+    spine = groups.select(F.col("__g").alias("group_a")).join(
+        F.broadcast(groups.select(F.col("__g").alias("group_b"))),
+        F.col("group_a") < F.col("group_b"),
+    )
+    side_a = regs.select(
+        F.col(group_col).alias("group_a"), "__u"
+    ).join(F.broadcast(spine), "group_a")
+    side_b = regs.select(
+        F.col(group_col).alias("group_b"), "__u"
+    ).join(F.broadcast(spine), "group_b")
+    merged = (
+        side_a.select("group_a", "group_b", "__u")
+        .unionByName(side_b.select("group_a", "group_b", "__u"))
+        .groupBy("group_a", "group_b", "__u")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("__u")
+    pair_regs = merged.withColumn(
+        "__rn", F.row_number().over(w)
+    ).where(F.col("__rn") <= k)
+    uni = _kmv_estimate(pair_regs, ["group_a", "group_b"], k).select(
+        "group_a",
+        "group_b",
+        F.col("approx_distinct").alias("est_union"),
+    )
+    ea = singles.select(
+        F.col(group_col).alias("group_a"),
+        F.col("approx_distinct").alias("est_a"),
+    )
+    eb = singles.select(
+        F.col(group_col).alias("group_b"),
+        F.col("approx_distinct").alias("est_b"),
+    )
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        F.lit(0).cast("long"),
+    )
+    out = (
+        uni.join(F.broadcast(ea), "group_a")
+        .join(F.broadcast(eb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_intersection"),
+            F.when(
+                F.col("est_union") > 0,
+                F.round(
+                    inter.cast("double") / F.col("est_union").cast("double"),
+                    6,
+                ),
+            ).alias("jaccard"),
+        )
+    )
+    out._cached_inputs = [regs]
+    return out
