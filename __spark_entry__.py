@@ -2111,6 +2111,16 @@ def _degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: two-sided CUSUM level-shift detection over per-type
+    daily counts — the prefix-minus-running-extremum closed form
+    keeps the sequential recurrence a pair of windows, all integer
+    until the display division."""
+    from whatdropsnow_etl_spark.operators import cusum_changepoints
+
+    return cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+
 def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: reliability diagram + ECE of the quality score against
     the gopher gate — "does quality=0.9 actually pass the rules 90%
@@ -2402,6 +2412,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "kmv_set_ops": ["est_a", "est_b", "est_intersection", "est_union", "group_a", "group_b", "jaccard"],
     "l_diversity": ["diverse", "lang", "len_band", "n_rows", "n_sensitive", "top_share"],
     "degree_assortativity": ["assortativity", "n_edges", "n_nodes", "r_den", "r_num"],
+    "cusum_changepoints": ["cusum_down", "cusum_up", "day", "event_type", "flag_down", "flag_up", "n_events"],
     "quality_budget_curve": ["bin", "cum_rows", "cum_w", "cum_w_share", "n_rows", "sum_w"],
     "media_animation_probe": ["doc_id", "height", "n_frames", "sum_rgb", "width"],
     "kcore_decomposition": ["coreness", "node"],
@@ -2888,6 +2899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _l_diversity,
         # NEW in r11 — pair-graph degree assortativity (star vs mesh)
         "degree_assortativity": _degree_assortativity,
+        # NEW in r11 — two-sided CUSUM level-shift detection
+        "cusum_changepoints": _cusum_changepoints,
         # NEW in r10 continuation — REAL animated-GIF multi-frame
         # decode (shared-palette GIF89a encode, extension-aware LZW
         # frame walk), closed-form oracle
@@ -7668,6 +7681,58 @@ def oracle_sql() -> dict[str, str]:
                END AS assortativity
         FROM m CROSS JOIN nn
     """.replace("{MINHASH}", sql["dedup_minhash_lsh"])
+    # r11: two-sided CUSUM via the prefix-minus-running-extremum
+    # closed form — densified day spine, n-scaled integer deviations
+    # (d = n·x − T), exact PPM flag compare, display division only
+    sql["cusum_changepoints"] = """
+        WITH raw AS (
+          SELECT event_type,
+                 CAST((epoch_us(ts)
+                       - ((epoch_us(ts) % 86400000000 + 86400000000)
+                          % 86400000000)) // 86400000000 AS BIGINT)
+                   AS day
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), c AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM raw GROUP BY 1, 2
+        ), b AS (
+          SELECT MIN(day) AS d0, MAX(day) AS d1,
+                 MAX(day) - MIN(day) + 1 AS n FROM c
+        ), t AS (
+          SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tt
+          FROM c GROUP BY 1
+        ), dense AS (
+          SELECT t.event_type, gs.day, t.tt, b.n,
+                 COALESCE(c.n_events, 0) AS n_events
+          FROM t CROSS JOIN b
+          CROSS JOIN (SELECT UNNEST(range(
+            (SELECT d0 FROM b), (SELECT d1 FROM b) + 1)) AS day) gs
+          LEFT JOIN c ON c.event_type = t.event_type
+                     AND c.day = gs.day
+        ), pre AS (
+          SELECT event_type, day, n_events, tt, n,
+                 SUM(n * n_events - tt) OVER w AS p
+          FROM dense
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)
+        ), s AS (
+          SELECT event_type, day, n_events, tt, n,
+                 p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER w) AS su,
+                 GREATEST(CAST(0 AS BIGINT), MAX(p) OVER w) - p AS sd
+          FROM pre
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_type, day, n_events,
+               ROUND(CAST(su AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS cusum_up,
+               ROUND(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS cusum_down,
+               1000000 * su > 200000 * tt * n AS flag_up,
+               1000000 * sd > 200000 * tt * n AS flag_down
+        FROM s
+    """
     # r9 continuation: reliability diagram + exact ECE of the quality
     # score vs the gopher gate — micro-quantized scores, integer bin
     # assignment (negative-quotient trunc-vs-floor divergence is

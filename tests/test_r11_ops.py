@@ -462,3 +462,68 @@ def test_degree_assortativity_hand_graphs(spark):
     r = run([("a", "b"), ("b", "c"), ("c", "d")])
     assert (r.r_num, r.r_den) == ("-4", "8")
     assert r.assortativity == -0.5
+
+
+def test_cusum_changepoints_hand_series(spark):
+    """A level-shifted daily series checked against a pure-Python
+    CUSUM recurrence (max(0, S + d) with n-scaled deviations)."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import cusum_changepoints
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    daily = [4, 4, 4, 4, 4, 12, 12, 12]  # shift up at day 5
+    rows = []
+    eid = 0
+    for day, n in enumerate(daily):
+        for _ in range(n):
+            rows.append((eid, "e", base + dt.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.day: r for r in cusum_changepoints(df, threshold_ppm=200_000).collect()
+    }
+    n, t = len(daily), sum(daily)
+    su = sd = 0
+    first_flag_day = None
+    d0 = (base.date() - dt.date(1970, 1, 1)).days
+    for day, x in enumerate(daily):
+        d = n * x - t
+        su = max(0, su + d)
+        sd = max(0, sd - d)
+        r = got[d0 + day]
+        assert r.n_events == x
+        assert r.cusum_up == round(su / n, 6)
+        assert r.cusum_down == round(sd / n, 6)
+        assert r.flag_up == (1_000_000 * su > 200_000 * t * n)
+        assert r.flag_down == (1_000_000 * sd > 200_000 * t * n)
+        if r.flag_up and first_flag_day is None:
+            first_flag_day = day
+    # the sustained shift must eventually flag, and not before it starts
+    assert first_flag_day is not None and first_flag_day >= 5
+
+
+def test_streaming_xcorr_equals_batch(spark):
+    """The hourly histogram fold is a commutative monoid sharing
+    xcorr_from_hourly, so batch-folded == event_xcorr over the full
+    relation exactly (3-way split)."""
+    from whatdropsnow_etl_spark.operators import event_xcorr
+    from whatdropsnow_etl_spark.sources import load_table
+    from whatdropsnow_etl_spark.streaming import (
+        fold_hourly_counts,
+        xcorr_report,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    state = None
+    for i in range(3):
+        state = fold_hourly_counts(state, ev.where(F.col("event_id") % 3 == i))
+    folded = sorted(
+        [tuple(r) for r in xcorr_report(state).collect()], key=repr
+    )
+    full = sorted(
+        [tuple(r) for r in event_xcorr(ev).collect()], key=repr
+    )
+    assert folded == full and len(full) > 0

@@ -214,6 +214,9 @@ ALLPAIRS_OK = {
     "kmv_set_ops",
     # 1-row moment × 1-row node-count broadcast cross (Q11 pattern)
     "degree_assortativity",
+    # calendar spine: #types rows × 1-row broadcast bounds aggregate
+    # (the densify_hours / event_rate_spikes pattern)
+    "cusum_changepoints",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel

@@ -1732,22 +1732,36 @@ def event_xcorr(
     """
     from ..functions.timeutil import epoch_floor_index, ts_micros
 
-    dec = "decimal(38,0)"
     us = ts_micros(F.col(ts_col))
-    spark = events.sparkSession
     hourly = (
         events.select(
-            F.col(type_col).alias("__t"), us.alias("__us")
+            F.col(type_col).alias("event_type"), us.alias("__us")
         )
-        .where(F.col("__t").isNotNull() & F.col("__us").isNotNull())
+        .where(F.col("event_type").isNotNull() & F.col("__us").isNotNull())
         .select(
-            "__t",
-            epoch_floor_index(F.col("__us"), 3_600_000_000).alias("__h"),
+            "event_type",
+            epoch_floor_index(F.col("__us"), 3_600_000_000).alias("hour"),
         )
-        .groupBy("__t", "__h")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-        .persist()
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    return xcorr_from_hourly(hourly, max_lag=max_lag)
+
+
+def xcorr_from_hourly(hist: DataFrame, max_lag: int = 2) -> DataFrame:
+    """The post-histogram half of :func:`event_xcorr` — bounds, edge
+    tails, the shifted-hour self-join and the moment algebra from
+    the (event_type, hour, n) hourly histogram, a MONOID under union
+    + groupBy-sum. Split out (the fano_from_histogram convention) so
+    streaming maintenance (streaming/xcorr.py) reports through the
+    SAME arithmetic the batch operator runs."""
+    dec = "decimal(38,0)"
+    spark = hist.sparkSession
+    hourly = hist.select(
+        F.col("event_type").alias("__t"),
+        F.col("hour").cast("bigint").alias("__h"),
+        F.col("n").cast("bigint").alias("__c"),
+    ).persist()
     bounds = hourly.agg(
         F.min("__h").alias("__m"), F.max("__h").alias("__mx")
     )
@@ -1858,6 +1872,131 @@ def event_xcorr(
     # hourly feeds bounds/totals/edges and both self-join sides —
     # expose the lazy pin for caller release.
     out._cached_inputs = [hourly]
+    return out
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold_ppm: int = 200_000,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection over per-type DAILY
+    counts (Page 1954) — the sustained-drift monitor between
+    event_rate_spikes (single-bucket spikes vs a trailing mean) and
+    trend_report (global slope): a 20% ingestion drop spread over a
+    week never trips a spike gate, but its cumulative deficit grows
+    linearly and CUSUM flags it.
+
+    No reference twin — extends SURVEY §2.2's events family.
+
+    Exactness: the sequential recurrence S_t = max(0, S_{t-1} + d_t)
+    is NOT a prefix sum, but the closed form
+    S_t = prefix_t − min(0, min_{τ≤t} prefix_τ) is — so both sides
+    become one cumulative-sum window plus one running-min/max window
+    over the densified day axis (silent days are real zeros — a
+    deficit IS the signal). Everything stays integer by working in
+    n-scaled units: d_t = n·x_t − T (n = span days, T = type total;
+    mean-centered deviations without a division), and the flag
+    compares 10⁶·S_t > threshold_ppm·T·n exactly — no float enters
+    until the display column S_t/n (rounded 6dp). threshold_ppm is
+    the flagged cumulative excess as PPM of the type's TOTAL volume
+    (200000 = flag once 20% of total volume has accumulated off-mean).
+
+    Scale shape: one map-combined (type, day) count is the only
+    corpus-sized shuffle; the spine is types × span-days (broadcast
+    1-row bounds, the event_rate_spikes pattern); the two windows
+    partition per type over span-days rows — calendar-sized
+    partitions, never event-sized. No UDFs, no collects.
+
+    Output: (event_type, day, n_events, cusum_up, cusum_down,
+    flag_up, flag_down) for every (type, day) in the densified span;
+    cusum columns in count units rounded 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.timeutil import epoch_floor_index, ts_micros
+
+    us = ts_micros(F.col(ts_col))
+    counts = (
+        events.select(
+            F.col(type_col).alias("event_type"), us.alias("__us")
+        )
+        .where(F.col("event_type").isNotNull() & F.col("__us").isNotNull())
+        .select(
+            "event_type",
+            epoch_floor_index(F.col("__us"), 86_400_000_000).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .persist()
+    )
+    bounds = counts.agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    types = counts.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("__t")
+    )
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "__t",
+            F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias(
+                "day"
+            ),
+            (F.col("__d1") - F.col("__d0") + 1).alias("__n"),
+        )
+    )
+    dense = spine.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "__t",
+        "__n",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+    d = F.col("__n") * F.col("n_events") - F.col("__t")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dense.withColumn("__pre", F.sum(d).over(wc))
+    scored = pre.select(
+        "event_type",
+        "day",
+        "n_events",
+        "__t",
+        "__n",
+        (
+            F.col("__pre")
+            - F.least(F.lit(0).cast("bigint"), F.min("__pre").over(wc))
+        ).alias("__su"),
+        (
+            F.greatest(F.lit(0).cast("bigint"), F.max("__pre").over(wc))
+            - F.col("__pre")
+        ).alias("__sd"),
+    )
+    gate = F.lit(int(threshold_ppm)).cast("bigint") * F.col("__t") * F.col(
+        "__n"
+    )
+    million = F.lit(1_000_000).cast("bigint")
+    out = scored.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(
+            F.col("__su").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("cusum_up"),
+        F.round(
+            F.col("__sd").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("cusum_down"),
+        (million * F.col("__su") > gate).alias("flag_up"),
+        (million * F.col("__sd") > gate).alias("flag_down"),
+    )
+    # counts feeds bounds, totals and the dense join — expose the
+    # lazy pin for caller release.
+    out._cached_inputs = [counts]
     return out
 
 

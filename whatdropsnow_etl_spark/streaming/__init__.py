@@ -29,6 +29,7 @@ from .ks_drift import fold_value_histogram, ks_drift_report, overlap_report
 from .budget import budget_report, fold_score_bins
 from .anomaly import anomaly_report, fold_anomaly_buckets
 from .survival import fold_user_bounds, survival_report
+from .xcorr import fold_hourly_counts, xcorr_report
 from .seasonality import fold_seasonality_cells, seasonality_report
 from .lifecycle import fold_activity, lifecycle_report
 from .line_dedup import clean_and_grow_line_index, load_line_index
@@ -82,6 +83,8 @@ __all__ = [
     "anomaly_report",
     "fold_user_bounds",
     "survival_report",
+    "fold_hourly_counts",
+    "xcorr_report",
     "fold_score_bins",
     "budget_report",
     "pair_and_grow_doc_store",
