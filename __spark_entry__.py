@@ -3039,90 +3039,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # numpy-pinned + partitioning-invariance bit-identity pytest
         "embedding_pca": _embedding_pca,
     }
-    # ---- r10 gate window (slots 1-50; the driver checks these) ----
-    # Priority per the standing rotation contract (r9 verdict asks
-    # #1/#2/#4/#6/#8):
-    # (a) the two late-r9 oracle-bearing queries that have NEVER
-    #     produced a driver row (judge-verified parity-green in r9,
-    #     but the driver gate is the hard signal) — they lead;
-    #     interevent_stats' implementation ALSO changed in r10 (it
-    #     now reports through the interevent_from_moments half the
-    #     new streaming maintenance shares);
-    # (b) the queries NEW in r10, oracle-bearing: mmr_select_pass
-    #     (ask #4 — the twin-the-half pattern on the last big
-    #     rows-only greedy op), rfm_segments_scaled (ask #6 — the
-    #     sample-sort ntile path under its own row),
-    #     nn_descent_recall_curve (ask #8 — recall after p
-    #     materialized rounds), then the r10 continuation additions
-    #     (neighborhood_jaccard, weekly_seasonality,
-    #     quality_budget_curve);
-    # (c) the queries whose implementation changed in r10 — the
-    #     subplan-reuse persists (ask #2: numeric_outliers,
-    #     mad_outliers, the four _bucketed_rank consumers,
-    #     vocab_jaccard) and the GIF block-walk hardening
-    #     (media_probe/media_resize decode GIF payload classes);
-    # (d) oldest-first refresh: 32 of the 42 remaining rows whose
-    #     freshest green is r5. The 10 spilled (q11/q16/q17/q18/q19/
-    #     q21/q22/rollup_flag_status/tumbling_window_agg/
-    #     winsorize_report — static plans whose own code is
-    #     unchanged since their last gate) lead the r11 rotation.
+    # ---- r11 gate window (slots 1-50; the driver checks these) ----
+    # Priority per the standing rotation contract:
+    # (a) the 8 queries NEW in r11, all oracle-bearing:
+    #     seasonal_anomalies / event_xcorr / survival_hazard (events
+    #     family), kl_source_divergence (corpus), kmv_set_ops
+    #     (sketch set algebra), l_diversity (privacy),
+    #     degree_assortativity (dedup graph), cusum_changepoints
+    #     (level-shift monitor);
+    # (b) the queries whose implementation changed in r11 — the
+    #     floor/pmod seasonality-cell arithmetic
+    #     (weekly_seasonality), the budget_curve_from_bins persist
+    #     (quality_budget_curve), and the _cached_inputs release
+    #     plumbing on mmr_select_pass / nn_descent_recall_curve
+    #     (no plan change, but the rotation re-gates any touched
+    #     operator on principle);
+    # (c) the 10 r5-stale rows spilled from the r10 window
+    #     (q11/q16/q17/q18/q19/q21/q22/rollup_flag_status/
+    #     tumbling_window_agg/winsorize_report) — they were promised
+    #     the r11 lead;
+    # (d) oldest-first refresh: the 28 oldest r6-stale rows (43
+    #     remain at r6; the 15 spilled lead the r12 rotation:
+    #     triangle_count, distribution_shift_report, benford_check,
+    #     hybrid_search, active_learning_batch, chi2_features,
+    #     nb_classify and the other r6 rows listed in
+    #     tests/test_entry_contract.py).
     # Composition asserted, not hand-counted:
     # tests/test_entry_contract.py::test_gate_window_composition.
     window = [
-        # (a) never driver-gated
-        "interevent_stats",
-        "kcore_peel_pass",
-        # (b) new in r10
-        "mmr_select_pass",
-        "rfm_segments_scaled",
-        "nn_descent_recall_curve",
-        "neighborhood_jaccard",
+        # (a) new in r11
+        "seasonal_anomalies",
+        "event_xcorr",
+        "survival_hazard",
+        "kl_source_divergence",
+        "kmv_set_ops",
+        "l_diversity",
+        "degree_assortativity",
+        "cusum_changepoints",
+        # (b) implementation changed in r11
         "weekly_seasonality",
         "quality_budget_curve",
-        "media_animation_probe",
-        # (c) implementation changed in r10
-        "numeric_outliers",
-        "mad_outliers",
-        "epoch_shuffle",
-        "interleave_sources",
-        "balanced_shards",
-        "training_order_spine",
-        "vocab_jaccard",
-        "media_probe",
-        "media_resize",
-        # (d) r5-stale refresh (32 of 42)
-        "ann_cosine_topk",
-        "ann_lsh_bucketed",
-        "ann_recall_report",
-        "daily_active_users",
-        "dataset_fingerprint",
-        "dedup_bow",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "dup_degree_report",
-        "event_rate_spikes",
-        "funnel_latency",
-        "funnel_within",
-        "importance_sample",
-        "incremental_join",
-        "knn_label_vote",
-        "lang_diversity",
-        "lang_id",
-        "ngram_novelty",
-        "pretraining_mix",
-        "priority_sample",
-        "quality_calibration",
-        "quality_score",
-        "quota_sample",
-        "redact_pii",
-        "snapshot_diff",
-        "source_temperature_sample",
-        "stratified_sample",
-        "temperature_upsample",
-        "weighted_quantiles",
-        "window_topn_per_group",
+        "mmr_select_pass",
+        "nn_descent_recall_curve",
+        # (c) r5-stale spill from r10 (promised the lead)
+        "q11_important_stock",
+        "q16_supplier_variety",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q21_waiting_suppliers",
+        "q22_sales_opportunity",
+        "rollup_flag_status",
+        "tumbling_window_agg",
+        "winsorize_report",
+        # (d) oldest-r6 refresh (28 of 43)
+        "trend_report",
+        "quantile_bucketize",
+        "k_anonymity_report",
+        "grid_diversity_sample",
+        "label_centroids",
+        "asof_nearest_purchase",
+        "feature_class_lift",
+        "top_event_paths",
+        "zipf_fit",
+        "bm25_search",
+        "sparse_cosine_join",
+        "bloom_decontaminate",
+        "zorder_layout_report",
+        "line_dedup",
+        "line_dedup_incremental",
+        "last_touch_attribution",
+        "hourly_acf",
+        "densify_hours",
+        "hard_negatives",
+        "share_of_parent",
+        "blocklist_filter",
+        "corr_matrix",
+        "cooccurrence_pairs",
+        "vocab_growth",
+        "kwic_search",
+        "market_basket",
+        "percentile_rank",
+        "user_event_sequences",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}

@@ -55,71 +55,64 @@ def test_oracle_keys_subset_of_queries():
 GATE_WINDOW = 50  # the driver verifies only the first 50 queries() entries
 
 
-# Late-r9 oracle-bearing queries that have NEVER produced a driver
-# CORRECTNESS row (judge-verified parity-green in r9; the driver gate
-# is the hard signal) — they lead per the first-ever-signal contract.
-NEVER_GATED_R10 = [
-    "interevent_stats", "kcore_peel_pass",
+# New in r11, all oracle-bearing — they lead per the
+# first-ever-signal contract.
+NEW_ORACLE_R11 = [
+    "seasonal_anomalies", "event_xcorr", "survival_hazard",
+    "kl_source_divergence", "kmv_set_ops", "l_diversity",
+    "degree_assortativity", "cusum_changepoints",
 ]
 
-# New in r10, oracle-bearing: the r9 verdict asks #4/#6/#8 (the MMR
-# first-two-picks twin, the rfm sample-sort path under its own row,
-# the NN-descent recall curve) plus the r10 continuation additions.
-NEW_ORACLE_R10 = [
-    "mmr_select_pass", "rfm_segments_scaled", "nn_descent_recall_curve",
-    "neighborhood_jaccard", "weekly_seasonality", "quality_budget_curve",
-    "media_animation_probe",
+# Implementation changed in r11 — old green rows no longer cover the
+# shipped code: the floor/pmod seasonality cell arithmetic, the
+# budget-curve histogram persist, and the _cached_inputs release
+# plumbing (no plan change, re-gated on principle).
+CHANGED_IN_R11 = [
+    "weekly_seasonality", "quality_budget_curve",
+    "mmr_select_pass", "nn_descent_recall_curve",
 ]
 
-# Implementation changed in r10 — old green rows no longer cover the
-# shipped code: the subplan-reuse lazy persists (r9 verdict ask #2:
-# the outlier deviation relations, the _bucketed_rank ranked relation
-# feeding four consumers, vocab_jaccard's vocab relation) and the GIF
-# block-walk hardening (media_probe/media_resize decode the GIF
-# payload class for ids ≡ 8 mod 16).
-CHANGED_IN_R10 = [
-    "numeric_outliers", "mad_outliers",
-    "epoch_shuffle", "interleave_sources", "balanced_shards",
-    "training_order_spine",
-    "vocab_jaccard",
-    "media_probe", "media_resize",
+# The 10 r5-stale rows the r10 window spilled — promised the r11 lead.
+R5_SPILL_R11 = [
+    "q11_important_stock", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q21_waiting_suppliers",
+    "q22_sales_opportunity", "rollup_flag_status",
+    "tumbling_window_agg", "winsorize_report",
 ]
 
-# Oldest-first refresh: 32 of the 42 remaining rows whose freshest
-# driver green is r5 (balanced_shards, also r5-stale, re-gates in the
-# changed block above). The 9 spilled rows — q11/q16/q17/q18/q19/q21/
-# q22/rollup_flag_status/tumbling_window_agg plus winsorize_report,
-# static plans whose own code is unchanged since their last gate —
-# lead the r11 rotation.
-R5_REFRESH_R10 = [
-    "ann_cosine_topk", "ann_lsh_bucketed", "ann_recall_report",
-    "daily_active_users", "dataset_fingerprint", "dedup_bow",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dup_degree_report", "event_rate_spikes",
-    "funnel_latency", "funnel_within", "importance_sample",
-    "incremental_join", "knn_label_vote", "lang_diversity", "lang_id",
-    "ngram_novelty", "pretraining_mix", "priority_sample",
-    "quality_calibration", "quality_score", "quota_sample",
-    "redact_pii", "snapshot_diff", "source_temperature_sample",
-    "stratified_sample", "temperature_upsample", "weighted_quantiles",
-    "window_topn_per_group",
+# Oldest-first refresh: the 28 oldest of the 43 rows whose freshest
+# driver green is r6. The 15 spilled (triangle_count,
+# distribution_shift_report, benford_check, hybrid_search,
+# active_learning_batch, chi2_features, nb_classify, heldout_ppl
+# and the remaining r6 rows) lead the r12 rotation.
+R6_REFRESH_R11 = [
+    "trend_report", "quantile_bucketize", "k_anonymity_report",
+    "grid_diversity_sample", "label_centroids",
+    "asof_nearest_purchase", "feature_class_lift", "top_event_paths",
+    "zipf_fit", "bm25_search", "sparse_cosine_join",
+    "bloom_decontaminate", "zorder_layout_report", "line_dedup",
+    "line_dedup_incremental", "last_touch_attribution", "hourly_acf",
+    "densify_hours", "hard_negatives", "share_of_parent",
+    "blocklist_filter", "corr_matrix", "cooccurrence_pairs",
+    "vocab_growth", "kwic_search", "market_basket",
+    "percentile_rank", "user_event_sequences",
 ]
 
 
 def test_gate_window_composition():
-    """Derived (not hand-counted) r10 gate-window contract, in
-    order: the 2 never-gated late-r9 queries lead, the 7 r10-new
-    oracle queries follow, then the 9 r10-changed re-gates (6 persist
-    fixes + 1 vocab persist + 2 GIF-decode payload rows), and every
-    remaining slot is an oracle-bearing oldest-r5 refresh — no
-    rows-only slot anywhere this round. The block lengths are derived
-    from the lists, never hand-counted (the r9 ADVICE docstring
-    lesson)."""
+    """Derived (not hand-counted) r11 gate-window contract, in
+    order: the 8 r11-new oracle queries lead, the 4 r11-changed
+    re-gates follow, then the 10 r5-stale rows the r10 window
+    spilled (they were promised the lead), and every remaining slot
+    is an oracle-bearing oldest-r6 refresh — no rows-only slot
+    anywhere this round. The block lengths are derived from the
+    lists, never hand-counted (the r9 ADVICE docstring lesson)."""
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
     blocks = (
-        NEVER_GATED_R10, NEW_ORACLE_R10, CHANGED_IN_R10, R5_REFRESH_R10
+        NEW_ORACLE_R11, CHANGED_IN_R11, R5_SPILL_R11, R6_REFRESH_R11
     )
     pos = 0
     for block in blocks:
