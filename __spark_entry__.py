@@ -2121,6 +2121,16 @@ def _cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(load_table(spark, sf_dir, "events"))
 
 
+def _mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: Mann-Kendall S/tau + Theil-Sen median slope over
+    per-type daily counts — the outlier-robust companion to
+    trend_report's OLS fraction (bounded calendar-pair self-join,
+    rank-picked median, no float summation)."""
+    from whatdropsnow_etl_spark.operators import mann_kendall_trend
+
+    return mann_kendall_trend(load_table(spark, sf_dir, "events"))
+
+
 def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: reliability diagram + ECE of the quality score against
     the gopher gate — "does quality=0.9 actually pass the rules 90%
@@ -2413,6 +2423,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "l_diversity": ["diverse", "lang", "len_band", "n_rows", "n_sensitive", "top_share"],
     "degree_assortativity": ["assortativity", "n_edges", "n_nodes", "r_den", "r_num"],
     "cusum_changepoints": ["cusum_down", "cusum_up", "day", "event_type", "flag_down", "flag_up", "n_events"],
+    "mann_kendall_trend": ["event_type", "n_days", "n_pairs", "n_tied_pairs", "s_stat", "sen_slope", "tau"],
     "quality_budget_curve": ["bin", "cum_rows", "cum_w", "cum_w_share", "n_rows", "sum_w"],
     "media_animation_probe": ["doc_id", "height", "n_frames", "sum_rgb", "width"],
     "kcore_decomposition": ["coreness", "node"],
@@ -2901,6 +2912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _degree_assortativity,
         # NEW in r11 — two-sided CUSUM level-shift detection
         "cusum_changepoints": _cusum_changepoints,
+        # NEW in r11 — Mann-Kendall/Theil-Sen robust trend
+        "mann_kendall_trend": _mann_kendall_trend,
         # NEW in r10 continuation — REAL animated-GIF multi-frame
         # decode (shared-palette GIF89a encode, extension-aware LZW
         # frame walk), closed-form oracle
@@ -3041,12 +3054,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # ---- r11 gate window (slots 1-50; the driver checks these) ----
     # Priority per the standing rotation contract:
-    # (a) the 8 queries NEW in r11, all oracle-bearing:
+    # (a) the 9 queries NEW in r11, all oracle-bearing:
     #     seasonal_anomalies / event_xcorr / survival_hazard (events
     #     family), kl_source_divergence (corpus), kmv_set_ops
     #     (sketch set algebra), l_diversity (privacy),
     #     degree_assortativity (dedup graph), cusum_changepoints
-    #     (level-shift monitor);
+    #     (level-shift monitor), mann_kendall_trend (robust trend);
     # (b) the queries whose implementation changed in r11 — the
     #     floor/pmod seasonality-cell arithmetic
     #     (weekly_seasonality), the budget_curve_from_bins persist
@@ -3058,8 +3071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (q11/q16/q17/q18/q19/q21/q22/rollup_flag_status/
     #     tumbling_window_agg/winsorize_report) — they were promised
     #     the r11 lead;
-    # (d) oldest-first refresh: the 28 oldest r6-stale rows (43
-    #     remain at r6; the 15 spilled lead the r12 rotation:
+    # (d) oldest-first refresh: the 27 oldest r6-stale rows (43
+    #     remain at r6; the 16 spilled lead the r12 rotation:
     #     triangle_count, distribution_shift_report, benford_check,
     #     hybrid_search, active_learning_batch, chi2_features,
     #     nb_classify and the other r6 rows listed in
@@ -3076,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity",
         "degree_assortativity",
         "cusum_changepoints",
+        "mann_kendall_trend",
         # (b) implementation changed in r11
         "weekly_seasonality",
         "quality_budget_curve",
@@ -3120,7 +3134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_search",
         "market_basket",
         "percentile_rank",
-        "user_event_sequences",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -7730,6 +7743,72 @@ def oracle_sql() -> dict[str, str]:
                1000000 * su > 200000 * tt * n AS flag_up,
                1000000 * sd > 200000 * tt * n AS flag_down
         FROM s
+    """
+    # r11: Mann-Kendall S / tau-a + Theil-Sen median slope — the
+    # densified day spine, bounded calendar-pair self-join, exact
+    # integer sign sums; the median slope is rank-PICKED over the
+    # (slope, xi, xj) total order, never interpolated or summed
+    sql["mann_kendall_trend"] = """
+        WITH raw AS (
+          SELECT event_type,
+                 CAST((epoch_us(ts)
+                       - ((epoch_us(ts) % 86400000000 + 86400000000)
+                          % 86400000000)) // 86400000000 AS BIGINT)
+                   AS day
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), c AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS y
+          FROM raw GROUP BY 1, 2
+        ), b AS (
+          SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c
+        ), tt AS (
+          SELECT DISTINCT event_type FROM c
+        ), dense AS (
+          SELECT tt.event_type, gs.day, COALESCE(c.y, 0) AS y
+          FROM tt
+          CROSS JOIN (SELECT UNNEST(range(
+            (SELECT d0 FROM b), (SELECT d1 FROM b) + 1)) AS day) gs
+          LEFT JOIN c ON c.event_type = tt.event_type
+                     AND c.day = gs.day
+        ), pr AS (
+          SELECT a.event_type,
+                 a.day AS xi, j.day AS xj,
+                 CAST(SIGN(j.y - a.y) AS BIGINT) AS sgn,
+                 CAST(j.y - a.y AS DOUBLE)
+                   / CAST(j.day - a.day AS DOUBLE) AS slope
+          FROM dense a
+          JOIN dense j ON j.event_type = a.event_type
+                      AND j.day > a.day
+        ), rk AS (
+          SELECT event_type, sgn, slope,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY slope, xi, xj) AS rn
+          FROM pr
+        ), st AS (
+          SELECT event_type,
+                 CAST(SUM(sgn) AS BIGINT) AS s_stat,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tied_pairs
+          FROM rk GROUP BY 1
+        ), md AS (
+          SELECT rk.event_type, rk.slope AS med
+          FROM rk JOIN st ON rk.event_type = st.event_type
+          WHERE rk.rn = (st.n_pairs + 1) // 2
+        ), nd AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM dense GROUP BY 1
+        )
+        SELECT st.event_type, n_days, s_stat, n_pairs, n_tied_pairs,
+               CASE WHEN n_pairs > 0
+                    THEN ROUND(CAST(s_stat AS DOUBLE)
+                               / CAST(n_pairs AS DOUBLE), 6) END
+                 AS tau,
+               ROUND(med, 6) AS sen_slope
+        FROM st
+        JOIN nd ON st.event_type = nd.event_type
+        LEFT JOIN md ON st.event_type = md.event_type
     """
     # r9 continuation: reliability diagram + exact ECE of the quality
     # score vs the gopher gate — micro-quantized scores, integer bin

@@ -527,3 +527,41 @@ def test_streaming_xcorr_equals_batch(spark):
         [tuple(r) for r in event_xcorr(ev).collect()], key=repr
     )
     assert folded == full and len(full) > 0
+
+
+def test_mann_kendall_hand_series(spark):
+    """Known monotone and shifted series vs a pure-Python MK/Sen
+    reference (S sign sum; type-1 lower-median pairwise slope)."""
+    import datetime as dt
+
+    from whatdropsnow_etl_spark.operators import mann_kendall_trend
+
+    base = dt.datetime(2024, 5, 1, 6, 0)
+    daily = [1, 2, 3, 5, 8, 4, 4]
+    rows = []
+    eid = 0
+    for day, n in enumerate(daily):
+        for _ in range(n):
+            rows.append((eid, "e", base + dt.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    r = mann_kendall_trend(df).collect()[0]
+    n = len(daily)
+    pairs = [
+        (i, j) for i in range(n) for j in range(i + 1, n)
+    ]
+    s_stat = sum(
+        (daily[j] > daily[i]) - (daily[j] < daily[i]) for i, j in pairs
+    )
+    ties = sum(1 for i, j in pairs if daily[i] == daily[j])
+    slopes = sorted(
+        ((daily[j] - daily[i]) / (j - i), i, j) for i, j in pairs
+    )
+    med = slopes[(len(slopes) + 1) // 2 - 1][0]
+    assert (r.n_days, r.s_stat, r.n_pairs, r.n_tied_pairs) == (
+        n, s_stat, len(pairs), ties
+    )
+    assert r.tau == round(s_stat / len(pairs), 6)
+    assert r.sen_slope == round(med, 6)

@@ -217,6 +217,9 @@ ALLPAIRS_OK = {
     # calendar spine: #types rows × 1-row broadcast bounds aggregate
     # (the densify_hours / event_rate_spikes pattern)
     "cusum_changepoints",
+    # same calendar spine; the pair stage is a type-keyed equi-join
+    # over span-days rows (calendar², never events²)
+    "mann_kendall_trend",
 }
 # Queries that intentionally cross the Python boundary (Arrow batch):
 # multimodal's mapInPandas decode, and the blocked-GEMM tile kernel

@@ -1875,6 +1875,151 @@ def xcorr_from_hourly(hist: DataFrame, max_lag: int = 2) -> DataFrame:
     return out
 
 
+def mann_kendall_trend(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test + Theil-Sen slope over
+    per-type DAILY counts (Mann 1945, Kendall 1975; Sen 1968) — the
+    outlier-robust companion to trend_report's OLS fraction: one
+    whale day drags a least-squares slope arbitrarily; the MK
+    statistic counts ORDER relations (S = Σ_{i<j} sign(y_j − y_i))
+    and the Theil-Sen slope is the MEDIAN pairwise slope, both
+    immune to any single day's magnitude.
+
+    No reference twin — extends SURVEY §2.2's events family.
+
+    Exactness: the day axis is densified (silent days are real
+    zeros — a monotone decline INTO silence must count), pairs come
+    from the bounded day-histogram self-join (i < j over span-days
+    rows — calendar², never events²); S, the pair count and the tie
+    count are exact BIGINTs, tau-a = S / n_pairs is ONE rounded
+    division. The Theil-Sen slope takes the type-1 lower-median of
+    the pairwise slopes (y_j−y_i)/(x_j−x_i): each slope is a single
+    correctly-rounded IEEE division and the median picks ONE of them
+    by rank (row_number over (slope, i, j) — total order, no
+    interpolation, no float summation), so the result is
+    bit-deterministic across engines and partitionings.
+
+    Scale shape: one map-combined (type, day) count, the types ×
+    span-days² bounded self-join, one median window per type
+    (calendar-sized partitions). No UDFs, no collects.
+
+    Output: (event_type, n_days, s_stat, n_pairs, n_tied_pairs,
+    tau, sen_slope) — tau/sen_slope rounded 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.timeutil import epoch_floor_index, ts_micros
+
+    us = ts_micros(F.col(ts_col))
+    counts = (
+        events.select(
+            F.col(type_col).alias("event_type"), us.alias("__us")
+        )
+        .where(F.col("event_type").isNotNull() & F.col("__us").isNotNull())
+        .select(
+            "event_type",
+            epoch_floor_index(F.col("__us"), 86_400_000_000).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .persist()
+    )
+    bounds = counts.agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    types = counts.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias(
+                "day"
+            ),
+        )
+    )
+    dense = spine.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("y"),
+    )
+    a = dense.select(
+        "event_type", F.col("day").alias("__xi"), F.col("y").alias("__yi")
+    )
+    b = dense.select(
+        F.col("event_type").alias("__e2"),
+        F.col("day").alias("__xj"),
+        F.col("y").alias("__yj"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("__e2"))
+        & (F.col("__xj") > F.col("__xi")),
+    ).select(
+        "event_type",
+        "__xi",
+        "__xj",
+        F.signum((F.col("__yj") - F.col("__yi")).cast("double"))
+        .cast("bigint")
+        .alias("__sgn"),
+        (
+            (F.col("__yj") - F.col("__yi")).cast("double")
+            / (F.col("__xj") - F.col("__xi")).cast("double")
+        ).alias("__slope"),
+    )
+    ws = Window.partitionBy("event_type").orderBy(
+        "__slope", "__xi", "__xj"
+    )
+    ranked = pairs.withColumn("__rn", F.row_number().over(ws))
+    stats = ranked.groupBy("event_type").agg(
+        F.sum("__sgn").cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("__sgn") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tied_pairs"),
+    )
+    # type-1 lower median: the slope at rank floor((n_pairs+1)/2)
+    med = (
+        ranked.join(
+            F.broadcast(
+                stats.select(
+                    "event_type", F.col("n_pairs").alias("__np")
+                )
+            ),
+            "event_type",
+        )
+        .where(F.col("__rn") == F.floor((F.col("__np") + 1) / 2))
+        .select("event_type", F.col("__slope").alias("__med"))
+    )
+    ndays = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    out = (
+        stats.join(F.broadcast(ndays), "event_type")
+        .join(F.broadcast(med), "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "n_pairs",
+            "n_tied_pairs",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.round(
+                    F.col("s_stat").cast("double")
+                    / F.col("n_pairs").cast("double"),
+                    6,
+                ),
+            ).alias("tau"),
+            F.round(F.col("__med"), 6).alias("sen_slope"),
+        )
+    )
+    out._cached_inputs = [counts]
+    return out
+
+
 def cusum_changepoints(
     events: DataFrame,
     type_col: str = "event_type",
