@@ -2131,6 +2131,15 @@ def _mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall_trend(load_table(spark, sf_dir, "events"))
 
 
+def _token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: per-source whole-bit unigram entropy — the diversity
+    gauge next to token_gini and kl_source_divergence, via the
+    unsigned floor-log2 (N_s/c >= 1 always)."""
+    from whatdropsnow_etl_spark.operators import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: reliability diagram + ECE of the quality score against
     the gopher gate — "does quality=0.9 actually pass the rules 90%
@@ -2424,6 +2433,7 @@ _ORDER_KEYS: dict[str, list[str]] = {
     "degree_assortativity": ["assortativity", "n_edges", "n_nodes", "r_den", "r_num"],
     "cusum_changepoints": ["cusum_down", "cusum_up", "day", "event_type", "flag_down", "flag_up", "n_events"],
     "mann_kendall_trend": ["event_type", "n_days", "n_pairs", "n_tied_pairs", "s_stat", "sen_slope", "tau"],
+    "token_entropy": ["entropy_bits", "n_tokens", "source", "sum_bits", "vocab"],
     "quality_budget_curve": ["bin", "cum_rows", "cum_w", "cum_w_share", "n_rows", "sum_w"],
     "media_animation_probe": ["doc_id", "height", "n_frames", "sum_rgb", "width"],
     "kcore_decomposition": ["coreness", "node"],
@@ -2914,6 +2924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": _cusum_changepoints,
         # NEW in r11 — Mann-Kendall/Theil-Sen robust trend
         "mann_kendall_trend": _mann_kendall_trend,
+        # NEW in r11 — per-source whole-bit unigram entropy
+        "token_entropy": _token_entropy,
         # NEW in r10 continuation — REAL animated-GIF multi-frame
         # decode (shared-palette GIF89a encode, extension-aware LZW
         # frame walk), closed-form oracle
@@ -3054,12 +3066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # ---- r11 gate window (slots 1-50; the driver checks these) ----
     # Priority per the standing rotation contract:
-    # (a) the 9 queries NEW in r11, all oracle-bearing:
+    # (a) the 10 queries NEW in r11, all oracle-bearing:
     #     seasonal_anomalies / event_xcorr / survival_hazard (events
     #     family), kl_source_divergence (corpus), kmv_set_ops
     #     (sketch set algebra), l_diversity (privacy),
     #     degree_assortativity (dedup graph), cusum_changepoints
-    #     (level-shift monitor), mann_kendall_trend (robust trend);
+    #     (level-shift monitor), mann_kendall_trend (robust trend),
+    #     token_entropy (whole-bit diversity gauge);
     # (b) the queries whose implementation changed in r11 — the
     #     floor/pmod seasonality-cell arithmetic
     #     (weekly_seasonality), the budget_curve_from_bins persist
@@ -3071,7 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (q11/q16/q17/q18/q19/q21/q22/rollup_flag_status/
     #     tumbling_window_agg/winsorize_report) — they were promised
     #     the r11 lead;
-    # (d) oldest-first refresh: the 27 oldest r6-stale rows (43
+    # (d) oldest-first refresh: the 26 oldest r6-stale rows (43
     #     remain at r6; the 16 spilled lead the r12 rotation:
     #     triangle_count, distribution_shift_report, benford_check,
     #     hybrid_search, active_learning_batch, chi2_features,
@@ -3090,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity",
         "cusum_changepoints",
         "mann_kendall_trend",
+        "token_entropy",
         # (b) implementation changed in r11
         "weekly_seasonality",
         "quality_budget_curve",
@@ -3133,7 +3147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth",
         "kwic_search",
         "market_basket",
-        "percentile_rank",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     ordered = {k: base.pop(k) for k in window}
@@ -7809,6 +7822,41 @@ def oracle_sql() -> dict[str, str]:
         FROM st
         JOIN nd ON st.event_type = nd.event_type
         LEFT JOIN md ON st.event_type = md.event_type
+    """
+    # r11: per-source whole-bit unigram entropy — the unsigned
+    # floor-log2 (N_s/c >= 1), Σ c·bits exact, one rounded division
+    sql["token_entropy"] = """
+        WITH tok AS (
+          SELECT source, u.w
+          FROM (SELECT source, string_split(lower(text), ' ') AS t
+                FROM documents WHERE source IS NOT NULL) d,
+               UNNEST(t) AS u(w)
+          WHERE u.w <> ''
+        ), sw AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ), tots AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM sw GROUP BY 1
+        ), sc AS (
+          SELECT sw.source, c, n_s,
+                 length(format('{:b}', n_s))
+                   - length(format('{:b}', c)) AS d
+          FROM sw JOIN tots ON sw.source = tots.source
+        ), bits AS (
+          SELECT source, c,
+                 CASE WHEN n_s >= c * (CAST(1 AS BIGINT) << d)
+                      THEN d ELSE d - 1 END AS b
+          FROM sc
+        ), per AS (
+          SELECT source, CAST(SUM(c * b) AS BIGINT) AS sum_bits
+          FROM bits GROUP BY 1
+        )
+        SELECT per.source, n_s AS n_tokens, vocab, sum_bits,
+               ROUND(CAST(sum_bits AS DOUBLE) / CAST(n_s AS DOUBLE),
+                     6) AS entropy_bits
+        FROM per JOIN tots ON per.source = tots.source
     """
     # r9 continuation: reliability diagram + exact ECE of the quality
     # score vs the gopher gate — micro-quantized scores, integer bin

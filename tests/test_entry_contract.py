@@ -61,7 +61,7 @@ NEW_ORACLE_R11 = [
     "seasonal_anomalies", "event_xcorr", "survival_hazard",
     "kl_source_divergence", "kmv_set_ops", "l_diversity",
     "degree_assortativity", "cusum_changepoints",
-    "mann_kendall_trend",
+    "mann_kendall_trend", "token_entropy",
 ]
 
 # Implementation changed in r11 — old green rows no longer cover the
@@ -82,9 +82,9 @@ R5_SPILL_R11 = [
     "tumbling_window_agg", "winsorize_report",
 ]
 
-# Oldest-first refresh: the 27 oldest of the 43 rows whose freshest
-# driver green is r6. The 16 spilled (user_event_sequences,
-# triangle_count,
+# Oldest-first refresh: the 26 oldest of the 43 rows whose freshest
+# driver green is r6. The 17 spilled (percentile_rank,
+# user_event_sequences, triangle_count,
 # distribution_shift_report, benford_check, hybrid_search,
 # active_learning_batch, chi2_features, nb_classify, heldout_ppl
 # and the remaining r6 rows) lead the r12 rotation.
@@ -98,13 +98,12 @@ R6_REFRESH_R11 = [
     "densify_hours", "hard_negatives", "share_of_parent",
     "blocklist_filter", "corr_matrix", "cooccurrence_pairs",
     "vocab_growth", "kwic_search", "market_basket",
-    "percentile_rank",
 ]
 
 
 def test_gate_window_composition():
     """Derived (not hand-counted) r11 gate-window contract, in
-    order: the 9 r11-new oracle queries lead, the 4 r11-changed
+    order: the 10 r11-new oracle queries lead, the 4 r11-changed
     re-gates follow, then the 10 r5-stale rows the r10 window
     spilled (they were promised the lead), and every remaining slot
     is an oracle-bearing oldest-r6 refresh — no rows-only slot

@@ -565,3 +565,31 @@ def test_mann_kendall_hand_series(spark):
     )
     assert r.tau == round(s_stat / len(pairs), 6)
     assert r.sen_slope == round(med, 6)
+
+
+def test_token_entropy_hand_corpus(spark):
+    """Two-source corpus vs a pure-Python whole-bit entropy
+    reference (floor(log2(N/c)) per word, Σ c·bits / N)."""
+    from collections import Counter
+
+    from whatdropsnow_etl_spark.operators import token_entropy
+
+    docs = [
+        (1, "a a a a", "uniform1"),  # one word: entropy 0
+        (2, "a b c d", "diverse"),   # four singletons: floor(log2 4)=2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.sum_bits, r.entropy_bits)
+        for r in token_entropy(df).collect()
+    }
+    for src, text in [("uniform1", docs[0][1]), ("diverse", docs[1][1])]:
+        c = Counter(t for t in text.split(" ") if t)
+        n = sum(c.values())
+        def fl2(num, den):
+            e = num.bit_length() - den.bit_length()
+            return e if num >= (den << e) else e - 1
+        sb = sum(cw * fl2(n, cw) for cw in c.values())
+        assert got[src] == (n, len(c), sb, round(sb / n, 6)), src
+    assert got["uniform1"][3] == 0.0
+    assert got["diverse"][3] == 2.0

@@ -1516,3 +1516,80 @@ def kl_source_divergence(
     # the scored join — expose the lazy pin for caller release.
     out._cached_inputs = [sw]
     return out
+
+
+def token_entropy(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source empirical unigram entropy in WHOLE BITS — the
+    diversity-of-vocabulary-use gauge next to token_gini
+    (concentration of mass) and kl_source_divergence (divergence
+    from the rest): a template farm emitting the same boilerplate
+    has low entropy long before dedup sees the pairs, and entropy
+    per token is the idealized compression bound compression_ratio
+    measures empirically through zlib.
+
+    No reference twin — extends SURVEY §2.3's corpus-statistics
+    family.
+
+    Exactness: H = Σ_w p_w·log2(1/p_w) with p_w = c_w/N_s, measured
+    as Σ c_w·floor(log2(N_s/c_w)) / N_s — the ratio N_s/c_w is
+    always >= 1, so the plain unsigned _floor_log2_ratio bitlen/
+    shift-compare construction applies (the bigram_surprisal
+    discipline); Σ c_w·bits is an exact BIGINT and the entropy is
+    ONE rounded division. Floor quantization makes this a LOWER
+    bound within 1 bit/token of true entropy — same contract as the
+    surprisal family, stated, not hidden.
+
+    Scale shape: one corpus-sized tokenize → (source, word) count
+    (map-combined); per-source totals broadcast back onto the vocab-
+    grain histogram. No windows, no UDFs, no collects.
+
+    Output: (source, n_tokens, vocab, sum_bits, entropy_bits) —
+    entropy_bits rounded 6dp.
+    """
+    from ..functions.text import tokens
+
+    # sw feeds the totals aggregate AND the scored join — lazy
+    # persist so the corpus tokenize runs once (the rank_correlation
+    # subplan-reuse lesson), exposed for caller release.
+    sw = (
+        documents.select(
+            F.col(group_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("source").isNotNull() & (F.col("w") != ""))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    totals = sw.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    scored = sw.join(F.broadcast(totals), "source").select(
+        "source",
+        "c",
+        _floor_log2_ratio(F.col("n_s"), F.col("c")).alias("bits"),
+    )
+    out = (
+        scored.groupBy("source")
+        .agg(
+            F.sum(F.col("c") * F.col("bits")).cast("bigint").alias("sum_bits")
+        )
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "vocab",
+            "sum_bits",
+            F.round(
+                F.col("sum_bits").cast("double") / F.col("n_s").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+    out._cached_inputs = [sw]
+    return out
