@@ -47,6 +47,15 @@ def main() -> None:
     con = duckdb.connect()
     import os
 
+    # The pathological oracle CTEs (pagerank/kcore pair shapes) can
+    # exhaust the box when the long-lived Spark JVM holds its heap
+    # high-water: cap DuckDB and give it a spill directory so those
+    # oracles page to disk instead of dying with a bad-allocation
+    # (observed live at sf1 on pagerank_update_pass's oracle, r11).
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+
     for name in TABLE_NAMES:
         path = f"{sf_dir}/{name}.parquet"
         if os.path.isdir(path):  # Spark-written multi-file table

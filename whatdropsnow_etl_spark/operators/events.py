@@ -1972,7 +1972,10 @@ def mann_kendall_trend(
     ws = Window.partitionBy("event_type").orderBy(
         "__slope", "__xi", "__xj"
     )
-    ranked = pairs.withColumn("__rn", F.row_number().over(ws))
+    # ranked feeds both the stats aggregate and the median pick —
+    # lazy persist so the pair join + rank window run once (the
+    # rank_correlation subplan-reuse lesson; calendar-pair-sized).
+    ranked = pairs.withColumn("__rn", F.row_number().over(ws)).persist()
     stats = ranked.groupBy("event_type").agg(
         F.sum("__sgn").cast("bigint").alias("s_stat"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
@@ -2016,7 +2019,7 @@ def mann_kendall_trend(
             F.round(F.col("__med"), 6).alias("sen_slope"),
         )
     )
-    out._cached_inputs = [counts]
+    out._cached_inputs = [counts, ranked]
     return out
 
 
