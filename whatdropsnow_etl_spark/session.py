@@ -34,6 +34,22 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # Pre-warming worker daemon (pydaemon.py): stock workers import
+    # pandas+pyarrow AFTER forking — a cold stage spawning 32 workers
+    # (64 for chained mapInPandas) pays ~8 s of concurrent import
+    # wall (measured; multimodal_frame_sample 18.6 s -> 2.8 s with
+    # the preload). The daemon module must be importable by the
+    # worker-side interpreter, which does NOT inherit the driver's
+    # sys.path hacks — prepend the repo root to PYTHONPATH before
+    # the JVM (and with it the daemon) launches. On a real cluster
+    # the package ships via --py-files and the same config applies.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -54,6 +70,7 @@ def get_spark(
         # queries (measured: full bench 135s at 8g vs 112s at 24g,
         # with far lower run-to-run variance). The box has 128 GiB.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.python.daemon.module", "whatdropsnow_etl_spark.pydaemon")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
