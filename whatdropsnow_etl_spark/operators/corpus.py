@@ -373,7 +373,12 @@ def heldout_perplexity(
     held = positions(docs.where(F.col(id_col) % holdout_mod == 0))
 
     c_bigram = train.groupBy("bg").agg(F.count("*").alias("c2"))
-    c_prefix = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    # lazily persisted (r11): c_prefix feeds both the broadcast join
+    # AND the vocab count — without it the train-side tokenize +
+    # posexplode subplan evaluates a third time just to count the
+    # vocabulary (Catalyst doesn't dedupe subtrees). Vocab-sized, so
+    # the cache is as small as the broadcast it already ships.
+    c_prefix = train.groupBy("w1").agg(F.count("*").alias("c1")).persist()
     vocab = c_prefix.agg(F.count("*").alias("v"))
 
     scored = (
@@ -390,12 +395,14 @@ def heldout_perplexity(
             "bits", _floor_log2_ratio(F.col("c1") + F.col("v"), F.col("c2") + 1)
         )
     )
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum((F.col("c2") == 0).cast("bigint")).alias("oov_bigrams"),
         F.sum("bits").alias("sum_bits"),
         (F.sum("bits").cast("double") / F.count("*")).alias("avg_bits"),
     )
+    out._cached_inputs = [c_prefix]
+    return out
 
 
 def dataset_card_report(

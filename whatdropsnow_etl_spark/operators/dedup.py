@@ -195,11 +195,20 @@ def _jaccard_with_collapse(
     # whitespace yields empty tokens, so shingle sets can differ
     # within a group. One shuffle replaces the old groups⋈base
     # join-back (a second full-corpus shuffle).
+    #
+    # Lazily persisted (r11): the relation feeds reps (whose shingle
+    # and size passes each re-evaluate it), the ma/mb member
+    # broadcasts, nsh AND within_src — ~6 subplan copies in the one
+    # physical plan, each a full corpus scan + md5 groupBy, since
+    # Catalyst does not dedupe subtrees (the rank_correlation /
+    # budget_curve_from_bins lesson applied to the pair kernel that
+    # the whole cluster family sits on). Released via the
+    # _cached_inputs convention.
     groups = base.groupBy("__gid").agg(
         F.sort_array(F.collect_list("doc_id")).alias("__members"),
         F.min("doc_id").alias("__rep"),
         F.min_by("__text", "doc_id").alias("__rtext"),
-    )
+    ).persist()
     reps = groups.select(
         F.col("__rep").alias("doc_id"), F.col("__rtext").alias("__text")
     )
@@ -263,7 +272,9 @@ def _jaccard_with_collapse(
         F.col("__nsh").alias("n_common"),
         F.lit(1.0).alias("jaccard"),
     )
-    return cross.unionByName(within)
+    out = cross.unionByName(within)
+    out._cached_inputs = [groups]
+    return out
 
 
 def minhash_signatures(
@@ -651,12 +662,16 @@ def dedup_clusters(
     component; singletons map to themselves), which doubles as the
     keeper id.
     """
-    pairs = ngram_jaccard_pairs(
+    pairs_full = ngram_jaccard_pairs(
         df, text_col, id_col, k, threshold, hash_shingles=True
-    ).select("doc_a", "doc_b")
+    )
+    pairs = pairs_full.select("doc_a", "doc_b")
+    cached = list(getattr(pairs_full, "_cached_inputs", []))
     ids = df.select(F.col(id_col).alias("id"))
     if algorithm == "twostars":
-        return _components_twostars(ids, pairs, max_iter)
+        out = _components_twostars(ids, pairs, max_iter)
+        out._cached_inputs = cached
+        return out
     if algorithm != "minlabel":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
@@ -697,7 +712,11 @@ def dedup_clusters(
             f"dedup_clusters(minlabel) did not converge in {max_iter} rounds;"
             " raise max_iter or use algorithm='twostars' (O(log n) rounds)"
         )
-    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component_id"))
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("component_id")
+    )
+    out._cached_inputs = cached
+    return out
 
 
 def _components_twostars(ids: DataFrame, pairs: DataFrame, max_iter: int) -> DataFrame:
@@ -713,10 +732,38 @@ def _components_twostars(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Dat
 
     Each op is one groupBy + one join; the edge set contracts toward
     per-component stars centered at the min node in O(log n) rounds
-    (vs O(diameter) for label propagation). Convergence = small-star
-    output equals its input (distinct edge sets); checked with a
-    count + exceptAll probe per round.
+    (vs O(diameter) for label propagation). Convergence = the edge
+    set is a min-rooted star forest: every hi appears in exactly ONE
+    edge (each non-root node points at exactly one parent) and no
+    lo is itself some edge's hi (every edge points directly at its
+    component root — hi-uniqueness alone would accept an inverted
+    star like {(2,0),(2,1)}, which still needs a round; the
+    hypothesis union-find property test caught exactly that).
+    Fixpoints of the alternation are exactly these min-rooted stars
+    (Kiveris et al. §3; both star ops preserve connectivity and the
+    hi > lo orientation, so a star forest's centers are the
+    component minima), hence testing star-forest-ness directly (one
+    isEmpty probe over two violation relations on the checkpointed
+    edges) stops at the SAME edge set as the old count + exceptAll
+    equality probe but without the extra contraction round the
+    equality probe needed to observe an unchanged edge set (r11:
+    one full round — 2 groupBys, 2 joins, 2 distincts, a
+    checkpoint — saved per call across the 6 cluster-family
+    queries; output bit-identical).
     """
+
+    def _is_star_forest(e: DataFrame) -> bool:
+        lo_is_parent = e.select(F.col("lo").alias("x")).join(
+            e.select(F.col("hi").alias("x")), "x", "left_semi"
+        )
+        hi_multi = (
+            e.groupBy("hi")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .select(F.col("hi").alias("x"))
+        )
+        return lo_is_parent.unionByName(hi_multi).isEmpty()
+
     edges = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("hi"),
@@ -725,8 +772,7 @@ def _components_twostars(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Dat
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
-    converged = n_edges == 0
+    converged = _is_star_forest(edges)
     for _ in range(max_iter):
         if converged:
             break
@@ -755,11 +801,8 @@ def _components_twostars(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Dat
             .distinct()
             .localCheckpoint(eager=True)
         )
-        n_new = small.count()
-        if n_new == n_edges and small.exceptAll(edges).isEmpty():
-            converged = True
         edges = small
-        n_edges = n_new
+        converged = _is_star_forest(edges)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters(twostars) did not converge in {max_iter} rounds"

@@ -576,9 +576,13 @@ def neighborhood_jaccard(
     sym = edges.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionByName(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    # lazily persisted (r11): referenced by the deg_a AND deg_b
+    # joins (plus the optional hub-cap filter) — each reference
+    # otherwise re-runs the |E|-row symmetrize + shuffle; the cache
+    # is node-count-sized.
     deg = sym.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
+    ).persist()
     centers = sym
     if max_center_degree is not None:
         keep = deg.where(F.col("deg") <= max_center_degree).select(
@@ -774,10 +778,14 @@ def degree_assortativity(
         .distinct()
         .persist()
     )
+    # lazily persisted (r11): referenced by BOTH endpoint joins and
+    # the n_nodes aggregate — 3 subplan copies of the |E|-row explode
+    # + shuffle otherwise; the cache is node-count-sized.
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist()
     )
     joined = (
         e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("__da")), "a")
@@ -809,5 +817,5 @@ def degree_assortativity(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("assortativity"),
     )
-    out._cached_inputs = [e]
+    out._cached_inputs = [e, deg]
     return out
