@@ -158,12 +158,39 @@ def _dense_tiles(
         )
     )
     nblocks = max(1, -(-posts.select("__doc").distinct().count() // block_size))
+    # materialized once: the tile join references the blocked relation
+    # twice, and Catalyst does not dedupe the two aggregation subplans
+    # (r11 plan: the whole vecs pipeline ran twice, 4 Exchanges)
     blocks = vecs.groupBy(
         (F.abs(F.hash("__doc")) % nblocks).alias("b")
-    ).agg(F.collect_list(F.struct("__doc", "__v")).alias("items"))
-    left = blocks.select(F.col("b").alias("b1"), F.col("items").alias("items1"))
-    right = blocks.select(F.col("b").alias("b2"), F.col("items").alias("items2"))
-    tiles = left.join(right, F.col("b1") <= F.col("b2"))
+    ).agg(
+        F.collect_list(F.struct("__doc", "__v")).alias("items")
+    ).localCheckpoint(eager=True)
+    # Tile grid as an EQUI-join against an explicit (b1, b2) pair
+    # relation instead of a `b1 <= b2` theta self-join: the theta join
+    # planned as BroadcastNestedLoopJoin over a BroadcastExchange of
+    # the ENTIRE blocked vector set — the whole corpus on the driver
+    # and every executor, OOM by construction at 100 TB (guide §3.1).
+    # The pair grid is B(B+1)/2 tiny rows (broadcast those instead);
+    # block payloads attach via hash-partitioned equi-joins, so each
+    # side shuffles O(N·|V|·B) bytes and nothing corpus-sized is ever
+    # collected to one node.
+    spark = posts.sparkSession
+    pair_grid = spark.createDataFrame(
+        [(b1, b2) for b1 in range(nblocks) for b2 in range(b1, nblocks)],
+        "b1 int, b2 int",
+    )
+    tiles = (
+        F.broadcast(pair_grid)
+        .join(
+            blocks.select(F.col("b").alias("b1"), F.col("items").alias("items1")),
+            "b1",
+        )
+        .join(
+            blocks.select(F.col("b").alias("b2"), F.col("items").alias("items2")),
+            "b2",
+        )
+    )
     num2, den2 = num * num, den * den
 
     def score(it):

@@ -114,19 +114,31 @@ def pagerank(
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("__in"))
         )
-        ranks = (
-            base.join(contrib, "node", "left")
-            .select(
-                "node",
-                "out_deg",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = base.join(contrib, "node", "left").select(
+            "node",
+            "out_deg",
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
         )
+        # Iteration materialization (r12): WITH dangling nodes each
+        # round's dangling sum is a driver action, so the round must
+        # be pinned eagerly (the old behavior, unchanged). WITHOUT
+        # dangling (undirected pair graphs — every bench caller) the
+        # loop is pure dataflow: ranks_i is referenced exactly once
+        # by round i+1, so the whole `iters`-round recurrence stays
+        # ONE lazy plan executed by the caller's single action.
+        # Per-round eager localCheckpoints cost `iters` scheduled
+        # jobs and erase partitioning info (ExistingRDD scans plan as
+        # UnknownPartitioning, forcing a fresh shuffle of BOTH join
+        # sides every round); lazily, the loop-invariant e- and
+        # base-side Exchange subtrees are identical every round and
+        # ReuseExchange computes each ONCE (guide §2.4 — share one
+        # exchange), leaving only the rank-side shuffle per round.
+        if has_dangling:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank", "out_deg")
 
 
@@ -460,23 +472,37 @@ def kcore_decompose(
     )
     done: DataFrame | None = None
     k = 1
+    # n_active tracks the loop condition from the checkpoint
+    # materializations themselves — no per-round active.isEmpty()
+    # probe job (VERDICT r11 #7: fold the per-round driver actions).
+    n_active = active.count()
     for _ in range(max_rounds):
-        if active.isEmpty():
+        if n_active == 0:
             break
+        # ONE degree materialization per round; the min-degree scalar
+        # and the peel filter both read it from cache. The min-degree
+        # collect (1 row, the kmeans/BPE model-sized allowance) jumps
+        # k straight past empty levels: if min __deg >= k, levels
+        # k..min produce empty peels by definition, and a node peeled
+        # at level min+1 has coreness min — identical output, zero
+        # wasted per-level rounds (each previously cost a full degree
+        # shuffle + probe jobs).
         deg = (
             edges.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("bigint").alias("__deg"))
         )
-        peel = (
+        adeg = (
             active.join(deg, "node", "left")
-            .where(F.coalesce(F.col("__deg"), F.lit(0)) < k)
-            .select("node")
+            .select(
+                "node",
+                F.coalesce(F.col("__deg"), F.lit(0)).alias("__deg"),
+            )
             .localCheckpoint(eager=True)
         )
-        if peel.isEmpty():
-            k += 1
-            continue
+        mindeg = adeg.agg(F.min("__deg")).collect()[0][0]
+        k = max(k, int(mindeg) + 1)
+        peel = adeg.where(F.col("__deg") < k).select("node")
         batch = peel.select(
             "node", F.lit(k - 1).cast("bigint").alias("coreness")
         )
@@ -484,15 +510,25 @@ def kcore_decompose(
         new_active = active.join(peel, "node", "left_anti").localCheckpoint(
             eager=True
         )
+        # peel is the SMALL side of the round (a wave, not the
+        # surviving bulk): anti-joining edges against it twice beats
+        # the old both-endpoint semi-joins against the (large)
+        # survivor set; AQE converts either side to broadcast at
+        # runtime when it fits, so the shape stays scale-adaptive.
         new_edges = (
             edges.join(
-                new_active.select(F.col("node").alias("a")), "a", "left_semi"
+                peel.select(F.col("node").alias("a")), "a", "left_anti"
             )
             .join(
-                new_active.select(F.col("node").alias("b")), "b", "left_semi"
+                peel.select(F.col("node").alias("b")), "b", "left_anti"
             )
             .localCheckpoint(eager=True)
         )
+        n_active = new_active.count()
+        # NOTE: adeg must stay cached — the accumulated `done` union
+        # still references this round's peel slice, and a localCheck-
+        # pointed RDD cannot be recomputed once unpersisted (same
+        # lifetime contract the old per-round peel checkpoints had).
         active.unpersist()
         edges.unpersist()
         active, edges = new_active, new_edges
@@ -501,11 +537,10 @@ def kcore_decompose(
         # return here would hand back a PARTIAL decomposition (the
         # still-active nodes simply get no coreness row), which reads
         # as complete downstream. Fail loudly instead (ADVICE r10).
-        if not active.isEmpty():
-            n_left = active.count()
+        if n_active > 0:
             raise KCoreRoundsExhausted(
                 f"kcore_decompose: max_rounds={max_rounds} exhausted with "
-                f"{n_left} node(s) still active at level k={k}; raise "
+                f"{n_active} node(s) still active at level k={k}; raise "
                 "max_rounds (the loop needs O(max coreness + peel waves) "
                 "rounds) or peel with kcore_peel_pass manually"
             )

@@ -43,12 +43,16 @@ def get_spark(
     # sys.path hacks — prepend the repo root to PYTHONPATH before
     # the JVM (and with it the daemon) launches. On a real cluster
     # the package ships via --py-files and the same config applies.
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if repo_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            repo_root + (os.pathsep + existing if existing else "")
-        )
+    # SPARK_GRAFT_NO_DAEMON=1 falls back to the stock pyspark daemon
+    # so the daemon's effect can be A/B-attributed in one window.
+    use_daemon = os.environ.get("SPARK_GRAFT_NO_DAEMON", "") != "1"
+    if use_daemon and SparkSession.getActiveSession() is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        if repo_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                repo_root + (os.pathsep + existing if existing else "")
+            )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -70,7 +74,10 @@ def get_spark(
         # queries (measured: full bench 135s at 8g vs 112s at 24g,
         # with far lower run-to-run variance). The box has 128 GiB.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.python.daemon.module", "whatdropsnow_etl_spark.pydaemon")
         .config("spark.ui.enabled", "false")
     )
+    if use_daemon:
+        builder = builder.config(
+            "spark.python.daemon.module", "whatdropsnow_etl_spark.pydaemon"
+        )
     return builder.getOrCreate()
