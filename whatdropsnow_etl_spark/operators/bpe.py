@@ -15,10 +15,13 @@ cleaned corpus. Spark-first shape:
    arrays. The argmax is ONE row collected per round — the merge
    table IS the model, mirroring the kmeans codebook contract.
 3. Merge application is per-word sequential (positions shift as
-   pairs fuse) over arrays that are at most a few dozen symbols, so
-   it runs as an Arrow-batched pandas UDF — the sanctioned Python
-   path for short-sequence logic HOF lambdas cannot express
-   (a lambda cannot look ahead at the next element).
+   pairs fuse). In TRAINING it runs as a pure-JVM regexp chain over
+   the space-joined symbol string (``_merge_expr`` — Java
+   ``replaceAll``'s left-to-right resume-after-match scan IS the
+   non-overlapping BPE order, so the loop stays in WholeStageCodegen
+   with no Python workers, r12). ENCODING applies the whole learned
+   table per word with a Zipf-friendly per-worker cache, which the
+   Arrow-batched pandas UDF expresses best.
 
 The histogram is localCheckpointed once and each round's result
 replaces it, so round N+1 never re-derives rounds 1..N's lineage.
@@ -38,60 +41,45 @@ from ..functions.text import tokens
 END = "</w>"
 
 
-def _merge_udf(a: str, b: str):
-    """Fuse every non-overlapping (a, b) occurrence, left to right —
-    the same scan order every reference BPE implementation uses."""
-    import pandas as pd
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    def _apply(col):
-        def one(syms):
-            out = []
-            i = 0
-            n = len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
-
-        return col.map(one)
-
-    _apply.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    return pandas_udf(_apply, "array<string>")
+_RX_META = set("\\^$.|?*+()[]{}")
 
 
-def _merge_batch_udf(merges: list):
-    """Apply a LIST of (a, b) merges in rank order inside one Arrow
-    batch pass — one Python-UDF stage per round instead of one per
-    merge. Each merge uses the same left-to-right non-overlapping
-    scan as _merge_udf."""
-    import pandas as pd
-    from pyspark.sql.pandas.functions import pandas_udf
+def _rx_quote(s: str) -> str:
+    """Escape every Java-regex metacharacter (char-by-char, not
+    \\Q...\\E, which a symbol containing a literal ``\\E`` would
+    break)."""
+    return "".join("\\" + c if c in _RX_META else c for c in s)
 
-    def _apply(col):
-        def one(syms):
-            for a, b in merges:
-                out = []
-                i = 0
-                n = len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
 
-        return col.map(one)
+def _repl_quote(s: str) -> str:
+    """Escape Java ``Matcher`` replacement metacharacters."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
 
-    _apply.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    return pandas_udf(_apply, "array<string>")
+
+def _merge_expr(col, merges):
+    """Fuse every non-overlapping (a, b) occurrence, left to right,
+    for each merge in rank order — as a pure-JVM regexp chain over
+    the space-joined symbol string (guide §4.1: built-ins beat UDFs).
+
+    Java's ``replaceAll`` scans left to right and resumes AFTER each
+    replacement, which is exactly the non-overlapping greedy order
+    every reference BPE implementation uses (for a run ``a a a`` the
+    match at 0-1 consumes both and the lone trailing ``a`` survives).
+    Symbols never contain spaces (words are whitespace-split), so the
+    space-delimited rendering is unambiguous; the lookaround guards
+    pin whole-symbol matches. Replaces the per-round pandas UDF: the
+    training loop's histogram updates now stay inside WholeStageCodegen
+    with zero Python-worker traffic, and the result is bit-identical
+    (same strings, same order).
+    """
+    s = F.array_join(col, " ")
+    for a, b in merges:
+        # \A/\z, not ^/$: Java's $ matches before a FINAL newline even
+        # without MULTILINE, which would mis-anchor a symbol whose
+        # last character is a line terminator.
+        pat = "(?<= |\\A)" + _rx_quote(a) + " " + _rx_quote(b) + "(?= |\\z)"
+        s = F.regexp_replace(s, pat, _repl_quote(a + b))
+    return F.split(s, " ")
 
 
 def _char_word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
@@ -237,7 +225,7 @@ def bpe_merges(
             init = list(init_merges)
         for i, (a, b) in enumerate(init, 1):
             words = words.select(
-                _merge_udf(a, b)(F.col("syms")).alias("syms"), "freq"
+                _merge_expr(F.col("syms"), [(a, b)]).alias("syms"), "freq"
             )
             if i % checkpoint_every == 0:
                 words = words.localCheckpoint(eager=True)
@@ -273,18 +261,12 @@ def bpe_merges(
             break
         for a, b, c in batch:
             learned.append((base_rank + len(learned) + 1, a, b, c))
-        if len(batch) == 1:
-            a, b, _ = batch[0]
-            words = words.select(
-                _merge_udf(a, b)(F.col("syms")).alias("syms"), "freq"
-            )
-        else:
-            words = words.select(
-                _merge_batch_udf([(a, b) for a, b, _ in batch])(
-                    F.col("syms")
-                ).alias("syms"),
-                "freq",
-            )
+        words = words.select(
+            _merge_expr(
+                F.col("syms"), [(a, b) for a, b, _ in batch]
+            ).alias("syms"),
+            "freq",
+        )
         rounds += 1
         if rounds % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)

@@ -669,7 +669,14 @@ def dedup_clusters(
     cached = list(getattr(pairs_full, "_cached_inputs", []))
     ids = df.select(F.col(id_col).alias("id"))
     if algorithm == "twostars":
-        out = _components_twostars(ids, pairs, max_iter)
+        try:
+            out = _components_twostars(ids, pairs, max_iter)
+        except RuntimeError:
+            # non-convergence must not leak the persisted pair inputs
+            # (ADVICE r11)
+            for c in cached:
+                c.unpersist()
+            raise
         out._cached_inputs = cached
         return out
     if algorithm != "minlabel":
@@ -708,6 +715,8 @@ def dedup_clusters(
             converged = True
             break
     if not converged:
+        for c in cached:  # ADVICE r11: no cache leak on the error path
+            c.unpersist()
         raise RuntimeError(
             f"dedup_clusters(minlabel) did not converge in {max_iter} rounds;"
             " raise max_iter or use algorithm='twostars' (O(log n) rounds)"
@@ -1584,12 +1593,17 @@ def cluster_keep_best(
         .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return scored.select(
+    out = scored.select(
         "doc_id",
         "component_id",
         F.first("doc_id").over(w).alias("keeper_doc_id"),
         (F.col("doc_id") == F.first("doc_id").over(w)).cast("int").alias("kept"),
     )
+    # propagate the clustering's persisted inputs so long-lived
+    # callers can release them (ADVICE r11: wrappers that dropped the
+    # attribute pinned a corpus-sized cache per call)
+    out._cached_inputs = list(getattr(comp, "_cached_inputs", []))
+    return out
 
 
 def lsh_tuning_report(
@@ -1621,14 +1635,13 @@ def lsh_tuning_report(
     cand = minhash_lsh_pairs(df, text_col, id_col, k, num_hashes, bands).select(
         "doc_a", "doc_b", F.lit(1).alias("__c")
     )
-    truth = ngram_jaccard_pairs(df, text_col, id_col, k, threshold).select(
-        "doc_a", "doc_b", F.lit(1).alias("__t")
-    )
+    truth_full = ngram_jaccard_pairs(df, text_col, id_col, k, threshold)
+    truth = truth_full.select("doc_a", "doc_b", F.lit(1).alias("__t"))
     both = cand.join(truth, ["doc_a", "doc_b"], "full_outer")
     n_cand = F.count("__c")
     n_true = F.count("__t")
     tp = F.count(F.when(F.col("__c").isNotNull() & F.col("__t").isNotNull(), 1))
-    return both.agg(
+    out = both.agg(
         n_cand.alias("n_candidates"),
         n_true.alias("n_true"),
         tp.alias("tp"),
@@ -1637,6 +1650,9 @@ def lsh_tuning_report(
         F.round(tp.cast("double") / n_cand, 6).alias("precision"),
         F.round(tp.cast("double") / n_true, 6).alias("recall"),
     )
+    # propagate the truth relation's persisted inputs (ADVICE r11)
+    out._cached_inputs = list(getattr(truth_full, "_cached_inputs", []))
+    return out
 
 
 def span_dedup(

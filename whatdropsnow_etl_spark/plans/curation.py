@@ -78,10 +78,13 @@ def curation_funnel(
             for f in ("f1", "f2", "f3", "f4")
         ],
     )
-    return agg.selectExpr(
+    out = agg.selectExpr(
         "stack(5, '1_all', c0, '2_quality', c1, '3_lang', c2,"
         " '4_exact_dedup', c3, '5_near_dedup', c4) AS (stage, n_docs)"
     ).orderBy("stage")
+    # propagate the pair subplan's persisted inputs (ADVICE r11)
+    out._cached_inputs = list(getattr(pairs, "_cached_inputs", []))
+    return out
 
 
 def pretraining_mix(
