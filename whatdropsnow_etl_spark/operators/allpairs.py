@@ -158,37 +158,62 @@ def _dense_tiles(
         )
     )
     nblocks = max(1, -(-posts.select("__doc").distinct().count() // block_size))
-    # materialized once: the tile join references the blocked relation
-    # twice, and Catalyst does not dedupe the two aggregation subplans
-    # (r11 plan: the whole vecs pipeline ran twice, 4 Exchanges)
     blocks = vecs.groupBy(
         (F.abs(F.hash("__doc")) % nblocks).alias("b")
-    ).agg(
-        F.collect_list(F.struct("__doc", "__v")).alias("items")
-    ).localCheckpoint(eager=True)
-    # Tile grid as an EQUI-join against an explicit (b1, b2) pair
-    # relation instead of a `b1 <= b2` theta self-join: the theta join
-    # planned as BroadcastNestedLoopJoin over a BroadcastExchange of
-    # the ENTIRE blocked vector set — the whole corpus on the driver
-    # and every executor, OOM by construction at 100 TB (guide §3.1).
-    # The pair grid is B(B+1)/2 tiny rows (broadcast those instead);
-    # block payloads attach via hash-partitioned equi-joins, so each
-    # side shuffles O(N·|V|·B) bytes and nothing corpus-sized is ever
-    # collected to one node.
-    spark = posts.sparkSession
-    pair_grid = spark.createDataFrame(
-        [(b1, b2) for b1 in range(nblocks) for b2 in range(b1, nblocks)],
-        "b1 int, b2 int",
+    ).agg(F.collect_list(F.struct("__doc", "__v")).alias("items"))
+    # Tile assembly by EXPLODE + one (b1, b2)-keyed aggregation, not a
+    # `b1 <= b2` theta self-join: the theta join planned as
+    # BroadcastNestedLoopJoin over a BroadcastExchange of the ENTIRE
+    # blocked vector set — the whole corpus on the driver and every
+    # executor, OOM by construction at 100 TB — and Catalyst computed
+    # the whole vecs pipeline TWICE for the two join branches (r11
+    # plan ops 1-8 vs 9-17). Here each block row emits its payload
+    # once per tile it participates in (as the b1 side for tiles
+    # (b, b..B-1), as the b2 side for tiles (0..b, b)), and one
+    # hash-partitioned groupBy(b1, b2) assembles the tile — ONE
+    # subplan, no broadcast, no join, O(N·|V|·B) shuffled bytes
+    # spread over B(B+1)/2 keys (guide §3.1/§2.4). Exactly one row
+    # per (tile, role) exists, so the ignorenulls-first aggregates
+    # are deterministic.
+    last = F.lit(nblocks - 1)
+    fanout = blocks.select(
+        "items",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.col("b"), last),
+                    lambda b2: F.struct(
+                        F.col("b").alias("b1"),
+                        b2.alias("b2"),
+                        F.lit(1).alias("role"),
+                    ),
+                ),
+                F.transform(
+                    F.sequence(F.lit(0), F.col("b")),
+                    lambda b1: F.struct(
+                        b1.alias("b1"),
+                        F.col("b").alias("b2"),
+                        F.lit(2).alias("role"),
+                    ),
+                ),
+            )
+        ).alias("t"),
     )
     tiles = (
-        F.broadcast(pair_grid)
-        .join(
-            blocks.select(F.col("b").alias("b1"), F.col("items").alias("items1")),
-            "b1",
+        fanout.select(
+            F.col("t.b1").alias("b1"),
+            F.col("t.b2").alias("b2"),
+            F.col("t.role").alias("role"),
+            "items",
         )
-        .join(
-            blocks.select(F.col("b").alias("b2"), F.col("items").alias("items2")),
-            "b2",
+        .groupBy("b1", "b2")
+        .agg(
+            F.first(
+                F.when(F.col("role") == 1, F.col("items")), ignorenulls=True
+            ).alias("items1"),
+            F.first(
+                F.when(F.col("role") == 2, F.col("items")), ignorenulls=True
+            ).alias("items2"),
         )
     )
     num2, den2 = num * num, den * den
