@@ -40,6 +40,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int, hash_shingles: bool) -> DataFrame:
+    # Parallelism floor (guide §2.5 "input skew: one huge unsplittable
+    # file → repartition immediately after the read", r12): a small
+    # corpus parquet is one row group, so the scan is ONE task and the
+    # entire shingle-explode + hash pipeline downstream of it ran
+    # serially no matter the core count (the r11 verdict's flat 8→32
+    # scaling on the MinHash family). When the source yields fewer
+    # partitions than cores, hash-repartition by doc id first: the
+    # shuffle is input-sized (small by the very condition that
+    # triggers it), the downstream doc-keyed aggregations reuse the
+    # partitioning, and every hash/min computation spreads over the
+    # cores. At production scale the scan has thousands of splits and
+    # this branch never fires. Deterministic hash partitioning, and
+    # every consumer aggregates order-insensitively (min / count /
+    # sort_array), so results are partition-layout-free.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
     sh = shingles(tokens(F.col(text_col)), k)
     out = df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
     if hash_shingles:
