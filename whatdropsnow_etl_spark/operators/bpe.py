@@ -86,6 +86,11 @@ def _char_word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
     """The corpus's word-frequency histogram, words split to chars
     plus the ``</w>`` end sentinel — the ONLY corpus-sized pass in
     BPE training (statistics are a function of the histogram)."""
+    from ..functions.parallel import ensure_min_parallelism
+
+    # parallelism floor (r12): the tokenize + explode feeding the
+    # histogram groupBy otherwise runs on a one-task under-split scan
+    docs = ensure_min_parallelism(docs, F.xxhash64(F.col(text_col)))
     return (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .where(F.col("w") != "")
@@ -347,6 +352,11 @@ def bpe_encode(
 
     _encode.__annotations__ = {"col": pd.Series, "return": pd.Series}
     enc = pandas_udf(_encode, "array<string>")
+    from ..functions.parallel import ensure_min_parallelism
+
+    # parallelism floor (r12): the encode UDF otherwise runs in ONE
+    # Python worker over a one-task under-split scan
+    docs = ensure_min_parallelism(docs, id_col)
     return docs.select(
         F.col(id_col), F.posexplode(enc(F.col(text_col))).alias("pos", "token")
     ).select(

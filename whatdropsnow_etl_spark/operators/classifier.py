@@ -217,6 +217,11 @@ def quality_lr(
     labeled = gopher_rules(
         docs, text_col=text_col, id_col=id_col, extra_cols=(text_col,)
     )
+    # (r12) NO parallelism floor here, deliberately: the per-iteration
+    # gradient aggregate over the cached feature relation is
+    # scheduling-bound, not compute-bound, at parity SFs — flooring it
+    # to 32 partitions made each of the 12 iteration jobs schedule 32
+    # near-empty tasks and measured SLOWER (8.8 s vs 5.7 s at sf0.1).
     label = F.col("passes").cast("double")
     model = lr_train(
         labeled,

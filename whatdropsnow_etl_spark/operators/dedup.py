@@ -54,9 +54,9 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int, hash_shingl
     # this branch never fires. Deterministic hash partitioning, and
     # every consumer aggregates order-insensitively (min / count /
     # sort_array), so results are partition-layout-free.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    from ..functions.parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, id_col)
     sh = shingles(tokens(F.col(text_col)), k)
     out = df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
     if hash_shingles:

@@ -44,8 +44,13 @@ def train_kmeans_codebook(
     """Train a k-centroid codebook; returns (cid BIGINT, embedding
     array<double>) — directly usable as ``ann_ivf_topk(centroids=)``.
     """
+    from ..functions.parallel import ensure_min_parallelism
+
     cos = cosine_sim_arrow()
-    c = corpus.select(
+    # parallelism floor (r12): a single-row-group embeddings parquet
+    # scans as ONE task, serializing every Lloyd round's cosine
+    # kernel; the cached relation inherits the floored partitioning
+    c = ensure_min_parallelism(corpus, id_col).select(
         F.col(id_col).alias("vid"), to_double_array(vec_col).alias("v")
     ).persist()  # scanned once; every Lloyd round re-reads it
     seeds = (

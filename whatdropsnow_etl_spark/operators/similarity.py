@@ -85,7 +85,9 @@ def embedding_dedup_pairs(
     (identical nonzero vectors) emit cosine 1.0, equal after the
     6-decimal output rounding to the kernel's self-cosine.
     """
-    base = df.select(
+    from ..functions.parallel import ensure_min_parallelism
+
+    base = ensure_min_parallelism(df, id_col).select(
         F.col(id_col).alias("__id"), to_double_array(vec_col).alias("__v")
     )
     if lsh_tables is not None:
@@ -433,8 +435,12 @@ def ann_ivf_topk(
     probed cells is missed — standard IVF recall, controlled by
     ``nprobe``; the exact twin is ann_cosine_topk.
     """
+    from ..functions.parallel import ensure_min_parallelism
+
     cos = cosine_sim_arrow()
-    c = corpus.select(
+    # parallelism floor (r12): under-split corpus scans serialized the
+    # assignment cosine kernel on one task
+    c = ensure_min_parallelism(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
     )
     if centroids is None:
@@ -727,9 +733,15 @@ def pq_encode(
     DuckDB twin's list_dot_product fold. Emits
     (vec_id, codes array<int>).
     """
+    from ..functions.parallel import ensure_min_parallelism
+
     cb_np = collect_pq_codebook(codebook)
     rot_np = collect_rotation(rotation) if rotation is not None else None
     kernel = _pq_codes_arrow(cb_np, rot_np)
+    # parallelism floor (r12): the map-only encode (and the ADC scoring
+    # pass that follows its partitioning) otherwise runs on a one-task
+    # under-split scan
+    corpus = ensure_min_parallelism(corpus, id_col)
     return (
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -1050,8 +1062,12 @@ def semantic_dedup(
     matching DuckDB's list_dot_product bitwise — same determinism
     contract as ann_cosine_topk.
     """
+    from ..functions.parallel import ensure_min_parallelism
+
     cos = cosine_sim_arrow()
-    c = embeddings.select(
+    # parallelism floor (r12): assignment + within-cell pair kernels
+    # otherwise inherit a one-task under-split scan
+    c = ensure_min_parallelism(embeddings, id_col).select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__v")
     )
     if n_centroids is None:
@@ -1903,6 +1919,9 @@ def nn_descent_recall_curve(
         F.col(id_col).cast("bigint").alias("query_id"),
         to_double_array(vec_col).alias("__qv"),
     )
+    from ..functions.parallel import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors, id_col)
     c = vectors.select(
         F.col(id_col).cast("bigint").alias("neighbor_id"),
         to_double_array(vec_col).alias("__cv"),
