@@ -55,65 +55,69 @@ def test_oracle_keys_subset_of_queries():
 GATE_WINDOW = 50  # the driver verifies only the first 50 queries() entries
 
 
-# New in r11, all oracle-bearing — they lead per the
-# first-ever-signal contract.
-NEW_ORACLE_R11 = [
+# The 10 r11-new queries hold their slots in r12 (verdict r11 ask
+# #9: their only green is one round old, and the r12 MinHash floor
+# touched degree_assortativity's whole prefix).
+R11_HELD_R12 = [
     "seasonal_anomalies", "event_xcorr", "survival_hazard",
     "kl_source_divergence", "kmv_set_ops", "l_diversity",
     "degree_assortativity", "cusum_changepoints",
     "mann_kendall_trend", "token_entropy",
 ]
 
-# Implementation changed in r11 — old green rows no longer cover the
-# shipped code: the floor/pmod seasonality cell arithmetic, the
-# budget-curve histogram persist, and the _cached_inputs release
-# plumbing (no plan change, re-gated on principle).
-CHANGED_IN_R11 = [
-    "weekly_seasonality", "quality_budget_curve",
-    "mmr_select_pass", "nn_descent_recall_curve",
+# Oracle-bearing queries whose PLAN changed in the r12 optimization
+# round: the sparse_cosine_join tile rewrite, the MinHash/shingle
+# parallelism floor (dedup-graph family), the vector kernels' floor
+# (ann/semantic/embedding/nn_descent), pagerank_update_pass's persist
+# path, and the _cached_inputs release wrappers. Touched-operator
+# re-gates outrank staleness per the standing contract.
+TOUCHED_R12 = [
+    "sparse_cosine_join", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_pipeline", "dup_weighting", "dup_rate_by_source",
+    "lsh_tuning_report", "cluster_keep_best", "curation_funnel",
+    "dedup_clusters", "dedup_clusters_twostars",
+    "pagerank_update_pass", "kcore_peel_pass", "triangle_count",
+    "neighborhood_jaccard", "dup_degree_report",
+    "label_propagation_pass", "incremental_dedup",
+    "containment_pairs", "ann_ivf_topk", "ann_pq_topk",
+    "semantic_dedup", "embedding_dedup", "nn_descent_recall_curve",
 ]
 
-# The 10 r5-stale rows the r10 window spilled — promised the r11 lead.
-R5_SPILL_R11 = [
-    "q11_important_stock", "q16_supplier_variety",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q21_waiting_suppliers",
-    "q22_sales_opportunity", "rollup_flag_status",
-    "tumbling_window_agg", "winsorize_report",
+# Daemon re-gate: the gc.freeze worker-daemon change (r12 O1) touches
+# every Python-worker query; these are the oracle-bearing
+# multimodal/media/ANN/editdist representatives whose walls the round
+# re-measured (verdict r11 ask #9).
+DAEMON_REGATE_R12 = [
+    "multimodal_frame_sample", "multimodal_decode",
+    "multimodal_resize", "media_probe", "media_animation_probe",
+    "media_resize", "media_resample", "media_silence_report",
+    "dedup_editdist", "dedup_editdist_incremental",
+    "ann_cosine_topk", "ann_int8_topk", "ann_lsh_bucketed",
 ]
 
-# Oldest-first refresh: the 26 oldest of the 43 rows whose freshest
-# driver green is r6. The 17 spilled (percentile_rank,
-# user_event_sequences, triangle_count,
-# distribution_shift_report, benford_check, hybrid_search,
-# active_learning_batch, chi2_features, nb_classify, heldout_ppl
-# and the remaining r6 rows) lead the r12 rotation.
-R6_REFRESH_R11 = [
-    "trend_report", "quantile_bucketize", "k_anonymity_report",
-    "grid_diversity_sample", "label_centroids",
-    "asof_nearest_purchase", "feature_class_lift", "top_event_paths",
-    "zipf_fit", "bm25_search", "sparse_cosine_join",
-    "bloom_decontaminate", "zorder_layout_report", "line_dedup",
-    "line_dedup_incremental", "last_touch_attribution", "hourly_acf",
-    "densify_hours", "hard_negatives", "share_of_parent",
-    "blocklist_filter", "corr_matrix", "cooccurrence_pairs",
-    "vocab_growth", "kwic_search", "market_basket",
+# Oldest-first refresh with the remaining slots; the rest of the
+# promised r6 spill (benford_check, hybrid_search,
+# active_learning_batch, chi2_features, nb_classify, heldout_ppl and
+# the remaining r6 rows) leads the r13 rotation.
+R6_REFRESH_R12 = [
+    "percentile_rank", "user_event_sequences",
+    "distribution_shift_report",
 ]
 
 
 def test_gate_window_composition():
-    """Derived (not hand-counted) r11 gate-window contract, in
-    order: the 10 r11-new oracle queries lead, the 4 r11-changed
-    re-gates follow, then the 10 r5-stale rows the r10 window
-    spilled (they were promised the lead), and every remaining slot
-    is an oracle-bearing oldest-r6 refresh — no rows-only slot
-    anywhere this round. The block lengths are derived from the
-    lists, never hand-counted (the r9 ADVICE docstring lesson)."""
+    """Derived (not hand-counted) r12 gate-window contract, in
+    order: the 10 held r11-new oracle queries lead, the 24
+    plan-changed r12 re-gates follow, then the 13 daemon-regate
+    family representatives, and every remaining slot is an
+    oracle-bearing oldest-r6 refresh — no rows-only slot anywhere
+    this round. The block lengths are derived from the lists, never
+    hand-counted (the r9 ADVICE docstring lesson)."""
     order = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     gated = order[:GATE_WINDOW]
     blocks = (
-        NEW_ORACLE_R11, CHANGED_IN_R11, R5_SPILL_R11, R6_REFRESH_R11
+        R11_HELD_R12, TOUCHED_R12, DAEMON_REGATE_R12, R6_REFRESH_R12
     )
     pos = 0
     for block in blocks:
